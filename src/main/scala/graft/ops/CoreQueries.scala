@@ -1,0 +1,12 @@
+package graft.ops
+
+import graft.{Q, QueryModule}
+
+/** Aggregates the initial query surface. Grows module by module per
+  * SURVEY.md §7.2's build order.
+  */
+object CoreQueries extends QueryModule {
+  def queries: Seq[Q] = Seq(
+    Q("word_count", TextOps.wordCountOracle)(TextOps.wordCountQuery)
+  )
+}
