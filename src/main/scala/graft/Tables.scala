@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Readers for the driver's parquet tables (TESTDATA.md).
   *
@@ -20,7 +22,19 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = apply(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = apply(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame     = apply(s, d, "events")
+  /** `events.ts` is ns-precision parquet (FIXTURES.md), which Spark 4
+    * refuses to read as a timestamp (PARQUET_TYPE_ILLEGAL). Sessions set
+    * `spark.sql.legacy.parquet.nanosAsLong=true`, so the column arrives as
+    * LONG nanoseconds; convert here to a µs TimestampType by integer
+    * division (truncation — same as DuckDB's TIMESTAMP_NS → TIMESTAMP
+    * cast, so oracle comparisons line up).
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val df = apply(s, d, "events")
+    if (df.schema("ts").dataType == LongType)
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df
+  }
   def documents(s: SparkSession, d: String): DataFrame  = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
 }

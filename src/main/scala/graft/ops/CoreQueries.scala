@@ -6,7 +6,7 @@ import graft.{Q, QueryModule}
   * SURVEY.md §7.2's build order.
   */
 object CoreQueries extends QueryModule {
-  def queries: Seq[Q] = Seq(
-    Q("word_count", TextOps.wordCountOracle)(TextOps.wordCountQuery)
-  )
+  def queries: Seq[Q] =
+    Seq(Q("word_count", TextOps.wordCountOracle)(TextOps.wordCountQuery)) ++
+      RelationalOps.queries
 }

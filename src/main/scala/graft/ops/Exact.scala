@@ -1,0 +1,46 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Cross-engine deterministic numeric helpers.
+  *
+  * Floating-point aggregation is order-dependent, and Spark and DuckDB do
+  * not sum partitions in the same order — a plain `sum(double)` would
+  * hash-mismatch the oracle in the low bits. The fix: cast each double to
+  * DECIMAL(38,10) (deterministic per-value), sum exactly in decimal
+  * (order-independent), and cast the final total back to double
+  * (nearest-double of an exact decimal, identical in both engines).
+  *
+  * The DuckDB side of each helper is the SQL fragment documented next to
+  * it; both sides must be kept in lock-step.
+  */
+object Exact {
+  private val Dec = DecimalType(38, 10)
+
+  /** Exact sum of a double expression; DuckDB:
+    * `CAST(SUM(CAST(x AS DECIMAL(38,10))) AS DOUBLE)`.
+    */
+  def dsum(c: Column): Column = sum(c.cast(Dec)).cast("double")
+
+  /** Exact-numerator average; DuckDB:
+    * `CAST(SUM(CAST(x AS DECIMAL(38,10))) AS DOUBLE) / COUNT(x)`.
+    * The final double division is IEEE-identical in both engines.
+    */
+  def davg(c: Column): Column = dsum(c) / count(c)
+
+  /** Windowed exact sum: `sum(c.cast(dec)).over(w).cast("double")` on the
+    * Spark side; `CAST(SUM(CAST(x AS DECIMAL(38,10))) OVER w AS DOUBLE)` in
+    * DuckDB. Exposed as the casted column for symmetry.
+    */
+  def decSum(c: Column): Column = sum(c.cast(Dec))
+
+  /** Sample variance/stddev built only from exact decimal sums plus IEEE
+    * double arithmetic (Welford-style running aggregates are NOT
+    * cross-engine deterministic). DuckDB mirror:
+    * `(sum_x2 - sum_x * sum_x / n) / (n - 1)` with the same parentheses.
+    */
+  def dvarSamp(sumX: Column, sumX2: Column, n: Column): Column =
+    (sumX2 - sumX * sumX / n) / (n - lit(1))
+}

@@ -1,0 +1,587 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.{Q, QueryModule, Tables}
+
+/** Relational core (SURVEY.md §2B): scans, filters, every join type,
+  * aggregations (incl. rollup/cube/grouping sets), window functions,
+  * sort/limit/top-k, set operations.
+  *
+  * The reference has no query language at all (its only relational-ish
+  * operator is the extension predicate at `/root/reference/main.go:73-80`);
+  * this module IS the engine's declared relational surface, carried by
+  * Catalyst built-ins so pushdown/pruning/join-selection/AQE come free.
+  *
+  * Scale notes (100 TB posture):
+  *  - dimension joins (`nation`, `region`, `part` at small SF) are
+  *    explicitly `broadcast()` — no shuffle of the fact side;
+  *  - fact-fact joins shuffle on their equi-keys only;
+  *  - windows partition by high-cardinality keys (custkey/suppkey), never
+  *    a global single-partition window except where semantics demand it;
+  *  - every aggregate is a hash aggregate with map-side partials.
+  */
+object RelationalOps extends QueryModule {
+  private val Dec = DecimalType(38, 10)
+
+  def queries: Seq[Q] = Seq(
+    // ------------------------------------------------------------------
+    // scan / project / filter
+    // ------------------------------------------------------------------
+    Q(
+      "q_scan_project",
+      // (l_orderkey, l_linenumber) is NOT unique in this synthetic data —
+      // the ORDER BY covers all output columns so ties are identical rows.
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '2000-01-01'
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice"""
+    ) { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("2000-01-01").cast("timestamp"))
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    },
+
+    Q(
+      "q_filter_predicates",
+      """SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice
+        |FROM orders
+        |WHERE (o_orderstatus = 'F' OR o_orderpriority IN ('1-URGENT', '2-HIGH'))
+        |  AND o_totalprice BETWEEN 1000 AND 200000
+        |  AND NOT (o_custkey % 10 = 0)
+        |ORDER BY o_orderkey"""
+    ) { (s, d) =>
+      Tables.orders(s, d)
+        .filter(
+          (col("o_orderstatus") === "F" ||
+            col("o_orderpriority").isin("1-URGENT", "2-HIGH")) &&
+            col("o_totalprice").between(1000, 200000) &&
+            !(col("o_custkey") % 10 === 0))
+        .select("o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice")
+        .orderBy("o_orderkey")
+    },
+
+    // ------------------------------------------------------------------
+    // joins
+    // ------------------------------------------------------------------
+    Q(
+      "q_join_inner",
+      """SELECT n_name,
+        |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))) AS DOUBLE) AS revenue,
+        |       COUNT(*) AS n_items
+        |FROM customer
+        |JOIN orders   ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |GROUP BY n_name
+        |ORDER BY n_name"""
+    ) { (s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+          Exact.dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("n_name")
+    },
+
+    Q(
+      "q_join_left",
+      """SELECT c_custkey,
+        |       COUNT(o_orderkey) AS n_orders,
+        |       CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(38,10))), 0) AS DOUBLE) AS total_spent
+        |FROM customer
+        |LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey
+        |ORDER BY c_custkey"""
+    ) { (s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(
+          count(col("o_orderkey")).as("n_orders"),
+          coalesce(sum(col("o_totalprice").cast(Dec)), lit(0).cast(Dec))
+            .cast("double").as("total_spent"))
+        .orderBy("c_custkey")
+    },
+
+    Q(
+      "q_join_right",
+      """SELECT o_orderkey, COUNT(l_linenumber) AS n_lines
+        |FROM lineitem
+        |RIGHT JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderkey
+        |ORDER BY o_orderkey"""
+    ) { (s, d) =>
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"), "right")
+        .groupBy("o_orderkey")
+        .agg(count(col("l_linenumber")).as("n_lines"))
+        .orderBy("o_orderkey")
+    },
+
+    Q(
+      "q_join_full",
+      """WITH c AS (SELECT c_nationkey AS nk, COUNT(*) AS c_cnt FROM customer GROUP BY 1),
+        |     s AS (SELECT s_nationkey AS nk, COUNT(*) AS s_cnt FROM supplier GROUP BY 1)
+        |SELECT COALESCE(c.nk, s.nk) AS nationkey, c_cnt, s_cnt
+        |FROM c FULL OUTER JOIN s ON c.nk = s.nk
+        |ORDER BY nationkey"""
+    ) { (s, d) =>
+      val c = Tables.customer(s, d).groupBy(col("c_nationkey").as("cnk"))
+        .agg(count(lit(1)).as("c_cnt"))
+      val su = Tables.supplier(s, d).groupBy(col("s_nationkey").as("snk"))
+        .agg(count(lit(1)).as("s_cnt"))
+      c.join(su, col("cnk") === col("snk"), "full_outer")
+        .select(coalesce(col("cnk"), col("snk")).as("nationkey"), col("c_cnt"), col("s_cnt"))
+        .orderBy("nationkey")
+    },
+
+    Q(
+      "q_join_semi",
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+        |ORDER BY c_custkey"""
+    ) { (s, d) =>
+      Tables.customer(s, d)
+        .join(
+          Tables.orders(s, d).filter(col("o_totalprice") > 300000),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    },
+
+    Q(
+      "q_join_anti",
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+        |ORDER BY c_custkey"""
+    ) { (s, d) =>
+      Tables.customer(s, d)
+        .join(
+          Tables.orders(s, d).filter(col("o_totalprice") > 300000),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    },
+
+    Q(
+      "q_join_cross",
+      """SELECT a.r_name AS r1, b.r_name AS r2
+        |FROM region a CROSS JOIN region b
+        |ORDER BY r1, r2"""
+    ) { (s, d) =>
+      val a = Tables.region(s, d).select(col("r_name").as("r1"))
+      val b = Tables.region(s, d).select(col("r_name").as("r2"))
+      a.crossJoin(b).orderBy("r1", "r2")
+    },
+
+    // theta / non-equi join (BNLJ on a small dimension — fine at any SF
+    // because nation is 25 rows regardless of scale factor)
+    Q(
+      "q_join_theta",
+      """SELECT a.n_name AS n1, b.n_name AS n2
+        |FROM nation a JOIN nation b
+        |  ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey
+        |ORDER BY n1, n2"""
+    ) { (s, d) =>
+      val a = Tables.nation(s, d).select(
+        col("n_name").as("n1"), col("n_nationkey").as("k1"), col("n_regionkey").as("g1"))
+      val b = Tables.nation(s, d).select(
+        col("n_name").as("n2"), col("n_nationkey").as("k2"), col("n_regionkey").as("g2"))
+      a.join(b, col("g1") === col("g2") && col("k1") < col("k2"))
+        .select("n1", "n2")
+        .orderBy("n1", "n2")
+    },
+
+    Q(
+      "q_join_broadcast",
+      """SELECT p_brand,
+        |       COUNT(*) AS n_items,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,10))) AS DOUBLE) AS total_price
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand
+        |ORDER BY p_brand"""
+    ) { (s, d) =>
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+          count(lit(1)).as("n_items"),
+          Exact.dsum(col("l_extendedprice")).as("total_price"))
+        .orderBy("p_brand")
+    },
+
+    // ------------------------------------------------------------------
+    // aggregations
+    // ------------------------------------------------------------------
+    Q(
+      "q_agg_q1",
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(38,10))) AS DOUBLE) AS sum_qty,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,10))) AS DOUBLE) AS sum_base_price,
+        |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))) AS DOUBLE) AS sum_disc_price,
+        |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(38,10))) AS DOUBLE) AS sum_charge,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(38,10))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+        |       CAST(SUM(CAST(l_discount AS DECIMAL(38,10))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+        |       COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus"""
+    ) { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("2001-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          Exact.dsum(col("l_quantity")).as("sum_qty"),
+          Exact.dsum(col("l_extendedprice")).as("sum_base_price"),
+          Exact.dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+          Exact.dsum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))).as("sum_charge"),
+          Exact.davg(col("l_quantity")).as("avg_qty"),
+          Exact.davg(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    Q(
+      "q_agg_countdistinct",
+      """SELECT o_orderpriority,
+        |       COUNT(DISTINCT o_custkey) AS n_customers,
+        |       COUNT(*) AS n_orders
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+    ) { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_orderpriority")
+        .agg(
+          countDistinct(col("o_custkey")).as("n_customers"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("o_orderpriority")
+    },
+
+    // HLL++ sketch counts differ from DuckDB's approx sketch by design →
+    // rows-only driver check; the ScalaTest spec asserts relative error
+    // against the exact count instead.
+    Q.noOracle("q_agg_approx_distinct") { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+          approx_count_distinct(col("l_partkey")).as("approx_parts"))
+        .orderBy("l_returnflag")
+    },
+
+    Q(
+      "q_agg_stats",
+      """WITH t AS (
+        |  SELECT l_linestatus,
+        |         COUNT(*) AS n,
+        |         CAST(MIN(l_extendedprice) AS DOUBLE) AS min_price,
+        |         CAST(MAX(l_extendedprice) AS DOUBLE) AS max_price,
+        |         CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,10))) AS DOUBLE) AS sum_x,
+        |         CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,10))) AS DOUBLE) AS sum_x2
+        |  FROM lineitem GROUP BY l_linestatus)
+        |SELECT l_linestatus, n, min_price, max_price,
+        |       (sum_x2 - sum_x * sum_x / n) / (n - 1) AS var_samp_price,
+        |       sqrt((sum_x2 - sum_x * sum_x / n) / (n - 1)) AS stddev_price
+        |FROM t ORDER BY l_linestatus"""
+    ) { (s, d) =>
+      val x = col("l_extendedprice")
+      val t = Tables.lineitem(s, d)
+        .groupBy("l_linestatus")
+        .agg(
+          count(lit(1)).as("n"),
+          min(x).cast("double").as("min_price"),
+          max(x).cast("double").as("max_price"),
+          Exact.dsum(x).as("sum_x"),
+          Exact.dsum(x * x).as("sum_x2"))
+      t.select(
+        col("l_linestatus"), col("n"), col("min_price"), col("max_price"),
+        Exact.dvarSamp(col("sum_x"), col("sum_x2"), col("n")).as("var_samp_price"),
+        sqrt(Exact.dvarSamp(col("sum_x"), col("sum_x2"), col("n"))).as("stddev_price"))
+        .orderBy("l_linestatus")
+    },
+
+    Q(
+      "q_agg_rollup",
+      """SELECT CAST(GROUPING(n_name) * 2 + GROUPING(c_mktsegment) AS INT) AS gid,
+        |       COALESCE(n_name, 'ALL') AS n_name,
+        |       COALESCE(c_mktsegment, 'ALL') AS c_mktsegment,
+        |       COUNT(*) AS n_customers,
+        |       CAST(SUM(CAST(c_acctbal AS DECIMAL(38,10))) AS DOUBLE) AS sum_acctbal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY ROLLUP(n_name, c_mktsegment)
+        |ORDER BY gid, n_name, c_mktsegment"""
+    ) { (s, d) =>
+      // rollup().agg(grouping(...)) + a post-agg select of the group
+      // columns trips Spark's ambiguous-self-join heuristic when a join
+      // sits upstream; SQL text resolves cleanly, so register views and
+      // express the rollup in Spark SQL (same Catalyst plan).
+      Tables.customer(s, d).createOrReplaceTempView("graft_customer_ru")
+      Tables.nation(s, d).createOrReplaceTempView("graft_nation_ru")
+      s.sql(
+        """SELECT CAST(GROUPING(n_name) * 2 + GROUPING(c_mktsegment) AS INT) AS gid,
+          |       COALESCE(n_name, 'ALL') AS n_name,
+          |       COALESCE(c_mktsegment, 'ALL') AS c_mktsegment,
+          |       COUNT(*) AS n_customers,
+          |       CAST(SUM(CAST(c_acctbal AS DECIMAL(38,10))) AS DOUBLE) AS sum_acctbal
+          |FROM graft_customer_ru JOIN graft_nation_ru ON c_nationkey = n_nationkey
+          |GROUP BY ROLLUP(n_name, c_mktsegment)
+          |ORDER BY gid, n_name, c_mktsegment""".stripMargin)
+    },
+
+    Q(
+      "q_agg_cube",
+      """SELECT CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INT) AS gid,
+        |       COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+        |       COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+        |       COUNT(*) AS n,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(38,10))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag, l_linestatus"""
+    ) { (s, d) =>
+      Tables.lineitem(s, d)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+          (grouping(col("l_returnflag")) * 2 + grouping(col("l_linestatus"))).cast("int").as("gid"),
+          count(lit(1)).as("n"),
+          Exact.dsum(col("l_quantity")).as("sum_qty"))
+        .select(
+          col("gid"),
+          coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
+          col("n"), col("sum_qty"))
+        .orderBy("gid", "l_returnflag", "l_linestatus")
+    },
+
+    Q(
+      "q_agg_groupingsets",
+      """SELECT CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS INT) AS gid,
+        |       COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+        |       COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+        |       COUNT(*) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY gid, o_orderstatus, o_orderpriority"""
+    ) { (s, d) =>
+      Tables.orders(s, d).createOrReplaceTempView("graft_orders_gs")
+      s.sql(
+        """SELECT CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS INT) AS gid,
+          |       COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+          |       COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+          |       COUNT(*) AS n
+          |FROM graft_orders_gs
+          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+          |ORDER BY gid, o_orderstatus, o_orderpriority""".stripMargin)
+    },
+
+    // ------------------------------------------------------------------
+    // window functions
+    // ------------------------------------------------------------------
+    Q(
+      "q_window_topk",
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |              ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3
+        |ORDER BY o_custkey, rn"""
+    ) { (s, d) =>
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+        .orderBy("o_custkey", "rn")
+    },
+
+    Q(
+      "q_window_rank",
+      """SELECT o_orderkey, o_orderstatus, o_orderpriority,
+        |       CAST(RANK()       OVER w AS INT) AS rnk,
+        |       CAST(DENSE_RANK() OVER w AS INT) AS drnk
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderpriority)
+        |ORDER BY o_orderkey"""
+    ) { (s, d) =>
+      val w = Window.partitionBy("o_orderstatus").orderBy("o_orderpriority")
+      Tables.orders(s, d)
+        .select(
+          col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"),
+          rank().over(w).as("rnk"),
+          dense_rank().over(w).as("drnk"))
+        .orderBy("o_orderkey")
+    },
+
+    Q(
+      "q_window_lag",
+      """SELECT o_custkey, o_orderkey,
+        |       LAG(o_totalprice)  OVER w AS prev_price,
+        |       LEAD(o_totalprice) OVER w AS next_price,
+        |       CAST(date_diff('day', CAST(LAG(o_orderdate) OVER w AS DATE),
+        |                             CAST(o_orderdate AS DATE)) AS INT) AS days_since_prev
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey"""
+    ) { (s, d) =>
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      Tables.orders(s, d)
+        .select(
+          col("o_custkey"), col("o_orderkey"),
+          lag("o_totalprice", 1).over(w).as("prev_price"),
+          lead("o_totalprice", 1).over(w).as("next_price"),
+          datediff(to_date(col("o_orderdate")), to_date(lag("o_orderdate", 1).over(w)))
+            .as("days_since_prev"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
+    Q(
+      "q_window_moving",
+      // lineitem has no short unique key (dup (orderkey, linenumber) pairs
+      // exist), so both the frame ordering and the output ordering include
+      // enough columns to be total over the full (distinct) rows.
+      """SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(38,10)))
+        |            OVER (PARTITION BY l_suppkey
+        |                  ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey, l_quantity, l_extendedprice
+        |                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_qty
+        |FROM lineitem
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber, l_quantity, moving_qty"""
+    ) { (s, d) =>
+      val w = Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "l_partkey", "l_quantity", "l_extendedprice")
+        .rowsBetween(-2, Window.currentRow)
+      Tables.lineitem(s, d)
+        .select(
+          col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          Exact.decSum(col("l_quantity")).over(w).cast("double").as("moving_qty"))
+        .orderBy("l_suppkey", "l_orderkey", "l_linenumber", "l_quantity", "moving_qty")
+    },
+
+    Q(
+      "q_window_range",
+      """SELECT event_id,
+        |       CAST(COUNT(*) OVER (PARTITION BY user_id
+        |            ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+        |            RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_trailing_hour
+        |FROM events
+        |ORDER BY event_id"""
+    ) { (s, d) =>
+      val w = Window.partitionBy("user_id")
+        .orderBy(unix_timestamp(col("ts")))
+        .rangeBetween(-3600, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("event_id"), count(lit(1)).over(w).as("n_trailing_hour"))
+        .orderBy("event_id")
+    },
+
+    Q(
+      "q_window_ntile",
+      """SELECT o_orderkey,
+        |       CAST(NTILE(4) OVER w AS INT) AS quartile,
+        |       PERCENT_RANK() OVER w AS pct_rank,
+        |       CUME_DIST() OVER w AS cume
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderkey"""
+    ) { (s, d) =>
+      val w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+      Tables.orders(s, d)
+        .select(
+          col("o_orderkey"),
+          ntile(4).over(w).as("quartile"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cume"))
+        .orderBy("o_orderkey")
+    },
+
+    // ------------------------------------------------------------------
+    // sort / limit / top-k
+    // ------------------------------------------------------------------
+    Q(
+      "q_sort_limit",
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 100"""
+    ) { (s, d) =>
+      Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    },
+
+    // ------------------------------------------------------------------
+    // set operations
+    // ------------------------------------------------------------------
+    Q(
+      "q_set_union_all",
+      """SELECT nk FROM (
+        |  SELECT c_nationkey AS nk FROM customer
+        |  UNION ALL
+        |  SELECT s_nationkey AS nk FROM supplier)
+        |ORDER BY nk"""
+    ) { (s, d) =>
+      Tables.customer(s, d).select(col("c_nationkey").as("nk"))
+        .unionByName(Tables.supplier(s, d).select(col("s_nationkey").as("nk")))
+        .orderBy("nk")
+    },
+
+    Q(
+      "q_set_intersect",
+      """SELECT c_nationkey AS nk FROM customer
+        |INTERSECT
+        |SELECT s_nationkey FROM supplier
+        |ORDER BY nk"""
+    ) { (s, d) =>
+      Tables.customer(s, d).select(col("c_nationkey").as("nk"))
+        .intersect(Tables.supplier(s, d).select(col("s_nationkey").as("nk")))
+        .orderBy("nk")
+    },
+
+    Q(
+      "q_set_except",
+      """SELECT c_nationkey AS nk FROM customer
+        |EXCEPT
+        |SELECT s_nationkey FROM supplier
+        |ORDER BY nk"""
+    ) { (s, d) =>
+      Tables.customer(s, d).select(col("c_nationkey").as("nk"))
+        .except(Tables.supplier(s, d).select(col("s_nationkey").as("nk")))
+        .orderBy("nk")
+    },
+
+    Q(
+      "q_set_except_all",
+      """SELECT nk FROM (
+        |  SELECT c_nationkey AS nk FROM customer
+        |  EXCEPT ALL
+        |  SELECT s_nationkey FROM supplier)
+        |ORDER BY nk"""
+    ) { (s, d) =>
+      Tables.customer(s, d).select(col("c_nationkey").as("nk"))
+        .exceptAll(Tables.supplier(s, d).select(col("s_nationkey").as("nk")))
+        .orderBy("nk")
+    },
+
+    Q(
+      "q_distinct",
+      """SELECT DISTINCT l_returnflag, l_linestatus
+        |FROM lineitem ORDER BY l_returnflag, l_linestatus"""
+    ) { (s, d) =>
+      Tables.lineitem(s, d)
+        .select("l_returnflag", "l_linestatus")
+        .distinct()
+        .orderBy("l_returnflag", "l_linestatus")
+    }
+  )
+}
