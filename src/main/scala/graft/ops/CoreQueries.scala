@@ -8,5 +8,6 @@ import graft.{Q, QueryModule}
 object CoreQueries extends QueryModule {
   def queries: Seq[Q] =
     Seq(Q("word_count", TextOps.wordCountOracle)(TextOps.wordCountQuery)) ++
-      RelationalOps.queries
+      RelationalOps.queries ++
+      ScalarOps.queries
 }
