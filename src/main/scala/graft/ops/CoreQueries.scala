@@ -9,5 +9,7 @@ object CoreQueries extends QueryModule {
   def queries: Seq[Q] =
     Seq(Q("word_count", TextOps.wordCountOracle)(TextOps.wordCountQuery)) ++
       RelationalOps.queries ++
-      ScalarOps.queries
+      ScalarOps.queries ++
+      TextOps.analysisQueries ++
+      DedupOps.queries
 }

@@ -1,0 +1,258 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.{Q, QueryModule, Tables}
+
+/** Deduplication operators for a large-scale training-data pipeline
+  * (SURVEY.md §2C): exact, fingerprint, MinHash+LSH banding, n-gram
+  * Jaccard, SimHash.
+  *
+  * Cross-engine determinism strategy: every hash is md5 (identical hex in
+  * Spark and DuckDB) and min-hashes are lexicographic minima over
+  * fixed-width lowercase hex strings — for an unsigned value, lexicographic
+  * order on fixed-length hex equals numeric order, so "min of hashes" is
+  * expressible in both engines with zero custom code.
+  *
+  * Scale posture (100 TB): all signature computation is per-row (narrow,
+  * codegen'd, no shuffle); the only shuffles are the LSH band group-join
+  * (keyed by band hash — the standard way to make near-dup detection
+  * shuffle-bounded instead of O(n²)) and the candidate-pair aggregation.
+  * Nothing collects to the driver.
+  */
+object DedupOps extends QueryModule {
+
+  import TextOps.{WordsSql, words}
+
+  private val NumHashes = 8
+  private val Bands = 4 // 4 bands x 2 rows
+
+  /** DuckDB CTE producing (doc_id, m0..m7) MinHash signatures. */
+  private val sigCte: String = {
+    val mins = (0 until NumHashes).map { k =>
+      s"list_aggregate(list_transform(shingles, s -> substr(md5('seed$k:' || s), 1, 16)), 'min') AS m$k"
+    }.mkString(",\n         ")
+    s"""w AS (SELECT doc_id, $WordsSql AS ws FROM documents),
+       |sh AS (SELECT doc_id,
+       |              list_transform(generate_series(1, len(ws) - 2),
+       |                             i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS shingles
+       |       FROM w WHERE len(ws) >= 3),
+       |sig AS (SELECT doc_id,
+       |         $mins
+       |        FROM sh)""".stripMargin
+  }
+
+  /** DuckDB CTE turning signatures into (doc_id, band_idx, band_hash). */
+  private val bandsCte: String = {
+    val rows = (0 until Bands).map { b =>
+      s"SELECT doc_id, $b AS band_idx, md5(m${2 * b} || m${2 * b + 1}) AS band_hash FROM sig"
+    }.mkString("\n        UNION ALL ")
+    s"bands AS ($rows)"
+  }
+
+  /** Spark columns m0..m7 over a `shingles` array column. */
+  private def sigCols = (0 until NumHashes).map { k =>
+    array_min(transform(col("shingles"), sh =>
+      substring(md5(concat(lit(s"seed$k:"), sh)), 1, 16))).as(s"m$k")
+  }
+
+  def queries: Seq[Q] = Seq(
+    // Exact dedup: canonical keep-first-by-key. All texts in the synthetic
+    // corpus are distinct, so this keeps every row — the semantics are
+    // still fully exercised (hash-partition by text, min doc_id per group).
+    Q(
+      "q_dedup_exact",
+      """SELECT doc_id, md5(text) AS content_hash FROM (
+        |  SELECT doc_id, text,
+        |         ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn = 1 ORDER BY doc_id"""
+    ) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("text").orderBy("doc_id")
+      Tables.documents(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), md5(col("text")).as("content_hash"))
+        .orderBy("doc_id")
+    },
+
+    // Fingerprint dedup: hash a whitespace-normalized form, so documents
+    // differing only in whitespace collapse to one fingerprint.
+    Q(
+      "q_dedup_fingerprint",
+      """SELECT fp, COUNT(*) AS n_docs, MIN(doc_id) AS keeper
+        |FROM (SELECT doc_id,
+        |             md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |      FROM documents)
+        |GROUP BY fp ORDER BY keeper"""
+    ) { (s, d) =>
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))).as("fp"))
+        .groupBy("fp")
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper"))
+        .orderBy("keeper")
+    },
+
+    // MinHash signatures: 8 permutations approximated by 8 seeded md5s,
+    // min taken lexicographically over fixed-width hex. Verifies the
+    // signature math itself against DuckDB.
+    Q(
+      "q_minhash_signatures",
+      s"""WITH $sigCte
+         |SELECT doc_id, m0, m1, m2, m3, m4, m5, m6, m7 FROM sig ORDER BY doc_id"""
+    ) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), words(col("text")).as("ws"))
+        .filter(size(col("ws")) >= 3)
+        .select(
+          col("doc_id"),
+          transform(sequence(lit(1), size(col("ws")) - 2), i =>
+            concat_ws(" ",
+              element_at(col("ws"), i),
+              element_at(col("ws"), i + 1),
+              element_at(col("ws"), i + 2))).as("shingles"))
+        .select(col("doc_id") +: sigCols: _*)
+        .orderBy("doc_id")
+    },
+
+    // LSH banding: docs sharing any band bucket are near-dup candidates.
+    // The band group-join keys the shuffle by band hash — no O(n²) pass.
+    Q(
+      "q_dedup_minhash_pairs",
+      s"""WITH $sigCte,
+         |$bandsCte
+         |SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |FROM bands a JOIN bands b
+         |  ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         | AND a.doc_id < b.doc_id
+         |ORDER BY d1, d2"""
+    ) { (s, d) =>
+      val sig = Tables.documents(s, d)
+        .select(col("doc_id"), words(col("text")).as("ws"))
+        .filter(size(col("ws")) >= 3)
+        .select(
+          col("doc_id"),
+          transform(sequence(lit(1), size(col("ws")) - 2), i =>
+            concat_ws(" ",
+              element_at(col("ws"), i),
+              element_at(col("ws"), i + 1),
+              element_at(col("ws"), i + 2))).as("shingles"))
+        .select(col("doc_id") +: sigCols: _*)
+      val bandStructs = (0 until Bands).map { b =>
+        struct(lit(b).as("band_idx"),
+          md5(concat(col(s"m${2 * b}"), col(s"m${2 * b + 1}"))).as("band_hash"))
+      }
+      val bands = sig
+        .select(col("doc_id"), explode(array(bandStructs: _*)).as("bd"))
+        .select(col("doc_id"), col("bd.band_idx"), col("bd.band_hash"))
+      val a = bands.toDF("d1", "bi1", "bh1")
+      val b = bands.toDF("d2", "bi2", "bh2")
+      a.join(b, col("bi1") === col("bi2") && col("bh1") === col("bh2") && col("d1") < col("d2"))
+        .select("d1", "d2").distinct()
+        .orderBy("d1", "d2")
+    },
+
+    // Unigram-set Jaccard over a bounded candidate set (doc_id < 50 keeps
+    // the pairwise stage at ~1200 pairs regardless of SF; the scalable
+    // path for full-corpus near-dup is the LSH query above).
+    Q(
+      "q_ngram_jaccard",
+      s"""WITH cand AS (
+         |  SELECT doc_id, list_distinct($WordsSql) AS ws FROM documents WHERE doc_id < 50),
+         |ex AS (SELECT doc_id, unnest(ws) AS w FROM cand),
+         |sizes AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS sz FROM cand),
+         |inter AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS c
+         |  FROM ex a JOIN ex b ON a.w = b.w AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id)
+         |SELECT d1, d2, c AS n_common,
+         |       CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) AS jaccard
+         |FROM inter
+         |JOIN sizes sa ON sa.doc_id = d1
+         |JOIN sizes sb ON sb.doc_id = d2
+         |ORDER BY d1, d2"""
+    ) { (s, d) =>
+      val cand = Tables.documents(s, d)
+        .filter(col("doc_id") < 50)
+        .select(col("doc_id"), array_distinct(words(col("text"))).as("ws"))
+      val ex = cand.select(col("doc_id"), explode(col("ws")).as("w"))
+      val sizes = cand.select(col("doc_id"), size(col("ws")).cast("long").as("sz"))
+      val a = ex.toDF("d1", "w1")
+      val b = ex.toDF("d2", "w2")
+      val inter = a.join(b, col("w1") === col("w2") && col("d1") < col("d2"))
+        .groupBy("d1", "d2")
+        .agg(count(lit(1)).as("c"))
+      inter
+        .join(sizes.toDF("k1", "sz1"), col("d1") === col("k1"))
+        .join(sizes.toDF("k2", "sz2"), col("d2") === col("k2"))
+        .select(
+          col("d1"), col("d2"), col("c").as("n_common"),
+          (col("c").cast("double") / (col("sz1") + col("sz2") - col("c"))).as("jaccard"))
+        .orderBy("d1", "d2")
+    },
+
+    // 64-bit SimHash: per word take 64 bits of md5, sum +1/-1 per bit over
+    // the document, majority vote per bit, reassemble as 16 hex chars.
+    // Both sides are generated from the same loop so the arithmetic is
+    // textually identical.
+    Q("q_dedup_simhash", simhashOracle)(simhashSpark _)
+  )
+
+  // --------------------------------------------------------------------
+  // SimHash generation (shared shape for both dialects)
+  // --------------------------------------------------------------------
+  // bit k lives in 1-based nibble position k/4+1 of the 16-char hash, with
+  // weight 2^(3-k%4) inside the nibble (MSB first).
+
+  private def duckBitSum(k: Int): String = {
+    val j = k / 4 + 1
+    val p = 1 << (3 - k % 4)
+    s"SUM(CASE WHEN ((strpos('0123456789abcdef', substr(h, $j, 1)) - 1) // $p) % 2 = 1 THEN 1 ELSE -1 END) AS s$k"
+  }
+
+  private def sparkBitSum(k: Int): String = {
+    val j = k / 4 + 1
+    val p = 1 << (3 - k % 4)
+    s"SUM(CASE WHEN ((instr('0123456789abcdef', substring(h, $j, 1)) - 1) DIV $p) % 2 = 1 THEN 1 ELSE -1 END) AS s$k"
+  }
+
+  /** simhash hex reassembly from bit sums s0..s63 (same text both sides). */
+  private def hexExpr: String = {
+    val nibbles = (0 until 16).map { j =>
+      val v = (0 until 4).map { b =>
+        val w = 1 << (3 - b)
+        s"(CASE WHEN s${4 * j + b} > 0 THEN $w ELSE 0 END)"
+      }.mkString(" + ")
+      s"substr('0123456789abcdef', ($v) + 1, 1)"
+    }
+    nibbles.mkString("concat(", ", ", ")")
+  }
+
+  private def simhashOracle: String = {
+    val sums = (0 until 64).map(duckBitSum).mkString(",\n         ")
+    s"""WITH ex AS (
+       |  SELECT doc_id, substr(md5(w), 1, 16) AS h
+       |  FROM (SELECT doc_id, unnest($WordsSql) AS w FROM documents)),
+       |sums AS (
+       |  SELECT doc_id,
+       |         $sums
+       |  FROM ex GROUP BY doc_id)
+       |SELECT doc_id, $hexExpr AS simhash FROM sums ORDER BY doc_id""".stripMargin
+  }
+
+  private def simhashSpark(
+      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    val ex = Tables.documents(s, d)
+      .select(col("doc_id"), explode(words(col("text"))).as("w"))
+      .select(col("doc_id"), substring(md5(col("w")), 1, 16).as("h"))
+    val sums = (0 until 64).map(k => expr(sparkBitSum(k)))
+    // substr in hexExpr is DuckDB spelling; Spark SQL accepts substr too.
+    ex.groupBy("doc_id")
+      .agg(sums.head, sums.tail: _*)
+      .selectExpr("doc_id", s"$hexExpr AS simhash")
+      .orderBy("doc_id")
+  }
+}

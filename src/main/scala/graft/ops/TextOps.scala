@@ -32,4 +32,158 @@ object TextOps {
     """SELECT doc_id,
       |       CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS BIGINT) AS text_count
       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Words column (non-empty tokens) shared by the analysis queries. */
+  def words(c: Column): Column = filter(split(c, WsRe), t => t =!= lit(""))
+
+  /** DuckDB fragment mirroring [[words]]. */
+  val WordsSql = "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')"
+
+  // --------------------------------------------------------------------
+  // language-ID stopword sets — deterministic heuristic, mirrored in SQL.
+  // --------------------------------------------------------------------
+  private val EnStop = Seq("the", "a", "of", "and", "to")
+  private val EsStop = Seq("el", "una", "y", "que", "los")
+  private val DeStop = Seq("der", "die", "das", "und", "ist")
+  private val FrStop = Seq("le", "les", "et", "est", "une")
+
+  private def inList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  def analysisQueries: Seq[graft.Q] = Seq(
+    graft.Q(
+      "q_term_freq",
+      s"""SELECT word, COUNT(*) AS freq
+         |FROM (SELECT unnest($WordsSql) AS word FROM documents)
+         |GROUP BY word
+         |ORDER BY freq DESC, word
+         |LIMIT 100"""
+    ) { (s, d) =>
+      graft.Tables.documents(s, d)
+        .select(explode(words(col("text"))).as("word"))
+        .groupBy("word")
+        .agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("word"))
+        .limit(100)
+    },
+
+    graft.Q(
+      "q_lang_stats",
+      s"""SELECT lang,
+         |       COUNT(*) AS n_docs,
+         |       COUNT(DISTINCT source) AS n_sources,
+         |       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+         |       CAST(SUM(CAST(len($WordsSql) AS BIGINT)) AS BIGINT) AS total_words,
+         |       CAST(SUM(CAST(len($WordsSql) AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_words
+         |FROM documents GROUP BY lang ORDER BY lang"""
+    ) { (s, d) =>
+      graft.Tables.documents(s, d)
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("source")).as("n_sources"),
+          sum(col("n_chars")).as("total_chars"),
+          sum(size(words(col("text"))).cast("long")).as("total_words"),
+          (sum(size(words(col("text"))).cast("long")).cast("double") / count(lit(1)))
+            .as("avg_words"))
+        .orderBy("lang")
+    },
+
+    // BPE-ish tokenization: letter runs / digit runs / single other chars,
+    // the shape a byte-pair pre-tokenizer produces before merges.
+    graft.Q(
+      "q_token_count",
+      s"""SELECT doc_id,
+         |       CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT) AS n_tokens,
+         |       CAST(len($WordsSql) AS INT) AS n_words,
+         |       CAST(length(text) AS INT) AS n_chars_actual,
+         |       CAST(greatest(len($WordsSql) - 1, 0) AS INT) AS n_bigrams
+         |FROM documents ORDER BY doc_id"""
+    ) { (s, d) =>
+      graft.Tables.documents(s, d).select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+          .as("n_tokens"),
+        size(words(col("text"))).as("n_words"),
+        length(col("text")).as("n_chars_actual"),
+        greatest(size(words(col("text"))) - 1, lit(0)).as("n_bigrams"))
+        .orderBy("doc_id")
+    },
+
+    // Language-ID heuristic: CJK codepoints force zh; otherwise argmax of
+    // per-language stopword hits with a fixed tie order (en,es,de,fr).
+    graft.Q(
+      "q_lang_id",
+      s"""WITH w AS (SELECT doc_id, lang, $WordsSql AS ws, text FROM documents),
+         |scored AS (
+         |  SELECT doc_id, lang,
+         |         CAST(len(list_filter(ws, x -> x IN ${inList(EnStop)})) AS INT) AS s_en,
+         |         CAST(len(list_filter(ws, x -> x IN ${inList(EsStop)})) AS INT) AS s_es,
+         |         CAST(len(list_filter(ws, x -> x IN ${inList(DeStop)})) AS INT) AS s_de,
+         |         CAST(len(list_filter(ws, x -> x IN ${inList(FrStop)})) AS INT) AS s_fr,
+         |         regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') AS has_cjk
+         |  FROM w)
+         |SELECT doc_id, lang, s_en, s_es, s_de, s_fr,
+         |       CASE WHEN has_cjk THEN 'zh'
+         |            WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+         |            WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+         |            WHEN s_de >= s_fr THEN 'de'
+         |            ELSE 'fr' END AS predicted
+         |FROM scored ORDER BY doc_id"""
+    ) { (s, d) =>
+      val ws = words(col("text"))
+      def hits(stop: Seq[String], name: String): Column =
+        size(filter(ws, x => x.isInCollection(stop))).as(name)
+      graft.Tables.documents(s, d)
+        .select(
+          col("doc_id"), col("lang"),
+          hits(EnStop, "s_en"), hits(EsStop, "s_es"),
+          hits(DeStop, "s_de"), hits(FrStop, "s_fr"),
+          col("text").rlike("[\\x{4e00}-\\x{9fff}]").as("has_cjk"))
+        .select(
+          col("doc_id"), col("lang"), col("s_en"), col("s_es"), col("s_de"), col("s_fr"),
+          when(col("has_cjk"), "zh")
+            .when(col("s_en") >= col("s_es") && col("s_en") >= col("s_de") && col("s_en") >= col("s_fr"), "en")
+            .when(col("s_es") >= col("s_de") && col("s_es") >= col("s_fr"), "es")
+            .when(col("s_de") >= col("s_fr"), "de")
+            .otherwise("fr").as("predicted"))
+        .orderBy("doc_id")
+    },
+
+    // Quality score: pure IEEE arithmetic over integer counts — identical
+    // op order on both sides, so no rounding needed.
+    graft.Q(
+      "q_quality_score",
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |         CAST(len($WordsSql) AS INT) AS n_words,
+         |         CAST(length(text) AS INT) AS n_chars_actual,
+         |         CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS INT) AS n_nonspace,
+         |         CAST(len(list_filter($WordsSql, x -> x IN ${inList(EnStop)})) AS INT) AS n_stop
+         |  FROM documents)
+         |SELECT doc_id, n_words, n_chars_actual,
+         |       CAST(n_nonspace AS DOUBLE) / n_words AS avg_word_len,
+         |       CAST(n_stop AS DOUBLE) / n_words AS stopword_ratio,
+         |       CAST(n_words AS DOUBLE) / 100 * 0.5 +
+         |         CAST(n_stop AS DOUBLE) / n_words * 0.3 +
+         |         CAST(n_nonspace AS DOUBLE) / n_chars_actual * 0.2 AS quality
+         |FROM t ORDER BY doc_id"""
+    ) { (s, d) =>
+      val ws = words(col("text"))
+      graft.Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          size(ws).as("n_words"),
+          length(col("text")).as("n_chars_actual"),
+          length(regexp_replace(col("text"), "\\s+", "")).as("n_nonspace"),
+          size(filter(ws, x => x.isInCollection(EnStop))).as("n_stop"))
+        .select(
+          col("doc_id"), col("n_words"), col("n_chars_actual"),
+          (col("n_nonspace").cast("double") / col("n_words")).as("avg_word_len"),
+          (col("n_stop").cast("double") / col("n_words")).as("stopword_ratio"),
+          (col("n_words").cast("double") / 100 * 0.5 +
+            col("n_stop").cast("double") / col("n_words") * 0.3 +
+            col("n_nonspace").cast("double") / col("n_chars_actual") * 0.2).as("quality"))
+        .orderBy("doc_id")
+    }
+  )
 }
