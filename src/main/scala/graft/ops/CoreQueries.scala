@@ -11,5 +11,6 @@ object CoreQueries extends QueryModule {
       RelationalOps.queries ++
       ScalarOps.queries ++
       TextOps.analysisQueries ++
-      DedupOps.queries
+      DedupOps.queries ++
+      SimilarityOps.queries
 }

@@ -1,0 +1,175 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{Q, QueryModule, Tables}
+
+/** Similarity search over `embeddings.embedding: array<float>` (SURVEY.md
+  * §2C): brute-force cosine top-k as the exactness baseline, sign-LSH
+  * bucketing as the scale path, plus embedding-cosine near-dup detection.
+  *
+  * Float determinism: every dot product / norm is a sequential left fold
+  * over per-element double products — Spark `aggregate(0.0, +)` and DuckDB
+  * `list_reduce(+)` produce bit-identical doubles (0.0 + x == x in IEEE),
+  * and sqrt/division are correctly-rounded, so cosine values hash-match
+  * the oracle with no rounding fudge.
+  *
+  * Scale posture: the query set is small and explicitly `broadcast()` —
+  * the corpus side streams through without a shuffle. The LSH variant
+  * shuffles once, keyed by bucket, turning O(n·q) scoring into per-bucket
+  * work; at 100 TB you'd raise the hyperplane count so buckets stay
+  * executor-sized.
+  */
+object SimilarityOps extends QueryModule {
+
+  /** Left-fold dot product of two array<float> columns in double. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, p) => acc + p)
+
+  private def normSq(a: Column): Column =
+    aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double"))
+
+  private def norm(a: Column): Column = sqrt(normSq(a))
+
+  /** DuckDB fragments mirroring the folds above. */
+  private def duckDot(a: String, b: String): String =
+    s"list_reduce(list_transform(generate_series(1, len($a)), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
+  private def duckNorm(a: String): String =
+    s"sqrt(list_reduce(list_transform($a, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (x, y) -> x + y))"
+
+  /** Sign-pattern LSH bucket over the first `nBits` dimensions
+    * (axis-aligned hyperplanes — deterministic and exact on floats).
+    */
+  private def bucketCol(e: Column, nBits: Int): Column =
+    concat((1 to nBits).map(i =>
+      when(element_at(e, i) >= 0f, lit("1")).otherwise(lit("0"))): _*)
+
+  private def duckBucket(e: String, nBits: Int): String =
+    (1 to nBits).map(i =>
+      s"(CASE WHEN $e[$i] >= 0 THEN '1' ELSE '0' END)").mkString(" || ")
+
+  def queries: Seq[Q] = Seq(
+    // Brute-force cosine top-k: exact baseline. Query set (vec_id < 10)
+    // broadcast against the full corpus; rank per query.
+    Q(
+      "q_similarity_topk",
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+         |scored AS (
+         |  SELECT qid, e.vec_id AS vid,
+         |         ${duckDot("qe", "e.embedding")} /
+         |           (${duckNorm("qe")} * ${duckNorm("e.embedding")}) AS sim
+         |  FROM q, embeddings e
+         |  WHERE e.vec_id <> qid),
+         |ranked AS (
+         |  SELECT qid, vid, sim,
+         |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vid) AS rn
+         |  FROM scored)
+         |SELECT qid, vid, sim, CAST(rn AS INT) AS rn
+         |FROM ranked WHERE rn <= 5 ORDER BY qid, rn"""
+    ) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val scored = emb
+        .join(broadcast(q), col("vec_id") =!= col("qid"))
+        .select(
+          col("qid"), col("vec_id").as("vid"),
+          (dot(col("qe"), col("embedding")) /
+            (norm(col("qe")) * norm(col("embedding")))).as("sim"))
+      val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vid"))
+      scored
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .orderBy("qid", "rn")
+    },
+
+    // Sign-LSH bucketed ANN: candidates share an 8-bit sign bucket; only
+    // per-bucket pairs are scored. The recall/latency trade of a real ANN
+    // index, expressed as one bucket-keyed shuffle.
+    Q(
+      "q_ann_lsh",
+      s"""WITH b AS (
+         |  SELECT vec_id, embedding, ${duckBucket("embedding", 8)} AS bucket
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS qid, embedding AS qe, bucket AS qb FROM b WHERE vec_id < 10),
+         |scored AS (
+         |  SELECT qid, b.vec_id AS vid,
+         |         ${duckDot("qe", "b.embedding")} /
+         |           (${duckNorm("qe")} * ${duckNorm("b.embedding")}) AS sim
+         |  FROM q JOIN b ON b.bucket = qb AND b.vec_id <> qid),
+         |ranked AS (
+         |  SELECT qid, vid, sim,
+         |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vid) AS rn
+         |  FROM scored)
+         |SELECT qid, vid, sim, CAST(rn AS INT) AS rn
+         |FROM ranked WHERE rn <= 3 ORDER BY qid, rn"""
+    ) { (s, d) =>
+      val b = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"), bucketCol(col("embedding"), 8).as("bucket"))
+      val q = b.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("bucket").as("qb"))
+      val scored = b
+        .join(broadcast(q), col("bucket") === col("qb") && col("vec_id") =!= col("qid"))
+        .select(
+          col("qid"), col("vec_id").as("vid"),
+          (dot(col("qe"), col("embedding")) /
+            (norm(col("qe")) * norm(col("embedding")))).as("sim"))
+      val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vid"))
+      scored
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .orderBy("qid", "rn")
+    },
+
+    // Per-label embedding stats; norm sums go through the decimal-exact
+    // path since sqrt outputs are summed across rows.
+    Q(
+      "q_embedding_stats",
+      s"""WITH n AS (SELECT label, ${duckNorm("embedding")} AS nrm FROM embeddings)
+         |SELECT label,
+         |       COUNT(*) AS n_vecs,
+         |       CAST(MIN(nrm) AS DOUBLE) AS min_norm,
+         |       CAST(MAX(nrm) AS DOUBLE) AS max_norm,
+         |       CAST(SUM(CAST(nrm AS DECIMAL(38,10))) AS DOUBLE) / COUNT(*) AS avg_norm
+         |FROM n GROUP BY label ORDER BY label"""
+    ) { (s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("label"), norm(col("embedding")).as("nrm"))
+        .groupBy("label")
+        .agg(
+          count(lit(1)).as("n_vecs"),
+          min(col("nrm")).cast("double").as("min_norm"),
+          max(col("nrm")).cast("double").as("max_norm"),
+          Exact.davg(col("nrm")).as("avg_norm"))
+        .orderBy("label")
+    },
+
+    // Embedding-cosine near-dup: top-20 most-similar pairs in a bounded
+    // candidate window (vec_id < 100 → ~5k pairs at any SF).
+    Q(
+      "q_embedding_neardup",
+      s"""WITH c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 100),
+         |pairs AS (
+         |  SELECT a.vec_id AS v1, b.vec_id AS v2,
+         |         ${duckDot("a.embedding", "b.embedding")} /
+         |           (${duckNorm("a.embedding")} * ${duckNorm("b.embedding")}) AS sim
+         |  FROM c a JOIN c b ON a.vec_id < b.vec_id)
+         |SELECT v1, v2, sim FROM pairs
+         |ORDER BY sim DESC, v1, v2 LIMIT 20"""
+    ) { (s, d) =>
+      val c = Tables.embeddings(s, d).filter(col("vec_id") < 100)
+      val a = c.select(col("vec_id").as("v1"), col("embedding").as("e1"))
+      val b = c.select(col("vec_id").as("v2"), col("embedding").as("e2"))
+      a.join(broadcast(b), col("v1") < col("v2"))
+        .select(
+          col("v1"), col("v2"),
+          (dot(col("e1"), col("e2")) / (norm(col("e1")) * norm(col("e2")))).as("sim"))
+        .orderBy(col("sim").desc, col("v1"), col("v2"))
+        .limit(20)
+    }
+  )
+}
