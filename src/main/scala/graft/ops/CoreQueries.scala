@@ -12,5 +12,6 @@ object CoreQueries extends QueryModule {
       ScalarOps.queries ++
       TextOps.analysisQueries ++
       DedupOps.queries ++
-      SimilarityOps.queries
+      SimilarityOps.queries ++
+      EventOps.queries
 }

@@ -1,0 +1,157 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{Q, QueryModule, Tables}
+
+/** Event-time windowing over the `events` table (SURVEY.md §2B streaming
+  * row + §7.2 step 6).
+  *
+  * The transforms are written against plain DataFrames so the SAME code
+  * runs in batch (oracle-checked here) and under Structured Streaming
+  * (exercised with MemoryStream + watermark in StreamingSpec) — that is
+  * Spark's unified-API contract, and it is how the reference's
+  * "one HTTP request = one event in an unbounded arrival stream"
+  * (`/root/reference/main.go:41-55`) maps onto an engine.
+  *
+  * Window starts are emitted as epoch seconds (BIGINT) rather than raw
+  * timestamps: Spark writes parquet timestamps tz-adjusted while DuckDB
+  * produces naive ones, and epoch integers sidestep the schema mismatch.
+  */
+object EventOps extends QueryModule {
+
+  /** Tumbling event-time window aggregation — batch and streaming safe. */
+  def tumblingAgg(events: DataFrame, duration: String): DataFrame =
+    events
+      .groupBy(window(col("ts"), duration).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), Exact.dsum(col("value")).as("total_value"))
+      .select(
+        unix_timestamp(col("w.start")).as("window_start"),
+        col("event_type"), col("n_events"), col("total_value"))
+
+  /** Sliding event-time window aggregation. */
+  def slidingAgg(events: DataFrame, duration: String, slide: String): DataFrame =
+    events
+      .groupBy(window(col("ts"), duration, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), Exact.dsum(col("value")).as("total_value"))
+      .select(
+        unix_timestamp(col("w.start")).as("window_start"),
+        col("event_type"), col("n_events"), col("total_value"))
+
+  /** Session windows (5-minute gap) per user — streaming-safe form. */
+  def sessionAgg(events: DataFrame, gap: String): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
+      .agg(count(lit(1)).as("n_events"), Exact.dsum(col("value")).as("total_value"))
+      .select(
+        col("user_id"),
+        unix_timestamp(col("w.start")).as("session_start"),
+        unix_timestamp(col("w.end")).as("session_end"),
+        col("n_events"), col("total_value"))
+
+  def queries: Seq[Q] = Seq(
+    Q(
+      "q_events_tumbling",
+      """SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS window_start,
+        |       event_type,
+        |       COUNT(*) AS n_events,
+        |       CAST(SUM(CAST(value AS DECIMAL(38,10))) AS DOUBLE) AS total_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY window_start, event_type"""
+    ) { (s, d) =>
+      tumblingAgg(Tables.events(s, d), "1 hour")
+        .orderBy("window_start", "event_type")
+    },
+
+    // Sliding 1h/30m: every event lands in exactly two windows; the oracle
+    // reproduces Spark's epoch-aligned window-start enumeration.
+    Q(
+      "q_events_sliding",
+      """WITH e AS (
+        |  SELECT event_type, value,
+        |         CAST(floor(epoch(ts) / 1800) AS BIGINT) * 1800 AS grid
+        |  FROM events),
+        |x AS (
+        |  SELECT event_type, value, grid - off AS window_start
+        |  FROM e CROSS JOIN (SELECT unnest([0, 1800]) AS off))
+        |SELECT window_start, event_type,
+        |       COUNT(*) AS n_events,
+        |       CAST(SUM(CAST(value AS DECIMAL(38,10))) AS DOUBLE) AS total_value
+        |FROM x GROUP BY 1, 2
+        |ORDER BY window_start, event_type"""
+    ) { (s, d) =>
+      slidingAgg(Tables.events(s, d), "1 hour", "30 minutes")
+        .orderBy("window_start", "event_type")
+    },
+
+    // Session windows: oracle emulates via lag + gap-flag + running sum —
+    // the classic sessionization rewrite. Spark's session end = last event
+    // + gap, session start = first event.
+    Q(
+      "q_events_session",
+      """WITH o AS (
+        |  SELECT user_id, ts, value,
+        |         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |                   >= INTERVAL 5 MINUTE OR
+        |              LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |              THEN 1 ELSE 0 END AS new_session
+        |  FROM events),
+        |sess AS (
+        |  SELECT user_id, ts, value,
+        |         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |                                ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM o)
+        |SELECT user_id,
+        |       CAST(floor(epoch(MIN(ts))) AS BIGINT) AS session_start,
+        |       CAST(floor(epoch(MAX(ts) + INTERVAL 5 MINUTE)) AS BIGINT) AS session_end,
+        |       COUNT(*) AS n_events,
+        |       CAST(SUM(CAST(value AS DECIMAL(38,10))) AS DOUBLE) AS total_value
+        |FROM sess GROUP BY user_id, session_id
+        |ORDER BY user_id, session_start"""
+    ) { (s, d) =>
+      sessionAgg(Tables.events(s, d), "5 minutes")
+        .orderBy("user_id", "session_start")
+    },
+
+    // Batch equivalent of streaming dropDuplicates state: keep the
+    // earliest event per (user_id, event_type).
+    Q(
+      "q_events_dedup_state",
+      """SELECT user_id, event_type, event_id AS first_event_id FROM (
+        |  SELECT user_id, event_type, event_id,
+        |         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+        |                            ORDER BY ts, event_id) AS rn
+        |  FROM events)
+        |WHERE rn = 1 ORDER BY user_id, event_type"""
+    ) { (s, d) =>
+      val w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+      Tables.events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type"), col("event_id").as("first_event_id"))
+        .orderBy("user_id", "event_type")
+    },
+
+    Q(
+      "q_events_daily",
+      """SELECT CAST(ts AS DATE) AS day, event_type,
+        |       COUNT(*) AS n_events,
+        |       COUNT(DISTINCT user_id) AS n_users,
+        |       CAST(SUM(CAST(value AS DECIMAL(38,10))) AS DOUBLE) AS total_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY day, event_type"""
+    ) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          Exact.dsum(col("value")).as("total_value"))
+        .orderBy("day", "event_type")
+    }
+  )
+}
