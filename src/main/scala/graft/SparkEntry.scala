@@ -12,9 +12,12 @@ object SparkEntry {
 
   def all: Seq[Q] = modules.flatMap(_.queries)
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The reference's flagship path is the OCR extract-text pipeline
+    * (R1-R10) — run it end-to-end over generated real PNGs.
+    */
   def entry(spark: SparkSession): DataFrame =
-    ops.TextOps.wordCountQuery(spark, "/root/testdata/sf0.001")
+    queries("q_ocr_pipeline")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

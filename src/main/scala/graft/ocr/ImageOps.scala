@@ -1,0 +1,104 @@
+package graft.ocr
+
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import javax.imageio.ImageIO
+
+/** Pure-JVM image kernels mirroring the reference pipeline
+  * (`/root/reference/main.go:124-190`), with its two bugs fixed and its
+  * memory blow-up avoided:
+  *
+  *  - grayscale uses Go's `color.GrayModel` luma exactly
+  *    (19595·r + 38470·g + 7471·b + 2^15 >> 24 over 16-bit channels,
+  *    the conversion behind `img.Set` at `main.go:134`), but iterates
+  *    bounds-safely (the reference ignores `Rect.Min`, `main.go:132-133`);
+  *  - binarize keeps the fixed threshold 128 (`main.go:173`): gray < 128 →
+  *    black(0) else white(255), per `main.go:181-185`, but emits a 1-byte
+  *    mask instead of the reference's 4-byte NRGBA (`main.go:175`);
+  *  - both PNG and JPEG decode work (the reference accepts `.jpg` at
+  *    `main.go:75` but never registers a jpeg decoder — documented
+  *    divergence, SURVEY.md §2A R4).
+  *
+  * All functions are static and Serializable-safe for use inside UDFs /
+  * mapPartitions; images never round-trip through disk (the reference
+  * spools three times per request, `main.go:59-66,110-117`).
+  */
+object ImageOps {
+
+  final case class Gray(width: Int, height: Int, pixels: Array[Byte])
+
+  /** Decode PNG/JPEG bytes. Returns Left(error) instead of throwing so a
+    * bad row lands in the pipeline's error column (maps the 500 path at
+    * `main.go:83`), never kills a task.
+    */
+  def decode(bytes: Array[Byte]): Either[String, BufferedImage] =
+    try {
+      val img = ImageIO.read(new ByteArrayInputStream(bytes))
+      if (img == null) Left("undecodable image") else Right(img)
+    } catch {
+      case e: Exception => Left(s"decode failed: ${e.getMessage}")
+    }
+
+  /** Go color.GrayModel parity: 8-bit channel -> 16-bit (c * 0x101),
+    * y16 = (19595 r + 38470 g + 7471 b + 32768) >> 16, stored y = y16 >> 8.
+    */
+  def luma(r: Int, g: Int, b: Int): Int = {
+    val r16 = r * 0x101
+    val g16 = g * 0x101
+    val b16 = b * 0x101
+    val y16 = (19595L * r16 + 38470L * g16 + 7471L * b16 + (1L << 15)) >> 16
+    (y16 >> 8).toInt
+  }
+
+  /** Grayscale projection (R5), bounds-safe. */
+  def grayscale(img: BufferedImage): Gray = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val out = new Array[Byte](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val argb = img.getRGB(x, y)
+        out(y * w + x) =
+          luma((argb >> 16) & 0xff, (argb >> 8) & 0xff, argb & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    Gray(w, h, out)
+  }
+
+  /** Fixed-threshold binarize (R6): gray < 128 -> 0 (black) else 255. */
+  def binarize(g: Gray, threshold: Int = 128): Gray = {
+    val out = new Array[Byte](g.pixels.length)
+    var i = 0
+    while (i < g.pixels.length) {
+      out(i) = if ((g.pixels(i) & 0xff) < threshold) 0.toByte else 255.toByte
+      i += 1
+    }
+    Gray(g.width, g.height, out)
+  }
+
+  /** PNG-encode a gray mask in memory (R7 without the disk round-trip). */
+  def encodePng(g: Gray): Array[Byte] = {
+    val img = new BufferedImage(g.width, g.height, BufferedImage.TYPE_BYTE_GRAY)
+    img.getRaster.setDataElements(0, 0, g.width, g.height, g.pixels)
+    val baos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  /** Render a tiny valid PNG (test/fixture helper). */
+  def blankPng(width: Int = 16, height: Int = 8): Array[Byte] = {
+    val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
+    val gfx = img.createGraphics()
+    gfx.setColor(java.awt.Color.WHITE)
+    gfx.fillRect(0, 0, width, height)
+    gfx.dispose()
+    val baos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+}

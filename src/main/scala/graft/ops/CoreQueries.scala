@@ -13,5 +13,6 @@ object CoreQueries extends QueryModule {
       TextOps.analysisQueries ++
       DedupOps.queries ++
       SimilarityOps.queries ++
-      EventOps.queries
+      EventOps.queries ++
+      MediaQueries.queries
 }

@@ -1,0 +1,108 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.{Q, QueryModule, Tables}
+import graft.ocr.{ImageOps, MultimodalOps, OcrPipeline, StubOcr}
+
+/** Driver-facing queries for the OCR pipeline (R1-R10) and multimodal
+  * columns. Test images are generated in-flight from `documents` rows —
+  * real PNGs (decode/grayscale/binarize actually run) with the expected
+  * text embedded for the stub backend — so the whole pipeline is
+  * oracle-checkable against the documents table itself.
+  */
+object MediaQueries extends QueryModule {
+
+  private val wcSql =
+    "CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS BIGINT)"
+
+  /** documents → (path, content) binary rows with embedded ground truth. */
+  private def fileRows(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val basePng = ImageOps.blankPng(16, 8)
+    val mkImage = udf((text: String) => StubOcr.embed(basePng, text))
+    Tables.documents(s, d)
+      .select(
+        concat(col("doc_id"), lit(".png")).as("path"),
+        mkImage(col("text")).as("content"))
+  }
+
+  def queries: Seq[Q] = Seq(
+    // Full R1-R10 path: dispatch → fused preprocess → per-partition OCR →
+    // word count. Output must equal the source documents exactly.
+    Q(
+      "q_ocr_pipeline",
+      s"""SELECT doc_id, text, $wcSql AS text_count
+         |FROM documents ORDER BY doc_id"""
+    ) { (s, d) =>
+      OcrPipeline.run(fileRows(s, d))
+        .select(
+          regexp_extract(col("path"), "(\\d+)\\.png", 1).cast("long").as("doc_id"),
+          col("text"), col("text_count"))
+        .orderBy("doc_id")
+    },
+
+    // Format dispatch (R3): extension routing with the reference's error
+    // string; gif rows carry the error, never disappear.
+    Q(
+      "q_ocr_dispatch",
+      s"""SELECT doc_id,
+         |       CASE WHEN doc_id % 4 = 3 THEN 'Invalid file format' END AS error,
+         |       CASE WHEN doc_id % 4 = 3 THEN NULL ELSE text END AS text,
+         |       CASE WHEN doc_id % 4 = 3 THEN 0 ELSE $wcSql END AS text_count
+         |FROM documents ORDER BY doc_id"""
+    ) { (s, d) =>
+      val basePng = ImageOps.blankPng(16, 8)
+      val mkImage = udf((text: String) => StubOcr.embed(basePng, text))
+      val ext = element_at(
+        array(lit("png"), lit("jpg"), lit("jpeg"), lit("gif")),
+        (col("doc_id") % 4).cast("int") + 1)
+      val files = Tables.documents(s, d)
+        .select(
+          concat(col("doc_id"), lit("."), ext).as("path"),
+          mkImage(col("text")).as("content"))
+      OcrPipeline.run(files)
+        .select(
+          regexp_extract(col("path"), "^(\\d+)\\.", 1).cast("long").as("doc_id"),
+          col("error"), col("text"), col("text_count"))
+        .orderBy("doc_id")
+    },
+
+    // JSON sink (R10): byte-exact {"text":…,"textCount":…} shape of
+    // main.go:216-219.
+    Q(
+      "q_ocr_json",
+      s"""SELECT doc_id,
+         |       '{"text":"' || text || '","textCount":' || CAST($wcSql AS INT) || '}' AS json
+         |FROM documents ORDER BY doc_id"""
+    ) { (s, d) =>
+      OcrPipeline.toJsonResults(OcrPipeline.run(fileRows(s, d)))
+        .select(
+          regexp_extract(col("path"), "(\\d+)\\.png", 1).cast("long").as("doc_id"),
+          col("json"))
+        .orderBy("doc_id")
+    },
+
+    // Multimodal metadata: REAL header decode (format sniffed from magic
+    // bytes, dims from the PNG header) over per-row generated images.
+    Q(
+      "q_multimodal_meta",
+      """SELECT doc_id,
+        |       'png' AS format,
+        |       CAST(8 + doc_id % 16 AS INT) AS width,
+        |       CAST(8 AS INT) AS height,
+        |       true AS valid
+        |FROM documents ORDER BY doc_id"""
+    ) { (s, d) =>
+      val mkPng = udf((w: Int) => MultimodalOps.whitePng(w, 8))
+      val meta = udf((b: Array[Byte]) => MultimodalOps.imageMeta(b))
+      Tables.documents(s, d)
+        .select(col("doc_id"), mkPng((lit(8) + col("doc_id") % 16).cast("int")).as("content"))
+        .select(col("doc_id"), meta(col("content")).as("m"))
+        .select(
+          col("doc_id"), col("m.format").as("format"),
+          col("m.width").as("width"), col("m.height").as("height"),
+          col("m.valid").as("valid"))
+        .orderBy("doc_id")
+    }
+  )
+}
