@@ -1,0 +1,104 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ocr.{ImageOps, OcrPipeline}
+
+/** Property-based invariants (SURVEY.md §5.2 item 3) over the pure
+  * kernels — no SparkSession needed, so these run in milliseconds.
+  * (The scalatest-scalacheck bridge isn't in the offline cache, so
+  * sampling is driven directly with deterministic seeds.)
+  */
+class PropertySpec extends AnyFunSuite {
+
+  private def samples[A](g: Gen[A], n: Int = 300): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  private val wordGen = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString)
+  private val wsChar = Gen.oneOf(' ', '\t', '\n', ' ', ' ', '　')
+  private val wsGen = Gen.nonEmptyListOf(wsChar).map(_.mkString)
+
+  test("word count == number of generated words, any whitespace separator") {
+    samples(Gen.zip(Gen.listOf(wordGen), wsGen)).foreach { case (words, ws) =>
+      val text = words.mkString(ws)
+      assert(OcrPipeline.fieldsCount(text) == words.length.toLong, s"text=$text")
+    }
+  }
+
+  test("word count invariant under whitespace padding") {
+    samples(Gen.zip(Gen.alphaStr, wsGen)).foreach { case (s, ws) =>
+      assert(OcrPipeline.fieldsCount(ws + s + ws) == OcrPipeline.fieldsCount(s))
+    }
+  }
+
+  test("word count concat additivity across a whitespace joint") {
+    samples(Gen.zip(Gen.listOf(wordGen), Gen.listOf(wordGen))).foreach { case (a, b) =>
+      val (sa, sb) = (a.mkString(" "), b.mkString(" "))
+      assert(OcrPipeline.fieldsCount(sa + " " + sb) ==
+        OcrPipeline.fieldsCount(sa) + OcrPipeline.fieldsCount(sb))
+    }
+  }
+
+  test("fieldsCount parity with a direct Go strings.Fields reimplementation") {
+    // unicode.IsSpace's White_Space set, spelled out (Go: unicode/tables.go)
+    val goWhite: Set[Char] =
+      Set('\t', '\n', '', '\f', '\r', ' ', '', ' ',
+        ' ', ' ', ' ', ' ', ' ', '　') ++
+        (' ' to ' ').toSet
+    def goFields(s: String): Long = {
+      var n = 0L
+      var inWord = false
+      s.foreach { c =>
+        val isWs = goWhite.contains(c)
+        if (!isWs && !inWord) n += 1
+        inWord = !isWs
+      }
+      n
+    }
+    val anyChar = Gen.frequency(
+      8 -> Gen.alphaNumChar,
+      3 -> Gen.oneOf(goWhite.toSeq),
+      1 -> Gen.asciiPrintableChar)
+    samples(Gen.listOf(anyChar).map(_.mkString), 500).foreach { s =>
+      assert(OcrPipeline.fieldsCount(s) == goFields(s),
+        s"mismatch on ${s.map(c => f"\\u${c.toInt}%04x").mkString}")
+    }
+  }
+
+  test("binarize output is always exactly {0, 255}") {
+    samples(Gen.containerOf[Array, Byte](Gen.chooseNum(-128, 127).map(_.toByte)))
+      .foreach { p =>
+        val out = ImageOps.binarize(ImageOps.Gray(p.length.max(1), 1, p))
+        assert(out.pixels.forall(v => (v & 0xff) == 0 || (v & 0xff) == 255))
+      }
+  }
+
+  test("binarize threshold semantics per pixel (main.go:181-185)") {
+    (0 to 255).foreach { v =>
+      val out = ImageOps.binarize(ImageOps.Gray(1, 1, Array(v.toByte)))
+      assert((out.pixels(0) & 0xff) == (if (v < 128) 0 else 255), s"v=$v")
+    }
+  }
+
+  test("luma stays in [0,255] and is monotone in each channel") {
+    val ch = Gen.chooseNum(0, 255)
+    samples(Gen.zip(ch, ch, ch)).foreach { case (r, g, b) =>
+      val y = ImageOps.luma(r, g, b)
+      assert(y >= 0 && y <= 255)
+      assert(ImageOps.luma((r + 1).min(255), g, b) >= y)
+      assert(ImageOps.luma(r, (g + 1).min(255), b) >= y)
+      assert(ImageOps.luma(r, g, (b + 1).min(255)) >= y)
+    }
+  }
+
+  test("minhash-style property: lexicographic min of fixed-width hex == numeric min") {
+    val hexGen = Gen.listOfN(16, Gen.oneOf("0123456789abcdef".toSeq)).map(_.mkString)
+    samples(Gen.nonEmptyListOf(hexGen)).foreach { hs =>
+      val lexMin = hs.min
+      val numMin = hs.minBy(h => BigInt(h, 16))
+      assert(BigInt(lexMin, 16) == BigInt(numMin, 16))
+    }
+  }
+}

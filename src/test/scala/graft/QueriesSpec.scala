@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Engine-level checks that the DuckDB oracle cannot express: sketch
+  * accuracy, registry hygiene, plan-shape assertions (pushdown/broadcast —
+  * the 100 TB posture SURVEY.md §2C requires).
+  */
+class QueriesSpec extends SparkSpec {
+
+  test("registry: every oracle key has a query; names are unique") {
+    val qs = SparkEntry.queries
+    assert(SparkEntry.oracleSql.keySet.subsetOf(qs.keySet))
+    assert(SparkEntry.all.map(_.name).distinct.size == SparkEntry.all.size)
+    assert(qs.size >= 60)
+  }
+
+  test("flagship entry returns rows at sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("approx_count_distinct within 5% of exact (HLL++ accuracy)") {
+    val approx = SparkEntry.queries("q_agg_approx_distinct")(spark, sfDir)
+      .orderBy("l_returnflag").collect()
+    val li = Tables.lineitem(spark, sfDir)
+    val exact = li.groupBy("l_returnflag")
+      .agg(countDistinct(col("l_orderkey")).as("n"))
+      .orderBy("l_returnflag").collect()
+    approx.zip(exact).foreach { case (a, e) =>
+      val (av, ev) = (a.getAs[Long]("approx_orders").toDouble, e.getAs[Long]("n").toDouble)
+      // default HLL++ rsd is 0.05, so allow 3 sigma
+      assert(math.abs(av - ev) / ev < 0.15, s"approx $av vs exact $ev")
+    }
+  }
+
+  test("filter + projection push into the parquet scan") {
+    val plan = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("2000-01-01").cast("timestamp"))
+      .select("l_orderkey", "l_quantity")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate"),
+      s"missing pushed filter in:\n$plan")
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double"),
+      s"column pruning failed in:\n$plan")
+  }
+
+  test("dimension joins broadcast (no shuffle of the fact side)") {
+    val plan = SparkEntry.queries("q_join_broadcast")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join in:\n$plan")
+  }
+
+  test("top-k per group plans a single window, no global sort before filter") {
+    val df = SparkEntry.queries("q_window_topk")(spark, sfDir)
+    assert(df.count() > 0)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("RunningWindowFunction") || plan.contains("Window"),
+      s"expected window exec in:\n$plan")
+  }
+
+  test("similarity top-k keeps corpus side unshuffled (broadcast query set)") {
+    val plan = SparkEntry.queries("q_similarity_topk")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"expected broadcast in:\n$plan")
+  }
+
+  test("no query collects to the driver mid-plan (scan of the API surface)") {
+    // structural: all registered queries return lazy DataFrames — running
+    // .queryExecution.analyzed must not trigger a job.
+    SparkEntry.all.take(10).foreach { q =>
+      val df = q.fn(spark, sfDir)
+      assert(df.queryExecution.analyzed != null)
+    }
+  }
+}

@@ -1,0 +1,144 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.ops.EventOps
+
+/** Top-level so Spark can construct an Encoder without an outer scope. */
+case class Ev(ts: Timestamp, event_type: String, value: Double, user_id: Long)
+
+/** True Structured-Streaming behavior (SURVEY.md §5.2 item 4): the same
+  * EventOps transforms that pass the batch oracle, driven incrementally
+  * through MemoryStream, plus watermark/late-data and custom state.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("tumblingAgg over a stream == same transform over the batch") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val rows = Seq(
+      Ev(ts("2024-01-01 10:05:00"), "view", 1.0, 1L),
+      Ev(ts("2024-01-01 10:55:00"), "view", 2.0, 2L),
+      Ev(ts("2024-01-01 11:05:00"), "click", 4.0, 1L))
+    val q = EventOps.tumblingAgg(mem.toDF(), "1 hour")
+      .writeStream.format("memory").queryName("tumbling_out")
+      .outputMode(OutputMode.Complete).start()
+    mem.addData(rows: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("tumbling_out")
+      .orderBy("window_start", "event_type")
+      .collect().map(_.toSeq).toSeq
+    val batch = EventOps.tumblingAgg(rows.toDF(), "1 hour")
+      .orderBy("window_start", "event_type")
+      .collect().map(_.toSeq).toSeq
+    assert(streamed == batch)
+    assert(streamed.size == 2)
+    assert(streamed.head(2) == 2L) // two views in the 10:00 window
+  }
+
+  test("watermark drops late rows in append mode") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val agg = mem.toDF()
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_timestamp(col("window.start")).as("ws"), col("event_type"), col("n"))
+    val q = agg.writeStream.format("memory").queryName("wm_out")
+      .outputMode(OutputMode.Append).start()
+    // batch 1: two on-time events; watermark advances to 11:00 - 10m = 10:50
+    mem.addData(
+      Ev(ts("2024-01-01 10:00:01"), "view", 1.0, 1L),
+      Ev(ts("2024-01-01 11:00:00"), "view", 1.0, 1L))
+    q.processAllAvailable()
+    // batch 2: a LATE event for the (closed) 10:00 window — must be dropped
+    mem.addData(Ev(ts("2024-01-01 10:00:02"), "view", 1.0, 1L))
+    q.processAllAvailable()
+    // batch 3: push watermark far ahead so every window closes and emits
+    mem.addData(Ev(ts("2024-01-01 12:00:00"), "view", 1.0, 1L))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("wm_out").orderBy("ws").collect()
+    val w10 = out.filter(_.getLong(0) == ts("2024-01-01 10:00:00").getTime / 1000)
+    assert(w10.length == 1)
+    assert(w10.head.getLong(2) == 1L) // late duplicate NOT counted
+  }
+
+  test("dropDuplicatesWithinWatermark dedups keyed events across batches") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val dedup = mem.toDF()
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+    val q = dedup.writeStream.format("memory").queryName("dd_out")
+      .outputMode(OutputMode.Append).start()
+    mem.addData(Ev(ts("2024-01-01 10:00:00"), "view", 1.0, 1L))
+    q.processAllAvailable()
+    mem.addData(
+      Ev(ts("2024-01-01 10:05:00"), "view", 2.0, 1L), // dup key within watermark
+      Ev(ts("2024-01-01 10:06:00"), "click", 3.0, 1L))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("dd_out").collect()
+    assert(out.length == 2) // second "view" for user 1 suppressed
+  }
+
+  test("flatMapGroupsWithState: running per-user event counter (custom state)") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val counted = mem.toDS()
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Long, (Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, evs: Iterator[Ev], state: GroupState[Long]) =>
+          val prev = state.getOption.getOrElse(0L)
+          val next = prev + evs.size
+          state.update(next)
+          Iterator((user, next))
+      }
+    val q = counted.toDF("user_id", "running_n")
+      .writeStream.format("memory").queryName("st_out")
+      .outputMode(OutputMode.Append).start()
+    mem.addData(Ev(ts("2024-01-01 10:00:00"), "view", 1.0, 7L))
+    q.processAllAvailable()
+    mem.addData(
+      Ev(ts("2024-01-01 10:01:00"), "view", 1.0, 7L),
+      Ev(ts("2024-01-01 10:02:00"), "view", 1.0, 8L))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("st_out").orderBy("running_n").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out.contains((7L, 1L))) // after batch 1
+    assert(out.contains((7L, 2L))) // state carried across batches
+    assert(out.contains((8L, 1L)))
+  }
+
+  test("streaming session windows match the batch oracle emulation") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val rows = Seq(
+      Ev(ts("2024-01-01 10:00:00"), "view", 1.0, 1L),
+      Ev(ts("2024-01-01 10:03:00"), "view", 2.0, 1L),  // same session (< 5 min gap)
+      Ev(ts("2024-01-01 10:30:00"), "view", 4.0, 1L))  // new session
+    val q = EventOps.sessionAgg(
+      mem.toDF().withWatermark("ts", "10 minutes"), "5 minutes")
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode(OutputMode.Complete).start()
+    mem.addData(rows: _*)
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("sess_out").orderBy("session_start").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Long]("n_events") == 2L)
+    assert(out(0).getAs[Long]("session_end") - out(0).getAs[Long]("session_start") == 480L) // 3 min span + 5 min gap
+    assert(out(1).getAs[Long]("n_events") == 1L)
+  }
+}

@@ -1,0 +1,85 @@
+package graft.ocr
+
+import java.awt.image.BufferedImage
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class ImageOpsSpec extends AnyFunSuite {
+
+  private def rampImage(): BufferedImage = {
+    // 256x1 gray ramp: pixel x has r=g=b=x (FIXTURES.md gray_ramp.png)
+    val img = new BufferedImage(256, 1, BufferedImage.TYPE_INT_RGB)
+    (0 until 256).foreach(x => img.setRGB(x, 0, (x << 16) | (x << 8) | x))
+    img
+  }
+
+  test("binarize threshold 128: 127 -> black, 128 -> white (main.go:181-185)") {
+    val g = ImageOps.grayscale(rampImage())
+    val b = ImageOps.binarize(g)
+    // luma(x,x,x) == x for gray input, so ramp position == gray level
+    assert((b.pixels(127) & 0xff) == 0)
+    assert((b.pixels(128) & 0xff) == 255)
+    assert(b.pixels.forall(p => (p & 0xff) == 0 || (p & 0xff) == 255))
+  }
+
+  test("luma matches Go color.GrayModel on gray input (identity)") {
+    (0 until 256).foreach(v => assert(ImageOps.luma(v, v, v) == v))
+  }
+
+  test("luma known values (ITU-R 601 weights)") {
+    assert(ImageOps.luma(255, 0, 0) == 76)  // 0.299 * 255 = 76.2
+    assert(ImageOps.luma(0, 255, 0) == 150) // 0.587 * 255 = 149.7
+    assert(ImageOps.luma(0, 0, 255) == 29)  // 0.114 * 255 = 29.07
+    assert(ImageOps.luma(255, 255, 255) == 255)
+    assert(ImageOps.luma(0, 0, 0) == 0)
+  }
+
+  test("grayscale is bounds-safe on non-zero-origin subimages (ref bug main.go:132-133)") {
+    val img = rampImage()
+    val sub = img.getSubimage(100, 0, 50, 1) // Raster origin no longer (0,0)
+    val g = ImageOps.grayscale(sub)
+    assert(g.width == 50 && g.height == 1)
+    assert((g.pixels(0) & 0xff) == 100)
+    assert((g.pixels(49) & 0xff) == 149)
+  }
+
+  test("decode rejects garbage without throwing (500 path main.go:83)") {
+    val r = ImageOps.decode(Array.fill[Byte](64)(42))
+    assert(r.isLeft)
+  }
+
+  test("PNG roundtrip preserves the mask") {
+    val g = ImageOps.binarize(ImageOps.grayscale(rampImage()))
+    val png = ImageOps.encodePng(g)
+    val back = ImageOps.grayscale(ImageOps.decode(png).toOption.get)
+    assert(back.pixels.toSeq == g.pixels.toSeq)
+  }
+
+  test("real resize produces requested dims") {
+    val png = MultimodalOps.whitePng(32, 16)
+    val small = MultimodalOps.resize(png, 8, 4)
+    val meta = MultimodalOps.imageMeta(small)
+    assert(meta.width == 8 && meta.height == 4 && meta.valid)
+  }
+
+  test("imageMeta sniffs format from magic bytes, not extension") {
+    val meta = MultimodalOps.imageMeta(MultimodalOps.whitePng(10, 7))
+    assert(meta.format == "png" && meta.width == 10 && meta.height == 7)
+    assert(!MultimodalOps.imageMeta(Array.fill[Byte](16)(1)).valid)
+  }
+
+  test("stub frame sampler is deterministic and fps-spaced") {
+    val video = Array.tabulate[Byte](100)(_.toByte)
+    val f1 = MultimodalOps.sampleFramesStub(video, 1000, 10.0)
+    val f2 = MultimodalOps.sampleFramesStub(video, 1000, 10.0)
+    assert(f1 == f2)
+    assert(f1.size == 10)
+    assert(f1.map(_.offset_ms) == (0L until 1000L by 100L).toSeq)
+  }
+
+  test("stub audio features: real arithmetic, deterministic clip id") {
+    val a = MultimodalOps.audioFeaturesStub(Array[Byte](3, -3, 3, -3))
+    assert(a.n_samples == 4 && a.mean_amplitude == 0.0 && a.rms == 3.0)
+    assert(a.clip_id != null)
+  }
+}
