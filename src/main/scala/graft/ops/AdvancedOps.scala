@@ -1,0 +1,105 @@
+package graft.ops
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.{Q, QueryModule, Tables}
+import graft.functions.TopKAgg
+
+/** Remaining SURVEY.md §2B surface: ORC source/sink with pushdown (named
+  * explicitly in the north star), correlated scalar subqueries
+  * (decorrelated by Catalyst), as-of joins via the window trick, and a
+  * typed Aggregator UDAF.
+  */
+object AdvancedOps extends QueryModule {
+
+  def queries: Seq[Q] = Seq(
+    // ORC write -> ORC read with a pushed predicate -> aggregate. The
+    // oracle runs the same aggregation over the original parquet — a
+    // lossless roundtrip must agree. (DuckDB never sees the ORC file;
+    // equality of results is the roundtrip proof.)
+    Q(
+      "q_orc_roundtrip",
+      """SELECT l_returnflag,
+        |       COUNT(*) AS n,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(38,10))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |WHERE l_quantity > 25
+        |GROUP BY l_returnflag ORDER BY l_returnflag"""
+    ) { (s, d) =>
+      val dir = Files.createTempDirectory("graft_orc").toFile.getAbsolutePath
+      Tables.lineitem(s, d)
+        .select("l_returnflag", "l_quantity")
+        .write.mode("overwrite").orc(dir)
+      s.read.orc(dir)
+        .filter(col("l_quantity") > 25) // pushed into the ORC scan
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), Exact.dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy("l_returnflag")
+    },
+
+    // Correlated scalar subquery — Catalyst decorrelates to an aggregate +
+    // join (SURVEY.md §4.2); DuckDB runs the identical SQL.
+    Q(
+      "q_subquery_corr",
+      """SELECT c_custkey, c_acctbal FROM customer c
+        |WHERE c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer c2
+        |                   WHERE c2.c_nationkey = c.c_nationkey)
+        |ORDER BY c_custkey"""
+    ) { (s, d) =>
+      Tables.customer(s, d).createOrReplaceTempView("graft_customer_sq")
+      s.sql(
+        """SELECT c_custkey, c_acctbal FROM graft_customer_sq c
+          |WHERE c_acctbal > (SELECT AVG(c2.c_acctbal) FROM graft_customer_sq c2
+          |                   WHERE c2.c_nationkey = c.c_nationkey)
+          |ORDER BY c_custkey""".stripMargin)
+    },
+
+    // As-of join via the union+window trick (SURVEY.md §2B joins row):
+    // for each purchase, the most recent prior-or-same-time view by the
+    // same user. MAX over prior view timestamps == last prior view since
+    // event time is monotone within the frame.
+    Q(
+      "q_asof_join",
+      """WITH marked AS (
+        |  SELECT event_id, user_id, ts, event_type,
+        |         MAX(CASE WHEN event_type = 'view' THEN ts END)
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS UNBOUNDED PRECEDING) AS last_view_ts
+        |  FROM events)
+        |SELECT event_id, user_id,
+        |       CAST(floor(epoch(ts)) AS BIGINT) AS purchase_sec,
+        |       CAST(floor(epoch(last_view_ts)) AS BIGINT) AS last_view_sec
+        |FROM marked WHERE event_type = 'purchase'
+        |ORDER BY event_id"""
+    ) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("last_view_ts",
+          max(when(col("event_type") === "view", col("ts"))).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(
+          col("event_id"), col("user_id"),
+          unix_timestamp(col("ts")).as("purchase_sec"),
+          unix_timestamp(col("last_view_ts")).as("last_view_sec"))
+        .orderBy("event_id")
+    },
+
+    // Typed Aggregator UDAF: bounded top-5 prices per priority class.
+    Q(
+      "q_udaf_topk",
+      """SELECT o_orderpriority,
+        |       (list(o_totalprice ORDER BY o_totalprice DESC))[1:5] AS top5
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+    ) { (s, d) =>
+      val top5 = udaf(new TopKAgg(5))
+      Tables.orders(s, d)
+        .groupBy("o_orderpriority")
+        .agg(top5(col("o_totalprice")).as("top5"))
+        .orderBy("o_orderpriority")
+    }
+  )
+}

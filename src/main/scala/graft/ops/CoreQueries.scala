@@ -14,5 +14,6 @@ object CoreQueries extends QueryModule {
       DedupOps.queries ++
       SimilarityOps.queries ++
       EventOps.queries ++
-      MediaQueries.queries
+      MediaQueries.queries ++
+      AdvancedOps.queries
 }

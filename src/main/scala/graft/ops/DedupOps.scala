@@ -148,10 +148,18 @@ object DedupOps extends QueryModule {
       val bands = sig
         .select(col("doc_id"), explode(array(bandStructs: _*)).as("bd"))
         .select(col("doc_id"), col("bd.band_idx"), col("bd.band_hash"))
-      val a = bands.toDF("d1", "bi1", "bh1")
-      val b = bands.toDF("d2", "bi2", "bh2")
-      a.join(b, col("bi1") === col("bi2") && col("bh1") === col("bh2") && col("d1") < col("d2"))
-        .select("d1", "d2").distinct()
+      // One shuffle: group docs per bucket and expand pairs inside the
+      // bucket (a self-join would recompute the whole signature stage for
+      // each side). Buckets are tiny by construction, pairs stay bounded.
+      bands
+        .groupBy("band_idx", "band_hash")
+        .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+        .filter(size(col("ds")) > 1)
+        .select(explode(flatten(transform(col("ds"), (x, i) =>
+          transform(slice(col("ds"), i + 2, size(col("ds"))), y =>
+            struct(x.as("d1"), y.as("d2")))))).as("p"))
+        .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
+        .distinct()
         .orderBy("d1", "d2")
     },
 
