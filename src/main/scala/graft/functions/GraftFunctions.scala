@@ -1,0 +1,18 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftBridge, SparkSession}
+
+/** Column-API facade over graft's native Catalyst expressions, plus SQL
+  * registration so `spark.sql("... graft_word_count(text) ...")` works.
+  */
+object GraftFunctions {
+
+  /** Native one-pass word count (reference R9 semantics). */
+  def word_count(c: Column): Column =
+    GraftBridge.column(WordCount(GraftBridge.expression(c)))
+
+  /** Register SQL names for the native expressions (idempotent). */
+  def registerAll(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_word_count", exprs => WordCount(exprs.head), "scala_udf")
+}

@@ -18,8 +18,16 @@ object TextOps {
   /** Unicode whitespace run — parity with Go strings.Fields / unicode.IsSpace. */
   val WsRe = "[\\s\\u0085\\u00A0\\u1680\\u2000-\\u200A\\u2028\\u2029\\u202F\\u205F\\u3000]+"
 
-  /** Number of whitespace-separated words in `c` (empty string -> 0). */
-  def wordCount(c: Column): Column =
+  /** Number of whitespace-separated words in `c` (empty string -> 0).
+    * Uses the native codegen expression (one pass, no token array); the
+    * expression-combo spelling is kept for cross-checking in tests.
+    */
+  def wordCount(c: Column): Column = graft.functions.GraftFunctions.word_count(c)
+
+  /** Built-ins-only spelling of [[wordCount]] (allocates a token array —
+    * kept as the reference implementation for property tests).
+    */
+  def wordCountBuiltins(c: Column): Column =
     size(filter(split(c, WsRe), t => t =!= lit(""))).cast("long")
 
   /** Flagship: per-document word count, reference `processText` semantics. */
