@@ -15,5 +15,6 @@ object CoreQueries extends QueryModule {
       SimilarityOps.queries ++
       EventOps.queries ++
       MediaQueries.queries ++
-      AdvancedOps.queries
+      AdvancedOps.queries ++
+      ScaleOps.queries
 }

@@ -1,0 +1,100 @@
+package graft.ops
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.{Q, QueryModule, Tables}
+
+/** Scale-posture operators (SURVEY.md §2C "100 TB" row, §7.4): the salting
+  * recipe for skewed keys, and the remaining source formats (CSV, JSON)
+  * with explicit schemas — schema-on-read is never inferred (§1.1: the
+  * reference's schema is compile-time-fixed).
+  */
+object ScaleOps extends QueryModule {
+
+  def queries: Seq[Q] = Seq(
+    // Skew salting recipe, oracle-proven: l_returnflag has 3 values, so a
+    // plain groupBy funnels 600k rows into 3 reducers. Salt the key with a
+    // deterministic shard (l_orderkey % 8), pre-aggregate (key, salt) —
+    // map-side partials now spread over 24 groups — then finish on key.
+    // The oracle is the UNSALTED aggregation: equal results prove the
+    // rewrite is semantics-preserving.
+    Q(
+      "q_skew_salted",
+      """SELECT l_returnflag,
+        |       COUNT(*) AS n,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(38,10))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+    ) { (s, d) =>
+      val salted = Tables.lineitem(s, d)
+        .withColumn("salt", (col("l_orderkey") % 8).cast("int"))
+        .groupBy("l_returnflag", "salt")
+        .agg(
+          count(lit(1)).as("pn"),
+          sum(col("l_quantity").cast(DecimalType(38, 10))).as("psum"))
+      salted
+        .groupBy("l_returnflag")
+        .agg(
+          sum(col("pn")).as("n"),
+          sum(col("psum")).cast("double").as("sum_qty"))
+        .orderBy("l_returnflag")
+    },
+
+    // CSV sink + source with an explicit schema (no inferSchema pass).
+    Q(
+      "q_csv_roundtrip",
+      """SELECT n_regionkey, COUNT(*) AS n_nations
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey"""
+    ) { (s, d) =>
+      val dir = Files.createTempDirectory("graft_csv").toFile.getAbsolutePath
+      Tables.nation(s, d).write.mode("overwrite").option("header", "true").csv(dir)
+      val schema = StructType(Seq(
+        StructField("n_nationkey", IntegerType),
+        StructField("n_name", StringType),
+        StructField("n_regionkey", IntegerType)))
+      s.read.schema(schema).option("header", "true").csv(dir)
+        .groupBy("n_regionkey")
+        .agg(count(lit(1)).as("n_nations"))
+        .orderBy("n_regionkey")
+    },
+
+    // JSON-lines sink + source, explicit schema.
+    Q(
+      "q_json_roundtrip",
+      """SELECT c_mktsegment,
+        |       COUNT(*) AS n,
+        |       CAST(SUM(CAST(c_acctbal AS DECIMAL(38,10))) AS DOUBLE) AS total_bal
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+    ) { (s, d) =>
+      val dir = Files.createTempDirectory("graft_json").toFile.getAbsolutePath
+      Tables.customer(s, d)
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+        .write.mode("overwrite").json(dir)
+      val schema = StructType(Seq(
+        StructField("c_custkey", LongType),
+        StructField("c_mktsegment", StringType),
+        StructField("c_acctbal", DoubleType)))
+      s.read.schema(schema).json(dir)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), Exact.dsum(col("c_acctbal")).as("total_bal"))
+        .orderBy("c_mktsegment")
+    },
+
+    // Explicit repartition + sortWithinPartitions (the physical layout
+    // primitives every 100 TB pipeline leans on) — semantics-neutral, so
+    // the oracle is the plain projection.
+    Q(
+      "q_repartition_sort",
+      """SELECT s_suppkey, s_nationkey, s_acctbal
+        |FROM supplier ORDER BY s_suppkey"""
+    ) { (s, d) =>
+      Tables.supplier(s, d)
+        .repartition(4, col("s_nationkey"))
+        .sortWithinPartitions("s_suppkey")
+        .select("s_suppkey", "s_nationkey", "s_acctbal")
+        .orderBy("s_suppkey")
+    }
+  )
+}

@@ -121,6 +121,25 @@ class StreamingSpec extends SparkSpec {
     assert(out.contains((8L, 1L)))
   }
 
+  test("foreachBatch sink: stream lands as parquet files (R2's durable-sink analog)") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val dir = java.nio.file.Files.createTempDirectory("graft_fb").toFile.getAbsolutePath
+    val q = mem.toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        batch.write.mode("append").parquet(s"$dir/batch")
+      }
+      .start()
+    mem.addData(
+      Ev(ts("2024-01-01 10:00:00"), "view", 1.0, 1L),
+      Ev(ts("2024-01-01 10:01:00"), "click", 2.0, 2L))
+    q.processAllAvailable()
+    mem.addData(Ev(ts("2024-01-01 10:02:00"), "view", 3.0, 3L))
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.read.parquet(s"$dir/batch").count() == 3)
+  }
+
   test("streaming session windows match the batch oracle emulation") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[Ev]
