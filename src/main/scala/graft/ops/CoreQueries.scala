@@ -16,5 +16,6 @@ object CoreQueries extends QueryModule {
       EventOps.queries ++
       MediaQueries.queries ++
       AdvancedOps.queries ++
-      ScaleOps.queries
+      ScaleOps.queries ++
+      ExtraOps.queries
 }
