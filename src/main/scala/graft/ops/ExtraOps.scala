@@ -184,10 +184,10 @@ object ExtraOps extends QueryModule {
       val base = Files.createTempDirectory("graft_bucket").toFile.getAbsolutePath
       s.sql("DROP TABLE IF EXISTS graft_orders_bkt")
       s.sql("DROP TABLE IF EXISTS graft_customer_bkt")
-      Tables.orders(s, d).write
+      Tables.orders(s, d).select("o_custkey", "o_totalprice").write
         .bucketBy(8, "o_custkey").sortBy("o_custkey")
         .option("path", s"$base/orders").saveAsTable("graft_orders_bkt")
-      Tables.customer(s, d).write
+      Tables.customer(s, d).select("c_custkey", "c_mktsegment").write
         .bucketBy(8, "c_custkey").sortBy("c_custkey")
         .option("path", s"$base/customer").saveAsTable("graft_customer_bkt")
       s.table("graft_orders_bkt")

@@ -21,6 +21,7 @@ object MediaQueries extends QueryModule {
     val basePng = ImageOps.blankPng(16, 8)
     val mkImage = udf((text: String) => StubOcr.embed(basePng, text))
     Tables.documents(s, d)
+      .filter(col("doc_id") < 500)
       .select(
         concat(col("doc_id"), lit(".png")).as("path"),
         mkImage(col("text")).as("content"))
@@ -32,7 +33,7 @@ object MediaQueries extends QueryModule {
     Q(
       "q_ocr_pipeline",
       s"""SELECT doc_id, text, $wcSql AS text_count
-         |FROM documents ORDER BY doc_id"""
+         |FROM documents WHERE doc_id < 500 ORDER BY doc_id"""
     ) { (s, d) =>
       OcrPipeline.run(fileRows(s, d))
         .select(
@@ -49,7 +50,7 @@ object MediaQueries extends QueryModule {
          |       CASE WHEN doc_id % 4 = 3 THEN 'Invalid file format' END AS error,
          |       CASE WHEN doc_id % 4 = 3 THEN NULL ELSE text END AS text,
          |       CASE WHEN doc_id % 4 = 3 THEN 0 ELSE $wcSql END AS text_count
-         |FROM documents ORDER BY doc_id"""
+         |FROM documents WHERE doc_id < 500 ORDER BY doc_id"""
     ) { (s, d) =>
       val basePng = ImageOps.blankPng(16, 8)
       val mkImage = udf((text: String) => StubOcr.embed(basePng, text))
@@ -57,6 +58,7 @@ object MediaQueries extends QueryModule {
         array(lit("png"), lit("jpg"), lit("jpeg"), lit("gif")),
         (col("doc_id") % 4).cast("int") + 1)
       val files = Tables.documents(s, d)
+        .filter(col("doc_id") < 500)
         .select(
           concat(col("doc_id"), lit("."), ext).as("path"),
           mkImage(col("text")).as("content"))
@@ -73,7 +75,7 @@ object MediaQueries extends QueryModule {
       "q_ocr_json",
       s"""SELECT doc_id,
          |       '{"text":"' || text || '","textCount":' || CAST($wcSql AS INT) || '}' AS json
-         |FROM documents ORDER BY doc_id"""
+         |FROM documents WHERE doc_id < 500 ORDER BY doc_id"""
     ) { (s, d) =>
       OcrPipeline.toJsonResults(OcrPipeline.run(fileRows(s, d)))
         .select(
@@ -91,11 +93,12 @@ object MediaQueries extends QueryModule {
         |       CAST(8 + doc_id % 16 AS INT) AS width,
         |       CAST(8 AS INT) AS height,
         |       true AS valid
-        |FROM documents ORDER BY doc_id"""
+        |FROM documents WHERE doc_id < 500 ORDER BY doc_id"""
     ) { (s, d) =>
       val mkPng = udf((w: Int) => MultimodalOps.whitePng(w, 8))
       val meta = udf((b: Array[Byte]) => MultimodalOps.imageMeta(b))
       Tables.documents(s, d)
+        .filter(col("doc_id") < 500)
         .select(col("doc_id"), mkPng((lit(8) + col("doc_id") % 16).cast("int")).as("content"))
         .select(col("doc_id"), meta(col("content")).as("m"))
         .select(
