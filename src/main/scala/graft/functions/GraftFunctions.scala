@@ -11,8 +11,15 @@ object GraftFunctions {
   def word_count(c: Column): Column =
     GraftBridge.column(WordCount(GraftBridge.expression(c)))
 
+  /** Native fused cosine similarity over two array<float> columns. */
+  def cosine_sim(a: Column, b: Column): Column =
+    GraftBridge.column(CosineSim(GraftBridge.expression(a), GraftBridge.expression(b)))
+
   /** Register SQL names for the native expressions (idempotent). */
-  def registerAll(spark: SparkSession): Unit =
+  def registerAll(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_word_count", exprs => WordCount(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_cosine_sim", exprs => CosineSim(exprs(0), exprs(1)), "scala_udf")
+  }
 }

@@ -155,14 +155,10 @@ object ExtraOps extends QueryModule {
         .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("cell").as("qcell"))
       val cand = withEmb
         .select(col("vec_id").as("vid"), col("embedding").as("ve"), col("cell"))
-      val dot = aggregate(
-        zip_with(col("qe"), col("ve"), (x, y) => x.cast("double") * y.cast("double")),
-        lit(0.0), (a, v) => a + v)
-      def nrm(c: org.apache.spark.sql.Column) = sqrt(
-        aggregate(c, lit(0.0), (a, x) => a + x.cast("double") * x.cast("double")))
       val scored = cand.join(broadcast(q),
         col("cell") === col("qcell") && col("vid") =!= col("qid"))
-        .select(col("qid"), col("vid"), (dot / (nrm(col("qe")) * nrm(col("ve")))).as("sim"))
+        .select(col("qid"), col("vid"),
+          graft.functions.GraftFunctions.cosine_sim(col("qe"), col("ve")).as("sim"))
       val wRank = Window.partitionBy("qid").orderBy(col("sim").desc, col("vid"))
       scored
         .withColumn("rn", row_number().over(wRank))

@@ -10,11 +10,12 @@ import graft.{Q, QueryModule, Tables}
   * §2C): brute-force cosine top-k as the exactness baseline, sign-LSH
   * bucketing as the scale path, plus embedding-cosine near-dup detection.
   *
-  * Float determinism: every dot product / norm is a sequential left fold
-  * over per-element double products — Spark `aggregate(0.0, +)` and DuckDB
-  * `list_reduce(+)` produce bit-identical doubles (0.0 + x == x in IEEE),
-  * and sqrt/division are correctly-rounded, so cosine values hash-match
-  * the oracle with no rounding fudge.
+  * Float determinism: scoring runs through the native fused
+  * `graft.functions.CosineSim` expression — one pass computing dot and
+  * both norms with the same left-fold accumulation order as DuckDB's
+  * `list_reduce(+)` (0.0 + x == x in IEEE), so cosine values hash-match
+  * the oracle bit-for-bit with no rounding fudge. The fold spellings
+  * below remain for stats and as the cross-check reference in specs.
   *
   * Scale posture: the query set is small and explicitly `broadcast()` —
   * the corpus side streams through without a shuffle. The LSH variant
@@ -78,8 +79,7 @@ object SimilarityOps extends QueryModule {
         .join(broadcast(q), col("vec_id") =!= col("qid"))
         .select(
           col("qid"), col("vec_id").as("vid"),
-          (dot(col("qe"), col("embedding")) /
-            (norm(col("qe")) * norm(col("embedding")))).as("sim"))
+          graft.functions.GraftFunctions.cosine_sim(col("qe"), col("embedding")).as("sim"))
       val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vid"))
       scored
         .withColumn("rn", row_number().over(w))
@@ -116,8 +116,7 @@ object SimilarityOps extends QueryModule {
         .join(broadcast(q), col("bucket") === col("qb") && col("vec_id") =!= col("qid"))
         .select(
           col("qid"), col("vec_id").as("vid"),
-          (dot(col("qe"), col("embedding")) /
-            (norm(col("qe")) * norm(col("embedding")))).as("sim"))
+          graft.functions.GraftFunctions.cosine_sim(col("qe"), col("embedding")).as("sim"))
       val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vid"))
       scored
         .withColumn("rn", row_number().over(w))
@@ -167,7 +166,7 @@ object SimilarityOps extends QueryModule {
       a.join(broadcast(b), col("v1") < col("v2"))
         .select(
           col("v1"), col("v2"),
-          (dot(col("e1"), col("e2")) / (norm(col("e1")) * norm(col("e2")))).as("sim"))
+          graft.functions.GraftFunctions.cosine_sim(col("e1"), col("e2")).as("sim"))
         .orderBy(col("sim").desc, col("v1"), col("v2"))
         .limit(20)
     }
