@@ -200,6 +200,56 @@ object RelationalOps extends QueryModule {
         .orderBy("n1", "n2")
     },
 
+    // null-safe equality (<=> / IS NOT DISTINCT FROM) over columns that
+    // are genuinely null on full-outer misses.
+    Q(
+      "q_nullsafe_eq",
+      """WITH c AS (SELECT c_nationkey AS nk, COUNT(*) AS c_cnt FROM customer GROUP BY 1),
+        |     s AS (SELECT s_nationkey AS nk, COUNT(*) AS s_cnt FROM supplier GROUP BY 1)
+        |SELECT COALESCE(c.nk, s.nk) AS nationkey,
+        |       c_cnt IS NOT DISTINCT FROM s_cnt AS same_count,
+        |       c_cnt IS DISTINCT FROM s_cnt AS diff_count
+        |FROM c FULL OUTER JOIN s ON c.nk = s.nk
+        |ORDER BY nationkey"""
+    ) { (s, d) =>
+      val c = Tables.customer(s, d).groupBy(col("c_nationkey").as("cnk"))
+        .agg(count(lit(1)).as("c_cnt"))
+      val su = Tables.supplier(s, d).groupBy(col("s_nationkey").as("snk"))
+        .agg(count(lit(1)).as("s_cnt"))
+      c.join(su, col("cnk") === col("snk"), "full_outer")
+        .select(
+          coalesce(col("cnk"), col("snk")).as("nationkey"),
+          (col("c_cnt") <=> col("s_cnt")).as("same_count"),
+          (!(col("c_cnt") <=> col("s_cnt"))).as("diff_count"))
+        .orderBy("nationkey")
+    },
+
+    // interval range join: event pairs of the same user within 10 minutes
+    // (bounded to user_id < 50 so the pair count stays fixed per SF).
+    Q(
+      "q_join_range",
+      """SELECT a.event_id AS e1, b.event_id AS e2,
+        |       CAST(floor(epoch(b.ts)) - floor(epoch(a.ts)) AS BIGINT) AS gap_sec
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id
+        | AND b.ts > a.ts
+        | AND b.ts <= a.ts + INTERVAL 10 MINUTE
+        |WHERE a.user_id < 50
+        |ORDER BY e1, e2"""
+    ) { (s, d) =>
+      val ev = Tables.events(s, d).filter(col("user_id") < 50)
+      val a = ev.select(col("event_id").as("e1"), col("user_id").as("u1"), col("ts").as("t1"))
+      val b = ev.select(col("event_id").as("e2"), col("user_id").as("u2"), col("ts").as("t2"))
+      a.join(b,
+        col("u1") === col("u2") &&
+          col("t2") > col("t1") &&
+          col("t2") <= col("t1") + expr("INTERVAL 10 MINUTES"))
+        .select(
+          col("e1"), col("e2"),
+          (unix_timestamp(col("t2")) - unix_timestamp(col("t1"))).as("gap_sec"))
+        .orderBy("e1", "e2")
+    },
+
     Q(
       "q_join_broadcast",
       """SELECT p_brand,
