@@ -15,6 +15,10 @@ object GraftFunctions {
   def cosine_sim(a: Column, b: Column): Column =
     GraftBridge.column(CosineSim(GraftBridge.expression(a), GraftBridge.expression(b)))
 
+  /** Native 8-slot MinHash signature over an array<string> of shingles. */
+  def minhash_sig(c: Column): Column =
+    GraftBridge.column(MinHashSig(GraftBridge.expression(c)))
+
   /** Register SQL names for the native expressions (idempotent). */
   def registerAll(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -66,16 +66,15 @@ object DedupOps extends QueryModule {
     s"bands AS ($rows)"
   }
 
-  /** Spark columns m0..m7 over precomputed hash arrays `ha`/`hb`. */
-  private def sigCols = (0 until NumHashes).map { k =>
-    val (seed, off) = slot(k)
-    array_min(transform(col(s"h$seed"), h => substring(h, off, 8))).as(s"m$k")
+  /** Spark columns m0..m7: one native MinHashSig pass over the shingles
+    * (values identical to the spelled-out min-over-md5-slices, which the
+    * DuckDB oracle still states); codegen subexpression elimination keeps
+    * it a single evaluation across the eight getItems.
+    */
+  private def sigCols = {
+    val sig = graft.functions.GraftFunctions.minhash_sig(col("shingles"))
+    (0 until NumHashes).map(k => sig.getItem(k).as(s"m$k"))
   }
-
-  /** Hoisted per-seed hash arrays (one md5 pass per seed, not per slice). */
-  private def hashCols = Seq(
-    transform(col("shingles"), s => md5(concat(lit("a:"), s))).as("ha"),
-    transform(col("shingles"), s => md5(concat(lit("b:"), s))).as("hb"))
 
   def queries: Seq[Q] = Seq(
     // Exact dedup: canonical keep-first-by-key. All texts in the synthetic
@@ -135,7 +134,6 @@ object DedupOps extends QueryModule {
               element_at(col("ws"), i),
               element_at(col("ws"), i + 1),
               element_at(col("ws"), i + 2))).as("shingles"))
-        .select(col("doc_id") +: hashCols: _*)
         .select(col("doc_id") +: sigCols: _*)
         .orderBy("doc_id")
     },
@@ -162,7 +160,6 @@ object DedupOps extends QueryModule {
               element_at(col("ws"), i),
               element_at(col("ws"), i + 1),
               element_at(col("ws"), i + 2))).as("shingles"))
-        .select(col("doc_id") +: hashCols: _*)
         .select(col("doc_id") +: sigCols: _*)
       val bandStructs = (0 until Bands).map { b =>
         struct(lit(b).as("band_idx"),
