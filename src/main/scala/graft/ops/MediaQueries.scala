@@ -84,6 +84,58 @@ object MediaQueries extends QueryModule {
         .orderBy("doc_id")
     },
 
+    // Multimodal STUB operators, oracle-checked: the "video"/"audio" blob
+    // is the document's UTF-8 bytes (pure ASCII — verified), so DuckDB
+    // can reproduce the content-hash-derived outputs exactly. The Spark
+    // side runs the real stub UDFs over real binary columns.
+    Q(
+      "q_frame_sample",
+      """WITH f AS (SELECT doc_id, md5(text) AS base, n_chars FROM documents WHERE doc_id < 200),
+        |x AS (SELECT doc_id, base, unnest(generate_series(0, n_chars - 1, 100)) AS off FROM f)
+        |SELECT doc_id,
+        |       CAST(off // 100 AS INT) AS frame_index,
+        |       CAST(off AS BIGINT) AS offset_ms,
+        |       md5(base || ':' || CAST(off // 100 AS INT)) AS frame_id
+        |FROM x ORDER BY doc_id, frame_index"""
+    ) { (s, d) =>
+      val sample = udf((text: String, durationMs: Long) =>
+        MultimodalOps.sampleFramesStub(text.getBytes("UTF-8"), durationMs, 10.0))
+      Tables.documents(s, d)
+        .filter(col("doc_id") < 200)
+        .select(col("doc_id"), explode(sample(col("text"), col("n_chars"))).as("f"))
+        .select(
+          col("doc_id"),
+          col("f.index").as("frame_index"),
+          col("f.offset_ms").as("offset_ms"),
+          col("f.frame_id").as("frame_id"))
+        .orderBy("doc_id", "frame_index")
+    },
+
+    Q(
+      "q_audio_features",
+      """SELECT doc_id,
+        |       CAST(length(text) AS BIGINT) AS n_samples,
+        |       list_reduce(list_transform(string_split(text, ''), c -> CAST(ord(c) AS DOUBLE)),
+        |                   (x, y) -> x + y) / length(text) AS mean_amplitude,
+        |       sqrt(list_reduce(list_transform(string_split(text, ''),
+        |                        c -> CAST(ord(c) AS DOUBLE) * CAST(ord(c) AS DOUBLE)),
+        |                        (x, y) -> x + y) / length(text)) AS rms,
+        |       md5(text) AS clip_id
+        |FROM documents ORDER BY doc_id"""
+    ) { (s, d) =>
+      val feats = udf((text: String) =>
+        MultimodalOps.audioFeaturesStub(text.getBytes("UTF-8")))
+      Tables.documents(s, d)
+        .select(col("doc_id"), feats(col("text")).as("a"))
+        .select(
+          col("doc_id"),
+          col("a.n_samples").as("n_samples"),
+          col("a.mean_amplitude").as("mean_amplitude"),
+          col("a.rms").as("rms"),
+          col("a.clip_id").as("clip_id"))
+        .orderBy("doc_id")
+    },
+
     // Multimodal metadata: REAL header decode (format sniffed from magic
     // bytes, dims from the PNG header) over per-row generated images.
     Q(
