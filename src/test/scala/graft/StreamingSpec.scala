@@ -121,6 +121,51 @@ class StreamingSpec extends SparkSpec {
     assert(out.contains((8L, 1L)))
   }
 
+  test("stream-static join: streaming events enrich against a static dimension") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val dim = Seq(("view", "browse"), ("click", "engage"), ("purchase", "convert"))
+      .toDF("event_type", "category")
+    val q = mem.toDF().join(dim, "event_type")
+      .select("event_type", "category", "user_id")
+      .writeStream.format("memory").queryName("ss_join_out")
+      .outputMode(OutputMode.Append).start()
+    mem.addData(
+      Ev(ts("2024-01-01 10:00:00"), "view", 1.0, 1L),
+      Ev(ts("2024-01-01 10:01:00"), "purchase", 5.0, 1L),
+      Ev(ts("2024-01-01 10:02:00"), "error", 0.0, 2L)) // no dim row -> dropped by inner join
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("ss_join_out").orderBy("category").collect()
+    assert(out.map(_.getString(1)).toSeq == Seq("browse", "convert"))
+  }
+
+  test("stream-stream join: purchases matched to prior views within the time bound") {
+    implicit val sq = spark.sqlContext
+    val views = MemoryStream[Ev]
+    val buys = MemoryStream[Ev]
+    val v = views.toDF().selectExpr("user_id AS v_user", "ts AS v_ts")
+      .withWatermark("v_ts", "1 hour")
+    val b = buys.toDF().selectExpr("user_id AS b_user", "ts AS b_ts")
+      .withWatermark("b_ts", "1 hour")
+    val joined = b.join(
+      v,
+      expr("b_user = v_user AND v_ts <= b_ts AND v_ts >= b_ts - INTERVAL 30 MINUTES"))
+    val q = joined.writeStream.format("memory").queryName("ss2_join_out")
+      .outputMode(OutputMode.Append).start()
+    views.addData(
+      Ev(ts("2024-01-01 10:00:00"), "view", 1.0, 1L),
+      Ev(ts("2024-01-01 08:00:00"), "view", 1.0, 2L)) // too old for user 2's buy
+    buys.addData(
+      Ev(ts("2024-01-01 10:20:00"), "purchase", 9.0, 1L),
+      Ev(ts("2024-01-01 10:20:00"), "purchase", 9.0, 2L))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("ss2_join_out").collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("b_user") == 1L)
+  }
+
   test("foreachBatch sink: stream lands as parquet files (R2's durable-sink analog)") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[Ev]
