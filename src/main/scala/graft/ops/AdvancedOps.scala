@@ -88,6 +88,37 @@ object AdvancedOps extends QueryModule {
         .orderBy("event_id")
     },
 
+    // The same as-of semantics through the CUSTOM OPERATOR path: logical
+    // AsOfJoin node -> AsOfJoinStrategy -> AsOfJoinExec streaming merge
+    // (injected via GraftExtensions in the Verify/Bench sessions). Same
+    // oracle as q_asof_join — two implementations, one truth.
+    Q(
+      "q_asof_native",
+      """WITH marked AS (
+        |  SELECT event_id, user_id, ts, event_type,
+        |         MAX(CASE WHEN event_type = 'view' THEN ts END)
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS UNBOUNDED PRECEDING) AS last_view_ts
+        |  FROM events)
+        |SELECT event_id, user_id,
+        |       CAST(floor(epoch(ts)) AS BIGINT) AS purchase_sec,
+        |       CAST(floor(epoch(last_view_ts)) AS BIGINT) AS last_view_sec
+        |FROM marked WHERE event_type = 'purchase'
+        |ORDER BY event_id"""
+    ) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+      graft.plans.AsOf.join(purchases, views, "user_id", "v_user", "ts", "v_ts")
+        .select(
+          col("event_id"), col("user_id"),
+          unix_timestamp(col("ts")).as("purchase_sec"),
+          unix_timestamp(col("v_ts")).as("last_view_sec"))
+        .orderBy("event_id")
+    },
+
     // Typed Aggregator UDAF: bounded top-5 prices per priority class.
     Q(
       "q_udaf_topk",

@@ -1,0 +1,29 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, GraftBridge}
+
+/** Public API over the custom [[AsOfJoin]] operator. The session must
+  * carry [[GraftExtensions]] (Verify/Bench sessions do), which injects
+  * [[AsOfJoinStrategy]].
+  */
+object AsOf {
+
+  /** Backward as-of join: for each left row, the latest right row of the
+    * same key with `rightTs <= leftTs`, or nulls. Key/ts columns must be
+    * long-backed (bigint/timestamp) and non-null.
+    */
+  def join(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTs: String, rightTs: String): DataFrame = {
+    val lp = left.queryExecution.analyzed
+    val rp = right.queryExecution.analyzed
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, n: String) =
+      p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"column $n not found in ${p.output.map(_.name)}"))
+    GraftBridge.ofRows(
+      left.sparkSession,
+      AsOfJoin(lp, rp, attr(lp, leftKey), attr(rp, rightKey),
+        attr(lp, leftTs), attr(rp, rightTs)))
+  }
+}

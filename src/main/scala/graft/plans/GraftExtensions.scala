@@ -55,5 +55,6 @@ object FuseWordCount extends Rule[LogicalPlan] {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => FuseWordCount)
+    e.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
 }

@@ -1,0 +1,75 @@
+package graft.plans
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class AsOfJoinSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = {
+    graft.TestSpark.spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("as-of picks the latest right row at or before each left row, per key") {
+    import spark.implicits._
+    val quotes = Seq( // key, ts, px
+      (1L, ts("2024-01-01 10:00:00"), 100.0),
+      (1L, ts("2024-01-01 10:05:00"), 101.0),
+      (1L, ts("2024-01-01 10:30:00"), 105.0),
+      (2L, ts("2024-01-01 10:00:00"), 50.0))
+      .toDF("q_key", "q_ts", "px")
+    val trades = Seq( // key, ts
+      (1L, ts("2024-01-01 10:04:59")), // -> 100.0
+      (1L, ts("2024-01-01 10:05:00")), // exact tie -> 101.0 (<=)
+      (1L, ts("2024-01-01 11:00:00")), // -> 105.0
+      (2L, ts("2024-01-01 09:59:59")), // before any quote -> null
+      (3L, ts("2024-01-01 12:00:00"))) // key with no quotes -> null
+      .toDF("t_key", "t_ts")
+    val out = AsOf.join(trades, quotes, "t_key", "q_key", "t_ts", "q_ts")
+      .select("t_key", "t_ts", "px")
+      .orderBy("t_key", "t_ts")
+      .collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      .toSeq
+    assert(out == Seq(
+      1L -> Some(100.0), 1L -> Some(101.0), 1L -> Some(105.0),
+      2L -> None, 3L -> None))
+  }
+
+  test("physical plan uses AsOfJoinExec (custom strategy fired)") {
+    import spark.implicits._
+    val l = Seq((1L, ts("2024-01-01 10:00:00"))).toDF("k", "t")
+    val r = Seq((1L, ts("2024-01-01 09:00:00"), 1.0)).toDF("rk", "rt", "v")
+    val plan = AsOf.join(l, r, "k", "rk", "t", "rt")
+      .queryExecution.executedPlan.toString
+    // SparkPlan.nodeName strips the Exec suffix; the required exchanges +
+    // sorts around the merge are part of the contract.
+    assert(plan.contains("AsOfJoin "), s"strategy did not fire:\n$plan")
+    assert(plan.contains("Exchange hashpartitioning"), s"no clustering:\n$plan")
+    assert(plan.contains("Sort ["), s"no sort:\n$plan")
+  }
+
+  test("native operator agrees with the window-trick rewrite on real events") {
+    val sfDir = "/root/testdata/sf0.001"
+    val windowed = graft.SparkEntry.queries("q_asof_join")(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    val native = graft.SparkEntry.queries("q_asof_native")(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(native.nonEmpty)
+    assert(windowed == native)
+  }
+}
