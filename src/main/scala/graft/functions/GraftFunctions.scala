@@ -19,6 +19,11 @@ object GraftFunctions {
   def minhash_sig(c: Column): Column =
     GraftBridge.column(MinHashSig(GraftBridge.expression(c)))
 
+  /** Bounded-buffer histogram aggregate over [lo, hi) with n buckets. */
+  def histogram(c: Column, lo: Double, hi: Double, n: Int): Column =
+    GraftBridge.column(
+      HistogramAgg(GraftBridge.expression(c), lo, hi, n).toAggregateExpression())
+
   /** Register SQL names for the native expressions (idempotent). */
   def registerAll(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

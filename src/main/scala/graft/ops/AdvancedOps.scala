@@ -119,6 +119,30 @@ object AdvancedOps extends QueryModule {
         .orderBy("event_id")
     },
 
+    // TypedImperativeAggregate: 10-bucket quantity histogram per flag —
+    // bounded long[] buffer, one vector-add merge. Oracle spells the same
+    // clamped floor((v - lo)/width) bucketing as conditional counts.
+    Q(
+      "q_histogram",
+      {
+        val buckets = (0 until 10).map { k =>
+          s"COUNT(CASE WHEN LEAST(CAST(floor(l_quantity / 5.0) AS INT), 9) = $k THEN 1 END) AS b$k"
+        }.mkString(",\n        |       ")
+        s"""SELECT l_returnflag,
+           |       $buckets
+           |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+      }
+    ) { (s, d) =>
+      import graft.functions.GraftFunctions
+      val hist = GraftFunctions.histogram(col("l_quantity"), 0.0, 50.0, 10)
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(hist.as("h"))
+        .select(col("l_returnflag") +:
+          (0 until 10).map(k => col("h").getItem(k).as(s"b$k")): _*)
+        .orderBy("l_returnflag")
+    },
+
     // Typed Aggregator UDAF: bounded top-5 prices per priority class.
     Q(
       "q_udaf_topk",
