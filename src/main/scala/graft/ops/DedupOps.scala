@@ -76,6 +76,41 @@ object DedupOps extends QueryModule {
     (0 until NumHashes).map(k => sig.getItem(k).as(s"m$k"))
   }
 
+  /** LSH candidate pairs (shared by the pairs query and clustering). */
+  private def minhashPairs(
+      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    val sig = Tables.documents(s, d)
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .select(
+        col("doc_id"),
+        transform(sequence(lit(1), size(col("ws")) - 2), i =>
+          concat_ws(" ",
+            element_at(col("ws"), i),
+            element_at(col("ws"), i + 1),
+            element_at(col("ws"), i + 2))).as("shingles"))
+      .select(col("doc_id") +: sigCols: _*)
+    val bandStructs = (0 until Bands).map { b =>
+      struct(lit(b).as("band_idx"),
+        md5(concat(col(s"m${2 * b}"), col(s"m${2 * b + 1}"))).as("band_hash"))
+    }
+    val bands = sig
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bd"))
+      .select(col("doc_id"), col("bd.band_idx"), col("bd.band_hash"))
+    // One shuffle: group docs per bucket and expand pairs inside the
+    // bucket (a self-join would recompute the whole signature stage for
+    // each side). Buckets are tiny by construction, pairs stay bounded.
+    bands
+      .groupBy("band_idx", "band_hash")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(explode(flatten(transform(col("ds"), (x, i) =>
+        transform(slice(col("ds"), i + 2, size(col("ds"))), y =>
+          struct(x.as("d1"), y.as("d2")))))).as("p"))
+      .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
+      .distinct()
+  }
+
   def queries: Seq[Q] = Seq(
     // Exact dedup: canonical keep-first-by-key. All texts in the synthetic
     // corpus are distinct, so this keeps every row — the semantics are
@@ -149,39 +184,7 @@ object DedupOps extends QueryModule {
          |  ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
          | AND a.doc_id < b.doc_id
          |ORDER BY d1, d2"""
-    ) { (s, d) =>
-      val sig = Tables.documents(s, d)
-        .select(col("doc_id"), words(col("text")).as("ws"))
-        .filter(size(col("ws")) >= 3)
-        .select(
-          col("doc_id"),
-          transform(sequence(lit(1), size(col("ws")) - 2), i =>
-            concat_ws(" ",
-              element_at(col("ws"), i),
-              element_at(col("ws"), i + 1),
-              element_at(col("ws"), i + 2))).as("shingles"))
-        .select(col("doc_id") +: sigCols: _*)
-      val bandStructs = (0 until Bands).map { b =>
-        struct(lit(b).as("band_idx"),
-          md5(concat(col(s"m${2 * b}"), col(s"m${2 * b + 1}"))).as("band_hash"))
-      }
-      val bands = sig
-        .select(col("doc_id"), explode(array(bandStructs: _*)).as("bd"))
-        .select(col("doc_id"), col("bd.band_idx"), col("bd.band_hash"))
-      // One shuffle: group docs per bucket and expand pairs inside the
-      // bucket (a self-join would recompute the whole signature stage for
-      // each side). Buckets are tiny by construction, pairs stay bounded.
-      bands
-        .groupBy("band_idx", "band_hash")
-        .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-        .filter(size(col("ds")) > 1)
-        .select(explode(flatten(transform(col("ds"), (x, i) =>
-          transform(slice(col("ds"), i + 2, size(col("ds"))), y =>
-            struct(x.as("d1"), y.as("d2")))))).as("p"))
-        .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
-        .distinct()
-        .orderBy("d1", "d2")
-    },
+    ) { (s, d) => minhashPairs(s, d).orderBy("d1", "d2") },
 
     // Unigram-set Jaccard over a bounded candidate set (doc_id < 50 keeps
     // the pairwise stage at ~1200 pairs regardless of SF; the scalable
@@ -220,6 +223,62 @@ object DedupOps extends QueryModule {
           col("d1"), col("d2"), col("c").as("n_common"),
           (col("c").cast("double") / (col("sz1") + col("sz2") - col("c"))).as("jaccard"))
         .orderBy("d1", "d2")
+    },
+
+    // Dedup clusters: connected components over the LSH candidate-pair
+    // graph via min-label propagation (each doc's cluster id = smallest
+    // doc_id reachable through near-dup edges). The Spark side is the
+    // standard iterative dataframe loop with localCheckpoint to cut
+    // lineage (a driver-side loop of distributed jobs — no data ever
+    // collects); the oracle computes the identical fixpoint with a
+    // recursive CTE.
+    Q(
+      "q_dedup_clusters",
+      s"""WITH RECURSIVE $sigCte,
+         |$bandsCte,
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         |   AND a.doc_id < b.doc_id),
+         |edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+         |          UNION SELECT d2, d1 FROM pairs),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+         |SELECT a AS doc_id, LEAST(a, MIN(b)) AS component
+         |FROM reach GROUP BY a ORDER BY doc_id"""
+    ) { (s, d) =>
+      val pairs = minhashPairs(s, d)
+      val edges = pairs.select(col("d1").as("a"), col("d2").as("b"))
+        .unionByName(pairs.select(col("d2").as("a"), col("d1").as("b")))
+        .distinct()
+        .localCheckpoint()
+      var labels = edges.select(col("a").as("n")).distinct()
+        .select(col("n"), col("n").as("label"))
+        .localCheckpoint()
+      var converged = false
+      var iter = 0
+      while (!converged && iter < 20) {
+        val nbrMin = edges
+          .join(labels.withColumnRenamed("n", "bn"), col("b") === col("bn"))
+          .groupBy(col("a"))
+          .agg(min(col("label")).as("nbr_label"))
+        val next = labels
+          .join(nbrMin, col("n") === col("a"), "left")
+          .select(col("n"),
+            least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+          .localCheckpoint()
+        converged = next
+          .join(labels.withColumnRenamed("label", "old"), "n")
+          .filter(col("label") =!= col("old"))
+          .isEmpty
+        labels = next
+        iter += 1
+      }
+      labels.select(col("n").as("doc_id"), col("label").as("component"))
+        .orderBy("doc_id")
     },
 
     // 64-bit SimHash: per word take 64 bits of md5, sum +1/-1 per bit over
