@@ -94,6 +94,18 @@ object ExtraOps extends QueryModule {
         .orderBy("l_returnflag")
     },
 
+    // Sketch percentile (KLL-style approx_percentile): DuckDB's
+    // approx_quantile is a different sketch, so no hash oracle —
+    // rows-only here, accuracy vs exact asserted in QueriesSpec.
+    Q.noOracle("q_agg_approx_percentile") { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx_median"),
+          expr("approx_percentile(l_extendedprice, array(0.25, 0.75), 1000)").as("approx_quartiles"))
+        .orderBy("l_returnflag")
+    },
+
     // IVF-style ANN: fixed 16-vector codebook (vec_id 100..115), assign
     // every vector to its nearest centroid by L2 (exact double folds),
     // then search only the query's cell. The coarse-quantizer structure of

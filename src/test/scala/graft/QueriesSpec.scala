@@ -33,6 +33,19 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("approx_percentile within 2% of the exact percentile") {
+    val approx = SparkEntry.queries("q_agg_approx_percentile")(spark, sfDir)
+      .orderBy("l_returnflag").collect()
+    val exact = Tables.lineitem(spark, sfDir)
+      .groupBy("l_returnflag")
+      .agg(expr("percentile(l_extendedprice, 0.5)").as("m"))
+      .orderBy("l_returnflag").collect()
+    approx.zip(exact).foreach { case (a, e) =>
+      val (av, ev) = (a.getAs[Double]("approx_median"), e.getAs[Double]("m"))
+      assert(math.abs(av - ev) / ev < 0.02, s"approx $av vs exact $ev")
+    }
+  }
+
   test("filter + projection push into the parquet scan") {
     val plan = Tables.lineitem(spark, sfDir)
       .filter(col("l_shipdate") >= lit("2000-01-01").cast("timestamp"))
