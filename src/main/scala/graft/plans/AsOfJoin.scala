@@ -79,18 +79,30 @@ case class AsOfJoinExec(
 
         override def hasNext: Boolean = lIter.hasNext
 
+        // null key/ts on either side -> that row can never match (SQL
+        // equi-join null semantics); sorts put nulls first, so skipping
+        // null right rows up front keeps the merge invariant intact.
         override def next(): InternalRow = {
           val l = lIter.next()
-          val lk = lkB.eval(l).asInstanceOf[Number].longValue()
-          val lt = ltB.eval(l).asInstanceOf[Number].longValue()
+          val lkV = lkB.eval(l)
+          val ltV = ltB.eval(l)
+          if (lkV == null || ltV == null) return joined(l, nullRight)
+          val lk = lkV.asInstanceOf[Number].longValue()
+          val lt = ltV.asInstanceOf[Number].longValue()
           var advancing = true
           while (advancing && rNext != null) {
-            val rk = rkB.eval(rNext).asInstanceOf[Number].longValue()
-            val rt = rtB.eval(rNext).asInstanceOf[Number].longValue()
-            if (rk < lk || (rk == lk && rt <= lt)) {
-              if (rk == lk) { lastMatch = rNext; lastMatchKey = rk }
+            val rkV = rkB.eval(rNext)
+            val rtV = rtB.eval(rNext)
+            if (rkV == null || rtV == null) {
               rNext = if (rIter.hasNext) rIter.next().copy() else null
-            } else advancing = false
+            } else {
+              val rk = rkV.asInstanceOf[Number].longValue()
+              val rt = rtV.asInstanceOf[Number].longValue()
+              if (rk < lk || (rk == lk && rt <= lt)) {
+                if (rk == lk) { lastMatch = rNext; lastMatchKey = rk }
+                rNext = if (rIter.hasNext) rIter.next().copy() else null
+              } else advancing = false
+            }
           }
           val r =
             if (lastMatch != null && lastMatchKey == lk) lastMatch else nullRight

@@ -50,6 +50,22 @@ class AsOfJoinSpec extends AnyFunSuite {
       2L -> None, 3L -> None))
   }
 
+  test("null keys and timestamps never match, rows survive with nulls") {
+    import spark.implicits._
+    val l = Seq(
+      (Some(1L), Some(ts("2024-01-01 10:00:00"))),
+      (None, Some(ts("2024-01-01 10:00:00"))),
+      (Some(1L), None))
+      .toDF("k", "t")
+    val r = Seq((Some(1L), Some(ts("2024-01-01 09:00:00")), 7.0), (None, None, 8.0))
+      .toDF("rk", "rt", "v")
+    val out = AsOf.join(l, r, "k", "rk", "t", "rt")
+      .select("k", "v").collect()
+    assert(out.length == 3)
+    assert(out.count(row => !row.isNullAt(1) && row.getDouble(1) == 7.0) == 1)
+    assert(out.count(_.isNullAt(1)) == 2)
+  }
+
   test("physical plan uses AsOfJoinExec (custom strategy fired)") {
     import spark.implicits._
     val l = Seq((1L, ts("2024-01-01 10:00:00"))).toDF("k", "t")
