@@ -258,9 +258,12 @@ object DedupOps extends QueryModule {
       var labels = edges.select(col("a").as("n")).distinct()
         .select(col("n"), col("n").as("label"))
         .localCheckpoint()
+      // converges in <= graph-diameter rounds (labels only decrease);
+      // LSH bucket graphs are clique unions with tiny diameters, the cap
+      // is a runaway backstop only.
       var converged = false
       var iter = 0
-      while (!converged && iter < 20) {
+      while (!converged && iter < 50) {
         val nbrMin = edges
           .join(labels.withColumnRenamed("n", "bn"), col("b") === col("bn"))
           .groupBy(col("a"))
