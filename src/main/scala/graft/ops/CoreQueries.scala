@@ -17,5 +17,6 @@ object CoreQueries extends QueryModule {
       MediaQueries.queries ++
       AdvancedOps.queries ++
       ScaleOps.queries ++
-      ExtraOps.queries
+      ExtraOps.queries ++
+      SecondPassOps.queries
 }

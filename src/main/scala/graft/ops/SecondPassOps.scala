@@ -1,0 +1,120 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{Q, QueryModule, Tables}
+
+/** Second pass over the scalar/window surface: the remaining commonly-used
+  * string and date functions, nth_value frames, and unionByName with
+  * missing columns.
+  */
+object SecondPassOps extends QueryModule {
+
+  def queries: Seq[Q] = Seq(
+    Q(
+      "q_str_funcs2",
+      """SELECT p_partkey,
+        |       split_part(p_type, ' ', 1) AS type_word1,
+        |       split_part(p_type, ' ', 9) AS type_word9,
+        |       starts_with(p_name, 'a') AS starts_a,
+        |       ends_with(p_name, 'e') AS ends_e,
+        |       contains(p_name, 'al') AS has_al,
+        |       translate(p_brand, '#B', '_b') AS brand_translated,
+        |       repeat('=', CAST(p_size % 5 + 1 AS INT)) AS size_bar,
+        |       CAST(ascii(substring(p_name, 1, 1)) AS INT) AS first_char_code,
+        |       left(p_type, 3) AS type_l3,
+        |       right(p_type, 3) AS type_r3
+        |FROM part ORDER BY p_partkey"""
+    ) { (s, d) =>
+      Tables.part(s, d).select(
+        col("p_partkey"),
+        expr("split_part(p_type, ' ', 1)").as("type_word1"),
+        expr("split_part(p_type, ' ', 9)").as("type_word9"),
+        col("p_name").startsWith("a").as("starts_a"),
+        col("p_name").endsWith("e").as("ends_e"),
+        col("p_name").contains("al").as("has_al"),
+        translate(col("p_brand"), "#B", "_b").as("brand_translated"),
+        expr("repeat('=', CAST(p_size % 5 + 1 AS INT))").as("size_bar"),
+        ascii(substring(col("p_name"), 1, 1)).as("first_char_code"),
+        expr("left(p_type, 3)").as("type_l3"),
+        expr("right(p_type, 3)").as("type_r3"))
+        .orderBy("p_partkey")
+    },
+
+    Q(
+      "q_date_funcs2",
+      // DuckDB DATE + INTERVAL yields TIMESTAMP -> cast back; both engines
+      // clamp end-of-month on add-month (1-31 + 1mo -> 2-29).
+      """SELECT o_orderkey,
+        |       CAST(weekofyear(o_orderdate) AS INT) AS iso_week,
+        |       CAST(dayofyear(o_orderdate) AS INT) AS doy,
+        |       CAST(o_orderdate + INTERVAL 1 MONTH AS DATE) AS next_month,
+        |       CAST(date_trunc('week', o_orderdate) AS DATE) AS week_start,
+        |       make_date(CAST(year(o_orderdate) AS INT), CAST(month(o_orderdate) AS INT), 1) AS month_first,
+        |       strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS formatted
+        |FROM orders ORDER BY o_orderkey"""
+    ) { (s, d) =>
+      Tables.orders(s, d).select(
+        col("o_orderkey"),
+        weekofyear(col("o_orderdate")).as("iso_week"),
+        dayofyear(col("o_orderdate")).as("doy"),
+        add_months(to_date(col("o_orderdate")), 1).as("next_month"),
+        date_trunc("week", col("o_orderdate")).cast("date").as("week_start"),
+        make_date(year(col("o_orderdate")), month(col("o_orderdate")), lit(1))
+          .as("month_first"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("formatted"))
+        .orderBy("o_orderkey")
+    },
+
+    Q(
+      "q_events_time_parts",
+      """SELECT event_id,
+        |       CAST(hour(ts) AS INT) AS h,
+        |       CAST(minute(ts) AS INT) AS m,
+        |       CAST(second(ts) AS INT) AS sec
+        |FROM events ORDER BY event_id"""
+    ) { (s, d) =>
+      Tables.events(s, d).select(
+        col("event_id"),
+        hour(col("ts")).as("h"),
+        minute(col("ts")).as("m"),
+        second(col("ts")).as("sec"))
+        .orderBy("event_id")
+    },
+
+    Q(
+      "q_window_nth",
+      """SELECT o_custkey, o_orderkey,
+        |       NTH_VALUE(o_totalprice, 2) OVER w AS second_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey"""
+    ) { (s, d) =>
+      val w = Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.orders(s, d).select(
+        col("o_custkey"), col("o_orderkey"),
+        nth_value(col("o_totalprice"), 2).over(w).as("second_price"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
+    // unionByName(allowMissingColumns): schema evolution across sources.
+    Q(
+      "q_union_missing_cols",
+      """SELECT name, rk FROM (
+        |  SELECT n_name AS name, n_regionkey AS rk FROM nation
+        |  UNION ALL
+        |  SELECT r_name AS name, NULL AS rk FROM region)
+        |ORDER BY name, rk NULLS FIRST"""
+    ) { (s, d) =>
+      val a = Tables.nation(s, d)
+        .select(col("n_name").as("name"), col("n_regionkey").as("rk"))
+      val b = Tables.region(s, d).select(col("r_name").as("name"))
+      a.unionByName(b, allowMissingColumns = true)
+        .orderBy(col("name"), col("rk").asc_nulls_first)
+    }
+  )
+}
