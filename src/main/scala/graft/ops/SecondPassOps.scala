@@ -101,6 +101,53 @@ object SecondPassOps extends QueryModule {
         .orderBy("o_custkey", "o_orderkey")
     },
 
+    // Unpivot/melt: wide measures -> long (measure, value) rows. Oracle
+    // states the same reshape as a UNION ALL.
+    Q(
+      "q_unpivot",
+      """SELECT * FROM (
+        |  SELECT l_orderkey, l_linenumber, 'quantity' AS measure, l_quantity AS value FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'tax', l_tax FROM lineitem)
+        |ORDER BY l_orderkey, l_linenumber, measure, value"""
+    ) { (s, d) =>
+      Tables.lineitem(s, d)
+        .withColumnRenamed("l_quantity", "quantity")
+        .withColumnRenamed("l_discount", "discount")
+        .withColumnRenamed("l_tax", "tax")
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("quantity"), col("discount"), col("tax")),
+          "measure", "value")
+        .orderBy("l_orderkey", "l_linenumber", "measure", "value")
+    },
+
+    Q(
+      "q_set_intersect_all",
+      """SELECT nk FROM (
+        |  SELECT c_nationkey AS nk FROM customer
+        |  INTERSECT ALL
+        |  SELECT s_nationkey FROM supplier)
+        |ORDER BY nk"""
+    ) { (s, d) =>
+      Tables.customer(s, d).select(col("c_nationkey").as("nk"))
+        .intersectAll(Tables.supplier(s, d).select(col("s_nationkey").as("nk")))
+        .orderBy("nk")
+    },
+
+    // Seeded Bernoulli sampling: RNG streams differ per engine, so no
+    // value oracle — rows-only here, statistical + determinism assertions
+    // in QueriesSpec.
+    Q.noOracle("q_sample") { (s, d) =>
+      Tables.lineitem(s, d)
+        .sample(withReplacement = false, fraction = 0.1, seed = 42L)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_sampled"))
+        .orderBy("l_returnflag")
+    },
+
     // unionByName(allowMissingColumns): schema evolution across sources.
     Q(
       "q_union_missing_cols",

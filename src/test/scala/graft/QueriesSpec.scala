@@ -46,6 +46,18 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("seeded sample: deterministic across runs, fraction within 3 sigma") {
+    val q = SparkEntry.queries("q_sample")
+    val r1 = q(spark, sfDir).collect().map(_.toSeq).toSeq
+    val r2 = q(spark, sfDir).collect().map(_.toSeq).toSeq
+    assert(r1 == r2) // same seed -> same sample
+    val total = Tables.lineitem(spark, sfDir).count().toDouble
+    val sampled = r1.map(_(1).asInstanceOf[Long]).sum.toDouble
+    val p = 0.1
+    val sigma = math.sqrt(total * p * (1 - p))
+    assert(math.abs(sampled - total * p) < 3 * sigma, s"$sampled of $total")
+  }
+
   test("filter + projection push into the parquet scan") {
     val plan = Tables.lineitem(spark, sfDir)
       .filter(col("l_shipdate") >= lit("2000-01-01").cast("timestamp"))
