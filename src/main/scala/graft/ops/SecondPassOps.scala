@@ -137,6 +137,32 @@ object SecondPassOps extends QueryModule {
         .orderBy("nk")
     },
 
+    // Fuzzy (edit-distance) self-join: near-matching part names within a
+    // bounded candidate block — the dirty-data record-linkage primitive.
+    // Blocking on the first character keeps candidates subquadratic (the
+    // production recipe; here it also exercises a computed join key).
+    Q(
+      "q_fuzzy_join",
+      """SELECT a.p_partkey AS k1, b.p_partkey AS k2,
+        |       CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+        |FROM part a JOIN part b
+        |  ON substring(a.p_name, 1, 1) = substring(b.p_name, 1, 1)
+        | AND a.p_partkey < b.p_partkey
+        |WHERE a.p_partkey < 100 AND b.p_partkey < 100
+        |  AND levenshtein(a.p_name, b.p_name) <= 5
+        |ORDER BY k1, k2"""
+    ) { (s, d) =>
+      val p = Tables.part(s, d).filter(col("p_partkey") < 100)
+      val a = p.select(col("p_partkey").as("k1"), col("p_name").as("n1"),
+        substring(col("p_name"), 1, 1).as("blk1"))
+      val b = p.select(col("p_partkey").as("k2"), col("p_name").as("n2"),
+        substring(col("p_name"), 1, 1).as("blk2"))
+      a.join(b, col("blk1") === col("blk2") && col("k1") < col("k2"))
+        .filter(levenshtein(col("n1"), col("n2")) <= 5)
+        .select(col("k1"), col("k2"), levenshtein(col("n1"), col("n2")).as("dist"))
+        .orderBy("k1", "k2")
+    },
+
     // Seeded Bernoulli sampling: RNG streams differ per engine, so no
     // value oracle — rows-only here, statistical + determinism assertions
     // in QueriesSpec.
