@@ -2,9 +2,10 @@ package graft.plans
 
 import org.apache.spark.sql.{DataFrame, GraftBridge}
 
-/** Public API over the custom [[AsOfJoin]] operator. The session must
-  * carry [[GraftExtensions]] (Verify/Bench sessions do), which injects
-  * [[AsOfJoinStrategy]].
+/** Public API over the custom [[AsOfJoin]] operator. Sessions built with
+  * [[GraftExtensions]] carry [[AsOfJoinStrategy]] already; for any other
+  * session the strategy self-registers through
+  * `spark.experimental.extraStrategies`, so the operator works everywhere.
   */
 object AsOf {
 
@@ -16,6 +17,9 @@ object AsOf {
       left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
       leftTs: String, rightTs: String): DataFrame = {
+    val exp = left.sparkSession.experimental
+    if (!exp.extraStrategies.contains(AsOfJoinStrategy))
+      exp.extraStrategies = exp.extraStrategies :+ AsOfJoinStrategy
     val lp = left.queryExecution.analyzed
     val rp = right.queryExecution.analyzed
     def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, n: String) =
