@@ -69,6 +69,21 @@ class QueriesSpec extends SparkSpec {
       s"column pruning failed in:\n$plan")
   }
 
+  test("ORC scan gets pushed filters and pruned columns (north-star row)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_orc_spec").toFile.getAbsolutePath
+    Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_quantity", "l_returnflag")
+      .write.mode("overwrite").orc(dir)
+    val plan = spark.read.orc(dir)
+      .filter(col("l_quantity") > 30)
+      .select("l_orderkey")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,30.0)]"),
+      s"ORC pushdown missing:\n$plan")
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
+      s"ORC pruning missing:\n$plan")
+  }
+
   test("dimension joins broadcast (no shuffle of the fact side)") {
     val plan = SparkEntry.queries("q_join_broadcast")(spark, sfDir)
       .queryExecution.executedPlan.toString
