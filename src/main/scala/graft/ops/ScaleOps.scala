@@ -82,6 +82,29 @@ object ScaleOps extends QueryModule {
         .orderBy("c_mktsegment")
     },
 
+    // Partitioned layout + static partition pruning: write events
+    // hive-partitioned by event_type, read back one partition — the scan
+    // must touch a single directory (PartitionFilters, asserted in
+    // QueriesSpec). At 100 TB this is the difference between scanning a
+    // shard and scanning the lake.
+    Q(
+      "q_partition_pruning",
+      """SELECT CAST(ts AS DATE) AS day,
+        |       COUNT(*) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(38,10))) AS DOUBLE) AS total_value
+        |FROM events WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY day"""
+    ) { (s, d) =>
+      val dir = Files.createTempDirectory("graft_part").toFile.getAbsolutePath
+      graft.Tables.events(s, d)
+        .write.mode("overwrite").partitionBy("event_type").parquet(dir)
+      s.read.parquet(dir)
+        .filter(col("event_type") === "purchase") // pruned to one directory
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"), Exact.dsum(col("value")).as("total_value"))
+        .orderBy("day")
+    },
+
     // Explicit repartition + sortWithinPartitions (the physical layout
     // primitives every 100 TB pipeline leans on) — semantics-neutral, so
     // the oracle is the plain projection.

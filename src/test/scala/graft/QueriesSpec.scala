@@ -84,6 +84,33 @@ class QueriesSpec extends SparkSpec {
       s"ORC pruning missing:\n$plan")
   }
 
+  test("partitioned parquet read prunes to one partition directory") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pp_spec").toFile.getAbsolutePath
+    Tables.events(spark, sfDir)
+      .write.mode("overwrite").partitionBy("event_type").parquet(dir)
+    val df = spark.read.parquet(dir).filter(col("event_type") === "purchase")
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [isnotnull(event_type"),
+      s"no partition filter in:\n$scan")
+    // pruned scan reads only the matching partition's files
+    val files = df.select(input_file_name()).distinct().collect().map(_.getString(0))
+    assert(files.nonEmpty && files.forall(_.contains("event_type=purchase")), files.mkString(","))
+  }
+
+  test("dynamic partition pruning fires on a partitioned fact join") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dpp_spec").toFile.getAbsolutePath
+    Tables.events(spark, sfDir)
+      .write.mode("overwrite").partitionBy("event_type").parquet(dir)
+    import spark.implicits._
+    val dim = Seq(("purchase", "convert"), ("signup", "acquire")).toDF("event_type", "category")
+      .filter(col("category") === "convert")
+    val joined = spark.read.parquet(dir).join(dim, "event_type")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning") || plan.contains("PartitionFilters: [isnotnull(event_type"),
+      s"no DPP/partition filter in:\n$plan")
+    assert(joined.count() > 0)
+  }
+
   test("dimension joins broadcast (no shuffle of the fact side)") {
     val plan = SparkEntry.queries("q_join_broadcast")(spark, sfDir)
       .queryExecution.executedPlan.toString
