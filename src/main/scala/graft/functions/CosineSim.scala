@@ -12,8 +12,13 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * fold spelling and to DuckDB's list_reduce oracle.
   */
 object CosineSimUtil {
-  def cosine(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+  /** Null (boxed) on length mismatch — matching the zip_with/oracle
+    * spelling, where indexing past the shorter array nulls the result —
+    * instead of silently truncating to the shorter vector.
+    */
+  def cosine(a: ArrayData, b: ArrayData): java.lang.Double = {
+    if (a.numElements() != b.numElements()) return null
+    val n = a.numElements()
     var dot = 0.0
     var na = 0.0
     var nb = 0.0

@@ -54,8 +54,10 @@ object MinHashUtil {
     var i = 0
     while (i < n) {
       val s = shingles.getUTF8String(i)
-      updateMins(mins, 0, md5hex(md, 'a'.toByte, s))
-      updateMins(mins, 4, md5hex(md, 'b'.toByte, s))
+      if (s != null) { // null shingles: skip, like array_min over md5(null)=null
+        updateMins(mins, 0, md5hex(md, 'a'.toByte, s))
+        updateMins(mins, 4, md5hex(md, 'b'.toByte, s))
+      }
       i += 1
     }
     new GenericArrayData(mins.map(m => if (m == null) null else UTF8String.fromString(m)))

@@ -94,11 +94,14 @@ object AdvancedOps extends QueryModule {
     // oracle as q_asof_join — two implementations, one truth.
     Q(
       "q_asof_native",
+      // RANGE frame (not ROWS): AsOfJoinExec matches ANY view with
+      // ts <= purchase ts, including same-timestamp peers regardless of
+      // event_id order — a RANGE frame over ts has exactly that semantics.
       """WITH marked AS (
         |  SELECT event_id, user_id, ts, event_type,
         |         MAX(CASE WHEN event_type = 'view' THEN ts END)
-        |           OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |                 ROWS UNBOUNDED PRECEDING) AS last_view_ts
+        |           OVER (PARTITION BY user_id ORDER BY ts
+        |                 RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_view_ts
         |  FROM events)
         |SELECT event_id, user_id,
         |       CAST(floor(epoch(ts)) AS BIGINT) AS purchase_sec,

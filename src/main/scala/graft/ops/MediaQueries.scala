@@ -14,7 +14,7 @@ import graft.ocr.{ImageOps, MultimodalOps, OcrPipeline, StubOcr}
 object MediaQueries extends QueryModule {
 
   private val wcSql =
-    "CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS BIGINT)"
+    s"CAST(len(${TextOps.WordsSql}) AS BIGINT)"
 
   /** documents → (path, content) binary rows with embedded ground truth. */
   private def fileRows(s: org.apache.spark.sql.SparkSession, d: String) = {
@@ -73,8 +73,9 @@ object MediaQueries extends QueryModule {
     // main.go:216-219.
     Q(
       "q_ocr_json",
+      // to_json on both sides so quote/backslash/control escaping matches
       s"""SELECT doc_id,
-         |       '{"text":"' || text || '","textCount":' || CAST($wcSql AS INT) || '}' AS json
+         |       '{"text":' || to_json(text) || ',"textCount":' || CAST($wcSql AS INT) || '}' AS json
          |FROM documents WHERE doc_id < 500 ORDER BY doc_id"""
     ) { (s, d) =>
       OcrPipeline.toJsonResults(OcrPipeline.run(fileRows(s, d)))
@@ -111,6 +112,9 @@ object MediaQueries extends QueryModule {
         .orderBy("doc_id", "frame_index")
     },
 
+    // Fixture invariant this oracle leans on: documents.text is pure
+    // ASCII (byte == char == codepoint) and never empty (>= 10 words) —
+    // both verified against all SFs. n_samples is a BYTE count.
     Q(
       "q_audio_features",
       """SELECT doc_id,

@@ -18,6 +18,14 @@ object TextOps {
   /** Unicode whitespace run — parity with Go strings.Fields / unicode.IsSpace. */
   val WsRe = "[\\s\\u0085\\u00A0\\u1680\\u2000-\\u200A\\u2028\\u2029\\u202F\\u205F\\u3000]+"
 
+  /** RE2 (DuckDB) spelling of the same class: RE2's \s is [\t\n\f\r ] —
+    * no \v and no Unicode spaces — so both get added explicitly. Keeping
+    * the two dialects in lock-step means engine and oracle tokenize
+    * identically for ANY input, not just the ASCII fixture corpus.
+    */
+  val WsReDuck =
+    "[\\s\\x{000b}\\x{0085}\\x{00a0}\\x{1680}\\x{2000}-\\x{200a}\\x{2028}\\x{2029}\\x{202f}\\x{205f}\\x{3000}]+"
+
   /** Number of whitespace-separated words in `c` (empty string -> 0).
     * Uses the native codegen expression (one pass, no token array); the
     * expression-combo spelling is kept for cross-checking in tests.
@@ -37,15 +45,15 @@ object TextOps {
       .orderBy("doc_id")
 
   val wordCountOracle: String =
-    """SELECT doc_id,
-      |       CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS BIGINT) AS text_count
-      |FROM documents ORDER BY doc_id""".stripMargin
+    s"""SELECT doc_id,
+       |       CAST(len(list_filter(regexp_split_to_array(text, '$WsReDuck'), x -> x <> '')) AS BIGINT) AS text_count
+       |FROM documents ORDER BY doc_id""".stripMargin
 
   /** Words column (non-empty tokens) shared by the analysis queries. */
   def words(c: Column): Column = filter(split(c, WsRe), t => t =!= lit(""))
 
   /** DuckDB fragment mirroring [[words]]. */
-  val WordsSql = "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')"
+  val WordsSql = s"list_filter(regexp_split_to_array(text, '$WsReDuck'), x -> x <> '')"
 
   // --------------------------------------------------------------------
   // language-ID stopword sets — deterministic heuristic, mirrored in SQL.

@@ -22,9 +22,16 @@ object AsOf {
       exp.extraStrategies = exp.extraStrategies :+ AsOfJoinStrategy
     val lp = left.queryExecution.analyzed
     val rp = right.queryExecution.analyzed
-    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, n: String) =
-      p.output.find(_.name == n).getOrElse(
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, n: String) = {
+      import org.apache.spark.sql.types._
+      val a = p.output.find(_.name == n).getOrElse(
         throw new IllegalArgumentException(s"column $n not found in ${p.output.map(_.name)}"))
+      a.dataType match {
+        case LongType | IntegerType | TimestampType | TimestampNTZType | DateType => a
+        case other => throw new IllegalArgumentException(
+          s"as-of column $n must be integral/timestamp-backed, got $other")
+      }
+    }
     GraftBridge.ofRows(
       left.sparkSession,
       AsOfJoin(lp, rp, attr(lp, leftKey), attr(rp, rightKey),

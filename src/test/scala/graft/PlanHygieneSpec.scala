@@ -6,13 +6,8 @@ package graft
   */
 class PlanHygieneSpec extends SparkSpec {
 
-  // queries whose semantics are inherently cross/non-equi; they must still
-  // avoid CartesianProduct by broadcasting the small side
-  private val nonEqui = Set(
-    "q_join_cross", "q_join_theta", "q_embedding_neardup",
-    "q_similarity_topk", "q_ann_lsh", "q_ann_ivf", "q_fuzzy_join",
-    "q_ngram_jaccard", "q_join_range")
-
+  // No allowlist: even the inherently cross/non-equi queries (theta,
+  // similarity, fuzzy) must plan as broadcast joins, never cartesian.
   test("no registered query plans a CartesianProduct") {
     val offenders = SparkEntry.all.flatMap { q =>
       try {
