@@ -45,11 +45,29 @@ case class CosineSim(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_cosine_sim"
 
+  // The expression can produce null for non-null children (length
+  // mismatch), so it must always advertise nullable.
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any =
     CosineSimUtil.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
+  // Not defineCodeGen: cosine() returns a boxed Double that is null on
+  // array-length mismatch, so the generated code must route through a
+  // boxed temp and set ev.isNull rather than auto-unbox into a primitive
+  // (which would NPE under whole-stage codegen).
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.CosineSimUtil.cosine($a, $b)")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val tmp = ctx.freshName("cosTmp")
+      s"""
+         |java.lang.Double $tmp = graft.functions.CosineSimUtil.cosine($a, $b);
+         |if ($tmp == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $tmp.doubleValue();
+         |}
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): CosineSim =

@@ -129,7 +129,7 @@ object AdvancedOps extends QueryModule {
       "q_histogram",
       {
         val buckets = (0 until 10).map { k =>
-          s"COUNT(CASE WHEN LEAST(CAST(floor(l_quantity / 5.0) AS INT), 9) = $k THEN 1 END) AS b$k"
+          s"COUNT(CASE WHEN GREATEST(LEAST(CAST(floor(l_quantity / 5.0) AS INT), 9), 0) = $k THEN 1 END) AS b$k"
         }.mkString(",\n        |       ")
         s"""SELECT l_returnflag,
            |       $buckets
@@ -146,18 +146,30 @@ object AdvancedOps extends QueryModule {
         .orderBy("l_returnflag")
     },
 
-    // Typed Aggregator UDAF: bounded top-5 prices per priority class.
+    // Typed Aggregator UDAF: bounded top-5 prices per priority class. The
+    // aggregated array is exploded to (group, rank, value) rows — the
+    // driver's pandas comparator can't sort list columns, and the values-
+    // only shape is insensitive to tie order inside the aggregator.
     Q(
       "q_udaf_topk",
-      """SELECT o_orderpriority,
-        |       (list(o_totalprice ORDER BY o_totalprice DESC))[1:5] AS top5
-        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+      """SELECT o_orderpriority, CAST(rn AS INT) AS rnk,
+        |       CAST(o_totalprice AS DOUBLE) AS price
+        |FROM (SELECT o_orderpriority, o_totalprice,
+        |             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+        |                                ORDER BY o_totalprice DESC) AS rn
+        |      FROM orders)
+        |WHERE rn <= 5 ORDER BY o_orderpriority, rnk"""
     ) { (s, d) =>
       val top5 = udaf(new TopKAgg(5))
       Tables.orders(s, d)
         .groupBy("o_orderpriority")
         .agg(top5(col("o_totalprice")).as("top5"))
-        .orderBy("o_orderpriority")
+        .select(col("o_orderpriority"), posexplode(col("top5")).as(Seq("pos", "price")))
+        .select(
+          col("o_orderpriority"),
+          (col("pos") + 1).cast("int").as("rnk"),
+          col("price").cast("double"))
+        .orderBy("o_orderpriority", "rnk")
     }
   )
 }

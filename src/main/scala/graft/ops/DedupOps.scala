@@ -136,16 +136,16 @@ object DedupOps extends QueryModule {
     // differing only in whitespace collapse to one fingerprint.
     Q(
       "q_dedup_fingerprint",
-      """SELECT fp, COUNT(*) AS n_docs, MIN(doc_id) AS keeper
-        |FROM (SELECT doc_id,
-        |             md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
-        |      FROM documents)
-        |GROUP BY fp ORDER BY keeper"""
+      s"""SELECT fp, COUNT(*) AS n_docs, MIN(doc_id) AS keeper
+         |FROM (SELECT doc_id,
+         |             md5(trim(regexp_replace(lower(text), '${TextOps.WsReDuck}', ' ', 'g'))) AS fp
+         |      FROM documents)
+         |GROUP BY fp ORDER BY keeper"""
     ) { (s, d) =>
       Tables.documents(s, d)
         .select(
           col("doc_id"),
-          md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))).as("fp"))
+          md5(trim(regexp_replace(lower(col("text")), TextOps.WsRe, " "))).as("fp"))
         .groupBy("fp")
         .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper"))
         .orderBy("keeper")

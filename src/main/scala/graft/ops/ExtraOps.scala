@@ -97,12 +97,20 @@ object ExtraOps extends QueryModule {
     // Sketch percentile (KLL-style approx_percentile): DuckDB's
     // approx_quantile is a different sketch, so no hash oracle —
     // rows-only here, accuracy vs exact asserted in QueriesSpec.
+    // Sketch values differ from DuckDB's by design → rows-only driver
+    // check (accuracy is spec-asserted). The quartiles array is split into
+    // scalar columns: the driver's pandas comparator can't sort lists.
     Q.noOracle("q_agg_approx_percentile") { (s, d) =>
       Tables.lineitem(s, d)
         .groupBy("l_returnflag")
         .agg(
           expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx_median"),
           expr("approx_percentile(l_extendedprice, array(0.25, 0.75), 1000)").as("approx_quartiles"))
+        .select(
+          col("l_returnflag"),
+          col("approx_median"),
+          element_at(col("approx_quartiles"), 1).as("approx_q25"),
+          element_at(col("approx_quartiles"), 2).as("approx_q75"))
         .orderBy("l_returnflag")
     },
 

@@ -369,15 +369,34 @@ object RelationalOps extends QueryModule {
         .orderBy("o_orderpriority")
     },
 
-    // HLL++ sketch counts differ from DuckDB's approx sketch by design →
-    // rows-only driver check; the ScalaTest spec asserts relative error
-    // against the exact count instead.
-    Q.noOracle("q_agg_approx_distinct") { (s, d) =>
+    // HLL++ sketch counts differ from DuckDB's approx sketch by design, so
+    // the raw approx values can't be hash-compared. Instead the query
+    // emits the EXACT distinct counts (oracle-checkable) plus a boolean
+    // asserting the HLL estimate landed within 10% relative error (a
+    // 5-sigma margin at rsd=0.02) — the oracle's constant `true` makes any
+    // out-of-tolerance sketch a hash mismatch. The ScalaTest spec
+    // additionally checks the raw estimates.
+    Q(
+      "q_agg_approx_distinct",
+      """SELECT l_returnflag,
+        |       CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+        |       CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+        |       true AS hll_within_10pct
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+    ) { (s, d) =>
       Tables.lineitem(s, d)
         .groupBy("l_returnflag")
         .agg(
-          approx_count_distinct(col("l_orderkey")).as("approx_orders"),
-          approx_count_distinct(col("l_partkey")).as("approx_parts"))
+          countDistinct(col("l_orderkey")).as("exact_orders"),
+          countDistinct(col("l_partkey")).as("exact_parts"),
+          approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+          approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+        .select(
+          col("l_returnflag"), col("exact_orders"), col("exact_parts"),
+          (abs(col("approx_orders") - col("exact_orders")) <=
+            col("exact_orders") * 0.10 &&
+           abs(col("approx_parts") - col("exact_parts")) <=
+            col("exact_parts") * 0.10).as("hll_within_10pct"))
         .orderBy("l_returnflag")
     },
 

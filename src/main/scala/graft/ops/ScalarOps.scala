@@ -127,13 +127,18 @@ object ScalarOps extends QueryModule {
       // DuckDB list slicing a[1:4] is 1-based inclusive == Spark
       // slice(a,1,4). Left-fold parity: Spark aggregate(0.0, +) and DuckDB
       // list_reduce both fold left; 0.0 + x == x exactly in IEEE.
+      // Array-typed intermediates (slice/transform/sort) are probed via
+      // scalar element picks: the driver's comparator sorts the result in
+      // pandas, and list columns are unhashable there.
       """SELECT vec_id,
         |       CAST(len(embedding) AS INT) AS dim,
         |       CAST(embedding[1] AS DOUBLE) AS first_val,
         |       CAST(embedding[64] AS DOUBLE) AS last_val,
-        |       embedding[1:4] AS head4,
-        |       list_transform(embedding[1:4], x -> CAST(x AS DOUBLE) * 2) AS head4_doubled,
-        |       list_sort(embedding[1:4]) AS head4_sorted,
+        |       CAST((embedding[1:4])[2] AS DOUBLE) AS head4_2,
+        |       CAST(list_transform(embedding[1:4], x -> CAST(x AS DOUBLE) * 2)[3] AS DOUBLE) AS head4_doubled_3,
+        |       CAST(list_sort(embedding[1:4])[1] AS DOUBLE) AS head4_sorted_min,
+        |       CAST(list_max(embedding) AS DOUBLE) AS emb_max,
+        |       CAST(list_min(embedding) AS DOUBLE) AS emb_min,
         |       list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b) AS norm_sq,
         |       CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_positive
         |FROM embeddings ORDER BY vec_id"""
@@ -143,10 +148,13 @@ object ScalarOps extends QueryModule {
         size(col("embedding")).as("dim"),
         element_at(col("embedding"), 1).cast("double").as("first_val"),
         element_at(col("embedding"), 64).cast("double").as("last_val"),
-        slice(col("embedding"), 1, 4).as("head4"),
-        transform(slice(col("embedding"), 1, 4), x => x.cast("double") * 2)
-          .as("head4_doubled"),
-        sort_array(slice(col("embedding"), 1, 4)).as("head4_sorted"),
+        element_at(slice(col("embedding"), 1, 4), 2).cast("double").as("head4_2"),
+        element_at(transform(slice(col("embedding"), 1, 4), x => x.cast("double") * 2), 3)
+          .cast("double").as("head4_doubled_3"),
+        element_at(sort_array(slice(col("embedding"), 1, 4)), 1)
+          .cast("double").as("head4_sorted_min"),
+        array_max(col("embedding")).cast("double").as("emb_max"),
+        array_min(col("embedding")).cast("double").as("emb_min"),
         aggregate(col("embedding"), lit(0.0),
           (acc, x) => acc + x.cast("double") * x.cast("double")).as("norm_sq"),
         size(filter(col("embedding"), x => x > 0)).as("n_positive"))

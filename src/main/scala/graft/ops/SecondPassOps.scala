@@ -174,6 +174,30 @@ object SecondPassOps extends QueryModule {
         .orderBy("l_returnflag")
     },
 
+    // Deterministic hash-Bernoulli sampling (the engine-portable sibling
+    // of q_sample): keep a row iff the first two hex chars of
+    // md5(orderkey) sort below '08' (~3.1% rate). Unlike a seeded RNG
+    // stream this is reproducible across engines, partitionings, AND
+    // retries — the property that makes sampled pipelines auditable at
+    // 100 TB — so it gets a full value oracle.
+    Q(
+      "q_sample_hash",
+      """SELECT o_orderpriority,
+        |       COUNT(*) AS n_sampled,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10))) AS DOUBLE) AS sampled_value
+        |FROM orders
+        |WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) < '08'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+    ) { (s, d) =>
+      Tables.orders(s, d)
+        .filter(substring(md5(col("o_orderkey").cast("string")), 1, 2) < "08")
+        .groupBy("o_orderpriority")
+        .agg(
+          count(lit(1)).as("n_sampled"),
+          Exact.dsum(col("o_totalprice")).as("sampled_value"))
+        .orderBy("o_orderpriority")
+    },
+
     // unionByName(allowMissingColumns): schema evolution across sources.
     Q(
       "q_union_missing_cols",

@@ -173,7 +173,7 @@ object TextOps {
          |  SELECT doc_id,
          |         CAST(len($WordsSql) AS INT) AS n_words,
          |         CAST(length(text) AS INT) AS n_chars_actual,
-         |         CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS INT) AS n_nonspace,
+         |         CAST(length(regexp_replace(text, '$WsReDuck', '', 'g')) AS INT) AS n_nonspace,
          |         CAST(len(list_filter($WordsSql, x -> x IN ${inList(EnStop)})) AS INT) AS n_stop
          |  FROM documents)
          |SELECT doc_id, n_words, n_chars_actual,
@@ -190,7 +190,7 @@ object TextOps {
           col("doc_id"),
           size(ws).as("n_words"),
           length(col("text")).as("n_chars_actual"),
-          length(regexp_replace(col("text"), "\\s+", "")).as("n_nonspace"),
+          length(regexp_replace(col("text"), WsRe, "")).as("n_nonspace"),
           size(filter(ws, x => x.isInCollection(EnStop))).as("n_stop"))
         .select(
           col("doc_id"), col("n_words"), col("n_chars_actual"),

@@ -42,7 +42,10 @@ object FuseWordCount extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
-      case Cast(Size(ArrayFilter(splitExpr, f), _), LongType, _, _)
+      // Size(_, true) (legacySizeOfNull) returns -1 for null input while
+      // WordCount returns null, so the fusion is only semantics-preserving
+      // for the non-legacy form.
+      case Cast(Size(ArrayFilter(splitExpr, f), false), LongType, _, _)
           if isWsSplit(splitExpr).isDefined && isNonEmptyPredicate(f) =>
         WordCount(isWsSplit(splitExpr).get)
     }

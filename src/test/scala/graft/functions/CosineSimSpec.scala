@@ -34,6 +34,19 @@ class CosineSimSpec extends SparkSpec {
     assert(n.isNullAt(0))
   }
 
+  test("length mismatch -> null (not NPE) under whole-stage codegen") {
+    val emb = graft.Tables.embeddings(spark, sfDir).limit(20)
+    val rows = emb.select(
+      GraftFunctions.cosine_sim(slice(col("embedding"), 1, 8), col("embedding")).as("s"),
+      GraftFunctions.cosine_sim(col("embedding"), col("embedding")).as("ok"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.isNullAt(0), "mismatched lengths must yield null")
+      assert(!r.isNullAt(1))
+    }
+  }
+
   test("stays in whole-stage codegen") {
     val emb = graft.Tables.embeddings(spark, sfDir)
     val plan = emb
