@@ -76,10 +76,25 @@ object DedupOps extends QueryModule {
     (0 until NumHashes).map(k => sig.getItem(k).as(s"m$k"))
   }
 
-  /** LSH candidate pairs (shared by the pairs query and clustering). */
-  private def minhashPairs(
-      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
-    val sig = Tables.documents(s, d)
+  /** Hard cap on docs aggregated per band bucket. A degenerate corpus
+    * (mass-duplicated boilerplate — the normal case in web-crawl dedup)
+    * can put a huge fraction of the corpus into one band hash; an
+    * uncapped collect_list then builds an O(corpus) array in a single row
+    * (executor OOM) and O(n²) pairs from it. Keeping the lexicographically
+    * smallest `MaxBucketDocs` doc_ids bounds bucket memory and pair
+    * expansion at cap²/2 while still connecting every capped doc to the
+    * bucket's keeper set (min doc_id is always retained, so clustering
+    * keeps linking duplicates to the canonical keeper). Far above any
+    * real fixture bucket (≤ a handful of docs), so oracles are unchanged;
+    * the degenerate path is spec-covered (DedupSpec).
+    */
+  val MaxBucketDocs = 256
+
+  /** LSH candidate pairs over any (doc_id, text) frame (shared by the
+    * pairs query, clustering, and the degenerate-corpus spec).
+    */
+  def lshCandidatePairs(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val sig = docs
       .select(col("doc_id"), words(col("text")).as("ws"))
       .filter(size(col("ws")) >= 3)
       .select(
@@ -99,8 +114,16 @@ object DedupOps extends QueryModule {
       .select(col("doc_id"), col("bd.band_idx"), col("bd.band_hash"))
     // One shuffle: group docs per bucket and expand pairs inside the
     // bucket (a self-join would recompute the whole signature stage for
-    // each side). Buckets are tiny by construction, pairs stay bounded.
+    // each side). The row_number pre-filter bounds the bucket BEFORE the
+    // collect — it rides the same (band_idx, band_hash) exchange (window
+    // sort is disk-spillable, so a degenerate bucket never builds an
+    // O(corpus) in-memory array), and the downstream groupBy reuses the
+    // window's partitioning, so this is still a single shuffle.
+    val wBucket = org.apache.spark.sql.expressions.Window
+      .partitionBy("band_idx", "band_hash").orderBy("doc_id")
     bands
+      .withColumn("rn", row_number().over(wBucket))
+      .filter(col("rn") <= MaxBucketDocs)
       .groupBy("band_idx", "band_hash")
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
       .filter(size(col("ds")) > 1)
@@ -184,7 +207,7 @@ object DedupOps extends QueryModule {
          |  ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
          | AND a.doc_id < b.doc_id
          |ORDER BY d1, d2"""
-    ) { (s, d) => minhashPairs(s, d).orderBy("d1", "d2") },
+    ) { (s, d) => lshCandidatePairs(Tables.documents(s, d)).orderBy("d1", "d2") },
 
     // Unigram-set Jaccard over a bounded candidate set (doc_id < 50 keeps
     // the pairwise stage at ~1200 pairs regardless of SF; the scalable
@@ -250,7 +273,7 @@ object DedupOps extends QueryModule {
          |SELECT a AS doc_id, LEAST(a, MIN(b)) AS component
          |FROM reach GROUP BY a ORDER BY doc_id"""
     ) { (s, d) =>
-      val pairs = minhashPairs(s, d)
+      val pairs = lshCandidatePairs(Tables.documents(s, d))
       val edges = pairs.select(col("d1").as("a"), col("d2").as("b"))
         .unionByName(pairs.select(col("d2").as("a"), col("d1").as("b")))
         .distinct()

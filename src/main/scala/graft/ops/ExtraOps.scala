@@ -94,23 +94,39 @@ object ExtraOps extends QueryModule {
         .orderBy("l_returnflag")
     },
 
-    // Sketch percentile (KLL-style approx_percentile): DuckDB's
-    // approx_quantile is a different sketch, so no hash oracle —
-    // rows-only here, accuracy vs exact asserted in QueriesSpec.
-    // Sketch values differ from DuckDB's by design → rows-only driver
-    // check (accuracy is spec-asserted). The quartiles array is split into
-    // scalar columns: the driver's pandas comparator can't sort lists.
-    Q.noOracle("q_agg_approx_percentile") { (s, d) =>
+    // Sketch percentile (approx_percentile): DuckDB's approx_quantile is a
+    // different sketch, so raw sketch values can't hash-match. Same
+    // tolerance-boolean pattern as q_agg_approx_distinct: emit the EXACT
+    // median (oracle-checkable, round-6 per libm parity rules) plus
+    // booleans asserting each sketch value landed inside a ±2%-rank band
+    // around its exact quantile (accuracy 1000 ⇒ rank error ≤ 0.1%, so
+    // the 2% band is a 20× margin). The oracle pins the booleans to true
+    // — an out-of-tolerance sketch hash-mismatches the driver gate.
+    Q(
+      "q_agg_approx_percentile",
+      """SELECT l_returnflag,
+        |       round(quantile_cont(l_extendedprice, 0.5), 6) AS exact_median,
+        |       true AS median_in_band,
+        |       true AS q25_in_band,
+        |       true AS q75_in_band
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+    ) { (s, d) =>
+      def pct(p: Double) = expr(s"percentile(l_extendedprice, $p)")
       Tables.lineitem(s, d)
         .groupBy("l_returnflag")
         .agg(
+          pct(0.5).as("exact_median"),
+          pct(0.48).as("lo50"), pct(0.52).as("hi50"),
+          pct(0.23).as("lo25"), pct(0.27).as("hi25"),
+          pct(0.73).as("lo75"), pct(0.77).as("hi75"),
           expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx_median"),
-          expr("approx_percentile(l_extendedprice, array(0.25, 0.75), 1000)").as("approx_quartiles"))
+          expr("approx_percentile(l_extendedprice, array(0.25, 0.75), 1000)").as("aq"))
         .select(
           col("l_returnflag"),
-          col("approx_median"),
-          element_at(col("approx_quartiles"), 1).as("approx_q25"),
-          element_at(col("approx_quartiles"), 2).as("approx_q75"))
+          round(col("exact_median"), 6).as("exact_median"),
+          col("approx_median").between(col("lo50"), col("hi50")).as("median_in_band"),
+          element_at(col("aq"), 1).between(col("lo25"), col("hi25")).as("q25_in_band"),
+          element_at(col("aq"), 2).between(col("lo75"), col("hi75")).as("q75_in_band"))
         .orderBy("l_returnflag")
     },
 
@@ -165,11 +181,13 @@ object ExtraOps extends QueryModule {
             zip_with(col("embedding"), col("ce"),
               (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
             lit(0.0), (acc, v) => acc + v).as("dist"))
-      val wAssign = Window.partitionBy("vec_id").orderBy("dist", "cid")
+      // nearest centroid via bounded min_by aggregation (struct comparison
+      // is lexicographic ⇒ (dist, cid) total order, same row the oracle's
+      // ROW_NUMBER()=1 picks) — a hash-agg with map-side partials instead
+      // of a per-vec_id window sort.
       val assign = dists
-        .withColumn("rn", row_number().over(wAssign))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("cid").as("cell"))
+        .groupBy("vec_id")
+        .agg(min_by(col("cid"), struct(col("dist"), col("cid"))).as("cell"))
       val withEmb = assign.join(emb, "vec_id")
       val q = withEmb.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("cell").as("qcell"))
@@ -179,11 +197,7 @@ object ExtraOps extends QueryModule {
         col("cell") === col("qcell") && col("vid") =!= col("qid"))
         .select(col("qid"), col("vid"),
           graft.functions.GraftFunctions.cosine_sim(col("qe"), col("ve")).as("sim"))
-      val wRank = Window.partitionBy("qid").orderBy(col("sim").desc, col("vid"))
-      scored
-        .withColumn("rn", row_number().over(wRank))
-        .filter(col("rn") <= 3)
-        .orderBy("qid", "rn")
+      SimilarityOps.topkPerQuery(scored, 3)
     },
 
     // Bucketed tables: both join sides pre-bucketed on the join key so the

@@ -69,6 +69,37 @@ object MediaQueries extends QueryModule {
         .orderBy("doc_id")
     },
 
+    // Real-JPEG end-to-end: the content bytes are actual JPEG (format
+    // sniffed from magic bytes by imageMeta, never the extension), so the
+    // jpeg decode branch runs in the full pipeline — the path the
+    // reference advertises (`.jpg` accepted, main.go:75) but cannot serve
+    // (no image/jpeg import registers a decoder there: documented
+    // divergence, SURVEY.md §2A R4). Width/height prove a real decode.
+    Q(
+      "q_ocr_jpeg",
+      s"""SELECT doc_id, 'jpeg' AS format, text, $wcSql AS text_count,
+         |       CAST(16 AS INT) AS width, CAST(8 AS INT) AS height
+         |FROM documents WHERE doc_id < 500 ORDER BY doc_id"""
+    ) { (s, d) =>
+      val baseJpeg = ImageOps.blankJpeg(16, 8)
+      val mkImage = udf((text: String) => StubOcr.embed(baseJpeg, text))
+      val sniff = udf((b: Array[Byte]) => MultimodalOps.imageMeta(b).format)
+      val files = Tables.documents(s, d)
+        .filter(col("doc_id") < 500)
+        .select(
+          concat(col("doc_id"), lit(".jpg")).as("path"),
+          mkImage(col("text")).as("content"))
+      OcrPipeline.run(files)
+        .join(
+          broadcast(files.select(col("path"), sniff(col("content")).as("format"))),
+          "path")
+        .select(
+          regexp_extract(col("path"), "(\\d+)\\.jpg", 1).cast("long").as("doc_id"),
+          col("format"), col("text"), col("text_count"),
+          col("width"), col("height"))
+        .orderBy("doc_id")
+    },
+
     // JSON sink (R10): byte-exact {"text":…,"textCount":…} shape of
     // main.go:216-219.
     Q(

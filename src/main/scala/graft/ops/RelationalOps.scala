@@ -299,6 +299,50 @@ object RelationalOps extends QueryModule {
         .limit(10)
     },
 
+    // TPC-H Q18 shape (large-volume customers): join against a grouped-
+    // HAVING subquery over the fact table — the AQE join-planning stressor
+    // beyond Q3's 3-way (the aggregated side's size is only known at
+    // runtime, so static planning can't pick the join strategy). Sums stay
+    // plain doubles: l_quantity is integral (verified on all SFs), so
+    // sums are exact in both engines. Threshold 200 ≈ top-1% of orders.
+    Q(
+      "q_tpch_q18",
+      """SELECT c_name, c_custkey, o_orderkey,
+        |       CAST(o_orderdate AS DATE) AS orderdate,
+        |       o_totalprice,
+        |       CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty
+        |FROM customer
+        |JOIN orders   ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem
+        |  GROUP BY l_orderkey HAVING SUM(l_quantity) > 200)
+        |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 100"""
+    ) { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val big = li
+        .groupBy(col("l_orderkey").as("bk"))
+        .agg(sum(col("l_quantity")).as("tq"))
+        .filter(col("tq") > 200)
+        .select("bk")
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+        .join(big, col("o_orderkey") === col("bk"), "left_semi")
+        .join(li, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(
+          col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"))
+        .agg(sum(col("l_quantity")).cast("double").as("sum_qty"))
+        .select(
+          col("c_name"), col("c_custkey"), col("o_orderkey"),
+          to_date(col("o_orderdate")).as("orderdate"),
+          col("o_totalprice"), col("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    },
+
     // TPC-H Q6 shape (forecast revenue): pure scan-filter-aggregate, the
     // pushdown/codegen benchmark classic. One-row result.
     Q(
@@ -527,19 +571,24 @@ object RelationalOps extends QueryModule {
         .orderBy("o_custkey", "rn")
     },
 
+    // rank/dense_rank partition by o_custkey (scales with the data; ~1.5k
+    // distinct per 15k orders) — a scale-fixed key like o_orderstatus (3
+    // values) would funnel the whole table into 3 window tasks at 100 TB.
+    // PlanHygieneSpec enforces this for every registered window. Ties are
+    // still exercised: a customer's orders repeat priorities.
     Q(
       "q_window_rank",
-      """SELECT o_orderkey, o_orderstatus, o_orderpriority,
+      """SELECT o_orderkey, o_custkey, o_orderpriority,
         |       CAST(RANK()       OVER w AS INT) AS rnk,
         |       CAST(DENSE_RANK() OVER w AS INT) AS drnk
         |FROM orders
-        |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderpriority)
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderpriority)
         |ORDER BY o_orderkey"""
     ) { (s, d) =>
-      val w = Window.partitionBy("o_orderstatus").orderBy("o_orderpriority")
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderpriority")
       Tables.orders(s, d)
         .select(
-          col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"),
+          col("o_orderkey"), col("o_custkey"), col("o_orderpriority"),
           rank().over(w).as("rnk"),
           dense_rank().over(w).as("drnk"))
         .orderBy("o_orderkey")
@@ -607,6 +656,8 @@ object RelationalOps extends QueryModule {
         .orderBy("event_id")
     },
 
+    // ntile/percent_rank/cume_dist partition by o_custkey for the same
+    // scale reason as q_window_rank (never a scale-fixed 3-value key).
     Q(
       "q_window_ntile",
       """SELECT o_orderkey,
@@ -614,16 +665,55 @@ object RelationalOps extends QueryModule {
         |       PERCENT_RANK() OVER w AS pct_rank,
         |       CUME_DIST() OVER w AS cume
         |FROM orders
-        |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
         |ORDER BY o_orderkey"""
     ) { (s, d) =>
-      val w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+      val w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
       Tables.orders(s, d)
         .select(
           col("o_orderkey"),
           ntile(4).over(w).as("quartile"),
           percent_rank().over(w).as("pct_rank"),
           cume_dist().over(w).as("cume"))
+        .orderBy("o_orderkey")
+    },
+
+    // Two-phase GLOBAL ranking — the scale answer to "rank the whole
+    // table": a single unpartitioned window would pull every row through
+    // one task, so instead (1) bucket rows by a range of the sort key
+    // (balanced, scales with data), (2) row_number within each bucket,
+    // (3) a tiny per-bucket count aggregate (≤ ~100 rows at any scale)
+    // yields cumulative offsets via a window over that small set,
+    // (4) broadcast the offsets back and add. Total order is
+    // (o_totalprice DESC, o_orderkey); the oracle states the semantics
+    // directly with one global ROW_NUMBER.
+    Q(
+      "q_rank_global",
+      """SELECT o_orderkey, o_totalprice,
+        |       CAST(ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey)
+        |            AS BIGINT) AS global_rank
+        |FROM orders
+        |ORDER BY o_orderkey"""
+    ) { (s, d) =>
+      val o = Tables.orders(s, d).select("o_orderkey", "o_totalprice")
+      // fixed-width value buckets on the known price domain; higher
+      // bucket = higher price = earlier global rank
+      val bucketed = o.withColumn(
+        "bkt", floor(col("o_totalprice") / lit(10000.0)).cast("int"))
+      val wIn = Window.partitionBy("bkt")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      val ranked = bucketed.withColumn("rn_in", row_number().over(wIn))
+      val wOff = Window.orderBy(col("bkt").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = bucketed
+        .groupBy("bkt").agg(count(lit(1)).as("n"))
+        .withColumn("off", coalesce(sum("n").over(wOff), lit(0L)))
+        .select("bkt", "off")
+      ranked
+        .join(broadcast(offsets), "bkt")
+        .select(
+          col("o_orderkey"), col("o_totalprice"),
+          (col("off") + col("rn_in")).cast("long").as("global_rank"))
         .orderBy("o_orderkey")
     },
 

@@ -163,14 +163,38 @@ object SecondPassOps extends QueryModule {
         .orderBy("k1", "k2")
     },
 
-    // Seeded Bernoulli sampling: RNG streams differ per engine, so no
-    // value oracle — rows-only here, statistical + determinism assertions
-    // in QueriesSpec.
-    Q.noOracle("q_sample") { (s, d) =>
-      Tables.lineitem(s, d)
+    // Seeded Bernoulli sampling: RNG streams differ per engine, so the
+    // sampled counts themselves can't hash-match DuckDB. Tolerance-boolean
+    // oracle instead (the q_agg_approx_distinct pattern): emit the EXACT
+    // per-group total (oracle-checkable) plus two pinned-true booleans —
+    // `within_ci` (sampled count inside a 5-sigma binomial band around
+    // 0.1·n, p < 3e-7 of a false failure) and `deterministic` (two
+    // evaluations of the same seeded sample agree — the retry/audit
+    // property a 100 TB sampled pipeline needs).
+    Q(
+      "q_sample",
+      """SELECT l_returnflag,
+        |       COUNT(*) AS n_total,
+        |       true AS within_ci,
+        |       true AS deterministic
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+    ) { (s, d) =>
+      def sampled(tag: String) = Tables.lineitem(s, d)
         .sample(withReplacement = false, fraction = 0.1, seed = 42L)
         .groupBy("l_returnflag")
-        .agg(count(lit(1)).as("n_sampled"))
+        .agg(count(lit(1)).as(s"n_$tag"))
+      val totals = Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_total"))
+      val sigma = sqrt(col("n_total") * 0.1 * 0.9)
+      totals
+        .join(sampled("a"), "l_returnflag")
+        .join(sampled("b"), "l_returnflag")
+        .select(
+          col("l_returnflag"),
+          col("n_total"),
+          (abs(col("n_a") - col("n_total") * 0.1) <= sigma * 5.0).as("within_ci"),
+          (col("n_a") === col("n_b")).as("deterministic"))
         .orderBy("l_returnflag")
     },
 

@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{Q, QueryModule, Tables}
@@ -53,6 +52,26 @@ object SimilarityOps extends QueryModule {
     (1 to nBits).map(i =>
       s"(CASE WHEN $e[$i] >= 0 THEN '1' ELSE '0' END)").mkString(" || ")
 
+  /** Top-k per query via the bounded [[graft.functions.TopKPairAgg]]
+    * aggregator — NOT a per-qid ROW_NUMBER window: the query set is
+    * scale-fixed (10 ids), so a window would funnel the whole scored
+    * corpus into 10 tasks, while the aggregator's map-side partials cut
+    * each partition to k pairs before the shuffle. The oracle still
+    * states the semantics as ROW_NUMBER (same total order via the vid
+    * tiebreak).
+    */
+  private[ops] def topkPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    val topk = udaf(new graft.functions.TopKPairAgg(k))
+    scored
+      .groupBy("qid")
+      .agg(topk(col("sim"), col("vid")).as("tk"))
+      .select(col("qid"), posexplode(col("tk")).as(Seq("pos", "p")))
+      .select(
+        col("qid"), col("p._2").as("vid"), col("p._1").as("sim"),
+        (col("pos") + 1).cast("int").as("rn"))
+      .orderBy("qid", "rn")
+  }
+
   def queries: Seq[Q] = Seq(
     // Brute-force cosine top-k: exact baseline. Query set (vec_id < 10)
     // broadcast against the full corpus; rank per query.
@@ -80,11 +99,7 @@ object SimilarityOps extends QueryModule {
         .select(
           col("qid"), col("vec_id").as("vid"),
           graft.functions.GraftFunctions.cosine_sim(col("qe"), col("embedding")).as("sim"))
-      val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vid"))
-      scored
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 5)
-        .orderBy("qid", "rn")
+      topkPerQuery(scored, 5)
     },
 
     // Sign-LSH bucketed ANN: candidates share an 8-bit sign bucket; only
@@ -117,11 +132,7 @@ object SimilarityOps extends QueryModule {
         .select(
           col("qid"), col("vec_id").as("vid"),
           graft.functions.GraftFunctions.cosine_sim(col("qe"), col("embedding")).as("sim"))
-      val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vid"))
-      scored
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 3)
-        .orderBy("qid", "rn")
+      topkPerQuery(scored, 3)
     },
 
     // Per-label embedding stats; norm sums go through the decimal-exact

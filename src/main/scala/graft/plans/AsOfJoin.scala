@@ -68,7 +68,21 @@ case class AsOfJoinExec(
     val rkB = BindReferences.bindReference(rightKey, right.output)
     val rtB = BindReferences.bindReference(rightTs, right.output)
     val rightWidth = right.output.size
-    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+    val lRdd = left.execute()
+    val rRdd = right.execute()
+    // zipPartitions silently mis-joins if the sides are clustered into
+    // DIFFERENT partition counts (each child can satisfy its
+    // ClusteredDistribution independently — e.g. a pre-repartitioned
+    // input, or divergent AQE coalescing). EnsureRequirements'
+    // co-partitioning pass makes the counts agree in every plan we
+    // produce (AsOfJoinSpec pins the AQE + pre-partitioned cases), but
+    // hash(key) % 7 and hash(key) % 32 put the same key in different
+    // slots — a corrupt join must be impossible, not just untested.
+    require(
+      lRdd.getNumPartitions == rRdd.getNumPartitions,
+      s"AsOfJoinExec requires co-partitioned children, got " +
+        s"${lRdd.getNumPartitions} vs ${rRdd.getNumPartitions} partitions")
+    lRdd.zipPartitions(rRdd) { (lIter, rIter) =>
       new Iterator[InternalRow] {
         private val joined = new JoinedRow
         private val nullRight = new GenericInternalRow(rightWidth)

@@ -31,4 +31,24 @@ class DedupSpec extends SparkSpec {
     got.foreach { case (n, label) => assert(label == expected(n), s"node $n") }
     assert(pairs.nonEmpty && got.nonEmpty)
   }
+
+  // Degenerate corpus: every document identical (mass-duplicated
+  // boilerplate — the normal worst case in web-crawl dedup). All docs land
+  // in the SAME band bucket for every band; without the MaxBucketDocs cap
+  // this builds an O(corpus) array in one aggregation row and O(n²) pairs.
+  // The cap must bound the expansion while still linking every surviving
+  // doc to the keeper (min doc_id retained by construction).
+  test("LSH bucket cap bounds a degenerate all-identical corpus") {
+    import spark.implicits._
+    val n = 5000 // ~20x the cap
+    val docs = spark.range(n).toDF("doc_id")
+      .selectExpr("doc_id", "'the same boilerplate text appears on every single page' AS text")
+    val pairs = ops.DedupOps.lshCandidatePairs(docs).collect()
+    val cap = ops.DedupOps.MaxBucketDocs
+    // capped: exactly C(cap, 2) distinct pairs (all 4 band buckets retain
+    // the same smallest `cap` doc_ids), never the uncapped C(n, 2)
+    assert(pairs.length == cap * (cap - 1) / 2, s"got ${pairs.length} pairs")
+    // keeper invariant: doc 0 (the cluster's canonical keeper) is linked in
+    assert(pairs.count(r => r.getLong(0) == 0L) == cap - 1)
+  }
 }

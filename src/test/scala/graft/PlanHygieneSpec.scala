@@ -1,8 +1,15 @@
 package graft
 
-/** Sweeping plan-shape guard over the entire registered surface: no query
-  * may plan an unintended CartesianProduct (the operators that genuinely
-  * want cross/theta semantics are allowlisted and must broadcast instead).
+/** Sweeping plan-shape guards over the entire registered surface — the
+  * "would this plan survive 100×?" gate:
+  *
+  *  1. no query may plan an unintended CartesianProduct;
+  *  2. no window may partition on a scale-fixed low-cardinality key
+  *     (the o_orderstatus-style skew killer: at 100 TB every row funnels
+  *     into as many tasks as the key has values);
+  *  3. the headline bench queries must keep their load-bearing plan
+  *     features: filters pushed into the parquet scan, dimension joins
+  *     broadcast, pruned read schemas.
   */
 class PlanHygieneSpec extends SparkSpec {
 
@@ -18,5 +25,77 @@ class PlanHygieneSpec extends SparkSpec {
       }
     }
     assert(offenders.isEmpty, s"cartesian products in: $offenders")
+  }
+
+  // A window partitioned on a key with O(1) distinct values (o_orderstatus:
+  // 3, a fixed query set: 10) cannot scale — the whole input funnels into
+  // that many tasks. Every window over a non-trivial input must partition
+  // on a key whose cardinality grows with the data. Windows over tiny
+  // pre-aggregated inputs (e.g. q_rank_global's ≤ ~100-row bucket-offset
+  // table) are exempt: their input stays small at any scale by
+  // construction. Runs at sf0.01, where scale-growing keys are already
+  // > 10 (l_suppkey: 100) but scale-fixed keys are not.
+  test("no window partitions a large input on a <=10-cardinality key") {
+    val sf01 = "/root/testdata/sf0.01"
+    val smallInputRows = 1000L
+    val offenders = SparkEntry.all.flatMap { q =>
+      val windows = q.fn(spark, sf01).queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }
+      windows.flatMap { w =>
+        val child = org.apache.spark.sql.GraftBridge.ofRows(spark, w.child)
+        val card =
+          if (w.partitionSpec.isEmpty) 1L
+          else child.select(
+            w.partitionSpec.map(org.apache.spark.sql.GraftBridge.column): _*)
+            .distinct().count()
+        if (card > 10) None
+        else {
+          val rows = child.count()
+          if (rows <= smallInputRows) None
+          else Some(s"${q.name}: window over $rows rows partitioned on " +
+            s"cardinality-$card key [${w.partitionSpec.mkString(", ")}]")
+        }
+      }
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
+  // Load-bearing plan features of the headline bench set. String-level on
+  // purpose: AQE wraps the plan in AdaptiveSparkPlanExec (a leaf — collect
+  // can't see inside), but toString renders the full initial plan.
+  test("headline plans keep pushdown and broadcast shapes") {
+    val mustContain: Map[String, Seq[String]] = Map(
+      "q_tpch_q6" -> Seq("PushedFilters: [IsNotNull"),
+      "q_tpch_q3" -> Seq("PushedFilters: [IsNotNull", "BroadcastHashJoin"),
+      "q_filter_predicates" -> Seq("PushedFilters: [IsNotNull"),
+      "q_join_inner" -> Seq("BroadcastHashJoin"),
+      "q_join_broadcast" -> Seq("BroadcastHashJoin"),
+      "q_ann_lsh" -> Seq("BroadcastHashJoin"),
+      // non-equi (vec_id <> qid) against an explicitly broadcast 10-row
+      // query set: nested-loop is fine ONLY because it's broadcast
+      "q_similarity_topk" -> Seq("BroadcastNestedLoopJoin"))
+    val failures = mustContain.toSeq.sortBy(_._1).flatMap { case (name, frags) =>
+      val plan = SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      frags.collect {
+        case f if !plan.contains(f) => s"$name: missing plan fragment '$f'"
+      }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
+  // Column pruning must reach the scan: Q6 projects 4 lineitem columns,
+  // so the parquet ReadSchema must carry exactly those 4 — a scan reading
+  // all 16 for a 4-column aggregate is wrong at any scale.
+  test("q_tpch_q6 scan reads only the 4 referenced columns") {
+    val plan = SparkEntry.queries("q_tpch_q6")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val schemas = "ReadSchema: struct<([^>]*)>".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(schemas.nonEmpty, s"no scan in plan:\n$plan")
+    val cols = schemas.head.split(",").map(_.takeWhile(_ != ':').trim).toSet
+    assert(cols == Set("l_quantity", "l_extendedprice", "l_discount", "l_shipdate"),
+      s"unexpected read schema: $cols")
   }
 }

@@ -79,6 +79,41 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(plan.contains("Sort ["), s"no sort:\n$plan")
   }
 
+  // Pins the zipPartitions co-partitioning assumption (AsOfJoinExec
+  // requires identical partition counts on both sides): children arriving
+  // with pre-existing INCOMPATIBLE partitionings — different partition
+  // counts on the join key, a partitioning on the wrong key entirely —
+  // must be re-clustered by EnsureRequirements, with AQE enabled, and
+  // still produce the exact merge result. AsOfJoinExec.doExecute also
+  // hard-fails on a count mismatch rather than silently mis-joining.
+  test("co-partitioning holds under AQE with hostile pre-partitioned inputs") {
+    import spark.implicits._
+    assert(spark.conf.get("spark.sql.adaptive.enabled") == "true")
+    val quotes = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100.0),
+      (1L, ts("2024-01-01 10:05:00"), 101.0),
+      (2L, ts("2024-01-01 10:00:00"), 50.0),
+      (3L, ts("2024-01-01 08:00:00"), 75.0))
+      .toDF("q_key", "q_ts", "px")
+      .repartition(7, col("q_key")) // wrong count for the session's 4
+    val trades = Seq(
+      (1L, ts("2024-01-01 10:04:59")),
+      (1L, ts("2024-01-01 10:06:00")),
+      (2L, ts("2024-01-01 11:00:00")),
+      (3L, ts("2024-01-01 07:00:00")))
+      .toDF("t_key", "t_ts")
+      .repartition(3, col("t_ts")) // wrong key AND wrong count
+    val out = AsOf.join(trades, quotes, "t_key", "q_key", "t_ts", "q_ts")
+      .select("t_key", "t_ts", "px")
+      .orderBy("t_key", "t_ts")
+      .collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      .toSeq
+    assert(out == Seq(
+      1L -> Some(100.0), 1L -> Some(101.0),
+      2L -> Some(50.0), 3L -> None))
+  }
+
   test("native operator agrees with the window-trick rewrite on real events") {
     val sfDir = "/root/testdata/sf0.001"
     val windowed = graft.SparkEntry.queries("q_asof_join")(spark, sfDir)
