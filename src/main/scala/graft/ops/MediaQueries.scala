@@ -171,6 +171,35 @@ object MediaQueries extends QueryModule {
         .orderBy("doc_id")
     },
 
+    // REAL image resize (bilinear, java.awt) through the binary-column
+    // pipeline: generate → resize to 8x4 → re-decode the re-encoded PNG
+    // and read its header. The oracle pins the decoded dims/format —
+    // if resize or the PNG re-encode broke, the header check fails.
+    Q(
+      "q_image_resize",
+      """SELECT doc_id,
+        |       'png' AS format,
+        |       CAST(8 AS INT) AS width,
+        |       CAST(4 AS INT) AS height,
+        |       true AS valid
+        |FROM documents WHERE doc_id < 200 ORDER BY doc_id"""
+    ) { (s, d) =>
+      val mkPng = udf((w: Int) => MultimodalOps.whitePng(w, 8))
+      val resize = udf((b: Array[Byte]) => MultimodalOps.resize(b, 8, 4))
+      val meta = udf((b: Array[Byte]) => MultimodalOps.imageMeta(b))
+      Tables.documents(s, d)
+        .filter(col("doc_id") < 200)
+        .select(
+          col("doc_id"),
+          mkPng((lit(8) + col("doc_id") % 16).cast("int")).as("content"))
+        .select(col("doc_id"), meta(resize(col("content"))).as("m"))
+        .select(
+          col("doc_id"), col("m.format").as("format"),
+          col("m.width").as("width"), col("m.height").as("height"),
+          col("m.valid").as("valid"))
+        .orderBy("doc_id")
+    },
+
     // Multimodal metadata: REAL header decode (format sniffed from magic
     // bytes, dims from the PNG header) over per-row generated images.
     Q(

@@ -343,6 +343,64 @@ object RelationalOps extends QueryModule {
         .limit(100)
     },
 
+    // TPC-H Q4 shape (order priority checking): EXISTS-style semi join
+    // from a date-windowed orders slice into the fact table with a
+    // correlated non-equi predicate (the synthetic schema has no
+    // l_commitdate/l_receiptdate, so "late" = shipped > 90 days after
+    // order — same correlated-EXISTS plan shape). Semi join never
+    // duplicates orders, so the counts are join-multiplicity-safe.
+    Q(
+      "q_tpch_q4",
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-07-01'
+        |  AND o_orderdate < TIMESTAMP '1997-10-01'
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey
+        |      AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+    ) { (s, d) =>
+      val o = Tables.orders(s, d)
+        .filter(
+          col("o_orderdate") >= lit("1997-07-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-10-01").cast("timestamp"))
+      val li = Tables.lineitem(s, d).select("l_orderkey", "l_shipdate")
+      o.join(li,
+          col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"),
+          "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    },
+
+    // TPC-H Q13 shape (customer order-count distribution): outer join
+    // with a join-condition filter (NOT a post-filter — the filter must
+    // ride the join condition or the outer semantics change), then a
+    // second aggregation over the first's results. Two shuffles, both on
+    // scale-growing keys.
+    Q(
+      "q_tpch_q13",
+      """SELECT c_count, COUNT(*) AS custdist FROM (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC"""
+    ) { (s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d),
+          col("c_custkey") === col("o_custkey") &&
+            col("o_orderpriority") =!= "1-URGENT",
+          "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    },
+
     // TPC-H Q6 shape (forecast revenue): pure scan-filter-aggregate, the
     // pushdown/codegen benchmark classic. One-row result.
     Q(

@@ -180,6 +180,91 @@ object SimilarityOps extends QueryModule {
           graft.functions.GraftFunctions.cosine_sim(col("e1"), col("e2")).as("sim"))
         .orderBy(col("sim").desc, col("v1"), col("v2"))
         .limit(20)
+    },
+
+    // ANN quality measurement: recall@3 of the sign-LSH index against the
+    // exact brute-force top-3, per query, at TWO hyperplane counts —
+    // "measure, don't guess" applied to the index itself. The synthetic
+    // embeddings are near-random (no cluster structure), so recall is
+    // bounded by the candidate fraction — exactly what this measurement
+    // exposes: fewer bits ⇒ bigger buckets ⇒ higher recall (the tuning
+    // knob a 100 TB deployment turns over a sampled query set). Fully
+    // deterministic, so it takes a full value oracle.
+    Q(
+      "q_ann_recall",
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+         |scored AS (
+         |  SELECT qid, e.vec_id AS vid,
+         |         ${duckDot("qe", "e.embedding")} /
+         |           (${duckNorm("qe")} * ${duckNorm("e.embedding")}) AS sim
+         |  FROM q, embeddings e WHERE e.vec_id <> qid),
+         |exact AS (
+         |  SELECT qid, vid FROM (
+         |    SELECT qid, vid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vid) AS rn
+         |    FROM scored) WHERE rn <= 3),
+         |b8 AS (SELECT vec_id, embedding, ${duckBucket("embedding", 8)} AS bucket FROM embeddings),
+         |q8 AS (SELECT vec_id AS qid, embedding AS qe, bucket AS qbk FROM b8 WHERE vec_id < 10),
+         |s8 AS (
+         |  SELECT qid, b8.vec_id AS vid,
+         |         ${duckDot("qe", "b8.embedding")} /
+         |           (${duckNorm("qe")} * ${duckNorm("b8.embedding")}) AS sim
+         |  FROM q8 JOIN b8 ON b8.bucket = qbk AND b8.vec_id <> qid),
+         |a8 AS (
+         |  SELECT qid, vid FROM (
+         |    SELECT qid, vid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vid) AS rn
+         |    FROM s8) WHERE rn <= 3),
+         |b2 AS (SELECT vec_id, embedding, ${duckBucket("embedding", 2)} AS bucket FROM embeddings),
+         |q2 AS (SELECT vec_id AS qid, embedding AS qe, bucket AS qbk FROM b2 WHERE vec_id < 10),
+         |s2 AS (
+         |  SELECT qid, b2.vec_id AS vid,
+         |         ${duckDot("qe", "b2.embedding")} /
+         |           (${duckNorm("qe")} * ${duckNorm("b2.embedding")}) AS sim
+         |  FROM q2 JOIN b2 ON b2.bucket = qbk AND b2.vec_id <> qid),
+         |a2 AS (
+         |  SELECT qid, vid FROM (
+         |    SELECT qid, vid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vid) AS rn
+         |    FROM s2) WHERE rn <= 3)
+         |SELECT e.qid,
+         |       COUNT(a8.vid) AS hits_8bit, COUNT(a8.vid) / 3.0 AS recall_8bit,
+         |       COUNT(a2.vid) AS hits_2bit, COUNT(a2.vid) / 3.0 AS recall_2bit
+         |FROM exact e
+         |LEFT JOIN a8 ON a8.qid = e.qid AND a8.vid = e.vid
+         |LEFT JOIN a2 ON a2.qid = e.qid AND a2.vid = e.vid
+         |GROUP BY e.qid ORDER BY e.qid"""
+    ) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val exact = topkPerQuery(
+        emb.join(broadcast(q), col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id").as("vid"),
+            graft.functions.GraftFunctions.cosine_sim(col("qe"), col("embedding")).as("sim")),
+        3).select("qid", "vid")
+      def lshTop3(nBits: Int) = {
+        val b = emb.select(
+          col("vec_id"), col("embedding"), bucketCol(col("embedding"), nBits).as("bucket"))
+        val qB = b.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("bucket").as("qbk"))
+        topkPerQuery(
+          b.join(broadcast(qB), col("bucket") === col("qbk") && col("vec_id") =!= col("qid"))
+            .select(col("qid"), col("vec_id").as("vid"),
+              graft.functions.GraftFunctions.cosine_sim(col("qe"), col("embedding")).as("sim")),
+          3).select(col("qid").as(s"q$nBits"), col("vid").as(s"v$nBits"))
+      }
+      exact
+        .join(broadcast(lshTop3(8)),
+          col("qid") === col("q8") && col("vid") === col("v8"), "left")
+        .join(broadcast(lshTop3(2)),
+          col("qid") === col("q2") && col("vid") === col("v2"), "left")
+        .groupBy("qid")
+        .agg(
+          count(col("v8")).as("hits_8bit"),
+          count(col("v2")).as("hits_2bit"))
+        .select(
+          col("qid"),
+          col("hits_8bit"), (col("hits_8bit") / 3.0).as("recall_8bit"),
+          col("hits_2bit"), (col("hits_2bit") / 3.0).as("recall_2bit"))
+        .orderBy("qid")
     }
   )
 }

@@ -200,6 +200,38 @@ object TextOps {
             col("n_stop").cast("double") / col("n_words") * 0.3 +
             col("n_nonspace").cast("double") / col("n_chars_actual") * 0.2).as("quality"))
         .orderBy("doc_id")
+    },
+
+    // TF-IDF: the canonical corpus-statistics weighting. Scale shape:
+    // term frequencies shuffle on (doc_id, term), document frequencies on
+    // term, and the corpus size N arrives as a broadcast one-row
+    // aggregate — no driver-side count, no scalar-subquery recompute.
+    // ln() is libm → round(...,6) on both sides (oracle parity rules).
+    graft.Q(
+      "q_tfidf",
+      s"""WITH t AS (SELECT doc_id, unnest($WordsSql) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, COUNT(*) AS tf
+         |       FROM t WHERE doc_id < 20 GROUP BY doc_id, term),
+         |df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM t GROUP BY term),
+         |n AS (SELECT COUNT(*) AS n_docs FROM documents)
+         |SELECT tf.doc_id, tf.term, tf.tf,
+         |       round(tf.tf * ln(CAST(n_docs AS DOUBLE) / df.df), 6) AS tfidf
+         |FROM tf JOIN df USING (term) CROSS JOIN n
+         |ORDER BY doc_id, term"""
+    ) { (s, d) =>
+      val docs = graft.Tables.documents(s, d)
+      val terms = docs.select(col("doc_id"), explode(words(col("text"))).as("term"))
+      val tf = terms.filter(col("doc_id") < 20)
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df = terms.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      tf.join(df, "term")
+        .crossJoin(broadcast(n))
+        .select(
+          col("doc_id"), col("term"), col("tf"),
+          round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6)
+            .as("tfidf"))
+        .orderBy("doc_id", "term")
     }
   )
 }
