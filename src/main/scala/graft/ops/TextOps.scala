@@ -82,6 +82,85 @@ object TextOps {
         .limit(100)
     },
 
+    // Frequent-items sketch (approx_top_k, Datasketches): sketch heavy
+    // hitters differ from any exact engine, so — tolerance-boolean oracle
+    // pattern — emit the EXACT top-10 terms (oracle-checked) plus a
+    // boolean asserting the sketch's estimate equals the exact count for
+    // each (the sketch capacity 200 far exceeds this corpus's vocabulary,
+    // so the sketch is provably exact here; on an open vocabulary the
+    // boolean would soften to a tolerance band).
+    graft.Q(
+      "q_approx_topk",
+      s"""SELECT word, COUNT(*) AS freq, true AS sketch_exact
+         |FROM (SELECT unnest($WordsSql) AS word FROM documents)
+         |GROUP BY word
+         |ORDER BY freq DESC, word
+         |LIMIT 10"""
+    ) { (s, d) =>
+      val w = graft.Tables.documents(s, d)
+        .select(explode(words(col("text"))).as("word"))
+      // k=40 exceeds the corpus vocabulary, so the sketch carries EVERY
+      // word — membership of the exact top-10 never depends on how the
+      // sketch breaks a tie at the k-boundary
+      val sketch = w.agg(expr("approx_top_k(word, 40, 200)").as("tk"))
+      val exactTop = w.groupBy("word").agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("word"))
+        .limit(10)
+      exactTop
+        .crossJoin(broadcast(sketch))
+        .select(
+          col("word"), col("freq"),
+          (element_at(
+            filter(col("tk"), x => x("item") === col("word")), 1)("count")
+            === col("freq")).as("sketch_exact"))
+        .orderBy(col("freq").desc, col("word"))
+    },
+
+    // End-to-end corpus curation — the composite every LLM training-data
+    // pipeline runs: quality-gate (length + stopword signal), fingerprint
+    // near-dedup (whitespace-normalized, keep min doc_id), then per
+    // (lang, source) corpus accounting of kept docs and token budget.
+    // One narrow pass + two shuffles (fingerprint group, final rollup).
+    graft.Q(
+      "q_corpus_curation",
+      s"""WITH scored AS (
+         |  SELECT doc_id, lang, source,
+         |         CAST(len($WordsSql) AS BIGINT) AS n_tokens,
+         |         CAST(len(list_filter($WordsSql, x -> x IN ${inList(EnStop)})) AS BIGINT) AS n_stop,
+         |         md5(trim(regexp_replace(lower(text), '$WsReDuck', ' ', 'g'))) AS fp
+         |  FROM documents),
+         |gated AS (SELECT * FROM scored WHERE n_tokens >= 10 AND n_stop > 0),
+         |kept AS (
+         |  SELECT * FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+         |    FROM gated) WHERE rn = 1)
+         |SELECT lang, source,
+         |       COUNT(*) AS n_docs,
+         |       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+         |       CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*) AS avg_tokens
+         |FROM kept GROUP BY lang, source ORDER BY lang, source"""
+    ) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val ws = words(col("text"))
+      val scored = graft.Tables.documents(s, d)
+        .select(
+          col("doc_id"), col("lang"), col("source"),
+          size(ws).cast("long").as("n_tokens"),
+          size(filter(ws, x => x.isInCollection(EnStop))).cast("long").as("n_stop"),
+          md5(trim(regexp_replace(lower(col("text")), WsRe, " "))).as("fp"))
+      val gated = scored.filter(col("n_tokens") >= 10 && col("n_stop") > 0)
+      val keepW = Window.partitionBy("fp").orderBy("doc_id")
+      gated
+        .withColumn("rn", row_number().over(keepW))
+        .filter(col("rn") === 1)
+        .groupBy("lang", "source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          (sum(col("n_tokens")).cast("double") / count(lit(1))).as("avg_tokens"))
+        .orderBy("lang", "source")
+    },
+
     graft.Q(
       "q_lang_stats",
       s"""SELECT lang,
