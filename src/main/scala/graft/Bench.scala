@@ -11,11 +11,11 @@ object Bench {
   val Headline: Seq[String] = Seq(
     "q_scan_project", "q_filter_predicates",
     "q_join_inner", "q_join_broadcast", "q_join_left", "q_join_semi",
-    "q_tpch_q3", "q_tpch_q6", "q_tpch_q18",
+    "q_tpch_q3", "q_tpch_q6", "q_tpch_q13", "q_tpch_q18",
     "q_agg_q1", "q_agg_countdistinct", "q_agg_rollup", "q_skew_salted",
     "q_window_topk", "q_window_moving", "q_rank_global",
     "q_sort_limit", "q_set_union_all",
-    "word_count", "q_term_freq", "q_token_count",
+    "word_count", "q_term_freq", "q_token_count", "q_corpus_curation",
     "q_dedup_exact", "q_dedup_minhash_pairs", "q_dedup_simhash",
     "q_similarity_topk", "q_ann_lsh",
     "q_events_tumbling", "q_events_session",

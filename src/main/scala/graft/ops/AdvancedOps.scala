@@ -56,6 +56,33 @@ object AdvancedOps extends QueryModule {
           |ORDER BY c_custkey""".stripMargin)
     },
 
+    // LATERAL correlated subquery join (Spark 3.2+ / ANSI): per-order
+    // aggregate over the fact table, planned by Catalyst as a
+    // decorrelated aggregate + join — the per-row-subquery surface
+    // without per-row execution. Orders with no matching lineitem keep
+    // a row (NULL max, count 0) on both engines.
+    Q(
+      "q_lateral_join",
+      """SELECT o_orderkey, t.max_ship_date, t.n_items
+        |FROM orders, LATERAL (
+        |  SELECT CAST(MAX(l_shipdate) AS DATE) AS max_ship_date,
+        |         COUNT(*) AS n_items
+        |  FROM lineitem WHERE l_orderkey = o_orderkey) t
+        |WHERE o_orderkey < 1000
+        |ORDER BY o_orderkey"""
+    ) { (s, d) =>
+      Tables.orders(s, d).createOrReplaceTempView("graft_orders_lat")
+      Tables.lineitem(s, d).createOrReplaceTempView("graft_lineitem_lat")
+      s.sql(
+        """SELECT o_orderkey, t.max_ship_date, t.n_items
+          |FROM graft_orders_lat, LATERAL (
+          |  SELECT CAST(MAX(l_shipdate) AS DATE) AS max_ship_date,
+          |         COUNT(*) AS n_items
+          |  FROM graft_lineitem_lat WHERE l_orderkey = o_orderkey) t
+          |WHERE o_orderkey < 1000
+          |ORDER BY o_orderkey""".stripMargin)
+    },
+
     // As-of join via the union+window trick (SURVEY.md §2B joins row):
     // for each purchase, the most recent prior-or-same-time view by the
     // same user. MAX over prior view timestamps == last prior view since
