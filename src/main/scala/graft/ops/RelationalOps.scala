@@ -533,6 +533,51 @@ object RelationalOps extends QueryModule {
         .orderBy("l_linestatus")
     },
 
+    // Bivariate statistics (covariance / Pearson correlation) from exact
+    // decimal sums + an IEEE double formula with identical parenthesizing
+    // on both sides — the built-in corr/covar aggregates accumulate in
+    // partition order and are NOT cross-engine deterministic (same reason
+    // q_agg_stats avoids built-in stddev). Per-row double products are
+    // deterministic; only their SUM needs the decimal trick.
+    Q(
+      "q_agg_corr",
+      """WITH t AS (
+        |  SELECT l_returnflag,
+        |         CAST(COUNT(*) AS DOUBLE) AS n,
+        |         CAST(SUM(CAST(l_quantity AS DECIMAL(38,10))) AS DOUBLE) AS sx,
+        |         CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,10))) AS DOUBLE) AS sy,
+        |         CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,10))) AS DOUBLE) AS sxy,
+        |         CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,10))) AS DOUBLE) AS sxx,
+        |         CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,10))) AS DOUBLE) AS syy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag,
+        |       (sxy - sx * sy / n) / (n - 1) AS covar_samp_qp,
+        |       (n * sxy - sx * sy) /
+        |         (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_qp
+        |FROM t ORDER BY l_returnflag"""
+    ) { (s, d) =>
+      val q = col("l_quantity")
+      val p = col("l_extendedprice")
+      val t = Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).cast("double").as("n"),
+          Exact.dsum(q).as("sx"),
+          Exact.dsum(p).as("sy"),
+          Exact.dsum(q * p).as("sxy"),
+          Exact.dsum(q * q).as("sxx"),
+          Exact.dsum(p * p).as("syy"))
+      t.select(
+        col("l_returnflag"),
+        ((col("sxy") - col("sx") * col("sy") / col("n")) / (col("n") - lit(1)))
+          .as("covar_samp_qp"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+            sqrt(col("n") * col("syy") - col("sy") * col("sy"))))
+          .as("corr_qp"))
+        .orderBy("l_returnflag")
+    },
+
     Q(
       "q_agg_rollup",
       """SELECT CAST(GROUPING(n_name) * 2 + GROUPING(c_mktsegment) AS INT) AS gid,

@@ -93,6 +93,30 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("TopKPairAgg == sort-take reference under any reduce/merge split") {
+    val k = 5
+    val agg = new functions.TopKPairAgg(k)
+    val pairGen = Gen.zip(
+      Gen.chooseNum(-100, 100).map(_ / 7.0), Gen.chooseNum(0L, 50L))
+    samples(Gen.zip(Gen.listOf(pairGen), Gen.chooseNum(0, 100)), 200)
+      .foreach { case (pairs, splitSeed) =>
+        val expected = pairs
+          .sorted(Ordering.by[(Double, Long), (Double, Long)] {
+            case (s, v) => (-s, v)
+          })
+          .take(k)
+        // single-buffer reduce
+        val reduced = pairs.foldLeft(agg.zero)(agg.reduce)
+        assert(agg.finish(reduced) == expected, s"reduce path: $pairs")
+        // arbitrary two-buffer split + merge (partial-aggregation shape)
+        val cut = if (pairs.isEmpty) 0 else splitSeed % (pairs.length + 1)
+        val (a, b) = pairs.splitAt(cut)
+        val merged = agg.merge(
+          a.foldLeft(agg.zero)(agg.reduce), b.foldLeft(agg.zero)(agg.reduce))
+        assert(agg.finish(merged) == expected, s"merge path: $pairs at $cut")
+      }
+  }
+
   test("minhash-style property: lexicographic min of fixed-width hex == numeric min") {
     val hexGen = Gen.listOfN(16, Gen.oneOf("0123456789abcdef".toSeq)).map(_.mkString)
     samples(Gen.nonEmptyListOf(hexGen)).foreach { hs =>
