@@ -135,6 +135,47 @@ object EventOps extends QueryModule {
         .orderBy("user_id", "event_type")
     },
 
+    // Funnel analysis: first view → first purchase at-or-after it, per
+    // user, with conversion flag and delay. Two per-user MIN aggregates
+    // and a left join — every shuffle keyed by user_id (scale-growing);
+    // no window, no per-user subquery re-execution.
+    Q(
+      "q_events_funnel",
+      """WITH v AS (
+        |  SELECT user_id, MIN(ts) AS first_view
+        |  FROM events WHERE event_type = 'view' GROUP BY user_id),
+        |p AS (
+        |  SELECT e.user_id, MIN(ts) AS first_purchase
+        |  FROM events e JOIN v USING (user_id)
+        |  WHERE event_type = 'purchase' AND ts >= first_view
+        |  GROUP BY e.user_id)
+        |SELECT v.user_id,
+        |       CAST(floor(epoch(first_view)) AS BIGINT) AS first_view_sec,
+        |       CAST(floor(epoch(first_purchase)) AS BIGINT) AS first_purchase_sec,
+        |       first_purchase IS NOT NULL AS converted,
+        |       CAST(floor(epoch(first_purchase)) AS BIGINT)
+        |         - CAST(floor(epoch(first_view)) AS BIGINT) AS delay_sec
+        |FROM v LEFT JOIN p ON v.user_id = p.user_id
+        |ORDER BY v.user_id"""
+    ) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ts")).as("first_view"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(v, "user_id")
+        .filter(col("ts") >= col("first_view"))
+        .groupBy("user_id").agg(min(col("ts")).as("first_purchase"))
+      v.join(p, Seq("user_id"), "left")
+        .select(
+          col("user_id"),
+          unix_timestamp(col("first_view")).as("first_view_sec"),
+          unix_timestamp(col("first_purchase")).as("first_purchase_sec"),
+          col("first_purchase").isNotNull.as("converted"),
+          (unix_timestamp(col("first_purchase")) - unix_timestamp(col("first_view")))
+            .as("delay_sec"))
+        .orderBy("user_id")
+    },
+
     Q(
       "q_events_daily",
       """SELECT CAST(ts AS DATE) AS day, event_type,

@@ -42,6 +42,41 @@ object ScaleOps extends QueryModule {
         .orderBy("l_returnflag")
     },
 
+    // Z-order (Morton) interleave key — the data-layout recipe for
+    // multi-dimensional pruning at 100 TB: sorting a table by z before a
+    // partitioned write keeps parquet row-group min/max stats tight on
+    // BOTH dimensions at once, so scans filtered on either column skip
+    // most files (plain sort only prunes its leading column). Pure
+    // integer bit-math, bit-for-bit identical in both engines; the
+    // 8-bit-per-dimension interleave is unrolled so every term is a
+    // compile-time-constant shift (codegen-friendly, no lambda loop).
+    Q(
+      "q_zorder_key",
+      {
+        val terms = (0 until 8).map { i =>
+          s"((((l_partkey & 255) >> $i) & 1) << ${2 * i}) | " +
+            s"((((l_suppkey & 255) >> $i) & 1) << ${2 * i + 1})"
+        }.mkString(" | ")
+        s"""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+           |       CAST($terms AS BIGINT) AS z
+           |FROM lineitem WHERE l_orderkey < 100
+           |ORDER BY l_orderkey, l_linenumber, l_partkey, z"""
+      }
+    ) { (s, d) =>
+      val px = col("l_partkey").bitwiseAND(lit(255L))
+      val sx = col("l_suppkey").bitwiseAND(lit(255L))
+      val z = (0 until 8).map { i =>
+        shiftleft(shiftright(px, i).bitwiseAND(lit(1L)), 2 * i)
+          .bitwiseOR(shiftleft(shiftright(sx, i).bitwiseAND(lit(1L)), 2 * i + 1))
+      }.reduce(_ bitwiseOR _)
+      Tables.lineitem(s, d)
+        .filter(col("l_orderkey") < 100)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey"), z.cast("long").as("z"))
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "z")
+    },
+
     // CSV sink + source with an explicit schema (no inferSchema pass).
     Q(
       "q_csv_roundtrip",
