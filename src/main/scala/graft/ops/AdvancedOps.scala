@@ -39,6 +39,34 @@ object AdvancedOps extends QueryModule {
         .orderBy("l_returnflag")
     },
 
+    // Parquet roundtrip under an explicit codec (zstd) with a tuned
+    // row-group target — the storage knobs a 100 TB lake actually sets
+    // (zstd ≈ gzip ratio at ~4x the speed; row-group size bounds both
+    // scan parallelism and min/max-stat granularity). Lossless: the
+    // oracle aggregates the original table.
+    Q(
+      "q_parquet_zstd_roundtrip",
+      """SELECT o_orderpriority,
+        |       COUNT(*) AS n,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10))) AS DOUBLE) AS revenue
+        |FROM orders
+        |WHERE o_totalprice > 100000
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+    ) { (s, d) =>
+      val dir = Files.createTempDirectory("graft_zstd").toFile.getAbsolutePath
+      Tables.orders(s, d)
+        .select("o_orderpriority", "o_totalprice")
+        .write.mode("overwrite")
+        .option("compression", "zstd")
+        .option("parquet.block.size", 8 * 1024 * 1024)
+        .parquet(dir)
+      s.read.parquet(dir)
+        .filter(col("o_totalprice") > 100000) // pushed into the zstd scan
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), Exact.dsum(col("o_totalprice")).as("revenue"))
+        .orderBy("o_orderpriority")
+    },
+
     // Correlated scalar subquery — Catalyst decorrelates to an aggregate +
     // join (SURVEY.md §4.2); DuckDB runs the identical SQL.
     Q(
