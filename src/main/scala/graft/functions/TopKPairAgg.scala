@@ -19,8 +19,22 @@ import org.apache.spark.sql.expressions.Aggregator
 class TopKPairAgg(k: Int)
     extends Aggregator[(Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
 
-  private val ord: Ordering[(Double, Long)] =
-    Ordering.by { case (score, id) => (-score, id) }
+  /** SQL `ORDER BY score DESC, id` semantics exactly: NaN sorts as the
+    * GREATEST score (first under DESC, matching Spark's and DuckDB's
+    * ordering — `Ordering.by(-score)` would negate NaN into sorting
+    * last), and -0.0 == 0.0 (both engines normalize; raw
+    * Double.compare would order them and flip the id tiebreak). A null
+    * score never reaches this point: the non-nullable input encoder
+    * fails loudly first — preferable to silently diverging from the
+    * oracle's window form, which would have ranked nulls.
+    */
+  private val ord: Ordering[(Double, Long)] = new Ordering[(Double, Long)] {
+    private def norm(d: Double): Double = if (d == 0.0) 0.0 else d
+    def compare(a: (Double, Long), b: (Double, Long)): Int = {
+      val c = java.lang.Double.compare(norm(b._1), norm(a._1))
+      if (c != 0) c else java.lang.Long.compare(a._2, b._2)
+    }
+  }
 
   def zero: Seq[(Double, Long)] = Seq.empty
 
@@ -28,7 +42,11 @@ class TopKPairAgg(k: Int)
     s.sorted(ord).take(k)
 
   def reduce(buf: Seq[(Double, Long)], v: (Double, Long)): Seq[(Double, Long)] =
-    trim(buf :+ v)
+    // hot path: once the buffer is full, most rows lose to the current
+    // worst — drop them without the O(k log k) re-sort (equal-to-boundary
+    // pairs are value-identical, so dropping preserves the result)
+    if (buf.size >= k && ord.compare(v, buf.last) >= 0) buf
+    else trim(buf :+ v)
 
   def merge(a: Seq[(Double, Long)], b: Seq[(Double, Long)]): Seq[(Double, Long)] =
     trim(a ++ b)

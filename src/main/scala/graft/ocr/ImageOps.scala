@@ -90,31 +90,26 @@ object ImageOps {
     baos.toByteArray
   }
 
-  /** Render a tiny valid PNG (test/fixture helper). */
-  def blankPng(width: Int = 16, height: Int = 8): Array[Byte] = {
+  private def blank(width: Int, height: Int, format: String): Array[Byte] = {
     val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
     val gfx = img.createGraphics()
     gfx.setColor(java.awt.Color.WHITE)
     gfx.fillRect(0, 0, width, height)
     gfx.dispose()
     val baos = new ByteArrayOutputStream()
-    ImageIO.write(img, "png", baos)
+    ImageIO.write(img, format, baos)
     baos.toByteArray
   }
+
+  /** Render a tiny valid PNG (test/fixture helper). */
+  def blankPng(width: Int = 16, height: Int = 8): Array[Byte] =
+    blank(width, height, "png")
 
   /** Render a tiny valid JPEG (fixture for the jpeg decode branch — the
     * path the reference advertises but cannot serve: `.jpg` accepted at
     * `main.go:75`, yet no `image/jpeg` import registers a decoder, so
     * every real JPEG 500s there. Here it must decode for real.)
     */
-  def blankJpeg(width: Int = 16, height: Int = 8): Array[Byte] = {
-    val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
-    val gfx = img.createGraphics()
-    gfx.setColor(java.awt.Color.WHITE)
-    gfx.fillRect(0, 0, width, height)
-    gfx.dispose()
-    val baos = new ByteArrayOutputStream()
-    ImageIO.write(img, "jpg", baos)
-    baos.toByteArray
-  }
+  def blankJpeg(width: Int = 16, height: Int = 8): Array[Byte] =
+    blank(width, height, "jpg")
 }

@@ -42,7 +42,12 @@ object Tess4JOcr {
     }
     private val doOcr = cls.getMethod("doOCR", classOf[BufferedImage])
 
-    /** Never throws — a failed row lands in the pipeline's error column. */
+    /** Never throws — a failed row lands in the pipeline's error column.
+      * Catches Throwable, not just Exception: a half-provisioned host
+      * (tess4j jar present, native libtesseract absent) surfaces as
+      * UnsatisfiedLinkError/NoClassDefFoundError at doOCR time, and an
+      * Error-class escape inside mapPartitions would kill the job.
+      */
     def extract(imageBytes: Array[Byte]): Either[String, String] =
       ImageOps.decode(imageBytes) match {
         case Left(err) => Left(err)
@@ -51,7 +56,7 @@ object Tess4JOcr {
           catch {
             case e: java.lang.reflect.InvocationTargetException =>
               Left(s"ocr failed: ${Option(e.getCause).getOrElse(e).getMessage}")
-            case e: Exception => Left(s"ocr failed: ${e.getMessage}")
+            case e: Throwable => Left(s"ocr failed: ${e.getMessage}")
           }
       }
   }
@@ -59,9 +64,15 @@ object Tess4JOcr {
   /** Tess4J when present, stub otherwise — resolved on the EXECUTOR (one
     * backend per partition, as OcrPipeline.run constructs them), so a
     * cluster where only workers carry the native lib still works.
+    * Backend CONSTRUCTION can itself throw linkage Errors on a
+    * half-provisioned host (jar without native lib); that also falls
+    * back to the stub rather than killing the partition.
     */
   object AutoFactory extends OcrBackendFactory {
     def create(): OcrBackend =
-      if (available) new Backend else new StubOcr.Backend
+      if (!available) new StubOcr.Backend
+      else
+        try new Backend
+        catch { case _: Throwable => new StubOcr.Backend }
   }
 }

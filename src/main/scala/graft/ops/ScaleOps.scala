@@ -60,7 +60,7 @@ object ScaleOps extends QueryModule {
         s"""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
            |       CAST($terms AS BIGINT) AS z
            |FROM lineitem WHERE l_orderkey < 100
-           |ORDER BY l_orderkey, l_linenumber, l_partkey, z"""
+           |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey"""
       }
     ) { (s, d) =>
       val px = col("l_partkey").bitwiseAND(lit(255L))
@@ -74,7 +74,9 @@ object ScaleOps extends QueryModule {
         .select(
           col("l_orderkey"), col("l_linenumber"),
           col("l_partkey"), col("l_suppkey"), z.cast("long").as("z"))
-        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "z")
+        // total order over the OUTPUT columns (z is determined by
+        // partkey+suppkey): (orderkey, linenumber) alone has duplicates
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
     },
 
     // CSV sink + source with an explicit schema (no inferSchema pass).

@@ -96,24 +96,38 @@ class PropertySpec extends AnyFunSuite {
   test("TopKPairAgg == sort-take reference under any reduce/merge split") {
     val k = 5
     val agg = new functions.TopKPairAgg(k)
-    val pairGen = Gen.zip(
-      Gen.chooseNum(-100, 100).map(_ / 7.0), Gen.chooseNum(0L, 50L))
+    // includes the float edge cases SQL ordering pins: NaN (greatest,
+    // first under DESC), -0.0 == 0.0 (tie broken by id), infinities
+    val scoreGen = Gen.frequency(
+      8 -> Gen.chooseNum(-100, 100).map(_ / 7.0),
+      2 -> Gen.oneOf(Double.NaN, 0.0, -0.0,
+        Double.PositiveInfinity, Double.NegativeInfinity))
+    val pairGen = Gen.zip(scoreGen, Gen.chooseNum(0L, 50L))
+    // independent spelling of SQL "ORDER BY score DESC, id":
+    // java.lang.Double.compare with -0.0 normalized away
+    val sqlDescOrd = new Ordering[(Double, Long)] {
+      def compare(a: (Double, Long), b: (Double, Long)): Int = {
+        def n(d: Double) = if (d == 0.0) 0.0 else d
+        val c = java.lang.Double.compare(n(b._1), n(a._1))
+        if (c != 0) c else java.lang.Long.compare(a._2, b._2)
+      }
+    }
+    // NaN != NaN under ==, so equality is comparator-equivalence per slot
+    def sameTopK(got: Seq[(Double, Long)], exp: Seq[(Double, Long)]): Boolean =
+      got.size == exp.size &&
+        got.zip(exp).forall { case (g, e) => sqlDescOrd.compare(g, e) == 0 }
     samples(Gen.zip(Gen.listOf(pairGen), Gen.chooseNum(0, 100)), 200)
       .foreach { case (pairs, splitSeed) =>
-        val expected = pairs
-          .sorted(Ordering.by[(Double, Long), (Double, Long)] {
-            case (s, v) => (-s, v)
-          })
-          .take(k)
+        val expected = pairs.sorted(sqlDescOrd).take(k)
         // single-buffer reduce
         val reduced = pairs.foldLeft(agg.zero)(agg.reduce)
-        assert(agg.finish(reduced) == expected, s"reduce path: $pairs")
+        assert(sameTopK(agg.finish(reduced), expected), s"reduce path: $pairs")
         // arbitrary two-buffer split + merge (partial-aggregation shape)
         val cut = if (pairs.isEmpty) 0 else splitSeed % (pairs.length + 1)
         val (a, b) = pairs.splitAt(cut)
         val merged = agg.merge(
           a.foldLeft(agg.zero)(agg.reduce), b.foldLeft(agg.zero)(agg.reduce))
-        assert(agg.finish(merged) == expected, s"merge path: $pairs at $cut")
+        assert(sameTopK(agg.finish(merged), expected), s"merge path: $pairs at $cut")
       }
   }
 
