@@ -176,6 +176,36 @@ object EventOps extends QueryModule {
         .orderBy("user_id")
     },
 
+    // Cohort retention: users grouped by first-seen day, counted on each
+    // later active day — the (cohort, day-offset) triangle every growth
+    // dashboard draws. Distinct-day projection first (one shuffle), then
+    // self-join on user_id; all keys scale with users/days.
+    Q(
+      "q_events_retention",
+      """WITH days AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS active_day FROM events),
+        |firstday AS (
+        |  SELECT user_id, MIN(active_day) AS cohort_day FROM days GROUP BY user_id)
+        |SELECT cohort_day,
+        |       CAST(date_diff('day', cohort_day, active_day) AS INT) AS day_offset,
+        |       COUNT(*) AS n_users
+        |FROM firstday JOIN days USING (user_id)
+        |GROUP BY cohort_day, day_offset
+        |ORDER BY cohort_day, day_offset"""
+    ) { (s, d) =>
+      val days = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("active_day"))
+        .distinct()
+      val first = days.groupBy("user_id").agg(min(col("active_day")).as("cohort_day"))
+      first.join(days, "user_id")
+        .select(
+          col("cohort_day"),
+          datediff(col("active_day"), col("cohort_day")).cast("int").as("day_offset"))
+        .groupBy("cohort_day", "day_offset")
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    },
+
     Q(
       "q_events_daily",
       """SELECT CAST(ts AS DATE) AS day, event_type,

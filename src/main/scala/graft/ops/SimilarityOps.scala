@@ -182,6 +182,32 @@ object SimilarityOps extends QueryModule {
         .limit(20)
     },
 
+    // Per-label centroids: element-wise mean over array<float> columns by
+    // exploding to (label, pos, v) — the aggregation shuffles on
+    // (label, pos), a key that scales with labels × dims, never loading
+    // a whole label's vectors into one task. The building block for IVF
+    // codebook training / k-means steps; decimal-exact means.
+    Q(
+      "q_embedding_centroid",
+      """WITH e AS (
+        |  SELECT label, i AS pos, CAST(embedding[i] AS DOUBLE) AS v
+        |  FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i))
+        |SELECT label, CAST(pos AS INT) AS pos,
+        |       COUNT(*) AS n,
+        |       CAST(SUM(CAST(v AS DECIMAL(38,10))) AS DOUBLE) / COUNT(*) AS mean_v
+        |FROM e GROUP BY label, pos ORDER BY label, pos"""
+    ) { (s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos0", "v0")))
+        .select(
+          col("label"),
+          (col("pos0") + 1).cast("int").as("pos"),
+          col("v0").cast("double").as("v"))
+        .groupBy("label", "pos")
+        .agg(count(lit(1)).as("n"), Exact.davg(col("v")).as("mean_v"))
+        .orderBy("label", "pos")
+    },
+
     // ANN quality measurement: recall@3 of the sign-LSH index against the
     // exact brute-force top-3, per query, at TWO hyperplane counts —
     // "measure, don't guess" applied to the index itself. The synthetic
