@@ -72,9 +72,15 @@ class PlanHygieneSpec extends SparkSpec {
       "q_join_inner" -> Seq("BroadcastHashJoin"),
       "q_join_broadcast" -> Seq("BroadcastHashJoin"),
       "q_ann_lsh" -> Seq("BroadcastHashJoin"),
+      // the HAVING subquery must arrive as a SEMI join (never inner —
+      // that would duplicate orders rows and corrupt the sums)
+      "q_tpch_q18" -> Seq("LeftSemi"),
+      // keep-first dedup must plan the pre-shuffle group-limit
+      "q_corpus_curation" -> Seq("WindowGroupLimit"),
       // non-equi (vec_id <> qid) against an explicitly broadcast 10-row
-      // query set: nested-loop is fine ONLY because it's broadcast
-      "q_similarity_topk" -> Seq("BroadcastNestedLoopJoin"))
+      // query set: nested-loop is fine ONLY because it's broadcast; and
+      // the two-phase top-k must partial-aggregate before its shuffle
+      "q_similarity_topk" -> Seq("BroadcastNestedLoopJoin", "ObjectHashAggregate"))
     val failures = mustContain.toSeq.sortBy(_._1).flatMap { case (name, frags) =>
       val plan = SparkEntry.queries(name)(spark, sfDir)
         .queryExecution.executedPlan.toString
