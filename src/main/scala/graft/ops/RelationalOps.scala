@@ -578,6 +578,56 @@ object RelationalOps extends QueryModule {
         .orderBy("l_returnflag")
     },
 
+    // Higher central moments (population skewness / excess kurtosis) from
+    // raw power sums — same exact-decimal strategy as q_agg_corr: the
+    // built-ins accumulate in partition order; these are order-free sums
+    // plus an identically-parenthesized IEEE formula. l_quantity ≤ 50 so
+    // x⁴ sums sit comfortably inside DECIMAL(38,10).
+    Q(
+      "q_agg_moments",
+      """WITH t AS (
+        |  SELECT l_returnflag,
+        |         CAST(COUNT(*) AS DOUBLE) AS n,
+        |         CAST(SUM(CAST(l_quantity AS DECIMAL(38,10))) AS DOUBLE) AS s1,
+        |         CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,10))) AS DOUBLE) AS s2,
+        |         CAST(SUM(CAST(l_quantity * l_quantity * l_quantity AS DECIMAL(38,10))) AS DOUBLE) AS s3,
+        |         CAST(SUM(CAST(l_quantity * l_quantity * l_quantity * l_quantity AS DECIMAL(38,10))) AS DOUBLE) AS s4
+        |  FROM lineitem GROUP BY l_returnflag),
+        |m AS (
+        |  SELECT l_returnflag, n, s1 / n AS mu, s2, s3, s4 FROM t),
+        |c AS (
+        |  SELECT l_returnflag, n, mu,
+        |         s2 / n - mu * mu AS m2,
+        |         s3 / n - 3 * mu * (s2 / n) + 2 * mu * mu * mu AS m3,
+        |         s4 / n - 4 * mu * (s3 / n) + 6 * mu * mu * (s2 / n) - 3 * mu * mu * mu * mu AS m4
+        |  FROM m)
+        |SELECT l_returnflag,
+        |       m3 / (m2 * sqrt(m2)) AS skewness,
+        |       m4 / (m2 * m2) - 3 AS kurtosis
+        |FROM c ORDER BY l_returnflag"""
+    ) { (s, d) =>
+      val x = col("l_quantity")
+      val t = Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).cast("double").as("n"),
+          Exact.dsum(x).as("s1"),
+          Exact.dsum(x * x).as("s2"),
+          Exact.dsum(x * x * x).as("s3"),
+          Exact.dsum(x * x * x * x).as("s4"))
+      val mu = col("s1") / col("n")
+      val m2 = col("s2") / col("n") - mu * mu
+      val m3 = col("s3") / col("n") - lit(3) * mu * (col("s2") / col("n")) +
+        lit(2) * mu * mu * mu
+      val m4 = col("s4") / col("n") - lit(4) * mu * (col("s3") / col("n")) +
+        lit(6) * mu * mu * (col("s2") / col("n")) - lit(3) * mu * mu * mu * mu
+      t.select(
+        col("l_returnflag"),
+        (m3 / (m2 * sqrt(m2))).as("skewness"),
+        (m4 / (m2 * m2) - lit(3)).as("kurtosis"))
+        .orderBy("l_returnflag")
+    },
+
     Q(
       "q_agg_rollup",
       """SELECT CAST(GROUPING(n_name) * 2 + GROUPING(c_mktsegment) AS INT) AS gid,
