@@ -232,6 +232,63 @@ object ScalarOps extends QueryModule {
         isnan(col("o_totalprice")).as("price_nan"),
         col("o_custkey").isNull.as("cust_null"))
         .orderBy("o_orderkey")
+    },
+
+    // Third string batch: padding/translation/hashing — the remaining
+    // scalar-string surface with a DuckDB twin (initcap/overlay have
+    // none, so they stay out of the oracle set).
+    Q(
+      "q_str_funcs3",
+      """SELECT p_partkey,
+        |       lpad(CAST(p_partkey AS VARCHAR), 10, '0') AS padded_key,
+        |       translate(p_name, 'aeiou', '01234') AS translated,
+        |       reverse(p_name) AS reversed,
+        |       repeat(substr(p_name, 1, 2), 3) AS repeated,
+        |       split_part(p_name, ' ', 1) AS first_word,
+        |       sha256(p_name) AS name_sha256,
+        |       CAST(bit_count(p_partkey) AS INT) AS key_bits
+        |FROM part WHERE p_partkey < 500 ORDER BY p_partkey"""
+    ) { (s, d) =>
+      Tables.part(s, d)
+        .filter(col("p_partkey") < 500)
+        .select(
+          col("p_partkey"),
+          lpad(col("p_partkey").cast("string"), 10, "0").as("padded_key"),
+          translate(col("p_name"), "aeiou", "01234").as("translated"),
+          reverse(col("p_name")).as("reversed"),
+          repeat(substring(col("p_name"), 1, 2), 3).as("repeated"),
+          element_at(split(col("p_name"), " "), 1).as("first_word"),
+          sha2(col("p_name"), 256).as("name_sha256"),
+          bit_count(col("p_partkey")).cast("int").as("key_bits"))
+        .orderBy("p_partkey")
+    },
+
+    // Second array batch: sort/distinct/slice/flatten-style ops. Array
+    // RESULTS leave as joined strings — the driver's comparator can't
+    // sort list cells, and the join also pins element order exactly.
+    // DuckDB's list_distinct is unordered, so both engines sort after
+    // distinct; DuckDB's 1-based inclusive slice [1:3] == slice(a,1,3).
+    Q(
+      "q_array_funcs2",
+      s"""SELECT doc_id,
+         |       array_to_string(list_sort(${TextOps.WordsSql}), ' ') AS sorted_words,
+         |       array_to_string(list_sort(list_distinct(${TextOps.WordsSql})), ' ') AS distinct_sorted,
+         |       array_to_string((${TextOps.WordsSql})[1:3], ' ') AS first3,
+         |       CAST(len(list_distinct(${TextOps.WordsSql})) AS INT) AS n_distinct,
+         |       CAST(list_sort(${TextOps.WordsSql})[1] IS NOT NULL AS BOOLEAN) AS has_words
+         |FROM documents WHERE doc_id < 300 ORDER BY doc_id"""
+    ) { (s, d) =>
+      val ws = TextOps.words(col("text"))
+      Tables.documents(s, d)
+        .filter(col("doc_id") < 300)
+        .select(
+          col("doc_id"),
+          array_join(array_sort(ws), " ").as("sorted_words"),
+          array_join(array_sort(array_distinct(ws)), " ").as("distinct_sorted"),
+          array_join(slice(ws, 1, 3), " ").as("first3"),
+          size(array_distinct(ws)).as("n_distinct"),
+          element_at(array_sort(ws), 1).isNotNull.as("has_words"))
+        .orderBy("doc_id")
     }
   )
 }
