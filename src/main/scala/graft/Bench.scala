@@ -7,6 +7,11 @@ object Bench {
     * cover scan/filter, every join shape that matters at scale, heavy
     * aggregation, windows, dedup/similarity/text pipelines, event
     * windows, formats, and the OCR flagship.
+    *
+    * Round-over-round comparability: round 3 ADDED four queries
+    * (q_tpch_q13, q_tpch_q18, q_rank_global, q_corpus_curation) to the
+    * round-2 set of 28 — compare totals per-query, not headline-sum
+    * to headline-sum.
     */
   val Headline: Seq[String] = Seq(
     "q_scan_project", "q_filter_predicates",

@@ -60,7 +60,7 @@ object SimilarityOps extends QueryModule {
     * states the semantics as ROW_NUMBER (same total order via the vid
     * tiebreak).
     */
-  private[ops] def topkPerQuery(scored: DataFrame, k: Int): DataFrame = {
+  private[graft] def topkPerQuery(scored: DataFrame, k: Int): DataFrame = {
     val topk = udaf(new graft.functions.TopKPairAgg(k))
     scored
       .groupBy("qid")
