@@ -5,14 +5,16 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The library facade: the engine's reusable operators as plain
-  * DataFrame → DataFrame functions over the CALLER's data, independent of
-  * the registered test-query closures. A user of the reference switches
-  * by calling these (plus `ocr.OcrPipeline.run` for the R1-R10 flagship);
-  * the registered queries in `SparkEntry` exercise the same code paths
-  * against the DuckDB oracle.
+  * DataFrame → DataFrame functions over the CALLER's data. The registered
+  * oracle queries are built ON TOP of these functions (q_dedup_exact,
+  * q_dedup_fingerprint, q_similarity_topk, q_corpus_curation,
+  * q_dedup_minhash_pairs all route through here), so the DuckDB gate
+  * verifies the exact code a library user calls — not a parallel copy
+  * that could drift.
   *
   * Every function documents its shuffle shape — the contract that matters
-  * at 100 TB.
+  * at 100 TB. Internal working columns are `__graft_`-prefixed so caller
+  * columns can't collide.
   */
 object GraftOps {
 
@@ -47,14 +49,22 @@ object GraftOps {
   def topKPerQuery(scored: DataFrame, k: Int): DataFrame =
     ops.SimilarityOps.topkPerQuery(scored, k)
 
-  /** Exact cosine top-k of a small query set against a corpus of
-    * (vec_id LONG, embedding ARRAY<FLOAT>). The query set is broadcast;
-    * the corpus streams with no shuffle before the bounded top-k.
+  /** Exact cosine top-k of a small query set against a corpus, both
+    * shaped (vec_id LONG, embedding ARRAY<FLOAT>). The query set is
+    * broadcast; the corpus streams with no shuffle before the bounded
+    * top-k. `excludeSelf` drops corpus rows whose vec_id equals the
+    * query's id — correct when the queries ARE corpus rows (the
+    * self-search case); set it false when the two id spaces are
+    * independent, or an unrelated corpus vector sharing a query's id
+    * would be silently skipped.
     */
-  def cosineTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+  def cosineTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      excludeSelf: Boolean = true): DataFrame = {
     val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val cond = if (excludeSelf) col("vec_id") =!= col("qid") else lit(true)
     val scored = corpus
-      .join(broadcast(q), col("vec_id") =!= col("qid"))
+      .join(broadcast(q), cond)
       .select(
         col("qid"), col("vec_id").as("vid"),
         functions.GraftFunctions.cosine_sim(col("qe"), col("embedding")).as("sim"))
@@ -64,16 +74,27 @@ object GraftOps {
   /** Unicode word count (Go strings.Fields parity), native codegen. */
   def wordCount(text: Column): Column = ops.TextOps.wordCount(text)
 
-  /** Corpus curation: quality-gate (≥ minTokens words, ≥ 1 stopword
-    * signal), fingerprint dedup keeping the smallest id, and the kept
-    * rows with token counts attached. One narrow pass + one shuffle.
-    * Input: (doc_id LONG, text STRING, ...passthrough columns).
+  /** Corpus curation — the verified recipe of `q_corpus_curation`:
+    * quality-gate (≥ `minTokens` words AND, when `requireStopwordSignal`,
+    * ≥ 1 English stopword — the cheap fluency signal), then fingerprint
+    * dedup keeping the smallest `idCol`. One narrow pass + one shuffle.
+    * Output = kept input rows + an `n_tokens` LONG column (the one
+    * added/overwritten column; internals are collision-safe).
     */
-  def curate(docs: DataFrame, minTokens: Int = 10): DataFrame = {
-    val withSignals = docs
-      .withColumn("n_tokens", size(ops.TextOps.words(col("text"))).cast("long"))
-      .withColumn("fp", fingerprint(col("text")))
+  def curate(
+      docs: DataFrame, minTokens: Int = 10,
+      requireStopwordSignal: Boolean = true,
+      idCol: String = "doc_id"): DataFrame = {
+    val ws = ops.TextOps.words(col("text"))
+    val scored = docs
+      .withColumn("n_tokens", size(ws).cast("long"))
+      .withColumn("__graft_stop",
+        size(filter(ws, x => x.isInCollection(ops.TextOps.EnStop))).cast("long"))
+      .withColumn("__graft_fp", fingerprint(col("text")))
+    val gated = scored
       .filter(col("n_tokens") >= minTokens)
-    dedupExact(withSignals, "fp", "doc_id").drop("fp")
+      .filter(!lit(requireStopwordSignal) || col("__graft_stop") > 0)
+    dedupExact(gated, "__graft_fp", idCol)
+      .drop("__graft_fp", "__graft_stop")
   }
 }

@@ -146,11 +146,8 @@ object DedupOps extends QueryModule {
         |  FROM documents)
         |WHERE rn = 1 ORDER BY doc_id"""
     ) { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("text").orderBy("doc_id")
-      Tables.documents(s, d)
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
+      // routed through the public facade (GraftOps.dedupExact)
+      graft.GraftOps.dedupExact(Tables.documents(s, d), "text", "doc_id")
         .select(col("doc_id"), md5(col("text")).as("content_hash"))
         .orderBy("doc_id")
     },
@@ -165,10 +162,9 @@ object DedupOps extends QueryModule {
          |      FROM documents)
          |GROUP BY fp ORDER BY keeper"""
     ) { (s, d) =>
+      // fingerprint expression shared with the facade (GraftOps.fingerprint)
       Tables.documents(s, d)
-        .select(
-          col("doc_id"),
-          md5(trim(regexp_replace(lower(col("text")), TextOps.WsRe, " "))).as("fp"))
+        .select(col("doc_id"), graft.GraftOps.fingerprint(col("text")).as("fp"))
         .groupBy("fp")
         .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper"))
         .orderBy("keeper")

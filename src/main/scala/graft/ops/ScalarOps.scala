@@ -275,7 +275,7 @@ object ScalarOps extends QueryModule {
          |       array_to_string(list_sort(list_distinct(${TextOps.WordsSql})), ' ') AS distinct_sorted,
          |       array_to_string((${TextOps.WordsSql})[1:3], ' ') AS first3,
          |       CAST(len(list_distinct(${TextOps.WordsSql})) AS INT) AS n_distinct,
-         |       CAST(list_sort(${TextOps.WordsSql})[1] IS NOT NULL AS BOOLEAN) AS has_words
+         |       len(${TextOps.WordsSql}) > 0 AS has_words
          |FROM documents WHERE doc_id < 300 ORDER BY doc_id"""
     ) { (s, d) =>
       val ws = TextOps.words(col("text"))
@@ -287,7 +287,9 @@ object ScalarOps extends QueryModule {
           array_join(array_sort(array_distinct(ws)), " ").as("distinct_sorted"),
           array_join(slice(ws, 1, 3), " ").as("first3"),
           size(array_distinct(ws)).as("n_distinct"),
-          element_at(array_sort(ws), 1).isNotNull.as("has_words"))
+          // size(), not element_at(...,1): ANSI mode (Spark 4 default)
+          // throws on element_at of an empty array
+          (size(ws) > 0).as("has_words"))
         .orderBy("doc_id")
     }
   )

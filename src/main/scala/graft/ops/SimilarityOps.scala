@@ -91,15 +91,11 @@ object SimilarityOps extends QueryModule {
          |SELECT qid, vid, sim, CAST(rn AS INT) AS rn
          |FROM ranked WHERE rn <= 5 ORDER BY qid, rn"""
     ) { (s, d) =>
+      // routed through the public facade (self-search: queries are
+      // corpus rows, so excludeSelf applies) — the oracle verifies the
+      // code path a library user calls
       val emb = Tables.embeddings(s, d)
-      val q = emb.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-      val scored = emb
-        .join(broadcast(q), col("vec_id") =!= col("qid"))
-        .select(
-          col("qid"), col("vec_id").as("vid"),
-          graft.functions.GraftFunctions.cosine_sim(col("qe"), col("embedding")).as("sim"))
-      topkPerQuery(scored, 5)
+      graft.GraftOps.cosineTopK(emb, emb.filter(col("vec_id") < 10), 5)
     },
 
     // Sign-LSH bucketed ANN: candidates share an 8-bit sign bucket; only

@@ -58,7 +58,7 @@ object TextOps {
   // --------------------------------------------------------------------
   // language-ID stopword sets — deterministic heuristic, mirrored in SQL.
   // --------------------------------------------------------------------
-  private val EnStop = Seq("the", "a", "of", "and", "to")
+  private[graft] val EnStop = Seq("the", "a", "of", "and", "to")
   private val EsStop = Seq("el", "una", "y", "que", "los")
   private val DeStop = Seq("der", "die", "das", "und", "ist")
   private val FrStop = Seq("le", "les", "et", "est", "une")
@@ -140,19 +140,9 @@ object TextOps {
          |       CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*) AS avg_tokens
          |FROM kept GROUP BY lang, source ORDER BY lang, source"""
     ) { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val ws = words(col("text"))
-      val scored = graft.Tables.documents(s, d)
-        .select(
-          col("doc_id"), col("lang"), col("source"),
-          size(ws).cast("long").as("n_tokens"),
-          size(filter(ws, x => x.isInCollection(EnStop))).cast("long").as("n_stop"),
-          md5(trim(regexp_replace(lower(col("text")), WsRe, " "))).as("fp"))
-      val gated = scored.filter(col("n_tokens") >= 10 && col("n_stop") > 0)
-      val keepW = Window.partitionBy("fp").orderBy("doc_id")
-      gated
-        .withColumn("rn", row_number().over(keepW))
-        .filter(col("rn") === 1)
+      // routed through the public facade so the oracle verifies the
+      // exact code path a library user calls
+      graft.GraftOps.curate(graft.Tables.documents(s, d), minTokens = 10)
         .groupBy("lang", "source")
         .agg(
           count(lit(1)).as("n_docs"),
