@@ -19,6 +19,10 @@ object GraftFunctions {
   def minhash_sig(c: Column): Column =
     GraftBridge.column(MinHashSig(GraftBridge.expression(c)))
 
+  /** Native 64-bit SimHash over an array<string> of words (16-hex). */
+  def simhash64(c: Column): Column =
+    GraftBridge.column(SimHash64(GraftBridge.expression(c)))
+
   /** Bounded-buffer histogram aggregate over [lo, hi) with n buckets. */
   def histogram(c: Column, lo: Double, hi: Double, n: Int): Column =
     GraftBridge.column(

@@ -322,13 +322,7 @@ object DedupOps extends QueryModule {
     s"SUM(CASE WHEN ((strpos('0123456789abcdef', substr(h, $j, 1)) - 1) // $p) % 2 = 1 THEN 1 ELSE -1 END) AS s$k"
   }
 
-  private def sparkBitSum(k: Int): String = {
-    val j = k / 4 + 1
-    val p = 1 << (3 - k % 4)
-    s"SUM(CASE WHEN ((instr('0123456789abcdef', substring(h, $j, 1)) - 1) DIV $p) % 2 = 1 THEN 1 ELSE -1 END) AS s$k"
-  }
-
-  /** simhash hex reassembly from bit sums s0..s63 (same text both sides). */
+  /** simhash hex reassembly from bit sums s0..s63 (oracle side). */
   private def hexExpr: String = {
     val nibbles = (0 until 16).map { j =>
       val v = (0 until 4).map { b =>
@@ -352,16 +346,19 @@ object DedupOps extends QueryModule {
        |SELECT doc_id, $hexExpr AS simhash FROM sums ORDER BY doc_id""".stripMargin
   }
 
+  /** Native single-pass SimHash64 — a NARROW map per document (the
+    * explode + 64-SUM-buffer aggregation the oracle still spells out
+    * needed a full shuffle on doc_id; this needs none). The empty-words
+    * filter matches the explode form, which emits no row for a wordless
+    * document.
+    */
   private def simhashSpark(
-      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
-    val ex = Tables.documents(s, d)
-      .select(col("doc_id"), explode(words(col("text"))).as("w"))
-      .select(col("doc_id"), substring(md5(col("w")), 1, 16).as("h"))
-    val sums = (0 until 64).map(k => expr(sparkBitSum(k)))
-    // substr in hexExpr is DuckDB spelling; Spark SQL accepts substr too.
-    ex.groupBy("doc_id")
-      .agg(sums.head, sums.tail: _*)
-      .selectExpr("doc_id", s"$hexExpr AS simhash")
+      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .filter(size(col("ws")) > 0)
+      .select(
+        col("doc_id"),
+        graft.functions.GraftFunctions.simhash64(col("ws")).as("simhash"))
       .orderBy("doc_id")
-  }
 }
