@@ -52,4 +52,18 @@ class WordCountExprSpec extends SparkSpec {
       .collect().head.getLong(0)
     assert(n > 0)
   }
+
+  test("SQL registration: all four native expressions resolve from spark.sql") {
+    GraftFunctions.registerAll(spark)
+    graft.Tables.documents(spark, sfDir).createOrReplaceTempView("graft_docs_fn")
+    val row = spark.sql(
+      """SELECT graft_simhash64(split(text, ' ')) AS sh,
+        |       graft_minhash_sig(split(text, ' ')) AS mh,
+        |       graft_cosine_sim(array(1.0F, 0.0F), array(1.0F, 0.0F)) AS cs
+        |FROM graft_docs_fn WHERE doc_id = 0""".stripMargin)
+      .collect().head
+    assert(row.getString(0).length == 16)
+    assert(row.getSeq[String](1).size == 8)
+    assert(row.getDouble(2) == 1.0)
+  }
 }
