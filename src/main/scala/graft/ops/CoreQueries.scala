@@ -18,5 +18,6 @@ object CoreQueries extends QueryModule {
       AdvancedOps.queries ++
       ScaleOps.queries ++
       ExtraOps.queries ++
-      SecondPassOps.queries
+      SecondPassOps.queries ++
+      PipelineOps.queries
 }
