@@ -74,6 +74,74 @@ object GraftOps {
   /** Unicode word count (Go strings.Fields parity), native codegen. */
   def wordCount(text: Column): Column = ops.TextOps.wordCount(text)
 
+  /** Gopher-style repetition/quality signals for (doc_id, text) rows:
+    * `n_tokens`, `top_unigram_frac`, `dup_bigram_frac`, `mean_word_len`.
+    * Entirely narrow (per-row higher-order array functions, no shuffle);
+    * docs with fewer than 2 words are dropped (no bigram signal).
+    * Verified by `q_repetition_signals`.
+    */
+  def repetitionSignals(docs: DataFrame): DataFrame =
+    ops.PipelineOps.repetitionSignals(docs)
+
+  /** GPT-style sequence packing: concatenate each shard's documents in
+    * `idCol` order and chunk into `budget`-token training sequences
+    * (documents may span boundaries). One shuffle keyed by `shardCol`.
+    * Adds `n_tokens`, `start_seq`, `end_seq`, `n_seqs`. Verified by
+    * `q_seq_pack`.
+    */
+  def packSequences(
+      docs: DataFrame, shardCol: String = "source", idCol: String = "doc_id",
+      budget: Int = ops.PipelineOps.SeqTokenBudget): DataFrame =
+    ops.PipelineOps.packSequences(docs, shardCol, idCol, budget)
+
+  /** Inverted index over (doc_id, text) rows: term → document frequency,
+    * total term frequency, and the first `cap` doc_ids as a posting
+    * string. Map-side combine on (term, doc); the posting cap is applied
+    * BEFORE any collect, so hot terms stay bounded. Verified by
+    * `q_inverted_index`.
+    */
+  def invertedIndex(
+      docs: DataFrame, cap: Int = ops.PipelineOps.PostingCap): DataFrame =
+    ops.PipelineOps.invertedIndex(docs, cap)
+
+  /** 8-hex-char sampling threshold for a rate in [0, 1] — `hashSample`
+    * keeps a row when the md5-hex prefix of its id is below this.
+    */
+  def sampleThreshold(rate: Double): String =
+    f"${math.round(rate.max(0).min(1) * 4294967296.0).min(4294967295L)}%08x"
+
+  /** Deterministic stratified sampling: keep a row when the md5-hex
+    * prefix of `idCol` is lexicographically below its stratum's
+    * threshold (see [[sampleThreshold]]; fixed-width lowercase hex
+    * compares like the number it encodes). Reproducible across runs,
+    * engines, and cluster layouts; narrow and pushdown-friendly.
+    * Verified by `q_stratified_sample`.
+    */
+  def hashSample(
+      df: DataFrame, idCol: String, strataCol: String,
+      thresholds: Map[String, String], defaultThreshold: String): DataFrame =
+    ops.PipelineOps.hashSample(df, idCol, strataCol, thresholds, defaultThreshold)
+
+  /** Semi join `fact` to `dim`'s keys with a Bloom-sketch prefilter: the
+    * sketch is built over the dim keys distributedly (only ~KB reach the
+    * driver), broadcast into a fact-side filter, and the exact join runs
+    * after it. No false negatives, so results are exactly the semi join —
+    * the sketch only cuts fact rows before the join exchange. Verified by
+    * `q_bloom_prefilter_join`.
+    */
+  def bloomSemiJoin(
+      fact: DataFrame, factKey: String, dim: DataFrame, dimKey: String,
+      fpp: Double = 0.01): DataFrame =
+    ops.PipelineOps.bloomSemiJoin(fact, factKey, dim, dimKey, fpp)
+
+  /** Per-document average bigram log-probability under the corpus's own
+    * MLE bigram model (perplexity-style quality score). Two corpus
+    * passes; the probability table is vocabulary-bounded and broadcast.
+    * Verified by `q_bigram_lm`.
+    */
+  def bigramLogProb(docs: DataFrame): DataFrame =
+    ops.PipelineOps.bigramLogProb(docs)
+
   /** Corpus curation — the verified recipe of `q_corpus_curation`:
     * quality-gate (≥ `minTokens` words AND, when `requireStopwordSignal`,
     * ≥ 1 English stopword — the cheap fluency signal), then fingerprint

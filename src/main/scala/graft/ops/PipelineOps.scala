@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -7,21 +8,29 @@ import graft.{Q, QueryModule, Tables}
 
 /** Training-data pipeline operators beyond the dedup/similarity suite
   * (SURVEY.md §2C): repetition-based quality signals, sequence packing,
-  * inverted-index construction, and deterministic stratified sampling.
+  * inverted-index construction, deterministic stratified sampling, a
+  * Bloom runtime-filter join, and bigram language-model scoring. The
+  * registered queries route through the public functions here (exposed on
+  * [[graft.GraftOps]]), so the DuckDB gate verifies the library surface.
   *
   * Scale posture (100 TB):
   *  - repetition signals and stratified sampling are NARROW per-row
   *    computations (higher-order array functions / a hash compare) — zero
   *    shuffle, fully codegen-friendly, and the sampling predicate is a
   *    plain filter the optimizer can push around freely;
-  *  - sequence packing shuffles once, keyed by the shard column
-  *    (`source`) — exactly the per-shard parallel packing a real corpus
-  *    run uses (shards at 100 TB number in the thousands, so the window
+  *  - sequence packing shuffles once, keyed by the shard column —
+  *    exactly the per-shard parallel packing a real corpus run uses
+  *    (shards at 100 TB number in the thousands, so the window
   *    partitions are balanced and plentiful);
   *  - the inverted index aggregates (term, doc) with map-side combine and
   *    caps posting lists BEFORE collecting (row_number pre-filter rides
   *    the same exchange), so a stop-word term can never build an
-  *    O(corpus) array in one row.
+  *    O(corpus) array in one row;
+  *  - the Bloom join moves only a ~KB sketch through the driver and cuts
+  *    fact rows before the join exchange (the manual form of Spark's
+  *    runtime bloom-filter rewrite);
+  *  - bigram LM scoring is two corpus passes with a vocabulary-bounded
+  *    broadcast probability table.
   */
 object PipelineOps extends QueryModule {
 
@@ -33,15 +42,123 @@ object PipelineOps extends QueryModule {
   /** Posting-list cap: keep the first K doc_ids per term. */
   val PostingCap = 20
 
+  /** Adjacent-word bigrams of a token array. */
+  private def bigramsOf(ws: Column): Column =
+    transform(sequence(lit(1), size(ws) - 1), i =>
+      concat(element_at(ws, i), lit(" "), element_at(ws, i + 1)))
+
+  // --------------------------------------------------------------------
+  // Public operator functions (surfaced on GraftOps; see Scaladoc there)
+  // --------------------------------------------------------------------
+
+  def repetitionSignals(docs: DataFrame): DataFrame = {
+    val ws = col("ws")
+    val bg = col("bg")
+    docs
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .filter(size(ws) >= 2)
+      .withColumn("bg", bigramsOf(ws))
+      .select(
+        col("doc_id"),
+        size(ws).cast("long").as("n_tokens"),
+        (array_max(transform(array_distinct(ws),
+          w => size(filter(ws, x => x === w)))).cast("double")
+          / size(ws).cast("long")).as("top_unigram_frac"),
+        (lit(1.0) - size(array_distinct(bg)).cast("double") / size(bg))
+          .as("dup_bigram_frac"),
+        (aggregate(transform(ws, x => length(x).cast("long")), lit(0L),
+          (acc, x) => acc + x).cast("double")
+          / size(ws).cast("long")).as("mean_word_len"))
+  }
+
+  def packSequences(
+      docs: DataFrame, shardCol: String, idCol: String, budget: Int): DataFrame = {
+    val w = Window.partitionBy(shardCol).orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .withColumn("n_tokens", TextOps.wordCount(col("text")))
+      .filter(col("n_tokens") > 0)
+      .withColumn("__graft_cum", sum(col("n_tokens")).over(w))
+      .withColumn("start_seq",
+        ((col("__graft_cum") - col("n_tokens")) / budget).cast("long"))
+      .withColumn("end_seq", ((col("__graft_cum") - 1) / budget).cast("long"))
+      .withColumn("n_seqs", col("end_seq") - col("start_seq") + 1)
+      .drop("__graft_cum")
+  }
+
+  def invertedIndex(docs: DataFrame, cap: Int): DataFrame = {
+    val w = Window.partitionBy("term").orderBy("doc_id")
+    docs
+      .select(col("doc_id"), explode(words(col("text"))).as("term"))
+      .groupBy("term", "doc_id")
+      .agg(count(lit(1)).as("c"))
+      .withColumn("rn", row_number().over(w))
+      .groupBy("term")
+      .agg(
+        count(lit(1)).as("df"),
+        sum(col("c")).as("tf"),
+        array_join(
+          transform(
+            sort_array(collect_list(when(col("rn") <= cap, col("doc_id")))),
+            x => x.cast("string")),
+          ",").as("posting"))
+  }
+
+  def hashSample(
+      df: DataFrame, idCol: String, strataCol: String,
+      thresholds: Map[String, String], defaultThreshold: String): DataFrame = {
+    val h = substring(md5(col(idCol).cast("string").cast("binary")), 1, 8)
+    val thr = thresholds.foldLeft(when(lit(false), lit(""))) {
+      case (acc, (stratum, t)) => acc.when(col(strataCol) === stratum, t)
+    }.otherwise(defaultThreshold)
+    df.withColumn("h", h).filter(col("h") < thr)
+  }
+
+  def bloomSemiJoin(
+      fact: DataFrame, factKey: String, dim: DataFrame, dimKey: String,
+      fpp: Double): DataFrame = {
+    val keys = dim.select(col(dimKey))
+    // dim-sized scalar job to size the sketch (not a data collect)
+    val nKeys = math.max(keys.count(), 1000L)
+    val bf = keys.stat.bloomFilter(dimKey, nKeys, fpp)
+    val mightContain =
+      udf((k: java.lang.Long) => k != null && bf.mightContain(k.longValue()))
+    fact
+      .filter(mightContain(col(factKey)))
+      .join(broadcast(keys), col(factKey) === col(dimKey), "left_semi")
+  }
+
+  def bigramLogProb(docs: DataFrame): DataFrame = {
+    val docBg = docs
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("ws")) - 1), i =>
+          struct(element_at(col("ws"), i).as("w1"),
+            element_at(col("ws"), i + 1).as("w2")))).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val cbg = docBg.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+    val cuni = cbg.groupBy("w1").agg(sum(col("c")).as("cu"))
+    // each ln term is rounded to 6 decimals (absorbs per-ulp libm
+    // differences vs the oracle), then summed exactly in decimal
+    val probs = cbg.join(cuni, "w1")
+      .select(col("w1"), col("w2"),
+        round(log(col("c").cast("double") / col("cu")), 6).as("lp"))
+    docBg.join(broadcast(probs), Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(Exact.dsum(col("lp")) / count(lit(1)), 6).as("avg_logprob"))
+  }
+
+  // --------------------------------------------------------------------
+  // Registered oracle queries (each calls the facade path above)
+  // --------------------------------------------------------------------
+
   def queries: Seq[Q] = Seq(
-    // ------------------------------------------------------------------
-    // Gopher-style repetition/quality signals. All three signals are
-    // per-row list computations (no explode, no shuffle): the fraction of
-    // the document taken by its most frequent word, the fraction of
-    // duplicate bigrams, and the mean word length. The distinct-word scan
-    // is O(n · distinct) per row — bounded by vocabulary, and entirely
-    // inside one codegen stage.
-    // ------------------------------------------------------------------
+    // Gopher-style repetition/quality signals: the fraction of the
+    // document taken by its most frequent word, the fraction of duplicate
+    // bigrams, and the mean word length. The distinct-word scan is
+    // O(n · distinct) per row — bounded by vocabulary, one codegen stage.
     Q(
       "q_repetition_signals",
       s"""WITH w AS (SELECT doc_id, $WordsSql AS ws FROM documents),
@@ -59,32 +176,13 @@ object PipelineOps extends QueryModule {
          |         / CAST(len(ws) AS BIGINT) AS mean_word_len
          |FROM b ORDER BY doc_id"""
     ) { (s, d) =>
-      val ws = col("ws")
-      val bg = col("bg")
-      Tables.documents(s, d)
-        .select(col("doc_id"), words(col("text")).as("ws"))
-        .filter(size(ws) >= 2)
-        .withColumn("bg", bigrams(ws))
-        .select(
-          col("doc_id"),
-          size(ws).cast("long").as("n_tokens"),
-          (array_max(transform(array_distinct(ws),
-            w => size(filter(ws, x => x === w)))).cast("double")
-            / size(ws).cast("long")).as("top_unigram_frac"),
-          (lit(1.0) - size(array_distinct(bg)).cast("double") / size(bg))
-            .as("dup_bigram_frac"),
-          (aggregate(transform(ws, x => length(x).cast("long")), lit(0L),
-            (acc, x) => acc + x).cast("double")
-            / size(ws).cast("long")).as("mean_word_len"))
-        .orderBy("doc_id")
+      graft.GraftOps.repetitionSignals(Tables.documents(s, d)).orderBy("doc_id")
     },
 
-    // ------------------------------------------------------------------
     // Sequence packing: concatenate each shard's documents in doc_id
     // order and chunk the token stream into fixed 512-token training
     // sequences (the GPT-style pack-then-split discipline; documents may
     // span a sequence boundary). One shuffle, keyed by shard.
-    // ------------------------------------------------------------------
     Q(
       "q_seq_pack",
       s"""WITH w AS (
@@ -102,29 +200,13 @@ object PipelineOps extends QueryModule {
          |       (cum - 1) // $SeqTokenBudget - (cum - n_tokens) // $SeqTokenBudget + 1 AS n_seqs
          |FROM c ORDER BY source, doc_id"""
     ) { (s, d) =>
-      val w = Window.partitionBy("source").orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      Tables.documents(s, d)
-        .select(col("source"), col("doc_id"),
-          TextOps.wordCount(col("text")).as("n_tokens"))
-        .filter(col("n_tokens") > 0)
-        .withColumn("cum", sum(col("n_tokens")).over(w))
-        .select(
-          col("source"), col("doc_id"), col("n_tokens"),
-          ((col("cum") - col("n_tokens")) / SeqTokenBudget).cast("long").as("start_seq"),
-          ((col("cum") - 1) / SeqTokenBudget).cast("long").as("end_seq"),
-          (((col("cum") - 1) / SeqTokenBudget).cast("long")
-            - ((col("cum") - col("n_tokens")) / SeqTokenBudget).cast("long") + 1).as("n_seqs"))
+      graft.GraftOps.packSequences(Tables.documents(s, d))
+        .select("source", "doc_id", "n_tokens", "start_seq", "end_seq", "n_seqs")
         .orderBy("source", "doc_id")
     },
 
-    // ------------------------------------------------------------------
     // Inverted index: term -> document frequency, total term frequency,
-    // and a capped posting list (first 20 doc_ids). The (term, doc)
-    // aggregation gets map-side combine for free; the posting cap is a
-    // row_number pre-filter that rides the same exchange as the final
-    // group-by, so hot terms stay bounded.
-    // ------------------------------------------------------------------
+    // and a capped posting list (first 20 doc_ids).
     Q(
       "q_inverted_index",
       s"""WITH td AS (
@@ -142,32 +224,14 @@ object PipelineOps extends QueryModule {
          |                  ORDER BY doc_id) AS posting
          |FROM r GROUP BY term ORDER BY term"""
     ) { (s, d) =>
-      val w = Window.partitionBy("term").orderBy("doc_id")
-      Tables.documents(s, d)
-        .select(col("doc_id"), explode(words(col("text"))).as("term"))
-        .groupBy("term", "doc_id")
-        .agg(count(lit(1)).as("c"))
-        .withColumn("rn", row_number().over(w))
-        .groupBy("term")
-        .agg(
-          count(lit(1)).as("df"),
-          sum(col("c")).as("tf"),
-          array_join(
-            transform(
-              sort_array(collect_list(when(col("rn") <= PostingCap, col("doc_id")))),
-              x => x.cast("string")),
-            ",").as("posting"))
-        .orderBy("term")
+      graft.GraftOps.invertedIndex(Tables.documents(s, d)).orderBy("term")
     },
 
-    // ------------------------------------------------------------------
     // Deterministic stratified sampling: per-language rates via a
     // lexicographic compare of an md5-hex prefix against a rate
     // threshold (for fixed-width lowercase hex, string order == numeric
     // order — the same trick the MinHash suite uses). Reproducible
-    // across runs and engines, narrow, and trivially pushdown-friendly.
-    // Rates: en 1/8, zh 1/2, everything else 1/4.
-    // ------------------------------------------------------------------
+    // across runs and engines. Rates: en 1/8, zh 1/2, everything else 1/4.
     Q(
       "q_stratified_sample",
       """SELECT doc_id, lang, h FROM (
@@ -178,18 +242,69 @@ object PipelineOps extends QueryModule {
         |                    ELSE '40000000' END
         |ORDER BY doc_id"""
     ) { (s, d) =>
-      Tables.documents(s, d)
-        .select(col("doc_id"), col("lang"),
-          substring(md5(col("doc_id").cast("string").cast("binary")), 1, 8).as("h"))
-        .filter(col("h") < when(col("lang") === "en", "20000000")
-          .when(col("lang") === "zh", "80000000")
-          .otherwise("40000000"))
+      graft.GraftOps.hashSample(
+        Tables.documents(s, d).select("doc_id", "lang"), "doc_id", "lang",
+        Map("en" -> graft.GraftOps.sampleThreshold(0.125),
+          "zh" -> graft.GraftOps.sampleThreshold(0.5)),
+        graft.GraftOps.sampleThreshold(0.25))
         .orderBy("doc_id")
+    },
+
+    // Runtime-filter join: Bloom sketch over the filtered dimension's
+    // keys, broadcast into a fact-side prefilter, then the exact semi
+    // join. Bloom filters have no false negatives, so the prefilter
+    // cannot change the result — it only cuts the fact rows entering the
+    // join exchange (the point at 100 TB; Spark's
+    // spark.sql.optimizer.runtime.bloomFilter.* does this rewrite
+    // automatically past its size thresholds — this is the explicit,
+    // library-callable form). The mightContain UDF is a pre-filter only —
+    // every surviving row still goes through the codegen'd join, so
+    // correctness never depends on the UDF.
+    Q(
+      "q_bloom_prefilter_join",
+      """SELECT l_suppkey, COUNT(*) AS n_items,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(38,10))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |WHERE l_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_nationkey < 5)
+        |GROUP BY l_suppkey ORDER BY l_suppkey"""
+    ) { (s, d) =>
+      graft.GraftOps.bloomSemiJoin(
+        Tables.lineitem(s, d).select(col("l_suppkey"), col("l_quantity")),
+        "l_suppkey",
+        Tables.supplier(s, d).filter(col("s_nationkey") < 5),
+        "s_suppkey")
+        .groupBy("l_suppkey")
+        .agg(count(lit(1)).as("n_items"), Exact.dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy("l_suppkey")
+    },
+
+    // Corpus bigram language model: MLE conditional probabilities from
+    // the corpus itself, then an average log-probability score per
+    // document (the perplexity-style quality filter a pretraining
+    // pipeline runs).
+    Q(
+      "q_bigram_lm",
+      s"""WITH w AS (SELECT doc_id, $WordsSql AS ws FROM documents),
+         |b AS (SELECT doc_id,
+         |             list_transform(generate_series(1, len(ws) - 1),
+         |                            i -> [ws[i], ws[i+1]]) AS bgs
+         |      FROM w WHERE len(ws) >= 2),
+         |pairs AS (SELECT doc_id, bg[1] AS w1, bg[2] AS w2
+         |          FROM (SELECT doc_id, unnest(bgs) AS bg FROM b)),
+         |cbg AS (SELECT w1, w2, COUNT(*) AS c FROM pairs GROUP BY w1, w2),
+         |cuni AS (SELECT w1, CAST(SUM(c) AS BIGINT) AS cu FROM cbg GROUP BY w1),
+         |scored AS (
+         |  SELECT p.doc_id,
+         |         round(ln(CAST(cb.c AS DOUBLE) / cu.cu), 6) AS lp
+         |  FROM pairs p
+         |  JOIN cbg cb ON p.w1 = cb.w1 AND p.w2 = cb.w2
+         |  JOIN cuni cu ON p.w1 = cu.w1)
+         |SELECT doc_id, COUNT(*) AS n_bigrams,
+         |       round(CAST(SUM(CAST(lp AS DECIMAL(38,10))) AS DOUBLE) / COUNT(*), 6)
+         |         AS avg_logprob
+         |FROM scored GROUP BY doc_id ORDER BY doc_id"""
+    ) { (s, d) =>
+      graft.GraftOps.bigramLogProb(Tables.documents(s, d)).orderBy("doc_id")
     }
   )
-
-  /** Adjacent-word bigrams of a token array (shared helper). */
-  private def bigrams(ws: org.apache.spark.sql.Column) =
-    transform(sequence(lit(1), size(ws) - 1), i =>
-      concat(element_at(ws, i), lit(" "), element_at(ws, i + 1)))
 }

@@ -75,4 +75,93 @@ class GraftOpsSpec extends SparkSpec {
     assert(out.columns.toSet == Set("doc_id", "text", "rn", "n_tokens"))
     assert(out.collect().head.getAs[String]("rn") == "caller-data")
   }
+
+  test("repetitionSignals computes the three signals on a crafted doc") {
+    import spark.implicits._
+    // "a a b": n=3, top word "a" 2/3; bigrams ["a a","a b"] all distinct
+    // -> dup 0.0; mean word len 1.0. One-word docs are dropped.
+    val docs = Seq((1L, "a a b"), (2L, "solo")).toDF("doc_id", "text")
+    val rows = GraftOps.repetitionSignals(docs).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getAs[Long]("n_tokens") == 3L)
+    assert(math.abs(r.getAs[Double]("top_unigram_frac") - 2.0 / 3) < 1e-12)
+    assert(r.getAs[Double]("dup_bigram_frac") == 0.0)
+    assert(r.getAs[Double]("mean_word_len") == 1.0)
+    // fully repeated doc: "x x x" -> bigrams ["x x","x x"] -> dup 0.5
+    val rep = GraftOps.repetitionSignals(
+      Seq((3L, "x x x")).toDF("doc_id", "text")).collect().head
+    assert(rep.getAs[Double]("dup_bigram_frac") == 0.5)
+    assert(rep.getAs[Double]("top_unigram_frac") == 1.0)
+  }
+
+  test("packSequences spans sequence boundaries and isolates shards") {
+    import spark.implicits._
+    // shard A: 300 + 300 tokens under budget 512 -> doc 11 fits in seq 0,
+    // doc 12 spans seqs 0..1. Shard B restarts at seq 0.
+    val docs = Seq(
+      (11L, "A", ("w " * 300).trim),
+      (12L, "A", ("w " * 300).trim),
+      (21L, "B", ("w " * 10).trim))
+      .toDF("doc_id", "source", "text")
+    val out = GraftOps.packSequences(docs)
+      .select("doc_id", "start_seq", "end_seq", "n_seqs")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    assert(out == Seq((11L, 0L, 0L, 1L), (12L, 0L, 1L, 2L), (21L, 0L, 0L, 1L)))
+  }
+
+  test("invertedIndex caps posting lists but keeps full df/tf") {
+    import spark.implicits._
+    val docs = (1L to 30L).map(i => (i, "tok")).toDF("doc_id", "text")
+    val r = GraftOps.invertedIndex(docs, cap = 5).collect().head
+    assert(r.getAs[Long]("df") == 30L)
+    assert(r.getAs[Long]("tf") == 30L)
+    assert(r.getAs[String]("posting") == "1,2,3,4,5")
+  }
+
+  test("hashSample is deterministic and respects per-stratum thresholds") {
+    import spark.implicits._
+    val df = (0L until 2000L).map(i => (i, if (i % 2 == 0) "a" else "b"))
+      .toDF("id", "stratum")
+    val thr = Map("a" -> GraftOps.sampleThreshold(0.5))
+    val kept = GraftOps.hashSample(df, "id", "stratum", thr,
+      GraftOps.sampleThreshold(0.0))
+    val counts = kept.groupBy("stratum").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // rate-0 stratum keeps nothing; rate-0.5 stratum keeps about half
+    assert(!counts.contains("b"))
+    assert(counts("a") > 350 && counts("a") < 650)
+    // deterministic: the same call yields the same rows
+    val again = GraftOps.hashSample(df, "id", "stratum", thr,
+      GraftOps.sampleThreshold(0.0))
+    assert(kept.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      again.select("id").collect().map(_.getLong(0)).sorted.toSeq)
+    // threshold encoding: fixed-width hex of rate * 2^32
+    assert(GraftOps.sampleThreshold(0.125) == "20000000")
+    assert(GraftOps.sampleThreshold(0.5) == "80000000")
+    assert(GraftOps.sampleThreshold(0.0) == "00000000")
+    assert(GraftOps.sampleThreshold(1.0) == "ffffffff")
+  }
+
+  test("bloomSemiJoin equals the exact semi join") {
+    import spark.implicits._
+    val fact = (0L until 500L).map(k => (k % 50, k)).toDF("k", "payload")
+    val dim = Seq(3L, 7L, 11L).toDF("dk")
+    val viaBloom = GraftOps.bloomSemiJoin(fact, "k", dim, "dk")
+      .collect().map(_.getLong(1)).sorted.toSeq
+    val exact = fact.join(dim, col("k") === col("dk"), "left_semi")
+      .collect().map(_.getLong(1)).sorted.toSeq
+    assert(viaBloom == exact)
+  }
+
+  test("bigramLogProb scores a single-doc corpus at zero") {
+    import spark.implicits._
+    // corpus = one doc "a a a": the only bigram (a,a) has MLE prob 1 ->
+    // ln 1 = 0, so the average log-prob is exactly 0 over 2 bigrams
+    val docs = Seq((1L, "a a a")).toDF("doc_id", "text")
+    val r = GraftOps.bigramLogProb(docs).collect().head
+    assert(r.getAs[Long]("n_bigrams") == 2L)
+    assert(r.getAs[Double]("avg_logprob") == 0.0)
+  }
 }
