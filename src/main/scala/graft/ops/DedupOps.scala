@@ -114,18 +114,16 @@ object DedupOps extends QueryModule {
       .select(col("doc_id"), col("bd.band_idx"), col("bd.band_hash"))
     // One shuffle: group docs per bucket and expand pairs inside the
     // bucket (a self-join would recompute the whole signature stage for
-    // each side). The row_number pre-filter bounds the bucket BEFORE the
-    // collect — it rides the same (band_idx, band_hash) exchange (window
-    // sort is disk-spillable, so a degenerate bucket never builds an
-    // O(corpus) in-memory array), and the downstream groupBy reuses the
-    // window's partitioning, so this is still a single shuffle.
-    val wBucket = org.apache.spark.sql.expressions.Window
-      .partitionBy("band_idx", "band_hash").orderBy("doc_id")
+    // each side). The bounded MinKLongsAgg applies the bucket cap INSIDE
+    // the aggregation — partial buffers never exceed 2·cap values, so a
+    // degenerate bucket costs O(cap) memory on both the map and reduce
+    // side, and map-side partials shrink each partition's contribution
+    // to cap doc_ids before the exchange (a row_number window would add
+    // a full sort stage and ship every row).
+    val minK = udaf(new graft.functions.MinKLongsAgg(MaxBucketDocs))
     bands
-      .withColumn("rn", row_number().over(wBucket))
-      .filter(col("rn") <= MaxBucketDocs)
       .groupBy("band_idx", "band_hash")
-      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .agg(minK(col("doc_id")).as("ds"))
       .filter(size(col("ds")) > 1)
       .select(explode(flatten(transform(col("ds"), (x, i) =>
         transform(slice(col("ds"), i + 2, size(col("ds"))), y =>
