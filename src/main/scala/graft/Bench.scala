@@ -10,17 +10,21 @@ object Bench {
     *
     * Round-over-round comparability: round 3 ADDED four queries
     * (q_tpch_q13, q_tpch_q18, q_rank_global, q_corpus_curation) to the
-    * round-2 set of 28 — compare totals per-query, not headline-sum
-    * to headline-sum.
+    * round-2 set of 28, and round 4 ADDED four more
+    * (q_repetition_signals, q_seq_pack, q_bloom_prefilter_join,
+    * q_bigram_lm) — compare totals per-query, not headline-sum to
+    * headline-sum.
     */
   val Headline: Seq[String] = Seq(
     "q_scan_project", "q_filter_predicates",
     "q_join_inner", "q_join_broadcast", "q_join_left", "q_join_semi",
     "q_tpch_q3", "q_tpch_q6", "q_tpch_q13", "q_tpch_q18",
+    "q_bloom_prefilter_join",
     "q_agg_q1", "q_agg_countdistinct", "q_agg_rollup", "q_skew_salted",
     "q_window_topk", "q_window_moving", "q_rank_global",
     "q_sort_limit", "q_set_union_all",
     "word_count", "q_term_freq", "q_token_count", "q_corpus_curation",
+    "q_repetition_signals", "q_seq_pack", "q_bigram_lm",
     "q_dedup_exact", "q_dedup_minhash_pairs", "q_dedup_simhash",
     "q_similarity_topk", "q_ann_lsh",
     "q_events_tumbling", "q_events_session",

@@ -129,6 +129,11 @@ object PipelineOps extends QueryModule {
   }
 
   def bigramLogProb(docs: DataFrame): DataFrame = {
+    // Tokenize/explode once and cut lineage: both the count pass and the
+    // scoring pass read the materialized bigram rows instead of re-running
+    // the scan + explode (same executor-local materialization the
+    // clustering loop uses; at 100 TB this is the "tokenize once, reuse"
+    // discipline every multi-pass corpus job needs).
     val docBg = docs
       .select(col("doc_id"), words(col("text")).as("ws"))
       .filter(size(col("ws")) >= 2)
@@ -137,11 +142,16 @@ object PipelineOps extends QueryModule {
           struct(element_at(col("ws"), i).as("w1"),
             element_at(col("ws"), i + 1).as("w2")))).as("bg"))
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-    val cbg = docBg.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
-    val cuni = cbg.groupBy("w1").agg(sum(col("c")).as("cu"))
-    // each ln term is rounded to 6 decimals (absorbs per-ulp libm
-    // differences vs the oracle), then summed exactly in decimal
-    val probs = cbg.join(cuni, "w1")
+      .localCheckpoint()
+    // conditioning totals via a window over the vocabulary-bounded count
+    // table (saves a second aggregation + join; the table is tiny by
+    // construction — |vocab|² at most — so the window is cheap and its
+    // per-w1 partitions are as balanced as the corpus's word mix).
+    // Each ln term is rounded to 6 decimals (absorbs per-ulp libm
+    // differences vs the oracle), then summed exactly in decimal.
+    val probs = docBg.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+      .withColumn("cu",
+        sum(col("c")).over(Window.partitionBy("w1")))
       .select(col("w1"), col("w2"),
         round(log(col("c").cast("double") / col("cu")), 6).as("lp"))
     docBg.join(broadcast(probs), Seq("w1", "w2"))
