@@ -80,7 +80,15 @@ class PlanHygieneSpec extends SparkSpec {
       // non-equi (vec_id <> qid) against an explicitly broadcast 10-row
       // query set: nested-loop is fine ONLY because it's broadcast; and
       // the two-phase top-k must partial-aggregate before its shuffle
-      "q_similarity_topk" -> Seq("BroadcastNestedLoopJoin", "ObjectHashAggregate"))
+      "q_similarity_topk" -> Seq("BroadcastNestedLoopJoin", "ObjectHashAggregate"),
+      // the bloom prefilter feeds an exact SEMI join with the dim filter
+      // pushed into its scan — the sketch is an optimization, never the
+      // correctness path
+      "q_bloom_prefilter_join" -> Seq(
+        "BroadcastHashJoin", "LeftSemi", "LessThan(s_nationkey,5)"),
+      // bigram scoring must join the vocabulary-bounded probability
+      // table by broadcast (a shuffle join would re-key the whole corpus)
+      "q_bigram_lm" -> Seq("BroadcastHashJoin"))
     val failures = mustContain.toSeq.sortBy(_._1).flatMap { case (name, frags) =>
       val plan = SparkEntry.queries(name)(spark, sfDir)
         .queryExecution.executedPlan.toString
@@ -89,6 +97,20 @@ class PlanHygieneSpec extends SparkSpec {
       }
     }
     assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
+  // The narrow pipeline operators must STAY narrow: per-row quality
+  // signals and hash sampling may not introduce a hash shuffle (their
+  // only exchange is the final presentation sort's range partitioning).
+  // A regression here — say a rewrite that sneaks in an explode+groupBy —
+  // would turn a free-scaling map into a corpus-wide shuffle.
+  test("repetition signals and hash sampling plan no hash shuffle") {
+    Seq("q_repetition_signals", "q_stratified_sample").foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("hashpartitioning"),
+        s"$name: unexpected hash exchange in\n$plan")
+    }
   }
 
   // Column pruning must reach the scan: Q6 projects 4 lineitem columns,
