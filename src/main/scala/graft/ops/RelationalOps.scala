@@ -401,6 +401,67 @@ object RelationalOps extends QueryModule {
         .orderBy(col("custdist").desc, col("c_count").desc)
     },
 
+    // TPC-H Q12 shape (shipping-priority classes): fact⋈orders with a
+    // date-windowed fact slice, CASE-bucketed counts per group (the
+    // synthetic schema has no l_shipmode, so the group key is
+    // l_returnflag and the classes split on o_orderpriority — same
+    // join + conditional-aggregation plan shape). Counts are exact
+    // BIGINTs; one shuffle join on the order key plus the final 3-group
+    // aggregate with map-side partials.
+    Q(
+      "q_tpch_q12",
+      """SELECT l_returnflag,
+        |       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY l_returnflag ORDER BY l_returnflag"""
+    ) { (s, d) =>
+      val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      Tables.lineitem(s, d)
+        .filter(
+          col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+          sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(high, 0L).otherwise(1L)).as("low_line_count"))
+        .orderBy("l_returnflag")
+    },
+
+    // TPC-H Q14 shape (promotion effect): month-windowed fact joined to
+    // the part dimension, ratio of CASE-gated revenue to total revenue.
+    // Both sums ride ONE aggregation pass (conditional aggregation, not
+    // two scans); division order and rounding are spelled identically on
+    // both sides so the doubles match bit-for-bit.
+    Q(
+      "q_tpch_q14",
+      """SELECT round(100.0 * CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+        |                 THEN l_extendedprice * (1 - l_discount)
+        |                 ELSE 0 END AS DECIMAL(38,10))) AS DOUBLE)
+        |             / CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |                 AS DECIMAL(38,10))) AS DOUBLE), 6) AS promo_revenue,
+        |       COUNT(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+        |  AND l_shipdate < TIMESTAMP '1997-10-01'"""
+    ) { (s, d) =>
+      val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      Tables.lineitem(s, d)
+        .filter(
+          col("l_shipdate") >= lit("1997-09-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1997-10-01").cast("timestamp"))
+        .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+        .agg(
+          round(lit(100.0) * Exact.dsum(when(col("p_type") === "PROMO", rev)
+            .otherwise(lit(0))) / Exact.dsum(rev), 6).as("promo_revenue"),
+          count(lit(1)).as("n_items"))
+    },
+
     // TPC-H Q6 shape (forecast revenue): pure scan-filter-aggregate, the
     // pushdown/codegen benchmark classic. One-row result.
     Q(

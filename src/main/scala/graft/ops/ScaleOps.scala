@@ -97,6 +97,47 @@ object ScaleOps extends QueryModule {
         .orderBy("n_regionkey")
     },
 
+    // Plain-text sink + source: one line per record (the raw-corpus
+    // interchange format every crawl pipeline starts from). The write
+    // emits the text column alone; the read recovers it as `value` and
+    // re-derives the analysis columns — proving text-file round-tripping
+    // loses nothing the pipeline needs. Aggregated output keeps the
+    // oracle row-count stable across SFs.
+    Q(
+      "q_text_roundtrip",
+      s"""SELECT COUNT(*) AS n_docs,
+         |       CAST(SUM(len(text)) AS BIGINT) AS total_chars,
+         |       COUNT(DISTINCT md5(text)) AS n_distinct,
+         |       MIN(md5(text)) AS min_hash
+         |FROM documents"""
+    ) { (s, d) =>
+      val dir = Files.createTempDirectory("graft_text").toFile.getAbsolutePath
+      Tables.documents(s, d).select("text").write.mode("overwrite").text(dir)
+      s.read.text(dir)
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(length(col("value"))).cast("long").as("total_chars"),
+          countDistinct(md5(col("value").cast("binary"))).as("n_distinct"),
+          min(md5(col("value").cast("binary"))).as("min_hash"))
+    },
+
+    // XML sink + source (built into Spark 4): nested rowTag documents,
+    // explicit schema on read — the "ingest partner feeds" path of a
+    // production lake.
+    Q(
+      "q_xml_roundtrip",
+      """SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey"""
+    ) { (s, d) =>
+      val dir = Files.createTempDirectory("graft_xml").toFile.getAbsolutePath
+      Tables.region(s, d).write.mode("overwrite")
+        .option("rowTag", "region").format("xml").save(dir)
+      val schema = StructType(Seq(
+        StructField("r_regionkey", IntegerType),
+        StructField("r_name", StringType)))
+      s.read.schema(schema).option("rowTag", "region").format("xml").load(dir)
+        .orderBy("r_regionkey")
+    },
+
     // JSON-lines sink + source, explicit schema.
     Q(
       "q_json_roundtrip",

@@ -204,6 +204,61 @@ object SimilarityOps extends QueryModule {
         .orderBy("label", "pos")
     },
 
+    // 8-bit scalar quantization — the embedding-compression step an ANN
+    // deployment runs before indexing (4x smaller vectors at 100 TB).
+    // Per-dimension min/max codebook (comparison-only, exact), codes by
+    // identical IEEE arithmetic on both sides, then per-dimension
+    // reconstruction-error stats. The codebook is dimension-sized and
+    // broadcast; the corpus passes are explode → partial-agg shuffles
+    // (64 groups, but map-side partials shrink each task to 64 rows
+    // before the exchange — the standard low-cardinality-groupBy shape,
+    // NOT a window funnel).
+    Q(
+      "q_embedding_quantize",
+      """WITH e AS (
+        |  SELECT vec_id, i AS pos, CAST(embedding[i] AS DOUBLE) AS x
+        |  FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)),
+        |cb AS (SELECT pos, MIN(x) AS mn, MAX(x) AS mx FROM e GROUP BY pos),
+        |q AS (
+        |  SELECT e.pos, cb.mn, cb.mx,
+        |         CASE WHEN cb.mx = cb.mn THEN 0
+        |              ELSE LEAST(CAST(floor((e.x - cb.mn) * 255 / (cb.mx - cb.mn)) AS INT), 255)
+        |         END AS code,
+        |         e.x
+        |  FROM e JOIN cb ON e.pos = cb.pos),
+        |r AS (
+        |  SELECT pos, mn, mx, code,
+        |         abs(x - (mn + (CAST(code AS DOUBLE) + 0.5) * (mx - mn) / 255)) AS err
+        |  FROM q)
+        |SELECT CAST(pos AS INT) AS pos, MIN(mn) AS mn, MAX(mx) AS mx,
+        |       COUNT(DISTINCT code) AS n_codes,
+        |       round(CAST(SUM(CAST(err AS DECIMAL(38,10))) AS DOUBLE) / COUNT(*), 6)
+        |         AS avg_abs_err
+        |FROM r GROUP BY pos ORDER BY pos"""
+    ) { (s, d) =>
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos0", "x0")))
+        .select(
+          (col("pos0") + 1).cast("int").as("pos"),
+          col("x0").cast("double").as("x"))
+      val cb = e.groupBy("pos").agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      e.join(broadcast(cb), "pos")
+        .withColumn("code",
+          when(col("mx") === col("mn"), lit(0))
+            .otherwise(least(
+              floor((col("x") - col("mn")) * 255 / (col("mx") - col("mn"))).cast("int"),
+              lit(255))))
+        .withColumn("err",
+          abs(col("x") - (col("mn")
+            + (col("code").cast("double") + 0.5) * (col("mx") - col("mn")) / 255)))
+        .groupBy("pos")
+        .agg(
+          min(col("mn")).as("mn"), max(col("mx")).as("mx"),
+          countDistinct(col("code")).as("n_codes"),
+          round(Exact.dsum(col("err")) / count(lit(1)), 6).as("avg_abs_err"))
+        .orderBy("pos")
+    },
+
     // ANN quality measurement: recall@3 of the sign-LSH index against the
     // exact brute-force top-3, per query, at TWO hyperplane counts —
     // "measure, don't guess" applied to the index itself. The synthetic
