@@ -134,6 +134,27 @@ object GraftOps {
       fpp: Double = 0.01): DataFrame =
     ops.PipelineOps.bloomSemiJoin(fact, factKey, dim, dimKey, fpp)
 
+  /** Benchmark decontamination check: for each (doc_id, text) corpus
+    * row, the count and fraction of its distinct 3-gram shingles that
+    * appear anywhere in `benchmark` (also (doc_id, text) rows). The
+    * benchmark shingle set is broadcast; the corpus is exploded once —
+    * one broadcast join + one aggregation keyed by doc_id. Output:
+    * (doc_id, n_shingles, n_hit, frac). Verified by `q_contamination`.
+    */
+  def contamination(corpus: DataFrame, benchmark: DataFrame): DataFrame =
+    ops.PipelineOps.contaminationCheck(corpus, benchmark)
+
+  /** Latest-wins incremental merge (lakehouse upsert): union `base` and
+    * `delta`, keep per `keyCol` the row greatest by `orderCols`
+    * (compared in order, descending). One shuffle on the merge key;
+    * WindowGroupLimit prunes losers pre-exchange. Verified by
+    * `q_upsert_latest`.
+    */
+  def mergeLatest(
+      base: DataFrame, delta: DataFrame, keyCol: String,
+      orderCols: Seq[String]): DataFrame =
+    ops.PipelineOps.mergeLatest(base, delta, keyCol, orderCols)
+
   /** Per-document average bigram log-probability under the corpus's own
     * MLE bigram model (perplexity-style quality score). Two corpus
     * passes; the probability table is vocabulary-bounded and broadcast.

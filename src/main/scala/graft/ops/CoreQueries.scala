@@ -19,5 +19,6 @@ object CoreQueries extends QueryModule {
       ScaleOps.queries ++
       ExtraOps.queries ++
       SecondPassOps.queries ++
-      PipelineOps.queries
+      PipelineOps.queries ++
+      GraphOps.queries
 }

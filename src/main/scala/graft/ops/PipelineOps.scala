@@ -160,6 +160,41 @@ object PipelineOps extends QueryModule {
         round(Exact.dsum(col("lp")) / count(lit(1)), 6).as("avg_logprob"))
   }
 
+  def contaminationCheck(corpus: DataFrame, benchmark: DataFrame): DataFrame = {
+    def shingled(df: DataFrame) = df
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .select(col("doc_id"),
+        array_distinct(transform(sequence(lit(1), size(col("ws")) - 2), i =>
+          concat_ws(" ",
+            element_at(col("ws"), i),
+            element_at(col("ws"), i + 1),
+            element_at(col("ws"), i + 2)))).as("shs"))
+    val bench = shingled(benchmark)
+      .select(explode(col("shs")).as("s")).distinct()
+      .withColumn("__graft_hit", lit(1))
+    shingled(corpus)
+      .select(col("doc_id"), size(col("shs")).cast("long").as("n_shingles"),
+        explode(col("shs")).as("s"))
+      .join(broadcast(bench), Seq("s"), "left")
+      .groupBy("doc_id")
+      .agg(max(col("n_shingles")).as("n_shingles"),
+        count(col("__graft_hit")).as("n_hit"))
+      .select(col("doc_id"), col("n_shingles"), col("n_hit"),
+        (col("n_hit").cast("double") / col("n_shingles")).as("frac"))
+  }
+
+  def mergeLatest(
+      base: DataFrame, delta: DataFrame, keyCol: String,
+      orderCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keyCol)
+      .orderBy(orderCols.map(c => col(c).desc): _*)
+    base.unionByName(delta)
+      .withColumn("__graft_rn", row_number().over(w))
+      .filter(col("__graft_rn") === 1)
+      .drop("__graft_rn")
+  }
+
   // --------------------------------------------------------------------
   // Registered oracle queries (each calls the facade path above)
   // --------------------------------------------------------------------
@@ -286,6 +321,69 @@ object PipelineOps extends QueryModule {
         .groupBy("l_suppkey")
         .agg(count(lit(1)).as("n_items"), Exact.dsum(col("l_quantity")).as("sum_qty"))
         .orderBy("l_suppkey")
+    },
+
+    // Benchmark decontamination: the fraction of each training document's
+    // distinct 3-gram shingles that appear in a held-out benchmark set
+    // (docs 0-9 here). The benchmark shingle set is tiny by construction
+    // and BROADCAST; the corpus is exploded once, carrying its per-doc
+    // total alongside, so the whole check is one broadcast join + one
+    // aggregation keyed by doc_id — the shape that lets a 100 TB corpus
+    // be decontaminated against any eval suite in a single pass.
+    Q(
+      "q_contamination",
+      s"""WITH w AS (SELECT doc_id, $WordsSql AS ws FROM documents),
+         |sh AS (SELECT doc_id,
+         |              list_distinct(list_transform(generate_series(1, len(ws) - 2),
+         |                i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shs
+         |       FROM w WHERE len(ws) >= 3),
+         |bench AS (SELECT DISTINCT unnest(shs) AS s FROM sh WHERE doc_id < 10),
+         |ex AS (SELECT doc_id, CAST(len(shs) AS BIGINT) AS n_shingles,
+         |              unnest(shs) AS s
+         |       FROM sh WHERE doc_id >= 10),
+         |m AS (SELECT e.doc_id,
+         |             MAX(e.n_shingles) AS n_shingles,
+         |             COUNT(b.s) AS n_hit
+         |      FROM ex e LEFT JOIN bench b ON e.s = b.s
+         |      GROUP BY e.doc_id)
+         |SELECT doc_id, n_shingles, n_hit,
+         |       CAST(n_hit AS DOUBLE) / n_shingles AS frac
+         |FROM m ORDER BY doc_id"""
+    ) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      graft.GraftOps.contamination(
+        docs.filter(col("doc_id") >= 10), docs.filter(col("doc_id") < 10))
+        .orderBy("doc_id")
+    },
+
+    // Latest-wins incremental merge (the lakehouse upsert discipline):
+    // union the base snapshot with the delta and keep, per key, the row
+    // with the greatest version — one shuffle keyed by the merge key,
+    // with WindowGroupLimit dropping losers before the exchange. The
+    // oracle states the semantic result (latest event per user over the
+    // whole table), which the split + merge must reproduce exactly.
+    Q(
+      "q_upsert_latest",
+      """SELECT user_id,
+        |       CAST(floor(epoch(ts)) AS BIGINT) AS last_ts,
+        |       event_type AS last_type,
+        |       value AS last_value
+        |FROM (
+        |  SELECT user_id, ts, event_type, value,
+        |         ROW_NUMBER() OVER (PARTITION BY user_id
+        |                            ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |WHERE rn = 1 ORDER BY user_id"""
+    ) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val base = ev.filter(col("ts") < lit("2024-01-20").cast("timestamp"))
+      val delta = ev.filter(col("ts") >= lit("2024-01-20").cast("timestamp"))
+      graft.GraftOps.mergeLatest(base, delta, "user_id", Seq("ts", "event_id"))
+        .select(col("user_id"),
+          unix_timestamp(col("ts")).as("last_ts"),
+          col("event_type").as("last_type"),
+          col("value").as("last_value"))
+        .orderBy("user_id")
     },
 
     // Corpus bigram language model: MLE conditional probabilities from

@@ -401,6 +401,51 @@ object RelationalOps extends QueryModule {
         .orderBy(col("custdist").desc, col("c_count").desc)
     },
 
+    // TPC-H Q7 shape (volume shipping between two nations): the fact
+    // table joined through BOTH dimension paths (customer→nation and
+    // supplier→nation) with the nation-pair predicate filtering the two
+    // broadcast dimension subtrees down to one nation each BEFORE the
+    // fact joins — the plan never carries rows outside the two nations.
+    Q(
+      "q_tpch_q7",
+      """SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+        |       CAST(year(l_shipdate) AS INT) AS l_year,
+        |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))) AS DOUBLE) AS revenue,
+        |       COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |WHERE (cn.n_name = 'NATION_1' AND sn.n_name = 'NATION_2')
+        |   OR (cn.n_name = 'NATION_2' AND sn.n_name = 'NATION_1')
+        |GROUP BY cn.n_name, sn.n_name, l_year
+        |ORDER BY cust_nation, supp_nation, l_year"""
+    ) { (s, d) =>
+      val names = Seq("NATION_1", "NATION_2")
+      val nat = Tables.nation(s, d).filter(col("n_name").isin(names: _*))
+      val cust = Tables.customer(s, d)
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name").as("cust_nation"))
+      val supp = Tables.supplier(s, d)
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .filter(
+          (col("cust_nation") === "NATION_1" && col("supp_nation") === "NATION_2") ||
+            (col("cust_nation") === "NATION_2" && col("supp_nation") === "NATION_1"))
+        .groupBy(col("cust_nation"), col("supp_nation"),
+          year(col("l_shipdate")).cast("int").as("l_year"))
+        .agg(
+          Exact.dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("cust_nation", "supp_nation", "l_year")
+    },
+
     // TPC-H Q12 shape (shipping-priority classes): fact⋈orders with a
     // date-windowed fact slice, CASE-bucketed counts per group (the
     // synthetic schema has no l_shipmode, so the group key is

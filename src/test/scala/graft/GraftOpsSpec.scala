@@ -155,6 +155,31 @@ class GraftOpsSpec extends SparkSpec {
     assert(viaBloom == exact)
   }
 
+  test("contamination counts distinct-shingle overlap against the benchmark") {
+    import spark.implicits._
+    val bench = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    // corpus doc shingles: {"a b c","b c x","c x y"}; bench: {"a b c","b c d"}
+    val corpus = Seq((10L, "a b c x y"), (11L, "p q r s")).toDF("doc_id", "text")
+    val rows = GraftOps.contamination(corpus, bench)
+      .orderBy("doc_id").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[Long]("n_shingles") == 3L)
+    assert(rows(0).getAs[Long]("n_hit") == 1L)
+    assert(math.abs(rows(0).getAs[Double]("frac") - 1.0 / 3) < 1e-12)
+    assert(rows(1).getAs[Long]("n_hit") == 0L)
+    assert(rows(1).getAs[Double]("frac") == 0.0)
+  }
+
+  test("mergeLatest keeps the greatest version per key across base and delta") {
+    import spark.implicits._
+    val base = Seq((1L, 10L, "old"), (2L, 10L, "only-base")).toDF("k", "v", "payload")
+    val delta = Seq((1L, 20L, "new"), (3L, 5L, "only-delta")).toDF("k", "v", "payload")
+    val merged = GraftOps.mergeLatest(base, delta, "k", Seq("v"))
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(2))).toSeq
+    assert(merged == Seq((1L, "new"), (2L, "only-base"), (3L, "only-delta")))
+  }
+
   test("bigramLogProb scores a single-doc corpus at zero") {
     import spark.implicits._
     // corpus = one doc "a a a": the only bigram (a,a) has MLE prob 1 ->
