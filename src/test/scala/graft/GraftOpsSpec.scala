@@ -180,6 +180,33 @@ class GraftOpsSpec extends SparkSpec {
     assert(merged == Seq((1L, "new"), (2L, "only-base"), (3L, "only-delta")))
   }
 
+  test("text operators tolerate null and empty text rows") {
+    import spark.implicits._
+    // a real corpus has malformed rows; every text operator must drop or
+    // pass them through without throwing — never poison the job
+    val docs = Seq(
+      (1L, "the quick brown fox jumps clean over the lazy dog today"),
+      (2L, null.asInstanceOf[String]),
+      (3L, ""),
+      (4L, "   ")).toDF("doc_id", "text")
+    assert(GraftOps.repetitionSignals(docs).collect()
+      .map(_.getLong(0)).toSeq == Seq(1L))
+    assert(GraftOps.bigramLogProb(docs).collect()
+      .map(_.getLong(0)).toSeq == Seq(1L))
+    assert(GraftOps.contamination(docs, docs.filter($"doc_id" === 1L))
+      .collect().map(_.getLong(0)).toSeq == Seq(1L))
+    val packed = GraftOps.packSequences(docs.withColumn("source", lit("s")))
+    assert(packed.select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(1L))
+    assert(GraftOps.invertedIndex(docs).agg(sum($"tf")).collect()
+      .head.getLong(0) == 11L)
+    // null-id rows hash to null and are excluded deterministically
+    val sampled = GraftOps.hashSample(
+      Seq((java.lang.Long.valueOf(5L), "a"), (null.asInstanceOf[java.lang.Long], "a"))
+        .toDF("id", "stratum"),
+      "id", "stratum", Map.empty, GraftOps.sampleThreshold(1.0))
+    assert(sampled.collect().map(_.getLong(0)).toSeq == Seq(5L))
+  }
+
   test("bigramLogProb scores a single-doc corpus at zero") {
     import spark.implicits._
     // corpus = one doc "a a a": the only bigram (a,a) has MLE prob 1 ->

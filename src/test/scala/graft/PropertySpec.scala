@@ -131,6 +131,27 @@ class PropertySpec extends AnyFunSuite {
       }
   }
 
+  test("MinKLongsAgg == sorted-take-k under any reduce/merge split") {
+    val k = 4
+    val agg = new functions.MinKLongsAgg(k)
+    samples(Gen.zip(Gen.listOf(Gen.chooseNum(-1000L, 1000L)),
+      Gen.chooseNum(0, 100)), 200)
+      .foreach { case (xs, splitSeed) =>
+        val expected = xs.sorted.take(k)
+        val reduced = agg.finish(xs.foldLeft(agg.zero)(agg.reduce))
+        assert(reduced == expected, s"reduce path: $xs")
+        val cut = if (xs.isEmpty) 0 else splitSeed % (xs.length + 1)
+        val (a, b) = xs.splitAt(cut)
+        val merged = agg.finish(agg.merge(
+          a.foldLeft(agg.zero)(agg.reduce), b.foldLeft(agg.zero)(agg.reduce)))
+        assert(merged == expected, s"merge path: $xs at $cut")
+        // the bound that makes a degenerate bucket safe: buffers never
+        // exceed 2k values at any point in either path
+        var buf = agg.zero
+        xs.foreach { v => buf = agg.reduce(buf, v); assert(buf.length <= 2 * k) }
+      }
+  }
+
   test("minhash-style property: lexicographic min of fixed-width hex == numeric min") {
     val hexGen = Gen.listOfN(16, Gen.oneOf("0123456789abcdef".toSeq)).map(_.mkString)
     samples(Gen.nonEmptyListOf(hexGen)).foreach { hs =>

@@ -20,6 +20,24 @@ class StreamingSpec extends SparkSpec {
 
   private def ts(s: String): Timestamp = Timestamp.valueOf(s)
 
+  test("narrow pipeline ops apply to a stream unchanged (repetitionSignals)") {
+    implicit val sq = spark.sqlContext
+    // the quality signals are per-row/narrow, so the SAME GraftOps call
+    // that passes the batch oracle runs on an unbounded stream with no
+    // watermark or output-mode ceremony — the batch/stream unification
+    // Structured Streaming promises, demonstrated on the library facade
+    val mem = MemoryStream[(Long, String)]
+    val q = GraftOps.repetitionSignals(mem.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("rs_out")
+      .outputMode(OutputMode.Append).start()
+    mem.addData((1L, "a a b"), (2L, "solo"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("rs_out").orderBy("doc_id").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L))
+    assert(rows.head.getAs[Double]("dup_bigram_frac") == 0.0)
+  }
+
   test("tumblingAgg over a stream == same transform over the batch") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[Ev]
