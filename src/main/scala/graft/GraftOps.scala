@@ -134,6 +134,15 @@ object GraftOps {
       fpp: Double = 0.01): DataFrame =
     ops.PipelineOps.bloomSemiJoin(fact, factKey, dim, dimKey, fpp)
 
+  /** Top-k adjacent-word collocations by pointwise mutual information
+    * over (doc_id, text) rows, keeping pairs seen at least `minCount`
+    * times. One corpus-scale partial aggregation; margins ride windows
+    * over the vocabulary-bounded count table. Verified by
+    * `q_collocations`.
+    */
+  def collocations(docs: DataFrame, minCount: Long = 5, k: Int = 20): DataFrame =
+    ops.PipelineOps.collocations(docs, minCount, k)
+
   /** Benchmark decontamination check: for each (doc_id, text) corpus
     * row, the count and fraction of its distinct 3-gram shingles that
     * appear anywhere in `benchmark` (also (doc_id, text) rows). The

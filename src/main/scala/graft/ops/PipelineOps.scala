@@ -128,21 +128,25 @@ object PipelineOps extends QueryModule {
       .join(broadcast(keys), col(factKey) === col(dimKey), "left_semi")
   }
 
+  /** Exploded (doc_id, w1, w2) adjacent-bigram rows (shared by the LM
+    * scoring and collocation queries).
+    */
+  private def docBigrams(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"), words(col("text")).as("ws"))
+    .filter(size(col("ws")) >= 2)
+    .select(col("doc_id"),
+      explode(transform(sequence(lit(1), size(col("ws")) - 1), i =>
+        struct(element_at(col("ws"), i).as("w1"),
+          element_at(col("ws"), i + 1).as("w2")))).as("bg"))
+    .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+
   def bigramLogProb(docs: DataFrame): DataFrame = {
     // Tokenize/explode once and cut lineage: both the count pass and the
     // scoring pass read the materialized bigram rows instead of re-running
     // the scan + explode (same executor-local materialization the
     // clustering loop uses; at 100 TB this is the "tokenize once, reuse"
     // discipline every multi-pass corpus job needs).
-    val docBg = docs
-      .select(col("doc_id"), words(col("text")).as("ws"))
-      .filter(size(col("ws")) >= 2)
-      .select(col("doc_id"),
-        explode(transform(sequence(lit(1), size(col("ws")) - 1), i =>
-          struct(element_at(col("ws"), i).as("w1"),
-            element_at(col("ws"), i + 1).as("w2")))).as("bg"))
-      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-      .localCheckpoint()
+    val docBg = docBigrams(docs).localCheckpoint()
     // conditioning totals via a window over the vocabulary-bounded count
     // table (saves a second aggregation + join; the table is tiny by
     // construction — |vocab|² at most — so the window is cheap and its
@@ -158,6 +162,24 @@ object PipelineOps extends QueryModule {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
         round(Exact.dsum(col("lp")) / count(lit(1)), 6).as("avg_logprob"))
+  }
+
+  def collocations(docs: DataFrame, minCount: Long, k: Int): DataFrame = {
+    val cbg = docBigrams(docs).groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+    // margins and the total via windows over the vocabulary-bounded
+    // count table (≤ |vocab|² rows by construction — these windows never
+    // see corpus-scale input; the corpus-scale work is the one partial
+    // aggregation above)
+    cbg
+      .withColumn("c1", sum(col("c")).over(Window.partitionBy("w1")))
+      .withColumn("c2", sum(col("c")).over(Window.partitionBy("w2")))
+      .withColumn("t", sum(col("c")).over(Window.partitionBy()))
+      .filter(col("c") >= minCount)
+      .select(col("w1"), col("w2"), col("c"),
+        round(log((col("c").cast("double") * col("t"))
+          / (col("c1").cast("double") * col("c2"))), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(k)
   }
 
   def contaminationCheck(corpus: DataFrame, benchmark: DataFrame): DataFrame = {
@@ -321,6 +343,34 @@ object PipelineOps extends QueryModule {
         .groupBy("l_suppkey")
         .agg(count(lit(1)).as("n_items"), Exact.dsum(col("l_quantity")).as("sum_qty"))
         .orderBy("l_suppkey")
+    },
+
+    // Collocation mining: top-k adjacent word pairs by pointwise mutual
+    // information (the "New York"-detector of corpus linguistics, and
+    // the phrase-vocabulary step of tokenizer training). One corpus-scale
+    // partial aggregation; the PMI margins ride windows over the
+    // vocabulary-bounded count table.
+    Q(
+      "q_collocations",
+      s"""WITH w AS (SELECT doc_id, $WordsSql AS ws FROM documents),
+         |b AS (SELECT doc_id,
+         |             list_transform(generate_series(1, len(ws) - 1),
+         |                            i -> [ws[i], ws[i+1]]) AS bgs
+         |      FROM w WHERE len(ws) >= 2),
+         |pairs AS (SELECT doc_id, bg[1] AS w1, bg[2] AS w2
+         |          FROM (SELECT doc_id, unnest(bgs) AS bg FROM b)),
+         |cbg AS (SELECT w1, w2, COUNT(*) AS c FROM pairs GROUP BY w1, w2),
+         |m AS (SELECT w1, w2, c,
+         |             CAST(SUM(c) OVER (PARTITION BY w1) AS BIGINT) AS c1,
+         |             CAST(SUM(c) OVER (PARTITION BY w2) AS BIGINT) AS c2,
+         |             CAST(SUM(c) OVER () AS BIGINT) AS t
+         |      FROM cbg)
+         |SELECT w1, w2, c,
+         |       round(ln((CAST(c AS DOUBLE) * t) / (CAST(c1 AS DOUBLE) * c2)), 6) AS pmi
+         |FROM m WHERE c >= 5
+         |ORDER BY pmi DESC, w1, w2 LIMIT 20"""
+    ) { (s, d) =>
+      graft.GraftOps.collocations(Tables.documents(s, d), minCount = 5, k = 20)
     },
 
     // Benchmark decontamination: the fraction of each training document's

@@ -1,0 +1,48 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Registry integrity — the driver-contract invariants that every round
+  * has maintained by hand, pinned so they can never silently regress:
+  * the oracle gate is only as strong as "every query has an oracle".
+  */
+class RegistrySpec extends AnyFunSuite {
+
+  test("every registered query has an oracle (zero rows-only checks)") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert((q -- o).isEmpty, s"queries without oracle: ${(q -- o).toSeq.sorted}")
+    assert((o -- q).isEmpty, s"orphan oracles: ${(o -- q).toSeq.sorted}")
+  }
+
+  test("registry names are unique") {
+    val names = SparkEntry.all.map(_.name)
+    val dups = names.groupBy(identity).collect { case (n, g) if g.size > 1 => n }
+    assert(dups.isEmpty, s"duplicate query names: $dups")
+    assert(names.size == SparkEntry.queries.size)
+  }
+
+  test("every bench headline query is registered") {
+    val missing = Bench.Headline.filterNot(SparkEntry.queries.contains)
+    assert(missing.isEmpty, s"headline names not in registry: $missing")
+  }
+
+  test("oracle SQL references only driver-provided tables") {
+    // the driver creates DuckDB views for exactly these tables; an oracle
+    // naming anything else would fail only at driver time — fail here
+    val tables = Set("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+    // lookbehind: "x IS [NOT] DISTINCT FROM y" is an operator, not a scan
+    val fromRe = "(?i)(?<!DISTINCT )\\b(?:FROM|JOIN)\\s+([a-z_][a-z0-9_]*)".r
+    val known = tables ++ Set("unnest", "generate_series") // table functions
+    SparkEntry.oracleSql.foreach { case (name, sql) =>
+      // strip CTE names declared in this statement — they are legal refs
+      val ctes = "(?i)\\b([a-z_][a-z0-9_]*)\\s*(?:\\([^)]*\\))?\\s+AS\\s*\\(".r
+        .findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
+      fromRe.findAllMatchIn(sql).map(_.group(1).toLowerCase).foreach { t =>
+        assert(known.contains(t) || ctes.contains(t),
+          s"$name: oracle references unknown relation '$t'")
+      }
+    }
+  }
+}
