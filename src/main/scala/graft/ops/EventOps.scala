@@ -206,6 +206,42 @@ object EventOps extends QueryModule {
         .orderBy("cohort_day", "day_offset")
     },
 
+    // Z-score anomaly detection: per-type mean/stddev from exact decimal
+    // sums (the Welford built-ins are partition-order-dependent — see
+    // Exact), the tiny stats table broadcast back over the stream of
+    // events, top-|z| outliers via TakeOrderedAndProject (never a full
+    // sort). The shape a metrics pipeline runs at 100 TB: one aggregation
+    // pass, one broadcast, one bounded top-k.
+    Q(
+      "q_events_anomaly",
+      """WITH s AS (
+        |  SELECT event_type,
+        |         CAST(SUM(CAST(value AS DECIMAL(38,10))) AS DOUBLE) AS sx,
+        |         CAST(SUM(CAST(value * value AS DECIMAL(38,10))) AS DOUBLE) AS sx2,
+        |         COUNT(*) AS n
+        |  FROM events GROUP BY event_type)
+        |SELECT event_id, e.event_type, value,
+        |       round((value - sx / n) / sqrt((sx2 - sx * sx / n) / (n - 1)), 6) AS z
+        |FROM events e JOIN s ON e.event_type = s.event_type
+        |ORDER BY abs(round((value - sx / n) / sqrt((sx2 - sx * sx / n) / (n - 1)), 6)) DESC,
+        |         event_id
+        |LIMIT 50"""
+    ) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val stats = ev.groupBy("event_type")
+        .agg(
+          Exact.dsum(col("value")).as("sx"),
+          Exact.dsum(col("value") * col("value")).as("sx2"),
+          count(lit(1)).as("n"))
+      val z = round(
+        (col("value") - col("sx") / col("n"))
+          / sqrt(Exact.dvarSamp(col("sx"), col("sx2"), col("n"))), 6)
+      ev.join(broadcast(stats), "event_type")
+        .select(col("event_id"), col("event_type"), col("value"), z.as("z"))
+        .orderBy(abs(col("z")).desc, col("event_id"))
+        .limit(50)
+    },
+
     Q(
       "q_events_daily",
       """SELECT CAST(ts AS DATE) AS day, event_type,
