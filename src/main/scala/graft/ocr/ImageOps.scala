@@ -90,6 +90,54 @@ object ImageOps {
     baos.toByteArray
   }
 
+  /** Perceptual average-hash (aHash) over an `hGrid`×`wGrid` block grid:
+    * bit (j,i) is 1 when block (j,i)'s mean exceeds the global mean.
+    * Integer-exact — the comparison is cross-multiplied
+    * (`blockSum * totalPixels > totalSum * blockPixels`), so the hash is
+    * bit-for-bit reproducible by any engine that can sum the pixels
+    * (the DuckDB oracle recomputes it analytically). Bits are packed
+    * MSB-first, row-major, as 16 lowercase hex chars — the same layout
+    * as SimHash64. Requires width/height divisible by the grid.
+    */
+  def aHash(g: Gray, wGrid: Int = 8, hGrid: Int = 8): String = {
+    require(g.width % wGrid == 0 && g.height % hGrid == 0,
+      s"image ${g.width}x${g.height} not divisible by ${wGrid}x$hGrid grid")
+    val bw = g.width / wGrid
+    val bh = g.height / hGrid
+    val blockPixels = bw * bh
+    val totalPixels = g.width * g.height
+    var totalSum = 0L
+    var idx = 0
+    while (idx < g.pixels.length) {
+      totalSum += g.pixels(idx) & 0xff
+      idx += 1
+    }
+    val nibbles = new Array[Int](16)
+    var j = 0
+    while (j < hGrid) {
+      var i = 0
+      while (i < wGrid) {
+        var bs = 0L
+        var y = j * bh
+        while (y < (j + 1) * bh) {
+          var x = i * bw
+          while (x < (i + 1) * bw) {
+            bs += g.pixels(y * g.width + x) & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        if (bs * totalPixels > totalSum * blockPixels) {
+          val k = j * wGrid + i
+          nibbles(k / 4) |= 1 << (3 - k % 4)
+        }
+        i += 1
+      }
+      j += 1
+    }
+    nibbles.map("0123456789abcdef".charAt(_)).mkString
+  }
+
   private def blank(width: Int, height: Int, format: String): Array[Byte] = {
     val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
     val gfx = img.createGraphics()

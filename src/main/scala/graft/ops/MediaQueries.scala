@@ -200,6 +200,67 @@ object MediaQueries extends QueryModule {
         .orderBy("doc_id")
     },
 
+    // Perceptual average-hash (aHash) — the image near-dup signature a
+    // multimodal training pipeline computes per image. The pixel content
+    // is a deterministic per-doc gradient, so the oracle recomputes the
+    // EXACT 64-bit hash analytically from the pixel formula while the
+    // Spark side earns it the real way: PNG encode → ImageIO decode →
+    // Go-parity grayscale → integer-exact block comparison. Any defect in
+    // decode, grayscale, or blocking breaks the full-value hash match.
+    Q(
+      "q_image_ahash",
+      {
+        val nibbles = (0 until 16).map { n =>
+          s"substr('0123456789abcdef', 1 + CAST(SUM(CASE WHEN k // 4 = $n" +
+            s" THEN bit * (1 << (3 - k % 4)) ELSE 0 END) AS INT), 1)"
+        }.mkString("concat(", ", ", ")")
+        s"""WITH px AS (
+           |  SELECT doc_id, x, y, (doc_id * 31 + x * 7 + y * 13) % 256 AS p
+           |  FROM documents,
+           |       unnest(generate_series(0, 15)) AS tx(x),
+           |       unnest(generate_series(0, 7)) AS ty(y)
+           |  WHERE doc_id < 500),
+           |tot AS (SELECT doc_id, SUM(p) AS ts FROM px GROUP BY doc_id),
+           |blocks AS (SELECT doc_id, (x // 2) AS i, y AS j, SUM(p) AS bs
+           |           FROM px GROUP BY doc_id, (x // 2), y),
+           |bits AS (SELECT b.doc_id, j * 8 + i AS k,
+           |                CASE WHEN bs * 128 > ts * 2 THEN 1 ELSE 0 END AS bit
+           |         FROM blocks b JOIN tot t ON b.doc_id = t.doc_id)
+           |SELECT doc_id, $nibbles AS ahash
+           |FROM bits GROUP BY doc_id ORDER BY doc_id"""
+      }
+    ) { (s, d) =>
+      // RGB (not TYPE_BYTE_GRAY): Java's getRGB on a gray image applies a
+      // gray→sRGB conversion that shifts pixel values; an RGB PNG with
+      // r=g=b=p round-trips losslessly and luma(p,p,p) == p exactly
+      val mkGradient = udf { (id: Long) =>
+        val img = new java.awt.image.BufferedImage(
+          16, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 16) {
+            val p = ((id * 31 + x * 7 + y * 13) % 256).toInt
+            img.setRGB(x, y, (p << 16) | (p << 8) | p)
+            x += 1
+          }
+          y += 1
+        }
+        val baos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", baos)
+        baos.toByteArray
+      }
+      val ahash = udf { (b: Array[Byte]) =>
+        ImageOps.decode(b).toOption
+          .map(img => ImageOps.aHash(ImageOps.grayscale(img)))
+          .orNull
+      }
+      Tables.documents(s, d)
+        .filter(col("doc_id") < 500)
+        .select(col("doc_id"), ahash(mkGradient(col("doc_id"))).as("ahash"))
+        .orderBy("doc_id")
+    },
+
     // Multimodal metadata: REAL header decode (format sniffed from magic
     // bytes, dims from the PNG header) over per-row generated images.
     Q(

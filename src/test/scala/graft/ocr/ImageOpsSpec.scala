@@ -82,4 +82,27 @@ class ImageOpsSpec extends AnyFunSuite {
     assert(a.n_samples == 4 && a.mean_amplitude == 0.0 && a.rms == 3.0)
     assert(a.clip_id != null)
   }
+
+  test("aHash: hand-computed hash, edit locality, grid divisibility") {
+    // 8x8 identity grid (1 pixel per block): left half 0, right half 255
+    // -> each row's bits are 00001111 -> nibbles "0f" x 8
+    val half = ImageOps.Gray(8, 8,
+      Array.tabulate(64)(i => if (i % 8 < 4) 0.toByte else 255.toByte))
+    assert(ImageOps.aHash(half) == "0f" * 8)
+    // uniform image: no block exceeds the global mean (strict >) -> all 0
+    val flat = ImageOps.Gray(8, 8, Array.fill(64)(7.toByte))
+    assert(ImageOps.aHash(flat) == "0" * 16)
+    // perceptual locality: flipping one pixel changes few bits
+    val tweaked = half.pixels.clone()
+    tweaked(0) = 255.toByte
+    val d = ImageOps.aHash(half).zip(
+      ImageOps.aHash(ImageOps.Gray(8, 8, tweaked)))
+      .map { case (a, b) =>
+        Integer.bitCount(Character.digit(a, 16) ^ Character.digit(b, 16))
+      }.sum
+    assert(d <= 2, s"one-pixel edit moved $d bits")
+    intercept[IllegalArgumentException] {
+      ImageOps.aHash(ImageOps.Gray(10, 6, new Array[Byte](60)))
+    }
+  }
 }
