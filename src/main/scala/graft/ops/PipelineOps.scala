@@ -504,6 +504,59 @@ object PipelineOps extends QueryModule {
         .orderBy("user_id")
     },
 
+    // End-to-end curation composite: repetition-quality gate →
+    // benchmark decontamination gate → per-shard sequence packing, all
+    // through the same facade functions the individual oracles verify —
+    // proof the operators COMPOSE (the actual shape of a pretraining
+    // data run: gate, decontaminate, pack, account). Output is the
+    // per-shard packing manifest.
+    Q(
+      "q_pipeline_e2e",
+      s"""WITH w AS (SELECT doc_id, source, $WordsSql AS ws FROM documents),
+         |b AS (SELECT doc_id, source, ws,
+         |             list_transform(generate_series(1, len(ws) - 1),
+         |                            i -> ws[i] || ' ' || ws[i+1]) AS bg
+         |      FROM w WHERE len(ws) >= 2),
+         |sig AS (SELECT doc_id, source, CAST(len(ws) AS BIGINT) AS n_tokens,
+         |               1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg) AS dbf
+         |        FROM b),
+         |sh AS (SELECT doc_id,
+         |              list_distinct(list_transform(generate_series(1, len(ws) - 2),
+         |                i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shs
+         |       FROM w WHERE len(ws) >= 3),
+         |bench AS (SELECT DISTINCT unnest(shs) AS s1 FROM sh WHERE doc_id < 10),
+         |cont AS (SELECT e.doc_id, MAX(e.n_sh) AS n_sh, COUNT(b.s1) AS n_hit
+         |         FROM (SELECT doc_id, CAST(len(shs) AS BIGINT) AS n_sh,
+         |                      unnest(shs) AS s2
+         |               FROM sh WHERE doc_id >= 10) e
+         |         LEFT JOIN bench b ON e.s2 = b.s1 GROUP BY e.doc_id),
+         |gated AS (SELECT sig.doc_id, sig.source, sig.n_tokens
+         |          FROM sig JOIN cont ON sig.doc_id = cont.doc_id
+         |          WHERE sig.n_tokens >= 10 AND sig.dbf <= 0.6
+         |            AND CAST(cont.n_hit AS DOUBLE) / cont.n_sh < 0.2)
+         |SELECT source, COUNT(*) AS n_docs,
+         |       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+         |       (CAST(SUM(n_tokens) AS BIGINT) + 511) // 512 AS n_seqs
+         |FROM gated GROUP BY source ORDER BY source"""
+    ) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val keepQuality = graft.GraftOps.repetitionSignals(docs)
+        .filter(col("n_tokens") >= 10 && col("dup_bigram_frac") <= 0.6)
+        .select("doc_id")
+      val keepClean = graft.GraftOps.contamination(
+        docs.filter(col("doc_id") >= 10), docs.filter(col("doc_id") < 10))
+        .filter(col("frac") < 0.2)
+        .select("doc_id")
+      val gated = docs.join(keepQuality, "doc_id").join(keepClean, "doc_id")
+      graft.GraftOps.packSequences(gated)
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          (max(col("end_seq")) + 1).as("n_seqs"))
+        .orderBy("source")
+    },
+
     // Corpus bigram language model: MLE conditional probabilities from
     // the corpus itself, then an average log-probability score per
     // document (the perplexity-style quality filter a pretraining
