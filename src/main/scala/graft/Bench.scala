@@ -12,8 +12,8 @@ object Bench {
     * (q_tpch_q13, q_tpch_q18, q_rank_global, q_corpus_curation) to the
     * round-2 set of 28, and round 4 ADDED four more
     * (q_repetition_signals, q_seq_pack, q_bloom_prefilter_join,
-    * q_bigram_lm) — compare totals per-query, not headline-sum to
-    * headline-sum.
+    * q_bigram_lm, then q_pipeline_e2e) — compare totals per-query, not
+    * headline-sum to headline-sum.
     */
   val Headline: Seq[String] = Seq(
     "q_scan_project", "q_filter_predicates",
@@ -24,7 +24,7 @@ object Bench {
     "q_window_topk", "q_window_moving", "q_rank_global",
     "q_sort_limit", "q_set_union_all",
     "word_count", "q_term_freq", "q_token_count", "q_corpus_curation",
-    "q_repetition_signals", "q_seq_pack", "q_bigram_lm",
+    "q_repetition_signals", "q_seq_pack", "q_bigram_lm", "q_pipeline_e2e",
     "q_dedup_exact", "q_dedup_minhash_pairs", "q_dedup_simhash",
     "q_similarity_topk", "q_ann_lsh",
     "q_events_tumbling", "q_events_session",
