@@ -29,14 +29,8 @@ object Probe {
     def docs = Tables.documents(spark, sfDir)
 
     def shingled: DataFrame = docs
-      .select(col("doc_id"), words(col("text")).as("ws"))
-      .filter(size(col("ws")) >= 3)
-      .select(col("doc_id"),
-        transform(sequence(lit(1), size(col("ws")) - 2), i =>
-          concat_ws(" ",
-            element_at(col("ws"), i),
-            element_at(col("ws"), i + 1),
-            element_at(col("ws"), i + 2))).as("shingles"))
+      .filter(ops.TextOps.wordCount(col("text")) >= 3)
+      .select(col("doc_id"), ops.TextOps.shingles(col("text"), 3).as("shingles"))
 
     def sig: DataFrame = {
       val s = functions.GraftFunctions.minhash_sig(col("shingles"))

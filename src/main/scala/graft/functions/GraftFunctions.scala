@@ -11,6 +11,14 @@ object GraftFunctions {
   def word_count(c: Column): Column =
     GraftBridge.column(WordCount(GraftBridge.expression(c)))
 
+  /** Native one-pass tokenizer (Go strings.Fields parity) -> array<string>. */
+  def words(c: Column): Column =
+    GraftBridge.column(Words(GraftBridge.expression(c)))
+
+  /** Native one-pass word n-gram shingler -> array<string> (space-joined). */
+  def shingles(c: Column, n: Int): Column =
+    GraftBridge.column(Shingles(GraftBridge.expression(c), n))
+
   /** Native fused cosine similarity over two array<float> columns. */
   def cosine_sim(a: Column, b: Column): Column =
     GraftBridge.column(CosineSim(GraftBridge.expression(a), GraftBridge.expression(b)))
@@ -38,5 +46,11 @@ object GraftFunctions {
       "graft_minhash_sig", exprs => MinHashSig(exprs.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_simhash64", exprs => SimHash64(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_words", exprs => Words(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_shingles", exprs =>
+        Shingles(exprs(0), exprs(1).eval().asInstanceOf[Number].intValue()),
+      "scala_udf")
   }
 }

@@ -95,15 +95,8 @@ object DedupOps extends QueryModule {
     */
   def lshCandidatePairs(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val sig = docs
-      .select(col("doc_id"), words(col("text")).as("ws"))
-      .filter(size(col("ws")) >= 3)
-      .select(
-        col("doc_id"),
-        transform(sequence(lit(1), size(col("ws")) - 2), i =>
-          concat_ws(" ",
-            element_at(col("ws"), i),
-            element_at(col("ws"), i + 1),
-            element_at(col("ws"), i + 2))).as("shingles"))
+      .filter(TextOps.wordCount(col("text")) >= 3)
+      .select(col("doc_id"), TextOps.shingles(col("text"), 3).as("shingles"))
       .select(col("doc_id") +: sigCols: _*)
     val bandStructs = (0 until Bands).map { b =>
       struct(lit(b).as("band_idx"),
@@ -177,15 +170,8 @@ object DedupOps extends QueryModule {
          |SELECT doc_id, m0, m1, m2, m3, m4, m5, m6, m7 FROM sig ORDER BY doc_id"""
     ) { (s, d) =>
       Tables.documents(s, d)
-        .select(col("doc_id"), words(col("text")).as("ws"))
-        .filter(size(col("ws")) >= 3)
-        .select(
-          col("doc_id"),
-          transform(sequence(lit(1), size(col("ws")) - 2), i =>
-            concat_ws(" ",
-              element_at(col("ws"), i),
-              element_at(col("ws"), i + 1),
-              element_at(col("ws"), i + 2))).as("shingles"))
+        .filter(TextOps.wordCount(col("text")) >= 3)
+        .select(col("doc_id"), TextOps.shingles(col("text"), 3).as("shingles"))
         .select(col("doc_id") +: sigCols: _*)
         .orderBy("doc_id")
     },

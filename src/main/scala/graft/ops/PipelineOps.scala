@@ -42,11 +42,6 @@ object PipelineOps extends QueryModule {
   /** Posting-list cap: keep the first K doc_ids per term. */
   val PostingCap = 20
 
-  /** Adjacent-word bigrams of a token array. */
-  private def bigramsOf(ws: Column): Column =
-    transform(sequence(lit(1), size(ws) - 1), i =>
-      concat(element_at(ws, i), lit(" "), element_at(ws, i + 1)))
-
   // --------------------------------------------------------------------
   // Public operator functions (surfaced on GraftOps; see Scaladoc there)
   // --------------------------------------------------------------------
@@ -54,10 +49,15 @@ object PipelineOps extends QueryModule {
   def repetitionSignals(docs: DataFrame): DataFrame = {
     val ws = col("ws")
     val bg = col("bg")
+    // ws and bg are independent native single-pass calls over text (not
+    // element_at chains over a shared alias): downstream filters on the
+    // derived signals (the e2e composite's quality gate) get pushed below
+    // this projection with the aliases inlined — each inlined copy must
+    // stay O(text), not O(tokens · split).
     docs
-      .select(col("doc_id"), words(col("text")).as("ws"))
-      .filter(size(ws) >= 2)
-      .withColumn("bg", bigramsOf(ws))
+      .filter(TextOps.wordCount(col("text")) >= 2)
+      .select(col("doc_id"), words(col("text")).as("ws"),
+        TextOps.shingles(col("text"), 2).as("bg"))
       .select(
         col("doc_id"),
         size(ws).cast("long").as("n_tokens"),
@@ -132,13 +132,13 @@ object PipelineOps extends QueryModule {
     * scoring and collocation queries).
     */
   private def docBigrams(docs: DataFrame): DataFrame = docs
-    .select(col("doc_id"), words(col("text")).as("ws"))
-    .filter(size(col("ws")) >= 2)
+    .filter(TextOps.wordCount(col("text")) >= 2)
+    .select(col("doc_id"), explode(TextOps.shingles(col("text"), 2)).as("bg"))
+    // tokens are maximal non-whitespace runs, so the single ' ' the
+    // shingler inserted is the only space in the bigram string
     .select(col("doc_id"),
-      explode(transform(sequence(lit(1), size(col("ws")) - 1), i =>
-        struct(element_at(col("ws"), i).as("w1"),
-          element_at(col("ws"), i + 1).as("w2")))).as("bg"))
-    .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      substring_index(col("bg"), " ", 1).as("w1"),
+      substring_index(col("bg"), " ", -1).as("w2"))
 
   def bigramLogProb(docs: DataFrame): DataFrame = {
     // Tokenize/explode once and cut lineage: both the count pass and the
@@ -184,14 +184,9 @@ object PipelineOps extends QueryModule {
 
   def contaminationCheck(corpus: DataFrame, benchmark: DataFrame): DataFrame = {
     def shingled(df: DataFrame) = df
-      .select(col("doc_id"), words(col("text")).as("ws"))
-      .filter(size(col("ws")) >= 3)
+      .filter(TextOps.wordCount(col("text")) >= 3)
       .select(col("doc_id"),
-        array_distinct(transform(sequence(lit(1), size(col("ws")) - 2), i =>
-          concat_ws(" ",
-            element_at(col("ws"), i),
-            element_at(col("ws"), i + 1),
-            element_at(col("ws"), i + 2)))).as("shs"))
+        array_distinct(TextOps.shingles(col("text"), 3)).as("shs"))
     val bench = shingled(benchmark)
       .select(explode(col("shs")).as("s")).distinct()
       .withColumn("__graft_hit", lit(1))

@@ -49,8 +49,25 @@ object TextOps {
        |       CAST(len(list_filter(regexp_split_to_array(text, '$WsReDuck'), x -> x <> '')) AS BIGINT) AS text_count
        |FROM documents ORDER BY doc_id""".stripMargin
 
-  /** Words column (non-empty tokens) shared by the analysis queries. */
-  def words(c: Column): Column = filter(split(c, WsRe), t => t =!= lit(""))
+  /** Words column (non-empty tokens) shared by the analysis queries.
+    * Native single-pass expression: tokenizing is the engine's hottest
+    * inner loop, and optimizer rules (predicate pushdown through a
+    * Project, InferFiltersFromGenerate) inline derived-column aliases
+    * into Filter conditions — with the built-ins spelling each inlined
+    * `element_at` re-ran the regex split, turning gate filters into
+    * O(tokens²) interpreted work per row (the round-4 q_pipeline_e2e
+    * 54s pathology). A native call keeps any inlined copy O(text).
+    */
+  def words(c: Column): Column = graft.functions.GraftFunctions.words(c)
+
+  /** Built-ins-only spelling of [[words]] (kept as the reference
+    * implementation for property tests).
+    */
+  def wordsBuiltins(c: Column): Column = filter(split(c, WsRe), t => t =!= lit(""))
+
+  /** Native one-pass shingle builder: space-joined word n-grams. */
+  def shingles(c: Column, n: Int): Column =
+    graft.functions.GraftFunctions.shingles(c, n)
 
   /** DuckDB fragment mirroring [[words]]. */
   val WordsSql = s"list_filter(regexp_split_to_array(text, '$WsReDuck'), x -> x <> '')"
