@@ -10,10 +10,10 @@ object Bench {
     *
     * Round-over-round comparability: round 3 ADDED four queries
     * (q_tpch_q13, q_tpch_q18, q_rank_global, q_corpus_curation) to the
-    * round-2 set of 28, and round 4 ADDED four more
+    * round-2 set of 28, and round 4 ADDED five more
     * (q_repetition_signals, q_seq_pack, q_bloom_prefilter_join,
-    * q_bigram_lm, then q_pipeline_e2e) — compare totals per-query, not
-    * headline-sum to headline-sum.
+    * q_bigram_lm, and the q_pipeline_e2e composite) — compare totals
+    * per-query, not headline-sum to headline-sum.
     */
   val Headline: Seq[String] = Seq(
     "q_scan_project", "q_filter_predicates",

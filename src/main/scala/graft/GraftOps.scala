@@ -104,35 +104,46 @@ object GraftOps {
       docs: DataFrame, cap: Int = ops.PipelineOps.PostingCap): DataFrame =
     ops.PipelineOps.invertedIndex(docs, cap)
 
-  /** 8-hex-char sampling threshold for a rate in [0, 1] — `hashSample`
-    * keeps a row when the md5-hex prefix of its id is below this.
+  /** Sampling threshold for a rate in [0, 1] — `hashSample` keeps a row
+    * when the md5-hex prefix of its id is strictly below this. Rates
+    * below 1 map to the 8-hex-char prefix of `rate · 2^32`; rate 1.0
+    * returns `"g"`, which sorts above every hex string, so
+    * keep-everything really keeps rows whose prefix is `"ffffffff"` too.
     */
   def sampleThreshold(rate: Double): String =
-    f"${math.round(rate.max(0).min(1) * 4294967296.0).min(4294967295L)}%08x"
+    if (rate >= 1.0) "g"
+    else f"${math.round(rate.max(0) * 4294967296.0).min(4294967295L)}%08x"
 
   /** Deterministic stratified sampling: keep a row when the md5-hex
     * prefix of `idCol` is lexicographically below its stratum's
     * threshold (see [[sampleThreshold]]; fixed-width lowercase hex
     * compares like the number it encodes). Reproducible across runs,
     * engines, and cluster layouts; narrow and pushdown-friendly.
-    * Verified by `q_stratified_sample`.
+    * OUTPUT CONTRACT: the hex prefix is appended as column `hashCol`
+    * (default `"h"`, replacing any existing column of that name — pass a
+    * different name if the input already uses it). Verified by
+    * `q_stratified_sample`.
     */
   def hashSample(
       df: DataFrame, idCol: String, strataCol: String,
-      thresholds: Map[String, String], defaultThreshold: String): DataFrame =
-    ops.PipelineOps.hashSample(df, idCol, strataCol, thresholds, defaultThreshold)
+      thresholds: Map[String, String], defaultThreshold: String,
+      hashCol: String = "h"): DataFrame =
+    ops.PipelineOps.hashSample(df, idCol, strataCol, thresholds, defaultThreshold, hashCol)
 
   /** Semi join `fact` to `dim`'s keys with a Bloom-sketch prefilter: the
     * sketch is built over the dim keys distributedly (only ~KB reach the
     * driver), broadcast into a fact-side filter, and the exact join runs
     * after it. No false negatives, so results are exactly the semi join —
-    * the sketch only cuts fact rows before the join exchange. Verified by
-    * `q_bloom_prefilter_join`.
+    * the sketch only cuts fact rows before the join exchange. The final
+    * join's strategy is left to the planner/AQE (a dim past broadcast
+    * range falls back to a shuffle join — the case the prefilter exists
+    * for). Pass `expectedKeys` when the dim's key count is known to skip
+    * the sketch-sizing count pass. Verified by `q_bloom_prefilter_join`.
     */
   def bloomSemiJoin(
       fact: DataFrame, factKey: String, dim: DataFrame, dimKey: String,
-      fpp: Double = 0.01): DataFrame =
-    ops.PipelineOps.bloomSemiJoin(fact, factKey, dim, dimKey, fpp)
+      fpp: Double = 0.01, expectedKeys: Long = -1L): DataFrame =
+    ops.PipelineOps.bloomSemiJoin(fact, factKey, dim, dimKey, fpp, expectedKeys)
 
   /** Top-k adjacent-word collocations by pointwise mutual information
     * over (doc_id, text) rows, keeping pairs seen at least `minCount`

@@ -106,26 +106,34 @@ object PipelineOps extends QueryModule {
 
   def hashSample(
       df: DataFrame, idCol: String, strataCol: String,
-      thresholds: Map[String, String], defaultThreshold: String): DataFrame = {
+      thresholds: Map[String, String], defaultThreshold: String,
+      hashCol: String = "h"): DataFrame = {
     val h = substring(md5(col(idCol).cast("string").cast("binary")), 1, 8)
     val thr = thresholds.foldLeft(when(lit(false), lit(""))) {
       case (acc, (stratum, t)) => acc.when(col(strataCol) === stratum, t)
     }.otherwise(defaultThreshold)
-    df.withColumn("h", h).filter(col("h") < thr)
+    // hashCol is part of the output contract (callers keep it as the
+    // sampling audit column); the name is a parameter so a caller whose
+    // frame already uses it can avoid the replacement.
+    df.withColumn(hashCol, h).filter(col(hashCol) < thr)
   }
 
   def bloomSemiJoin(
       fact: DataFrame, factKey: String, dim: DataFrame, dimKey: String,
-      fpp: Double): DataFrame = {
+      fpp: Double, expectedKeys: Long = -1L): DataFrame = {
     val keys = dim.select(col(dimKey))
-    // dim-sized scalar job to size the sketch (not a data collect)
-    val nKeys = math.max(keys.count(), 1000L)
+    // size the sketch from the caller's estimate when given; otherwise a
+    // dim-sized scalar count job (not a data collect)
+    val nKeys = if (expectedKeys > 0) expectedKeys else math.max(keys.count(), 1000L)
     val bf = keys.stat.bloomFilter(dimKey, nKeys, fpp)
     val mightContain =
       udf((k: java.lang.Long) => k != null && bf.mightContain(k.longValue()))
+    // no broadcast hint: the prefilter exists precisely for dims that may
+    // outgrow broadcast range, so the join strategy is the planner's call
+    // (AQE broadcasts small dims on its own)
     fact
       .filter(mightContain(col(factKey)))
-      .join(broadcast(keys), col(factKey) === col(dimKey), "left_semi")
+      .join(keys, col(factKey) === col(dimKey), "left_semi")
   }
 
   /** Exploded (doc_id, w1, w2) adjacent-bigram rows (shared by the LM

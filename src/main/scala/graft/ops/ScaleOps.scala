@@ -102,17 +102,26 @@ object ScaleOps extends QueryModule {
     // emits the text column alone; the read recovers it as `value` and
     // re-derives the analysis columns — proving text-file round-tripping
     // loses nothing the pipeline needs. Aggregated output keeps the
-    // oracle row-count stable across SFs.
+    // oracle row-count stable across SFs. Line-oriented text can only
+    // round-trip single-line, non-null records — write.text throws on
+    // nulls and a '\n' would split on read-back — so BOTH sides filter
+    // to that domain explicitly instead of relying on the fixture
+    // corpus happening to satisfy it.
     Q(
       "q_text_roundtrip",
       s"""SELECT COUNT(*) AS n_docs,
          |       CAST(SUM(len(text)) AS BIGINT) AS total_chars,
          |       COUNT(DISTINCT md5(text)) AS n_distinct,
          |       MIN(md5(text)) AS min_hash
-         |FROM documents"""
+         |FROM documents
+         |WHERE text IS NOT NULL
+         |  AND NOT contains(text, chr(10)) AND NOT contains(text, chr(13))"""
     ) { (s, d) =>
       val dir = Files.createTempDirectory("graft_text").toFile.getAbsolutePath
-      Tables.documents(s, d).select("text").write.mode("overwrite").text(dir)
+      Tables.documents(s, d).select("text")
+        .filter(col("text").isNotNull &&
+          !col("text").contains("\n") && !col("text").contains("\r"))
+        .write.mode("overwrite").text(dir)
       s.read.text(dir)
         .agg(
           count(lit(1)).as("n_docs"),

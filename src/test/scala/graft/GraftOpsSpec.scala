@@ -137,11 +137,19 @@ class GraftOpsSpec extends SparkSpec {
       GraftOps.sampleThreshold(0.0))
     assert(kept.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
       again.select("id").collect().map(_.getLong(0)).sorted.toSeq)
-    // threshold encoding: fixed-width hex of rate * 2^32
+    // threshold encoding: fixed-width hex of rate * 2^32; rate 1.0 is a
+    // sentinel above all hex so keep-everything keeps "ffffffff" rows too
     assert(GraftOps.sampleThreshold(0.125) == "20000000")
     assert(GraftOps.sampleThreshold(0.5) == "80000000")
     assert(GraftOps.sampleThreshold(0.0) == "00000000")
-    assert(GraftOps.sampleThreshold(1.0) == "ffffffff")
+    assert(GraftOps.sampleThreshold(1.0) == "g")
+    val everything = GraftOps.hashSample(df, "id", "stratum",
+      Map.empty, GraftOps.sampleThreshold(1.0))
+    assert(everything.count() == df.count())
+    // hashCol parameter: the audit column lands under the caller's name
+    assert(GraftOps.hashSample(df, "id", "stratum", thr,
+      GraftOps.sampleThreshold(0.0), hashCol = "__sample_h")
+      .columns.contains("__sample_h"))
   }
 
   test("bloomSemiJoin equals the exact semi join") {
