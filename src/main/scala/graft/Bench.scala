@@ -12,13 +12,14 @@ object Bench {
     * (q_tpch_q13, q_tpch_q18, q_rank_global, q_corpus_curation) to the
     * round-2 set of 28, and round 4 ADDED five more
     * (q_repetition_signals, q_seq_pack, q_bloom_prefilter_join,
-    * q_bigram_lm, and the q_pipeline_e2e composite) — compare totals
-    * per-query, not headline-sum to headline-sum.
+    * q_bigram_lm, and the q_pipeline_e2e composite), and round 5 ADDED
+    * four (q_tpch_q10, q_kmeans_embed, q_dedup_corpus, q_oov_rate) —
+    * compare totals per-query, not headline-sum to headline-sum.
     */
   val Headline: Seq[String] = Seq(
     "q_scan_project", "q_filter_predicates",
     "q_join_inner", "q_join_broadcast", "q_join_left", "q_join_semi",
-    "q_tpch_q3", "q_tpch_q6", "q_tpch_q13", "q_tpch_q18",
+    "q_tpch_q3", "q_tpch_q6", "q_tpch_q10", "q_tpch_q13", "q_tpch_q18",
     "q_bloom_prefilter_join",
     "q_agg_q1", "q_agg_countdistinct", "q_agg_rollup", "q_skew_salted",
     "q_window_topk", "q_window_moving", "q_rank_global",
@@ -26,7 +27,8 @@ object Bench {
     "word_count", "q_term_freq", "q_token_count", "q_corpus_curation",
     "q_repetition_signals", "q_seq_pack", "q_bigram_lm", "q_pipeline_e2e",
     "q_dedup_exact", "q_dedup_minhash_pairs", "q_dedup_simhash",
-    "q_similarity_topk", "q_ann_lsh",
+    "q_dedup_corpus", "q_oov_rate",
+    "q_similarity_topk", "q_ann_lsh", "q_kmeans_embed",
     "q_events_tumbling", "q_events_session",
     "q_orc_roundtrip", "q_ocr_pipeline")
 

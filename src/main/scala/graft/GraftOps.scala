@@ -41,6 +41,22 @@ object GraftOps {
   def nearDupCandidates(docs: DataFrame): DataFrame =
     ops.DedupOps.lshCandidatePairs(docs)
 
+  /** Near-dup connected components over (doc_id LONG, text STRING) rows:
+    * (doc_id, component) where component = smallest doc_id reachable
+    * through LSH candidate edges (the cluster keeper). Verified by
+    * `q_dedup_clusters`.
+    */
+  def nearDupComponents(docs: DataFrame): DataFrame =
+    ops.DedupOps.nearDupComponents(docs)
+
+  /** The near-deduplicated corpus: `docs` (doc_id LONG, text STRING, any
+    * other columns) minus every non-keeper cluster member — the
+    * materialization step a pipeline runs after clustering. Verified by
+    * `q_dedup_corpus`.
+    */
+  def dedupNear(docs: DataFrame): DataFrame =
+    ops.DedupOps.dedupNearCorpus(docs)
+
   /** Bounded top-k rows per query by score, descending, ties by id —
     * two-phase (map-side partials of ≤ k pairs, one tiny shuffle), never
     * a per-query window. Input columns: qid, vid LONG, sim DOUBLE.
@@ -144,6 +160,23 @@ object GraftOps {
       fact: DataFrame, factKey: String, dim: DataFrame, dimKey: String,
       fpp: Double = 0.01, expectedKeys: Long = -1L): DataFrame =
     ops.PipelineOps.bloomSemiJoin(fact, factKey, dim, dimKey, fpp, expectedKeys)
+
+  /** Per-document out-of-vocabulary rate against the corpus's own
+    * top-`vocabSize` terms (deterministic top-k by freq desc, word).
+    * Verified by `q_oov_rate`.
+    */
+  def oovRate(docs: DataFrame, vocabSize: Int = 20): DataFrame =
+    ops.PipelineOps.oovRate(docs, vocabSize)
+
+  /** Global decile of `metricCol` per row (ties by `idCol`), computed
+    * two-phase (value buckets + broadcast offsets) so no single-task
+    * window appears at any corpus size. `bucketWidth` is the value-space
+    * bucket size for the partial ranks. Verified by `q_quality_deciles`.
+    */
+  def valueDeciles(
+      df: DataFrame, metricCol: String, idCol: String,
+      bucketWidth: Int): DataFrame =
+    ops.PipelineOps.valueDeciles(df, metricCol, idCol, bucketWidth)
 
   /** Top-k adjacent-word collocations by pointwise mutual information
     * over (doc_id, text) rows, keeping pairs seen at least `minCount`

@@ -20,5 +20,6 @@ object CoreQueries extends QueryModule {
       ExtraOps.queries ++
       SecondPassOps.queries ++
       PipelineOps.queries ++
-      GraphOps.queries
+      GraphOps.queries ++
+      MlOps.queries
 }

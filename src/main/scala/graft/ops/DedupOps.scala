@@ -125,6 +125,56 @@ object DedupOps extends QueryModule {
       .distinct()
   }
 
+  /** Connected components over the LSH candidate-pair graph via
+    * min-label propagation: each doc's component = the smallest doc_id
+    * reachable through near-dup edges (so the component id IS the
+    * keeper). Driver-side loop of distributed jobs with localCheckpoint
+    * lineage cuts; converges in <= graph-diameter rounds (labels only
+    * decrease) — LSH bucket graphs are clique unions with tiny
+    * diameters, the iteration cap is a runaway backstop only.
+    */
+  def nearDupComponents(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val pairs = lshCandidatePairs(docs)
+    val edges = pairs.select(col("d1").as("a"), col("d2").as("b"))
+      .unionByName(pairs.select(col("d2").as("a"), col("d1").as("b")))
+      .distinct()
+      .localCheckpoint()
+    var labels = edges.select(col("a").as("n")).distinct()
+      .select(col("n"), col("n").as("label"))
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 50) {
+      val nbrMin = edges
+        .join(labels.withColumnRenamed("n", "bn"), col("b") === col("bn"))
+        .groupBy(col("a"))
+        .agg(min(col("label")).as("nbr_label"))
+      val next = labels
+        .join(nbrMin, col("n") === col("a"), "left")
+        .select(col("n"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+        .localCheckpoint()
+      converged = next
+        .join(labels.withColumnRenamed("label", "old"), "n")
+        .filter(col("label") =!= col("old"))
+        .isEmpty
+      labels = next
+      iter += 1
+    }
+    labels.select(col("n").as("doc_id"), col("label").as("component"))
+  }
+
+  /** The deduplicated corpus: `docs` minus every non-keeper cluster
+    * member (rows whose component id is a smaller doc_id). Keeps the
+    * full input schema.
+    */
+  def dedupNearCorpus(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val nonKeepers = nearDupComponents(docs)
+      .filter(col("component") < col("doc_id"))
+      .select("doc_id")
+    docs.join(nonKeepers, Seq("doc_id"), "left_anti")
+  }
+
   def queries: Seq[Q] = Seq(
     // Exact dedup: canonical keep-first-by-key. All texts in the synthetic
     // corpus are distinct, so this keeps every row — the semantics are
@@ -253,38 +303,45 @@ object DedupOps extends QueryModule {
          |SELECT a AS doc_id, LEAST(a, MIN(b)) AS component
          |FROM reach GROUP BY a ORDER BY doc_id"""
     ) { (s, d) =>
-      val pairs = lshCandidatePairs(Tables.documents(s, d))
-      val edges = pairs.select(col("d1").as("a"), col("d2").as("b"))
-        .unionByName(pairs.select(col("d2").as("a"), col("d1").as("b")))
-        .distinct()
-        .localCheckpoint()
-      var labels = edges.select(col("a").as("n")).distinct()
-        .select(col("n"), col("n").as("label"))
-        .localCheckpoint()
-      // converges in <= graph-diameter rounds (labels only decrease);
-      // LSH bucket graphs are clique unions with tiny diameters, the cap
-      // is a runaway backstop only.
-      var converged = false
-      var iter = 0
-      while (!converged && iter < 50) {
-        val nbrMin = edges
-          .join(labels.withColumnRenamed("n", "bn"), col("b") === col("bn"))
-          .groupBy(col("a"))
-          .agg(min(col("label")).as("nbr_label"))
-        val next = labels
-          .join(nbrMin, col("n") === col("a"), "left")
-          .select(col("n"),
-            least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
-          .localCheckpoint()
-        converged = next
-          .join(labels.withColumnRenamed("label", "old"), "n")
-          .filter(col("label") =!= col("old"))
-          .isEmpty
-        labels = next
-        iter += 1
-      }
-      labels.select(col("n").as("doc_id"), col("label").as("component"))
-        .orderBy("doc_id")
+      nearDupComponents(Tables.documents(s, d)).orderBy("doc_id")
+    },
+
+    // End-to-end near-dedup materialization: the query a pipeline
+    // actually runs — drop every non-keeper cluster member (keeper = the
+    // component id, i.e. the smallest reachable doc_id) and account the
+    // surviving corpus per source. Composes the verified candidate-pair
+    // and clustering paths; the anti join is keyed by doc_id (one
+    // shuffle against the tiny non-keeper set, broadcast in practice).
+    Q(
+      "q_dedup_corpus",
+      s"""WITH RECURSIVE $sigCte,
+         |$bandsCte,
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         |   AND a.doc_id < b.doc_id),
+         |edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+         |          UNION SELECT d2, d1 FROM pairs),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |comp AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS component
+         |         FROM reach GROUP BY a),
+         |dropped AS (SELECT doc_id FROM comp WHERE component < doc_id)
+         |SELECT source,
+         |       COUNT(*) AS n_docs,
+         |       CAST(SUM(CAST(len($WordsSql) AS BIGINT)) AS BIGINT) AS total_tokens
+         |FROM documents
+         |WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+         |GROUP BY source ORDER BY source"""
+    ) { (s, d) =>
+      graft.GraftOps.dedupNear(Tables.documents(s, d))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextOps.wordCount(col("text"))).as("total_tokens"))
+        .orderBy("source")
     },
 
     // 64-bit SimHash: per word take 64 bits of md5, sum +1/-1 per bit over

@@ -52,6 +52,32 @@ object EventOps extends QueryModule {
         col("n_events"), col("total_value"))
 
   def queries: Seq[Q] = Seq(
+    // SCD2 validity intervals (the lakehouse dimension-building step):
+    // each event's state is valid from its timestamp until the user's
+    // next event; the last event per user is the current row. One window
+    // keyed by user_id (high-cardinality), lead() for the closing edge.
+    Q(
+      "q_scd2_intervals",
+      """SELECT user_id, event_id, event_type,
+        |       CAST(floor(epoch(ts)) AS BIGINT) AS valid_from,
+        |       CAST(floor(epoch(lead(ts) OVER
+        |         (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT)
+        |         AS valid_to,
+        |       lead(ts) OVER
+        |         (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |         AS is_current
+        |FROM events
+        |ORDER BY user_id, event_id"""
+    ) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d).select(
+        col("user_id"), col("event_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("valid_from"),
+        unix_timestamp(lead(col("ts"), 1).over(w)).as("valid_to"),
+        lead(col("ts"), 1).over(w).isNull.as("is_current"))
+        .orderBy("user_id", "event_id")
+    },
+
     Q(
       "q_events_tumbling",
       """SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS window_start,

@@ -209,6 +209,56 @@ object PipelineOps extends QueryModule {
         (col("n_hit").cast("double") / col("n_shingles")).as("frac"))
   }
 
+  /** Per-document out-of-vocabulary rate against the corpus's own
+    * top-`vocabSize` terms — the signal a tokenizer/vocab rollout uses
+    * to find documents the vocabulary serves poorly. Two corpus passes:
+    * the vocabulary is a bounded top-k (broadcast), the per-doc pass is
+    * one aggregation keyed by doc_id.
+    */
+  def oovRate(docs: DataFrame, vocabSize: Int): DataFrame = {
+    val terms = docs.select(col("doc_id"), explode(words(col("text"))).as("w"))
+    val vocab = terms.groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w")).limit(vocabSize)
+      .select(col("w").as("vw"))
+    terms.join(broadcast(vocab), col("w") === col("vw"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        count(when(col("vw").isNull, 1)).as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        (col("n_oov").cast("double") / col("n_tokens")).as("oov_rate"))
+  }
+
+  /** Global decile assignment by `metricCol` without a single-task
+    * window: fixed-width value buckets partition the rank computation
+    * (the q_rank_global two-phase recipe), a tiny per-bucket offset
+    * table turns in-bucket ranks into global ranks, and the decile is
+    * integer arithmetic on the global rank — the curriculum-bucketing
+    * step of a training-data pipeline, at any corpus size.
+    */
+  def valueDeciles(
+      df: DataFrame, metricCol: String, idCol: String,
+      bucketWidth: Int): DataFrame = {
+    val base = df.select(col(idCol), col(metricCol))
+    val n = base.agg(count(lit(1)).as("n_total"))
+    val bucketed = base.withColumn(
+      "__graft_bkt", (col(metricCol) / bucketWidth).cast("int"))
+    val wIn = Window.partitionBy("__graft_bkt")
+      .orderBy(col(metricCol), col(idCol))
+    val wOff = Window.orderBy("__graft_bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketed.groupBy("__graft_bkt")
+      .agg(count(lit(1)).as("nb"))
+      .withColumn("__graft_off", coalesce(sum("nb").over(wOff), lit(0L)))
+      .select("__graft_bkt", "__graft_off")
+    bucketed
+      .withColumn("__graft_rn", row_number().over(wIn))
+      .join(broadcast(offsets), "__graft_bkt")
+      .crossJoin(broadcast(n))
+      .select(col(idCol), col(metricCol),
+        (expr("(__graft_off + __graft_rn - 1) * 10 div n_total") + 1)
+          .as("decile"))
+  }
+
   def mergeLatest(
       base: DataFrame, delta: DataFrame, keyCol: String,
       orderCols: Seq[String]): DataFrame = {
@@ -558,6 +608,56 @@ object PipelineOps extends QueryModule {
           sum(col("n_tokens")).as("total_tokens"),
           (max(col("end_seq")) + 1).as("n_seqs"))
         .orderBy("source")
+    },
+
+    // Out-of-vocabulary rate per document against the corpus's own
+    // top-20 terms (the vocabulary-coverage signal of tokenizer
+    // training). The vocabulary is a bounded deterministic top-k
+    // (freq desc, word) and arrives by broadcast.
+    Q(
+      "q_oov_rate",
+      s"""WITH t AS (SELECT doc_id, unnest($WordsSql) AS w FROM documents),
+         |v AS (SELECT w AS vw FROM (
+         |        SELECT w, COUNT(*) AS c FROM t GROUP BY w
+         |        ORDER BY c DESC, w LIMIT 20))
+         |SELECT doc_id,
+         |       COUNT(*) AS n_tokens,
+         |       COUNT(CASE WHEN vw IS NULL THEN 1 END) AS n_oov,
+         |       CAST(COUNT(CASE WHEN vw IS NULL THEN 1 END) AS DOUBLE) / COUNT(*)
+         |         AS oov_rate
+         |FROM t LEFT JOIN v ON t.w = v.vw
+         |GROUP BY doc_id ORDER BY doc_id"""
+    ) { (s, d) =>
+      graft.GraftOps.oovRate(Tables.documents(s, d), vocabSize = 20)
+        .orderBy("doc_id")
+    },
+
+    // Curriculum decile bucketing: every document assigned to a global
+    // length decile WITHOUT a single-task global window — fixed-width
+    // value buckets + in-bucket row_number + a broadcast offset table
+    // (the q_rank_global two-phase recipe), then integer rank
+    // arithmetic. The oracle states the semantic result with a plain
+    // global window, which the distributed form must reproduce exactly.
+    Q(
+      "q_quality_deciles",
+      """WITH r AS (
+        |  SELECT doc_id, n_chars,
+        |         ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS grank,
+        |         COUNT(*) OVER () AS n_total
+        |  FROM documents)
+        |SELECT (grank - 1) * 10 // n_total + 1 AS decile,
+        |       COUNT(*) AS n_docs,
+        |       MIN(n_chars) AS min_chars,
+        |       MAX(n_chars) AS max_chars
+        |FROM r GROUP BY 1 ORDER BY decile"""
+    ) { (s, d) =>
+      graft.GraftOps.valueDeciles(
+        Tables.documents(s, d), "n_chars", "doc_id", bucketWidth = 25)
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"))
+        .orderBy("decile")
     },
 
     // Corpus bigram language model: MLE conditional probabilities from

@@ -343,6 +343,44 @@ object RelationalOps extends QueryModule {
         .limit(100)
     },
 
+    // TPC-H Q10 shape (returned-item reporting): which customers
+    // returned the most revenue in a quarter. Fact filters (date window,
+    // return flag) applied below the joins; nation broadcast; top-20 by
+    // revenue via sort+limit (TakeOrderedAndProject). Revenue is the
+    // exact-decimal sum, so the doubles match bit-for-bit.
+    Q(
+      "q_tpch_q10",
+      """SELECT c_custkey, c_name, n_name, c_acctbal,
+        |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |JOIN orders   ON o_custkey = c_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE o_orderdate >= TIMESTAMP '1995-10-01'
+        |  AND o_orderdate <  TIMESTAMP '1996-01-01'
+        |  AND l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, n_name, c_acctbal
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20"""
+    ) { (s, d) =>
+      Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(Tables.orders(s, d)
+            .filter(col("o_orderdate") >= lit("1995-10-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1996-01-01").cast("timestamp")),
+          col("o_custkey") === col("c_custkey"))
+        .join(Tables.lineitem(s, d).filter(col("l_returnflag") === "R"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"), col("c_acctbal"))
+        .agg(Exact.dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"))
+        .select(col("c_custkey"), col("c_name"), col("n_name"),
+          col("c_acctbal"), col("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    },
+
     // TPC-H Q4 shape (order priority checking): EXISTS-style semi join
     // from a date-windowed orders slice into the fact table with a
     // correlated non-equi predicate (the synthetic schema has no

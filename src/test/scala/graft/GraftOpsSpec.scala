@@ -224,4 +224,68 @@ class GraftOpsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_bigrams") == 2L)
     assert(r.getAs[Double]("avg_logprob") == 0.0)
   }
+
+  test("dedupNear drops exactly the non-keeper cluster members") {
+    import spark.implicits._
+    // three near-identical docs (same 3-gram shingles -> same LSH
+    // buckets) + one distinct doc: keeper = min doc_id of the cluster
+    val dup = "alpha beta gamma delta epsilon zeta"
+    val docs = Seq(
+      (10L, dup), (11L, dup), (12L, dup),
+      (20L, "one two three four five six"))
+      .toDF("doc_id", "text")
+    val kept = GraftOps.dedupNear(docs)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(10L, 20L))
+    val comp = GraftOps.nearDupComponents(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp(11L) == 10L && comp(12L) == 10L)
+  }
+
+  test("oovRate is 0 for all-vocab docs and 1 for all-OOV docs") {
+    import spark.implicits._
+    // "a" dominates the corpus; vocabSize=1 makes everything else OOV
+    val docs = Seq(
+      (1L, "a a a"), (2L, "b c"), (3L, "a b"))
+      .toDF("doc_id", "text")
+    val rates = GraftOps.oovRate(docs, vocabSize = 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(rates(1L) == 0.0 && rates(2L) == 1.0 && rates(3L) == 0.5)
+  }
+
+  test("valueDeciles partitions the corpus into balanced global deciles") {
+    import spark.implicits._
+    val df = (1L to 1000L).map(i => (i, i * 7 % 997)).toDF("id", "m")
+    val deciles = GraftOps.valueDeciles(df, "m", "id", bucketWidth = 50)
+    val counts = deciles.groupBy("decile").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == (1L to 10L).toSet)
+    assert(counts.values.forall(c => c >= 99 && c <= 101))
+    assert(counts.values.sum == 1000L)
+    // decile boundaries respect the metric order: max(m) in decile d
+    // <= min(m) in decile d+1
+    val byDec = deciles.groupBy("decile")
+      .agg(min("m").as("mn"), max("m").as("mx"))
+      .orderBy("decile").collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    byDec.sliding(2).foreach {
+      case Array((_, mx1), (mn2, _)) => assert(mx1 <= mn2)
+      case _ =>
+    }
+  }
+
+  test("kmeans assigns every vector and yields k non-empty clusters") {
+    import spark.implicits._
+    // two tight blobs far apart, seeds 0 and 1 land one in each
+    val vecs = Seq(
+      (0L, Array(0f, 0f)), (1L, Array(10f, 10f)),
+      (2L, Array(0.1f, 0f)), (3L, Array(10f, 10.1f)),
+      (4L, Array(0f, 0.2f)), (5L, Array(9.9f, 10f)))
+      .toDF("vec_id", "embedding")
+    val r = ops.MlOps.kmeans(vecs, k = 2, iters = 2)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2)))
+    assert(r.map(_._1).toSeq == Seq(0L, 1L))
+    assert(r.map(_._2).sum == 6L)
+    assert(r.forall(_._3 < 1.0)) // tight blobs -> tiny inertia
+  }
 }
