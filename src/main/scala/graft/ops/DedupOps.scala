@@ -278,6 +278,79 @@ object DedupOps extends QueryModule {
         .orderBy("d1", "d2")
     },
 
+    // MinHash sketch-accuracy measurement (the q_ann_recall of the dedup
+    // suite): for every LSH candidate pair, the signature-estimated
+    // Jaccard (matching slots / 8) next to the exact distinct-shingle
+    // Jaccard. The exact side is computed ONLY over candidate pairs
+    // (bounded), never all-pairs; a band-hash collision pair with zero
+    // common shingles keeps jaccard 0 via the left join.
+    Q(
+      "q_minhash_accuracy",
+      s"""WITH $sigCte,
+         |$bandsCte,
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         |   AND a.doc_id < b.doc_id),
+         |dsh AS (SELECT doc_id, list_distinct(shingles) AS shs FROM sh),
+         |sz AS (SELECT doc_id, CAST(len(shs) AS BIGINT) AS nsh FROM dsh),
+         |ex AS (SELECT doc_id, unnest(shs) AS sg FROM dsh),
+         |inter AS (
+         |  SELECT p.d1, p.d2, COUNT(*) AS c
+         |  FROM pairs p
+         |  JOIN ex e1 ON e1.doc_id = p.d1
+         |  JOIN ex e2 ON e2.doc_id = p.d2 AND e2.sg = e1.sg
+         |  GROUP BY p.d1, p.d2)
+         |SELECT p.d1, p.d2,
+         |       CAST(${(0 until NumHashes).map(k =>
+                  s"(CASE WHEN s1.m$k = s2.m$k THEN 1 ELSE 0 END)").mkString(" + ")}
+         |            AS DOUBLE) / $NumHashes AS est_jaccard,
+         |       CAST(COALESCE(i.c, 0) AS DOUBLE)
+         |         / (za.nsh + zb.nsh - COALESCE(i.c, 0)) AS exact_jaccard
+         |FROM pairs p
+         |JOIN sig s1 ON s1.doc_id = p.d1
+         |JOIN sig s2 ON s2.doc_id = p.d2
+         |JOIN sz za ON za.doc_id = p.d1
+         |JOIN sz zb ON zb.doc_id = p.d2
+         |LEFT JOIN inter i ON i.d1 = p.d1 AND i.d2 = p.d2
+         |ORDER BY p.d1, p.d2"""
+    ) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val shingled = docs
+        .filter(TextOps.wordCount(col("text")) >= 3)
+        .select(col("doc_id"), TextOps.shingles(col("text"), 3).as("shingles"))
+      val sig = shingled.select(col("doc_id") +: sigCols: _*)
+      val pairs = lshCandidatePairs(docs)
+      val dsh = shingled.select(col("doc_id"), array_distinct(col("shingles")).as("shs"))
+      val sz = dsh.select(col("doc_id"), size(col("shs")).cast("long").as("nsh"))
+      val ex = dsh.select(col("doc_id"), explode(col("shs")).as("sg"))
+      val inter = pairs
+        .join(ex.toDF("e1", "sg1"), col("d1") === col("e1"))
+        .join(ex.toDF("e2", "sg2"),
+          col("d2") === col("e2") && col("sg1") === col("sg2"))
+        .groupBy("d1", "d2")
+        .agg(count(lit(1)).as("c"))
+      val estCol = (0 until NumHashes)
+        .map(k => when(col(s"a_m$k") === col(s"b_m$k"), 1).otherwise(0))
+        .reduce(_ + _)
+      val sigA = sig.toDF("sa" +: (0 until NumHashes).map(k => s"a_m$k"): _*)
+      val sigB = sig.toDF("sb" +: (0 until NumHashes).map(k => s"b_m$k"): _*)
+      pairs
+        .join(sigA, col("d1") === col("sa"))
+        .join(sigB, col("d2") === col("sb"))
+        .join(sz.toDF("za", "nsh_a"), col("d1") === col("za"))
+        .join(sz.toDF("zb", "nsh_b"), col("d2") === col("zb"))
+        .join(inter.toDF("i1", "i2", "c"),
+          col("d1") === col("i1") && col("d2") === col("i2"), "left")
+        .select(col("d1"), col("d2"),
+          (estCol.cast("double") / NumHashes).as("est_jaccard"),
+          (coalesce(col("c"), lit(0L)).cast("double")
+            / (col("nsh_a") + col("nsh_b") - coalesce(col("c"), lit(0L))))
+            .as("exact_jaccard"))
+        .orderBy("d1", "d2")
+    },
+
     // Dedup clusters: connected components over the LSH candidate-pair
     // graph via min-label propagation (each doc's cluster id = smallest
     // doc_id reachable through near-dup edges). The Spark side is the

@@ -78,6 +78,52 @@ object EventOps extends QueryModule {
         .orderBy("user_id", "event_id")
     },
 
+    // SQL gap-sessionization: the event-granular sibling of the native
+    // session_window aggregation (q_events_session) — lag() marks
+    // session breaks (gap > 5 min), a running sum numbers sessions, then
+    // one aggregation per (user, session). Integer-exact throughout:
+    // gaps compare epoch MICROSECONDS (unix_micros vs DuckDB epoch_us),
+    // so no float is involved. Both windows key on user_id.
+    Q(
+      "q_sessionize_gap",
+      """WITH o AS (
+        |  SELECT user_id, event_id, ts,
+        |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, event_id, ts,
+        |         CASE WHEN prev IS NULL
+        |                   OR epoch_us(ts) - epoch_us(prev) > 300000000
+        |              THEN 1 ELSE 0 END AS brk
+        |  FROM o),
+        |s AS (
+        |  SELECT user_id, ts,
+        |         CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM m)
+        |SELECT user_id, session_id,
+        |       COUNT(*) AS n_events,
+        |       CAST(floor(epoch(MIN(ts))) AS BIGINT) AS session_start,
+        |       CAST(floor(epoch(MAX(ts))) AS BIGINT) AS session_end
+        |FROM s GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id"""
+    ) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("prev", lag(col("ts"), 1).over(w))
+        .withColumn("brk",
+          when(col("prev").isNull ||
+            unix_micros(col("ts")) - unix_micros(col("prev")) > 300000000L, 1)
+            .otherwise(0))
+        .withColumn("session_id", sum(col("brk")).over(wRun))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+          unix_timestamp(min(col("ts"))).as("session_start"),
+          unix_timestamp(max(col("ts"))).as("session_end"))
+        .orderBy("user_id", "session_id")
+    },
+
     Q(
       "q_events_tumbling",
       """SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS window_start,
