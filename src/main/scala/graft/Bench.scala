@@ -13,13 +13,15 @@ object Bench {
     * round-2 set of 28, and round 4 ADDED five more
     * (q_repetition_signals, q_seq_pack, q_bloom_prefilter_join,
     * q_bigram_lm, and the q_pipeline_e2e composite), and round 5 ADDED
-    * four (q_tpch_q10, q_kmeans_embed, q_dedup_corpus, q_oov_rate) —
+    * five (q_tpch_q5, q_tpch_q10, q_kmeans_embed, q_dedup_corpus,
+    * q_oov_rate) —
     * compare totals per-query, not headline-sum to headline-sum.
     */
   val Headline: Seq[String] = Seq(
     "q_scan_project", "q_filter_predicates",
     "q_join_inner", "q_join_broadcast", "q_join_left", "q_join_semi",
-    "q_tpch_q3", "q_tpch_q6", "q_tpch_q10", "q_tpch_q13", "q_tpch_q18",
+    "q_tpch_q3", "q_tpch_q5", "q_tpch_q6", "q_tpch_q10", "q_tpch_q13",
+    "q_tpch_q18",
     "q_bloom_prefilter_join",
     "q_agg_q1", "q_agg_countdistinct", "q_agg_rollup", "q_skew_salted",
     "q_window_topk", "q_window_moving", "q_rank_global",

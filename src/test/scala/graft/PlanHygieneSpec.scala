@@ -88,7 +88,20 @@ class PlanHygieneSpec extends SparkSpec {
         "BroadcastHashJoin", "LeftSemi", "LessThan(s_nationkey,5)"),
       // bigram scoring must join the vocabulary-bounded probability
       // table by broadcast (a shuffle join would re-key the whole corpus)
-      "q_bigram_lm" -> Seq("BroadcastHashJoin"))
+      "q_bigram_lm" -> Seq("BroadcastHashJoin"),
+      // the 6-way Q5: every dimension arrives broadcast, both fact
+      // filters reach the parquet scans
+      "q_tpch_q5" -> Seq("BroadcastHashJoin", "PushedFilters: [IsNotNull"),
+      // Q10's quarter + return-flag filters must be pushed to the scans
+      "q_tpch_q10" -> Seq(
+        "BroadcastHashJoin", "EqualTo(l_returnflag,R)"),
+      // k-means assignment must be NARROW: centroids arrive by broadcast
+      // (nested-loop over a K-row build side), and the corpus-scale
+      // embedding payload never rides a hash exchange — only (vec, k,
+      // dist) triples and the (cluster, dim) update rows shuffle
+      "q_kmeans_embed" -> Seq("BroadcastNestedLoopJoin"),
+      // the OOV vocabulary is a bounded top-k joined by broadcast
+      "q_oov_rate" -> Seq("BroadcastHashJoin"))
     val failures = mustContain.toSeq.sortBy(_._1).flatMap { case (name, frags) =>
       val plan = SparkEntry.queries(name)(spark, sfDir)
         .queryExecution.executedPlan.toString
