@@ -27,7 +27,8 @@ object Bench {
     "q_window_topk", "q_window_moving", "q_rank_global",
     "q_sort_limit", "q_set_union_all",
     "word_count", "q_term_freq", "q_token_count", "q_corpus_curation",
-    "q_repetition_signals", "q_seq_pack", "q_bigram_lm", "q_pipeline_e2e",
+    "q_repetition_signals", "q_seq_pack", "q_bigram_lm", "q_bpe_merges",
+    "q_pipeline_e2e",
     "q_dedup_exact", "q_dedup_minhash_pairs", "q_dedup_simhash",
     "q_dedup_corpus", "q_oov_rate",
     "q_similarity_topk", "q_ann_lsh", "q_kmeans_embed",

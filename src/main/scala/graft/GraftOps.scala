@@ -178,6 +178,14 @@ object GraftOps {
       bucketWidth: Int): DataFrame =
     ops.PipelineOps.valueDeciles(df, metricCol, idCol, bucketWidth)
 
+  /** BPE merge training over (doc_id, text) rows: `rounds` most-frequent
+    * adjacent-symbol merges, computed on the corpus's word-frequency
+    * histogram (one corpus pass; every round is vocabulary-bounded).
+    * Returns (round, pair, cnt). Verified by `q_bpe_merges`.
+    */
+  def bpeMerges(docs: DataFrame, rounds: Int = 3): DataFrame =
+    ops.PipelineOps.bpeMerges(docs, rounds)
+
   /** Top-k adjacent-word collocations by pointwise mutual information
     * over (doc_id, text) rows, keeping pairs seen at least `minCount`
     * times. One corpus-scale partial aggregation; margins ride windows

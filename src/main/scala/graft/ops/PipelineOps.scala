@@ -259,6 +259,42 @@ object PipelineOps extends QueryModule {
           .as("decile"))
   }
 
+  /** BPE merge training — the actual tokenizer-training loop. One
+    * corpus-scale pass builds the word-frequency histogram; every merge
+    * round then runs on that VOCABULARY-BOUNDED table (the structural
+    * reason BPE trains in minutes on a trillion-token corpus): count
+    * adjacent symbol pairs weighted by word frequency, pick the most
+    * frequent (ties to the lexicographically smallest pair), splice the
+    * winner into every word's symbol string. Symbols are tracked as a
+    * space-joined string; the splice pads with spaces so a pair can
+    * only match at symbol boundaries, and both engines' literal
+    * `replace` scans left-to-right non-overlapping, so sequential
+    * repeats merge identically. Returns (round, pair, cnt) per merge.
+    */
+  def bpeMerges(docs: DataFrame, rounds: Int): DataFrame = {
+    val wfreq = docs
+      .select(explode(words(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      // merge rounds iterate this tiny table; never re-read the corpus
+      .localCheckpoint()
+    var v = wfreq.withColumn(
+      "cs", trim(regexp_replace(col("word"), "(.)", "$1 ")))
+    var out: DataFrame = null
+    (1 to rounds).foreach { r =>
+      val best = v
+        .select(col("freq"), explode(TextOps.shingles(col("cs"), 2)).as("pair"))
+        .groupBy("pair").agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair")).limit(1)
+      val step = best.select(lit(r).as("round"), col("pair"), col("cnt"))
+      out = if (out == null) step else out.unionByName(step)
+      v = v.crossJoin(broadcast(best.select(col("pair").as("bp"))))
+        .withColumn("cs", trim(expr(
+          "replace(' ' || cs || ' ', ' ' || bp || ' ', ' ' || replace(bp, ' ', '') || ' ')")))
+        .drop("bp")
+    }
+    out
+  }
+
   def mergeLatest(
       base: DataFrame, delta: DataFrame, keyCol: String,
       orderCols: Seq[String]): DataFrame = {
@@ -268,6 +304,36 @@ object PipelineOps extends QueryModule {
       .withColumn("__graft_rn", row_number().over(w))
       .filter(col("__graft_rn") === 1)
       .drop("__graft_rn")
+  }
+
+  /** DuckDB oracle for [[bpeMerges]]: `rounds` unrolled merge rounds
+    * generated from the same loop shape.
+    */
+  private def bpeOracle(rounds: Int): String = {
+    val steps = (1 to rounds).map { r =>
+      s"""p$r AS (
+         |  SELECT t.ts[i] || ' ' || t.ts[i+1] AS pair,
+         |         CAST(SUM(t.freq) AS BIGINT) AS cnt
+         |  FROM (SELECT freq, string_split(cs, ' ') AS ts FROM v${r - 1}) t,
+         |       unnest(generate_series(1, len(t.ts) - 1)) AS u(i)
+         |  GROUP BY 1),
+         |b$r AS (SELECT pair, cnt FROM p$r ORDER BY cnt DESC, pair LIMIT 1),
+         |v$r AS (SELECT word, freq,
+         |        trim(replace(' ' || cs || ' ', ' ' || (SELECT pair FROM b$r) || ' ',
+         |             ' ' || replace((SELECT pair FROM b$r), ' ', '') || ' ')) AS cs
+         |        FROM v${r - 1})""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to rounds)
+      .map(r => s"SELECT $r AS round, pair, cnt FROM b$r")
+      .mkString("\nUNION ALL ")
+    s"""WITH wfreq AS (
+       |  SELECT w AS word, COUNT(*) AS freq
+       |  FROM (SELECT unnest($WordsSql) AS w FROM documents) GROUP BY w),
+       |v0 AS (SELECT word, freq,
+       |       trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS cs FROM wfreq),
+       |$steps
+       |$out
+       |ORDER BY round""".stripMargin
   }
 
   // --------------------------------------------------------------------
@@ -658,6 +724,16 @@ object PipelineOps extends QueryModule {
           min(col("n_chars")).as("min_chars"),
           max(col("n_chars")).as("max_chars"))
         .orderBy("decile")
+    },
+
+    // BPE merge training: 3 unrolled merge rounds over the corpus's
+    // word-frequency histogram — the tokenizer-training loop itself.
+    // The corpus is read once (histogram); each round's pair counting,
+    // argmax, and splice run on the vocabulary-bounded table. The
+    // oracle unrolls the identical rounds.
+    Q("q_bpe_merges", bpeOracle(3)) { (s, d) =>
+      graft.GraftOps.bpeMerges(Tables.documents(s, d), rounds = 3)
+        .orderBy("round")
     },
 
     // Corpus bigram language model: MLE conditional probabilities from
