@@ -306,6 +306,77 @@ object PipelineOps extends QueryModule {
       .drop("__graft_rn")
   }
 
+  /** Fixed query-term set shared by the BM25 and hybrid-fusion queries. */
+  private[ops] val Bm25Terms = Seq("spark", "query", "join", "data", "stream")
+
+  /** Okapi BM25 (k1=1.2, b=0.75) per-document scores for a fixed query
+    * term set: (doc_id, score). Per-term df and the one-row corpus stats
+    * arrive by broadcast; the fact-scale work is the same (doc, term)
+    * aggregation the inverted index uses. Per-term scores are rounded
+    * then exact-decimal-summed for cross-engine parity.
+    */
+  def bm25Scores(docs: DataFrame, queryTerms: Seq[String]): DataFrame = {
+    val k1 = lit(1.2)
+    val b = lit(0.75)
+    val dls = docs
+      .select(col("doc_id"), TextOps.wordCount(col("text")).as("dl"))
+      .filter(col("dl") > 0)
+    val stats = dls.agg(
+      count(lit(1)).as("n"),
+      (Exact.dsum(col("dl")) / count(lit(1))).as("avgdl"))
+    val tf = docs
+      .select(col("doc_id"), explode(words(col("text"))).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val termScore = round(
+      log((col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + 1)
+        * (col("tf") * (k1 + 1))
+        / (col("tf") + k1 * (lit(1) - b + b * col("dl") / col("avgdl"))), 6)
+    tf.join(broadcast(dfreq), "term")
+      .join(dls, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), termScore.as("term_score"))
+      .groupBy("doc_id")
+      .agg(round(Exact.dsum(col("term_score")), 6).as("score"))
+  }
+
+  /** DuckDB CTE prefix producing `bmscore(doc_id, score)` — shared by
+    * the q_bm25 oracle and the hybrid-fusion oracle (SimilarityOps).
+    */
+  private[ops] val Bm25Cte: String = {
+    val terms = Bm25Terms.map(t => s"'$t'").mkString("(", ", ", ")")
+    s"""dls AS (
+       |  SELECT doc_id, CAST(len($WordsSql) AS BIGINT) AS dl
+       |  FROM documents WHERE len($WordsSql) > 0),
+       |stats AS (
+       |  SELECT COUNT(*) AS n,
+       |         CAST(SUM(CAST(dl AS DECIMAL(38,10))) AS DOUBLE) / COUNT(*) AS avgdl
+       |  FROM dls),
+       |tf AS (
+       |  SELECT doc_id, w AS term, COUNT(*) AS tf
+       |  FROM (SELECT doc_id, unnest($WordsSql) AS w FROM documents)
+       |  WHERE w IN $terms
+       |  GROUP BY doc_id, w),
+       |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+       |ts AS (
+       |  SELECT tf.doc_id,
+       |         round(ln((s.n - d.df + CAST(0.5 AS DOUBLE))
+       |                  / (d.df + CAST(0.5 AS DOUBLE)) + 1)
+       |               * (tf.tf * (CAST(1.2 AS DOUBLE) + 1))
+       |               / (tf.tf + CAST(1.2 AS DOUBLE)
+       |                  * (1 - CAST(0.75 AS DOUBLE)
+       |                     + CAST(0.75 AS DOUBLE) * l.dl / s.avgdl)), 6) AS term_score
+       |  FROM tf JOIN dfreq d ON tf.term = d.term
+       |  JOIN dls l ON tf.doc_id = l.doc_id
+       |  CROSS JOIN stats s),
+       |bmscore AS (
+       |  SELECT doc_id,
+       |         round(CAST(SUM(CAST(term_score AS DECIMAL(38,10))) AS DOUBLE), 6) AS score
+       |  FROM ts GROUP BY doc_id)""".stripMargin
+  }
+
   /** DuckDB oracle for [[bpeMerges]]: `rounds` unrolled merge rounds
     * generated from the same loop shape.
     */
@@ -473,61 +544,11 @@ object PipelineOps extends QueryModule {
     // cross-engine doubles match despite ln/division.
     Q(
       "q_bm25",
-      s"""WITH dls AS (
-         |  SELECT doc_id, CAST(len($WordsSql) AS BIGINT) AS dl
-         |  FROM documents WHERE len($WordsSql) > 0),
-         |stats AS (
-         |  SELECT COUNT(*) AS n,
-         |         CAST(SUM(CAST(dl AS DECIMAL(38,10))) AS DOUBLE) / COUNT(*) AS avgdl
-         |  FROM dls),
-         |tf AS (
-         |  SELECT doc_id, w AS term, COUNT(*) AS tf
-         |  FROM (SELECT doc_id, unnest($WordsSql) AS w FROM documents)
-         |  WHERE w IN ('spark', 'query', 'join', 'data', 'stream')
-         |  GROUP BY doc_id, w),
-         |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
-         |ts AS (
-         |  SELECT tf.doc_id,
-         |         round(ln((s.n - d.df + CAST(0.5 AS DOUBLE))
-         |                  / (d.df + CAST(0.5 AS DOUBLE)) + 1)
-         |               * (tf.tf * (CAST(1.2 AS DOUBLE) + 1))
-         |               / (tf.tf + CAST(1.2 AS DOUBLE)
-         |                  * (1 - CAST(0.75 AS DOUBLE)
-         |                     + CAST(0.75 AS DOUBLE) * l.dl / s.avgdl)), 6) AS term_score
-         |  FROM tf JOIN dfreq d ON tf.term = d.term
-         |  JOIN dls l ON tf.doc_id = l.doc_id
-         |  CROSS JOIN stats s)
-         |SELECT doc_id,
-         |       round(CAST(SUM(CAST(term_score AS DECIMAL(38,10))) AS DOUBLE), 6) AS score
-         |FROM ts GROUP BY doc_id
+      s"""WITH $Bm25Cte
+         |SELECT doc_id, score FROM bmscore
          |ORDER BY score DESC, doc_id LIMIT 20"""
     ) { (s, d) =>
-      val queryTerms = Seq("spark", "query", "join", "data", "stream")
-      val k1 = lit(1.2)
-      val b = lit(0.75)
-      val docs = Tables.documents(s, d)
-      val dls = docs
-        .select(col("doc_id"), TextOps.wordCount(col("text")).as("dl"))
-        .filter(col("dl") > 0)
-      val stats = dls.agg(
-        count(lit(1)).as("n"),
-        (Exact.dsum(col("dl")) / count(lit(1))).as("avgdl"))
-      val tf = docs
-        .select(col("doc_id"), explode(words(col("text"))).as("term"))
-        .filter(col("term").isin(queryTerms: _*))
-        .groupBy("doc_id", "term")
-        .agg(count(lit(1)).as("tf"))
-      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-      val termScore = round(
-        log((col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + 1)
-          * (col("tf") * (k1 + 1))
-          / (col("tf") + k1 * (lit(1) - b + b * col("dl") / col("avgdl"))), 6)
-      tf.join(broadcast(dfreq), "term")
-        .join(dls, "doc_id")
-        .crossJoin(broadcast(stats))
-        .select(col("doc_id"), termScore.as("term_score"))
-        .groupBy("doc_id")
-        .agg(round(Exact.dsum(col("term_score")), 6).as("score"))
+      bm25Scores(Tables.documents(s, d), Bm25Terms)
         .orderBy(col("score").desc, col("doc_id"))
         .limit(20)
     },

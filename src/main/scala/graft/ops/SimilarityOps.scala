@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{Q, QueryModule, Tables}
@@ -73,6 +74,60 @@ object SimilarityOps extends QueryModule {
   }
 
   def queries: Seq[Q] = Seq(
+    // Hybrid retrieval: reciprocal-rank fusion (k=60) of the BM25
+    // lexical top-20 and the cosine-similarity top-20 for one query
+    // (terms for the lexical side, vector 0's embedding for the dense
+    // side) — the fusion step of a modern retrieval stack, composed
+    // from the two independently-verified scoring paths. Both rank
+    // lists are bounded (20 rows) before the full-outer fuse, so the
+    // fusion itself is constant-size at any corpus scale; RRF terms are
+    // a fixed two-addend double expression (no aggregation), so no
+    // rounding is needed.
+    Q(
+      "q_hybrid_rrf",
+      s"""WITH ${PipelineOps.Bm25Cte},
+         |brank AS (
+         |  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS r1
+         |  FROM bmscore),
+         |btop AS (SELECT doc_id, r1 FROM brank WHERE r1 <= 20),
+         |cscored AS (
+         |  SELECT e.vec_id AS vid,
+         |         ${duckDot("q.embedding", "e.embedding")}
+         |           / (${duckNorm("q.embedding")} * ${duckNorm("e.embedding")}) AS sim
+         |  FROM embeddings e
+         |  CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+         |  WHERE e.vec_id <> 0),
+         |crank AS (
+         |  SELECT vid, ROW_NUMBER() OVER (ORDER BY sim DESC, vid) AS r2
+         |  FROM cscored),
+         |ctop AS (SELECT vid, r2 FROM crank WHERE r2 <= 20)
+         |SELECT COALESCE(b.doc_id, c.vid) AS doc_id,
+         |       COALESCE(CAST(1.0 AS DOUBLE) / (60 + b.r1), 0)
+         |         + COALESCE(CAST(1.0 AS DOUBLE) / (60 + c.r2), 0) AS rrf
+         |FROM btop b FULL OUTER JOIN ctop c ON b.doc_id = c.vid
+         |ORDER BY rrf DESC, doc_id LIMIT 10"""
+    ) { (s, d) =>
+      val wTop = Window.orderBy(col("score").desc, col("doc_id"))
+      // rank windows run over the already-bounded 20-row top lists
+      val bmTop = PipelineOps
+        .bm25Scores(Tables.documents(s, d), PipelineOps.Bm25Terms)
+        .orderBy(col("score").desc, col("doc_id")).limit(20)
+        .withColumn("r1", row_number().over(wTop).cast("long"))
+        .select(col("doc_id").as("d1"), col("r1"))
+      val emb = Tables.embeddings(s, d)
+      val cosTop = graft.GraftOps
+        .cosineTopK(emb, emb.filter(col("vec_id") === 0), 20)
+        .select(col("vid").as("d2"), col("rn").cast("long").as("r2"))
+      bmTop
+        .join(cosTop, col("d1") === col("d2"), "full_outer")
+        .select(
+          coalesce(col("d1"), col("d2")).as("doc_id"),
+          (coalesce(lit(1.0) / (lit(60) + col("r1")), lit(0.0))
+            + coalesce(lit(1.0) / (lit(60) + col("r2")), lit(0.0))).as("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id"))
+        .limit(10)
+    },
+
     // Brute-force cosine top-k: exact baseline. Query set (vec_id < 10)
     // broadcast against the full corpus; rank per query.
     Q(
