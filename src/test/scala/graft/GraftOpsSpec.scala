@@ -274,6 +274,17 @@ class GraftOpsSpec extends SparkSpec {
     }
   }
 
+  test("bpeMerges learns the expected merges on a toy corpus") {
+    import spark.implicits._
+    // words: "aa" x2, "ab" x1 -> round 1 merges ('a','a') with weight 2,
+    // leaving symbols {"aa", "a b"} -> round 2 merges ('a','b') weight 1
+    val docs = Seq((1L, "aa aa ab")).toDF("doc_id", "text")
+    val merges = GraftOps.bpeMerges(docs, rounds = 2)
+      .orderBy("round").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    assert(merges == Seq((1, "a a", 2L), (2, "a b", 1L)))
+  }
+
   test("kmeans assigns every vector and yields k non-empty clusters") {
     import spark.implicits._
     // two tight blobs far apart, seeds 0 and 1 land one in each
