@@ -149,16 +149,18 @@ object DedupOps extends QueryModule {
         .join(labels.withColumnRenamed("n", "bn"), col("b") === col("bn"))
         .groupBy(col("a"))
         .agg(min(col("label")).as("nbr_label"))
+      // carry the changed flag INSIDE the checkpointed frame: the
+      // convergence test is then a local scan of materialized rows
+      // instead of a per-iteration join job against the old labels
       val next = labels
         .join(nbrMin, col("n") === col("a"), "left")
         .select(col("n"),
-          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"),
+          (col("nbr_label").isNotNull && col("nbr_label") < col("label"))
+            .as("changed"))
         .localCheckpoint()
-      converged = next
-        .join(labels.withColumnRenamed("label", "old"), "n")
-        .filter(col("label") =!= col("old"))
-        .isEmpty
-      labels = next
+      converged = next.filter(col("changed")).isEmpty
+      labels = next.drop("changed")
       iter += 1
     }
     labels.select(col("n").as("doc_id"), col("label").as("component"))
