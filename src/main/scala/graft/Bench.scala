@@ -13,8 +13,8 @@ object Bench {
     * round-2 set of 28, and round 4 ADDED five more
     * (q_repetition_signals, q_seq_pack, q_bloom_prefilter_join,
     * q_bigram_lm, and the q_pipeline_e2e composite), and round 5 ADDED
-    * five (q_tpch_q5, q_tpch_q10, q_kmeans_embed, q_dedup_corpus,
-    * q_oov_rate) —
+    * six (q_tpch_q5, q_tpch_q10, q_kmeans_embed, q_dedup_corpus,
+    * q_oov_rate, q_bpe_merges) —
     * compare totals per-query, not headline-sum to headline-sum.
     */
   val Headline: Seq[String] = Seq(

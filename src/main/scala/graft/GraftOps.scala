@@ -43,8 +43,11 @@ object GraftOps {
 
   /** Near-dup connected components over (doc_id LONG, text STRING) rows:
     * (doc_id, component) where component = smallest doc_id reachable
-    * through LSH candidate edges (the cluster keeper). Verified by
-    * `q_dedup_clusters`.
+    * through LSH candidate edges (the cluster keeper). OUTPUT COVERS
+    * ONLY docs with at least one candidate edge — singleton docs (no
+    * near-dup candidate, the majority of a healthy corpus) are absent;
+    * attach cluster ids with a LEFT join and
+    * `coalesce(component, doc_id)`. Verified by `q_dedup_clusters`.
     */
   def nearDupComponents(docs: DataFrame): DataFrame =
     ops.DedupOps.nearDupComponents(docs)

@@ -49,8 +49,19 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_words", exprs => Words(exprs.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_shingles", exprs =>
-        Shingles(exprs(0), exprs(1).eval().asInstanceOf[Number].intValue()),
+      "graft_shingles", exprs => {
+        // fail with a contract-naming message instead of a bare
+        // UnsupportedOperationException from eval() on an unresolved
+        // column (the builder runs at analysis time)
+        require(exprs.length == 2,
+          "graft_shingles(text, n) expects exactly 2 arguments")
+        require(exprs(1).foldable && {
+          import org.apache.spark.sql.types._
+          Seq(ByteType, ShortType, IntegerType, LongType)
+            .contains(exprs(1).dataType)
+        }, "graft_shingles n must be a literal integer")
+        Shingles(exprs(0), exprs(1).eval().asInstanceOf[Number].intValue())
+      },
       "scala_udf")
   }
 }

@@ -78,28 +78,33 @@ object MlOps extends QueryModule {
       .select(col("vec_id").as("k"),
         transform(col("embedding"), v => v.cast("double")).as("carr"))
 
-    // NARROW: centroids broadcast, per-vector left-fold distance —
-    // no shuffle touches the corpus to assign it
-    def distances(c: DataFrame): DataFrame = vecs
-      .crossJoin(broadcast(c))
-      .select(col("vec_id"), col("k"),
-        aggregate(
-          zip_with(col("embedding"), col("carr"),
-            (x, cc) => (x.cast("double") - cc) * (x.cast("double") - cc)),
-          lit(0.0), (acc, t) => acc + t).as("dist"))
-
-    // min over (dist, k) structs = smallest distance, ties to smallest
-    // cluster id — the same pair the oracle's min-join selects
-    def assign(dist: DataFrame): DataFrame = dist
-      .groupBy("vec_id")
-      .agg(min(struct(col("dist"), col("k"))).as("m"))
-      .select(col("vec_id"), col("m.k").as("cl"), col("m.dist").as("dist"))
+    // FULLY NARROW assignment: the K centroids collapse to a ONE-ROW
+    // broadcast array of (carr, k) structs, and each vector computes its
+    // argmin as a per-row expression — fold the squared distance per
+    // centroid, array_min over (dist, k) structs (smallest distance,
+    // ties to the smallest cluster id — the same pair the oracle's
+    // min-join selects). The corpus-scale rows — embedding payload
+    // included — never enter ANY exchange: the n×K candidate rows a
+    // join-based assignment would shuffle and re-collapse never exist.
+    def assigned(c: DataFrame): DataFrame = {
+      val centRow = c.agg(collect_list(struct(col("carr"), col("k"))).as("cents"))
+      vecs
+        .crossJoin(broadcast(centRow))
+        .withColumn("m", array_min(transform(col("cents"), ct => struct(
+          aggregate(
+            zip_with(col("embedding"), ct.getField("carr"),
+              (x, cc) => (x.cast("double") - cc) * (x.cast("double") - cc)),
+            lit(0.0), (acc, t) => acc + t),
+          ct.getField("k")))))
+        .select(col("vec_id"), col("embedding"),
+          col("m.k").as("cl"), col("m.col1").as("dist"))
+    }
 
     (1 to iters).foreach { _ =>
-      val a = assign(distances(cent))
-      // the one per-iteration shuffle: (cluster, dim) partial-agg means,
-      // then K tiny rows reassembled into centroid arrays
-      cent = vecs.join(a.select("vec_id", "cl"), "vec_id")
+      // the one per-iteration shuffle: (cluster, dim) partial-agg means
+      // (map-side combine cuts each task to K·dim partial rows before
+      // the exchange), then K tiny rows reassembled into centroid arrays
+      cent = assigned(cent)
         .select(col("cl"), posexplode(col("embedding")).as(Seq("pos0", "x0")))
         .groupBy(col("cl"), (col("pos0") + 1).as("pos"))
         .agg(Exact.davg(col("x0").cast("double")).as("c"))
@@ -107,7 +112,7 @@ object MlOps extends QueryModule {
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
           s => s.getField("c")).as("carr"))
     }
-    assign(distances(cent))
+    assigned(cent)
       .groupBy(col("cl").as("cluster"))
       .agg(count(lit(1)).as("n_vecs"),
         round(Exact.dsum(col("dist")), 6).as("inertia"))

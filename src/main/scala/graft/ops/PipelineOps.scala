@@ -240,8 +240,13 @@ object PipelineOps extends QueryModule {
       bucketWidth: Int): DataFrame = {
     val base = df.select(col(idCol), col(metricCol))
     val n = base.agg(count(lit(1)).as("n_total"))
+    // bucket id in LONG integer arithmetic: a double divide cast to int
+    // would clamp metrics beyond ~2^31·width into one saturated bucket
+    // (re-creating the single-task window this recipe exists to avoid)
+    // and lose precision past 2^53. Truncating the metric to BIGINT
+    // first is fine: any monotone bucketing partitions correctly.
     val bucketed = base.withColumn(
-      "__graft_bkt", (col(metricCol) / bucketWidth).cast("int"))
+      "__graft_bkt", expr(s"CAST(`$metricCol` AS BIGINT) div $bucketWidth"))
     val wIn = Window.partitionBy("__graft_bkt")
       .orderBy(col(metricCol), col(idCol))
     val wOff = Window.orderBy("__graft_bkt")
@@ -268,8 +273,17 @@ object PipelineOps extends QueryModule {
     * winner into every word's symbol string. Symbols are tracked as a
     * space-joined string; the splice pads with spaces so a pair can
     * only match at symbol boundaries, and both engines' literal
-    * `replace` scans left-to-right non-overlapping, so sequential
-    * repeats merge identically. Returns (round, pair, cnt) per merge.
+    * `replace` scans left-to-right non-overlapping, so the splice is
+    * deterministic and identical cross-engine. Documented
+    * simplification vs reference BPE implementations: within a RUN of
+    * ≥4 identical symbols, non-overlapping replace pairs (1,2) and
+    * resumes after the shared boundary space, so e.g. "a a a a" becomes
+    * "aa a a" in the round rather than "aa aa" — the next rounds still
+    * merge the remainder, but run-heavy corpora can order merges
+    * differently than a pairwise-rescan trainer. Each round's
+    * vocabulary table is localCheckpoint'd, so the plan stays linear in
+    * `rounds` (the self-referencing best-pair join would otherwise
+    * double it every round). Returns (round, pair, cnt) per merge.
     */
   def bpeMerges(docs: DataFrame, rounds: Int): DataFrame = {
     val wfreq = docs
@@ -277,8 +291,9 @@ object PipelineOps extends QueryModule {
       .groupBy("word").agg(count(lit(1)).as("freq"))
       // merge rounds iterate this tiny table; never re-read the corpus
       .localCheckpoint()
-    var v = wfreq.withColumn(
-      "cs", trim(regexp_replace(col("word"), "(.)", "$1 ")))
+    var v = wfreq
+      .withColumn("cs", trim(regexp_replace(col("word"), "(.)", "$1 ")))
+      .localCheckpoint()
     var out: DataFrame = null
     (1 to rounds).foreach { r =>
       val best = v
@@ -291,6 +306,7 @@ object PipelineOps extends QueryModule {
         .withColumn("cs", trim(expr(
           "replace(' ' || cs || ' ', ' ' || bp || ' ', ' ' || replace(bp, ' ', '') || ' ')")))
         .drop("bp")
+        .localCheckpoint()
     }
     out
   }
