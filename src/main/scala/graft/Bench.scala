@@ -14,14 +14,15 @@ object Bench {
     * (q_repetition_signals, q_seq_pack, q_bloom_prefilter_join,
     * q_bigram_lm, and the q_pipeline_e2e composite), and round 5 ADDED
     * six (q_tpch_q5, q_tpch_q10, q_kmeans_embed, q_dedup_corpus,
-    * q_oov_rate, q_bpe_merges) —
+    * q_oov_rate, q_bpe_merges), and round 6 ADDED three
+    * (q_tpch_q21, q_tpch_q9, q_ann_ivf_trained) —
     * compare totals per-query, not headline-sum to headline-sum.
     */
   val Headline: Seq[String] = Seq(
     "q_scan_project", "q_filter_predicates",
     "q_join_inner", "q_join_broadcast", "q_join_left", "q_join_semi",
-    "q_tpch_q3", "q_tpch_q5", "q_tpch_q6", "q_tpch_q10", "q_tpch_q13",
-    "q_tpch_q18",
+    "q_tpch_q3", "q_tpch_q5", "q_tpch_q6", "q_tpch_q9", "q_tpch_q10",
+    "q_tpch_q13", "q_tpch_q18", "q_tpch_q21",
     "q_bloom_prefilter_join",
     "q_agg_q1", "q_agg_countdistinct", "q_agg_rollup", "q_skew_salted",
     "q_window_topk", "q_window_moving", "q_rank_global",
@@ -31,7 +32,7 @@ object Bench {
     "q_pipeline_e2e",
     "q_dedup_exact", "q_dedup_minhash_pairs", "q_dedup_simhash",
     "q_dedup_corpus", "q_oov_rate",
-    "q_similarity_topk", "q_ann_lsh", "q_kmeans_embed",
+    "q_similarity_topk", "q_ann_lsh", "q_kmeans_embed", "q_ann_ivf_trained",
     "q_events_tumbling", "q_events_session",
     "q_orc_roundtrip", "q_ocr_pipeline")
 
@@ -56,7 +57,10 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // Steady-state measurement: one full unmeasured warmup pass (JIT
     // compilation of generated code, parquet footer/page cache, shuffle
-    // machinery), then two measured passes reporting the per-query MIN —
+    // machinery), then three measured passes reporting the per-query MIN
+    // plus the relative spread ((max-min)/min) — the spread column
+    // separates genuine regressions from sandbox co-tenancy noise
+    // (sub-second queries routinely swing ±20% run-to-run here) —
     // standard steady-state methodology, and robust to a transient
     // co-tenant load spike hitting one pass.
     spark.range(1000).selectExpr("sum(id)").collect()
@@ -79,12 +83,18 @@ object Bench {
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val pass1 = measuredPass().toMap
-    val results = measuredPass().map { case (n, t) => n -> math.min(t, pass1(n)) }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val passes = Seq(measuredPass().toMap, measuredPass().toMap, measuredPass().toMap)
+    val results = Headline.map { n =>
+      val ts = passes.map(_(n))
+      (n, ts.min, (ts.max - ts.min) / ts.min)
+    }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val spreads = results
+      .map { case (k, _, sp) => s"\"" + k + "\":" + math.round(sp * 1000) / 1000.0 }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreads,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -43,14 +43,23 @@ object GraftOps {
 
   /** Near-dup connected components over (doc_id LONG, text STRING) rows:
     * (doc_id, component) where component = smallest doc_id reachable
-    * through LSH candidate edges (the cluster keeper). OUTPUT COVERS
-    * ONLY docs with at least one candidate edge — singleton docs (no
-    * near-dup candidate, the majority of a healthy corpus) are absent;
-    * attach cluster ids with a LEFT join and
-    * `coalesce(component, doc_id)`. Verified by `q_dedup_clusters`.
+    * through LSH candidate edges (the cluster keeper). Covers EVERY
+    * input doc: singleton docs (no near-dup candidate, the majority of
+    * a healthy corpus) come back as their own component, so joining the
+    * result to the corpus never drops rows. The propagation itself runs
+    * on the edge-node set only (fact-scale docs never enter the
+    * iteration); the singleton closure is one left join.
+    * Verified by `q_dedup_clusters` (edge-node subset) and
+    * GraftOpsSpec (isolated docs).
     */
-  def nearDupComponents(docs: DataFrame): DataFrame =
-    ops.DedupOps.nearDupComponents(docs)
+  def nearDupComponents(docs: DataFrame): DataFrame = {
+    val edgeComps = ops.DedupOps.nearDupComponents(docs)
+      .withColumnRenamed("component", "__graft_comp")
+    docs.select("doc_id")
+      .join(edgeComps, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("__graft_comp"), col("doc_id")).as("component"))
+  }
 
   /** The near-deduplicated corpus: `docs` (doc_id LONG, text STRING, any
     * other columns) minus every non-keeper cluster member — the
@@ -191,12 +200,30 @@ object GraftOps {
 
   /** Top-k adjacent-word collocations by pointwise mutual information
     * over (doc_id, text) rows, keeping pairs seen at least `minCount`
-    * times. One corpus-scale partial aggregation; margins ride windows
-    * over the vocabulary-bounded count table. Verified by
-    * `q_collocations`.
+    * times. One corpus-scale partial aggregation; the w1/w2 margins are
+    * keyed partial aggregations joined back and the grand total is a
+    * one-row broadcast — nothing funnels through a single task at any
+    * corpus size. Verified by `q_collocations`.
     */
   def collocations(docs: DataFrame, minCount: Long = 5, k: Int = 20): DataFrame =
     ops.PipelineOps.collocations(docs, minCount, k)
+
+  /** Trained k-means codebook over (vec_id LONG, embedding ARRAY<FLOAT>)
+    * rows: (k, carr ARRAY<DOUBLE>), possibly fewer than `k` rows (a
+    * centroid losing every member is dropped — see MlOps). Assignment is
+    * narrow (broadcast centroids, per-row fold); only the (cluster, dim)
+    * mean update shuffles. Training verified by `q_kmeans_embed`.
+    */
+  def kmeansCentroids(emb: DataFrame, k: Int = 4, iters: Int = 2): DataFrame =
+    ops.MlOps.kmeansCentroids(emb, k, iters)
+
+  /** The chained ANN pipeline: k-means-train the IVF coarse quantizer,
+    * cell-assign the corpus (narrow), search each query's cell, and
+    * report per-query recall@3 against the exact brute-force top-3.
+    * Verified by `q_ann_ivf_trained`.
+    */
+  def annIvfTrainedRecall(emb: DataFrame, k: Int = 4, iters: Int = 2): DataFrame =
+    ops.MlOps.ivfTrainedRecall(emb, k, iters)
 
   /** Benchmark decontamination check: for each (doc_id, text) corpus
     * row, the count and fraction of its distinct 3-gram shingles that

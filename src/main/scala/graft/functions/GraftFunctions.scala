@@ -55,12 +55,17 @@ object GraftFunctions {
         // column (the builder runs at analysis time)
         require(exprs.length == 2,
           "graft_shingles(text, n) expects exactly 2 arguments")
-        require(exprs(1).foldable && {
+        // probe resolved before foldable/dataType: both throw
+        // UnresolvedException on an unresolved column argument, which
+        // would mask the contract-naming message below
+        require(exprs(1).resolved && exprs(1).foldable && {
           import org.apache.spark.sql.types._
           Seq(ByteType, ShortType, IntegerType, LongType)
             .contains(exprs(1).dataType)
         }, "graft_shingles n must be a literal integer")
-        Shingles(exprs(0), exprs(1).eval().asInstanceOf[Number].intValue())
+        val nVal = exprs(1).eval()
+        require(nVal != null, "graft_shingles n must be a non-null literal integer")
+        Shingles(exprs(0), nVal.asInstanceOf[Number].intValue())
       },
       "scala_udf")
   }

@@ -1,5 +1,6 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -80,6 +81,14 @@ case class Words(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "graft_words"
 
+  // reject non-string arguments at ANALYSIS time with a contract-naming
+  // message (AbstractDataType/ImplicitCastInputTypes are private[sql],
+  // so the check is spelled directly)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a STRING argument, got ${child.dataType.catalogString}")
+
   override def nullSafeEval(input: Any): Any =
     WordsUtil.words(input.asInstanceOf[UTF8String])
 
@@ -98,6 +107,11 @@ case class Shingles(child: Expression, n: Int) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "graft_shingles"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a STRING text argument, got ${child.dataType.catalogString}")
 
   override def nullSafeEval(input: Any): Any =
     WordsUtil.shingles(input.asInstanceOf[UTF8String], n)

@@ -144,7 +144,8 @@ object DedupOps extends QueryModule {
       .localCheckpoint()
     var converged = false
     var iter = 0
-    while (!converged && iter < 50) {
+    val maxIter = 50
+    while (!converged && iter < maxIter) {
       val nbrMin = edges
         .join(labels.withColumnRenamed("n", "bn"), col("b") === col("bn"))
         .groupBy(col("a"))
@@ -163,6 +164,16 @@ object DedupOps extends QueryModule {
       labels = next.drop("changed")
       iter += 1
     }
+    // the backstop exists for runaway graphs only; exiting it without a
+    // fixpoint means the labels are WRONG (a >50-diameter chain), and
+    // dedup downstream would silently keep/drop the wrong docs — fail
+    // loudly instead (the changed-count is already materialized, so this
+    // check costs nothing)
+    if (!converged)
+      throw new IllegalStateException(
+        s"nearDupComponents: label propagation did not converge within " +
+          s"$maxIter iterations (candidate graph diameter > $maxIter); " +
+          "components would be incorrect")
     labels.select(col("n").as("doc_id"), col("label").as("component"))
   }
 

@@ -173,16 +173,24 @@ object PipelineOps extends QueryModule {
   }
 
   def collocations(docs: DataFrame, minCount: Long, k: Int): DataFrame = {
+    // One corpus pass builds the bigram-type count table; checkpoint it so
+    // the margin/total passes below reread the materialized counts instead
+    // of re-running the scan + explode. At web scale distinct bigram TYPES
+    // run to billions, so nothing here may funnel through one task: the
+    // w1/w2 margins are partial aggregations joined back on their keys
+    // (map-side combine, then a keyed shuffle that scales with the type
+    // table), and the grand total is a single-row aggregate broadcast to
+    // every partition — the same corpus-stats pattern bm25Scores uses.
     val cbg = docBigrams(docs).groupBy("w1", "w2").agg(count(lit(1)).as("c"))
-    // margins and the total via windows over the vocabulary-bounded
-    // count table (≤ |vocab|² rows by construction — these windows never
-    // see corpus-scale input; the corpus-scale work is the one partial
-    // aggregation above)
+      .localCheckpoint()
+    val m1 = cbg.groupBy("w1").agg(sum(col("c")).as("c1"))
+    val m2 = cbg.groupBy("w2").agg(sum(col("c")).as("c2"))
+    val tot = cbg.agg(sum(col("c")).as("t"))
     cbg
-      .withColumn("c1", sum(col("c")).over(Window.partitionBy("w1")))
-      .withColumn("c2", sum(col("c")).over(Window.partitionBy("w2")))
-      .withColumn("t", sum(col("c")).over(Window.partitionBy()))
       .filter(col("c") >= minCount)
+      .join(m1, "w1")
+      .join(m2, "w2")
+      .crossJoin(broadcast(tot))
       .select(col("w1"), col("w2"), col("c"),
         round(log((col("c").cast("double") * col("t"))
           / (col("c1").cast("double") * col("c2"))), 6).as("pmi"))
@@ -286,6 +294,7 @@ object PipelineOps extends QueryModule {
     * double it every round). Returns (round, pair, cnt) per merge.
     */
   def bpeMerges(docs: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"bpeMerges requires rounds >= 1, got $rounds")
     val wfreq = docs
       .select(explode(words(col("text"))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
@@ -294,19 +303,34 @@ object PipelineOps extends QueryModule {
     var v = wfreq
       .withColumn("cs", trim(regexp_replace(col("word"), "(.)", "$1 ")))
       .localCheckpoint()
-    var out: DataFrame = null
+    // typed empty seed so a fully-merged corpus (no adjacent pair left
+    // anywhere) still returns a well-formed (round, pair, cnt) frame
+    var out: DataFrame = wfreq.limit(0)
+      .select(lit(0).as("round"), lit("").as("pair"), lit(0L).as("cnt"))
+    var exhausted = false
     (1 to rounds).foreach { r =>
-      val best = v
-        .select(col("freq"), explode(TextOps.shingles(col("cs"), 2)).as("pair"))
-        .groupBy("pair").agg(sum(col("freq")).as("cnt"))
-        .orderBy(col("cnt").desc, col("pair")).limit(1)
-      val step = best.select(lit(r).as("round"), col("pair"), col("cnt"))
-      out = if (out == null) step else out.unionByName(step)
-      v = v.crossJoin(broadcast(best.select(col("pair").as("bp"))))
-        .withColumn("cs", trim(expr(
-          "replace(' ' || cs || ' ', ' ' || bp || ' ', ' ' || replace(bp, ' ', '') || ' ')")))
-        .drop("bp")
-        .localCheckpoint()
+      if (!exhausted) {
+        // checkpoint the 1-row winner: it feeds both the output step and
+        // the splice, and the emptiness probe below must not re-run the
+        // pair aggregation
+        val best = v
+          .select(col("freq"), explode(TextOps.shingles(col("cs"), 2)).as("pair"))
+          .groupBy("pair").agg(sum(col("freq")).as("cnt"))
+          .orderBy(col("cnt").desc, col("pair")).limit(1)
+          .localCheckpoint()
+        if (best.isEmpty) {
+          // every word is a single symbol: no pair to merge, and the
+          // crossJoin below would silently empty the vocabulary — stop
+          exhausted = true
+        } else {
+          out = out.unionByName(best.select(lit(r).as("round"), col("pair"), col("cnt")))
+          v = v.crossJoin(broadcast(best.select(col("pair").as("bp"))))
+            .withColumn("cs", trim(expr(
+              "replace(' ' || cs || ' ', ' ' || bp || ' ', ' ' || replace(bp, ' ', '') || ' ')")))
+            .drop("bp")
+            .localCheckpoint()
+        }
+      }
     }
     out
   }

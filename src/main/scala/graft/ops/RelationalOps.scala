@@ -587,6 +587,186 @@ object RelationalOps extends QueryModule {
           count(lit(1)).as("n_items"))
     },
 
+    // TPC-H Q21 shape (suppliers who kept orders waiting): the hardest
+    // join-planning stressor in the suite — a semi AND an anti SELF-join
+    // on the fact table, each with a non-equi other-supplier predicate,
+    // under a dimension filter. The synthetic schema has no
+    // l_receiptdate/l_commitdate, so "late" = shipped after a cutoff
+    // date — identical plan shape (LeftSemi + LeftAnti on l_orderkey
+    // with l_suppkey <>, pinned in PlanHygieneSpec). The supplier→nation
+    // dimension broadcasts and prunes l1 before the self-joins; orders'
+    // status filter rides a semi join so fact rows are never duplicated.
+    Q(
+      "q_tpch_q21",
+      """SELECT s_name, COUNT(*) AS numwait
+        |FROM supplier
+        |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        |JOIN orders ON o_orderkey = l1.l_orderkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE o_orderstatus = 'F'
+        |  AND l1.l_shipdate > TIMESTAMP '2000-06-30'
+        |  AND n_name IN ('NATION_3', 'NATION_7', 'NATION_11')
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_shipdate > TIMESTAMP '2000-06-30')
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 100"""
+    ) { (s, d) =>
+      val cutoff = lit("2000-06-30").cast("timestamp")
+      val li = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey", "l_shipdate")
+      val suppNat = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)
+            .filter(col("n_name").isin("NATION_3", "NATION_7", "NATION_11"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey", "s_name")
+      val l2 = li.select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2"))
+      val l3 = li.filter(col("l_shipdate") > cutoff)
+        .select(col("l_orderkey").as("o3"), col("l_suppkey").as("s3"))
+      li.filter(col("l_shipdate") > cutoff)
+        .select("l_orderkey", "l_suppkey")
+        .join(broadcast(suppNat), col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+            .select("o_orderkey"),
+          col("l_orderkey") === col("o_orderkey"), "left_semi")
+        .join(l2, col("l_orderkey") === col("o2") && col("l_suppkey") =!= col("s2"),
+          "left_semi")
+        .join(l3, col("l_orderkey") === col("o3") && col("l_suppkey") =!= col("s3"),
+          "left_anti")
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(100)
+    },
+
+    // TPC-H Q2 shape (minimum-cost supplier): the correlated-min
+    // stressor — for each part, only suppliers matching the REGIONAL
+    // minimum supply cost survive. The synthetic schema has no partsupp,
+    // so (part, supplier, cost) is derived from lineitem as the minimum
+    // observed unit price per (l_partkey, l_suppkey) — the correlated-
+    // aggregate plan shape (per-part min + equality join back, the
+    // decorrelation Catalyst produces for the subquery spelling) is
+    // identical. The double equality is exact: both sides compare the
+    // same IEEE division results, and MIN picks one of them.
+    Q(
+      "q_tpch_q2",
+      """WITH ps AS (
+        |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+        |         MIN(l_extendedprice / l_quantity) AS ps_supplycost
+        |  FROM lineitem GROUP BY 1, 2),
+        |eligible AS (
+        |  SELECT ps_partkey, ps_suppkey, ps_supplycost, s_name, s_acctbal, n_name
+        |  FROM ps
+        |  JOIN supplier ON s_suppkey = ps_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE'),
+        |minc AS (SELECT ps_partkey AS mk, MIN(ps_supplycost) AS mc
+        |         FROM eligible GROUP BY 1)
+        |SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+        |       round(ps_supplycost, 6) AS supplycost
+        |FROM eligible
+        |JOIN minc ON ps_partkey = mk AND ps_supplycost = mc
+        |JOIN part ON p_partkey = ps_partkey
+        |WHERE p_size <= 15 AND p_type = 'LARGE'
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        |LIMIT 100"""
+    ) { (s, d) =>
+      val ps = Tables.lineitem(s, d)
+        .groupBy(col("l_partkey").as("ps_partkey"), col("l_suppkey").as("ps_suppkey"))
+        .agg(min(col("l_extendedprice") / col("l_quantity")).as("ps_supplycost"))
+      val euroSupp = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)
+            .join(broadcast(Tables.region(s, d).filter(col("r_name") === "EUROPE")),
+              col("n_regionkey") === col("r_regionkey"))
+            .select("n_nationkey", "n_name")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+      val eligible = ps
+        .join(broadcast(euroSupp), col("ps_suppkey") === col("s_suppkey"))
+        .localCheckpoint() // read once by both the min pass and the probe
+      val minc = eligible.groupBy(col("ps_partkey").as("mk"))
+        .agg(min(col("ps_supplycost")).as("mc"))
+      eligible
+        .join(minc, col("ps_partkey") === col("mk") && col("ps_supplycost") === col("mc"))
+        .join(broadcast(Tables.part(s, d)
+            .filter(col("p_size") <= 15 && col("p_type") === "LARGE")
+            .select("p_partkey", "p_name")),
+          col("p_partkey") === col("ps_partkey"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"),
+          col("p_partkey"), col("p_name"),
+          round(col("ps_supplycost"), 6).as("supplycost"))
+        .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
+        .limit(100)
+    },
+
+    // TPC-H Q9 shape (product-type profit share): the 7-way join-order
+    // stressor — fact × derived partsupp (two-column key) × part
+    // (like-filter) × supplier × orders × nation, profit aggregated by
+    // nation and order year. partsupp is derived from lineitem (min
+    // observed unit price) as in Q2 above; the like-filtered part dim
+    // broadcasts and prunes the fact scan early, the ps join is the one
+    // genuine fact-fact shuffle. Each amount is rounded to 6 decimals
+    // BEFORE the exact-decimal sum, and the rounding is spelled as
+    // floor(x*1e6 + 0.5)/1e6 on BOTH sides: engine round() builtins
+    // disagree on .5-boundary doubles (HALF_UP over shortest-repr vs
+    // exact-expansion rounding — observed as a 1e-6 divergence on one
+    // group), while the floor spelling is the same IEEE mul/add/floor/
+    // divide sequence on both engines, and the resulting ≤6-decimal
+    // double converts to DECIMAL identically everywhere.
+    Q(
+      "q_tpch_q9",
+      """WITH ps AS (
+        |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+        |         MIN(l_extendedprice / l_quantity) AS ps_supplycost
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT nation, o_year,
+        |       CAST(SUM(CAST(amount AS DECIMAL(38,10))) AS DOUBLE) AS sum_profit
+        |FROM (
+        |  SELECT n_name AS nation,
+        |         CAST(year(o_orderdate) AS INT) AS o_year,
+        |         floor((l_extendedprice * (1 - l_discount) - ps_supplycost * l_quantity) * 1e6 + 0.5) / 1e6 AS amount
+        |  FROM lineitem
+        |  JOIN part ON p_partkey = l_partkey
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN ps ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE p_name LIKE '%red%') profit
+        |GROUP BY nation, o_year
+        |ORDER BY nation, o_year DESC"""
+    ) { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val ps = li
+        .groupBy(col("l_partkey").as("ps_partkey"), col("l_suppkey").as("ps_suppkey"))
+        .agg(min(col("l_extendedprice") / col("l_quantity")).as("ps_supplycost"))
+      val amount = floor((col("l_extendedprice") * (lit(1) - col("l_discount")) -
+        col("ps_supplycost") * col("l_quantity")) * lit(1e6) + lit(0.5)) / lit(1e6)
+      li
+        .join(broadcast(Tables.part(s, d)
+            .filter(col("p_name").like("%red%")).select("p_partkey")),
+          col("p_partkey") === col("l_partkey"))
+        .join(broadcast(Tables.supplier(s, d).select("s_suppkey", "s_nationkey")),
+          col("s_suppkey") === col("l_suppkey"))
+        .join(ps,
+          col("ps_partkey") === col("l_partkey") &&
+            col("ps_suppkey") === col("l_suppkey"))
+        .join(Tables.orders(s, d).select("o_orderkey", "o_orderdate"),
+          col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("n_name").as("nation"),
+          year(col("o_orderdate")).cast("int").as("o_year"),
+          amount.as("amount"))
+        .groupBy("nation", "o_year")
+        .agg(Exact.dsum(col("amount")).as("sum_profit"))
+        .orderBy(col("nation"), col("o_year").desc)
+    },
+
     // TPC-H Q6 shape (forecast revenue): pure scan-filter-aggregate, the
     // pushdown/codegen benchmark classic. One-row result.
     Q(

@@ -274,6 +274,25 @@ class GraftOpsSpec extends SparkSpec {
     }
   }
 
+  test("nearDupComponents covers singleton docs as their own component") {
+    import spark.implicits._
+    // two near-dups + two isolated docs: the isolated docs have no LSH
+    // candidate edge, but the public facade must still return them (as
+    // their own keeper) — a caller joining components back to the
+    // corpus must never lose rows
+    val dup = "alpha beta gamma delta epsilon zeta"
+    val docs = Seq(
+      (10L, dup), (11L, dup),
+      (20L, "one two three four five six"),
+      (30L, "seven eight nine ten eleven twelve"))
+      .toDF("doc_id", "text")
+    val comp = GraftOps.nearDupComponents(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp.keySet == Set(10L, 11L, 20L, 30L))
+    assert(comp(10L) == 10L && comp(11L) == 10L)
+    assert(comp(20L) == 20L && comp(30L) == 30L)
+  }
+
   test("bpeMerges learns the expected merges on a toy corpus") {
     import spark.implicits._
     // words: "aa" x2, "ab" x1 -> round 1 merges ('a','a') with weight 2,
@@ -283,6 +302,36 @@ class GraftOpsSpec extends SparkSpec {
       .orderBy("round").collect()
       .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
     assert(merges == Seq((1, "a a", 2L), (2, "a b", 1L)))
+  }
+
+  test("bpeMerges pins the boundary-padded run-merging sequence") {
+    import spark.implicits._
+    // Pin the documented divergence (PipelineOps.bpeMerges scaladoc):
+    // within a run of >= 4 identical symbols the non-overlapping padded
+    // replace merges (1,2) and resumes after the shared boundary space,
+    // so "a a a a" -> "aa a a" in round 1 (NOT "aa aa" as a
+    // pairwise-rescan trainer would produce), round 2 -> "aa aa",
+    // round 3 -> "aaaa", round 4 finds nothing. Both engines agree, so
+    // the oracle can't catch drift here — this spec can. Round-1 cnt is
+    // 3: the pair count is per OCCURRENCE ("a a a a" holds three
+    // adjacent pairs), weighted by word frequency 1.
+    val docs = Seq((1L, "aaaa")).toDF("doc_id", "text")
+    val merges = GraftOps.bpeMerges(docs, rounds = 4)
+      .orderBy("round").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    assert(merges == Seq((1, "a a", 3L), (2, "a a", 1L), (3, "aa aa", 1L)))
+  }
+
+  test("bpeMerges rejects rounds < 1 and stops cleanly on unsplittable corpora") {
+    import spark.implicits._
+    val docs = Seq((1L, "x y z")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException](GraftOps.bpeMerges(docs, 0))
+    // every word is a single symbol: no pair exists, so the result is a
+    // well-formed EMPTY (round, pair, cnt) frame, not a null/emptied-
+    // vocabulary artifact
+    val out = GraftOps.bpeMerges(docs, rounds = 3)
+    assert(out.columns.toSeq == Seq("round", "pair", "cnt"))
+    assert(out.isEmpty)
   }
 
   test("kmeans assigns every vector and yields k non-empty clusters") {

@@ -61,6 +61,45 @@ class PlanHygieneSpec extends SparkSpec {
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
 
+  // A window with an EMPTY partition spec funnels its ENTIRE input
+  // through one task — admissible ONLY over inputs that are constant-
+  // bounded by construction (a limit-k list, a bucket-offset table),
+  // never over anything that grows with the corpus (the q_collocations
+  // r5 defect: a global total over the distinct-bigram table, which at
+  // web scale runs to billions of rows). Enforcement: every registered
+  // query planning an empty-partition window must be on the explicit
+  // allowlist below AND its window input must be tiny at sf0.01.
+  test("empty-partition windows appear only over constant-bounded inputs") {
+    val sf01 = "/root/testdata/sf0.01"
+    val allowed = Map(
+      // rank over the two bounded top-20 retrieval lists
+      "q_hybrid_rrf" -> 100L,
+      // cumulative offsets over the bucket-count tables (aggregate-scale)
+      "q_rank_global" -> 1000L,
+      "q_quality_deciles" -> 1000L)
+    val offenders = SparkEntry.all.flatMap { q =>
+      val ws = q.fn(spark, sf01).queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+            if w.partitionSpec.isEmpty => w
+      }
+      if (ws.isEmpty) None
+      else allowed.get(q.name) match {
+        case None =>
+          Some(s"${q.name}: empty-partition window not on the allowlist — " +
+            "rewrite as agg + broadcast crossJoin (the BM25 corpus-stats " +
+            "pattern) or partial aggregations joined back")
+        case Some(bound) =>
+          val big = ws.map(w =>
+            org.apache.spark.sql.GraftBridge.ofRows(spark, w.child).count())
+            .filter(_ > bound)
+          if (big.isEmpty) None
+          else Some(s"${q.name}: empty-partition window over ${big.max} rows " +
+            s"(bound $bound) — input is not constant-bounded")
+      }
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
   // Load-bearing plan features of the headline bench set. String-level on
   // purpose: AQE wraps the plan in AdaptiveSparkPlanExec (a leaf — collect
   // can't see inside), but toString renders the full initial plan.
@@ -101,7 +140,14 @@ class PlanHygieneSpec extends SparkSpec {
       // dist) triples and the (cluster, dim) update rows shuffle
       "q_kmeans_embed" -> Seq("BroadcastNestedLoopJoin"),
       // the OOV vocabulary is a bounded top-k joined by broadcast
-      "q_oov_rate" -> Seq("BroadcastHashJoin"))
+      "q_oov_rate" -> Seq("BroadcastHashJoin"),
+      // Q21's EXISTS/NOT EXISTS self-joins must arrive as SEMI and ANTI
+      // (an inner spelling would duplicate fact rows and corrupt the
+      // counts), with no cartesian anywhere (blanket test above)
+      "q_tpch_q21" -> Seq("LeftSemi", "LeftAnti"),
+      // Q9's like-filtered part dim and the supplier/nation dims ride
+      // broadcasts; only the derived-partsupp join is a real exchange
+      "q_tpch_q9" -> Seq("BroadcastHashJoin"))
     val failures = mustContain.toSeq.sortBy(_._1).flatMap { case (name, frags) =>
       val plan = SparkEntry.queries(name)(spark, sfDir)
         .queryExecution.executedPlan.toString
