@@ -225,6 +225,15 @@ object GraftOps {
   def annIvfTrainedRecall(emb: DataFrame, k: Int = 4, iters: Int = 2): DataFrame =
     ops.MlOps.ivfTrainedRecall(emb, k, iters)
 
+  /** Cross-document repeated `n`-token spans (boilerplate/template
+    * detection, the signal behind exact-substring dedup): top `k` spans
+    * by occurrence appearing in >= `minDocs` distinct docs. One explode
+    * + one span-keyed aggregation. Verified by `q_repeated_spans`.
+    */
+  def repeatedSpans(
+      docs: DataFrame, n: Int = 8, minDocs: Long = 2, k: Int = 20): DataFrame =
+    ops.PipelineOps.repeatedSpans(docs, n, minDocs, k)
+
   /** Benchmark decontamination check: for each (doc_id, text) corpus
     * row, the count and fraction of its distinct 3-gram shingles that
     * appear anywhere in `benchmark` (also (doc_id, text) rows). The

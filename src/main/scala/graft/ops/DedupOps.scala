@@ -364,6 +364,43 @@ object DedupOps extends QueryModule {
         .orderBy("d1", "d2")
     },
 
+    // Cross-source near-dup overlap matrix: candidate pairs counted per
+    // unordered source pair — the corpus diagnostic a data team reads
+    // before mixing sources (which crawls/dumps duplicate each other,
+    // and how much of a source is internal duplication). Composes the
+    // verified candidate-pair path with two source lookups; the pair
+    // table is LSH-bounded, so the joins and the final aggregation are
+    // candidate-scale, never corpus².
+    Q(
+      "q_dedup_source_overlap",
+      s"""WITH $sigCte,
+         |$bandsCte,
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         |   AND a.doc_id < b.doc_id)
+         |SELECT LEAST(sa.source, sb.source) AS source_a,
+         |       GREATEST(sa.source, sb.source) AS source_b,
+         |       COUNT(*) AS n_pairs
+         |FROM pairs
+         |JOIN documents sa ON sa.doc_id = d1
+         |JOIN documents sb ON sb.doc_id = d2
+         |GROUP BY 1, 2
+         |ORDER BY n_pairs DESC, source_a, source_b"""
+    ) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val src = docs.select(col("doc_id"), col("source"))
+      lshCandidatePairs(docs)
+        .join(src.toDF("da", "sa"), col("d1") === col("da"))
+        .join(src.toDF("db", "sb"), col("d2") === col("db"))
+        .groupBy(
+          least(col("sa"), col("sb")).as("source_a"),
+          greatest(col("sa"), col("sb")).as("source_b"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("n_pairs").desc, col("source_a"), col("source_b"))
+    },
+
     // Dedup clusters: connected components over the LSH candidate-pair
     // graph via min-label propagation (each doc's cluster id = smallest
     // doc_id reachable through near-dup edges). The Spark side is the

@@ -155,15 +155,17 @@ object PipelineOps extends QueryModule {
     // clustering loop uses; at 100 TB this is the "tokenize once, reuse"
     // discipline every multi-pass corpus job needs).
     val docBg = docBigrams(docs).localCheckpoint()
-    // conditioning totals via a window over the vocabulary-bounded count
-    // table (saves a second aggregation + join; the table is tiny by
-    // construction — |vocab|² at most — so the window is cheap and its
-    // per-w1 partitions are as balanced as the corpus's word mix).
-    // Each ln term is rounded to 6 decimals (absorbs per-ulp libm
-    // differences vs the oracle), then summed exactly in decimal.
-    val probs = docBg.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
-      .withColumn("cu",
-        sum(col("c")).over(Window.partitionBy("w1")))
+    // conditioning totals as a keyed partial aggregation joined back
+    // (NOT a per-w1 window: a stopword w1 pairs with most of the
+    // vocabulary, and a window sorts that whole partition in one task —
+    // the aggregation form partial-combines map-side and never builds
+    // the skewed partition). Each ln term is rounded to 6 decimals
+    // (absorbs per-ulp libm differences vs the oracle), then summed
+    // exactly in decimal.
+    val counts = docBg.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+    val cond = counts.groupBy(col("w1").as("cw")).agg(sum(col("c")).as("cu"))
+    val probs = counts
+      .join(cond, col("w1") === col("cw"))
       .select(col("w1"), col("w2"),
         round(log(col("c").cast("double") / col("cu")), 6).as("lp"))
     docBg.join(broadcast(probs), Seq("w1", "w2"))
@@ -197,6 +199,25 @@ object PipelineOps extends QueryModule {
       .orderBy(col("pmi").desc, col("w1"), col("w2"))
       .limit(k)
   }
+
+  /** Span width for the cross-document repeated-span detector. */
+  private[ops] val SpanTokens = 8
+
+  /** Most-repeated `n`-token word spans appearing in at least `minDocs`
+    * distinct documents, top `k` by occurrence count. One explode + one
+    * aggregation keyed by span (map-side partials); the distinct-doc
+    * count rides the same shuffle as a two-phase count-distinct.
+    */
+  def repeatedSpans(docs: DataFrame, n: Int, minDocs: Long, k: Int): DataFrame =
+    docs
+      .filter(TextOps.wordCount(col("text")) >= n)
+      .select(col("doc_id"), explode(TextOps.shingles(col("text"), n)).as("span"))
+      .groupBy("span")
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .orderBy(col("n_occurrences").desc, col("span"))
+      .limit(k)
 
   def contaminationCheck(corpus: DataFrame, benchmark: DataFrame): DataFrame = {
     def shingled(df: DataFrame) = df
@@ -824,6 +845,26 @@ object PipelineOps extends QueryModule {
          |FROM scored GROUP BY doc_id ORDER BY doc_id"""
     ) { (s, d) =>
       graft.GraftOps.bigramLogProb(Tables.documents(s, d)).orderBy("doc_id")
+    },
+
+    // Cross-document repeated spans: the most-repeated 8-token word
+    // spans appearing in >= 2 documents — the boilerplate/template
+    // detector behind exact-substring dedup (headers, licence blocks,
+    // navigation chrome dominate a web crawl). One explode + one
+    // partial-agg shuffle keyed by span — the same term_freq discipline,
+    // with the distinct-doc count as a two-phase aggregate.
+    Q(
+      "q_repeated_spans",
+      s"""WITH w AS (SELECT doc_id, $WordsSql AS ws FROM documents),
+         |sp AS (SELECT doc_id,
+         |              unnest(list_transform(generate_series(1, len(ws) - ${SpanTokens - 1}),
+         |                     i -> ${(0 until SpanTokens).map(j => if (j == 0) "ws[i]" else s"ws[i+$j]").mkString(" || ' ' || ")})) AS span
+         |       FROM w WHERE len(ws) >= $SpanTokens)
+         |SELECT span, COUNT(*) AS n_occurrences, COUNT(DISTINCT doc_id) AS n_docs
+         |FROM sp GROUP BY span HAVING COUNT(DISTINCT doc_id) >= 2
+         |ORDER BY n_occurrences DESC, span LIMIT 20"""
+    ) { (s, d) =>
+      graft.GraftOps.repeatedSpans(Tables.documents(s, d), SpanTokens, 2, 20)
     }
   )
 }

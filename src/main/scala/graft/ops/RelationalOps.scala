@@ -767,6 +767,113 @@ object RelationalOps extends QueryModule {
         .orderBy(col("nation"), col("o_year").desc)
     },
 
+    // TPC-H Q17 shape (small-quantity-order revenue): the correlated-
+    // aggregate-on-the-FACT-table stressor — each lineitem compares its
+    // quantity against 0.2× the average quantity OF ITS OWN PART. The
+    // per-part average is computed AFTER the broadcast part filter
+    // (identical values: the filter selects whole partkeys, and the
+    // average is per partkey), so the decorrelated aggregate runs over
+    // the filtered slice, not the whole fact table. l_quantity is
+    // integral (verified on all SFs), so AVG = exact-double-sum / count
+    // is IEEE-identical in both engines and the 0.2× threshold compare
+    // is exact.
+    Q(
+      "q_tpch_q17",
+      """SELECT round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,10))) AS DOUBLE) / 7.0, 6) AS avg_yearly,
+        |       COUNT(*) AS n_small
+        |FROM lineitem
+        |JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand = 'Brand#3' AND p_size <= 10
+        |  AND l_quantity < (
+        |    SELECT 0.2 * AVG(l_quantity) FROM lineitem l2
+        |    WHERE l2.l_partkey = lineitem.l_partkey)"""
+    ) { (s, d) =>
+      val slice = Tables.lineitem(s, d)
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+        .join(broadcast(Tables.part(s, d)
+            .filter(col("p_brand") === "Brand#3" && col("p_size") <= 10)
+            .select("p_partkey")),
+          col("p_partkey") === col("l_partkey"))
+      val qlim = slice.groupBy(col("l_partkey").as("ak"))
+        .agg((lit(0.2) * avg(col("l_quantity"))).as("qlim"))
+      slice
+        .join(qlim, col("ak") === col("l_partkey"))
+        .filter(col("l_quantity") < col("qlim"))
+        .agg(
+          round(Exact.dsum(col("l_extendedprice")) / 7.0, 6).as("avg_yearly"),
+          count(lit(1)).as("n_small"))
+    },
+
+    // TPC-H Q19 shape (discounted revenue): the DISJUNCTIVE join
+    // predicate stressor — three OR'd conjunct groups spanning both join
+    // sides. The planner must keep the p_partkey equality as the join
+    // key and evaluate the disjunction as a residual condition (naive
+    // handling degrades to a cartesian; the blanket no-cartesian spec
+    // guards that), with the part side broadcast.
+    Q(
+      "q_tpch_q19",
+      """SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))) AS DOUBLE) AS revenue,
+        |       COUNT(*) AS n_items
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)"""
+    ) { (s, d) =>
+      val bq = (b: String, szLo: Int, szHi: Int, qLo: Int, qHi: Int) =>
+        col("p_brand") === b &&
+          col("p_size").between(szLo, szHi) &&
+          col("l_quantity").between(qLo, qHi)
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)),
+          col("p_partkey") === col("l_partkey") &&
+            (bq("Brand#1", 1, 5, 1, 11) ||
+              bq("Brand#2", 1, 10, 10, 20) ||
+              bq("Brand#3", 1, 15, 20, 30)))
+        .agg(
+          Exact.dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("revenue"),
+          count(lit(1)).as("n_items"))
+    },
+
+    // TPC-H Q22 shape (inactive wealthy customers): a scalar aggregate
+    // subquery gating the scan (balance above the positive-balance
+    // average) plus an anti join against recent orders ("no orders since
+    // 2000" stands in for Q22's seven-year window; the synthetic
+    // customer has no phone, so nationkey plays the country-code group).
+    // The average threshold is computed with the exact-decimal-sum
+    // recipe — a plain AVG(double) differs across engines in the low
+    // bits and can flip boundary customers.
+    Q(
+      "q_tpch_q22",
+      """WITH ab AS (
+        |  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(38,10))) AS DOUBLE) / COUNT(c_acctbal) AS avg_bal
+        |  FROM customer WHERE c_acctbal > 0)
+        |SELECT c_nationkey, COUNT(*) AS numcust,
+        |       CAST(SUM(CAST(c_acctbal AS DECIMAL(38,10))) AS DOUBLE) AS totacctbal
+        |FROM customer, ab
+        |WHERE c_acctbal > ab.avg_bal
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM orders
+        |    WHERE o_custkey = c_custkey
+        |      AND o_orderdate >= TIMESTAMP '2000-01-01')
+        |GROUP BY c_nationkey ORDER BY c_nationkey"""
+    ) { (s, d) =>
+      val cust = Tables.customer(s, d)
+      val ab = cust.filter(col("c_acctbal") > 0)
+        .agg(Exact.davg(col("c_acctbal")).as("avg_bal"))
+      cust
+        .crossJoin(broadcast(ab))
+        .filter(col("c_acctbal") > col("avg_bal"))
+        .join(Tables.orders(s, d)
+            .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+            .select("o_custkey"),
+          col("o_custkey") === col("c_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("numcust"),
+          Exact.dsum(col("c_acctbal")).as("totacctbal"))
+        .orderBy("c_nationkey")
+    },
+
     // TPC-H Q6 shape (forecast revenue): pure scan-filter-aggregate, the
     // pushdown/codegen benchmark classic. One-row result.
     Q(

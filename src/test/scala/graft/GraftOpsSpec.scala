@@ -274,6 +274,20 @@ class GraftOpsSpec extends SparkSpec {
     }
   }
 
+  test("repeatedSpans finds cross-doc spans and ignores within-doc repeats") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "one two three four extra"),
+      (2L, "zz one two three four"),
+      // doc 3 repeats a span INTERNALLY but shares it with no other doc
+      (3L, "solo span here solo span here solo span here"),
+      (4L, "short"))
+      .toDF("doc_id", "text")
+    val out = GraftOps.repeatedSpans(docs, n = 4, minDocs = 2, k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq(("one two three four", 2L, 2L)))
+  }
+
   test("nearDupComponents covers singleton docs as their own component") {
     import spark.implicits._
     // two near-dups + two isolated docs: the isolated docs have no LSH
