@@ -225,6 +225,16 @@ object GraftOps {
   def annIvfTrainedRecall(emb: DataFrame, k: Int = 4, iters: Int = 2): DataFrame =
     ops.MlOps.ivfTrainedRecall(emb, k, iters)
 
+  /** Budget-driven source mixing: deterministically hash-downsample
+    * each (doc_id, text, source) source toward `targetTokens`, deriving
+    * the per-source keep rate from the data inside the plan (tiny
+    * per-source aggregate broadcast back; two narrow corpus passes).
+    * Output per source: totals, applied rate, kept doc/token counts.
+    * Verified by `q_source_mix`.
+    */
+  def sourceMix(docs: DataFrame, targetTokens: Long): DataFrame =
+    ops.PipelineOps.sourceMix(docs, targetTokens)
+
   /** Cross-document repeated `n`-token spans (boilerplate/template
     * detection, the signal behind exact-substring dedup): top `k` spans
     * by occurrence appearing in >= `minDocs` distinct docs. One explode

@@ -203,6 +203,50 @@ object PipelineOps extends QueryModule {
   /** Span width for the cross-document repeated-span detector. */
   private[ops] val SpanTokens = 8
 
+  /** Per-source token budget for the q_source_mix fixture. */
+  private[ops] val MixTargetTokens = 1300
+
+  /** Budget-driven source rebalancing — the data-MIXING step of a
+    * training run: each source whose token mass exceeds `targetTokens`
+    * is deterministically hash-downsampled to (approximately) the
+    * budget; smaller sources pass through whole. The keep decision is
+    * the same md5-prefix threshold as [[hashSample]], but the per-source
+    * rate — and therefore the threshold — is DERIVED FROM THE DATA
+    * inside the plan (one tiny per-source aggregate broadcast back), so
+    * the whole operator is two narrow corpus passes + two source-keyed
+    * partial aggregations. The threshold spelling uses floor (not
+    * round): floor of an IEEE double is engine-portable, while
+    * half-up/half-even rounding differences could flip a boundary
+    * threshold. Output: per source, the doc/token totals, the applied
+    * rate, and the kept doc/token counts.
+    */
+  def sourceMix(docs: DataFrame, targetTokens: Long): DataFrame = {
+    val t = docs.select(col("doc_id"), col("source"),
+      TextOps.wordCount(col("text")).as("n_tokens"))
+    val tot = t.groupBy("source").agg(
+      sum(col("n_tokens")).as("total_tokens"),
+      count(lit(1)).as("n_docs_total"))
+    val withRate = tot.withColumn("rate",
+      least(lit(1.0), lit(targetTokens).cast("double") / col("total_tokens")))
+    // 8-hex threshold of rate·2^32 (lowercase, zero-padded, floor'd);
+    // rate 1 -> "g" sorts above every hex prefix = keep everything
+    val thr = withRate.withColumn("h_thr",
+      when(col("rate") >= 1.0, lit("g"))
+        .otherwise(lower(lpad(conv(
+          floor(least(col("rate") * 4294967296.0, lit(4294967295.0)))
+            .cast("bigint").cast("string"), 10, 16), 8, "0"))))
+    t.join(broadcast(thr.withColumnRenamed("source", "ts")),
+        col("source") === col("ts"))
+      .withColumn("__graft_h", substring(md5(col("doc_id").cast("string")), 1, 8))
+      .groupBy(col("source"), col("n_docs_total"), col("total_tokens"),
+        round(col("rate"), 6).as("rate"))
+      .agg(
+        count(when(col("__graft_h") < col("h_thr"), 1)).as("n_docs_kept"),
+        coalesce(sum(when(col("__graft_h") < col("h_thr"), col("n_tokens"))), lit(0L))
+          .as("kept_tokens"))
+      .orderBy("source")
+  }
+
   /** Most-repeated `n`-token word spans appearing in at least `minDocs`
     * distinct documents, top `k` by occurrence count. One explode + one
     * aggregation keyed by span (map-side partials); the distinct-doc
@@ -865,6 +909,39 @@ object PipelineOps extends QueryModule {
          |ORDER BY n_occurrences DESC, span LIMIT 20"""
     ) { (s, d) =>
       graft.GraftOps.repeatedSpans(Tables.documents(s, d), SpanTokens, 2, 20)
+    },
+
+    // Budget-driven source mixing: sources over the token budget are
+    // hash-downsampled toward it, small sources pass whole — with the
+    // per-source rate (and hash threshold) derived from the data inside
+    // the plan. The deterministic sibling of the weighted-mixture
+    // sampling every pretraining run does.
+    Q(
+      "q_source_mix",
+      s"""WITH t AS (
+         |  SELECT doc_id, source, CAST(len($WordsSql) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |tot AS (
+         |  SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+         |         COUNT(*) AS n_docs_total
+         |  FROM t GROUP BY source),
+         |r AS (
+         |  SELECT source, total_tokens, n_docs_total,
+         |         LEAST(CAST(1.0 AS DOUBLE),
+         |               CAST($MixTargetTokens AS DOUBLE) / total_tokens) AS rate
+         |  FROM tot),
+         |thr AS (
+         |  SELECT *, CASE WHEN rate >= 1.0 THEN 'g'
+         |                 ELSE printf('%08x', CAST(floor(LEAST(rate * 4294967296.0, 4294967295.0)) AS BIGINT))
+         |            END AS h_thr
+         |  FROM r)
+         |SELECT t.source, n_docs_total, total_tokens, round(rate, 6) AS rate,
+         |       COUNT(CASE WHEN substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 8) < h_thr THEN 1 END) AS n_docs_kept,
+         |       CAST(COALESCE(SUM(CASE WHEN substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 8) < h_thr THEN t.n_tokens END), 0) AS BIGINT) AS kept_tokens
+         |FROM t JOIN thr ON t.source = thr.source
+         |GROUP BY 1, 2, 3, 4 ORDER BY t.source"""
+    ) { (s, d) =>
+      graft.GraftOps.sourceMix(Tables.documents(s, d), MixTargetTokens)
     }
   )
 }

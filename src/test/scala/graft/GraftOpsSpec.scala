@@ -274,6 +274,24 @@ class GraftOpsSpec extends SparkSpec {
     }
   }
 
+  test("sourceMix keeps small sources whole and downsamples big ones") {
+    import spark.implicits._
+    // source "big": 40 docs x 5 tokens = 200 tokens; "small": 2 docs
+    val docs = ((1L to 40L).map(i => (i, "a b c d e", "big")) ++
+      Seq((100L, "x y z", "small"), (101L, "p q", "small")))
+      .toDF("doc_id", "text", "source")
+    val out = GraftOps.sourceMix(docs, targetTokens = 50)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4), r.getLong(5))).toMap
+    val (nb, tb, rb, kb, ktb) = out("big")
+    assert(nb == 40L && tb == 200L && rb == 0.25)
+    // hash sampling at rate 0.25 keeps SOME strict subset; every kept
+    // doc contributes 5 tokens
+    assert(kb > 0L && kb < 40L && ktb == kb * 5)
+    val (ns, ts2, rs, ks, kts) = out("small")
+    assert(ns == 2L && ts2 == 5L && rs == 1.0 && ks == 2L && kts == 5L)
+  }
+
   test("repeatedSpans finds cross-doc spans and ignores within-doc repeats") {
     import spark.implicits._
     val docs = Seq(
