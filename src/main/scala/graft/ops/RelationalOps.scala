@@ -767,6 +767,107 @@ object RelationalOps extends QueryModule {
         .orderBy(col("nation"), col("o_year").desc)
     },
 
+    // TPC-H Q8 shape (national market share): the 8-way join-order
+    // stressor — the fact table reaches nation through BOTH the
+    // customer path (region-restricted) and the supplier path (share
+    // numerator), with a conditional share ratio per order year. Part/
+    // supplier/nation dims broadcast; the customer restriction joins
+    // after the fact joins (planner's choice at scale); numerator and
+    // denominator ride ONE aggregation pass as exact-decimal
+    // conditional sums, divided and rounded identically on both sides.
+    Q(
+      "q_tpch_q8",
+      """WITH vol AS (
+        |  SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+        |         l_extendedprice * (1 - l_discount) AS volume,
+        |         sn.n_name AS supp_nation
+        |  FROM lineitem
+        |  JOIN part     ON p_partkey = l_partkey
+        |  JOIN orders   ON o_orderkey = l_orderkey
+        |  JOIN customer ON c_custkey = o_custkey
+        |  JOIN nation cn ON cn.n_nationkey = c_nationkey
+        |  JOIN region   ON r_regionkey = cn.n_regionkey
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN nation sn ON sn.n_nationkey = s_nationkey
+        |  WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+        |    AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |    AND o_orderdate <  TIMESTAMP '1998-01-01')
+        |SELECT o_year,
+        |       round(CAST(SUM(CAST(CASE WHEN supp_nation = 'NATION_5' THEN volume ELSE 0 END AS DECIMAL(38,10))) AS DOUBLE)
+        |             / CAST(SUM(CAST(volume AS DECIMAL(38,10))) AS DOUBLE), 6) AS mkt_share,
+        |       COUNT(*) AS n_items
+        |FROM vol GROUP BY o_year ORDER BY o_year"""
+    ) { (s, d) =>
+      val asiaCust = Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)
+            .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
+              col("n_regionkey") === col("r_regionkey"))
+            .select(col("n_nationkey").as("cnk"))),
+          col("c_nationkey") === col("cnk"))
+        .select("c_custkey")
+      val supp = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val volume = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)
+            .filter(col("p_type") === "PROMO").select("p_partkey")),
+          col("p_partkey") === col("l_partkey"))
+        .join(Tables.orders(s, d)
+            .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
+          col("o_orderkey") === col("l_orderkey"))
+        .join(asiaCust, col("c_custkey") === col("o_custkey"), "left_semi")
+        .join(broadcast(supp), col("s_suppkey") === col("l_suppkey"))
+        .select(year(col("o_orderdate")).cast("int").as("o_year"),
+          volume.as("volume"), col("supp_nation"))
+        .groupBy("o_year")
+        .agg(
+          round(Exact.dsum(when(col("supp_nation") === "NATION_5", col("volume"))
+              .otherwise(lit(0))) / Exact.dsum(col("volume")), 6).as("mkt_share"),
+          count(lit(1)).as("n_items"))
+        .orderBy("o_year")
+    },
+
+    // TPC-H Q15 shape (top supplier): a per-supplier revenue aggregate
+    // probed against its own MAX — the scalar-subquery-over-a-view
+    // stressor; ties would return multiple rows, exactly as the spec
+    // demands. The quarter slice is aggregated ONCE (checkpointed,
+    // supplier-bounded) and reused by both the max and the probe; the
+    // equality compares the identical exact-decimal doubles.
+    Q(
+      "q_tpch_q15",
+      """WITH rev AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |         CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))) AS DOUBLE) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, round(total_revenue, 6) AS total_revenue
+        |FROM supplier JOIN rev ON s_suppkey = supplier_no
+        |WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+        |ORDER BY s_suppkey"""
+    ) { (s, d) =>
+      val rev = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey").as("supplier_no"))
+        .agg(Exact.dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("total_revenue"))
+        .localCheckpoint() // supplier-bounded; feeds both max and probe
+      val mx = rev.agg(max(col("total_revenue")).as("mx"))
+      rev
+        .crossJoin(broadcast(mx))
+        .filter(col("total_revenue") === col("mx"))
+        .join(broadcast(Tables.supplier(s, d).select("s_suppkey", "s_name")),
+          col("s_suppkey") === col("supplier_no"))
+        .select(col("s_suppkey"), col("s_name"),
+          round(col("total_revenue"), 6).as("total_revenue"))
+        .orderBy("s_suppkey")
+    },
+
     // TPC-H Q17 shape (small-quantity-order revenue): the correlated-
     // aggregate-on-the-FACT-table stressor — each lineitem compares its
     // quantity against 0.2× the average quantity OF ITS OWN PART. The
