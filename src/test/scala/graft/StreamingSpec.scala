@@ -266,6 +266,31 @@ class StreamingSpec extends SparkSpec {
     assert(fin.map(_.getAs[String]("event_type")).toSeq.contains("click"))
   }
 
+  test("streaming fingerprint dedup: whitespace-variant docs collapse across batches") {
+    implicit val sq = spark.sqlContext
+    // The dedup surface composed with Structured Streaming: the SAME
+    // GraftOps.fingerprint expression the batch oracle verifies keys a
+    // dropDuplicatesWithinWatermark — so a near-exact duplicate arriving
+    // in a LATER micro-batch is still suppressed (the streaming half of
+    // the corpus-curation recipe).
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val dedup = mem.toDF().toDF("doc_id", "ts", "text")
+      .withColumn("fp", GraftOps.fingerprint(col("text")))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("fp")
+    val q = dedup.writeStream.format("memory").queryName("fp_dedup_out")
+      .outputMode(OutputMode.Append).start()
+    mem.addData((1L, ts("2024-01-01 10:00:00"), "alpha  beta gamma"))
+    q.processAllAvailable()
+    mem.addData(
+      (2L, ts("2024-01-01 10:10:00"), "alpha beta\tgamma"), // ws-variant dup
+      (3L, ts("2024-01-01 10:11:00"), "something else entirely"))
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("fp_dedup_out").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(1L, 3L))
+  }
+
   test("streaming session windows match the batch oracle emulation") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[Ev]
