@@ -8,6 +8,10 @@ import org.apache.spark.sql.SparkSession
   */
 object Explain {
   def main(args: Array[String]): Unit = {
+    if (args.length < 2) {
+      System.err.println("usage: graft.Explain <sfDir> <query> [query ...]")
+      sys.exit(2)
+    }
     val sfDir = args.head
     val names = args.tail.toSeq
     val spark = SparkSession.builder()

@@ -195,7 +195,7 @@ object MlOps extends QueryModule {
     * assign every vector to its nearest trained centroid (narrow
     * broadcast fold, same as training), search each query's cell only,
     * and measure recall@`topk` against the exact brute-force top-`topk`.
-    * Output: (qid, hits, recall_at3) per query.
+    * Output: (qid, hits, recall_at<topk>) per query.
     */
   def ivfTrainedRecall(
       emb: DataFrame, k: Int = K, iters: Int = Iters, topk: Int = 3): DataFrame = {
@@ -225,7 +225,7 @@ object MlOps extends QueryModule {
       .groupBy("qid")
       .agg(count(col("iv")).as("hits"))
       .select(col("qid"), col("hits"),
-        (col("hits") / 3.0).as("recall_at3"))
+        (col("hits") / topk.toDouble).as(s"recall_at$topk"))
       .orderBy("qid")
   }
 

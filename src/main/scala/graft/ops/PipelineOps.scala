@@ -168,6 +168,14 @@ object PipelineOps extends QueryModule {
       .join(cond, col("w1") === col("cw"))
       .select(col("w1"), col("w2"),
         round(log(col("c").cast("double") / col("cu")), 6).as("lp"))
+    // Scoring joins the probability table by broadcast — an explicit
+    // trade: the corpus-scale docBg side streams through with NO
+    // re-shuffle (a keyed join would re-exchange every bigram
+    // occurrence), at the cost of requiring the bigram-TYPE table to
+    // fit broadcast range. That holds for any LM whose vocabulary a
+    // single node can score against; past it (open-web bigram types),
+    // drop the hint and let AQE pick the shuffle join — correctness is
+    // unchanged, only the exchange appears.
     docBg.join(broadcast(probs), Seq("w1", "w2"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
@@ -373,29 +381,29 @@ object PipelineOps extends QueryModule {
     var out: DataFrame = wfreq.limit(0)
       .select(lit(0).as("round"), lit("").as("pair"), lit(0L).as("cnt"))
     var exhausted = false
-    (1 to rounds).foreach { r =>
-      if (!exhausted) {
-        // checkpoint the 1-row winner: it feeds both the output step and
-        // the splice, and the emptiness probe below must not re-run the
-        // pair aggregation
-        val best = v
-          .select(col("freq"), explode(TextOps.shingles(col("cs"), 2)).as("pair"))
-          .groupBy("pair").agg(sum(col("freq")).as("cnt"))
-          .orderBy(col("cnt").desc, col("pair")).limit(1)
+    var r = 1
+    while (r <= rounds && !exhausted) {
+      // checkpoint the 1-row winner: it feeds both the output step and
+      // the splice, and the emptiness probe below must not re-run the
+      // pair aggregation
+      val best = v
+        .select(col("freq"), explode(TextOps.shingles(col("cs"), 2)).as("pair"))
+        .groupBy("pair").agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair")).limit(1)
+        .localCheckpoint()
+      if (best.isEmpty) {
+        // every word is a single symbol: no pair to merge, and the
+        // crossJoin below would silently empty the vocabulary — stop
+        exhausted = true
+      } else {
+        out = out.unionByName(best.select(lit(r).as("round"), col("pair"), col("cnt")))
+        v = v.crossJoin(broadcast(best.select(col("pair").as("bp"))))
+          .withColumn("cs", trim(expr(
+            "replace(' ' || cs || ' ', ' ' || bp || ' ', ' ' || replace(bp, ' ', '') || ' ')")))
+          .drop("bp")
           .localCheckpoint()
-        if (best.isEmpty) {
-          // every word is a single symbol: no pair to merge, and the
-          // crossJoin below would silently empty the vocabulary — stop
-          exhausted = true
-        } else {
-          out = out.unionByName(best.select(lit(r).as("round"), col("pair"), col("cnt")))
-          v = v.crossJoin(broadcast(best.select(col("pair").as("bp"))))
-            .withColumn("cs", trim(expr(
-              "replace(' ' || cs || ' ', ' ' || bp || ' ', ' ' || replace(bp, ' ', '') || ' ')")))
-            .drop("bp")
-            .localCheckpoint()
-        }
       }
+      r += 1
     }
     out
   }

@@ -27,74 +27,63 @@ class PlanHygieneSpec extends SparkSpec {
     assert(offenders.isEmpty, s"cartesian products in: $offenders")
   }
 
-  // A window partitioned on a key with O(1) distinct values (o_orderstatus:
-  // 3, a fixed query set: 10) cannot scale — the whole input funnels into
-  // that many tasks. Every window over a non-trivial input must partition
-  // on a key whose cardinality grows with the data. Windows over tiny
-  // pre-aggregated inputs (e.g. q_rank_global's ≤ ~100-row bucket-offset
-  // table) are exempt: their input stays small at any scale by
-  // construction. Runs at sf0.01, where scale-growing keys are already
-  // > 10 (l_suppkey: 100) but scale-fixed keys are not.
-  test("no window partitions a large input on a <=10-cardinality key") {
+  // Two window guards sharing ONE sweep of the registry (building each
+  // query's DataFrame eagerly runs checkpointed training/propagation
+  // loops, so the sweep itself is the expensive part — collect every
+  // Window node once and apply both rules to it):
+  //
+  //  (a) EMPTY partition spec: funnels the ENTIRE input through one
+  //      task — admissible ONLY over inputs constant-bounded by
+  //      construction (a limit-k list, a bucket-offset table), never
+  //      anything corpus-growing (the q_collocations r5 defect: a
+  //      global total over the distinct-bigram table, billions of rows
+  //      at web scale). Must be allowlisted AND tiny at sf0.01.
+  //  (b) scale-FIXED low-cardinality keys (o_orderstatus: 3, a fixed
+  //      query set: 10): the whole input funnels into that many tasks.
+  //      Every window over a non-trivial input must partition on a key
+  //      whose cardinality grows with the data. Windows over tiny
+  //      pre-aggregated inputs are exempt. Runs at sf0.01, where
+  //      scale-growing keys are already > 10 (l_suppkey: 100) but
+  //      scale-fixed keys are not.
+  test("windows: no empty-partition spec over unbounded input, no low-cardinality keys") {
     val sf01 = "/root/testdata/sf0.01"
     val smallInputRows = 1000L
-    val offenders = SparkEntry.all.flatMap { q =>
-      val windows = q.fn(spark, sf01).queryExecution.optimizedPlan.collect {
-        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
-      }
-      windows.flatMap { w =>
-        val child = org.apache.spark.sql.GraftBridge.ofRows(spark, w.child)
-        val card =
-          if (w.partitionSpec.isEmpty) 1L
-          else child.select(
-            w.partitionSpec.map(org.apache.spark.sql.GraftBridge.column): _*)
-            .distinct().count()
-        if (card > 10) None
-        else {
-          val rows = child.count()
-          if (rows <= smallInputRows) None
-          else Some(s"${q.name}: window over $rows rows partitioned on " +
-            s"cardinality-$card key [${w.partitionSpec.mkString(", ")}]")
-        }
-      }
-    }
-    assert(offenders.isEmpty, offenders.mkString("\n"))
-  }
-
-  // A window with an EMPTY partition spec funnels its ENTIRE input
-  // through one task — admissible ONLY over inputs that are constant-
-  // bounded by construction (a limit-k list, a bucket-offset table),
-  // never over anything that grows with the corpus (the q_collocations
-  // r5 defect: a global total over the distinct-bigram table, which at
-  // web scale runs to billions of rows). Enforcement: every registered
-  // query planning an empty-partition window must be on the explicit
-  // allowlist below AND its window input must be tiny at sf0.01.
-  test("empty-partition windows appear only over constant-bounded inputs") {
-    val sf01 = "/root/testdata/sf0.01"
-    val allowed = Map(
+    val emptyAllowed = Map(
       // rank over the two bounded top-20 retrieval lists
       "q_hybrid_rrf" -> 100L,
       // cumulative offsets over the bucket-count tables (aggregate-scale)
       "q_rank_global" -> 1000L,
       "q_quality_deciles" -> 1000L)
     val offenders = SparkEntry.all.flatMap { q =>
-      val ws = q.fn(spark, sf01).queryExecution.optimizedPlan.collect {
-        case w: org.apache.spark.sql.catalyst.plans.logical.Window
-            if w.partitionSpec.isEmpty => w
+      val windows = q.fn(spark, sf01).queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
       }
-      if (ws.isEmpty) None
-      else allowed.get(q.name) match {
-        case None =>
-          Some(s"${q.name}: empty-partition window not on the allowlist — " +
-            "rewrite as agg + broadcast crossJoin (the BM25 corpus-stats " +
-            "pattern) or partial aggregations joined back")
-        case Some(bound) =>
-          val big = ws.map(w =>
-            org.apache.spark.sql.GraftBridge.ofRows(spark, w.child).count())
-            .filter(_ > bound)
-          if (big.isEmpty) None
-          else Some(s"${q.name}: empty-partition window over ${big.max} rows " +
-            s"(bound $bound) — input is not constant-bounded")
+      windows.flatMap { w =>
+        val child = org.apache.spark.sql.GraftBridge.ofRows(spark, w.child)
+        if (w.partitionSpec.isEmpty) {
+          emptyAllowed.get(q.name) match {
+            case None =>
+              Some(s"${q.name}: empty-partition window not on the allowlist — " +
+                "rewrite as agg + broadcast crossJoin (the BM25 corpus-stats " +
+                "pattern) or partial aggregations joined back")
+            case Some(bound) =>
+              val rows = child.count()
+              if (rows <= bound) None
+              else Some(s"${q.name}: empty-partition window over $rows rows " +
+                s"(bound $bound) — input is not constant-bounded")
+          }
+        } else {
+          val card = child.select(
+            w.partitionSpec.map(org.apache.spark.sql.GraftBridge.column): _*)
+            .distinct().count()
+          if (card > 10) None
+          else {
+            val rows = child.count()
+            if (rows <= smallInputRows) None
+            else Some(s"${q.name}: window over $rows rows partitioned on " +
+              s"cardinality-$card key [${w.partitionSpec.mkString(", ")}]")
+          }
+        }
       }
     }
     assert(offenders.isEmpty, offenders.mkString("\n"))
