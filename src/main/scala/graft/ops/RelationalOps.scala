@@ -676,7 +676,18 @@ object RelationalOps extends QueryModule {
         |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
         |LIMIT 100"""
     ) { (s, d) =>
+      // the part filter selects WHOLE partkeys, and every downstream
+      // quantity (per-part min, probe, output) is per-part — so the
+      // partsupp derivation runs on the part-filtered fact slice: the
+      // same per-part results as deriving from all of lineitem (what
+      // the oracle spells), with the fact scan pruned by the broadcast
+      // filter BEFORE the aggregation instead of after
+      val redParts = broadcast(Tables.part(s, d)
+        .filter(col("p_size") <= 15 && col("p_type") === "LARGE")
+        .select("p_partkey", "p_name"))
       val ps = Tables.lineitem(s, d)
+        .select("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
+        .join(redParts, col("p_partkey") === col("l_partkey"), "left_semi")
         .groupBy(col("l_partkey").as("ps_partkey"), col("l_suppkey").as("ps_suppkey"))
         .agg(min(col("l_extendedprice") / col("l_quantity")).as("ps_supplycost"))
       val euroSupp = Tables.supplier(s, d)
@@ -693,10 +704,7 @@ object RelationalOps extends QueryModule {
         .agg(min(col("ps_supplycost")).as("mc"))
       eligible
         .join(minc, col("ps_partkey") === col("mk") && col("ps_supplycost") === col("mc"))
-        .join(broadcast(Tables.part(s, d)
-            .filter(col("p_size") <= 15 && col("p_type") === "LARGE")
-            .select("p_partkey", "p_name")),
-          col("p_partkey") === col("ps_partkey"))
+        .join(redParts, col("p_partkey") === col("ps_partkey"))
         .select(col("s_acctbal"), col("s_name"), col("n_name"),
           col("p_partkey"), col("p_name"),
           round(col("ps_supplycost"), 6).as("supplycost"))
@@ -740,16 +748,22 @@ object RelationalOps extends QueryModule {
         |GROUP BY nation, o_year
         |ORDER BY nation, o_year DESC"""
     ) { (s, d) =>
-      val li = Tables.lineitem(s, d)
-      val ps = li
+      // the p_name filter keeps WHOLE partkeys, so the partsupp
+      // derivation runs on the part-filtered slice (identical per-pair
+      // minima to deriving from all of lineitem, which the oracle
+      // spells) — and the pair-bounded ps table then rejoins WITHOUT a
+      // fact-side exchange (AQE broadcasts it at observed size; past
+      // broadcast range it degrades to the keyed shuffle)
+      val redParts = broadcast(Tables.part(s, d)
+        .filter(col("p_name").like("%red%")).select("p_partkey"))
+      val slice = Tables.lineitem(s, d)
+        .join(redParts, col("p_partkey") === col("l_partkey"))
+      val ps = slice
         .groupBy(col("l_partkey").as("ps_partkey"), col("l_suppkey").as("ps_suppkey"))
         .agg(min(col("l_extendedprice") / col("l_quantity")).as("ps_supplycost"))
       val amount = floor((col("l_extendedprice") * (lit(1) - col("l_discount")) -
         col("ps_supplycost") * col("l_quantity")) * lit(1e6) + lit(0.5)) / lit(1e6)
-      li
-        .join(broadcast(Tables.part(s, d)
-            .filter(col("p_name").like("%red%")).select("p_partkey")),
-          col("p_partkey") === col("l_partkey"))
+      slice
         .join(broadcast(Tables.supplier(s, d).select("s_suppkey", "s_nationkey")),
           col("s_suppkey") === col("l_suppkey"))
         .join(ps,
