@@ -29,4 +29,58 @@ class Tess4JOcrSpec extends AnyFunSuite {
     val out = backend.extract(ImageOps.blankPng(64, 32))
     assert(out.isRight)
   }
+
+  /** Renders `text` black-on-white with a large logical font — a clean
+    * synthetic fixture any OCR engine should read.
+    */
+  private def renderPng(text: String): Array[Byte] = {
+    import java.awt.image.BufferedImage
+    val img = new BufferedImage(640, 120, BufferedImage.TYPE_INT_RGB)
+    val g = img.createGraphics()
+    try {
+      g.setColor(java.awt.Color.WHITE)
+      g.fillRect(0, 0, img.getWidth, img.getHeight)
+      g.setColor(java.awt.Color.BLACK)
+      g.setFont(new java.awt.Font(java.awt.Font.SANS_SERIF, java.awt.Font.BOLD, 48))
+      g.setRenderingHint(java.awt.RenderingHints.KEY_TEXT_ANTIALIASING,
+        java.awt.RenderingHints.VALUE_TEXT_ANTIALIAS_ON)
+      g.drawString(text, 24, 78)
+    } finally g.dispose()
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  // Ungated guard for the fixture itself: the rendered PNG must decode
+  // and still contain glyph ink after threshold-128 binarization, or
+  // the gated golden test would silently assert against a blank image
+  // on the host that finally runs it.
+  test("golden fixture renders glyphs that survive preprocessing") {
+    val png = renderPng("HELLO GRAFT ENGINE")
+    val gray = ImageOps.grayscale(ImageOps.decode(png).toOption.get)
+    val bin = ImageOps.binarize(gray)
+    val ink = bin.pixels.count(_ == 0)
+    assert(ink > 500, s"expected substantial black glyph mass, got $ink px")
+    assert(ink < bin.pixels.length / 2, "glyphs should not flood the image")
+  }
+
+  // The golden-transcript fixture the sandbox can't run (no native
+  // libtesseract -> assume-canceled here): on a provisioned host the
+  // real engine must read the rendered glyphs through the SAME
+  // grayscale -> threshold-128 preprocessing the reference applies.
+  // Normalized to lowercase word tokens so engine-version whitespace /
+  // punctuation drift can't flake the pin.
+  test("real Tesseract reads a rendered golden transcript through the preprocessing path") {
+    assume(Tess4JOcr.available)
+    val backend = Tess4JOcr.AutoFactory.create()
+    val png = renderPng("HELLO GRAFT ENGINE")
+    val pre = ImageOps.encodePng(ImageOps.binarize(ImageOps.grayscale(
+      ImageOps.decode(png).toOption.get)))
+    val out = backend.extract(pre)
+    assert(out.isRight, s"real OCR failed: $out")
+    val words = out.toOption.get.toLowerCase
+      .replaceAll("[^a-z]+", " ").trim.split("\\s+").toSet
+    assert(Set("hello", "graft", "engine").subsetOf(words),
+      s"golden transcript mismatch, got: ${out.toOption.get}")
+  }
 }
