@@ -15,7 +15,11 @@ object Bench {
     * q_bigram_lm, and the q_pipeline_e2e composite), and round 5 ADDED
     * six (q_tpch_q5, q_tpch_q10, q_kmeans_embed, q_dedup_corpus,
     * q_oov_rate, q_bpe_merges), and round 6 ADDED three
-    * (q_tpch_q21, q_tpch_q9, q_ann_ivf_trained) —
+    * (q_tpch_q21, q_tpch_q9, q_ann_ivf_trained), and round 7 ADDED
+    * five (q_collocations, q_source_mix, q_repeated_spans,
+    * q_dedup_source_overlap — the queries most recently rewritten for
+    * scale, so the bench watches them for regression — plus the new
+    * q_ann_ivf_nprobe) —
     * compare totals per-query, not headline-sum to headline-sum.
     */
   val Headline: Seq[String] = Seq(
@@ -29,10 +33,11 @@ object Bench {
     "q_sort_limit", "q_set_union_all",
     "word_count", "q_term_freq", "q_token_count", "q_corpus_curation",
     "q_repetition_signals", "q_seq_pack", "q_bigram_lm", "q_bpe_merges",
-    "q_pipeline_e2e",
+    "q_pipeline_e2e", "q_collocations", "q_source_mix", "q_repeated_spans",
     "q_dedup_exact", "q_dedup_minhash_pairs", "q_dedup_simhash",
-    "q_dedup_corpus", "q_oov_rate",
+    "q_dedup_corpus", "q_dedup_source_overlap", "q_oov_rate",
     "q_similarity_topk", "q_ann_lsh", "q_kmeans_embed", "q_ann_ivf_trained",
+    "q_ann_ivf_nprobe",
     "q_events_tumbling", "q_events_session",
     "q_orc_roundtrip", "q_ocr_pipeline")
 
@@ -95,6 +100,13 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreads,"sf":"$sfDir"}""")
+    // The full line above (per-query timings + spread map) exceeds the
+    // driver's tail-capture window, so it can arrive truncated (round 6's
+    // official total was lost that way: BENCH_r06 "parsed": null). Print a
+    // short, final, self-contained summary line so the headline total
+    // always survives tail truncation regardless of how many queries the
+    // headline set grows to.
+    println(s"""{"metric":"total_compact","value":$total,"unit":"sec","n":${results.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -211,8 +211,9 @@ object GraftOps {
   /** Trained k-means codebook over (vec_id LONG, embedding ARRAY<FLOAT>)
     * rows: (k, carr ARRAY<DOUBLE>), possibly fewer than `k` rows (a
     * centroid losing every member is dropped — see MlOps). Assignment is
-    * narrow (broadcast centroids, per-row fold); only the (cluster, dim)
-    * mean update shuffles. Training verified by `q_kmeans_embed`.
+    * narrow (literal centroids in the projection, per-row fold); only
+    * the (cluster, dim) mean update shuffles. Training verified by
+    * `q_kmeans_embed`.
     */
   def kmeansCentroids(emb: DataFrame, k: Int = 4, iters: Int = 2): DataFrame =
     ops.MlOps.kmeansCentroids(emb, k, iters)
@@ -224,6 +225,15 @@ object GraftOps {
     */
   def annIvfTrainedRecall(emb: DataFrame, k: Int = 4, iters: Int = 2): DataFrame =
     ops.MlOps.ivfTrainedRecall(emb, k, iters)
+
+  /** Multi-probe IVF recall: like [[annIvfTrainedRecall]] but each query
+    * searches its `nprobe` nearest trained cells, reporting recall@3 at
+    * nprobe=1 vs nprobe=`nprobe` side by side — the recall-vs-cost knob
+    * a real IVF deployment tunes. Verified by `q_ann_ivf_nprobe`.
+    */
+  def annIvfProbeRecall(
+      emb: DataFrame, k: Int = 4, iters: Int = 2, nprobe: Int = 2): DataFrame =
+    ops.MlOps.ivfProbeRecall(emb, k, iters, nprobe)
 
   /** Budget-driven source mixing: deterministically hash-downsample
     * each (doc_id, text, source) source toward `targetTokens`, deriving

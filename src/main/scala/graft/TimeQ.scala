@@ -1,0 +1,55 @@
+package graft
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart}
+import org.apache.spark.sql.SparkSession
+import java.util.concurrent.atomic.AtomicInteger
+import scala.collection.concurrent.TrieMap
+
+/** Dev-only single-query timer (not part of the driver contract): times
+  * named registered queries (warmup + min of 3) and reports the Spark
+  * JOB count per run — training-loop-style queries pay a fixed
+  * scheduling floor per job, so the job count is the number that
+  * explains their runtime. Usage:
+  * `tools/run.sh graft.TimeQ <sfDir> q_kmeans_embed q_ann_ivf_trained`
+  */
+object TimeQ {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.head
+    val names = args.tail.toSeq
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .withExtensions(new graft.plans.GraftExtensions)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val jobs = new AtomicInteger(0)
+    val starts = TrieMap.empty[Int, Long]
+    val durs = TrieMap.empty[Int, Long]
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); starts(js.jobId) = js.time; ()
+      }
+      override def onJobEnd(je: SparkListenerJobEnd): Unit = {
+        starts.get(je.jobId).foreach(s => durs(je.jobId) = je.time - s); ()
+      }
+    })
+    spark.range(1000).selectExpr("sum(id)").collect()
+    names.foreach { n =>
+      SparkEntry.queries(n)(spark, sfDir).count() // warmup
+      val runs = (1 to 3).map { _ =>
+        jobs.set(0); starts.clear(); durs.clear()
+        val t0 = System.nanoTime()
+        SparkEntry.queries(n)(spark, sfDir).count()
+        ((System.nanoTime() - t0) / 1e9, jobs.get(),
+          durs.toSeq.sortBy(_._1).map(_._2).mkString(","))
+      }
+      val best = runs.minBy(_._1)
+      println(f"[timeq] $n%-24s ${best._1}%8.3f s  jobs=${best._2}  jobMs=[${best._3}]")
+    }
+    spark.stop()
+  }
+}

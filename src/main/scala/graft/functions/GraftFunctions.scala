@@ -23,6 +23,12 @@ object GraftFunctions {
   def cosine_sim(a: Column, b: Column): Column =
     GraftBridge.column(CosineSim(GraftBridge.expression(a), GraftBridge.expression(b)))
 
+  /** Native nearest-centroid assignment against a literal codebook ->
+    * struct<dist: double, k: bigint>. `ids` sorted ascending (tie-break).
+    */
+  def nearest_centroid(emb: Column, ids: Seq[Long], cents: Seq[Seq[Double]]): Column =
+    GraftBridge.column(NearestCentroid(GraftBridge.expression(emb), ids, cents))
+
   /** Native 8-slot MinHash signature over an array<string> of shingles. */
   def minhash_sig(c: Column): Column =
     GraftBridge.column(MinHashSig(GraftBridge.expression(c)))

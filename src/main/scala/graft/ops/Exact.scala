@@ -36,6 +36,18 @@ object Exact {
     */
   def decSum(c: Column): Column = sum(c.cast(Dec))
 
+  /** Portable 6-decimal rounding: `floor(x*1e6 + 0.5)/1e6`, spelled
+    * identically on BOTH engines. The `round()` builtins disagree on
+    * .5-boundary doubles (Spark rounds HALF_UP over the shortest decimal
+    * representation, DuckDB rounds the exact binary expansion — observed
+    * as a 1e-6 divergence on a q_tpch_q9 group), while this spelling is
+    * the same IEEE mul/add/floor/divide sequence everywhere, and the
+    * resulting ≤6-decimal double converts to DECIMAL identically in both
+    * engines. Use it wherever a 6-decimal-rounded double feeds the hash
+    * compare. DuckDB: `floor(x*1e6 + 0.5)/1e6`.
+    */
+  def round6(c: Column): Column = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+
   /** Sample variance/stddev built only from exact decimal sums plus IEEE
     * double arithmetic (Welford-style running aggregates are NOT
     * cross-engine deterministic). DuckDB mirror:

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.{Q, QueryModule, Tables}
@@ -12,12 +12,21 @@ import graft.{Q, QueryModule, Tables}
   * module trains one, and `q_ann_ivf_trained` chains
   * train → index → search → recall measurement — the full pipeline a
   * real ANN deployment runs). The 100 TB shape: ASSIGNMENT IS NARROW —
-  * the K·dim centroid table rides a broadcast and each vector folds its
-  * squared distances in one codegen'd pass, so the corpus-scale data
-  * never shuffles to be assigned; the only per-iteration shuffle is the
-  * centroid UPDATE (a partial-aggregated (cluster, dim) mean — the
-  * reduce step no formulation avoids). Iteration count is a small
-  * constant and the corpus frame is localCheckpoint'd once.
+  * the K·dim centroid state rides in the assignment EXPRESSION as
+  * literals and each vector folds its squared distances in one pass, so
+  * the corpus-scale data never shuffles to be assigned; the only
+  * per-iteration shuffle is the centroid UPDATE (a partial-aggregated
+  * (cluster, dim) mean — the reduce step no formulation avoids).
+  *
+  * The centroid state itself (K·dim doubles — model state, not data) is
+  * held on the driver between iterations, exactly as Spark MLlib's own
+  * `org.apache.spark.ml.clustering.KMeans` does (it collects the
+  * per-cluster sums each Lloyd round and redistributes the new centers).
+  * This is the one deliberate driver-side value in the engine: it is
+  * O(K·dim) — 256 doubles here — NEVER corpus-scale, and it turns each
+  * training iteration into exactly ONE Spark job (the update
+  * aggregation) instead of a chain of broadcast-exchange builds over
+  * nested lineage, which at any scale is pure scheduling overhead.
   *
   * Determinism: per-vector distances are left folds (IEEE-identical to
   * DuckDB's `list_reduce`, 0.0 + x == x); assignment ties break to the
@@ -37,19 +46,24 @@ object MlOps extends QueryModule {
   private val K = 4
   private val Iters = 2
 
+  /** Trained centroid state: (cluster id, centroid array). O(K·dim). */
+  private type Cents = Seq[(Long, IndexedSeq[Double])]
+
   /** DuckDB fragments mirroring the Spark-side left folds. */
   private def duckDot(a: String, b: String): String =
     s"list_reduce(list_transform(generate_series(1, len($a)), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
   private def duckNorm(a: String): String =
     s"sqrt(list_reduce(list_transform($a, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (x, y) -> x + y))"
+  private def duckSqDist(e: String, c: String): String =
+    s"""list_reduce(list_transform(generate_series(1, len($e)),
+       |           i -> (CAST($e[i] AS DOUBLE) - $c[i])
+       |                * (CAST($e[i] AS DOUBLE) - $c[i])),
+       |           (x, y) -> x + y)""".stripMargin
 
   private def assignCte(k: Int): String =
     s"""d$k AS (
        |  SELECT e.vec_id, c.k,
-       |         list_reduce(list_transform(generate_series(1, len(e.embedding)),
-       |           i -> (CAST(e.embedding[i] AS DOUBLE) - c.carr[i])
-       |                * (CAST(e.embedding[i] AS DOUBLE) - c.carr[i])),
-       |           (x, y) -> x + y) AS dist
+       |         ${duckSqDist("e.embedding", "c.carr")} AS dist
        |  FROM embeddings e CROSS JOIN c$k c),
        |a$k AS (
        |  SELECT d.vec_id, MIN(d.k) AS cl, m.md AS dist
@@ -125,65 +139,148 @@ object MlOps extends QueryModule {
        |LEFT JOIN ivftop i ON i.qid = e.qid AND i.vid = e.vid
        |GROUP BY e.qid ORDER BY e.qid""".stripMargin
 
-  /** FULLY NARROW assignment: the K centroids collapse to a ONE-ROW
-    * broadcast array of (carr, k) structs, and each vector computes its
-    * argmin as a per-row expression — fold the squared distance per
-    * centroid, array_min over (dist, k) structs (smallest distance,
+  /** Multi-probe IVF oracle: probe cells per query are the `nprobe`
+    * trained centroids nearest to the query (ties to the smaller cell
+    * id — the same (dist, k) order the Spark-side sorted slice uses),
+    * and recall@3 is reported for nprobe=1 (own cell) and nprobe=2 side
+    * by side from ONE candidate pass.
+    */
+  private def ivfNprobeOracle(nprobe: Int): String =
+    s"""WITH $lloydCtes,
+       |qv AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+       |probes AS (
+       |  SELECT qid, k AS pcell, prank FROM (
+       |    SELECT q.qid, c.k,
+       |           ROW_NUMBER() OVER (PARTITION BY q.qid
+       |             ORDER BY ${duckSqDist("q.qe", "c.carr")}, c.k) AS prank
+       |    FROM qv q CROSS JOIN c$Iters c)
+       |  WHERE prank <= $nprobe),
+       |cand AS (
+       |  SELECT p.qid, p.prank, a.vec_id AS vid,
+       |         ${duckDot("q.qe", "e.embedding")} /
+       |           (${duckNorm("q.qe")} * ${duckNorm("e.embedding")}) AS sim
+       |  FROM probes p
+       |  JOIN qv q ON q.qid = p.qid
+       |  JOIN a$Iters a ON a.cl = p.pcell
+       |  JOIN embeddings e ON e.vec_id = a.vec_id
+       |  WHERE a.vec_id <> p.qid),
+       |np1 AS (
+       |  SELECT qid, vid FROM (
+       |    SELECT qid, vid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vid) AS rn
+       |    FROM cand WHERE prank = 1) WHERE rn <= 3),
+       |np$nprobe AS (
+       |  SELECT qid, vid FROM (
+       |    SELECT qid, vid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vid) AS rn
+       |    FROM cand) WHERE rn <= 3),
+       |exscored AS (
+       |  SELECT q2.qid, e.vec_id AS vid,
+       |         ${duckDot("q2.qe", "e.embedding")} /
+       |           (${duckNorm("q2.qe")} * ${duckNorm("e.embedding")}) AS sim
+       |  FROM qv q2, embeddings e WHERE e.vec_id <> q2.qid),
+       |extop AS (
+       |  SELECT qid, vid FROM (
+       |    SELECT qid, vid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vid) AS rn
+       |    FROM exscored) WHERE rn <= 3)
+       |SELECT e.qid,
+       |       COUNT(i1.vid) AS hits_np1, COUNT(i1.vid) / 3.0 AS recall_np1,
+       |       COUNT(i2.vid) AS hits_np$nprobe, COUNT(i2.vid) / 3.0 AS recall_np$nprobe
+       |FROM extop e
+       |LEFT JOIN np1 i1 ON i1.qid = e.qid AND i1.vid = e.vid
+       |LEFT JOIN np$nprobe i2 ON i2.qid = e.qid AND i2.vid = e.vid
+       |GROUP BY e.qid ORDER BY e.qid""".stripMargin
+
+  /** Squared distance from an embedding column to a LITERAL centroid:
+    * the same left fold the oracle's `list_reduce` spells, over constant
+    * centroid values baked into the expression — fully narrow, fully
+    * codegen-visible, no join of any kind.
+    */
+  private def sqDist(emb: Column, carr: Seq[Double]): Column =
+    aggregate(
+      zip_with(emb, typedLit(carr),
+        (x, cc) => (x.cast("double") - cc) * (x.cast("double") - cc)),
+      lit(0.0), (acc, t) => acc + t)
+
+  /** FULLY NARROW assignment: the trained K·dim centroid state arrives
+    * as literals inside the native [[graft.functions.NearestCentroid]]
+    * expression — each vector computes its argmin (smallest distance,
     * ties to the smallest cluster id — the same pair the oracle's
-    * min-join selects). The corpus-scale rows — embedding payload
-    * included — never enter ANY exchange: the n×K candidate rows a
-    * join-based assignment would shuffle and re-collapse never exist.
-    * Output: (vec_id, embedding, cl, dist).
+    * min-join selects) in one codegen'd primitive loop. The corpus-scale
+    * rows — embedding payload included — never enter ANY exchange, and
+    * there is no join node at all. Output: (vec_id, embedding, cl, dist).
     */
-  private def assignTo(vecs: DataFrame, cent: DataFrame): DataFrame = {
-    val centRow = cent.agg(collect_list(struct(col("carr"), col("k"))).as("cents"))
+  private def assignTo(vecs: DataFrame, cents: Cents): DataFrame =
     vecs
-      .crossJoin(broadcast(centRow))
-      .withColumn("m", array_min(transform(col("cents"), ct => struct(
-        aggregate(
-          zip_with(col("embedding"), ct.getField("carr"),
-            (x, cc) => (x.cast("double") - cc) * (x.cast("double") - cc)),
-          lit(0.0), (acc, t) => acc + t),
-        ct.getField("k")))))
-      .select(col("vec_id"), col("embedding"),
-        col("m.k").as("cl"), col("m.col1").as("dist"))
-  }
+      .withColumn("m", graft.functions.GraftFunctions.nearest_centroid(
+        col("embedding"), cents.map(_._1), cents.map(_._2)))
+      .withColumn("cl", col("m.k"))
+      .withColumn("dist", col("m.dist"))
+      .drop("m")
 
-  /** Lloyd training loop over a checkpointed (vec_id, embedding) frame.
-    * Returns the trained codebook (k, carr: array<double>) — possibly
-    * fewer than `k` rows (see the empty-cluster contract above).
+  /** Lloyd training loop over a cached (vec_id, embedding) frame.
+    * Returns the trained codebook as driver-side state — possibly fewer
+    * than `k` entries (see the empty-cluster contract above). Each
+    * iteration is exactly one Spark job: narrow literal-centroid
+    * assignment, then the (cluster, dim) partial-agg mean (map-side
+    * combine cuts each task to K·dim partial rows before the exchange),
+    * collected as K·dim rows of model state — the MLlib KMeans shape.
     */
-  private def train(vecs: DataFrame, k: Int, iters: Int): DataFrame = {
-    var cent = vecs.filter(col("vec_id") < k)
-      .select(col("vec_id").as("k"),
+  private def train(vecs: DataFrame, k: Int, iters: Int): Cents = {
+    // deterministic seed: the first k vectors by id (one cheap collect;
+    // an in-plan seed via a broadcast crossJoin was tried and measured
+    // SLOWER — the interpreted fold + broadcast build cost more than
+    // the collect it saved)
+    var cents: Cents = vecs.filter(col("vec_id") < k)
+      .select(col("vec_id"),
         transform(col("embedding"), v => v.cast("double")).as("carr"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toIndexedSeq))
+      .sortBy(_._1).toSeq
     (1 to iters).foreach { _ =>
-      // the one per-iteration shuffle: (cluster, dim) partial-agg means
-      // (map-side combine cuts each task to K·dim partial rows before
-      // the exchange), then K tiny rows reassembled into centroid arrays
-      cent = assignTo(vecs, cent)
-        .select(col("cl"), posexplode(col("embedding")).as(Seq("pos0", "x0")))
-        .groupBy(col("cl"), (col("pos0") + 1).as("pos"))
-        .agg(Exact.davg(col("x0").cast("double")).as("c"))
-        .groupBy(col("cl").as("k"))
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
-          s => s.getField("c")).as("carr"))
+      // the mean rides the pre-cast decimal column (see `prepared`):
+      // sum(decimal)/count is value-identical to Exact.davg over the
+      // doubles, but the expensive double→decimal quantization was paid
+      // ONCE at cache build instead of once per iteration
+      val updated = assignTo(vecs, cents)
+        .select(col("cl"), posexplode(col("demb")).as(Seq("pos", "dx")))
+        .groupBy(col("cl"), col("pos"))
+        .agg((sum(col("dx")).cast("double") / count(col("dx"))).as("c"))
+        .collect() // K·dim rows of model state, never corpus data
+      cents = updated
+        .groupBy(_.getLong(0))
+        .map { case (cl, rows) =>
+          (cl, rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toIndexedSeq)
+        }
+        .toSeq.sortBy(_._1)
     }
-    cent
+    cents
   }
 
-  private def checkpointed(emb: DataFrame): DataFrame =
-    // materialize the corpus once; every assignment/update pass reads it
-    // back instead of re-scanning
-    emb.select(col("vec_id"), col("embedding")).localCheckpoint()
+  private val Dec10 = org.apache.spark.sql.types.DecimalType(38, 10)
+
+  private def prepared(emb: DataFrame): DataFrame =
+    // cache, not checkpoint: the frame is read by every training pass
+    // plus the final search/summary, and caching is lazy — the first
+    // pass materializes it as a side effect instead of paying a
+    // dedicated materialization job up front. `demb` pre-quantizes each
+    // element to DECIMAL(38,10) (the Exact.dsum recipe's cast) so the
+    // per-iteration mean aggregation never re-pays the double→decimal
+    // conversion; the column prunes away from every non-training scan.
+    emb.select(col("vec_id"), col("embedding"),
+      transform(col("embedding"), v => v.cast("double").cast(Dec10)).as("demb"))
+      .cache()
 
   /** Trained k-means codebook: (k, carr: array<double>), ≤ `k` rows. */
-  def kmeansCentroids(emb: DataFrame, k: Int = K, iters: Int = Iters): DataFrame =
-    train(checkpointed(emb), k, iters)
+  def kmeansCentroids(emb: DataFrame, k: Int = K, iters: Int = Iters): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    train(prepared(emb), k, iters)
+      .map { case (ck, carr) => (ck, carr) }
+      .toDF("k", "carr")
+  }
 
   /** Cluster summary after training: (cluster, n_vecs, inertia). */
   def kmeans(emb: DataFrame, k: Int = K, iters: Int = Iters): DataFrame = {
-    val vecs = checkpointed(emb)
+    val vecs = prepared(emb)
     assignTo(vecs, train(vecs, k, iters))
       .groupBy(col("cl").as("cluster"))
       .agg(count(lit(1)).as("n_vecs"),
@@ -193,17 +290,15 @@ object MlOps extends QueryModule {
 
   /** The chained ANN pipeline: train the coarse quantizer with k-means,
     * assign every vector to its nearest trained centroid (narrow
-    * broadcast fold, same as training), search each query's cell only,
+    * literal fold, same as training), search each query's cell only,
     * and measure recall@`topk` against the exact brute-force top-`topk`.
     * Output: (qid, hits, recall_at<topk>) per query.
     */
   def ivfTrainedRecall(
       emb: DataFrame, k: Int = K, iters: Int = Iters, topk: Int = 3): DataFrame = {
-    val vecs = checkpointed(emb)
-    // the trained codebook is K tiny rows reused by two passes below —
-    // checkpoint it so each pass doesn't re-run the training plan
-    val cent = train(vecs, k, iters).localCheckpoint()
-    val withCell = assignTo(vecs, cent)
+    val vecs = prepared(emb)
+    val cents = train(vecs, k, iters)
+    val withCell = assignTo(vecs, cents)
       .select(col("vec_id"), col("embedding"), col("cl").as("cell"))
     val q = withCell.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("cell").as("qcell"))
@@ -229,6 +324,69 @@ object MlOps extends QueryModule {
       .orderBy("qid")
   }
 
+  /** Multi-probe IVF: each query searches its `nprobe` NEAREST trained
+    * cells, not just its own — the knob real IVF deployments turn to
+    * buy recall back from the lossy cell restriction. Probe ranking is
+    * FULLY NARROW: distances to the ≤K literal centroids are sorted and
+    * sliced per row (no window, no shuffle, no join), so adding probes
+    * scales the candidate set, never the planning. Reports recall@`topk`
+    * at nprobe=1 and nprobe=`nprobe` side by side from ONE candidate
+    * pass — the recall-vs-cost curve a deployment reads to tune the
+    * knob. Output: (qid, hits_np1, recall_np1, hits_np<n>, recall_np<n>).
+    */
+  def ivfProbeRecall(
+      emb: DataFrame, k: Int = K, iters: Int = Iters,
+      nprobe: Int = 2, topk: Int = 3): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    val vecs = prepared(emb)
+    val cents = train(vecs, k, iters)
+    val withCell = assignTo(vecs, cents)
+      .select(col("vec_id"), col("embedding"), col("cl").as("cell"))
+    // per-query probe list: (dist, k) structs sorted ascending — ties to
+    // the smaller cell id, so probe #1 is exactly the own-cell assignment
+    val probeCells = slice(
+      array_sort(array(cents.map { case (ck, carr) =>
+        struct(sqDist(col("embedding"), carr).as("dist"), lit(ck).as("k"))
+      }: _*)), 1, nprobe)
+    val q = vecs.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        posexplode(transform(probeCells, p => p.getField("k")))
+          .as(Seq("prank0", "pcell")))
+    // one candidate pass covers every probe depth: prank0 == 0 rows are
+    // the nprobe=1 candidate set, the whole table is the nprobe=n set.
+    // (qid, vid) pairs are unique — each vector lives in exactly one
+    // cell and a query's probe cells are distinct.
+    val cand = withCell
+      .join(broadcast(q), col("cell") === col("pcell") && col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("prank0"), col("vec_id").as("vid"),
+        graft.functions.GraftFunctions.cosine_sim(col("qe"), col("embedding")).as("sim"))
+      .localCheckpoint() // read twice: once per probe depth
+    val np1 = SimilarityOps.topkPerQuery(
+      cand.filter(col("prank0") === 0).select("qid", "vid", "sim"), topk)
+      .select(col("qid").as("q1"), col("vid").as("v1"))
+    val npN = SimilarityOps.topkPerQuery(
+      cand.select("qid", "vid", "sim"), topk)
+      .select(col("qid").as("q2"), col("vid").as("v2"))
+    val exactTop = SimilarityOps.topkPerQuery(
+      vecs
+        .join(broadcast(vecs.filter(col("vec_id") < 10)
+            .select(col("vec_id").as("qid"), col("embedding").as("qe"))),
+          col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("vid"),
+          graft.functions.GraftFunctions.cosine_sim(col("qe"), col("embedding")).as("sim")),
+      topk).select("qid", "vid")
+    exactTop
+      .join(broadcast(np1), col("qid") === col("q1") && col("vid") === col("v1"), "left")
+      .join(broadcast(npN), col("qid") === col("q2") && col("vid") === col("v2"), "left")
+      .groupBy("qid")
+      .agg(count(col("v1")).as("hits_np1"), count(col("v2")).as(s"hits_np$nprobe"))
+      .select(col("qid"),
+        col("hits_np1"), (col("hits_np1") / topk.toDouble).as("recall_np1"),
+        col(s"hits_np$nprobe"),
+        (col(s"hits_np$nprobe") / topk.toDouble).as(s"recall_np$nprobe"))
+      .orderBy("qid")
+  }
+
   def queries: Seq[Q] = Seq(
     // Lloyd k-means over the embedding corpus: K=4, 2 iterations,
     // deterministic first-K init — the codebook-training step ahead of
@@ -247,6 +405,15 @@ object MlOps extends QueryModule {
       // routed through the public facade so the oracle verifies the
       // exact code path a library user calls
       graft.GraftOps.annIvfTrainedRecall(Tables.embeddings(s, d))
+    },
+
+    // the recall-vs-cost knob: same trained codebook, but each query
+    // probes its 2 nearest cells. recall_np2 >= recall_np1 by
+    // construction (a global-top-3 item in the np1 candidate set is in
+    // the np2 set and still globally unbeaten), and the measured gap IS
+    // the number a deployment tunes nprobe against.
+    Q("q_ann_ivf_nprobe", ivfNprobeOracle(2)) { (s, d) =>
+      graft.GraftOps.annIvfProbeRecall(Tables.embeddings(s, d))
     }
   )
 }

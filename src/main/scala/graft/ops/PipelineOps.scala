@@ -148,7 +148,19 @@ object PipelineOps extends QueryModule {
       substring_index(col("bg"), " ", 1).as("w1"),
       substring_index(col("bg"), " ", -1).as("w2"))
 
-  def bigramLogProb(docs: DataFrame): DataFrame = {
+  /** Bigram-type count above which the probability-table broadcast hint
+    * is dropped and the join strategy becomes the planner's call. A
+    * forced `broadcast()` hint never degrades on its own — Spark
+    * attempts the build at ANY size, and the job dies at exactly the
+    * scale this engine targets (open-web bigram types run to billions).
+    * 10M types × ~40 B/row ≈ 400 MB build side — the practical ceiling
+    * for a comfortable executor broadcast.
+    */
+  private[ops] val MaxBroadcastBigramTypes = 10000000L
+
+  def bigramLogProb(
+      docs: DataFrame,
+      maxBroadcastTypes: Long = MaxBroadcastBigramTypes): DataFrame = {
     // Tokenize/explode once and cut lineage: both the count pass and the
     // scoring pass read the materialized bigram rows instead of re-running
     // the scan + explode (same executor-local materialization the
@@ -161,22 +173,26 @@ object PipelineOps extends QueryModule {
     // the aggregation form partial-combines map-side and never builds
     // the skewed partition). Each ln term is rounded to 6 decimals
     // (absorbs per-ulp libm differences vs the oracle), then summed
-    // exactly in decimal.
+    // exactly in decimal. The type table is materialized so the size
+    // gate's count() reads it back instead of re-aggregating.
     val counts = docBg.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
     val cond = counts.groupBy(col("w1").as("cw")).agg(sum(col("c")).as("cu"))
     val probs = counts
       .join(cond, col("w1") === col("cw"))
       .select(col("w1"), col("w2"),
         round(log(col("c").cast("double") / col("cu")), 6).as("lp"))
-    // Scoring joins the probability table by broadcast — an explicit
-    // trade: the corpus-scale docBg side streams through with NO
-    // re-shuffle (a keyed join would re-exchange every bigram
-    // occurrence), at the cost of requiring the bigram-TYPE table to
-    // fit broadcast range. That holds for any LM whose vocabulary a
-    // single node can score against; past it (open-web bigram types),
-    // drop the hint and let AQE pick the shuffle join — correctness is
-    // unchanged, only the exchange appears.
-    docBg.join(broadcast(probs), Seq("w1", "w2"))
+    // Scoring joins the probability table by broadcast when — and ONLY
+    // when — the measured bigram-type count fits broadcast range: the
+    // corpus-scale docBg side then streams through with NO re-shuffle
+    // (a keyed join would re-exchange every bigram occurrence). Past
+    // the gate, the hint is withheld and the planner (AQE at runtime)
+    // picks the join strategy — correctness is unchanged, only the
+    // exchange appears. The gate is a count over the already-
+    // materialized type table, so it costs one cheap metadata-scale job,
+    // never a recompute.
+    val probsSide = if (counts.count() <= maxBroadcastTypes) broadcast(probs) else probs
+    docBg.join(probsSide, Seq("w1", "w2"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
         round(Exact.dsum(col("lp")) / count(lit(1)), 6).as("avg_logprob"))

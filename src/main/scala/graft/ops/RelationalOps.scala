@@ -17,8 +17,10 @@ import graft.{Q, QueryModule, Tables}
   * Catalyst built-ins so pushdown/pruning/join-selection/AQE come free.
   *
   * Scale notes (100 TB posture):
-  *  - dimension joins (`nation`, `region`, `part` at small SF) are
-  *    explicitly `broadcast()` — no shuffle of the fact side;
+  *  - dimension joins follow the [[dimBroadcast]] policy: constant-
+  *    bounded dims (`nation`, `region`, a filtered `part` list) carry an
+  *    explicit `broadcast()` hint — no shuffle of the fact side —
+  *    while linearly-scaling dims (supplier, customer) go UNHINTED;
   *  - fact-fact joins shuffle on their equi-keys only;
   *  - windows partition by high-cardinality keys (custkey/suppkey), never
   *    a global single-partition window except where semantics demand it;
@@ -26,6 +28,26 @@ import graft.{Q, QueryModule, Tables}
   */
 object RelationalOps extends QueryModule {
   private val Dec = DecimalType(38, 10)
+
+  /** Broadcast-hint policy for dimension join sides, in one place.
+    *
+    * `constantBounded = true` (nation, region, or a filter whose output
+    * is a fixed fraction of a bounded catalog): force the hint — the
+    * table can never outgrow broadcast range, and the hint removes any
+    * dependence on estimator accuracy.
+    *
+    * `constantBounded = false` (supplier, customer — anything TPC-H
+    * scales LINEARLY with the fact data): NO hint. A forced
+    * `broadcast()` never degrades on its own — Spark attempts the build
+    * at any size and the job dies at exactly the scale this engine
+    * targets (sf100k supplier is ~100 GB). Unhinted, the static
+    * planner's parquet size estimate (or AQE's measured stage size at
+    * runtime) picks the broadcast while the dim actually fits — the
+    * same plan at test SFs, pinned by PlanHygieneSpec — and degrades to
+    * a keyed shuffle join past threshold instead of an OOM.
+    */
+  private[ops] def dimBroadcast(dim: DataFrame, constantBounded: Boolean): DataFrame =
+    if (constantBounded) broadcast(dim) else dim
 
   def queries: Seq[Q] = Seq(
     // ------------------------------------------------------------------
@@ -413,7 +435,7 @@ object RelationalOps extends QueryModule {
               col("o_orderdate") < lit("1997-01-01").cast("timestamp")),
           col("c_custkey") === col("o_custkey"))
         .join(Tables.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(Tables.supplier(s, d)),
+        .join(dimBroadcast(Tables.supplier(s, d), constantBounded = false),
           col("l_suppkey") === col("s_suppkey") &&
             col("c_nationkey") === col("s_nationkey"))
         .join(broadcast(asiaNations), col("s_nationkey") === col("n_nationkey"))
@@ -513,8 +535,10 @@ object RelationalOps extends QueryModule {
         .select(col("s_suppkey"), col("n_name").as("supp_nation"))
       Tables.lineitem(s, d)
         .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(dimBroadcast(cust, constantBounded = false),
+          col("o_custkey") === col("c_custkey"))
+        .join(dimBroadcast(supp, constantBounded = false),
+          col("l_suppkey") === col("s_suppkey"))
         .filter(
           (col("cust_nation") === "NATION_1" && col("supp_nation") === "NATION_2") ||
             (col("cust_nation") === "NATION_2" && col("supp_nation") === "NATION_1"))
@@ -629,7 +653,14 @@ object RelationalOps extends QueryModule {
         .select(col("l_orderkey").as("o3"), col("l_suppkey").as("s3"))
       li.filter(col("l_shipdate") > cutoff)
         .select("l_orderkey", "l_suppkey")
-        .join(broadcast(suppNat), col("l_suppkey") === col("s_suppkey"))
+        .join(dimBroadcast(suppNat, constantBounded = false),
+          col("l_suppkey") === col("s_suppkey"))
+        // left_semi where the oracle spells an inner join: equivalent
+        // BECAUSE o_orderkey is unique in orders (each l1 row matches at
+        // most one orders row, so the inner join never duplicates fact
+        // rows). The uniqueness is an enforced fixture invariant —
+        // pinned by PlanHygieneSpec's "fixture invariants" test — not an
+        // implicit assumption.
         .join(Tables.orders(s, d).filter(col("o_orderstatus") === "F")
             .select("o_orderkey"),
           col("l_orderkey") === col("o_orderkey"), "left_semi")
@@ -668,7 +699,7 @@ object RelationalOps extends QueryModule {
         |minc AS (SELECT ps_partkey AS mk, MIN(ps_supplycost) AS mc
         |         FROM eligible GROUP BY 1)
         |SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
-        |       round(ps_supplycost, 6) AS supplycost
+        |       floor(ps_supplycost * 1e6 + 0.5) / 1e6 AS supplycost
         |FROM eligible
         |JOIN minc ON ps_partkey = mk AND ps_supplycost = mc
         |JOIN part ON p_partkey = ps_partkey
@@ -698,7 +729,8 @@ object RelationalOps extends QueryModule {
           col("s_nationkey") === col("n_nationkey"))
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
       val eligible = ps
-        .join(broadcast(euroSupp), col("ps_suppkey") === col("s_suppkey"))
+        .join(dimBroadcast(euroSupp, constantBounded = false),
+          col("ps_suppkey") === col("s_suppkey"))
         .localCheckpoint() // read once by both the min pass and the probe
       val minc = eligible.groupBy(col("ps_partkey").as("mk"))
         .agg(min(col("ps_supplycost")).as("mc"))
@@ -707,7 +739,7 @@ object RelationalOps extends QueryModule {
         .join(redParts, col("p_partkey") === col("ps_partkey"))
         .select(col("s_acctbal"), col("s_name"), col("n_name"),
           col("p_partkey"), col("p_name"),
-          round(col("ps_supplycost"), 6).as("supplycost"))
+          Exact.round6(col("ps_supplycost")).as("supplycost"))
         .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
         .limit(100)
     },
@@ -764,7 +796,8 @@ object RelationalOps extends QueryModule {
       val amount = floor((col("l_extendedprice") * (lit(1) - col("l_discount")) -
         col("ps_supplycost") * col("l_quantity")) * lit(1e6) + lit(0.5)) / lit(1e6)
       slice
-        .join(broadcast(Tables.supplier(s, d).select("s_suppkey", "s_nationkey")),
+        .join(dimBroadcast(Tables.supplier(s, d).select("s_suppkey", "s_nationkey"),
+            constantBounded = false),
           col("s_suppkey") === col("l_suppkey"))
         .join(ps,
           col("ps_partkey") === col("l_partkey") &&
@@ -807,8 +840,8 @@ object RelationalOps extends QueryModule {
         |    AND o_orderdate >= TIMESTAMP '1996-01-01'
         |    AND o_orderdate <  TIMESTAMP '1998-01-01')
         |SELECT o_year,
-        |       round(CAST(SUM(CAST(CASE WHEN supp_nation = 'NATION_5' THEN volume ELSE 0 END AS DECIMAL(38,10))) AS DOUBLE)
-        |             / CAST(SUM(CAST(volume AS DECIMAL(38,10))) AS DOUBLE), 6) AS mkt_share,
+        |       floor(CAST(SUM(CAST(CASE WHEN supp_nation = 'NATION_5' THEN volume ELSE 0 END AS DECIMAL(38,10))) AS DOUBLE)
+        |             / CAST(SUM(CAST(volume AS DECIMAL(38,10))) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS mkt_share,
         |       COUNT(*) AS n_items
         |FROM vol GROUP BY o_year ORDER BY o_year"""
     ) { (s, d) =>
@@ -833,13 +866,14 @@ object RelationalOps extends QueryModule {
               col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
           col("o_orderkey") === col("l_orderkey"))
         .join(asiaCust, col("c_custkey") === col("o_custkey"), "left_semi")
-        .join(broadcast(supp), col("s_suppkey") === col("l_suppkey"))
+        .join(dimBroadcast(supp, constantBounded = false),
+          col("s_suppkey") === col("l_suppkey"))
         .select(year(col("o_orderdate")).cast("int").as("o_year"),
           volume.as("volume"), col("supp_nation"))
         .groupBy("o_year")
         .agg(
-          round(Exact.dsum(when(col("supp_nation") === "NATION_5", col("volume"))
-              .otherwise(lit(0))) / Exact.dsum(col("volume")), 6).as("mkt_share"),
+          Exact.round6(Exact.dsum(when(col("supp_nation") === "NATION_5", col("volume"))
+              .otherwise(lit(0))) / Exact.dsum(col("volume"))).as("mkt_share"),
           count(lit(1)).as("n_items"))
         .orderBy("o_year")
     },
@@ -859,7 +893,7 @@ object RelationalOps extends QueryModule {
         |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
         |    AND l_shipdate < TIMESTAMP '1997-04-01'
         |  GROUP BY l_suppkey)
-        |SELECT s_suppkey, s_name, round(total_revenue, 6) AS total_revenue
+        |SELECT s_suppkey, s_name, floor(total_revenue * 1e6 + 0.5) / 1e6 AS total_revenue
         |FROM supplier JOIN rev ON s_suppkey = supplier_no
         |WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
         |ORDER BY s_suppkey"""
@@ -875,10 +909,11 @@ object RelationalOps extends QueryModule {
       rev
         .crossJoin(broadcast(mx))
         .filter(col("total_revenue") === col("mx"))
-        .join(broadcast(Tables.supplier(s, d).select("s_suppkey", "s_name")),
+        .join(dimBroadcast(Tables.supplier(s, d).select("s_suppkey", "s_name"),
+            constantBounded = false),
           col("s_suppkey") === col("supplier_no"))
         .select(col("s_suppkey"), col("s_name"),
-          round(col("total_revenue"), 6).as("total_revenue"))
+          Exact.round6(col("total_revenue")).as("total_revenue"))
         .orderBy("s_suppkey")
     },
 
@@ -888,19 +923,20 @@ object RelationalOps extends QueryModule {
     // per-part average is computed AFTER the broadcast part filter
     // (identical values: the filter selects whole partkeys, and the
     // average is per partkey), so the decorrelated aggregate runs over
-    // the filtered slice, not the whole fact table. l_quantity is
-    // integral (verified on all SFs), so AVG = exact-double-sum / count
-    // is IEEE-identical in both engines and the 0.2× threshold compare
-    // is exact.
+    // the filtered slice, not the whole fact table. The per-part
+    // average rides the exact decimal-sum recipe on BOTH sides, so the
+    // 0.2× threshold compare is cross-engine exact for ANY l_quantity
+    // distribution — no integrality assumption.
     Q(
       "q_tpch_q17",
-      """SELECT round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,10))) AS DOUBLE) / 7.0, 6) AS avg_yearly,
+      """SELECT floor(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,10))) AS DOUBLE) / 7.0 * 1e6 + 0.5) / 1e6 AS avg_yearly,
         |       COUNT(*) AS n_small
         |FROM lineitem
         |JOIN part ON p_partkey = l_partkey
         |WHERE p_brand = 'Brand#3' AND p_size <= 10
         |  AND l_quantity < (
-        |    SELECT 0.2 * AVG(l_quantity) FROM lineitem l2
+        |    SELECT 0.2 * (CAST(SUM(CAST(l_quantity AS DECIMAL(38,10))) AS DOUBLE) / COUNT(l_quantity))
+        |    FROM lineitem l2
         |    WHERE l2.l_partkey = lineitem.l_partkey)"""
     ) { (s, d) =>
       val slice = Tables.lineitem(s, d)
@@ -910,12 +946,12 @@ object RelationalOps extends QueryModule {
             .select("p_partkey")),
           col("p_partkey") === col("l_partkey"))
       val qlim = slice.groupBy(col("l_partkey").as("ak"))
-        .agg((lit(0.2) * avg(col("l_quantity"))).as("qlim"))
+        .agg((lit(0.2) * Exact.davg(col("l_quantity"))).as("qlim"))
       slice
         .join(qlim, col("ak") === col("l_partkey"))
         .filter(col("l_quantity") < col("qlim"))
         .agg(
-          round(Exact.dsum(col("l_extendedprice")) / 7.0, 6).as("avg_yearly"),
+          Exact.round6(Exact.dsum(col("l_extendedprice")) / 7.0).as("avg_yearly"),
           count(lit(1)).as("n_small"))
     },
 
