@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+
+/** Input row for the streaming source-mix: one document's token count. */
+case class MixDoc(source: String, doc_id: Long, n_tokens: Long)
+
+/** An admitted document plus the source's running kept-token total
+  * AFTER admitting it.
+  */
+case class MixKept(source: String, doc_id: Long, n_tokens: Long, kept_tokens: Long)
+
+/** Streaming sibling of [[PipelineOps.sourceMix]] (the batch operator
+  * derives per-source keep RATES from full-corpus totals — a streaming
+  * corpus has no full-corpus totals, so the budget must be enforced
+  * incrementally): a per-source token BUDGET applied across micro-
+  * batches with typed keyed state (`transformWithState`, the Spark 4
+  * StatefulProcessor API over the RocksDB state store).
+  *
+  * Admission is greedy: a document is kept iff the source's running
+  * kept-token total plus its tokens stays within the budget; the total
+  * is ValueState carried across batches, so a source exhausting its
+  * budget in batch 1 admits nothing in batch 3 — while a smaller doc
+  * that still fits is admitted even after a larger one was refused.
+  * Within a micro-batch, rows are admitted in doc_id order so the
+  * decision is deterministic regardless of partition arrival order.
+  *
+  * 100 TB posture: state is ONE long per source (the running total —
+  * never documents), rows flow through keyed state exactly once, and
+  * the shuffle is the same source-keyed exchange the batch operator
+  * pays for its aggregation.
+  */
+class SourceBudgetProcessor(budget: Long)
+    extends StatefulProcessor[String, MixDoc, MixKept] {
+  require(budget >= 0, s"budget must be >= 0, got $budget")
+
+  @transient private var keptTokens: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    keptTokens = getHandle.getValueState[Long](
+      "keptTokens", Encoders.scalaLong, TTLConfig.NONE)
+
+  override def handleInputRows(
+      key: String, rows: Iterator[MixDoc],
+      timerValues: TimerValues): Iterator[MixKept] = {
+    var t = if (keptTokens.exists()) keptTokens.get() else 0L
+    // deterministic admission order within the batch (a micro-batch's
+    // iterator order is partition-arrival order otherwise)
+    val admitted = rows.toSeq.sortBy(_.doc_id).flatMap { d =>
+      if (t + d.n_tokens <= budget) {
+        t += d.n_tokens
+        Some(MixKept(key, d.doc_id, d.n_tokens, t))
+      } else None
+    }
+    keptTokens.update(t)
+    admitted.iterator
+  }
+}
+
+object StreamingMix {
+  /** Wire the budget processor onto a (streaming or batch) Dataset of
+    * [[MixDoc]] rows. Emits admitted docs only, with the running
+    * per-source kept-token total.
+    */
+  def sourceBudget(docs: Dataset[MixDoc], budget: Long): Dataset[MixKept] = {
+    import docs.sparkSession.implicits._
+    docs
+      .groupByKey(_.source)
+      .transformWithState(
+        new SourceBudgetProcessor(budget),
+        TimeMode.None(), OutputMode.Append(),
+        Encoders.product[MixKept])
+  }
+}

@@ -311,4 +311,59 @@ class StreamingSpec extends SparkSpec {
     assert(out(0).getAs[Long]("session_end") - out(0).getAs[Long]("session_start") == 480L) // 3 min span + 5 min gap
     assert(out(1).getAs[Long]("n_events") == 1L)
   }
+
+  test("streaming source-mix: per-source token budget enforced across 3 batches") {
+    implicit val sq = spark.sqlContext
+    // The streaming sibling of q_source_mix: the batch operator derives
+    // keep RATES from full-corpus totals; a stream has no totals, so the
+    // budget rides typed keyed state (transformWithState / RocksDB) as a
+    // running kept-token count per source — admission is greedy and the
+    // state survives across micro-batches.
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val budget = 100L
+      val mem = MemoryStream[ops.MixDoc]
+      val q = ops.StreamingMix.sourceBudget(mem.toDS(), budget)
+        .toDF().writeStream.format("memory").queryName("mix_out")
+        .outputMode(OutputMode.Append).start()
+      // batch 1: web uses 70 of 100; books uses 90 of 100
+      mem.addData(
+        ops.MixDoc("web", 1L, 40L), ops.MixDoc("web", 2L, 30L),
+        ops.MixDoc("books", 10L, 90L))
+      q.processAllAvailable()
+      // batch 2: web doc of 40 would overflow (70+40>100) -> dropped,
+      // but the later 25 still fits (greedy); books 20 overflows -> dropped
+      mem.addData(
+        ops.MixDoc("web", 3L, 40L), ops.MixDoc("web", 4L, 25L),
+        ops.MixDoc("books", 11L, 20L))
+      q.processAllAvailable()
+      // batch 3: web is at 95 — only <=5 fits; books admits an exact fill
+      mem.addData(
+        ops.MixDoc("web", 5L, 6L), ops.MixDoc("web", 6L, 5L),
+        ops.MixDoc("books", 12L, 10L))
+      q.processAllAvailable()
+      q.stop()
+      val kept = spark.table("mix_out")
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(x => (x._1, x._2)).toSeq
+      assert(kept == Seq(
+        ("books", 10L, 90L, 90L), ("books", 12L, 10L, 100L),
+        ("web", 1L, 40L, 40L), ("web", 2L, 30L, 70L),
+        ("web", 4L, 25L, 95L), ("web", 6L, 5L, 100L)))
+      // the invariant the operator exists for: kept tokens track the
+      // budget — never exceed it, and reach it when supply allows
+      val bySource = kept.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+      assert(bySource.values.forall(_ <= budget))
+      assert(bySource == Map("web" -> 100L, "books" -> 100L))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
