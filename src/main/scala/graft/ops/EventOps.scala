@@ -293,9 +293,9 @@ object EventOps extends QueryModule {
         |         COUNT(*) AS n
         |  FROM events GROUP BY event_type)
         |SELECT event_id, e.event_type, value,
-        |       round((value - sx / n) / sqrt((sx2 - sx * sx / n) / (n - 1)), 6) AS z
+        |       floor((value - sx / n) / sqrt((sx2 - sx * sx / n) / (n - 1)) * 1e6 + 0.5) / 1e6 AS z
         |FROM events e JOIN s ON e.event_type = s.event_type
-        |ORDER BY abs(round((value - sx / n) / sqrt((sx2 - sx * sx / n) / (n - 1)), 6)) DESC,
+        |ORDER BY abs(floor((value - sx / n) / sqrt((sx2 - sx * sx / n) / (n - 1)) * 1e6 + 0.5) / 1e6) DESC,
         |         event_id
         |LIMIT 50"""
     ) { (s, d) =>
@@ -305,9 +305,9 @@ object EventOps extends QueryModule {
           Exact.dsum(col("value")).as("sx"),
           Exact.dsum(col("value") * col("value")).as("sx2"),
           count(lit(1)).as("n"))
-      val z = round(
+      val z = Exact.round6(
         (col("value") - col("sx") / col("n"))
-          / sqrt(Exact.dvarSamp(col("sx"), col("sx2"), col("n"))), 6)
+          / sqrt(Exact.dvarSamp(col("sx"), col("sx2"), col("n"))))
       ev.join(broadcast(stats), "event_type")
         .select(col("event_id"), col("event_type"), col("value"), z.as("z"))
         .orderBy(abs(col("z")).desc, col("event_id"))

@@ -46,7 +46,15 @@ object Exact {
     * engines. Use it wherever a 6-decimal-rounded double feeds the hash
     * compare. DuckDB: `floor(x*1e6 + 0.5)/1e6`.
     */
-  def round6(c: Column): Column = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+  def round6(c: Column): Column = roundN(c, 6)
+
+  /** [[round6]] at an arbitrary decimal count; DuckDB:
+    * `floor(x*1eN + 0.5)/1eN`.
+    */
+  def roundN(c: Column, digits: Int): Column = {
+    val p = math.pow(10.0, digits)
+    floor(c * lit(p) + lit(0.5)) / lit(p)
+  }
 
   /** Sample variance/stddev built only from exact decimal sums plus IEEE
     * double arithmetic (Welford-style running aggregates are NOT

@@ -80,17 +80,17 @@ object ExtraOps extends QueryModule {
     Q(
       "q_percentiles",
       """SELECT l_returnflag,
-        |       round(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
-        |       round(quantile_cont(l_quantity, 0.9), 6) AS p90_qty,
-        |       round(quantile_cont(l_extendedprice, 0.99), 6) AS p99_price
+        |       floor(quantile_cont(l_quantity, 0.5) * 1e6 + 0.5) / 1e6 AS median_qty,
+        |       floor(quantile_cont(l_quantity, 0.9) * 1e6 + 0.5) / 1e6 AS p90_qty,
+        |       floor(quantile_cont(l_extendedprice, 0.99) * 1e6 + 0.5) / 1e6 AS p99_price
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
     ) { (s, d) =>
       Tables.lineitem(s, d)
         .groupBy("l_returnflag")
         .agg(
-          round(expr("percentile(l_quantity, 0.5)"), 6).as("median_qty"),
-          round(expr("percentile(l_quantity, 0.9)"), 6).as("p90_qty"),
-          round(expr("percentile(l_extendedprice, 0.99)"), 6).as("p99_price"))
+          Exact.round6(expr("percentile(l_quantity, 0.5)")).as("median_qty"),
+          Exact.round6(expr("percentile(l_quantity, 0.9)")).as("p90_qty"),
+          Exact.round6(expr("percentile(l_extendedprice, 0.99)")).as("p99_price"))
         .orderBy("l_returnflag")
     },
 
@@ -105,7 +105,7 @@ object ExtraOps extends QueryModule {
     Q(
       "q_agg_approx_percentile",
       """SELECT l_returnflag,
-        |       round(quantile_cont(l_extendedprice, 0.5), 6) AS exact_median,
+        |       floor(quantile_cont(l_extendedprice, 0.5) * 1e6 + 0.5) / 1e6 AS exact_median,
         |       true AS median_in_band,
         |       true AS q25_in_band,
         |       true AS q75_in_band
@@ -123,7 +123,7 @@ object ExtraOps extends QueryModule {
           expr("approx_percentile(l_extendedprice, array(0.25, 0.75), 1000)").as("aq"))
         .select(
           col("l_returnflag"),
-          round(col("exact_median"), 6).as("exact_median"),
+          Exact.round6(col("exact_median")).as("exact_median"),
           col("approx_median").between(col("lo50"), col("hi50")).as("median_in_band"),
           element_at(col("aq"), 1).between(col("lo25"), col("hi25")).as("q25_in_band"),
           element_at(col("aq"), 2).between(col("lo75"), col("hi75")).as("q75_in_band"))

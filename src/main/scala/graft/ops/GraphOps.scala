@@ -57,7 +57,7 @@ object GraphOps extends QueryModule {
        |o AS (SELECT src, CAST(SUM(w) AS BIGINT) AS outw FROM e GROUP BY src),
        |p0 AS (SELECT n_name AS node, CAST(1.0 AS DOUBLE) / $N AS pr FROM nation),
        |$steps
-       |SELECT node, round(pr, 8) AS pr FROM p$Iters ORDER BY node""".stripMargin
+       |SELECT node, floor(pr * 1e8 + 0.5) / 1e8 AS pr FROM p$Iters ORDER BY node""".stripMargin
   }
 
   /** Spark side: identical loop, edges aggregated once then iterated. */
@@ -97,7 +97,7 @@ object GraphOps extends QueryModule {
         .select(col("node"),
           (lit(0.15) / N + lit(Damping) * coalesce(col("c"), lit(0.0))).as("pr"))
     }
-    pr.select(col("node"), round(col("pr"), 8).as("pr")).orderBy("node")
+    pr.select(col("node"), Exact.roundN(col("pr"), 8).as("pr")).orderBy("node")
   }
 
   def queries: Seq[Q] = Seq(

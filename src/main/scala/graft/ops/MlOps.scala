@@ -100,7 +100,7 @@ object MlOps extends QueryModule {
     s"""WITH $lloydCtes
        |SELECT cl AS cluster,
        |       COUNT(*) AS n_vecs,
-       |       round(CAST(SUM(CAST(dist AS DECIMAL(38,10))) AS DOUBLE), 6) AS inertia
+       |       floor(CAST(SUM(CAST(dist AS DECIMAL(38,10))) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS inertia
        |FROM a$Iters GROUP BY cl ORDER BY cluster""".stripMargin
 
   /** IVF-with-trained-codebook oracle: the Lloyd CTEs feed the cell
@@ -284,7 +284,7 @@ object MlOps extends QueryModule {
     assignTo(vecs, train(vecs, k, iters))
       .groupBy(col("cl").as("cluster"))
       .agg(count(lit(1)).as("n_vecs"),
-        round(Exact.dsum(col("dist")), 6).as("inertia"))
+        Exact.round6(Exact.dsum(col("dist"))).as("inertia"))
       .orderBy("cluster")
   }
 

@@ -181,7 +181,7 @@ object PipelineOps extends QueryModule {
     val probs = counts
       .join(cond, col("w1") === col("cw"))
       .select(col("w1"), col("w2"),
-        round(log(col("c").cast("double") / col("cu")), 6).as("lp"))
+        Exact.round6(log(col("c").cast("double") / col("cu"))).as("lp"))
     // Scoring joins the probability table by broadcast when — and ONLY
     // when — the measured bigram-type count fits broadcast range: the
     // corpus-scale docBg side then streams through with NO re-shuffle
@@ -195,7 +195,7 @@ object PipelineOps extends QueryModule {
     docBg.join(probsSide, Seq("w1", "w2"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
-        round(Exact.dsum(col("lp")) / count(lit(1)), 6).as("avg_logprob"))
+        Exact.round6(Exact.dsum(col("lp")) / count(lit(1))).as("avg_logprob"))
   }
 
   def collocations(docs: DataFrame, minCount: Long, k: Int): DataFrame = {
@@ -218,8 +218,8 @@ object PipelineOps extends QueryModule {
       .join(m2, "w2")
       .crossJoin(broadcast(tot))
       .select(col("w1"), col("w2"), col("c"),
-        round(log((col("c").cast("double") * col("t"))
-          / (col("c1").cast("double") * col("c2"))), 6).as("pmi"))
+        Exact.round6(log((col("c").cast("double") * col("t"))
+          / (col("c1").cast("double") * col("c2")))).as("pmi"))
       .orderBy(col("pmi").desc, col("w1"), col("w2"))
       .limit(k)
   }
@@ -263,7 +263,7 @@ object PipelineOps extends QueryModule {
         col("source") === col("ts"))
       .withColumn("__graft_h", substring(md5(col("doc_id").cast("string")), 1, 8))
       .groupBy(col("source"), col("n_docs_total"), col("total_tokens"),
-        round(col("rate"), 6).as("rate"))
+        Exact.round6(col("rate")).as("rate"))
       .agg(
         count(when(col("__graft_h") < col("h_thr"), 1)).as("n_docs_kept"),
         coalesce(sum(when(col("__graft_h") < col("h_thr"), col("n_tokens"))), lit(0L))
@@ -459,16 +459,16 @@ object PipelineOps extends QueryModule {
       .groupBy("doc_id", "term")
       .agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val termScore = round(
+    val termScore = Exact.round6(
       log((col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + 1)
         * (col("tf") * (k1 + 1))
-        / (col("tf") + k1 * (lit(1) - b + b * col("dl") / col("avgdl"))), 6)
+        / (col("tf") + k1 * (lit(1) - b + b * col("dl") / col("avgdl"))))
     tf.join(broadcast(dfreq), "term")
       .join(dls, "doc_id")
       .crossJoin(broadcast(stats))
       .select(col("doc_id"), termScore.as("term_score"))
       .groupBy("doc_id")
-      .agg(round(Exact.dsum(col("term_score")), 6).as("score"))
+      .agg(Exact.round6(Exact.dsum(col("term_score"))).as("score"))
   }
 
   /** DuckDB CTE prefix producing `bmscore(doc_id, score)` — shared by
@@ -491,18 +491,18 @@ object PipelineOps extends QueryModule {
        |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
        |ts AS (
        |  SELECT tf.doc_id,
-       |         round(ln((s.n - d.df + CAST(0.5 AS DOUBLE))
+       |         floor(ln((s.n - d.df + CAST(0.5 AS DOUBLE))
        |                  / (d.df + CAST(0.5 AS DOUBLE)) + 1)
        |               * (tf.tf * (CAST(1.2 AS DOUBLE) + 1))
        |               / (tf.tf + CAST(1.2 AS DOUBLE)
        |                  * (1 - CAST(0.75 AS DOUBLE)
-       |                     + CAST(0.75 AS DOUBLE) * l.dl / s.avgdl)), 6) AS term_score
+       |                     + CAST(0.75 AS DOUBLE) * l.dl / s.avgdl)) * 1e6 + 0.5) / 1e6 AS term_score
        |  FROM tf JOIN dfreq d ON tf.term = d.term
        |  JOIN dls l ON tf.doc_id = l.doc_id
        |  CROSS JOIN stats s),
        |bmscore AS (
        |  SELECT doc_id,
-       |         round(CAST(SUM(CAST(term_score AS DECIMAL(38,10))) AS DOUBLE), 6) AS score
+       |         floor(CAST(SUM(CAST(term_score AS DECIMAL(38,10))) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS score
        |  FROM ts GROUP BY doc_id)""".stripMargin
   }
 
@@ -703,7 +703,7 @@ object PipelineOps extends QueryModule {
          |             CAST(SUM(c) OVER () AS BIGINT) AS t
          |      FROM cbg)
          |SELECT w1, w2, c,
-         |       round(ln((CAST(c AS DOUBLE) * t) / (CAST(c1 AS DOUBLE) * c2)), 6) AS pmi
+         |       floor(ln((CAST(c AS DOUBLE) * t) / (CAST(c1 AS DOUBLE) * c2)) * 1e6 + 0.5) / 1e6 AS pmi
          |FROM m WHERE c >= 5
          |ORDER BY pmi DESC, w1, w2 LIMIT 20"""
     ) { (s, d) =>
@@ -903,12 +903,12 @@ object PipelineOps extends QueryModule {
          |cuni AS (SELECT w1, CAST(SUM(c) AS BIGINT) AS cu FROM cbg GROUP BY w1),
          |scored AS (
          |  SELECT p.doc_id,
-         |         round(ln(CAST(cb.c AS DOUBLE) / cu.cu), 6) AS lp
+         |         floor(ln(CAST(cb.c AS DOUBLE) / cu.cu) * 1e6 + 0.5) / 1e6 AS lp
          |  FROM pairs p
          |  JOIN cbg cb ON p.w1 = cb.w1 AND p.w2 = cb.w2
          |  JOIN cuni cu ON p.w1 = cu.w1)
          |SELECT doc_id, COUNT(*) AS n_bigrams,
-         |       round(CAST(SUM(CAST(lp AS DECIMAL(38,10))) AS DOUBLE) / COUNT(*), 6)
+         |       floor(CAST(SUM(CAST(lp AS DECIMAL(38,10))) AS DOUBLE) / COUNT(*) * 1e6 + 0.5) / 1e6
          |         AS avg_logprob
          |FROM scored GROUP BY doc_id ORDER BY doc_id"""
     ) { (s, d) =>
@@ -959,7 +959,7 @@ object PipelineOps extends QueryModule {
          |                 ELSE printf('%08x', CAST(floor(LEAST(rate * 4294967296.0, 4294967295.0)) AS BIGINT))
          |            END AS h_thr
          |  FROM r)
-         |SELECT t.source, n_docs_total, total_tokens, round(rate, 6) AS rate,
+         |SELECT t.source, n_docs_total, total_tokens, floor(rate * 1e6 + 0.5) / 1e6 AS rate,
          |       COUNT(CASE WHEN substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 8) < h_thr THEN 1 END) AS n_docs_kept,
          |       CAST(COALESCE(SUM(CASE WHEN substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 8) < h_thr THEN t.n_tokens END), 0) AS BIGINT) AS kept_tokens
          |FROM t JOIN thr ON t.source = thr.source

@@ -589,11 +589,11 @@ object RelationalOps extends QueryModule {
     // both sides so the doubles match bit-for-bit.
     Q(
       "q_tpch_q14",
-      """SELECT round(100.0 * CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+      """SELECT floor(100.0 * CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
         |                 THEN l_extendedprice * (1 - l_discount)
         |                 ELSE 0 END AS DECIMAL(38,10))) AS DOUBLE)
         |             / CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
-        |                 AS DECIMAL(38,10))) AS DOUBLE), 6) AS promo_revenue,
+        |                 AS DECIMAL(38,10))) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS promo_revenue,
         |       COUNT(*) AS n_items
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE l_shipdate >= TIMESTAMP '1997-09-01'
@@ -606,8 +606,8 @@ object RelationalOps extends QueryModule {
             col("l_shipdate") < lit("1997-10-01").cast("timestamp"))
         .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
         .agg(
-          round(lit(100.0) * Exact.dsum(when(col("p_type") === "PROMO", rev)
-            .otherwise(lit(0))) / Exact.dsum(rev), 6).as("promo_revenue"),
+          Exact.round6(lit(100.0) * Exact.dsum(when(col("p_type") === "PROMO", rev)
+            .otherwise(lit(0))) / Exact.dsum(rev)).as("promo_revenue"),
           count(lit(1)).as("n_items"))
     },
 

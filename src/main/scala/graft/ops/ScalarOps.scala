@@ -96,9 +96,9 @@ object ScalarOps extends QueryModule {
         |       floor(l_extendedprice / 1000) AS price_k_floor,
         |       ceil(l_extendedprice / 1000) AS price_k_ceil,
         |       sqrt(l_quantity) AS qty_sqrt,
-        |       round(pow(l_quantity, 1.5), 6) AS qty_pow,
-        |       round(ln(l_extendedprice), 6) AS price_ln,
-        |       round(log10(l_extendedprice), 6) AS price_log10,
+        |       floor(pow(l_quantity, 1.5) * 1e6 + 0.5) / 1e6 AS qty_pow,
+        |       floor(ln(l_extendedprice) * 1e6 + 0.5) / 1e6 AS price_ln,
+        |       floor(log10(l_extendedprice) * 1e6 + 0.5) / 1e6 AS price_log10,
         |       CAST(sign(l_discount - 0.05) AS DOUBLE) AS disc_sign,
         |       CAST(l_orderkey % 7 AS BIGINT) AS key_mod7,
         |       greatest(l_quantity, 25.0) AS qty_hi,
@@ -112,9 +112,9 @@ object ScalarOps extends QueryModule {
         floor(col("l_extendedprice") / 1000).cast("double").as("price_k_floor"),
         ceil(col("l_extendedprice") / 1000).cast("double").as("price_k_ceil"),
         sqrt(col("l_quantity")).as("qty_sqrt"),
-        round(pow(col("l_quantity"), 1.5), 6).as("qty_pow"),
-        round(log(col("l_extendedprice")), 6).as("price_ln"),
-        round(log10(col("l_extendedprice")), 6).as("price_log10"),
+        Exact.round6(pow(col("l_quantity"), 1.5)).as("qty_pow"),
+        Exact.round6(log(col("l_extendedprice"))).as("price_ln"),
+        Exact.round6(log10(col("l_extendedprice"))).as("price_log10"),
         signum(col("l_discount") - 0.05).as("disc_sign"),
         (col("l_orderkey") % 7).as("key_mod7"),
         greatest(col("l_quantity"), lit(25.0)).as("qty_hi"),

@@ -287,7 +287,7 @@ object SimilarityOps extends QueryModule {
         |  FROM q)
         |SELECT CAST(pos AS INT) AS pos, MIN(mn) AS mn, MAX(mx) AS mx,
         |       COUNT(DISTINCT code) AS n_codes,
-        |       round(CAST(SUM(CAST(err AS DECIMAL(38,10))) AS DOUBLE) / COUNT(*), 6)
+        |       floor(CAST(SUM(CAST(err AS DECIMAL(38,10))) AS DOUBLE) / COUNT(*) * 1e6 + 0.5) / 1e6
         |         AS avg_abs_err
         |FROM r GROUP BY pos ORDER BY pos"""
     ) { (s, d) =>
@@ -310,7 +310,7 @@ object SimilarityOps extends QueryModule {
         .agg(
           min(col("mn")).as("mn"), max(col("mx")).as("mx"),
           countDistinct(col("code")).as("n_codes"),
-          round(Exact.dsum(col("err")) / count(lit(1)), 6).as("avg_abs_err"))
+          Exact.round6(Exact.dsum(col("err")) / count(lit(1))).as("avg_abs_err"))
         .orderBy("pos")
     },
 

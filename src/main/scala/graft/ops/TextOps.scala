@@ -301,7 +301,7 @@ object TextOps {
          |df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM t GROUP BY term),
          |n AS (SELECT COUNT(*) AS n_docs FROM documents)
          |SELECT tf.doc_id, tf.term, tf.tf,
-         |       round(tf.tf * ln(CAST(n_docs AS DOUBLE) / df.df), 6) AS tfidf
+         |       floor(tf.tf * ln(CAST(n_docs AS DOUBLE) / df.df) * 1e6 + 0.5) / 1e6 AS tfidf
          |FROM tf JOIN df USING (term) CROSS JOIN n
          |ORDER BY doc_id, term"""
     ) { (s, d) =>
@@ -315,7 +315,7 @@ object TextOps {
         .crossJoin(broadcast(n))
         .select(
           col("doc_id"), col("term"), col("tf"),
-          round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6)
+          Exact.round6(col("tf") * log(col("n_docs").cast("double") / col("df")))
             .as("tfidf"))
         .orderBy("doc_id", "term")
     }
