@@ -198,6 +198,15 @@ object GraftOps {
   def bpeMerges(docs: DataFrame, rounds: Int = 3): DataFrame =
     ops.PipelineOps.bpeMerges(docs, rounds)
 
+  /** BPE encode: apply the [[bpeMerges]]-trained merge list to every
+    * word occurrence (one narrow literal-splice projection — the merge
+    * list is collected model state, like the k-means centroids) and
+    * report per-document (n_words, n_chars, n_tokens, compression).
+    * Verified by `q_bpe_encode`.
+    */
+  def bpeEncode(docs: DataFrame, rounds: Int = 3): DataFrame =
+    ops.PipelineOps.bpeEncode(docs, rounds)
+
   /** Top-k adjacent-word collocations by pointwise mutual information
     * over (doc_id, text) rows, keeping pairs seen at least `minCount`
     * times. One corpus-scale partial aggregation; the w1/w2 margins are

@@ -424,6 +424,47 @@ object PipelineOps extends QueryModule {
     out
   }
 
+  /** Apply the [[bpeMerges]]-trained merge list to every word occurrence
+    * and report per-document tokenization stats — the ENCODE half of the
+    * BPE story (train → apply), and the compression measurement a
+    * tokenizer team reads: characters per emitted token.
+    *
+    * The trained merge list is MODEL STATE (≤ `rounds` tiny rows), so —
+    * like the k-means centroids — it is collected and baked into ONE
+    * literal, codegen-friendly chain of boundary-padded splices: the
+    * corpus-scale encode pass is a single narrow projection + one
+    * doc-keyed aggregation, no join against the merge table at all.
+    * A corpus that exhausts before `rounds` merges simply applies the
+    * merges that exist (zero splices on an unsplittable corpus).
+    * Output: (doc_id, n_words, n_chars, n_tokens, compression).
+    */
+  def bpeEncode(docs: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"bpeEncode requires rounds >= 1, got $rounds")
+    val merges = bpeMerges(docs, rounds)
+      .orderBy("round").collect().map(_.getString(1)).toSeq
+    // char-split then splice each merge in training order — the same
+    // spelling the trainer (and its oracle) uses, so an encoded word is
+    // exactly the trainer's final symbol sequence for that word
+    val enc0 = trim(regexp_replace(col("word"), "(.)", "$1 "))
+    val encoded = merges.foldLeft(enc0) { (acc, p) =>
+      trim(replace(concat(lit(" "), acc, lit(" ")),
+        lit(s" $p "), lit(" " + p.replace(" ", "") + " ")))
+    }
+    docs
+      .select(col("doc_id"), explode(words(col("text"))).as("word"))
+      .select(col("doc_id"), length(col("word")).as("nc"),
+        size(split(encoded, " ")).as("nt"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(col("nc")).cast("long").as("n_chars"),
+        sum(col("nt")).cast("long").as("n_tokens"),
+        // exact long/long division — bit-identical cross-engine, no
+        // rounding needed
+        (sum(col("nc")).cast("double") / sum(col("nt"))).as("compression"))
+      .orderBy("doc_id")
+  }
+
   def mergeLatest(
       base: DataFrame, delta: DataFrame, keyCol: String,
       orderCols: Seq[String]): DataFrame = {
@@ -506,10 +547,12 @@ object PipelineOps extends QueryModule {
        |  FROM ts GROUP BY doc_id)""".stripMargin
   }
 
-  /** DuckDB oracle for [[bpeMerges]]: `rounds` unrolled merge rounds
-    * generated from the same loop shape.
+  /** Shared DuckDB CTE body replaying [[bpeMerges]]: wfreq + v0 + the
+    * `rounds` unrolled merge rounds, yielding b1..b{rounds} (the winning
+    * pairs) and v{rounds} (the final vocabulary state). Reused by the
+    * training oracle and the encode oracle below.
     */
-  private def bpeOracle(rounds: Int): String = {
+  private def bpeCtes(rounds: Int): String = {
     val steps = (1 to rounds).map { r =>
       s"""p$r AS (
          |  SELECT t.ts[i] || ' ' || t.ts[i+1] AS pair,
@@ -523,17 +566,52 @@ object PipelineOps extends QueryModule {
          |             ' ' || replace((SELECT pair FROM b$r), ' ', '') || ' ')) AS cs
          |        FROM v${r - 1})""".stripMargin
     }.mkString(",\n")
-    val out = (1 to rounds)
-      .map(r => s"SELECT $r AS round, pair, cnt FROM b$r")
-      .mkString("\nUNION ALL ")
-    s"""WITH wfreq AS (
+    s"""wfreq AS (
        |  SELECT w AS word, COUNT(*) AS freq
        |  FROM (SELECT unnest($WordsSql) AS w FROM documents) GROUP BY w),
        |v0 AS (SELECT word, freq,
        |       trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS cs FROM wfreq),
-       |$steps
+       |$steps""".stripMargin
+  }
+
+  /** DuckDB oracle for [[bpeMerges]]: `rounds` unrolled merge rounds
+    * generated from the same loop shape.
+    */
+  private def bpeOracle(rounds: Int): String = {
+    val out = (1 to rounds)
+      .map(r => s"SELECT $r AS round, pair, cnt FROM b$r")
+      .mkString("\nUNION ALL ")
+    s"""WITH ${bpeCtes(rounds)}
        |$out
        |ORDER BY round""".stripMargin
+  }
+
+  /** DuckDB oracle for [[bpeEncode]]: replay training (shared CTEs),
+    * then apply each winning pair in round order to every word
+    * OCCURRENCE and aggregate per document.
+    */
+  private def bpeEncodeOracle(rounds: Int): String = {
+    val applies = (1 to rounds).map { r =>
+      s"""e$r AS (
+         |  SELECT doc_id, word,
+         |         trim(replace(' ' || cs || ' ', ' ' || (SELECT pair FROM b$r) || ' ',
+         |              ' ' || replace((SELECT pair FROM b$r), ' ', '') || ' ')) AS cs
+         |  FROM e${r - 1})""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${bpeCtes(rounds)},
+       |occ AS (
+       |  SELECT doc_id, w AS word
+       |  FROM (SELECT doc_id, unnest($WordsSql) AS w FROM documents)),
+       |e0 AS (SELECT doc_id, word,
+       |       trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS cs FROM occ),
+       |$applies
+       |SELECT doc_id,
+       |       COUNT(*) AS n_words,
+       |       CAST(SUM(len(word)) AS BIGINT) AS n_chars,
+       |       CAST(SUM(len(string_split(cs, ' '))) AS BIGINT) AS n_tokens,
+       |       CAST(SUM(len(word)) AS DOUBLE) / CAST(SUM(len(string_split(cs, ' '))) AS BIGINT)
+       |         AS compression
+       |FROM e$rounds GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
   // --------------------------------------------------------------------
@@ -884,6 +962,16 @@ object PipelineOps extends QueryModule {
     Q("q_bpe_merges", bpeOracle(3)) { (s, d) =>
       graft.GraftOps.bpeMerges(Tables.documents(s, d), rounds = 3)
         .orderBy("round")
+    },
+
+    // BPE ENCODE — the apply half of the tokenizer story: the 3 trained
+    // merges (model state, collected like the k-means centroids) bake
+    // into one literal splice chain, and every word occurrence encodes
+    // in a single narrow projection; per-doc char/token totals give the
+    // compression ratio a tokenizer team tunes against. The oracle
+    // replays training (shared CTEs) and applies the same splices.
+    Q("q_bpe_encode", bpeEncodeOracle(3)) { (s, d) =>
+      graft.GraftOps.bpeEncode(Tables.documents(s, d), rounds = 3)
     },
 
     // Corpus bigram language model: MLE conditional probabilities from

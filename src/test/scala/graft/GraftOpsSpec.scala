@@ -366,6 +366,21 @@ class GraftOpsSpec extends SparkSpec {
     assert(out.isEmpty)
   }
 
+  test("bpeEncode applies trained merges per occurrence; zero merges = char count") {
+    import spark.implicits._
+    // "aaaa" trains merges (a a), (a a), (aa aa) -> every "aaaa" becomes
+    // ONE symbol; "ab" only benefits from no merge and stays 2 symbols
+    val docs = Seq((1L, "aaaa aaaa ab")).toDF("doc_id", "text")
+    val r = GraftOps.bpeEncode(docs, rounds = 3).collect().head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((3L, 10L, 4L)))
+    assert(r.getDouble(4) == 2.5) // 10 chars / 4 tokens
+    // unsplittable corpus: no merges trained, encoding = char split
+    val single = Seq((1L, "x y z")).toDF("doc_id", "text")
+    val s = GraftOps.bpeEncode(single, rounds = 3).collect().head
+    assert((s.getLong(1), s.getLong(2), s.getLong(3)) == ((3L, 3L, 3L)))
+    intercept[IllegalArgumentException](GraftOps.bpeEncode(docs, 0))
+  }
+
   test("kmeans assigns every vector and yields k non-empty clusters") {
     import spark.implicits._
     // two tight blobs far apart, seeds 0 and 1 land one in each
