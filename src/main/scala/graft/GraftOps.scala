@@ -244,6 +244,17 @@ object GraftOps {
       emb: DataFrame, k: Int = 4, iters: Int = 2, nprobe: Int = 2): DataFrame =
     ops.MlOps.ivfProbeRecall(emb, k, iters, nprobe)
 
+  /** SemDeDup-style semantic dedup: k-means cells bound the candidate
+    * pairs, and within each cell any vector with a smaller-id neighbor
+    * at cosine ≥ `threshold` is marked duplicate. Output: one
+    * (vec_id, cell, is_dup) row per vector. Verified by
+    * `q_semantic_dedup`.
+    */
+  def semanticDedup(
+      emb: DataFrame, k: Int = 4, iters: Int = 2,
+      threshold: Double = 0.42): DataFrame =
+    ops.MlOps.semanticDedup(emb, k, iters, threshold)
+
   /** Budget-driven source mixing: deterministically hash-downsample
     * each (doc_id, text, source) source toward `targetTokens`, deriving
     * the per-source keep rate from the data inside the plan (tiny

@@ -387,6 +387,56 @@ object MlOps extends QueryModule {
       .orderBy("qid")
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023, the
+    * embedding-space dedup step of LLM data curation): k-means-train a
+    * codebook, assign every vector to its cell (narrow literal fold),
+    * and WITHIN each cell mark as duplicate any vector with a
+    * smaller-id neighbor at cosine ≥ `threshold`. The cell restriction
+    * is what makes it scale: candidate pairs are O(Σ cell²), not
+    * O(corpus²), and the cluster count `k` is the knob that bounds cell
+    * size (real deployments use tens of thousands of cells; K=4 here
+    * matches the test-scale codebook). Keeper choice (smallest id) is
+    * deterministic and transitive-free by construction — the same
+    * keep-first rule the exact-dedup operators use.
+    * Output: (vec_id, cell, is_dup 0/1), one row per vector.
+    */
+  def semanticDedup(
+      emb: DataFrame, k: Int = K, iters: Int = Iters,
+      threshold: Double = 0.42): DataFrame = {
+    val vecs = prepared(emb)
+    val withCell = assignTo(vecs, train(vecs, k, iters))
+      .select(col("vec_id"), col("embedding"), col("cl").as("cell"))
+    val dups = withCell.select(col("cell").as("ca"), col("vec_id").as("ia"),
+        col("embedding").as("ea"))
+      .join(withCell.select(col("cell").as("cb"), col("vec_id").as("ib"),
+          col("embedding").as("eb")),
+        col("ca") === col("cb") && col("ia") < col("ib"))
+      .filter(graft.functions.GraftFunctions.cosine_sim(col("ea"), col("eb"))
+        >= threshold)
+      .select(col("ib").as("dup_id")).distinct()
+    withCell
+      .join(dups, col("vec_id") === col("dup_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        when(col("dup_id").isNotNull, 1).otherwise(0).as("is_dup"))
+      .orderBy("vec_id")
+  }
+
+  private def semanticDedupOracle(threshold: Double): String =
+    s"""WITH $lloydCtes,
+       |wc AS (
+       |  SELECT a.vec_id, a.cl AS cell, e.embedding
+       |  FROM a$Iters a JOIN embeddings e ON e.vec_id = a.vec_id),
+       |dups AS (
+       |  SELECT DISTINCT y.vec_id AS dup_id
+       |  FROM wc x JOIN wc y ON x.cell = y.cell AND x.vec_id < y.vec_id
+       |  WHERE ${duckDot("x.embedding", "y.embedding")}
+       |        / (${duckNorm("x.embedding")} * ${duckNorm("y.embedding")})
+       |        >= $threshold)
+       |SELECT w.vec_id, w.cell,
+       |       CASE WHEN d.dup_id IS NOT NULL THEN 1 ELSE 0 END AS is_dup
+       |FROM wc w LEFT JOIN dups d ON d.dup_id = w.vec_id
+       |ORDER BY w.vec_id""".stripMargin
+
   def queries: Seq[Q] = Seq(
     // Lloyd k-means over the embedding corpus: K=4, 2 iterations,
     // deterministic first-K init — the codebook-training step ahead of
@@ -414,6 +464,16 @@ object MlOps extends QueryModule {
     // the number a deployment tunes nprobe against.
     Q("q_ann_ivf_nprobe", ivfNprobeOracle(2)) { (s, d) =>
       graft.GraftOps.annIvfProbeRecall(Tables.embeddings(s, d))
+    },
+
+    // SemDeDup: cluster-then-within-cell cosine dedup — the embedding-
+    // space sibling of the MinHash text dedup, with the cell count as
+    // the scale knob. The 0.42 fixture threshold sits inside the
+    // synthetic embeddings' observed similarity range (they are
+    // near-orthogonal; max pairwise cosine ≈ 0.51) so both decision
+    // branches are exercised at every SF.
+    Q("q_semantic_dedup", semanticDedupOracle(0.42)) { (s, d) =>
+      graft.GraftOps.semanticDedup(Tables.embeddings(s, d))
     }
   )
 }
