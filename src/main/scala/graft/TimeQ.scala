@@ -41,6 +41,11 @@ object TimeQ {
     names.foreach { n =>
       SparkEntry.queries(n)(spark, sfDir).count() // warmup
       val runs = (1 to 3).map { _ =>
+        // the listener bus is async: give the previous run's tail events
+        // time to drain before zeroing, or its JobStart/JobEnd bleed
+        // into this run's counters (listenerBus.waitUntilEmpty is
+        // private[spark]; a short drain sleep is enough for a dev tool)
+        Thread.sleep(150)
         jobs.set(0); starts.clear(); durs.clear()
         val t0 = System.nanoTime()
         SparkEntry.queries(n)(spark, sfDir).count()

@@ -23,6 +23,13 @@ object NearestCentroidUtil {
     */
   def nearest(e: ArrayData, mat: Array[Array[Double]], ids: Array[Long]): InternalRow = {
     val n = e.numElements()
+    // a null element nulls the whole fold in the zip_with spelling —
+    // mirror that instead of silently reading it as 0.0f
+    var i0 = 0
+    while (i0 < n) {
+      if (e.isNullAt(i0)) return null
+      i0 += 1
+    }
     var best = 0.0
     var bestK = 0L
     var found = false
@@ -74,6 +81,21 @@ case class NearestCentroid(
     StructField("dist", DoubleType, nullable = false),
     StructField("k", LongType, nullable = false)))
   override def prettyName: String = "graft_nearest_centroid"
+
+  // the runtime loop reads 4-byte float slots (getFloat); any other
+  // element type would compute garbage distances silently, so reject it
+  // at analysis time (checkInputDataTypes directly — the
+  // ImplicitCastInputTypes mixin is private[sql])
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<float>, got ${other.catalogString}")
+    }
 
   // null for non-null children on dimension mismatch
   override def nullable: Boolean = true

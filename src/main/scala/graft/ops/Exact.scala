@@ -50,10 +50,17 @@ object Exact {
 
   /** [[round6]] at an arbitrary decimal count; DuckDB:
     * `floor(x*1eN + 0.5)/1eN`.
+    *
+    * Non-finite inputs pass through unchanged: DuckDB's floor preserves
+    * NaN/±Inf, while Spark's `floor(double)` returns a LONG (NaN → 0,
+    * +Inf → Long.MaxValue) — without the guard a NaN z-score (n=1
+    * group, zero variance) would silently become 0.0 on the Spark side
+    * only and flip the hash compare.
     */
   def roundN(c: Column, digits: Int): Column = {
     val p = math.pow(10.0, digits)
-    floor(c * lit(p) + lit(0.5)) / lit(p)
+    when(isnan(c) || abs(c) === lit(Double.PositiveInfinity), c)
+      .otherwise(floor(c * lit(p) + lit(0.5)) / lit(p))
   }
 
   /** Sample variance/stddev built only from exact decimal sums plus IEEE

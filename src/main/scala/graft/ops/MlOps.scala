@@ -145,7 +145,10 @@ object MlOps extends QueryModule {
     * and recall@3 is reported for nprobe=1 (own cell) and nprobe=2 side
     * by side from ONE candidate pass.
     */
-  private def ivfNprobeOracle(nprobe: Int): String =
+  private def ivfNprobeOracle(nprobe: Int): String = {
+    // nprobe = 1 would generate a duplicate np1 CTE (and the Spark side
+    // rejects it too)
+    require(nprobe >= 2, s"ivfNprobeOracle needs nprobe >= 2, got $nprobe")
     s"""WITH $lloydCtes,
        |qv AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
        |probes AS (
@@ -188,6 +191,7 @@ object MlOps extends QueryModule {
        |LEFT JOIN np1 i1 ON i1.qid = e.qid AND i1.vid = e.vid
        |LEFT JOIN np$nprobe i2 ON i2.qid = e.qid AND i2.vid = e.vid
        |GROUP BY e.qid ORDER BY e.qid""".stripMargin
+  }
 
   /** Squared distance from an embedding column to a LITERAL centroid:
     * the same left fold the oracle's `list_reduce` spells, over constant
@@ -265,6 +269,11 @@ object MlOps extends QueryModule {
     // element to DECIMAL(38,10) (the Exact.dsum recipe's cast) so the
     // per-iteration mean aggregation never re-pays the double→decimal
     // conversion; the column prunes away from every non-training scan.
+    // The cache entry lives until session stop (no unpersist hook — the
+    // returned frames consume it lazily), but the CacheManager dedupes
+    // by canonical plan, so repeated invocations over the same source
+    // share ONE bounded entry (the two-column projection), never an
+    // accumulating set.
     emb.select(col("vec_id"), col("embedding"),
       transform(col("embedding"), v => v.cast("double").cast(Dec10)).as("demb"))
       .cache()
@@ -273,9 +282,7 @@ object MlOps extends QueryModule {
   def kmeansCentroids(emb: DataFrame, k: Int = K, iters: Int = Iters): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    train(prepared(emb), k, iters)
-      .map { case (ck, carr) => (ck, carr) }
-      .toDF("k", "carr")
+    train(prepared(emb), k, iters).toDF("k", "carr")
   }
 
   /** Cluster summary after training: (cluster, n_vecs, inertia). */
@@ -337,7 +344,11 @@ object MlOps extends QueryModule {
   def ivfProbeRecall(
       emb: DataFrame, k: Int = K, iters: Int = Iters,
       nprobe: Int = 2, topk: Int = 3): DataFrame = {
-    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    // nprobe = 1 would emit two columns both named hits_np1 (the
+    // comparison degenerates); the single-probe measurement is
+    // ivfTrainedRecall's job
+    require(nprobe >= 2,
+      s"nprobe must be >= 2 (own-cell-only recall is ivfTrainedRecall), got $nprobe")
     val vecs = prepared(emb)
     val cents = train(vecs, k, iters)
     val withCell = assignTo(vecs, cents)

@@ -180,10 +180,13 @@ class PlanHygieneSpec extends SparkSpec {
   //    uniqueness (a duplicate key would duplicate fact rows on the
   //    oracle side but not the semi side).
   test("fixture invariants: o_orderkey is unique in orders") {
-    val sf01 = "/root/testdata/sf0.01"
-    val orders = Tables.orders(spark, sf01)
-    assert(orders.count() == orders.select("o_orderkey").distinct().count(),
-      "o_orderkey is not unique in orders — Q21's semi/inner equivalence breaks")
+    // checked at EVERY generated SF — the rewrite must hold wherever the
+    // suite (verify gate, bench, scale runs) actually executes
+    Seq("sf0.001", "sf0.01", "sf0.1").foreach { sf =>
+      val orders = Tables.orders(spark, s"/root/testdata/$sf")
+      assert(orders.count() == orders.select("o_orderkey").distinct().count(),
+        s"o_orderkey is not unique in orders at $sf — Q21's semi/inner equivalence breaks")
+    }
   }
 
   // The bigram-LM probability-table broadcast is SIZE-GATED (a forced
@@ -222,8 +225,13 @@ class PlanHygieneSpec extends SparkSpec {
     val sf01 = "/root/testdata/sf0.01"
     Seq("q_tpch_q21", "q_tpch_q9", "q_tpch_q8").foreach { name =>
       val df = SparkEntry.queries(name)(spark, sf01)
-      df.count() // materialize so AQE finalizes its join choices
+      // collect() executes THIS DataFrame's queryExecution (count()
+      // would plan a separate one and leave df's adaptive plan
+      // un-finalized), so the string below is AQE's final join choice
+      df.collect()
       val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("isFinalPlan=true"),
+        s"$name: adaptive plan not finalized\n$plan")
       assert(plan.contains("BroadcastHashJoin"),
         s"$name: no broadcast join in final plan\n$plan")
     }
