@@ -207,6 +207,14 @@ object GraftOps {
   def bpeEncode(docs: DataFrame, rounds: Int = 3): DataFrame =
     ops.PipelineOps.bpeEncode(docs, rounds)
 
+  /** Overlapping token-window chunking (RAG/embedding prep): `window`
+    * tokens starting every `stride`, tail clamped — one narrow pass.
+    * Output: (doc_id, chunk_id, start_token, n_chunk_tokens,
+    * chunk_text). Verified by `q_chunk_windows`.
+    */
+  def chunkDocuments(docs: DataFrame, window: Int = 16, stride: Int = 8): DataFrame =
+    ops.PipelineOps.chunkDocuments(docs, window, stride)
+
   /** Top-k adjacent-word collocations by pointwise mutual information
     * over (doc_id, text) rows, keeping pairs seen at least `minCount`
     * times. One corpus-scale partial aggregation; the w1/w2 margins are

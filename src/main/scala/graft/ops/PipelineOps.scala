@@ -465,6 +465,36 @@ object PipelineOps extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** Fixed-size overlapping token windows (the chunking step ahead of
+    * embedding/RAG indexing, and the context-window packing sibling of
+    * [[packSequences]]): each document yields chunks of `window` tokens
+    * starting every `stride` tokens (the tail chunk may be shorter).
+    * FULLY NARROW — tokenize once, explode the start offsets, slice —
+    * no shuffle anywhere except a presentation sort; chunk volume per
+    * doc is O(n_tokens / stride), independent of corpus size.
+    * Output: (doc_id, chunk_id, start_token, n_chunk_tokens, chunk_text).
+    */
+  def chunkDocuments(docs: DataFrame, window: Int, stride: Int): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    require(stride >= 1 && stride <= window,
+      s"stride must be in [1, window], got $stride (window $window)")
+    docs
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .filter(size(col("ws")) > 0)
+      .select(col("doc_id"), col("ws"),
+        posexplode(sequence(lit(0), size(col("ws")) - 1, lit(stride)))
+          .as(Seq("ci", "start")))
+      .select(
+        col("doc_id"),
+        col("ci").cast("long").as("chunk_id"),
+        col("start").cast("long").as("start_token"),
+        size(slice(col("ws"), col("start") + 1, lit(window))).cast("long")
+          .as("n_chunk_tokens"),
+        array_join(slice(col("ws"), col("start") + 1, lit(window)), " ")
+          .as("chunk_text"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
   def mergeLatest(
       base: DataFrame, delta: DataFrame, keyCol: String,
       orderCols: Seq[String]): DataFrame = {
@@ -972,6 +1002,27 @@ object PipelineOps extends QueryModule {
     // replays training (shared CTEs) and applies the same splices.
     Q("q_bpe_encode", bpeEncodeOracle(3)) { (s, d) =>
       graft.GraftOps.bpeEncode(Tables.documents(s, d), rounds = 3)
+    },
+
+    // Overlapping token-window chunking (window 16, stride 8): the
+    // narrow chunking pass ahead of embedding/RAG indexing. The oracle
+    // replays the same tokenize → offsets → slice; list_slice's
+    // inclusive end == slice's length arg, both tail-clamped.
+    Q(
+      "q_chunk_windows",
+      s"""WITH w AS (SELECT doc_id, $WordsSql AS ws FROM documents),
+         |s AS (
+         |  SELECT doc_id, ws, CAST(u.s AS BIGINT) AS start
+         |  FROM w, unnest(generate_series(0, len(ws) - 1, 8)) AS u(s)
+         |  WHERE len(ws) > 0)
+         |SELECT doc_id,
+         |       start // 8 AS chunk_id,
+         |       start AS start_token,
+         |       CAST(len(list_slice(ws, start + 1, start + 16)) AS BIGINT) AS n_chunk_tokens,
+         |       array_to_string(list_slice(ws, start + 1, start + 16), ' ') AS chunk_text
+         |FROM s ORDER BY doc_id, chunk_id""".stripMargin
+    ) { (s, d) =>
+      graft.GraftOps.chunkDocuments(Tables.documents(s, d), window = 16, stride = 8)
     },
 
     // Corpus bigram language model: MLE conditional probabilities from
