@@ -492,7 +492,10 @@ object PipelineOps extends QueryModule {
           .as("n_chunk_tokens"),
         array_join(slice(col("ws"), col("start") + 1, lit(window)), " ")
           .as("chunk_text"))
-      .orderBy("doc_id", "chunk_id")
+    // no presentation sort here: the operator is fully narrow, so it
+    // applies to an unbounded stream unchanged (StreamingSpec pins
+    // that); the registered query adds its own total order for the
+    // oracle compare
   }
 
   def mergeLatest(
@@ -1023,6 +1026,7 @@ object PipelineOps extends QueryModule {
          |FROM s ORDER BY doc_id, chunk_id""".stripMargin
     ) { (s, d) =>
       graft.GraftOps.chunkDocuments(Tables.documents(s, d), window = 16, stride = 8)
+        .orderBy("doc_id", "chunk_id")
     },
 
     // Corpus bigram language model: MLE conditional probabilities from

@@ -38,6 +38,29 @@ class StreamingSpec extends SparkSpec {
     assert(rows.head.getAs[Double]("dup_bigram_frac") == 0.0)
   }
 
+  test("chunking applies to a stream unchanged (chunkDocuments)") {
+    implicit val sq = spark.sqlContext
+    // chunking is fully narrow (tokenize → offset explode → slice), so
+    // the same facade call that passes the batch oracle chunks an
+    // unbounded stream with no watermark/output-mode ceremony — the
+    // shape of a streaming RAG-ingest pipeline
+    val mem = MemoryStream[(Long, String)]
+    val q = GraftOps.chunkDocuments(
+      mem.toDF().toDF("doc_id", "text"), window = 3, stride = 2)
+      .writeStream.format("memory").queryName("chunk_out")
+      .outputMode(OutputMode.Append).start()
+    mem.addData((1L, "a b c d e"), (2L, "x"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("chunk_out").orderBy("doc_id", "chunk_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    assert(rows.toSeq == Seq(
+      (1L, 0L, 0L, 3L, "a b c"),
+      (1L, 1L, 2L, 3L, "c d e"),
+      (1L, 2L, 4L, 1L, "e"),
+      (2L, 0L, 0L, 1L, "x")))
+  }
+
   test("tumblingAgg over a stream == same transform over the batch") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[Ev]
