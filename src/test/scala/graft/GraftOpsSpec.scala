@@ -381,6 +381,30 @@ class GraftOpsSpec extends SparkSpec {
     intercept[IllegalArgumentException](GraftOps.bpeEncode(docs, 0))
   }
 
+  test("Exact.roundN: portable floor spelling, non-finite pass-through") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import spark.implicits._
+    val vals = Seq(2.0, -2.0, 1.23456789, -1.23456789, 0.0,
+      Double.NaN, Double.PositiveInfinity, Double.NegativeInfinity)
+    val out = vals.toDF("x")
+      .select(col("x"), ops.Exact.round6(col("x")).as("r"),
+        ops.Exact.roundN(col("x"), 2).as("r2"))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2)))
+    out.foreach { case (x, r6, r2) =>
+      if (x.isNaN) { assert(r6.isNaN && r2.isNaN) }
+      else if (x.isInfinite) {
+        // Spark's floor(double) returns LONG (NaN -> 0, Inf -> Long.Max)
+        // while DuckDB's floor preserves non-finites; the guard keeps the
+        // two engines' spellings identical — a regression here silently
+        // flips hash compares on any query with a degenerate group
+        assert(r6 == x && r2 == x)
+      } else {
+        assert(r6 == math.floor(x * 1e6 + 0.5) / 1e6)
+        assert(r2 == math.floor(x * 1e2 + 0.5) / 1e2)
+      }
+    }
+  }
+
   test("kmeans assigns every vector and yields k non-empty clusters") {
     import spark.implicits._
     // two tight blobs far apart, seeds 0 and 1 land one in each
