@@ -44,7 +44,13 @@ object NearestCentroidUtil {
         acc += d * d
         i += 1
       }
-      if (!found || acc < best) { best = acc; bestK = ids(j); found = true }
+      // Double.compare, not `<`: it orders NaN greater than every finite
+      // value (a NaN-distance centroid must LOSE to any finite one),
+      // matching Spark's total ordering in the array_min fold spelling —
+      // a strict `<` would keep a NaN best forever (x < NaN is false)
+      if (!found || java.lang.Double.compare(acc, best) < 0) {
+        best = acc; bestK = ids(j); found = true
+      }
       j += 1
     }
     if (!found) null

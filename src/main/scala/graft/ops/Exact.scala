@@ -51,15 +51,23 @@ object Exact {
   /** [[round6]] at an arbitrary decimal count; DuckDB:
     * `floor(x*1eN + 0.5)/1eN`.
     *
-    * Non-finite inputs pass through unchanged: DuckDB's floor preserves
-    * NaN/±Inf, while Spark's `floor(double)` returns a LONG (NaN → 0,
-    * +Inf → Long.MaxValue) — without the guard a NaN z-score (n=1
-    * group, zero variance) would silently become 0.0 on the Spark side
-    * only and flip the hash compare.
+    * Non-finite AND magnitude-saturating inputs pass through unchanged:
+    * DuckDB's floor preserves doubles, while Spark's `floor(double)`
+    * returns a LONG (NaN → 0, +Inf → Long.MaxValue, and any product
+    * above 2^63 SATURATES at Long.MaxValue) — without the guards a NaN
+    * z-score would become 0.0 and a ≥1e13-scale total would become
+    * 9223372036854.775807 on the Spark side only, silently flipping the
+    * hash compare. Above the saturation bound a double carries no
+    * N-th decimal anyway (ulp(9e12) ≈ 2e-3), so pass-through is the
+    * honest spelling; the residual cross-engine risk up there is the
+    * ±1-ulp noise of DuckDB's multiply/divide round-trip, far outside
+    * the range any rounded output in this suite occupies (ratios, logs,
+    * per-row amounts — corpus-scale totals ride Exact.dsum unrounded).
     */
   def roundN(c: Column, digits: Int): Column = {
     val p = math.pow(10.0, digits)
-    when(isnan(c) || abs(c) === lit(Double.PositiveInfinity), c)
+    val saturates = math.pow(2.0, 63) / p
+    when(isnan(c) || abs(c) >= lit(saturates), c)
       .otherwise(floor(c * lit(p) + lit(0.5)) / lit(p))
   }
 

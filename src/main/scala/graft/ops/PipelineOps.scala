@@ -158,6 +158,12 @@ object PipelineOps extends QueryModule {
     */
   private[ops] val MaxBroadcastBigramTypes = 10000000L
 
+  /** NOTE: the size gate makes this function EAGER — the bigram
+    * materialization and type count run at call time (two jobs), not at
+    * the first action on the returned frame, because the join strategy
+    * decision needs the measured count before the plan exists. Callers
+    * composing lazy pipelines should call it once and reuse the result.
+    */
   def bigramLogProb(
       docs: DataFrame,
       maxBroadcastTypes: Long = MaxBroadcastBigramTypes): DataFrame = {

@@ -26,10 +26,17 @@ case class MixKept(source: String, doc_id: Long, n_tokens: Long, kept_tokens: Lo
   * Within a micro-batch, rows are admitted in doc_id order so the
   * decision is deterministic regardless of partition arrival order.
   *
-  * 100 TB posture: state is ONE long per source (the running total —
-  * never documents), rows flow through keyed state exactly once, and
-  * the shuffle is the same source-keyed exchange the batch operator
-  * pays for its aggregation.
+  * Scale posture — stated precisely: STATE is one long per source (the
+  * running total, never documents), but ROWS do shuffle keyed by
+  * source, and each source's micro-batch slice is buffered and sorted
+  * in its task for the deterministic admission order — so per-task
+  * memory is bounded by the trigger size divided by the source count,
+  * and a hot source funnels its slice through one task. That is the
+  * inherent shape of sequential budget admission (the decision for doc
+  * N depends on docs < N of the same source); this operator is the
+  * metered-ingest form for bounded micro-batches, NOT a full-corpus
+  * reshuffle — a corpus-scale backfill should run the batch
+  * [[PipelineOps.sourceMix]] (rate-based, fully parallel) instead.
   */
 class SourceBudgetProcessor(budget: Long)
     extends StatefulProcessor[String, MixDoc, MixKept] {

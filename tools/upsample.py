@@ -13,7 +13,7 @@ mostly-shared shingles), so signature-level dedup queries measure an
 upsampling artifact at high replica counts — use low factors (~10) for
 those, any factor for scan/join/agg/training queries.
 """
-import sys, shutil, time
+import os, sys, shutil, time
 import duckdb
 
 def main():
@@ -21,6 +21,7 @@ def main():
         sys.exit(__doc__)
     src, dst, reps = sys.argv[1], sys.argv[2], int(sys.argv[3])
     K = 10_000_000
+    os.makedirs(dst, exist_ok=True)  # DuckDB COPY won't create parents
     con = duckdb.connect()
     con.execute("SET threads TO 16")
 
@@ -43,9 +44,12 @@ def main():
       s_acctbal FROM {rep('supplier')}""")
     gen('part', f"""SELECT p_partkey + r*{K} AS p_partkey, p_name, p_brand, p_type,
       p_size, p_retailprice FROM {rep('part')}""")
+    # n_chars recomputed so it stays consistent with the tagged text
     gen('documents', f"""SELECT doc_id + r*{K} AS doc_id,
       CASE WHEN r = 0 THEN text ELSE text || ' r' || r END AS text,
-      lang, source, n_chars FROM {rep('documents')}""")
+      lang, source,
+      CAST(len(CASE WHEN r = 0 THEN text ELSE text || ' r' || r END) AS BIGINT) AS n_chars
+      FROM {rep('documents')}""")
     gen('embeddings', f"""SELECT vec_id + r*{K} AS vec_id, embedding, label
       FROM {rep('embeddings')}""")
     gen('events', f"""SELECT event_id + r*{K} AS event_id, ts, user_id + r*{K} AS user_id,
