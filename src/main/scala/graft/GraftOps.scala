@@ -273,6 +273,16 @@ object GraftOps {
   def sourceMix(docs: DataFrame, targetTokens: Long): DataFrame =
     ops.PipelineOps.sourceMix(docs, targetTokens)
 
+  /** Domain-weighted mixture: per-source token target is
+    * weight(source) × totalBudget (sources absent from the map are
+    * excluded), keep rates derived in-plan as in [[sourceMix]]. Output
+    * adds the applied `weight` column. Verified by
+    * `q_source_mix_weighted`.
+    */
+  def sourceMixWeighted(
+      docs: DataFrame, weights: Map[String, Double], totalBudget: Long): DataFrame =
+    ops.PipelineOps.sourceMixWeighted(docs, weights, totalBudget)
+
   /** Cross-document repeated `n`-token spans (boilerplate/template
     * detection, the signal behind exact-substring dedup): top `k` spans
     * by occurrence appearing in >= `minDocs` distinct docs. One explode

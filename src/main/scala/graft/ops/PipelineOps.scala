@@ -236,6 +236,17 @@ object PipelineOps extends QueryModule {
   /** Per-source token budget for the q_source_mix fixture. */
   private[ops] val MixTargetTokens = 1300
 
+  /** Domain weights + total budget for the q_source_mix_weighted
+    * fixture: fractional rates (src0-src3, all under-budget at the
+    * generated SFs) and the excluded branch (every unlisted source,
+    * weight 0) are exercised here; the saturated rate-1 branch is
+    * covered by q_source_mix (6 sources clear the uniform budget at
+    * sf0.01).
+    */
+  private[ops] val MixWeights =
+    Map("src0" -> 0.4, "src1" -> 0.3, "src2" -> 0.2, "src3" -> 0.1)
+  private[ops] val MixWeightedBudget = 2000L
+
   /** Budget-driven source rebalancing — the data-MIXING step of a
     * training run: each source whose token mass exceeds `targetTokens`
     * is deterministically hash-downsampled to (approximately) the
@@ -250,14 +261,26 @@ object PipelineOps extends QueryModule {
     * threshold. Output: per source, the doc/token totals, the applied
     * rate, and the kept doc/token counts.
     */
-  def sourceMix(docs: DataFrame, targetTokens: Long): DataFrame = {
+  /** Tokenized (doc_id, source, n_tokens) projection + per-source
+    * totals — the shared first pass of both mixing operators.
+    */
+  private def sourceTotals(docs: DataFrame): (DataFrame, DataFrame) = {
     val t = docs.select(col("doc_id"), col("source"),
       TextOps.wordCount(col("text")).as("n_tokens"))
     val tot = t.groupBy("source").agg(
       sum(col("n_tokens")).as("total_tokens"),
       count(lit(1)).as("n_docs_total"))
-    val withRate = tot.withColumn("rate",
-      least(lit(1.0), lit(targetTokens).cast("double") / col("total_tokens")))
+    (t, tot)
+  }
+
+  /** Apply a per-source `rate` column (on `withRate`, keyed by source)
+    * to the tokenized rows: derive the md5-prefix threshold, broadcast
+    * it back, and aggregate kept doc/token counts per source — the
+    * shared second pass of both mixing operators. Extra grouping
+    * columns (e.g. the weight) ride through `extraCols`.
+    */
+  private def applyRates(
+      t: DataFrame, withRate: DataFrame, extraCols: Seq[String]): DataFrame = {
     // 8-hex threshold of rate·2^32 (lowercase, zero-padded, floor'd);
     // rate 1 -> "g" sorts above every hex prefix = keep everything
     val thr = withRate.withColumn("h_thr",
@@ -268,13 +291,44 @@ object PipelineOps extends QueryModule {
     t.join(broadcast(thr.withColumnRenamed("source", "ts")),
         col("source") === col("ts"))
       .withColumn("__graft_h", substring(md5(col("doc_id").cast("string")), 1, 8))
-      .groupBy(col("source"), col("n_docs_total"), col("total_tokens"),
-        Exact.round6(col("rate")).as("rate"))
+      .groupBy(col("source") +: col("n_docs_total") +: col("total_tokens") +:
+        extraCols.map(col) :+ Exact.round6(col("rate")).as("rate"): _*)
       .agg(
         count(when(col("__graft_h") < col("h_thr"), 1)).as("n_docs_kept"),
         coalesce(sum(when(col("__graft_h") < col("h_thr"), col("n_tokens"))), lit(0L))
           .as("kept_tokens"))
       .orderBy("source")
+  }
+
+  def sourceMix(docs: DataFrame, targetTokens: Long): DataFrame = {
+    val (t, tot) = sourceTotals(docs)
+    val withRate = tot.withColumn("rate",
+      least(lit(1.0), lit(targetTokens).cast("double") / col("total_tokens")))
+    applyRates(t, withRate, Seq.empty)
+  }
+
+  /** Domain-WEIGHTED mixture (the practice behind pretraining mixes —
+    * "web 60%, books 20%, code 20%"): each source's token target is
+    * `weight(source) × totalBudget`, its keep rate the usual
+    * min(1, target/total), and a source absent from the weight map gets
+    * weight 0 — excluded from the mixture entirely, kept counts 0. Same
+    * two narrow corpus passes + two source-keyed partial aggregations
+    * as [[sourceMix]]; the weight map rides as a literal into the tiny
+    * per-source aggregate. Output adds the applied `weight` column.
+    */
+  def sourceMixWeighted(
+      docs: DataFrame, weights: Map[String, Double], totalBudget: Long): DataFrame = {
+    require(weights.nonEmpty, "sourceMixWeighted needs a non-empty weight map")
+    require(weights.values.forall(w => w >= 0 && !w.isNaN && !w.isInfinite),
+      s"weights must be finite and >= 0, got $weights")
+    val (t, tot) = sourceTotals(docs)
+    val withRate = tot
+      .withColumn("weight",
+        coalesce(element_at(typedLit(weights), col("source")), lit(0.0)))
+      .withColumn("rate",
+        least(lit(1.0),
+          col("weight") * lit(totalBudget).cast("double") / col("total_tokens")))
+    applyRates(t, withRate, Seq("weight"))
   }
 
   /** Most-repeated `n`-token word spans appearing in at least `minDocs`
@@ -1115,6 +1169,48 @@ object PipelineOps extends QueryModule {
          |GROUP BY 1, 2, 3, 4 ORDER BY t.source"""
     ) { (s, d) =>
       graft.GraftOps.sourceMix(Tables.documents(s, d), MixTargetTokens)
+    },
+
+    // Domain-WEIGHTED mixture: per-source targets are weight × budget
+    // (src0 40% / src1 30% / src2 20% / src3 10%, 16 unlisted sources
+    // excluded with weight 0) — fractional and zero keep rates
+    // exercised here, the saturated branch by q_source_mix; the weight
+    // map rides as a SQL CASE on the oracle side, a literal map column
+    // on the Spark side.
+    Q(
+      "q_source_mix_weighted",
+      s"""WITH t AS (
+         |  SELECT doc_id, source, CAST(len($WordsSql) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |tot AS (
+         |  SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+         |         COUNT(*) AS n_docs_total
+         |  FROM t GROUP BY source),
+         |r AS (
+         |  SELECT source, total_tokens, n_docs_total,
+         |         ${MixWeights.toSeq.sortBy(_._1)
+                      .map { case (s0, w) => s"WHEN source = '$s0' THEN CAST($w AS DOUBLE)" }
+                      .mkString("CASE ", " ", " ELSE CAST(0.0 AS DOUBLE) END")} AS weight,
+         |         LEAST(CAST(1.0 AS DOUBLE),
+         |               (${MixWeights.toSeq.sortBy(_._1)
+                      .map { case (s0, w) => s"WHEN source = '$s0' THEN CAST($w AS DOUBLE)" }
+                      .mkString("CASE ", " ", " ELSE CAST(0.0 AS DOUBLE) END")})
+         |               * CAST($MixWeightedBudget AS DOUBLE) / total_tokens) AS rate
+         |  FROM tot),
+         |thr AS (
+         |  SELECT *, CASE WHEN rate >= 1.0 THEN 'g'
+         |                 ELSE printf('%08x', CAST(floor(LEAST(rate * 4294967296.0, 4294967295.0)) AS BIGINT))
+         |            END AS h_thr
+         |  FROM r)
+         |SELECT t.source, n_docs_total, total_tokens, weight,
+         |       floor(rate * 1e6 + 0.5) / 1e6 AS rate,
+         |       COUNT(CASE WHEN substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 8) < h_thr THEN 1 END) AS n_docs_kept,
+         |       CAST(COALESCE(SUM(CASE WHEN substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 8) < h_thr THEN t.n_tokens END), 0) AS BIGINT) AS kept_tokens
+         |FROM t JOIN thr ON t.source = thr.source
+         |GROUP BY 1, 2, 3, 4, 5 ORDER BY t.source"""
+    ) { (s, d) =>
+      graft.GraftOps.sourceMixWeighted(
+        Tables.documents(s, d), MixWeights, MixWeightedBudget)
     }
   )
 }
