@@ -135,7 +135,17 @@ class PlanHygieneSpec extends SparkSpec {
       "q_tpch_q21" -> Seq("LeftSemi", "LeftAnti"),
       // Q9's like-filtered part dim and the supplier/nation dims ride
       // broadcasts; only the derived-partsupp join is a real exchange
-      "q_tpch_q9" -> Seq("BroadcastHashJoin"))
+      "q_tpch_q9" -> Seq("BroadcastHashJoin"),
+      // collocations: margins join back KEYED (BroadcastHashJoin at test
+      // SF) and the grand total is the 1-row nested-loop broadcast — the
+      // r5 empty-partition-window defect must never return
+      "q_collocations" -> Seq("BroadcastHashJoin", "BroadcastNestedLoopJoin"),
+      // source mixing: the per-source threshold table broadcasts back
+      "q_source_mix" -> Seq("BroadcastHashJoin"),
+      "q_dedup_source_overlap" -> Seq("BroadcastHashJoin"),
+      // multi-probe IVF: the probe rows arrive broadcast and both top-k
+      // passes are the bounded two-phase aggregator
+      "q_ann_ivf_nprobe" -> Seq("BroadcastHashJoin", "ObjectHashAggregate"))
     val failures = mustContain.toSeq.sortBy(_._1).flatMap { case (name, frags) =>
       val plan = SparkEntry.queries(name)(spark, sfDir)
         .queryExecution.executedPlan.toString
@@ -144,6 +154,16 @@ class PlanHygieneSpec extends SparkSpec {
       }
     }
     assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
+  // The repeated-span detector's count + distinct-doc-count pair must
+  // plan as the two-phase aggregation chain, never an Expand: Expand
+  // doubles every exploded span row before the exchange — at corpus
+  // scale that is 2x the already-largest shuffle in the query.
+  test("q_repeated_spans plans no Expand") {
+    val plan = SparkEntry.queries("q_repeated_spans")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), s"Expand in repeated-spans plan:\n$plan")
   }
 
   // The narrow pipeline operators must STAY narrow: per-row quality
