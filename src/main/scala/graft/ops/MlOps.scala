@@ -292,7 +292,10 @@ object MlOps extends QueryModule {
       .groupBy(col("cl").as("cluster"))
       .agg(count(lit(1)).as("n_vecs"),
         Exact.round6(Exact.dsum(col("dist"))).as("inertia"))
-      .orderBy("cluster")
+      // ≤ K rows: a narrow single-partition sort gives the same total
+      // order as orderBy without its range-exchange stage (one fewer
+      // job on a query whose runtime IS the job floor)
+      .coalesce(1).sortWithinPartitions("cluster")
   }
 
   /** The chained ANN pipeline: train the coarse quantizer with k-means,
