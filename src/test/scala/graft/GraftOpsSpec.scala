@@ -381,6 +381,26 @@ class GraftOpsSpec extends SparkSpec {
     intercept[IllegalArgumentException](GraftOps.bpeEncode(docs, 0))
   }
 
+  test("chunkDocuments and sourceMixWeighted validate their arguments") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c", "src0")).toDF("doc_id", "text", "source")
+    intercept[IllegalArgumentException](GraftOps.chunkDocuments(docs, window = 0))
+    intercept[IllegalArgumentException](
+      GraftOps.chunkDocuments(docs, window = 4, stride = 5)) // stride > window
+    intercept[IllegalArgumentException](
+      GraftOps.sourceMixWeighted(docs, Map.empty, 100L))
+    intercept[IllegalArgumentException](
+      GraftOps.sourceMixWeighted(docs, Map("src0" -> -0.5), 100L))
+    intercept[IllegalArgumentException](
+      GraftOps.sourceMixWeighted(docs, Map("src0" -> Double.NaN), 100L))
+    // an unlisted source is excluded: rate 0, nothing kept
+    val r = GraftOps.sourceMixWeighted(docs, Map("other" -> 1.0), 100L)
+      .collect().head
+    assert(r.getAs[Long]("n_docs_kept") == 0L &&
+      r.getAs[Long]("kept_tokens") == 0L &&
+      r.getAs[Double]("weight") == 0.0)
+  }
+
   test("Exact.roundN: portable floor spelling, non-finite pass-through") {
     import org.apache.spark.sql.functions.{col, lit}
     import spark.implicits._
