@@ -69,7 +69,12 @@ object Bench {
     // standard steady-state methodology, and robust to a transient
     // co-tenant load spike hitting one pass.
     spark.range(1000).selectExpr("sum(id)").collect()
-    val headline = Headline.map(n => n -> SparkEntry.queries(n))
+    // Dev-loop subset (comma-separated query names); the driver never
+    // sets it, so official runs always time the full headline.
+    val subset = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val names = subset.fold(Headline)(s => Headline.filter(s))
+    val headline = names.map(n => n -> SparkEntry.queries(n))
     headline.foreach { case (name, fn) =>
       try fn(spark, sfDir).count()
       catch { case e: Throwable =>
@@ -89,7 +94,7 @@ object Bench {
       name -> (System.nanoTime() - t0) / 1e9
     }
     val passes = Seq(measuredPass().toMap, measuredPass().toMap, measuredPass().toMap)
-    val results = Headline.map { n =>
+    val results = names.map { n =>
       val ts = passes.map(_(n))
       (n, ts.min, (ts.max - ts.min) / ts.min)
     }
