@@ -42,6 +42,7 @@ object GraftFunctions {
     GraftBridge.column(
       HistogramAgg(GraftBridge.expression(c), lo, hi, n).toAggregateExpression())
 
+
   /** Register SQL names for the native expressions (idempotent). */
   def registerAll(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.{Q, QueryModule, Tables}
@@ -228,23 +228,51 @@ object MlOps extends QueryModule {
     * combine cuts each task to K·dim partial rows before the exchange),
     * collected as K·dim rows of model state — the MLlib KMeans shape.
     */
-  private def train(vecs: DataFrame, k: Int, iters: Int): Cents = {
-    // deterministic seed: the first k vectors by id (one cheap collect;
-    // an in-plan seed via a broadcast crossJoin was tried and measured
-    // SLOWER — the interpreted fold + broadcast build cost more than
-    // the collect it saved)
-    var cents: Cents = vecs.filter(col("vec_id") < k)
-      .select(col("vec_id"),
-        transform(col("embedding"), v => v.cast("double")).as("carr"))
+  /** The first-`n` vector rows (vec_id < n) collected in ONE driver
+    * action — the k-means seed, and for the IVF queries also the query
+    * set, ride the same collect instead of paying two.
+    */
+  private def collectFirst(vecs: DataFrame, n: Int): Seq[(Long, Seq[Float])] =
+    vecs.filter(col("vec_id") < n)
+      .select(col("vec_id"), col("embedding"))
       .collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toIndexedSeq))
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
       .sortBy(_._1).toSeq
+
+  /** float→double is exact, so these are the same centroid values the
+    * previous in-plan `cast("double")` projection collected.
+    */
+  private def toCents(rows: Seq[(Long, Seq[Float])]): Cents =
+    rows.map { case (id, e) => (id, e.map(_.toDouble).toIndexedSeq) }
+
+  private def train(vecs: DataFrame, k: Int, iters: Int): Cents =
+    trainFrom(vecs, k, toCents(collectFirst(vecs, k)), iters)
+
+  /** Lloyd iterations from a given seed codebook. Folding the seed into
+    * iteration 1's job — assignment against an in-plan collect_list
+    * seed array on a broadcast 1-row frame — was RE-measured this round
+    * and is ~11x slower end-to-end at sf0.1 (6.7s vs 0.6s for the
+    * kmeans summary): the nested interpreted lambda fold (aggregate
+    * over seed structs, each a zip_with distance fold) never enters
+    * codegen, while the literal-centroid NearestCentroid path is one
+    * codegen'd primitive loop. The extra driver action is the cheaper
+    * spelling by an order of magnitude.
+    */
+  private def trainFrom(
+      vecs: DataFrame, k: Int, seed: Cents, iters: Int): Cents = {
+    require(seed.nonEmpty,
+      s"kmeans training needs >= 1 seed vector with vec_id < $k; input has none")
+    var cents: Cents = seed
     (1 to iters).foreach { _ =>
       // the mean rides the pre-cast decimal column (see `prepared`):
       // sum(decimal)/count is value-identical to Exact.davg over the
       // doubles, but the expensive double→decimal quantization was paid
       // ONCE at cache build instead of once per iteration
       val updated = assignTo(vecs, cents)
+        // NearestCentroid yields null for a ragged-dimension vector;
+        // without this guard Row.getLong(0) below would read null as 0L
+        // and silently fold such rows into cluster 0's centroid
+        .filter(col("cl").isNotNull)
         .select(col("cl"), posexplode(col("demb")).as(Seq("pos", "dx")))
         .groupBy(col("cl"), col("pos"))
         .agg((sum(col("dx")).cast("double") / count(col("dx"))).as("c"))
@@ -257,6 +285,17 @@ object MlOps extends QueryModule {
         .toSeq.sortBy(_._1)
     }
     cents
+  }
+
+  /** Register the bounded top-k pair aggregator under a k-specific SQL
+    * name (idempotent per session) and return the name: the Column DSL
+    * has no spelling for `agg FILTER (WHERE …)`, so rankings that share
+    * one aggregation pass go through the SQL expression parser.
+    */
+  private def registerTopk(spark: SparkSession, k: Int): String = {
+    val name = s"graft_topk_pairs_$k"
+    spark.udf.register(name, udaf(new graft.functions.TopKPairAgg(k)))
+    name
   }
 
   private val Dec10 = org.apache.spark.sql.types.DecimalType(38, 10)
@@ -307,28 +346,40 @@ object MlOps extends QueryModule {
   def ivfTrainedRecall(
       emb: DataFrame, k: Int = K, iters: Int = Iters, topk: Int = 3): DataFrame = {
     val vecs = prepared(emb)
-    val cents = train(vecs, k, iters)
-    val withCell = assignTo(vecs, cents)
-      .select(col("vec_id"), col("embedding"), col("cl").as("cell"))
-    val q = withCell.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("cell").as("qcell"))
-    val ivfTop = SimilarityOps.topkPerQuery(
-      withCell
-        .join(broadcast(q), col("cell") === col("qcell") && col("vec_id") =!= col("qid"))
-        .select(col("qid"), col("vec_id").as("vid"),
-          graft.functions.GraftFunctions.cosine_sim(col("qe"), col("embedding")).as("sim")),
-      topk).select(col("qid").as("iq"), col("vid").as("iv"))
-    val exactTop = SimilarityOps.topkPerQuery(
-      vecs
-        .join(broadcast(q.select(col("qid"), col("qe"))), col("vec_id") =!= col("qid"))
-        .select(col("qid"), col("vec_id").as("vid"),
-          graft.functions.GraftFunctions.cosine_sim(col("qe"), col("embedding")).as("sim")),
-      topk).select("qid", "vid")
-    exactTop
-      .join(broadcast(ivfTop),
-        col("qid") === col("iq") && col("vid") === col("iv"), "left")
+    // seed and query set ride ONE collect (both are vec_id-prefix rows)
+    val first = collectFirst(vecs, math.max(k, 10))
+    val cents = trainFrom(vecs, k, toCents(first.filter(_._1 < k)), iters)
+    // ONE scored pass serves both rankings: the exact brute-force
+    // candidate set is every (query, vector) pair and the IVF set is
+    // its cell-match subset, so score the full pass once with the
+    // cell-match flag and compute BOTH bounded top-k lists in the SAME
+    // aggregation (the IVF one behind an agg FILTER) — no second
+    // cosine pass, no checkpoint, and the recall compare is an array
+    // intersection instead of a join. The query set rides the plan as a
+    // LITERAL exploded array (it was already collected with the seed),
+    // so the pass is join-free — not even a broadcast build: corpus →
+    // narrow assign/score → one tiny groupBy(qid). A query's cell is
+    // re-derived per pair by the same literal NearestCentroid
+    // expression the corpus assignment uses — identical function,
+    // identical value, no second source of truth.
+    val qarr = typedLit(first.filter(_._1 < 10))
+    val scored = assignTo(vecs, cents)
+      .select(col("vec_id"), col("embedding"), col("cl").as("cell"),
+        explode(qarr).as("qs"))
+      .filter(col("vec_id") =!= col("qs._1"))
+      .select(col("qs._1").as("qid"), col("vec_id").as("vid"),
+        (col("cell") === graft.functions.GraftFunctions.nearest_centroid(
+          col("qs._2"), cents.map(_._1), cents.map(_._2)).getField("k")).as("in_cell"),
+        graft.functions.GraftFunctions.cosine_sim(col("qs._2"), col("embedding")).as("sim"))
+    val tkName = registerTopk(emb.sparkSession, topk)
+    scored
       .groupBy("qid")
-      .agg(count(col("iv")).as("hits"))
+      .agg(expr(s"$tkName(sim, vid)").as("et"),
+        expr(s"$tkName(sim, vid) FILTER (WHERE in_cell)").as("it"))
+      .select(col("qid"),
+        size(array_intersect(
+          transform(col("et"), p => p.getField("_2")),
+          transform(col("it"), p => p.getField("_2")))).cast("long").as("hits"))
       .select(col("qid"), col("hits"),
         (col("hits") / topk.toDouble).as(s"recall_at$topk"))
       .orderBy("qid")
@@ -353,47 +404,48 @@ object MlOps extends QueryModule {
     require(nprobe >= 2,
       s"nprobe must be >= 2 (own-cell-only recall is ivfTrainedRecall), got $nprobe")
     val vecs = prepared(emb)
-    val cents = train(vecs, k, iters)
-    val withCell = assignTo(vecs, cents)
-      .select(col("vec_id"), col("embedding"), col("cl").as("cell"))
+    // seed and query set ride ONE collect (both are vec_id-prefix rows)
+    val first = collectFirst(vecs, math.max(k, 10))
+    val cents = trainFrom(vecs, k, toCents(first.filter(_._1 < k)), iters)
     // per-query probe list: (dist, k) structs sorted ascending — ties to
-    // the smaller cell id, so probe #1 is exactly the own-cell assignment
-    val probeCells = slice(
+    // the smaller cell id, so probe #1 is exactly the own-cell
+    // assignment. Evaluated over the literal query embedding per pair.
+    def probeCells(qe: Column) = slice(
       array_sort(array(cents.map { case (ck, carr) =>
-        struct(sqDist(col("embedding"), carr).as("dist"), lit(ck).as("k"))
+        struct(sqDist(qe, carr).as("dist"), lit(ck).as("k"))
       }: _*)), 1, nprobe)
-    val q = vecs.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
-        posexplode(transform(probeCells, p => p.getField("k")))
-          .as(Seq("prank0", "pcell")))
-    // one candidate pass covers every probe depth: prank0 == 0 rows are
-    // the nprobe=1 candidate set, the whole table is the nprobe=n set.
-    // (qid, vid) pairs are unique — each vector lives in exactly one
-    // cell and a query's probe cells are distinct.
-    val cand = withCell
-      .join(broadcast(q), col("cell") === col("pcell") && col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("prank0"), col("vec_id").as("vid"),
-        graft.functions.GraftFunctions.cosine_sim(col("qe"), col("embedding")).as("sim"))
-      .localCheckpoint() // read twice: once per probe depth
-    val np1 = SimilarityOps.topkPerQuery(
-      cand.filter(col("prank0") === 0).select("qid", "vid", "sim"), topk)
-      .select(col("qid").as("q1"), col("vid").as("v1"))
-    val npN = SimilarityOps.topkPerQuery(
-      cand.select("qid", "vid", "sim"), topk)
-      .select(col("qid").as("q2"), col("vid").as("v2"))
-    val exactTop = SimilarityOps.topkPerQuery(
-      vecs
-        .join(broadcast(vecs.filter(col("vec_id") < 10)
-            .select(col("vec_id").as("qid"), col("embedding").as("qe"))),
-          col("vec_id") =!= col("qid"))
-        .select(col("qid"), col("vec_id").as("vid"),
-          graft.functions.GraftFunctions.cosine_sim(col("qe"), col("embedding")).as("sim")),
-      topk).select("qid", "vid")
-    exactTop
-      .join(broadcast(np1), col("qid") === col("q1") && col("vid") === col("v1"), "left")
-      .join(broadcast(npN), col("qid") === col("q2") && col("vid") === col("v2"), "left")
+    // ONE scored pass covers exact + every probe depth: the exact
+    // candidate set is every (query, vector) pair, the nprobe=n set is
+    // its probe-cell subset (array_contains on the ≤n-entry probe
+    // list), and the nprobe=1 set is the own-cell subset (probe #1).
+    // All three bounded top-k lists ride the SAME aggregation via agg
+    // FILTER clauses, and recall is an array intersection — no second
+    // cosine pass, no checkpoint, no comparison joins; the query set is
+    // a LITERAL exploded array (collected with the seed), so the pass
+    // is join-free. (qid, vid) pairs are unique: each vector lives in
+    // exactly one cell.
+    val qarr = typedLit(first.filter(_._1 < 10))
+    val pcells = transform(probeCells(col("qs._2")), p => p.getField("k"))
+    val scored = assignTo(vecs, cents)
+      .select(col("vec_id"), col("embedding"), col("cl").as("cell"),
+        explode(qarr).as("qs"))
+      .filter(col("vec_id") =!= col("qs._1"))
+      .select(col("qs._1").as("qid"), col("vec_id").as("vid"),
+        (col("cell") === element_at(pcells, 1)).as("in_np1"),
+        array_contains(pcells, col("cell")).as("in_npn"),
+        graft.functions.GraftFunctions.cosine_sim(col("qs._2"), col("embedding")).as("sim"))
+    val tkName = registerTopk(emb.sparkSession, topk)
+    val vids = (c: Column) => transform(c, p => p.getField("_2"))
+    scored
       .groupBy("qid")
-      .agg(count(col("v1")).as("hits_np1"), count(col("v2")).as(s"hits_np$nprobe"))
+      .agg(expr(s"$tkName(sim, vid)").as("et"),
+        expr(s"$tkName(sim, vid) FILTER (WHERE in_np1)").as("t1"),
+        expr(s"$tkName(sim, vid) FILTER (WHERE in_npn)").as("tn"))
+      .select(col("qid"),
+        size(array_intersect(vids(col("et")), vids(col("t1"))))
+          .cast("long").as("hits_np1"),
+        size(array_intersect(vids(col("et")), vids(col("tn"))))
+          .cast("long").as(s"hits_np$nprobe"))
       .select(col("qid"),
         col("hits_np1"), (col("hits_np1") / topk.toDouble).as("recall_np1"),
         col(s"hits_np$nprobe"),

@@ -143,9 +143,13 @@ class PlanHygieneSpec extends SparkSpec {
       // source mixing: the per-source threshold table broadcasts back
       "q_source_mix" -> Seq("BroadcastHashJoin"),
       "q_dedup_source_overlap" -> Seq("BroadcastHashJoin"),
-      // multi-probe IVF: the probe rows arrive broadcast and both top-k
-      // passes are the bounded two-phase aggregator
-      "q_ann_ivf_nprobe" -> Seq("BroadcastHashJoin", "ObjectHashAggregate"))
+      // IVF recall queries: the query set is a LITERAL exploded array
+      // (collected with the k-means seed, one driver action for both),
+      // so the scored pass is join-free — not even a broadcast build —
+      // and every ranking rides ONE bounded two-phase aggregation
+      // (agg FILTER clauses). Generate = the literal query explode.
+      "q_ann_ivf_trained" -> Seq("ObjectHashAggregate", "Generate"),
+      "q_ann_ivf_nprobe" -> Seq("ObjectHashAggregate", "Generate"))
     val failures = mustContain.toSeq.sortBy(_._1).flatMap { case (name, frags) =>
       val plan = SparkEntry.queries(name)(spark, sfDir)
         .queryExecution.executedPlan.toString
@@ -184,12 +188,17 @@ class PlanHygieneSpec extends SparkSpec {
   // NearestCentroid expression there is no join of ANY kind in the
   // whole query: the corpus-scale embedding payload reaches its argmin
   // in a projection, and the only exchanges are the tiny post-assignment
-  // aggregations. A regression reintroducing a join (e.g. a centroid
-  // table crossJoin) would re-add per-iteration broadcast builds.
-  test("q_kmeans_embed plans no join at all (literal-centroid assignment)") {
-    val plan = SparkEntry.queries("q_kmeans_embed")(spark, sfDir)
-      .queryExecution.executedPlan.toString
-    assert(!plan.contains("Join"), s"unexpected join in kmeans plan:\n$plan")
+  // aggregations. The same holds for the IVF recall queries: their
+  // query set is a literal exploded array, so the scored pass has no
+  // join either. A regression reintroducing a join (e.g. a centroid
+  // table crossJoin, or a broadcast query-set join) would re-add
+  // broadcast-build jobs to every training-loop query.
+  test("training queries plan no join at all (literal centroid + query state)") {
+    Seq("q_kmeans_embed", "q_ann_ivf_trained", "q_ann_ivf_nprobe").foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Join"), s"unexpected join in $name plan:\n$plan")
+    }
   }
 
   // Fixture invariants the query suite's rewrites RELY on — enforced
