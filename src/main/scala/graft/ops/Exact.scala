@@ -51,23 +51,35 @@ object Exact {
   /** [[round6]] at an arbitrary decimal count; DuckDB:
     * `floor(x*1eN + 0.5)/1eN`.
     *
-    * Non-finite AND magnitude-saturating inputs pass through unchanged:
-    * DuckDB's floor preserves doubles, while Spark's `floor(double)`
-    * returns a LONG (NaN → 0, +Inf → Long.MaxValue, and any product
-    * above 2^63 SATURATES at Long.MaxValue) — without the guards a NaN
-    * z-score would become 0.0 and a ≥1e13-scale total would become
-    * 9223372036854.775807 on the Spark side only, silently flipping the
-    * hash compare. Above the saturation bound a double carries no
-    * N-th decimal anyway (ulp(9e12) ≈ 2e-3), so pass-through is the
-    * honest spelling; the residual cross-engine risk up there is the
-    * ±1-ulp noise of DuckDB's multiply/divide round-trip, far outside
-    * the range any rounded output in this suite occupies (ratios, logs,
-    * per-row amounts — corpus-scale totals ride Exact.dsum unrounded).
+    * Guards, in cross-engine terms (DuckDB's floor preserves doubles,
+    * Spark's `floor(double)` returns a LONG — NaN → 0, ±Inf →
+    * Long.Min/MaxValue, any product beyond ±2^63 saturates there):
+    *
+    *  - NaN and ±Inf PASS THROUGH. The plain DuckDB spelling already
+    *    yields NaN/±Inf for them (`NaN*1eN = NaN`, `floor(NaN) = NaN`,
+    *    `Inf/1eN = Inf`), so pass-through keeps the two engines
+    *    IDENTICAL with no oracle-side guard needed — while Spark's
+    *    unguarded floor would have turned a NaN z-score into 0.0.
+    *  - a FINITE |x| ≥ 2^63/1eN FAILS LOUDLY (`raise_error`). Such a
+    *    double carries no N-th decimal (ulp(9.2e12) ≈ 2e-3 at N=6),
+    *    and no spelling agrees across engines up there: Spark's floor
+    *    saturates, and DuckDB's multiply/divide round-trip returns x
+    *    only to ±1 ulp — a silent hash flip either way. No output in
+    *    this suite is within orders of magnitude of the bound (ratios,
+    *    logs, per-row amounts — corpus-scale totals ride [[dsum]]
+    *    unrounded); a future query that trips this needs fewer digits
+    *    or an unrounded spelling, and the error names that.
     */
   def roundN(c: Column, digits: Int): Column = {
     val p = math.pow(10.0, digits)
     val saturates = math.pow(2.0, 63) / p
-    when(isnan(c) || abs(c) >= lit(saturates), c)
+    when(isnan(c) || abs(c) === lit(Double.PositiveInfinity), c)
+      .when(abs(c) >= lit(saturates),
+        raise_error(concat(
+          lit(s"Exact.roundN($digits): |"), c.cast("string"),
+          lit(s"| >= $saturates saturates Spark's floor(double) and " +
+            "diverges from the DuckDB floor spelling by 1 ulp — " +
+            "round at fewer digits or leave the column unrounded"))))
       .otherwise(floor(c * lit(p) + lit(0.5)) / lit(p))
   }
 

@@ -425,6 +425,25 @@ class GraftOpsSpec extends SparkSpec {
     }
   }
 
+  test("Exact.roundN: a finite saturating magnitude fails loudly, not 1-ulp-silently") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // beyond 2^63/1e6 Spark's floor(double) saturates at Long.MaxValue
+    // while DuckDB's multiply/divide round-trip returns x ± 1 ulp — no
+    // spelling agrees, so the only honest behavior is a named error
+    val e = intercept[Exception] {
+      Seq(1e13).toDF("x").select(ops.Exact.round6(col("x"))).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("Exact.roundN(6)")),
+      s"expected the roundN saturation error, got: $e")
+    // just under the bound still rounds normally on both engines
+    val ok = Seq(9.0e12).toDF("x")
+      .select(ops.Exact.round6(col("x"))).head.getDouble(0)
+    assert(ok == math.floor(9.0e12 * 1e6 + 0.5) / 1e6)
+  }
+
   test("kmeans assigns every vector and yields k non-empty clusters") {
     import spark.implicits._
     // two tight blobs far apart, seeds 0 and 1 land one in each
