@@ -37,10 +37,23 @@ case class MixKept(source: String, doc_id: Long, n_tokens: Long, kept_tokens: Lo
   * metered-ingest form for bounded micro-batches, NOT a full-corpus
   * reshuffle — a corpus-scale backfill should run the batch
   * [[PipelineOps.sourceMix]] (rate-based, fully parallel) instead.
+  *
+  * Budgets are PER SOURCE: `budgets` names each source's token budget
+  * (the streaming sibling of [[PipelineOps.sourceMixWeighted]]'s
+  * per-source targets), and a source absent from the map falls back to
+  * `defaultBudget` — 0 for the weighted form (unknown sources are
+  * excluded, matching the batch operator's weight-0 contract), the
+  * shared budget for the uniform form. The map is literal processor
+  * state (serialized once with the processor, O(source count) — model
+  * state, never data).
   */
-class SourceBudgetProcessor(budget: Long)
+class SourceBudgetProcessor(budgets: Map[String, Long], defaultBudget: Long)
     extends StatefulProcessor[String, MixDoc, MixKept] {
-  require(budget >= 0, s"budget must be >= 0, got $budget")
+  require(defaultBudget >= 0, s"defaultBudget must be >= 0, got $defaultBudget")
+  require(budgets.values.forall(_ >= 0), s"budgets must be >= 0, got $budgets")
+
+  /** Uniform budget across all sources (the original single-knob form). */
+  def this(budget: Long) = this(Map.empty, budget)
 
   @transient private var keptTokens: ValueState[Long] = _
 
@@ -51,6 +64,7 @@ class SourceBudgetProcessor(budget: Long)
   override def handleInputRows(
       key: String, rows: Iterator[MixDoc],
       timerValues: TimerValues): Iterator[MixKept] = {
+    val budget = budgets.getOrElse(key, defaultBudget)
     var t = if (keptTokens.exists()) keptTokens.get() else 0L
     // deterministic admission order within the batch (a micro-batch's
     // iterator order is partition-arrival order otherwise)
@@ -70,13 +84,28 @@ object StreamingMix {
     * [[MixDoc]] rows. Emits admitted docs only, with the running
     * per-source kept-token total.
     */
-  def sourceBudget(docs: Dataset[MixDoc], budget: Long): Dataset[MixKept] = {
+  def sourceBudget(docs: Dataset[MixDoc], budget: Long): Dataset[MixKept] =
+    wire(docs, new SourceBudgetProcessor(budget))
+
+  /** Per-source budget map (the streaming sibling of
+    * [[PipelineOps.sourceMixWeighted]]): each named source gets its own
+    * token budget, enforced independently across micro-batches; a
+    * source absent from the map admits NOTHING (budget 0), matching the
+    * batch operator's weight-0 contract for unknown sources.
+    */
+  def sourceBudgetWeighted(
+      docs: Dataset[MixDoc], budgets: Map[String, Long]): Dataset[MixKept] = {
+    require(budgets.nonEmpty, "sourceBudgetWeighted needs a non-empty budget map")
+    wire(docs, new SourceBudgetProcessor(budgets, 0L))
+  }
+
+  private def wire(
+      docs: Dataset[MixDoc], p: SourceBudgetProcessor): Dataset[MixKept] = {
     import docs.sparkSession.implicits._
     docs
       .groupByKey(_.source)
       .transformWithState(
-        new SourceBudgetProcessor(budget),
-        TimeMode.None(), OutputMode.Append(),
+        p, TimeMode.None(), OutputMode.Append(),
         Encoders.product[MixKept])
   }
 }

@@ -389,4 +389,59 @@ class StreamingSpec extends SparkSpec {
       }
     }
   }
+
+  test("weighted streaming source-mix: per-source budgets enforced independently across 3 batches") {
+    implicit val sq = spark.sqlContext
+    // The streaming sibling of q_source_mix_weighted: each source gets
+    // its OWN token budget from a map (web 100, books 40 here), and a
+    // source absent from the map admits nothing — the weight-0 contract
+    // of the batch operator, enforced incrementally via keyed state.
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val budgets = Map("web" -> 100L, "books" -> 40L)
+      val mem = MemoryStream[ops.MixDoc]
+      val q = ops.StreamingMix.sourceBudgetWeighted(mem.toDS(), budgets)
+        .toDF().writeStream.format("memory").queryName("wmix_out")
+        .outputMode(OutputMode.Append).start()
+      // batch 1: web admits 70 of 100; books admits 30 of 40 — the SAME
+      // 30-token doc web also gets, proving the budgets differ per key;
+      // "forum" is not in the map -> budget 0, admits nothing ever
+      mem.addData(
+        ops.MixDoc("web", 1L, 40L), ops.MixDoc("web", 2L, 30L),
+        ops.MixDoc("books", 10L, 30L), ops.MixDoc("forum", 20L, 1L))
+      q.processAllAvailable()
+      // batch 2: web's 25 fits (70+25<=100); books' 25 would overflow
+      // (30+25>40) -> dropped — identical doc size, opposite outcome
+      mem.addData(
+        ops.MixDoc("web", 3L, 25L), ops.MixDoc("books", 11L, 25L),
+        ops.MixDoc("forum", 21L, 1L))
+      q.processAllAvailable()
+      // batch 3: web exact-fills its last 5; books admits its last 10;
+      // the budget-1 doc of the unknown source still admits nothing
+      mem.addData(
+        ops.MixDoc("web", 4L, 5L), ops.MixDoc("books", 12L, 10L),
+        ops.MixDoc("forum", 22L, 1L))
+      q.processAllAvailable()
+      q.stop()
+      val kept = spark.table("wmix_out")
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(x => (x._1, x._2)).toSeq
+      assert(kept == Seq(
+        ("books", 10L, 30L, 30L), ("books", 12L, 10L, 40L),
+        ("web", 1L, 40L, 40L), ("web", 2L, 30L, 70L),
+        ("web", 3L, 25L, 95L), ("web", 4L, 5L, 100L)))
+      val bySource = kept.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+      assert(bySource == Map("web" -> 100L, "books" -> 40L))
+      assert(!kept.exists(_._1 == "forum"), "unknown source must admit nothing")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
