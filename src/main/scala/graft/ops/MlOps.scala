@@ -453,6 +453,25 @@ object MlOps extends QueryModule {
       .orderBy("qid")
   }
 
+  /** Per-vector symmetric int8 quantization of the embedding column:
+    * each vector scales independently by 127/max|v| and rounds to
+    * `array<tinyint>` — 1 byte per dimension instead of 4. NO codebook:
+    * cosine similarity is invariant to per-vector scale, so the scale
+    * factor cancels out of every quantized-cosine comparison and the
+    * per-dimension min/max codebook the storage-oriented
+    * `q_embedding_quantize` builds is unnecessary here — which keeps
+    * this projection fully NARROW (no codebook aggregation job, no
+    * broadcast join). A zero vector quantizes to zeros (its cosine is
+    * NaN on both the quantized and the float side — never a duplicate).
+    */
+  private def int8(emb: Column): Column = {
+    val maxAbs = array_max(transform(emb, v => abs(v.cast("double"))))
+    when(maxAbs > 0.0,
+      transform(emb, v =>
+        round(v.cast("double") * lit(127.0) / maxAbs).cast("tinyint")))
+      .otherwise(transform(emb, v => lit(0).cast("tinyint")))
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023, the
     * embedding-space dedup step of LLM data curation): k-means-train a
     * codebook, assign every vector to its cell (narrow literal fold),
@@ -464,19 +483,48 @@ object MlOps extends QueryModule {
     * matches the test-scale codebook). Keeper choice (smallest id) is
     * deterministic and transitive-free by construction — the same
     * keep-first rule the exact-dedup operators use.
+    *
+    * The within-cell self-join carries [[int8]]-quantized vectors
+    * (64 bytes/side), NOT the float embeddings (256 bytes/side) — at
+    * corpus scale the pair join's exchange is the heaviest stage of
+    * this operator, and the quantized payload cuts it 4×. The decision
+    * stays EXACT: the quantized cosine only prefilters pairs at
+    * `threshold - prefilterSlack`, and the float cosine is re-checked
+    * on the survivors (fetched by two id-keyed joins against the
+    * candidate-scale survivor set — unhinted, so the planner broadcasts
+    * the survivor side at sane duplicate rates and falls back to a
+    * shuffle join on a degenerate all-duplicates corpus). The slack
+    * covers the rounding error of two int8 quantizations: each side's
+    * error is ≲ √dim·(maxAbs/254)/‖v‖ ≈ 0.007 at dim=64 for the
+    * near-uniform fixture vectors, and QuantizedPrefilterSpec pins the
+    * measured error an order of magnitude under the slack. A pair the
+    * prefilter drops is therefore below `threshold` on the float side
+    * too; the oracle (pure float cosine) is unchanged and decides.
     * Output: (vec_id, cell, is_dup 0/1), one row per vector.
     */
   def semanticDedup(
       emb: DataFrame, k: Int = K, iters: Int = Iters,
-      threshold: Double = 0.42): DataFrame = {
+      threshold: Double = 0.42, prefilterSlack: Double = 0.08): DataFrame = {
+    require(prefilterSlack > 0 && prefilterSlack < 1,
+      s"prefilterSlack must be in (0, 1), got $prefilterSlack")
     val vecs = prepared(emb)
     val withCell = assignTo(vecs, train(vecs, k, iters))
       .select(col("vec_id"), col("embedding"), col("cl").as("cell"))
-    val dups = withCell.select(col("cell").as("ca"), col("vec_id").as("ia"),
-        col("embedding").as("ea"))
-      .join(withCell.select(col("cell").as("cb"), col("vec_id").as("ib"),
-          col("embedding").as("eb")),
+    val quant = withCell.select(col("vec_id"), col("cell"),
+      int8(col("embedding")).as("qv"))
+    val asFloat = (c: Column) => transform(c, _.cast("float"))
+    val survivors = quant.select(col("cell").as("ca"), col("vec_id").as("ia"),
+        col("qv").as("qa"))
+      .join(quant.select(col("cell").as("cb"), col("vec_id").as("ib"),
+          col("qv").as("qb")),
         col("ca") === col("cb") && col("ia") < col("ib"))
+      .filter(graft.functions.GraftFunctions.cosine_sim(
+        asFloat(col("qa")), asFloat(col("qb"))) >= threshold - prefilterSlack)
+      .select(col("ia"), col("ib"))
+    val dups = withCell.select(col("vec_id").as("ja"), col("embedding").as("ea"))
+      .join(survivors, col("ja") === col("ia"))
+      .join(withCell.select(col("vec_id").as("jb"), col("embedding").as("eb")),
+        col("ib") === col("jb"))
       .filter(graft.functions.GraftFunctions.cosine_sim(col("ea"), col("eb"))
         >= threshold)
       .select(col("ib").as("dup_id")).distinct()
