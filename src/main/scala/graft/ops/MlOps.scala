@@ -263,26 +263,46 @@ object MlOps extends QueryModule {
     require(seed.nonEmpty,
       s"kmeans training needs >= 1 seed vector with vec_id < $k; input has none")
     var cents: Cents = seed
-    (1 to iters).foreach { _ =>
-      // the mean rides the pre-cast decimal column (see `prepared`):
-      // sum(decimal)/count is value-identical to Exact.davg over the
-      // doubles, but the expensive double→decimal quantization was paid
-      // ONCE at cache build instead of once per iteration
-      val updated = assignTo(vecs, cents)
-        // NearestCentroid yields null for a ragged-dimension vector;
-        // without this guard Row.getLong(0) below would read null as 0L
-        // and silently fold such rows into cluster 0's centroid
-        .filter(col("cl").isNotNull)
-        .select(col("cl"), posexplode(col("demb")).as(Seq("pos", "dx")))
-        .groupBy(col("cl"), col("pos"))
-        .agg((sum(col("dx")).cast("double") / count(col("dx"))).as("c"))
-        .collect() // K·dim rows of model state, never corpus data
-      cents = updated
-        .groupBy(_.getLong(0))
-        .map { case (cl, rows) =>
-          (cl, rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toIndexedSeq)
-        }
-        .toSeq.sortBy(_._1)
+    // AQE off for the INTERNAL training jobs only (restored before any
+    // caller-visible frame is planned): each per-iteration update is a
+    // K·dim-row aggregation whose runtime is pure scheduling floor, and
+    // AQE splits it into a shuffle-stage job plus a result-stage job —
+    // doubling the job count of the training loop for a re-plan that
+    // has nothing to improve on 256 rows. At corpus scale the map side
+    // dominates either way; at any scale the extra stage is dead floor.
+    val spark = vecs.sparkSession
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val prevShuf = spark.conf.get("spark.sql.shuffle.partitions", "32")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    // the exchange carries <= parallelism·K·dim partial rows and the
+    // final agg emits K·dim — one reduce task IS the right plan (AQE
+    // would coalesce to it; without AQE it must be pinned)
+    spark.conf.set("spark.sql.shuffle.partitions", "1")
+    try {
+      (1 to iters).foreach { _ =>
+        // the mean rides the pre-cast decimal column (see `prepared`):
+        // sum(decimal)/count is value-identical to Exact.davg over the
+        // doubles, but the expensive double→decimal quantization was paid
+        // ONCE at cache build instead of once per iteration
+        val updated = assignTo(vecs, cents)
+          // NearestCentroid yields null for a ragged-dimension vector;
+          // without this guard Row.getLong(0) below would read null as 0L
+          // and silently fold such rows into cluster 0's centroid
+          .filter(col("cl").isNotNull)
+          .select(col("cl"), posexplode(col("demb")).as(Seq("pos", "dx")))
+          .groupBy(col("cl"), col("pos"))
+          .agg((sum(col("dx")).cast("double") / count(col("dx"))).as("c"))
+          .collect() // K·dim rows of model state, never corpus data
+        cents = updated
+          .groupBy(_.getLong(0))
+          .map { case (cl, rows) =>
+            (cl, rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toIndexedSeq)
+          }
+          .toSeq.sortBy(_._1)
+      }
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuf)
     }
     cents
   }
