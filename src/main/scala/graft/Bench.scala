@@ -19,7 +19,10 @@ object Bench {
     * five (q_collocations, q_source_mix, q_repeated_spans,
     * q_dedup_source_overlap — the queries most recently rewritten for
     * scale, so the bench watches them for regression — plus the new
-    * q_ann_ivf_nprobe) —
+    * q_ann_ivf_nprobe), and round 8 ADDED three (q_semantic_dedup,
+    * q_chunk_windows, q_source_mix_weighted — same rationale: the
+    * queries most recently written for scale are the ones the bench
+    * must watch) —
     * compare totals per-query, not headline-sum to headline-sum.
     */
   val Headline: Seq[String] = Seq(
@@ -34,10 +37,11 @@ object Bench {
     "word_count", "q_term_freq", "q_token_count", "q_corpus_curation",
     "q_repetition_signals", "q_seq_pack", "q_bigram_lm", "q_bpe_merges",
     "q_pipeline_e2e", "q_collocations", "q_source_mix", "q_repeated_spans",
+    "q_source_mix_weighted", "q_chunk_windows",
     "q_dedup_exact", "q_dedup_minhash_pairs", "q_dedup_simhash",
     "q_dedup_corpus", "q_dedup_source_overlap", "q_oov_rate",
     "q_similarity_topk", "q_ann_lsh", "q_kmeans_embed", "q_ann_ivf_trained",
-    "q_ann_ivf_nprobe",
+    "q_ann_ivf_nprobe", "q_semantic_dedup",
     "q_events_tumbling", "q_events_session",
     "q_orc_roundtrip", "q_ocr_pipeline")
 

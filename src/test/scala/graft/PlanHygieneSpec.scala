@@ -142,7 +142,14 @@ class PlanHygieneSpec extends SparkSpec {
       "q_collocations" -> Seq("BroadcastHashJoin", "BroadcastNestedLoopJoin"),
       // source mixing: the per-source threshold table broadcasts back
       "q_source_mix" -> Seq("BroadcastHashJoin"),
+      "q_source_mix_weighted" -> Seq("BroadcastHashJoin"),
       "q_dedup_source_overlap" -> Seq("BroadcastHashJoin"),
+      // SemDeDup: the within-cell pair join must carry the int8-quantized
+      // vectors (array<tinyint> — 4x lighter than the float payload) with
+      // the quantized-cosine prefilter ON the join, and the corpus must
+      // come from the shared training cache; a regression to raw float
+      // embeddings in the pair exchange would erase both "tinyint"s
+      "q_semantic_dedup" -> Seq("tinyint", "graft_cosine_sim", "InMemoryTableScan"),
       // IVF recall queries: the query set is a LITERAL exploded array
       // (collected with the k-means seed, one driver action for both),
       // so the scored pass is join-free — not even a broadcast build —
@@ -171,12 +178,13 @@ class PlanHygieneSpec extends SparkSpec {
   }
 
   // The narrow pipeline operators must STAY narrow: per-row quality
-  // signals and hash sampling may not introduce a hash shuffle (their
-  // only exchange is the final presentation sort's range partitioning).
+  // signals, hash sampling, and token-window chunking may not introduce
+  // a hash shuffle (their only exchange is the final presentation
+  // sort's range partitioning; chunking is scan → posexplode → sort).
   // A regression here — say a rewrite that sneaks in an explode+groupBy —
   // would turn a free-scaling map into a corpus-wide shuffle.
   test("repetition signals and hash sampling plan no hash shuffle") {
-    Seq("q_repetition_signals", "q_stratified_sample").foreach { name =>
+    Seq("q_repetition_signals", "q_stratified_sample", "q_chunk_windows").foreach { name =>
       val plan = SparkEntry.queries(name)(spark, sfDir)
         .queryExecution.executedPlan.toString
       assert(!plan.contains("hashpartitioning"),
