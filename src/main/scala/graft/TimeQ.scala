@@ -25,7 +25,7 @@ object TimeQ {
       .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setLogLevel(sys.env.getOrElse("SPARK_GRAFT_LOG", "WARN"))
     val jobs = new AtomicInteger(0)
     val starts = TrieMap.empty[Int, Long]
     val durs = TrieMap.empty[Int, Long]
