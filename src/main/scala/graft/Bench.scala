@@ -24,6 +24,15 @@ object Bench {
     * queries most recently written for scale are the ones the bench
     * must watch) —
     * compare totals per-query, not headline-sum to headline-sum.
+    *
+    * ROUND 8 ALSO CHANGED THE MEASURED ACTION from count() to a
+    * noop-sink write (see `run` below): count() let Catalyst prune
+    * unreferenced output columns and cardinality-preserving joins, so
+    * projection-heavy queries were under-measured — q_semantic_dedup's
+    * count() plan contained NONE of its four joins. Round-8+ numbers
+    * measure strictly more work than round-7 numbers for the affected
+    * queries; the JSON line carries "action":"noop-write" so a reader
+    * can tell which methodology produced it.
     */
   val Headline: Seq[String] = Seq(
     "q_scan_project", "q_filter_predicates",
@@ -79,8 +88,18 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = subset.fold(Headline)(s => Headline.filter(s))
     val headline = names.map(n => n -> SparkEntry.queries(n))
+    // The measured action is a noop-sink WRITE, not count(): under
+    // count() Catalyst prunes every column the count doesn't need —
+    // eliminating unreferenced per-row projections (q_dedup_simhash's
+    // signature, word_count's tokenization), presentation sorts, and
+    // even cardinality-preserving joins (q_semantic_dedup's count()
+    // plan drops ALL FOUR of its joins: 54 executed-plan lines → 9).
+    // The noop sink materializes every output column — the same work
+    // the DuckDB yardstick's fetchall() pays — while writing nothing.
+    def run(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
     headline.foreach { case (name, fn) =>
-      try fn(spark, sfDir).count()
+      try run(fn)
       catch { case e: Throwable =>
         System.err.println(s"[bench-warmup] $name FAILED: ${e.getMessage}") }
     }
@@ -90,7 +109,7 @@ object Bench {
       // accumulate into the later queries' timings.
       System.gc()
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch {
+      try { run(fn) } catch {
         case e: Throwable =>
           // never corrupt the JSON line, but a failed query must be loud
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
@@ -108,7 +127,7 @@ object Bench {
       .map { case (k, _, sp) => s"\"" + k + "\":" + math.round(sp * 1000) / 1000.0 }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreads,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","action":"noop-write","queries":$qs,"spread":$spreads,"sf":"$sfDir"}""")
     // The full line above (per-query timings + spread map) exceeds the
     // driver's tail-capture window, so it can arrive truncated (round 6's
     // official total was lost that way: BENCH_r06 "parsed": null). Print a

@@ -38,8 +38,13 @@ object TimeQ {
       }
     })
     spark.range(1000).selectExpr("sum(id)").collect()
+    // same measured action as Bench: a noop-sink write (count() lets
+    // Catalyst prune unreferenced projections and cardinality-preserving
+    // joins — see Bench.run)
+    def run(n: String): Unit = SparkEntry.queries(n)(spark, sfDir)
+      .write.format("noop").mode("overwrite").save()
     names.foreach { n =>
-      SparkEntry.queries(n)(spark, sfDir).count() // warmup
+      run(n) // warmup
       val runs = (1 to 3).map { _ =>
         // the listener bus is async: give the previous run's tail events
         // time to drain before zeroing, or its JobStart/JobEnd bleed
@@ -48,7 +53,7 @@ object TimeQ {
         Thread.sleep(150)
         jobs.set(0); starts.clear(); durs.clear()
         val t0 = System.nanoTime()
-        SparkEntry.queries(n)(spark, sfDir).count()
+        run(n)
         ((System.nanoTime() - t0) / 1e9, jobs.get(),
           durs.toSeq.sortBy(_._1).map(_._2).mkString(","))
       }

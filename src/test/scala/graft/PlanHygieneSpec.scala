@@ -287,4 +287,28 @@ class PlanHygieneSpec extends SparkSpec {
     assert(cols == Set("l_quantity", "l_extendedprice", "l_discount", "l_shipdate"),
       s"unexpected read schema: $cols")
   }
+
+  // The bench's measured action must MATERIALIZE every output column.
+  // count() does not: Catalyst prunes columns the count never reads —
+  // dropping unreferenced per-row projections and cardinality-preserving
+  // joins (q_semantic_dedup's count() plan contained none of its four
+  // joins). Pin both directions with a raise_error canary column: the
+  // old count() action never evaluates it, the noop-sink write does.
+  test("bench noop-write action evaluates pruned-under-count projections") {
+    import org.apache.spark.sql.functions.{col, lit, raise_error, when}
+    // a Range source, NOT a local Seq: ConvertToLocalRelation evaluates
+    // projections over LocalRelation at optimization time, which would
+    // fire the canary under count() too and prove nothing
+    val df = spark.range(1, 3).toDF("x")
+      .select(col("x"),
+        when(col("x") > 0, raise_error(lit("canary evaluated"))).as("boom"))
+    assert(df.count() == 2) // count() prunes `boom`: no error raised
+    val e = intercept[Exception] {
+      df.write.format("noop").mode("overwrite").save()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("canary evaluated")),
+      s"noop write did not evaluate the canary column: $e")
+  }
 }
