@@ -2,9 +2,14 @@
 """Deterministic N-replica upsample of a testdata SF directory (dev
 harness for the PLANS.md scale datapoints; driver-side python only).
 
-Usage: tools/upsample.py <srcDir> <dstDir> <replicas> [--mutate]
+Usage: tools/upsample.py <srcDir> <dstDir> <replicas> [--mutate] [--tables=a,b]
   e.g.  tools/upsample.py /root/testdata/sf0.1 /tmp/sfup10 100
         tools/upsample.py /root/testdata/sf0.1 /tmp/sfup10m 100 --mutate
+        tools/upsample.py /root/testdata/sf0.1 /tmp/sfe100 100 --mutate --tables=embeddings
+
+--tables limits generation to the named tables (dims still copied) —
+the embedding-path scale runs only need embeddings.parquet, and
+skipping the 100x lineitem regeneration saves minutes per datapoint.
 
 Keys are shifted by replica * 10^7 so joins stay consistent; nation/
 region (constant dims) are copied as-is.
@@ -30,21 +35,45 @@ Two document modes:
   together. N replicas therefore carry exactly N x the source's
   duplicate structure: the realistic-duplicate-rate upsample that
   signature-level dedup queries need (PLANS.md round-8 datapoint).
+
+  --mutate also perturbs EMBEDDINGS: replica r > 0 gets a per-replica
+  deterministic SIGN PATTERN s_r in {-1,+1}^dim (bit i of hash(r, i)),
+  applied element-wise. Sign flips are exact in IEEE float, so for any
+  two vectors of the SAME replica dot(s*x, s*y) = dot(x, y) with
+  bit-identical arithmetic — within-replica cosine structure (near-dup
+  pairs, k-means geometry, top-k rankings) is preserved EXACTLY. For
+  vectors of DIFFERENT replicas the cosine becomes a random-sign
+  weighted sum concentrating near 0 (measured on the sf0.1 corpus:
+  avg |cos| ~ 0.2 across replicas, with a small tail that can cross a
+  dedup threshold) — so N replicas carry ~N x the source's
+  semantic-duplicate structure plus realistic cross-replica noise,
+  instead of the all-replicas-identical explosion a plain copy would
+  fake.
 """
 import os, sys, shutil, time
 import duckdb
 
 def main():
-    if len(sys.argv) not in (4, 5) or (len(sys.argv) == 5 and sys.argv[4] != '--mutate'):
+    args = sys.argv[1:]
+    flags = [a for a in args if a.startswith('--')]
+    pos = [a for a in args if not a.startswith('--')]
+    only = None
+    for f in list(flags):
+        if f.startswith('--tables='):
+            only = set(f[len('--tables='):].split(','))
+            flags.remove(f)
+    if len(pos) != 3 or flags not in ([], ['--mutate']):
         sys.exit(__doc__)
-    src, dst, reps = sys.argv[1], sys.argv[2], int(sys.argv[3])
-    mutate = len(sys.argv) == 5
+    src, dst, reps = pos[0], pos[1], int(pos[2])
+    mutate = flags == ['--mutate']
     K = 10_000_000
     os.makedirs(dst, exist_ok=True)  # DuckDB COPY won't create parents
     con = duckdb.connect()
     con.execute("SET threads TO 16")
 
     def gen(table, sel):
+        if only is not None and table not in only:
+            return
         t0 = time.time()
         con.execute(f"COPY ({sel}) TO '{dst}/{table}.parquet' "
                     "(FORMAT PARQUET, COMPRESSION ZSTD)")
@@ -86,7 +115,19 @@ def main():
       lang, source,
       CAST(len({new_text}) AS BIGINT) AS n_chars
       FROM {rep('documents')}""")
-    gen('embeddings', f"""SELECT vec_id + r*{K} AS vec_id, embedding, label
+    if mutate:
+        # per-(replica, dim) sign from one hash each; r*1024 + i keeps the
+        # hash inputs distinct per (r, i) for any dim <= 1024. (-x)::FLOAT
+        # keeps the element type FLOAT so the parquet schema is unchanged;
+        # negation is exact in IEEE so within-replica dot products are
+        # bit-identical to the source corpus (see the module doc)
+        new_emb = ("CASE WHEN r = 0 THEN embedding ELSE "
+                   "list_transform(embedding, (x, i) -> "
+                   "CASE WHEN (hash(r * 1024 + i) & 1) = 1 "
+                   "THEN (-x)::FLOAT ELSE x END) END")
+    else:
+        new_emb = "embedding"
+    gen('embeddings', f"""SELECT vec_id + r*{K} AS vec_id, {new_emb} AS embedding, label
       FROM {rep('embeddings')}""")
     gen('events', f"""SELECT event_id + r*{K} AS event_id, ts, user_id + r*{K} AS user_id,
       event_type, value, props FROM {rep('events')}""")
