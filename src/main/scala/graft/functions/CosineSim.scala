@@ -33,6 +33,34 @@ object CosineSimUtil {
     }
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
+
+  /** [[cosine]] over two `array<tinyint>` columns (int8-quantized
+    * vectors). int8→double is exact and every product magnitude is
+    * ≤ 127² with ≤ array-length terms, so the double accumulation is
+    * exact integer arithmetic — the result is bit-identical to casting
+    * the quantized vectors to float first, without materializing two
+    * float arrays per compared pair (the cast spelling forces an
+    * interpreted higher-order `transform` into the pair loop:
+    * CodegenFallback, two array allocations and 2·n boxed casts per
+    * pair — measured 5× the entire pair-stage cost at sf0.1).
+    */
+  def cosineI8(a: ArrayData, b: ArrayData): java.lang.Double = {
+    if (a.numElements() != b.numElements()) return null
+    val n = a.numElements()
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getByte(i).toDouble
+      val y = b.getByte(i).toDouble
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
 }
 
 /** Native cosine similarity over two `array<float>` columns (SURVEY.md
@@ -71,5 +99,39 @@ case class CosineSim(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): CosineSim =
+    copy(left = newLeft, right = newRight)
+}
+
+/** [[CosineSim]] over `array<tinyint>` (int8-quantized) vectors — the
+  * candidate-prefilter hot loop of semantic dedup, kept inside
+  * whole-stage codegen with byte accessors so the quantized pair join
+  * never materializes float copies of its payload.
+  */
+case class CosineSimI8(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_cosine_sim_i8"
+
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    CosineSimUtil.cosineI8(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val tmp = ctx.freshName("cosTmp")
+      s"""
+         |java.lang.Double $tmp = graft.functions.CosineSimUtil.cosineI8($a, $b);
+         |if ($tmp == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $tmp.doubleValue();
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSimI8 =
     copy(left = newLeft, right = newRight)
 }

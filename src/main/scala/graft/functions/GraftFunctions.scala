@@ -19,9 +19,20 @@ object GraftFunctions {
   def shingles(c: Column, n: Int): Column =
     GraftBridge.column(Shingles(GraftBridge.expression(c), n))
 
+  /** Native fused repetition counters over an array<string> token column
+    * -> struct<n_tokens, max_unigram, distinct_bigrams, n_bigrams,
+    * sum_word_len>.
+    */
+  def repetition_stats(c: Column): Column =
+    GraftBridge.column(RepetitionStats(GraftBridge.expression(c)))
+
   /** Native fused cosine similarity over two array<float> columns. */
   def cosine_sim(a: Column, b: Column): Column =
     GraftBridge.column(CosineSim(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** [[cosine_sim]] over two array<tinyint> (int8-quantized) columns. */
+  def cosine_sim_i8(a: Column, b: Column): Column =
+    GraftBridge.column(CosineSimI8(GraftBridge.expression(a), GraftBridge.expression(b)))
 
   /** Native nearest-centroid assignment against a literal codebook ->
     * struct<dist: double, k: bigint>. `ids` sorted ascending (tie-break).

@@ -204,6 +204,32 @@ object MlOps extends QueryModule {
         (x, cc) => (x.cast("double") - cc) * (x.cast("double") - cc)),
       lit(0.0), (acc, t) => acc + t)
 
+  /** Driver-side probe ranking for a QUERY vector (the queries are
+    * literal driver state, so their ≤K-entry probe lists are model
+    * state too — recomputing them per (query, vector) pair pushed an
+    * interpreted higher-order sqDist fold into the scored pass, K
+    * CodegenFallback folds per pair). The distance is the same
+    * ascending-index Σ(x−c)² left fold [[sqDist]] and
+    * [[graft.functions.NearestCentroidUtil.nearest]] evaluate (double
+    * arithmetic is deterministic, so the values are bit-identical), and
+    * the (dist, id)-ascending order makes probe #1 exactly the
+    * NearestCentroid assignment (strict-improvement argmin = smallest
+    * id on ties).
+    */
+  private def probeOrder(e: Seq[Float], cents: Cents, n: Int): Seq[Long] =
+    cents.map { case (ck, carr) =>
+      require(e.length == carr.length,
+        s"query vector has ${e.length} dims, centroid $ck has ${carr.length}")
+      var acc = 0.0
+      var i = 0
+      while (i < carr.length) {
+        val d = e(i).toDouble - carr(i)
+        acc += d * d
+        i += 1
+      }
+      (acc, ck)
+    }.sortBy(identity).take(n).map(_._2)
+
   /** FULLY NARROW assignment: the trained K·dim centroid state arrives
     * as literals inside the native [[graft.functions.NearestCentroid]]
     * expression — each vector computes its argmin (smallest distance,
@@ -378,18 +404,21 @@ object MlOps extends QueryModule {
     // intersection instead of a join. The query set rides the plan as a
     // LITERAL exploded array (it was already collected with the seed),
     // so the pass is join-free — not even a broadcast build: corpus →
-    // narrow assign/score → one tiny groupBy(qid). A query's cell is
-    // re-derived per pair by the same literal NearestCentroid
-    // expression the corpus assignment uses — identical function,
-    // identical value, no second source of truth.
-    val qarr = typedLit(first.filter(_._1 < 10))
+    // narrow assign/score → one tiny groupBy(qid). Each query's own
+    // cell is precomputed ON THE DRIVER with [[probeOrder]] (probe #1
+    // is exactly the NearestCentroid assignment — bit-identical fold,
+    // same tie-break), so the per-pair work is one codegen'd cosine
+    // and a long equality; re-deriving the query cell per pair spent a
+    // K·dim expression evaluation on every one of the corpus×10 pairs
+    // for a value that only depends on the 10 literal queries.
+    val qarr = typedLit(first.filter(_._1 < 10)
+      .map { case (id, e) => (id, e, probeOrder(e, cents, 1).head) })
     val scored = assignTo(vecs, cents)
       .select(col("vec_id"), col("embedding"), col("cl").as("cell"),
         explode(qarr).as("qs"))
       .filter(col("vec_id") =!= col("qs._1"))
       .select(col("qs._1").as("qid"), col("vec_id").as("vid"),
-        (col("cell") === graft.functions.GraftFunctions.nearest_centroid(
-          col("qs._2"), cents.map(_._1), cents.map(_._2)).getField("k")).as("in_cell"),
+        (col("cell") === col("qs._3")).as("in_cell"),
         graft.functions.GraftFunctions.cosine_sim(col("qs._2"), col("embedding")).as("sim"))
     val tkName = registerTopk(emb.sparkSession, topk)
     scored
@@ -427,13 +456,6 @@ object MlOps extends QueryModule {
     // seed and query set ride ONE collect (both are vec_id-prefix rows)
     val first = collectFirst(vecs, math.max(k, 10))
     val cents = trainFrom(vecs, k, toCents(first.filter(_._1 < k)), iters)
-    // per-query probe list: (dist, k) structs sorted ascending — ties to
-    // the smaller cell id, so probe #1 is exactly the own-cell
-    // assignment. Evaluated over the literal query embedding per pair.
-    def probeCells(qe: Column) = slice(
-      array_sort(array(cents.map { case (ck, carr) =>
-        struct(sqDist(qe, carr).as("dist"), lit(ck).as("k"))
-      }: _*)), 1, nprobe)
     // ONE scored pass covers exact + every probe depth: the exact
     // candidate set is every (query, vector) pair, the nprobe=n set is
     // its probe-cell subset (array_contains on the ≤n-entry probe
@@ -443,16 +465,23 @@ object MlOps extends QueryModule {
     // cosine pass, no checkpoint, no comparison joins; the query set is
     // a LITERAL exploded array (collected with the seed), so the pass
     // is join-free. (qid, vid) pairs are unique: each vector lives in
-    // exactly one cell.
-    val qarr = typedLit(first.filter(_._1 < 10))
-    val pcells = transform(probeCells(col("qs._2")), p => p.getField("k"))
+    // exactly one cell. Probe lists are precomputed ON THE DRIVER with
+    // [[probeOrder]] ((dist, id)-ascending, so probe #1 is exactly the
+    // own-cell NearestCentroid assignment — bit-identical fold, same
+    // tie-break) and ride the query literal: the per-pair work is one
+    // codegen'd cosine plus an ≤nprobe array_contains. The previous
+    // spelling re-ranked all K cells per (query, vector) pair through
+    // an interpreted higher-order sqDist fold — K CodegenFallback
+    // folds on every pair for a value that only depends on the query.
+    val qarr = typedLit(first.filter(_._1 < 10)
+      .map { case (id, e) => (id, e, probeOrder(e, cents, nprobe)) })
     val scored = assignTo(vecs, cents)
       .select(col("vec_id"), col("embedding"), col("cl").as("cell"),
         explode(qarr).as("qs"))
       .filter(col("vec_id") =!= col("qs._1"))
       .select(col("qs._1").as("qid"), col("vec_id").as("vid"),
-        (col("cell") === element_at(pcells, 1)).as("in_np1"),
-        array_contains(pcells, col("cell")).as("in_npn"),
+        (col("cell") === element_at(col("qs._3"), 1)).as("in_np1"),
+        array_contains(col("qs._3"), col("cell")).as("in_npn"),
         graft.functions.GraftFunctions.cosine_sim(col("qs._2"), col("embedding")).as("sim"))
     val tkName = registerTopk(emb.sparkSession, topk)
     val vids = (c: Column) => transform(c, p => p.getField("_2"))
@@ -532,14 +561,19 @@ object MlOps extends QueryModule {
       .select(col("vec_id"), col("embedding"), col("cl").as("cell"))
     val quant = withCell.select(col("vec_id"), col("cell"),
       int8(col("embedding")).as("qv"))
-    val asFloat = (c: Column) => transform(c, _.cast("float"))
+    // cosine_sim_i8 reads the tinyint arrays directly — bit-identical to
+    // cast-to-float-then-cosine (int8→double is exact, every term of the
+    // accumulation is exact integer arithmetic in double), but the pair
+    // loop stays in whole-stage codegen: the cast spelling's `transform`
+    // is an interpreted CodegenFallback that allocated two float arrays
+    // per candidate pair and dominated the pair stage 5:1 at sf0.1.
     val survivors = quant.select(col("cell").as("ca"), col("vec_id").as("ia"),
         col("qv").as("qa"))
       .join(quant.select(col("cell").as("cb"), col("vec_id").as("ib"),
           col("qv").as("qb")),
         col("ca") === col("cb") && col("ia") < col("ib"))
-      .filter(graft.functions.GraftFunctions.cosine_sim(
-        asFloat(col("qa")), asFloat(col("qb"))) >= threshold - prefilterSlack)
+      .filter(graft.functions.GraftFunctions.cosine_sim_i8(
+        col("qa"), col("qb")) >= threshold - prefilterSlack)
       .select(col("ia"), col("ib"))
     val dups = withCell.select(col("vec_id").as("ja"), col("embedding").as("ea"))
       .join(survivors, col("ja") === col("ia"))
