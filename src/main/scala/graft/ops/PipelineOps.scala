@@ -47,28 +47,34 @@ object PipelineOps extends QueryModule {
   // --------------------------------------------------------------------
 
   def repetitionSignals(docs: DataFrame): DataFrame = {
-    val ws = col("ws")
-    val bg = col("bg")
-    // ws and bg are independent native single-pass calls over text (not
-    // element_at chains over a shared alias): downstream filters on the
-    // derived signals (the e2e composite's quality gate) get pushed below
-    // this projection with the aliases inlined — each inlined copy must
-    // stay O(text), not O(tokens · split).
+    val st = col("st")
+    // One fused native hash-pass per document (RepetitionStats) instead
+    // of the composable-builtins spelling: array_max over
+    // transform(array_distinct, filter) is O(distinct · n) STRING
+    // comparisons through interpreted higher-order lambdas
+    // (CodegenFallback) — measured as the entire cost of
+    // q_repetition_signals at sf0.1. The expression returns exact
+    // integer counts; the fraction arithmetic below keeps the previous
+    // cast/division spelling, so every derived double is bit-identical
+    // to the old plan and to the oracle. Downstream filters on the
+    // signals (the e2e composite's quality gate) push below the
+    // projection with the alias inlined — each inlined copy is one
+    // O(tokens) codegen'd pass, and codegen subexpression elimination
+    // dedups repeated copies within a stage.
     docs
       .filter(TextOps.wordCount(col("text")) >= 2)
-      .select(col("doc_id"), words(col("text")).as("ws"),
-        TextOps.shingles(col("text"), 2).as("bg"))
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.repetition_stats(
+          words(col("text"))).as("st"))
       .select(
         col("doc_id"),
-        size(ws).cast("long").as("n_tokens"),
-        (array_max(transform(array_distinct(ws),
-          w => size(filter(ws, x => x === w)))).cast("double")
-          / size(ws).cast("long")).as("top_unigram_frac"),
-        (lit(1.0) - size(array_distinct(bg)).cast("double") / size(bg))
-          .as("dup_bigram_frac"),
-        (aggregate(transform(ws, x => length(x).cast("long")), lit(0L),
-          (acc, x) => acc + x).cast("double")
-          / size(ws).cast("long")).as("mean_word_len"))
+        st.getField("n_tokens").as("n_tokens"),
+        (st.getField("max_unigram").cast("double")
+          / st.getField("n_tokens")).as("top_unigram_frac"),
+        (lit(1.0) - st.getField("distinct_bigrams").cast("double")
+          / st.getField("n_bigrams")).as("dup_bigram_frac"),
+        (st.getField("sum_word_len").cast("double")
+          / st.getField("n_tokens")).as("mean_word_len"))
   }
 
   def packSequences(
