@@ -17,12 +17,29 @@ import org.apache.spark.sql.types.DecimalType
   * it; both sides must be kept in lock-step.
   */
 object Exact {
-  private val Dec = DecimalType(38, 10)
+  private[graft] val Dec = DecimalType(38, 10)
 
   /** Exact sum of a double expression; DuckDB:
     * `CAST(SUM(CAST(x AS DECIMAL(38,10))) AS DOUBLE)`.
+    *
+    * The sum rides [[graft.functions.Dec128SumAgg]] — Spark's own cast
+    * does the double→decimal conversion (unchanged semantics), but the
+    * accumulation is two primitive longs instead of a BigDecimal per
+    * row (Spark's decimal Sum allocates through BigDecimal for
+    * precision > 18; measured as 2/3 of TPC-H Q1's runtime at sf0.1).
+    * Bit-identical totals; per-VALUE |x| must stay under ~9.2e8 (fails
+    * loudly with remediation — every suite column is orders below).
     */
-  def dsum(c: Column): Column = sum(c.cast(Dec)).cast("double")
+  def dsum(c: Column): Column = decSum(c).cast("double")
+
+  /** [[dsum]] without the two-long fast path — Spark's BigDecimal-backed
+    * decimal Sum, value-identical, for inputs whose per-VALUE magnitude
+    * can reach or exceed 10^8 (e.g. squared prices in the moment
+    * queries: a 2e5 price squares to 4e10, whose unscaled value does
+    * not even fit a long). [[dsum]] fails loudly and names this
+    * spelling when a value trips its bound.
+    */
+  def dsumWide(c: Column): Column = sum(c.cast(Dec)).cast("double")
 
   /** Exact-numerator average; DuckDB:
     * `CAST(SUM(CAST(x AS DECIMAL(38,10))) AS DOUBLE) / COUNT(x)`.
@@ -32,9 +49,15 @@ object Exact {
 
   /** Windowed exact sum: `sum(c.cast(dec)).over(w).cast("double")` on the
     * Spark side; `CAST(SUM(CAST(x AS DECIMAL(38,10))) OVER w AS DOUBLE)` in
-    * DuckDB. Exposed as the casted column for symmetry.
+    * DuckDB. Exposed as the casted column for symmetry. Same two-long
+    * accumulator as [[dsum]] (windowed frames re-aggregate per row, so
+    * the per-row BigDecimal saving compounds there).
     */
-  def decSum(c: Column): Column = sum(c.cast(Dec))
+  def decSum(c: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.functions.Dec128SumAgg(
+        org.apache.spark.sql.GraftBridge.expression(c.cast(Dec)))
+        .toAggregateExpression())
 
   /** Portable 6-decimal rounding: `floor(x*1e6 + 0.5)/1e6`, spelled
     * identically on BOTH engines. The `round()` builtins disagree on

@@ -1149,7 +1149,9 @@ object RelationalOps extends QueryModule {
           min(x).cast("double").as("min_price"),
           max(x).cast("double").as("max_price"),
           Exact.dsum(x).as("sum_x"),
-          Exact.dsum(x * x).as("sum_x2"))
+          // price^2 ~ 1e10 per value: past dsum's two-long per-value
+          // bound (its loud error names this spelling)
+          Exact.dsumWide(x * x).as("sum_x2"))
       t.select(
         col("l_linestatus"), col("n"), col("min_price"), col("max_price"),
         Exact.dvarSamp(col("sum_x"), col("sum_x2"), col("n")).as("var_samp_price"),
@@ -1190,7 +1192,9 @@ object RelationalOps extends QueryModule {
           Exact.dsum(p).as("sy"),
           Exact.dsum(q * p).as("sxy"),
           Exact.dsum(q * q).as("sxx"),
-          Exact.dsum(p * p).as("syy"))
+          // price^2 ~ 1e10 per value: past dsum's two-long per-value
+          // bound (its loud error names this spelling)
+          Exact.dsumWide(p * p).as("syy"))
       t.select(
         col("l_returnflag"),
         ((col("sxy") - col("sx") * col("sy") / col("n")) / (col("n") - lit(1)))
