@@ -289,22 +289,12 @@ object MlOps extends QueryModule {
     require(seed.nonEmpty,
       s"kmeans training needs >= 1 seed vector with vec_id < $k; input has none")
     var cents: Cents = seed
-    // AQE off for the INTERNAL training jobs only (restored before any
-    // caller-visible frame is planned): each per-iteration update is a
-    // K·dim-row aggregation whose runtime is pure scheduling floor, and
-    // AQE splits it into a shuffle-stage job plus a result-stage job —
-    // doubling the job count of the training loop for a re-plan that
-    // has nothing to improve on 256 rows. At corpus scale the map side
-    // dominates either way; at any scale the extra stage is dead floor.
-    val spark = vecs.sparkSession
-    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    val prevShuf = spark.conf.get("spark.sql.shuffle.partitions", "32")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    // the exchange carries <= parallelism·K·dim partial rows and the
-    // final agg emits K·dim — one reduce task IS the right plan (AQE
-    // would coalesce to it; without AQE it must be pinned)
-    spark.conf.set("spark.sql.shuffle.partitions", "1")
-    try {
+    // model-state conf scope (see TinyLoop): each per-iteration update
+    // aggregates K·dim rows — AQE's extra stage-job per iteration is
+    // dead scheduling floor there, and one reduce task is the right
+    // plan. The corpus-scale map side (the cached `vecs` scan) is
+    // unaffected: shuffle.partitions only shapes the reduce side.
+    TinyLoop.withModelStateConfs(vecs.sparkSession) {
       (1 to iters).foreach { _ =>
         // the mean rides the pre-cast decimal column (see `prepared`):
         // sum(decimal)/count is value-identical to Exact.davg over the
@@ -326,9 +316,6 @@ object MlOps extends QueryModule {
           }
           .toSeq.sortBy(_._1)
       }
-    } finally {
-      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
-      spark.conf.set("spark.sql.shuffle.partitions", prevShuf)
     }
     cents
   }

@@ -464,39 +464,49 @@ object PipelineOps extends QueryModule {
       .groupBy("word").agg(count(lit(1)).as("freq"))
       // merge rounds iterate this tiny table; never re-read the corpus
       .localCheckpoint()
-    var v = wfreq
-      .withColumn("cs", trim(regexp_replace(col("word"), "(.)", "$1 ")))
-      .localCheckpoint()
-    // typed empty seed so a fully-merged corpus (no adjacent pair left
-    // anywhere) still returns a well-formed (round, pair, cnt) frame
-    var out: DataFrame = wfreq.limit(0)
-      .select(lit(0).as("round"), lit("").as("pair"), lit(0L).as("cnt"))
-    var exhausted = false
-    var r = 1
-    while (r <= rounds && !exhausted) {
-      // checkpoint the 1-row winner: it feeds both the output step and
-      // the splice, and the emptiness probe below must not re-run the
-      // pair aggregation
-      val best = v
-        .select(col("freq"), explode(TextOps.shingles(col("cs"), 2)).as("pair"))
-        .groupBy("pair").agg(sum(col("freq")).as("cnt"))
-        .orderBy(col("cnt").desc, col("pair")).limit(1)
+    // model-state conf scope (see TinyLoop): every job below the
+    // histogram iterates the VOCABULARY-BOUNDED table — AQE's extra
+    // stage-job per round and 32 near-empty reduce tasks are pure
+    // scheduling floor on it. wfreq itself (the one corpus-scale pass)
+    // was materialized eagerly above, OUTSIDE this scope.
+    TinyLoop.withModelStateConfs(docs.sparkSession) {
+      var v = wfreq
+        .withColumn("cs", trim(regexp_replace(col("word"), "(.)", "$1 ")))
         .localCheckpoint()
-      if (best.isEmpty) {
-        // every word is a single symbol: no pair to merge, and the
-        // crossJoin below would silently empty the vocabulary — stop
-        exhausted = true
-      } else {
-        out = out.unionByName(best.select(lit(r).as("round"), col("pair"), col("cnt")))
-        v = v.crossJoin(broadcast(best.select(col("pair").as("bp"))))
-          .withColumn("cs", trim(expr(
-            "replace(' ' || cs || ' ', ' ' || bp || ' ', ' ' || replace(bp, ' ', '') || ' ')")))
-          .drop("bp")
-          .localCheckpoint()
+      // the per-round winner is ONE row of model state — collect it and
+      // bake the splice as LITERALS (the k-means centroid policy): the
+      // previous spelling localCheckpoint'd the winner, probed isEmpty,
+      // and broadcast-crossJoined it back — three extra scheduling-floor
+      // jobs per round for a single driver-sized value
+      val merges = scala.collection.mutable.ListBuffer.empty[(Int, String, Long)]
+      var exhausted = false
+      var r = 1
+      while (r <= rounds && !exhausted) {
+        val best = v
+          .select(col("freq"), explode(TextOps.shingles(col("cs"), 2)).as("pair"))
+          .groupBy("pair").agg(sum(col("freq")).as("cnt"))
+          .orderBy(col("cnt").desc, col("pair")).limit(1)
+          .collect().headOption
+        best match {
+          case None =>
+            // every word is a single symbol: no pair to merge — stop
+            exhausted = true
+          case Some(row) =>
+            val (bp, cnt) = (row.getString(0), row.getLong(1))
+            merges += ((r, bp, cnt))
+            // literal splice via Column functions, NOT a SQL string —
+            // the pair text is data and must never be parsed as SQL
+            v = v.withColumn("cs", trim(org.apache.spark.sql.functions.replace(
+                concat(lit(" "), col("cs"), lit(" ")),
+                lit(" " + bp + " "),
+                lit(" " + bp.replace(" ", "") + " "))))
+              .localCheckpoint()
+        }
+        r += 1
       }
-      r += 1
+      import docs.sparkSession.implicits._
+      merges.toSeq.toDF("round", "pair", "cnt")
     }
-    out
   }
 
   /** Apply the [[bpeMerges]]-trained merge list to every word occurrence

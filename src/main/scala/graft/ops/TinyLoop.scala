@@ -1,0 +1,34 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+
+/** Session-conf scope for MODEL-STATE training loops (k-means centroid
+  * updates, BPE merge rounds): every per-iteration job aggregates a
+  * bounded table (K·dim rows, the vocabulary histogram) whose runtime
+  * is pure scheduling floor, and AQE splits each into a shuffle-stage
+  * job plus a result-stage job — doubling the loop's job count for a
+  * re-plan that has nothing to improve on bounded data — while the
+  * 32-partition default spreads a few hundred rows over 32 near-empty
+  * reduce tasks. One reduce task IS the right plan for bounded state
+  * (AQE would coalesce to it; without AQE it must be pinned).
+  *
+  * Both settings are restored before returning, so no caller-visible
+  * frame is ever PLANNED under them; frames localCheckpoint'd inside
+  * the scope were already materialized eagerly. The CORPUS passes of a
+  * training operator (histogram build, cached-corpus assignment scans)
+  * must run OUTSIDE the scope or be materialized before it — only the
+  * bounded iteration state belongs in here.
+  */
+object TinyLoop {
+  def withModelStateConfs[T](spark: SparkSession)(body: => T): T = {
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val prevShuf = spark.conf.get("spark.sql.shuffle.partitions", "32")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", "1")
+    try body
+    finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuf)
+    }
+  }
+}
