@@ -149,7 +149,13 @@ class PlanHygieneSpec extends SparkSpec {
       // the quantized-cosine prefilter ON the join, and the corpus must
       // come from the shared training cache; a regression to raw float
       // embeddings in the pair exchange would erase both "tinyint"s
-      "q_semantic_dedup" -> Seq("tinyint", "graft_cosine_sim", "InMemoryTableScan"),
+      "q_semantic_dedup" -> Seq("tinyint", "graft_cosine_sim_i8", "InMemoryTableScan"),
+      // the fused native counters and the two-long decimal accumulator
+      // must stay in these plans — a regression to the interpreted HOF
+      // spelling / BigDecimal Sum would erase the function names
+      "q_repetition_signals" -> Seq("graft_repetition_stats"),
+      "q_agg_q1" -> Seq("graft_dec128_sum"),
+      "q_window_moving" -> Seq("graft_dec128_sum"),
       // IVF recall queries: the query set is a LITERAL exploded array
       // (collected with the k-means seed, one driver action for both),
       // so the scored pass is join-free — not even a broadcast build —

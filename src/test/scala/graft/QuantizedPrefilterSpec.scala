@@ -64,6 +64,23 @@ class QuantizedPrefilterSpec extends SparkSpec {
       "int8 prefilter would drop pairs the float cosine accepts")
   }
 
+  test("cosine_sim_i8 == cast-to-float cosine, bit-identical on every pair") {
+    // the byte-reading expression is what the pair join actually runs
+    // (the cast spelling is an interpreted CodegenFallback); int8→double
+    // is exact, so the two must agree to the last bit
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.01")
+      .select(col("vec_id"), int8(col("embedding")).as("qv"))
+    val asFloat = (c: Column) => transform(c, _.cast("float"))
+    val diff = emb.select(col("vec_id").as("ia"), col("qv").as("qa"))
+      .crossJoin(emb.select(col("vec_id").as("ib"), col("qv").as("qb")))
+      .filter(col("ia") < col("ib"))
+      .filter(
+        graft.functions.GraftFunctions.cosine_sim_i8(col("qa"), col("qb")) =!=
+          graft.functions.GraftFunctions.cosine_sim(
+            asFloat(col("qa")), asFloat(col("qb"))))
+    assert(diff.isEmpty, "cosine_sim_i8 diverged from the cast spelling")
+  }
+
   test("zero vectors quantize to zeros and are never duplicates") {
     import spark.implicits._
     val df = Seq(
