@@ -254,14 +254,17 @@ object GraftOps {
 
   /** SemDeDup-style semantic dedup: k-means cells bound the candidate
     * pairs, and within each cell any vector with a smaller-id neighbor
-    * at cosine ≥ `threshold` is marked duplicate. Output: one
+    * at cosine ≥ `threshold` is marked duplicate. The pair join carries
+    * int8-quantized vectors prefiltered at `threshold - prefilterSlack`
+    * (the float cosine re-checks survivors, so the decision is exact;
+    * QuantizedPrefilterSpec pins the slack headroom). Output: one
     * (vec_id, cell, is_dup) row per vector. Verified by
     * `q_semantic_dedup`.
     */
   def semanticDedup(
       emb: DataFrame, k: Int = 4, iters: Int = 2,
-      threshold: Double = 0.42): DataFrame =
-    ops.MlOps.semanticDedup(emb, k, iters, threshold)
+      threshold: Double = 0.42, prefilterSlack: Double = 0.08): DataFrame =
+    ops.MlOps.semanticDedup(emb, k, iters, threshold, prefilterSlack)
 
   /** Budget-driven source mixing: deterministically hash-downsample
     * each (doc_id, text, source) source toward `targetTokens`, deriving

@@ -61,6 +61,24 @@ class StreamingSpec extends SparkSpec {
       (2L, 0L, 0L, 1L, "x")))
   }
 
+  test("repetition signals apply to a stream unchanged (fused native pass)") {
+    implicit val sq = spark.sqlContext
+    // the fused RepetitionStats projection is fully narrow, so the same
+    // facade call that passes the batch oracle scores an unbounded
+    // stream — the shape of a streaming quality-filter stage
+    val mem = MemoryStream[(Long, String)]
+    val q = GraftOps.repetitionSignals(mem.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("rep_out")
+      .outputMode(OutputMode.Append).start()
+    mem.addData((1L, "a b a b"), (2L, "x"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("rep_out").orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    // doc 2 has one token: filtered out (needs >= 2 for a bigram)
+    assert(rows.toSeq == Seq((1L, 4L, 0.5, 1.0 - 2.0 / 3.0, 1.0)))
+  }
+
   test("tumblingAgg over a stream == same transform over the batch") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[Ev]
