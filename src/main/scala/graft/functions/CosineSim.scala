@@ -115,6 +115,20 @@ case class CosineSimI8(left: Expression, right: Expression)
 
   override def nullable: Boolean = true
 
+  // getByte on a non-tinyint array reads a byte slice of the packed
+  // element region — structurally valid garbage; reject at analysis
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.types.{ArrayType, ByteType}
+    (left.dataType, right.dataType) match {
+      case (ArrayType(ByteType, _), ArrayType(ByteType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects two array<tinyint> arguments, got " +
+            s"${l.catalogString} and ${r.catalogString}")
+    }
+  }
+
   override def nullSafeEval(a: Any, b: Any): Any =
     CosineSimUtil.cosineI8(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 

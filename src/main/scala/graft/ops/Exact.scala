@@ -27,8 +27,10 @@ object Exact {
     * accumulation is two primitive longs instead of a BigDecimal per
     * row (Spark's decimal Sum allocates through BigDecimal for
     * precision > 18; measured as 2/3 of TPC-H Q1's runtime at sf0.1).
-    * Bit-identical totals; per-VALUE |x| must stay under ~9.2e8 (fails
-    * loudly with remediation — every suite column is orders below).
+    * Bit-identical totals; per-VALUE |x| must stay under 1e8 — one
+    * radix unit of the two-long accumulator (fails loudly naming
+    * [[dsumWide]] — every suite column is orders below; squared prices
+    * are not and ride dsumWide).
     */
   def dsum(c: Column): Column = decSum(c).cast("double")
 

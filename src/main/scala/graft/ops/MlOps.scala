@@ -497,10 +497,14 @@ object MlOps extends QueryModule {
     * per-dimension min/max codebook the storage-oriented
     * `q_embedding_quantize` builds is unnecessary here — which keeps
     * this projection fully NARROW (no codebook aggregation job, no
-    * broadcast join). A zero vector quantizes to zeros (its cosine is
-    * NaN on both the quantized and the float side — never a duplicate).
+    * broadcast join). A zero vector quantizes to zeros; its cosine is
+    * NaN on both the quantized and the float side, and BOTH engines
+    * compare NaN GREATER than any threshold (Spark nanSafeCompare,
+    * DuckDB NaN-sorts-last) — so a zero vector sharing a cell with a
+    * smaller-id vector IS consistently marked duplicate. Degenerate but
+    * cross-engine-identical; the fixture has no zero vectors.
     */
-  private def int8(emb: Column): Column = {
+  private[graft] def int8(emb: Column): Column = {
     val maxAbs = array_max(transform(emb, v => abs(v.cast("double"))))
     when(maxAbs > 0.0,
       transform(emb, v =>
@@ -524,19 +528,22 @@ object MlOps extends QueryModule {
     * (64 bytes/side), NOT the float embeddings (256 bytes/side) — at
     * corpus scale the pair join's exchange is the heaviest stage of
     * this operator, and the quantized payload cuts it 4×. The decision
-    * stays EXACT: the quantized cosine only prefilters pairs at
-    * `threshold - prefilterSlack`, and the float cosine is re-checked
-    * on the survivors (fetched by two id-keyed joins against the
-    * candidate-scale survivor set — unhinted, so the planner broadcasts
-    * the survivor side at sane duplicate rates and falls back to a
-    * shuffle join on a degenerate all-duplicates corpus). The slack
-    * covers the rounding error of two int8 quantizations: each side's
-    * error is ≲ √dim·(maxAbs/254)/‖v‖ ≈ 0.007 at dim=64 for the
-    * near-uniform fixture vectors, and QuantizedPrefilterSpec pins the
-    * measured error an order of magnitude under the slack. A pair the
-    * prefilter drops is therefore below `threshold` on the float side
-    * too; the oracle (pure float cosine) is unchanged and decides.
-    * Output: (vec_id, cell, is_dup 0/1), one row per vector.
+    * stays EXACT for ANY input: the quantized cosine only prefilters
+    * pairs at `threshold − max(prefilterSlack, pairBound)` where
+    * `pairBound` is the per-pair worst-case quantization perturbation
+    * derived from each side's carried error bound (see the margin
+    * comment in the body) — so a pair the prefilter drops is provably
+    * below `threshold` on the float side, regardless of dimension or
+    * value distribution; corpora with larger quantization error just
+    * re-check more pairs in float. Survivors are fetched by two
+    * id-keyed joins against the candidate-scale survivor set (unhinted,
+    * so the planner broadcasts the survivor side at sane duplicate
+    * rates and falls back to a shuffle join on a degenerate
+    * all-duplicates corpus) and the float cosine decides. On the
+    * fixture the measured quantization error is an order of magnitude
+    * under the default slack (QuantizedPrefilterSpec), so the slack is
+    * the effective cutoff there. The oracle (pure float cosine) is
+    * unchanged. Output: (vec_id, cell, is_dup 0/1), one row per vector.
     */
   def semanticDedup(
       emb: DataFrame, k: Int = K, iters: Int = Iters,
@@ -546,21 +553,45 @@ object MlOps extends QueryModule {
     val vecs = prepared(emb)
     val withCell = assignTo(vecs, train(vecs, k, iters))
       .select(col("vec_id"), col("embedding"), col("cl").as("cell"))
+    // ADAPTIVE prefilter margin — rigorous for ANY corpus, not just the
+    // fixture: per-component quantization error is ≤ maxAbs/254, so
+    // each side's relative L2 error is bounded by
+    // εv = √dim·maxAbs/(254·‖v‖) (computed per VECTOR, two array folds
+    // in the quantize projection — never per pair), and a pair's cosine
+    // perturbation by the standard bound 2(εa+εb)/((1−εa)(1−εb)). The
+    // pair filter widens its cutoff to that bound whenever it exceeds
+    // `prefilterSlack`, so a high-dim or spiky-vector corpus (‖v‖ close
+    // to maxAbs, where εv grows toward √dim/254·‖v‖/‖v‖) makes the
+    // prefilter WEAKER (more float re-checks) instead of silently
+    // dropping true duplicates. εv ≥ 0.5 (or a zero vector, whose εv
+    // divides by zero to Infinity) disables the prefilter for that
+    // pair outright. On the fixture the bound evaluates to ≈ 0.075 —
+    // the measured error is 10× smaller (QuantizedPrefilterSpec), so
+    // the default slack remains the effective cutoff there.
+    val dvec = transform(col("embedding"), v => v.cast("double"))
+    val maxAbs = array_max(transform(dvec, v => abs(v)))
+    val norm = sqrt(aggregate(transform(dvec, v => v * v), lit(0.0), (a, x) => a + x))
+    val eps = sqrt(size(col("embedding")).cast("double")) * maxAbs / 254.0 / norm
     val quant = withCell.select(col("vec_id"), col("cell"),
-      int8(col("embedding")).as("qv"))
+      int8(col("embedding")).as("qv"), eps.as("qeps"))
     // cosine_sim_i8 reads the tinyint arrays directly — bit-identical to
     // cast-to-float-then-cosine (int8→double is exact, every term of the
     // accumulation is exact integer arithmetic in double), but the pair
     // loop stays in whole-stage codegen: the cast spelling's `transform`
     // is an interpreted CodegenFallback that allocated two float arrays
     // per candidate pair and dominated the pair stage 5:1 at sf0.1.
+    val (ea, eb) = (col("qea"), col("qeb"))
+    val pairMargin = when(ea < 0.5 && eb < 0.5,
+      lit(2.0) * (ea + eb) / ((lit(1.0) - ea) * (lit(1.0) - eb)))
+      .otherwise(lit(2.0)) // ≥ the cosine range: prefilter passes the pair
     val survivors = quant.select(col("cell").as("ca"), col("vec_id").as("ia"),
-        col("qv").as("qa"))
+        col("qv").as("qa"), col("qeps").as("qea"))
       .join(quant.select(col("cell").as("cb"), col("vec_id").as("ib"),
-          col("qv").as("qb")),
+          col("qv").as("qb"), col("qeps").as("qeb")),
         col("ca") === col("cb") && col("ia") < col("ib"))
       .filter(graft.functions.GraftFunctions.cosine_sim_i8(
-        col("qa"), col("qb")) >= threshold - prefilterSlack)
+        col("qa"), col("qb")) >=
+        lit(threshold) - greatest(lit(prefilterSlack), pairMargin))
       .select(col("ia"), col("ib"))
     val dups = withCell.select(col("vec_id").as("ja"), col("embedding").as("ea"))
       .join(survivors, col("ja") === col("ia"))

@@ -339,21 +339,24 @@ object PipelineOps extends QueryModule {
 
   /** Most-repeated `n`-token word spans appearing in at least `minDocs`
     * distinct documents, top `k` by occurrence count. One explode + one
-    * aggregation — keyed by `md5(span)` (16 bytes), NOT the raw span
-    * string (~50 bytes for 8 tokens), so the exchange and the
-    * aggregation hash table compare fixed-width binary keys instead of
-    * hauling the exploded span corpus as strings; the display span rides
-    * as a `min(span)` payload. The distinct-doc count is a two-phase
-    * count-distinct on the same key. Collision-correctness: the oracle
-    * groups by the identical `md5(span)`, so even in the 2^-64-scale
+    * aggregation — keyed by `unhex(md5(span))` (the 16-byte BINARY
+    * digest; the bare `md5()` builtin returns the 32-char hex STRING,
+    * double the key weight), NOT the raw span string (~50 bytes for 8
+    * tokens), so the exchange and the aggregation hash table compare
+    * fixed-width binary keys instead of hauling the exploded span
+    * corpus as strings; the display span rides as a `min(span)`
+    * payload. The distinct-doc count is a two-phase count-distinct on
+    * the same key. Collision-correctness: the oracle groups by the
+    * identical `unhex(md5(span))`, so even in the 2^-64-scale
     * collision case both engines agree by construction; ties in the
-    * top-k order break on the md5 key (total order either way).
+    * top-k order break on the digest (bytewise-unsigned binary order in
+    * both engines — the same total order the hex string gave).
     */
   def repeatedSpans(docs: DataFrame, n: Int, minDocs: Long, k: Int): DataFrame =
     docs
       .filter(TextOps.wordCount(col("text")) >= n)
       .select(col("doc_id"), explode(TextOps.shingles(col("text"), n)).as("sp"))
-      .groupBy(md5(col("sp")).as("__graft_h"))
+      .groupBy(unhex(md5(col("sp"))).as("__graft_h"))
       .agg(min(col("sp")).as("span"),
         count(lit(1)).as("n_occurrences"),
         countDistinct(col("doc_id")).as("n_docs"))
@@ -1147,11 +1150,11 @@ object PipelineOps extends QueryModule {
     // spans appearing in >= 2 documents — the boilerplate/template
     // detector behind exact-substring dedup (headers, licence blocks,
     // navigation chrome dominate a web crawl). One explode + one
-    // partial-agg shuffle keyed by md5(span) — 16-byte keys cross the
-    // exchange, not raw span strings — with the distinct-doc count as a
-    // two-phase aggregate. The oracle groups by the IDENTICAL md5(span)
-    // (and tie-breaks the top-k on it), so the engines agree by
-    // construction even under hash collision.
+    // partial-agg shuffle keyed by unhex(md5(span)) — 16-byte binary
+    // keys cross the exchange, not raw span strings — with the
+    // distinct-doc count as a two-phase aggregate. The oracle groups by
+    // the IDENTICAL unhex(md5(span)) (and tie-breaks the top-k on it),
+    // so the engines agree by construction even under hash collision.
     Q(
       "q_repeated_spans",
       s"""WITH w AS (SELECT doc_id, $WordsSql AS ws FROM documents),
@@ -1159,9 +1162,9 @@ object PipelineOps extends QueryModule {
          |              unnest(list_transform(generate_series(1, len(ws) - ${SpanTokens - 1}),
          |                     i -> ${(0 until SpanTokens).map(j => if (j == 0) "ws[i]" else s"ws[i+$j]").mkString(" || ' ' || ")})) AS span
          |       FROM w WHERE len(ws) >= $SpanTokens),
-         |g AS (SELECT md5(span) AS h, MIN(span) AS span,
+         |g AS (SELECT unhex(md5(span)) AS h, MIN(span) AS span,
          |             COUNT(*) AS n_occurrences, COUNT(DISTINCT doc_id) AS n_docs
-         |      FROM sp GROUP BY md5(span)
+         |      FROM sp GROUP BY unhex(md5(span))
          |      HAVING COUNT(DISTINCT doc_id) >= 2)
          |SELECT span, n_occurrences, n_docs
          |FROM g ORDER BY n_occurrences DESC, h LIMIT 20"""

@@ -18,6 +18,16 @@ import org.apache.spark.sql.SparkSession
   * training operator (histogram build, cached-corpus assignment scans)
   * must run OUTSIDE the scope or be materialized before it — only the
   * bounded iteration state belongs in here.
+  *
+  * CONCURRENCY CAVEAT: `spark.conf.set` is session-wide, not
+  * query-scoped — an UNRELATED query planned on the same SparkSession
+  * while a training call is inside this scope would also get one
+  * reduce task and no AQE. Training operators (kmeans, semanticDedup,
+  * bpeMerges) therefore briefly mutate session state: callers running
+  * concurrent heavy queries on one session should serialize around
+  * training calls or give training its own session
+  * (`spark.newSession()` shares the catalog and cache but isolates
+  * confs).
   */
 object TinyLoop {
   def withModelStateConfs[T](spark: SparkSession)(body: => T): T = {

@@ -3,28 +3,25 @@ package graft
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-/** Pins the safety margin of semanticDedup's int8 prefilter: the
-  * within-cell pair join compares per-vector-scaled int8 quantizations
-  * at `threshold - slack`, and only float-rechecks the survivors — so
-  * the operator is exact ONLY while the quantized cosine never strays
-  * more than `slack` from the float cosine. This spec measures the
-  * actual quantization error over EVERY pair (not just within-cell) of
-  * the sf0.01 corpus and requires an order-of-magnitude headroom under
-  * the default slack, so a fixture change or a quantizer edit that eats
-  * the margin fails loudly here before it can silently drop a true
-  * duplicate pair at the verify gate.
+/** Pins the safety of semanticDedup's int8 prefilter: the within-cell
+  * pair join compares per-vector-scaled int8 quantizations at
+  * `threshold − max(slack, per-pair worst-case bound)` and only
+  * float-rechecks the survivors. The fixture tests measure the actual
+  * quantization error over EVERY pair of the sf0.01 corpus (order-of-
+  * magnitude headroom under the default slack — so the slack is the
+  * effective cutoff there), and the adversarial test drives a spiky
+  * high-error corpus through the OPERATOR and checks its decisions
+  * against a brute-force float computation — the adaptive margin must
+  * keep the prefilter exact even where a fixed slack would drop true
+  * duplicates.
   */
 class QuantizedPrefilterSpec extends SparkSpec {
 
   private val DefaultSlack = 0.08
 
-  private def int8(emb: Column): Column = {
-    val maxAbs = array_max(transform(emb, v => abs(v.cast("double"))))
-    when(maxAbs > 0.0,
-      transform(emb, v =>
-        round(v.cast("double") * lit(127.0) / maxAbs).cast("tinyint")))
-      .otherwise(transform(emb, v => lit(0).cast("tinyint")))
-  }
+  // the PRODUCTION quantizer — a local copy here would let a quantizer
+  // edit silently outrun the spec
+  private def int8(emb: Column): Column = graft.ops.MlOps.int8(emb)
 
   test("quantized cosine stays an order of magnitude inside the slack") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.01")
@@ -81,7 +78,48 @@ class QuantizedPrefilterSpec extends SparkSpec {
     assert(diff.isEmpty, "cosine_sim_i8 diverged from the cast spelling")
   }
 
-  test("zero vectors quantize to zeros and are never duplicates") {
+  test("adaptive margin: spiky high-error corpus decides exactly (vs brute-force float)") {
+    import spark.implicits._
+    // dim-128 spiky vectors: one dominant component + small noise, so
+    // ‖v‖ ≈ maxAbs and the per-vector error bound εv ≈ √128/254 ≈ 0.045
+    // — past any reading of the 0.08 slack once doubled per pair. k=1
+    // puts every pair in one cell, so brute-force float cosine over all
+    // pairs IS the expected answer.
+    val dim = 128
+    val rnd = new scala.util.Random(7)
+    def spiky(seed: Int): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      val v = Array.fill(dim)((r.nextDouble() * 0.004 - 0.002).toFloat)
+      v(seed % dim) = 1.0f
+      v
+    }
+    // pairs of neighbors built from shared spikes land near ±threshold;
+    // unrelated seeds land near 0
+    val vecs = (0 until 40).map { i =>
+      val base = spiky(i / 2) // consecutive ids share a spike direction
+      if (i % 2 == 1) base(rnd.nextInt(dim)) += 0.35f
+      (i.toLong, base)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = graft.GraftOps.semanticDedup(df, k = 1, iters = 1, threshold = 0.42)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- 0 until dim) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expected = vecs.map { case (id, v) =>
+      id -> (if (vecs.exists { case (j, w) => j < id && cos(w, v) >= 0.42 }) 1 else 0)
+    }.toMap
+    assert(got == expected,
+      s"operator decisions diverged from brute-force float: " +
+        s"${got.toSeq.sorted} vs ${expected.toSeq.sorted}")
+    assert(expected.values.sum > 0, "fixture produced no duplicates — test is vacuous")
+  }
+
+  test("zero vectors quantize to zeros (their NaN cosine marks dups consistently in both engines)") {
     import spark.implicits._
     val df = Seq(
       (1L, Array(0f, 0f, 0f)),

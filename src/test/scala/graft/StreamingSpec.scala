@@ -30,12 +30,16 @@ class StreamingSpec extends SparkSpec {
     val q = GraftOps.repetitionSignals(mem.toDF().toDF("doc_id", "text"))
       .writeStream.format("memory").queryName("rs_out")
       .outputMode(OutputMode.Append).start()
-    mem.addData((1L, "a a b"), (2L, "solo"))
+    mem.addData((1L, "a b a b"), (2L, "solo"))
     q.processAllAvailable()
     q.stop()
+    // doc 2 has one token: filtered out (needs >= 2 for a bigram); all
+    // four signal values of doc 1 pinned exactly (the fused native pass
+    // must match the hand computation: 4 tokens, top count 2, bigrams
+    // "a b"/"b a"/"a b" -> 2 distinct of 3, all words 1 char)
     val rows = spark.table("rs_out").orderBy("doc_id").collect()
-    assert(rows.map(_.getLong(0)).toSeq == Seq(1L))
-    assert(rows.head.getAs[Double]("dup_bigram_frac") == 0.0)
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    assert(rows.toSeq == Seq((1L, 4L, 0.5, 1.0 - 2.0 / 3.0, 1.0)))
   }
 
   test("chunking applies to a stream unchanged (chunkDocuments)") {
@@ -59,24 +63,6 @@ class StreamingSpec extends SparkSpec {
       (1L, 1L, 2L, 3L, "c d e"),
       (1L, 2L, 4L, 1L, "e"),
       (2L, 0L, 0L, 1L, "x")))
-  }
-
-  test("repetition signals apply to a stream unchanged (fused native pass)") {
-    implicit val sq = spark.sqlContext
-    // the fused RepetitionStats projection is fully narrow, so the same
-    // facade call that passes the batch oracle scores an unbounded
-    // stream — the shape of a streaming quality-filter stage
-    val mem = MemoryStream[(Long, String)]
-    val q = GraftOps.repetitionSignals(mem.toDF().toDF("doc_id", "text"))
-      .writeStream.format("memory").queryName("rep_out")
-      .outputMode(OutputMode.Append).start()
-    mem.addData((1L, "a b a b"), (2L, "x"))
-    q.processAllAvailable()
-    q.stop()
-    val rows = spark.table("rep_out").orderBy("doc_id").collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
-    // doc 2 has one token: filtered out (needs >= 2 for a bigram)
-    assert(rows.toSeq == Seq((1L, 4L, 0.5, 1.0 - 2.0 / 3.0, 1.0)))
   }
 
   test("tumblingAgg over a stream == same transform over the batch") {
