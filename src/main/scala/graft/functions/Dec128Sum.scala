@@ -72,14 +72,39 @@ object Dec128 {
   /** The canonical cast(double as decimal(38,10)) conversion —
     * BigDecimal.valueOf (shortest-repr, Spark's Cast semantics) then
     * setScale(10, HALF_UP) — straight to the checked unscaled long.
+    *
+    * Fast path (no BigDecimal): when |d| < 2^17 and r = rint(d·1e10)
+    * round-trips (r/1e10 == d, evaluated in double), the result is
+    * provably r. Proof sketch: the round-trip pins the 10-decimal grid
+    * point r·10^-10 within ulp(d)/2 of d, and the shortest decimal
+    * representation v_s of d (what valueOf renders) is also within
+    * ulp(d)/2 — so |v_s − r·10^-10| ≤ ulp(d) ≤ 2^(17-52) ≈ 1.5e-11,
+    * two orders under the 5e-11 HALF_UP tie radius of the 1e-10 grid.
+    * HALF_UP(v_s, 10) therefore lands on r, never a neighbor and never
+    * a tie. Values that fail either guard (large magnitudes, genuine
+    * >10-decimal doubles like price products) take the BigDecimal
+    * path; clean money-style columns skip it entirely.
+    * Dec128SumSpec cross-checks the two paths on millions of samples
+    * including tie-zone adversaries.
     */
   def unscaledFromDouble(d: Double): Long = {
     if (java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d))
       throw new ArithmeticException(
         s"Exact.dsum: non-finite value $d cannot be cast to decimal(38,10)")
+    if (d > -131072.0 && d < 131072.0) {
+      val r = Math.rint(d * 1e10)
+      if (r / 1e10 == d) return r.toLong
+    }
     checked(java.math.BigDecimal.valueOf(d)
       .setScale(10, java.math.RoundingMode.HALF_UP))
   }
+
+  /** The reference (BigDecimal-only) spelling of [[unscaledFromDouble]],
+    * exposed for the cross-check spec.
+    */
+  def unscaledFromDoubleReference(d: Double): Long =
+    checked(java.math.BigDecimal.valueOf(d)
+      .setScale(10, java.math.RoundingMode.HALF_UP))
 
   def toDecimal(hi: Long, lo: Long): Decimal =
     Decimal(new java.math.BigDecimal(

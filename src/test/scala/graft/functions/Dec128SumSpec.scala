@@ -63,6 +63,31 @@ class Dec128SumSpec extends SparkSpec {
     assert(msgs(e).exists(_.contains("Exact.dsum")), s"got: $e")
   }
 
+  test("unscaledFromDouble fast path == BigDecimal reference on millions of samples") {
+    val rnd = new scala.util.Random(42)
+    def check(d: Double): Unit =
+      assert(Dec128.unscaledFromDouble(d) == Dec128.unscaledFromDoubleReference(d),
+        s"fast path diverged for $d")
+    // clean k-decimal values across the fast-path magnitude range
+    for (_ <- 1 to 500000) {
+      val digits = rnd.nextInt(11)
+      val mag = math.pow(10.0, rnd.nextInt(6) - 1)
+      val v = math.rint(rnd.nextDouble() * mag * math.pow(10.0, digits)) /
+        math.pow(10.0, digits)
+      check(if (rnd.nextBoolean()) v else -v)
+    }
+    // full-precision doubles (fail the round-trip, exercise the handoff)
+    for (_ <- 1 to 500000) {
+      val v = (rnd.nextDouble() - 0.5) * math.pow(10.0, rnd.nextInt(9) - 3)
+      check(v)
+    }
+    // adversaries: magnitude-guard boundary, grid midpoints, tiny ulps
+    Seq(131071.9999999999, 131072.0000000001, 131072.5, -131071.5,
+      0.00000000005, 0.00000000015, 1.00000000005, 99999.99999999995,
+      65535.99999999995, 0.1 + 0.2, 1.0 / 3.0, math.Pi * 1e4,
+      4.9e-324, -4.9e-324, 0.0, -0.0).foreach(check)
+  }
+
   test("decimal-typed child (no double cast) also sums exactly") {
     val df = Seq("1.5", "2.25", "-0.75").toDF("s")
       .select(col("s").cast(dec).as("d"))
