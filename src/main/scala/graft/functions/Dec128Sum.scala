@@ -62,7 +62,7 @@ object Dec128 {
     throw new ArithmeticException(
       s"Exact.dsum: |value| = ${bd.abs} >= 1e8 exceeds the two-long " +
         "accumulator's per-value range; sum this column with " +
-        "org.apache.spark.sql.functions.sum over the decimal cast instead")
+        "Exact.dsumWide (the BigDecimal spelling, any magnitude) instead")
 
   /** Unscaled long of a decimal(38,10) value; fails loudly past the
     * per-value bound instead of returning a wrong sum.
@@ -78,8 +78,9 @@ object Dec128 {
     * provably r. Proof sketch: the round-trip pins the 10-decimal grid
     * point r·10^-10 within ulp(d)/2 of d, and the shortest decimal
     * representation v_s of d (what valueOf renders) is also within
-    * ulp(d)/2 — so |v_s − r·10^-10| ≤ ulp(d) ≤ 2^(17-52) ≈ 1.5e-11,
-    * two orders under the 5e-11 HALF_UP tie radius of the 1e-10 grid.
+    * ulp(d)/2 — so |v_s − r·10^-10| ≤ ulp(d) ≤ 2^(16−52) ≈ 1.5e-11
+    * (the largest ulp below 2^17 is that of [2^16, 2^17)), well under
+    * the 5e-11 HALF_UP tie radius of the 1e-10 grid.
     * HALF_UP(v_s, 10) therefore lands on r, never a neighbor and never
     * a tie. Values that fail either guard (large magnitudes, genuine
     * >10-decimal doubles like price products) take the BigDecimal

@@ -556,22 +556,27 @@ object MlOps extends QueryModule {
     // ADAPTIVE prefilter margin — rigorous for ANY corpus, not just the
     // fixture: per-component quantization error is ≤ maxAbs/254, so
     // each side's relative L2 error is bounded by
-    // εv = √dim·maxAbs/(254·‖v‖) (computed per VECTOR, two array folds
-    // in the quantize projection — never per pair), and a pair's cosine
-    // perturbation by the standard bound 2(εa+εb)/((1−εa)(1−εb)). The
-    // pair filter widens its cutoff to that bound whenever it exceeds
-    // `prefilterSlack`, so a high-dim or spiky-vector corpus (‖v‖ close
-    // to maxAbs, where εv grows toward √dim/254·‖v‖/‖v‖) makes the
-    // prefilter WEAKER (more float re-checks) instead of silently
-    // dropping true duplicates. εv ≥ 0.5 (or a zero vector, whose εv
-    // divides by zero to Infinity) disables the prefilter for that
-    // pair outright. On the fixture the bound evaluates to ≈ 0.075 —
-    // the measured error is 10× smaller (QuantizedPrefilterSpec), so
+    // εv = √dim·maxAbs/(254·‖v‖) (computed per VECTOR in the quantize
+    // projection — never per pair; maxAbs is spelled identically to
+    // [[int8]]'s so codegen subexpression elimination shares one
+    // evaluation), and a pair's cosine perturbation by the standard
+    // bound 2(εa+εb)/((1−εa)(1−εb)). The pair filter widens its cutoff
+    // to that bound whenever it exceeds `prefilterSlack`, so a high-dim
+    // or spiky-vector corpus (‖v‖ close to maxAbs) makes the prefilter
+    // WEAKER (more float re-checks) instead of silently dropping true
+    // duplicates. εv ≥ 0.5 disables the prefilter for that pair
+    // outright, and a zero vector takes εv = +Inf through the same
+    // branch (the norm division is guarded — Spark 4 runs ANSI by
+    // default, where a bare double division by zero THROWS rather than
+    // yielding Infinity). On the fixture the bound evaluates to ≈ 0.075
+    // — the measured error is 10× smaller (QuantizedPrefilterSpec), so
     // the default slack remains the effective cutoff there.
-    val dvec = transform(col("embedding"), v => v.cast("double"))
-    val maxAbs = array_max(transform(dvec, v => abs(v)))
-    val norm = sqrt(aggregate(transform(dvec, v => v * v), lit(0.0), (a, x) => a + x))
-    val eps = sqrt(size(col("embedding")).cast("double")) * maxAbs / 254.0 / norm
+    val maxAbs = array_max(transform(col("embedding"), v => abs(v.cast("double"))))
+    val norm = sqrt(aggregate(col("embedding"), lit(0.0),
+      (a, x) => a + x.cast("double") * x.cast("double")))
+    val eps = when(norm > 0.0,
+      sqrt(size(col("embedding")).cast("double")) * maxAbs / 254.0 / norm)
+      .otherwise(lit(Double.PositiveInfinity))
     val quant = withCell.select(col("vec_id"), col("cell"),
       int8(col("embedding")).as("qv"), eps.as("qeps"))
     // cosine_sim_i8 reads the tinyint arrays directly — bit-identical to

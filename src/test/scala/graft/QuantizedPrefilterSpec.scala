@@ -81,10 +81,13 @@ class QuantizedPrefilterSpec extends SparkSpec {
   test("adaptive margin: spiky high-error corpus decides exactly (vs brute-force float)") {
     import spark.implicits._
     // dim-128 spiky vectors: one dominant component + small noise, so
-    // ‖v‖ ≈ maxAbs and the per-vector error bound εv ≈ √128/254 ≈ 0.045
-    // — past any reading of the 0.08 slack once doubled per pair. k=1
-    // puts every pair in one cell, so brute-force float cosine over all
-    // pairs IS the expected answer.
+    // the per-vector error BOUND εv ≈ √128/254 ≈ 0.045 widens the
+    // margin past the fixed slack. (The pairs here are far from the
+    // threshold — this test pins end-to-end operator/brute-force
+    // equivalence on a moderately nasty corpus; the drop-band test
+    // below is the one that distinguishes adaptive from fixed-slack.)
+    // k=1 puts every pair in one cell, so brute-force float cosine over
+    // all pairs IS the expected answer.
     val dim = 128
     val rnd = new scala.util.Random(7)
     def spiky(seed: Int): Array[Float] = {
@@ -117,6 +120,58 @@ class QuantizedPrefilterSpec extends SparkSpec {
       s"operator decisions diverged from brute-force float: " +
         s"${got.toSeq.sorted} vs ${expected.toSeq.sorted}")
     assert(expected.values.sum > 0, "fixture produced no duplicates — test is vacuous")
+  }
+
+  test("adaptive margin keeps a pair the fixed slack would drop (quantized cos 0, float cos 0.43)") {
+    import spark.implicits._
+    // Engineered drop-band pair: two vectors whose ENTIRE shared mass
+    // lives in sub-quantum components (|s| < half a quantization step,
+    // so int8 wipes them to 0) plus one full-scale spike each in
+    // DIFFERENT dimensions. Quantized cosine is exactly 0 — far below
+    // threshold − slack = 0.34, so a fixed-slack prefilter silently
+    // drops the pair — while the float cosine is ≈ 0.43 ≥ threshold.
+    // The carried error bound εv ≈ 0.67 ≥ 0.5 disables the prefilter
+    // for the pair, the float re-check runs, and is_dup must be 1.
+    val n = 50652
+    val s = 0.49f
+    def vec(spikeDim: Int): Array[Float] = {
+      val v = Array.fill(n + 2)(s)
+      v(0) = 0f; v(1) = 0f; v(spikeDim) = 127f
+      v
+    }
+    val (a, b) = (vec(0), vec(1))
+    def cos(x: Array[Float], y: Array[Float]): Double = {
+      var d = 0.0; var nx = 0.0; var ny = 0.0
+      for (i <- x.indices) {
+        d += x(i).toDouble * y(i); nx += x(i).toDouble * x(i); ny += y(i).toDouble * y(i)
+      }
+      d / (math.sqrt(nx) * math.sqrt(ny))
+    }
+    val fcos = cos(a, b)
+    assert(fcos > 0.42 && fcos < 0.46, s"fixture drifted: float cos = $fcos")
+    // quantized: every s rounds to 0 (0.49 * 127/127 < 0.5), spikes in
+    // different dims -> quantized cosine exactly 0
+    val got = graft.GraftOps.semanticDedup(
+      Seq((0L, a), (1L, b)).toDF("vec_id", "embedding"),
+      k = 1, iters = 1, threshold = 0.42)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(got == Map(0L -> 0, 1L -> 1),
+      s"adaptive margin failed to keep the drop-band pair: $got")
+  }
+
+  test("semanticDedup survives a zero vector (NaN cosine marks it dup, no ANSI crash)") {
+    import spark.implicits._
+    // Spark 4 runs ANSI by default: an unguarded norm division would
+    // throw DIVIDE_BY_ZERO here. The zero vector's cosine with its
+    // cellmate is NaN, which BOTH engines compare greater than the
+    // threshold — consistently marked duplicate (degenerate input,
+    // documented on int8).
+    val df = Seq(
+      (0L, Array(1f, 2f, 3f)),
+      (1L, Array(0f, 0f, 0f))).toDF("vec_id", "embedding")
+    val got = graft.GraftOps.semanticDedup(df, k = 1, iters = 1, threshold = 0.42)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(got == Map(0L -> 0, 1L -> 1), s"zero-vector handling changed: $got")
   }
 
   test("zero vectors quantize to zeros (their NaN cosine marks dups consistently in both engines)") {
