@@ -347,4 +347,38 @@ object GraftOps {
     dedupExact(gated, "__graft_fp", idCol)
       .drop("__graft_fp", "__graft_stop")
   }
+
+  /** PII detection + redaction over `textCol`: adds per-row
+    * `n_emails`/`n_ips`/`n_phones` match counts and a `scrubbed` copy
+    * (emails → `[EMAIL]`, IPv4 → `[IP]`, phones → `[PHONE]`, fixed
+    * order). Fully narrow. Verified by `q_pii_scrub`.
+    */
+  def piiScrub(df: DataFrame, textCol: String = "text"): DataFrame =
+    ops.CurationOps.piiScrub(df, textCol)
+
+  /** Paragraph (line-level) dedup statistics per document — the
+    * CCNet/Dolma boilerplate-drop stage: (doc_id, n_lines, n_dup_lines,
+    * dup_frac, keep). One digest-keyed exchange (16-byte md5, line text
+    * never shuffles) + one doc-keyed aggregation. Verified by
+    * `q_line_dedup`.
+    */
+  def lineDupStats(
+      docs: DataFrame, lineTokens: Int = 3,
+      maxDupFrac: Double = 0.5): DataFrame =
+    ops.CurationOps.lineDupStats(docs, lineTokens, maxDupFrac)
+
+  /** Per-domain URL frequency over `textCol`: (domain, n_urls, n_docs)
+    * — the allowlist/blocklist table. Narrow explode + one domain-keyed
+    * aggregation. Verified by `q_url_extract`.
+    */
+  def urlDomains(df: DataFrame, textCol: String = "text"): DataFrame =
+    ops.CurationOps.urlDomains(df, textCol)
+
+  /** Hashed-feature linear quality classifier (fastText inference
+    * shape): per document (doc_id, n_words, wsum, score, prob, label).
+    * Exact integer weight sums, fully narrow. Verified by
+    * `q_quality_classifier`.
+    */
+  def hashedQuality(docs: DataFrame): DataFrame =
+    ops.CurationOps.hashedQuality(docs)
 }

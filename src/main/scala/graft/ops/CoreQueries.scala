@@ -21,5 +21,6 @@ object CoreQueries extends QueryModule {
       SecondPassOps.queries ++
       PipelineOps.queries ++
       GraphOps.queries ++
-      MlOps.queries
+      MlOps.queries ++
+      CurationOps.queries
 }

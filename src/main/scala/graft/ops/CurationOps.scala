@@ -1,0 +1,304 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{Q, QueryModule, Tables}
+
+/** Corpus-curation operators a production training-data pipeline runs
+  * between raw crawl and tokenizer: PII detection/redaction, paragraph
+  * (line-level) deduplication, URL canonicalization, and hashed-feature
+  * linear-model quality scoring (the fastText-classifier shape behind
+  * CCNet/RedPajama-style quality filters).
+  *
+  * The fixture corpus is a clean word soup (no emails/IPs/URLs — see
+  * TESTDATA.md), so the PII and URL queries derive their dirty column
+  * IN-PLAN from (doc_id, source, lang, n_chars) — the same
+  * deterministic-derivation pattern the OCR queries use to render
+  * images — and BOTH engines derive it with the identical expression,
+  * so the oracle checks the operator (regex detect/redact/extract),
+  * not the synthesis.
+  *
+  * Regex dialect parity (the [[TextOps.WsRe]] discipline): every
+  * pattern here restricts itself to the Java-regex ∩ RE2 common
+  * subset — explicit character classes, `\d`, `\b`, bounded
+  * repetition — so engine and oracle match identically on ANY input,
+  * not just the fixture.
+  *
+  * Scale shapes, in order: PII scrub / URL extract / quality scoring
+  * are fully narrow per-document passes (the only exchanges are the
+  * final presentation aggregations); line dedup is the one genuinely
+  * corpus-global operator — its exchange carries 16-byte md5 digests
+  * (the q_repeated_spans lesson, PipelineOps.scala:339), never line
+  * text.
+  */
+object CurationOps extends QueryModule {
+  import TextOps.{WordsSql, words}
+
+  // ------------------------------------------------------------------
+  // PII detection + redaction
+  // ------------------------------------------------------------------
+
+  /** Java-regex ∩ RE2 spellings; `\b`/`\d` are ASCII in both. */
+  val EmailRe = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+  val Ipv4Re = """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"""
+  val PhoneRe = """\b\d{3}-\d{4}\b"""
+
+  /** Adds per-row PII counts and a scrubbed copy of `textCol`:
+    * `n_emails`/`n_ips`/`n_phones` (match counts on the ORIGINAL text,
+    * so overlapping categories each see the raw string) and `scrubbed`
+    * (emails → `[EMAIL]`, then IPv4 → `[IP]`, then phones → `[PHONE]`,
+    * in that fixed order on both engines). Fully narrow — regex work
+    * rides whole-stage codegen inside the scan's project.
+    */
+  def piiScrub(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("n_emails", regexp_count(t, lit(EmailRe)))
+      .withColumn("n_ips", regexp_count(t, lit(Ipv4Re)))
+      .withColumn("n_phones", regexp_count(t, lit(PhoneRe)))
+      .withColumn("scrubbed",
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(t, EmailRe, "[EMAIL]"),
+            Ipv4Re, "[IP]"),
+          PhoneRe, "[PHONE]"))
+  }
+
+  /** The shared dirty-text derivation: one email, one IPv4, one phone
+    * per document, all deterministic in (doc_id, source, n_chars).
+    */
+  private def piiText: Column = concat(
+    col("text"),
+    lit(" contact user"), col("doc_id").cast("string"),
+    lit("@"), col("source"), lit(".org"),
+    lit(" ip 10."), (col("doc_id") % 256).cast("string"),
+    lit("."), (col("n_chars") % 256).cast("string"), lit(".7"),
+    lit(" call 555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+
+  // Single line: a multi-line constant interpolated into the outer
+  // query's stripMargin would lose the leading `|` of a `||` concat.
+  private val PiiTextSql =
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@' || source || '.org'" +
+      " || ' ip 10.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(n_chars % 256 AS VARCHAR) || '.7'" +
+      " || ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+
+  // ------------------------------------------------------------------
+  // Paragraph (line-level) dedup — the CCNet/Dolma curation stage
+  // ------------------------------------------------------------------
+
+  /** Per-document duplicated-line statistics: documents are segmented
+    * into consecutive `lineTokens`-token lines (the fixture has no
+    * newlines, so token windows stand in for paragraphs; a newline
+    * corpus would `split(text, '\n')` instead); a line is duplicated
+    * when its md5 occurs more than once ANYWHERE in the corpus.
+    * Output: (doc_id, n_lines, n_dup_lines, dup_frac, keep) with
+    * `keep = dup_frac <= maxDupFrac` — the drop rule CCNet applies to
+    * boilerplate-dominated pages.
+    *
+    * Scale: one exchange keyed by the 16-byte digest (line text never
+    * shuffles — the window reads it only pre-exchange), then one
+    * doc_id-keyed aggregation. The digest window is high-cardinality
+    * by construction (lines), never a low-cardinality window key.
+    */
+  def lineDupStats(
+      docs: DataFrame, lineTokens: Int = 3,
+      maxDupFrac: Double = 0.5): DataFrame = {
+    val ws = words(col("text"))
+    val k = ceil(size(ws) / lit(lineTokens.toDouble)) // LONG
+    val lines = docs
+      .filter(size(ws) >= 1)
+      .select(
+        col("doc_id"),
+        explode(transform(sequence(lit(0L), k - 1), i =>
+          concat_ws(" ",
+            slice(ws, (i * lineTokens + 1).cast("int"), lit(lineTokens)))))
+          .as("line"))
+    val cnt = count(lit(1)).over(Window.partitionBy(unhex(md5(col("line")))))
+    val dup = sum(when(col("cnt") > 1, 1L).otherwise(0L)).as("n_dup_lines")
+    lines
+      .select(col("doc_id"), cnt.as("cnt"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        dup,
+        Exact.round6(
+          sum(when(col("cnt") > 1, 1L).otherwise(0L)).cast("double") /
+            count(lit(1))).as("dup_frac"),
+        (sum(when(col("cnt") > 1, 1L).otherwise(0L)).cast("double") /
+          count(lit(1)) <= maxDupFrac).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  // ------------------------------------------------------------------
+  // URL extraction + domain canonicalization
+  // ------------------------------------------------------------------
+
+  val UrlRe = """https?://[A-Za-z0-9._/-]+"""
+  val DomainRe = """https?://([^/]+)"""
+
+  /** Per-domain URL frequency over `textCol`: extract every URL, cut
+    * its host, aggregate. The domain-frequency table every crawl
+    * pipeline builds for allowlist/blocklist decisions. Narrow explode
+    * + one domain-keyed aggregation (domains are the LOW-cardinality
+    * side — the aggregate, not a window).
+    */
+  def urlDomains(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.select(col("doc_id"),
+        explode(regexp_extract_all(col(textCol), lit(UrlRe), lit(0))).as("url"))
+      .select(col("doc_id"),
+        regexp_extract(col("url"), DomainRe, 1).as("domain"))
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_urls"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy("domain")
+
+  // ------------------------------------------------------------------
+  // Hashed-feature linear quality classifier (fastText shape)
+  // ------------------------------------------------------------------
+
+  /** Feature hashing dimension and the deterministic weight table
+    * `w[i] = ((i*37) % 21 - 10) / 10 ∈ [-1, 1]` — a fixed pseudo-random
+    * projection standing in for trained weights (the container has no
+    * model artifacts; the SHAPE — hash token, look up weight, average,
+    * squash — is exactly fastText inference, the classifier behind
+    * CCNet/RedPajama quality and language filters).
+    */
+  val HashDim = 64
+
+  /** Per-token integer weight in [-10, 10]: bucket = two md5 hex chars
+    * folded mod [[HashDim]]. INTEGER weights make the per-document sum
+    * order-independent (exact associative arithmetic), so the fold
+    * order of Spark's `aggregate` vs DuckDB's `list_sum` cannot
+    * diverge — the double division happens once, after the exact sum.
+    */
+  private def tokenWeight(t: Column): Column = {
+    val h = md5(t)
+    val bucket = (ascii(substring(h, 1, 1)) * 16 + ascii(substring(h, 2, 1))) % HashDim
+    (bucket * 37) % 21 - 10
+  }
+
+  /** Per-document hashed-linear-model score: exact integer weight sum,
+    * mean scaled to [-1, 1], sigmoid probability, boolean label. Fully
+    * narrow — one codegen pass per document, no exchange but the
+    * presentation sort. Output:
+    * (doc_id, n_words, wsum, score, prob, label).
+    */
+  def hashedQuality(docs: DataFrame): DataFrame = {
+    val ws = words(col("text"))
+    docs
+      .select(col("doc_id"),
+        size(ws).cast("long").as("n_words"),
+        aggregate(ws, lit(0L), (acc, t) => acc + tokenWeight(t).cast("long"))
+          .as("wsum"))
+      .filter(col("n_words") >= 1)
+      .withColumn("score",
+        Exact.round6(col("wsum").cast("double") / (lit(10.0) * col("n_words"))))
+      .withColumn("prob",
+        Exact.round6(lit(1.0) / (lit(1.0) + exp(-col("score")))))
+      .withColumn("label", col("prob") > 0.5)
+      .orderBy("doc_id")
+  }
+
+  // ------------------------------------------------------------------
+  // Registered queries
+  // ------------------------------------------------------------------
+
+  def queries: Seq[Q] = Seq(
+    // Per-source PII audit: how much PII does each source carry, and
+    // how many characters does scrubbing remove — the report a curation
+    // run emits before/after redaction.
+    Q(
+      "q_pii_scrub",
+      s"""WITH p AS (
+         |  SELECT doc_id, source, $PiiTextSql AS pii_text
+         |  FROM documents),
+         |s AS (
+         |  SELECT doc_id, source, pii_text,
+         |         len(regexp_extract_all(pii_text, '$EmailRe')) AS n_emails,
+         |         len(regexp_extract_all(pii_text, '$Ipv4Re')) AS n_ips,
+         |         len(regexp_extract_all(pii_text, '$PhoneRe')) AS n_phones,
+         |         regexp_replace(regexp_replace(regexp_replace(pii_text,
+         |           '$EmailRe', '[EMAIL]', 'g'),
+         |           '$Ipv4Re', '[IP]', 'g'),
+         |           '$PhoneRe', '[PHONE]', 'g') AS scrubbed
+         |  FROM p)
+         |SELECT source, COUNT(*) AS n_docs,
+         |       CAST(SUM(n_emails) AS BIGINT) AS n_emails,
+         |       CAST(SUM(n_ips) AS BIGINT) AS n_ips,
+         |       CAST(SUM(n_phones) AS BIGINT) AS n_phones,
+         |       CAST(SUM(length(pii_text) - length(scrubbed)) AS BIGINT) AS chars_redacted
+         |FROM s GROUP BY source ORDER BY source"""
+    ) { (s, d) =>
+      val dirty = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), piiText.as("pii_text"))
+      piiScrub(dirty, "pii_text")
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_emails")).cast("long").as("n_emails"),
+          sum(col("n_ips")).cast("long").as("n_ips"),
+          sum(col("n_phones")).cast("long").as("n_phones"),
+          sum(length(col("pii_text")) - length(col("scrubbed")))
+            .cast("long").as("chars_redacted"))
+        .orderBy("source")
+    },
+
+    // Paragraph-level dedup statistics + the CCNet drop rule.
+    Q(
+      "q_line_dedup",
+      s"""WITH w AS (SELECT doc_id, $WordsSql AS ws FROM documents
+         |           WHERE len($WordsSql) >= 1),
+         |l AS (SELECT doc_id,
+         |             unnest(list_transform(range(0, CAST(ceil(len(ws) / 3.0) AS INT)),
+         |                    i -> array_to_string(list_slice(ws, CAST(i*3+1 AS INT), CAST(i*3+3 AS INT)), ' '))) AS line
+         |      FROM w),
+         |c AS (SELECT doc_id, COUNT(*) OVER (PARTITION BY unhex(md5(line))) AS cnt FROM l)
+         |SELECT doc_id, COUNT(*) AS n_lines,
+         |       CAST(SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_lines,
+         |       floor(CAST(SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) * 1e6 + 0.5) / 1e6 AS dup_frac,
+         |       CAST(SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) <= 0.5 AS keep
+         |FROM c GROUP BY doc_id ORDER BY doc_id"""
+    ) { (s, d) => lineDupStats(Tables.documents(s, d)) },
+
+    // Domain-frequency table from in-text URLs.
+    Q(
+      "q_url_extract",
+      s"""WITH p AS (
+         |  SELECT doc_id,
+         |         text || ' see https://' || source || '.example.com/p/' || CAST(doc_id AS VARCHAR)
+         |              || ' or http://cdn-' || lang || '.example.net/asset/' || CAST(doc_id % 100 AS VARCHAR) AS utext
+         |  FROM documents),
+         |u AS (SELECT doc_id, unnest(regexp_extract_all(utext, '$UrlRe')) AS url FROM p)
+         |SELECT regexp_extract(url, '$DomainRe', 1) AS domain,
+         |       COUNT(*) AS n_urls, COUNT(DISTINCT doc_id) AS n_docs
+         |FROM u GROUP BY 1 ORDER BY domain"""
+    ) { (s, d) =>
+      val dirty = Tables.documents(s, d).select(col("doc_id"),
+        concat(col("text"),
+          lit(" see https://"), col("source"), lit(".example.com/p/"),
+          col("doc_id").cast("string"),
+          lit(" or http://cdn-"), col("lang"), lit(".example.net/asset/"),
+          (col("doc_id") % 100).cast("string")).as("utext"))
+      urlDomains(dirty, "utext")
+    },
+
+    // Hashed linear-model inference per document.
+    Q(
+      "q_quality_classifier",
+      s"""WITH w AS (SELECT doc_id, $WordsSql AS ws FROM documents),
+         |s AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+         |             CAST(list_sum(list_transform(ws,
+         |               t -> ((ascii(substr(md5(t),1,1)) * 16 + ascii(substr(md5(t),2,1))) % $HashDim * 37) % 21 - 10)) AS BIGINT) AS wsum
+         |      FROM w WHERE len(ws) >= 1),
+         |r AS (SELECT doc_id, n_words, wsum,
+         |             floor(CAST(wsum AS DOUBLE) / (10.0 * n_words) * 1e6 + 0.5) / 1e6 AS score
+         |      FROM s),
+         |q AS (SELECT doc_id, n_words, wsum, score,
+         |             floor(1.0 / (1.0 + exp(-score)) * 1e6 + 0.5) / 1e6 AS prob
+         |      FROM r)
+         |SELECT doc_id, n_words, wsum, score, prob, prob > 0.5 AS label
+         |FROM q ORDER BY doc_id"""
+    ) { (s, d) => hashedQuality(Tables.documents(s, d)) }
+  )
+}

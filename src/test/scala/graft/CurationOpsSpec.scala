@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Behavior pins for the curation operators (q_pii_scrub /
+  * q_line_dedup / q_url_extract / q_quality_classifier are the oracle
+  * gates; these tests pin the operator semantics on crafted inputs the
+  * fixture can't produce — overlapping PII, all-duplicate documents,
+  * URL edge shapes).
+  */
+class CurationOpsSpec extends SparkSpec {
+
+  test("piiScrub counts and redacts each category independently") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "mail a.b-c_9@sub.example.org and 10.0.255.7 then 555-0199 end"),
+      (2L, "no pii here at all"),
+      (3L, "two mails x@y.io z@w.co one ip 1.2.3.4")).toDF("doc_id", "text")
+    val got = GraftOps.piiScrub(df)
+      .select("doc_id", "n_emails", "n_ips", "n_phones", "scrubbed")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4)))).toMap
+    assert(got(1L) == ((1, 1, 1, "mail [EMAIL] and [IP] then [PHONE] end")))
+    assert(got(2L) == ((0, 0, 0, "no pii here at all")))
+    assert(got(3L) == ((2, 1, 0, "two mails [EMAIL] [EMAIL] one ip [IP]")))
+  }
+
+  test("piiScrub redaction order: emails win over their embedded dots/digits") {
+    import spark.implicits._
+    // the email's host "10.1.2.3.example.com" contains an IPv4-looking
+    // run; email redaction must consume the WHOLE address first, so no
+    // [IP] marker appears inside [EMAIL]
+    val df = Seq((1L, "x user@10.1.2.3.example.com y")).toDF("doc_id", "text")
+    val r = GraftOps.piiScrub(df).select("n_emails", "scrubbed").head
+    assert(r.getInt(0) == 1)
+    assert(r.getString(1) == "x [EMAIL] y", r.getString(1))
+  }
+
+  test("lineDupStats: all-duplicate doc dropped, unique doc kept, counts exact") {
+    import spark.implicits._
+    // docs 1 and 2 are identical 6-token texts -> every 3-token line of
+    // each occurs twice corpus-wide -> dup_frac 1.0, keep = false.
+    // doc 3 shares no line -> dup_frac 0.0, keep = true.
+    val df = Seq(
+      (1L, "a b c d e f"),
+      (2L, "a b c d e f"),
+      (3L, "g h i j k l")).toDF("doc_id", "text")
+    val got = GraftOps.lineDupStats(df)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(got(1L) == ((2L, 2L, 1.0, false)))
+    assert(got(2L) == ((2L, 2L, 1.0, false)))
+    assert(got(3L) == ((2L, 0L, 0.0, true)))
+  }
+
+  test("lineDupStats: a line duplicated WITHIN one document counts as duplicate") {
+    import spark.implicits._
+    val df = Seq((1L, "x y z x y z q r s")).toDF("doc_id", "text")
+    val r = GraftOps.lineDupStats(df).head
+    // lines: "x y z", "x y z", "q r s" -> 2 of 3 duplicated
+    assert((r.getLong(1), r.getLong(2), r.getBoolean(4)) == ((3L, 2L, false)))
+  }
+
+  test("lineDupStats: ragged tail line shorter than lineTokens still participates") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c d"), (2L, "d")).toDF("doc_id", "text")
+    // doc 1 lines: "a b c", "d"; doc 2 line: "d" -> "d" is duplicated
+    val got = GraftOps.lineDupStats(df)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got(1L) == ((2L, 1L)))
+    assert(got(2L) == ((1L, 1L)))
+  }
+
+  test("urlDomains cuts hosts and counts docs distinctly") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "see https://a.example.com/x/y and http://b.net/z"),
+      (2L, "again https://a.example.com/other plus https://a.example.com/more")).toDF("doc_id", "text")
+    val got = GraftOps.urlDomains(df)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(
+      "a.example.com" -> ((3L, 2L)),
+      "b.net" -> ((1L, 1L))))
+  }
+
+  test("hashedQuality is deterministic, bounded, and label == prob > 0.5") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "spark table join merge window"),
+      (2L, "the a of and to")).toDF("doc_id", "text")
+    val rows = GraftOps.hashedQuality(df).collect()
+    val again = GraftOps.hashedQuality(df).collect()
+    assert(rows.toSeq == again.toSeq, "not deterministic")
+    rows.foreach { r =>
+      val (n, wsum, score, prob, label) =
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getBoolean(5))
+      assert(math.abs(wsum) <= 10 * n, "per-token weight bound violated")
+      assert(score >= -1.0 && score <= 1.0)
+      assert(prob > 0.0 && prob < 1.0)
+      assert(label == (prob > 0.5))
+    }
+  }
+}

@@ -190,12 +190,42 @@ class PlanHygieneSpec extends SparkSpec {
   // A regression here — say a rewrite that sneaks in an explode+groupBy —
   // would turn a free-scaling map into a corpus-wide shuffle.
   test("repetition signals and hash sampling plan no hash shuffle") {
-    Seq("q_repetition_signals", "q_stratified_sample", "q_chunk_windows").foreach { name =>
+    Seq("q_repetition_signals", "q_stratified_sample", "q_chunk_windows",
+      "q_quality_classifier").foreach { name =>
       val plan = SparkEntry.queries(name)(spark, sfDir)
         .queryExecution.executedPlan.toString
       assert(!plan.contains("hashpartitioning"),
         s"$name: unexpected hash exchange in\n$plan")
     }
+  }
+
+  // Line dedup's corpus-global exchange must carry the 16-byte md5
+  // digest, never line text (the q_repeated_spans lesson): the window
+  // partitions on unhex(md5(line)), and column pruning must drop the
+  // line string BEFORE the exchange — its post-shuffle output is
+  // exactly (doc_id: long, digest: binary). AQE is disabled for the
+  // node walk (AdaptiveSparkPlanExec hides the exchange nodes).
+  test("q_line_dedup shuffles 16-byte digests, not line strings") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = SparkEntry.queries("q_line_dedup")(spark, sfDir)
+        .queryExecution.executedPlan
+      val hashEx = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+            if e.outputPartitioning.isInstanceOf[
+              org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] => e
+      }
+      assert(hashEx.nonEmpty, s"no hash exchange found:\n$plan")
+      hashEx.foreach { e =>
+        assert(!e.output.exists(_.name == "line"),
+          s"line text crosses the exchange: ${e.output.map(_.name)}\n$plan")
+      }
+      // the window exchange (the corpus-scale one; the other is the
+      // doc_id partial-agg) must key on the binary digest
+      assert(hashEx.exists(_.output.exists(
+        _.dataType == org.apache.spark.sql.types.BinaryType)),
+        s"digest key missing from every exchange:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
   // k-means assignment must be NARROW — with the literal-centroid
