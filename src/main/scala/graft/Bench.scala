@@ -22,7 +22,10 @@ object Bench {
     * q_ann_ivf_nprobe), and round 8 ADDED three (q_semantic_dedup,
     * q_chunk_windows, q_source_mix_weighted — same rationale: the
     * queries most recently written for scale are the ones the bench
-    * must watch) —
+    * must watch — and later three curation queries: q_pii_scrub (the
+    * regex-heaviest narrow pass), q_line_dedup (the digest-keyed
+    * corpus-global exchange), q_quality_classifier (hashed-feature
+    * scoring), and q_dsir_weights (histogram pass + narrow scoring)) —
     * compare totals per-query, not headline-sum to headline-sum.
     *
     * ROUND 8 ALSO CHANGED THE MEASURED ACTION from count() to a
@@ -47,6 +50,7 @@ object Bench {
     "q_repetition_signals", "q_seq_pack", "q_bigram_lm", "q_bpe_merges",
     "q_pipeline_e2e", "q_collocations", "q_source_mix", "q_repeated_spans",
     "q_source_mix_weighted", "q_chunk_windows",
+    "q_pii_scrub", "q_line_dedup", "q_quality_classifier", "q_dsir_weights",
     "q_dedup_exact", "q_dedup_minhash_pairs", "q_dedup_simhash",
     "q_dedup_corpus", "q_dedup_source_overlap", "q_oov_rate",
     "q_similarity_topk", "q_ann_lsh", "q_kmeans_embed", "q_ann_ivf_trained",

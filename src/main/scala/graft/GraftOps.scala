@@ -381,4 +381,16 @@ object GraftOps {
     */
   def hashedQuality(docs: DataFrame): DataFrame =
     ops.CurationOps.hashedQuality(docs)
+
+  /** DSIR-style hashed importance weighting for target-domain data
+    * selection: per document (doc_id, n_words, wsum, avg_ratio, keep),
+    * where `avg_ratio` is the mean hashed-unigram target/raw
+    * probability ratio and `keep` marks documents more target-like
+    * than average. One corpus histogram pass; the 64-bucket ratio
+    * table is collected model state baked into a literal (narrow
+    * scoring pass). Eager at construction. Verified by
+    * `q_dsir_weights`.
+    */
+  def dsirWeights(docs: DataFrame, targetSources: Seq[String]): DataFrame =
+    ops.CurationOps.dsirWeights(docs, targetSources)
 }

@@ -201,6 +201,72 @@ object CurationOps extends QueryModule {
   }
 
   // ------------------------------------------------------------------
+  // DSIR-style hashed importance weighting (target-domain selection)
+  // ------------------------------------------------------------------
+
+  /** Hashed importance weights for target-domain data selection — the
+    * DSIR shape (Xie et al. 2023, "Data Selection for Language Models
+    * via Importance Resampling"): estimate target and raw unigram
+    * distributions over HASHED features (the same [[HashDim]] md5
+    * buckets as [[hashedQuality]]), weight every document by its
+    * tokens' mean target/raw probability ratio, and keep documents
+    * that look more target-like than average — the step that tilts a
+    * web-scale crawl toward a curated domain (books, wiki, code).
+    *
+    * Exactness: the per-bucket ratio is computed ONCE, driver-side, in
+    * BigInt — `rint(b) = (ct(b)·Nr·1000) / (cr(b)·Nt)`, a milli-ratio
+    * — which matches DuckDB's HUGEINT `//` exactly at any magnitude;
+    * per-document sums are then exact associative integer sums on both
+    * engines (the [[hashedQuality]] discipline), and the only double
+    * appears in the final presentation division under `Exact.round6`.
+    *
+    * Scale: ONE corpus histogram pass (explode → [[HashDim]]-bucket
+    * partial agg, map-side combined so each map task emits ≤64 rows),
+    * then the 64-row table — MODEL STATE, the k-means-centroid policy —
+    * collects to the driver and bakes into a literal array: the scoring
+    * pass is a fully narrow projection with no join against the
+    * histogram at all. Like `bigramLogProb`, construction is eager
+    * (the model-state collect runs at call time), so this composes as
+    * a batch-corpus operator, not a lazily-planned view.
+    */
+  def dsirWeights(docs: DataFrame, targetSources: Seq[String]): DataFrame = {
+    require(targetSources.nonEmpty, "dsirWeights needs >= 1 target source")
+    val ws = words(col("text"))
+    def bucketOf(t: Column): Column = {
+      val h = md5(t)
+      (ascii(substring(h, 1, 1)) * 16 + ascii(substring(h, 2, 1))) % HashDim
+    }
+    val hist = docs
+      .select(col("source"), explode(ws).as("t"))
+      .select(bucketOf(col("t")).as("bkt"),
+        col("source").isInCollection(targetSources).as("is_tgt"))
+      .groupBy("bkt")
+      .agg(count(lit(1)).as("cr"),
+        sum(when(col("is_tgt"), 1L).otherwise(0L)).as("ct"))
+      .collect()
+    val nr = hist.map(_.getLong(1)).sum
+    val nt = hist.map(_.getLong(2)).sum
+    require(nt > 0,
+      s"dsirWeights: no tokens found in target sources $targetSources")
+    val rint = Array.fill(HashDim)(0L)
+    hist.foreach { r =>
+      val (b, cr, ct) = (r.getInt(0), r.getLong(1), r.getLong(2))
+      rint(b) = (BigInt(ct) * nr * 1000 / (BigInt(cr) * nt)).toLong
+    }
+    val rlit = array(rint.map(lit(_)).toIndexedSeq: _*)
+    docs
+      .select(col("doc_id"),
+        size(ws).cast("long").as("n_words"),
+        aggregate(ws, lit(0L),
+          (acc, t) => acc + element_at(rlit, bucketOf(t) + 1)).as("wsum"))
+      .filter(col("n_words") >= 1)
+      .withColumn("avg_ratio",
+        Exact.round6(col("wsum").cast("double") / (lit(1000.0) * col("n_words"))))
+      .withColumn("keep", col("wsum") >= lit(1000L) * col("n_words"))
+      .orderBy("doc_id")
+  }
+
+  // ------------------------------------------------------------------
   // Registered queries
   // ------------------------------------------------------------------
 
@@ -281,6 +347,31 @@ object CurationOps extends QueryModule {
           lit(" or http://cdn-"), col("lang"), lit(".example.net/asset/"),
           (col("doc_id") % 100).cast("string")).as("utext"))
       urlDomains(dirty, "utext")
+    },
+
+    // DSIR importance weighting: src0-src3 as the target domain.
+    {
+      val tgt = Seq("src0", "src1", "src2", "src3")
+      val tgtIn = tgt.map(s => s"'$s'").mkString("(", ", ", ")")
+      Q(
+        "q_dsir_weights",
+        s"""WITH w AS (SELECT doc_id, source, unnest($WordsSql) AS t FROM documents),
+           |b AS (SELECT doc_id, source,
+           |             (ascii(substr(md5(t),1,1)) * 16 + ascii(substr(md5(t),2,1))) % $HashDim AS bkt
+           |      FROM w),
+           |h AS (SELECT bkt, COUNT(*) AS cr,
+           |             SUM(CASE WHEN source IN $tgtIn THEN 1 ELSE 0 END) AS ct
+           |      FROM b GROUP BY bkt),
+           |tot AS (SELECT SUM(cr) AS nr, SUM(ct) AS nt FROM h),
+           |r AS (SELECT bkt, (ct * nr * 1000) // (cr * nt) AS rint FROM h, tot),
+           |s AS (SELECT doc_id, COUNT(*) AS n_words, SUM(rint) AS wsum
+           |      FROM b JOIN r USING (bkt) GROUP BY doc_id)
+           |SELECT doc_id, n_words,
+           |       CAST(wsum AS BIGINT) AS wsum,
+           |       floor(CAST(wsum AS DOUBLE) / (1000.0 * n_words) * 1e6 + 0.5) / 1e6 AS avg_ratio,
+           |       wsum >= 1000 * n_words AS keep
+           |FROM s ORDER BY doc_id"""
+      ) { (s, d) => dsirWeights(Tables.documents(s, d), tgt) }
     },
 
     // Hashed linear-model inference per document.

@@ -83,6 +83,46 @@ class CurationOpsSpec extends SparkSpec {
       "b.net" -> ((1L, 1L))))
   }
 
+  test("dsirWeights: target-exclusive tokens score high, raw-only score zero") {
+    import spark.implicits._
+    // "a" (bucket 35) appears only in the target source, "b" (bucket 2)
+    // only outside it; with Nr=4, Nt=2: rint(a)=2*4*1000/(2*2)=2000,
+    // rint(b)=0 — so the target doc averages ratio 2.0 and is kept, the
+    // raw doc averages 0.0 and is dropped.
+    val df = Seq(
+      (1L, "tgt", "a a"),
+      (2L, "web", "b b")).toDF("doc_id", "source", "text")
+    val got = GraftOps.dsirWeights(df, Seq("tgt"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(got(1L) == ((2L, 4000L, 2.0, true)))
+    assert(got(2L) == ((2L, 0L, 0.0, false)))
+  }
+
+  test("dsirWeights: a raw-source doc made of target-like tokens is kept") {
+    import spark.implicits._
+    // DSIR selects by CONTENT, not by source label: doc 3 lives in the
+    // raw source but speaks the target vocabulary, so it must be kept.
+    val df = Seq(
+      (1L, "tgt", "alpha beta alpha"),
+      (2L, "web", "gamma delta gamma delta"),
+      (3L, "web", "alpha beta")).toDF("doc_id", "source", "text")
+    val got = GraftOps.dsirWeights(df, Seq("tgt"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    assert(got(1L) && got(3L) && !got(2L), got.toString)
+  }
+
+  test("dsirWeights rejects an empty target and a target with no tokens") {
+    import spark.implicits._
+    val df = Seq((1L, "web", "x y")).toDF("doc_id", "source", "text")
+    intercept[IllegalArgumentException] {
+      GraftOps.dsirWeights(df, Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      GraftOps.dsirWeights(df, Seq("nosuch"))
+    }
+  }
+
   test("hashedQuality is deterministic, bounded, and label == prob > 0.5") {
     import spark.implicits._
     val df = Seq(

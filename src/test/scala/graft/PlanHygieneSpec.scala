@@ -190,8 +190,11 @@ class PlanHygieneSpec extends SparkSpec {
   // A regression here — say a rewrite that sneaks in an explode+groupBy —
   // would turn a free-scaling map into a corpus-wide shuffle.
   test("repetition signals and hash sampling plan no hash shuffle") {
+    // q_dsir_weights qualifies because its histogram pass runs eagerly
+    // at construction (collected model state); the RETURNED scoring
+    // plan is a pure narrow projection over the literal ratio table.
     Seq("q_repetition_signals", "q_stratified_sample", "q_chunk_windows",
-      "q_quality_classifier").foreach { name =>
+      "q_quality_classifier", "q_dsir_weights").foreach { name =>
       val plan = SparkEntry.queries(name)(spark, sfDir)
         .queryExecution.executedPlan.toString
       assert(!plan.contains("hashpartitioning"),
