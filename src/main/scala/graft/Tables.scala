@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Readers for the driver's parquet tables (TESTDATA.md).
   *
@@ -22,18 +22,27 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = apply(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = apply(s, d, "lineitem")
-  /** `events.ts` is ns-precision parquet (FIXTURES.md), which Spark 4
-    * refuses to read as a timestamp (PARQUET_TYPE_ILLEGAL). Sessions set
-    * `spark.sql.legacy.parquet.nanosAsLong=true`, so the column arrives as
-    * LONG nanoseconds; convert here to a µs TimestampType by integer
-    * division (truncation — same as DuckDB's TIMESTAMP_NS → TIMESTAMP
-    * cast, so oracle comparisons line up).
+  /** `events.ts` normalization — every downstream query assumes a plain
+    * (UTC-instant) TimestampType:
+    *
+    *  - ns-precision parquet (FIXTURES.md) Spark 4 refuses to read as a
+    *    timestamp (PARQUET_TYPE_ILLEGAL). Sessions set
+    *    `spark.sql.legacy.parquet.nanosAsLong=true`, so the column arrives
+    *    as LONG nanoseconds; convert by integer division (truncation —
+    *    same as DuckDB's TIMESTAMP_NS → TIMESTAMP cast).
+    *  - µs parquet with isAdjustedToUTC=false arrives as TIMESTAMP_NTZ
+    *    (Spark's NTZ inference), which `unix_micros` et al. reject; cast
+    *    to TimestampType. Every session pins
+    *    `spark.sql.session.timeZone=UTC`, so the NTZ wall-clock maps to
+    *    the same instant DuckDB's naive-as-UTC `epoch_us` computes.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     val df = apply(s, d, "events")
-    if (df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
