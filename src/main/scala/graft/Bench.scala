@@ -25,7 +25,11 @@ object Bench {
     * must watch — and later three curation queries: q_pii_scrub (the
     * regex-heaviest narrow pass), q_line_dedup (the digest-keyed
     * corpus-global exchange), q_quality_classifier (hashed-feature
-    * scoring), and q_dsir_weights (histogram pass + narrow scoring)) —
+    * scoring), and q_dsir_weights (histogram pass + narrow scoring)),
+    * then four filter/rewrite queries: q_gopher_rules + q_c4_clean
+    * (narrow rule batteries), q_boilerplate_strip (digest-keyed
+    * frequency exchange + one-agg rebuild), q_perplexity_filter
+    * (bigram LM + two-phase decile) —
     * compare totals per-query, not headline-sum to headline-sum.
     *
     * ROUND 8 ALSO CHANGED THE MEASURED ACTION from count() to a
@@ -51,6 +55,8 @@ object Bench {
     "q_pipeline_e2e", "q_collocations", "q_source_mix", "q_repeated_spans",
     "q_source_mix_weighted", "q_chunk_windows",
     "q_pii_scrub", "q_line_dedup", "q_quality_classifier", "q_dsir_weights",
+    "q_gopher_rules", "q_c4_clean", "q_boilerplate_strip",
+    "q_perplexity_filter",
     "q_dedup_exact", "q_dedup_minhash_pairs", "q_dedup_simhash",
     "q_dedup_corpus", "q_dedup_source_overlap", "q_oov_rate",
     "q_similarity_topk", "q_ann_lsh", "q_kmeans_embed", "q_ann_ivf_trained",

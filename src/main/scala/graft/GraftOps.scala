@@ -393,4 +393,44 @@ object GraftOps {
     */
   def dsirWeights(docs: DataFrame, targetSources: Seq[String]): DataFrame =
     ops.CurationOps.dsirWeights(docs, targetSources)
+
+  /** Gopher quality-rule battery (Rae et al. 2021 §A1.1) over a text
+    * column: word-count bounds, mean word length, alphabetic-word
+    * ratio, required stopwords, symbol ratio, bullet/ellipsis line
+    * ratios — every rule an exact integer comparison, raw counts kept
+    * in the output. Fully narrow. Verified by `q_gopher_rules`.
+    */
+  def gopherRules(
+      df: DataFrame, textCol: String = "text",
+      minWords: Long = 50, maxWords: Long = 100000): DataFrame =
+    ops.FilterOps.gopherRules(df, textCol, minWords, maxWords)
+
+  /** C4-style line cleaning (Raffel et al. 2020 §2.2): keep lines
+    * ending in terminal punctuation with >= `minLineWords` words; flag
+    * documents with code braces or placeholder text. Output: (doc_id,
+    * n_lines, n_kept, kept_frac, keep, cleaned). Fully narrow.
+    * Verified by `q_c4_clean`.
+    */
+  def c4Clean(
+      df: DataFrame, textCol: String = "text",
+      minLineWords: Int = 3): DataFrame =
+    ops.FilterOps.c4Clean(df, textCol, minLineWords)
+
+  /** Corpus-frequency boilerplate stripping: remove every line
+    * occurring in >= `minDocs` distinct documents and rebuild each
+    * document in order. Digest-keyed frequency exchange (16 bytes),
+    * size-honest broadcast flag join, one doc-keyed rebuild
+    * aggregation. Verified by `q_boilerplate_strip`.
+    */
+  def boilerplateStrip(
+      docs: DataFrame, lineTokens: Int = 4, minDocs: Int = 2): DataFrame =
+    ops.FilterOps.boilerplateStrip(docs, lineTokens, minDocs)
+
+  /** CCNet perplexity gate: bigram-LM score per document, two-phase
+    * decile, keep documents at or above `keepFromDecile`. Output:
+    * (doc_id, n_bigrams, avg_logprob, decile, keep). Inherits
+    * [[bigramLogProb]] eagerness. Verified by `q_perplexity_filter`.
+    */
+  def perplexityFilter(docs: DataFrame, keepFromDecile: Int = 4): DataFrame =
+    ops.FilterOps.perplexityFilter(docs, keepFromDecile)
 }

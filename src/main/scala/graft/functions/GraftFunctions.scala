@@ -48,6 +48,28 @@ object GraftFunctions {
   def simhash64(c: Column): Column =
     GraftBridge.column(SimHash64(GraftBridge.expression(c)))
 
+  /** Native fused Gopher rule counters over a line-structured text
+    * -> struct<n_words, n_lines, sum_wlen, n_alpha, n_stop, n_hash,
+    * n_dots, n_bullet, n_ell> (all bigint).
+    */
+  def gopher_stats(c: Column): Column =
+    GraftBridge.column(GopherStats(GraftBridge.expression(c)))
+
+  /** Native fused C4 line filter -> struct<n_lines, n_kept, cleaned>. */
+  def c4_stats(c: Column, minWords: Int): Column =
+    GraftBridge.column(C4Stats(GraftBridge.expression(c), minWords))
+
+  /** Native nTok-token consecutive line windows -> array<string>. */
+  def token_lines(c: Column, nTok: Int): Column =
+    GraftBridge.column(TokenLines(GraftBridge.expression(c), nTok))
+
+  /** Native derived-line builder: nTok-token lines + deterministic
+    * terminal-punctuation suffix keyed on (doc_id, line index).
+    */
+  def suffix_lines(text: Column, docId: Column, nTok: Int): Column =
+    GraftBridge.column(SuffixLines(
+      GraftBridge.expression(text), GraftBridge.expression(docId), nTok))
+
   /** Bounded-buffer histogram aggregate over [lo, hi) with n buckets. */
   def histogram(c: Column, lo: Double, hi: Double, n: Int): Column =
     GraftBridge.column(
@@ -70,6 +92,50 @@ object GraftFunctions {
       "graft_simhash64", exprs => SimHash64(exprs.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_words", exprs => Words(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_gopher_stats", exprs => GopherStats(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_token_lines", exprs => {
+        require(exprs.length == 2,
+          "graft_token_lines(text, n_tok) expects exactly 2 arguments")
+        require(exprs(1).resolved && exprs(1).foldable && {
+          import org.apache.spark.sql.types._
+          Seq(ByteType, ShortType, IntegerType, LongType)
+            .contains(exprs(1).dataType)
+        }, "graft_token_lines n_tok must be a literal integer")
+        val nt = exprs(1).eval()
+        require(nt != null, "graft_token_lines n_tok must be a non-null literal integer")
+        TokenLines(exprs(0), nt.asInstanceOf[Number].intValue())
+      },
+      "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_c4_stats", exprs => {
+        require(exprs.length == 2,
+          "graft_c4_stats(text, min_words) expects exactly 2 arguments")
+        require(exprs(1).resolved && exprs(1).foldable && {
+          import org.apache.spark.sql.types._
+          Seq(ByteType, ShortType, IntegerType, LongType)
+            .contains(exprs(1).dataType)
+        }, "graft_c4_stats min_words must be a literal integer")
+        val mw = exprs(1).eval()
+        require(mw != null, "graft_c4_stats min_words must be a non-null literal integer")
+        C4Stats(exprs(0), mw.asInstanceOf[Number].intValue())
+      },
+      "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_suffix_lines", exprs => {
+        require(exprs.length == 3,
+          "graft_suffix_lines(text, doc_id, n_tok) expects exactly 3 arguments")
+        require(exprs(2).resolved && exprs(2).foldable && {
+          import org.apache.spark.sql.types._
+          Seq(ByteType, ShortType, IntegerType, LongType)
+            .contains(exprs(2).dataType)
+        }, "graft_suffix_lines n_tok must be a literal integer")
+        val nt = exprs(2).eval()
+        require(nt != null, "graft_suffix_lines n_tok must be a non-null literal integer")
+        SuffixLines(exprs(0), exprs(1), nt.asInstanceOf[Number].intValue())
+      },
+      "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_shingles", exprs => {
         // fail with a contract-naming message instead of a bare

@@ -22,5 +22,6 @@ object CoreQueries extends QueryModule {
       PipelineOps.queries ++
       GraphOps.queries ++
       MlOps.queries ++
-      CurationOps.queries
+      CurationOps.queries ++
+      FilterOps.queries
 }

@@ -104,16 +104,14 @@ object CurationOps extends QueryModule {
   def lineDupStats(
       docs: DataFrame, lineTokens: Int = 3,
       maxDupFrac: Double = 0.5): DataFrame = {
-    val ws = words(col("text"))
-    val k = ceil(size(ws) / lit(lineTokens.toDouble)) // LONG
+    // line segmentation via the fused TokenLines codegen pass (the
+    // transform/slice lambda chain this replaces ran interpreted)
     val lines = docs
-      .filter(size(ws) >= 1)
+      .filter(TextOps.wordCount(col("text")) >= 1)
       .select(
         col("doc_id"),
-        explode(transform(sequence(lit(0L), k - 1), i =>
-          concat_ws(" ",
-            slice(ws, (i * lineTokens + 1).cast("int"), lit(lineTokens)))))
-          .as("line"))
+        explode(graft.functions.GraftFunctions.token_lines(
+          col("text"), lineTokens)).as("line"))
     val cnt = count(lit(1)).over(Window.partitionBy(unhex(md5(col("line")))))
     val dup = sum(when(col("cnt") > 1, 1L).otherwise(0L)).as("n_dup_lines")
     lines

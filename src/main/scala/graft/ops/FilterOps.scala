@@ -1,0 +1,408 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{Q, QueryModule, Tables}
+
+/** Rule-based document filtering and corpus-level text rewriting — the
+  * classic pretraining-curation batteries:
+  *
+  *  - Gopher quality rules (Rae et al. 2021 §A1.1): the word/line-ratio
+  *    rule list (word-count bounds, mean word length, alphabetic-word
+  *    ratio, required stopwords, symbol ratio, bullet/ellipsis line
+  *    ratios) every web-scale pipeline screens with before anything
+  *    model-based runs.
+  *  - C4-style line cleaning (Raffel et al. 2020 §2.2): keep only lines
+  *    that end in terminal punctuation and carry >= 3 words; flag
+  *    documents with code braces or placeholder text.
+  *  - Boilerplate stripping: lines whose content recurs across >=
+  *    `minDocs` distinct documents (headers, footers, nav chrome) are
+  *    removed corpus-wide and the documents rebuilt — the CCNet
+  *    paragraph-frequency discipline, here at line granularity.
+  *  - Perplexity-gated filtering (CCNet, Wenzek et al. 2020): score
+  *    every document with the corpus bigram LM ([[PipelineOps
+  *    .bigramLogProb]]), decile the scores two-phase (no single-task
+  *    window), keep everything above the worst deciles.
+  *
+  * The fixture corpus is a newline-free word soup (TESTDATA.md), so the
+  * line-structured input is DERIVED in-plan — 4-token lines, a
+  * deterministic terminal-punctuation suffix keyed on (doc_id, line) —
+  * by the IDENTICAL expression on both engines (the q_pii_scrub
+  * dirty-column pattern, CurationOps.scala:68): the oracle checks the
+  * operators, not the synthesis. Every rule compares in exact integer
+  * arithmetic (`3·n <= sum && sum <= 10·n`, never `avg ∈ [3,10]` in
+  * doubles), so no rounding policy is even needed on the rule path.
+  *
+  * Scale shapes: Gopher rules and C4 cleaning are fully narrow
+  * single-pass projections (regex + list work inside whole-stage
+  * codegen; the only exchange is the presentation sort). Boilerplate
+  * stripping exchanges (digest, doc_id) pairs for the frequency table —
+  * 16-byte keys, the q_repeated_spans discipline — then rebuilds with
+  * one doc_id-keyed aggregation carrying the kept corpus once (the
+  * honest floor for any corpus rewrite); the tiny frequent-line table
+  * joins back as a broadcast anti-join. Perplexity gating rides the
+  * bigram LM's shapes plus the two-phase decile recipe
+  * ([[PipelineOps.valueDeciles]]) — partial ranks inside value buckets,
+  * bucket offsets broadcast back, nothing funnels through one task.
+  */
+object FilterOps extends QueryModule {
+  import TextOps.{words, WordsSql, WsReDuck}
+
+  // ------------------------------------------------------------------
+  // Shared derived line structure (fixture has no newlines)
+  // ------------------------------------------------------------------
+
+  private val LineTok = 4
+
+  /** 4-token lines joined by '\n'; line i gets suffix '' / '.' / '!' by
+    * (doc_id + i) % 3 — deterministic, identical on both engines. One
+    * fused tokenize + build pass ([[graft.functions.SuffixLines]]; the
+    * transform/slice/concat lambda chain this replaces was the larger
+    * half of the rule queries' runtime, and builtin parity is
+    * property-checked in FilterExprsSpec).
+    */
+  private def ltextCol: Column =
+    graft.functions.GraftFunctions.suffix_lines(
+      col("text"), col("doc_id"), LineTok)
+
+  /** DuckDB spelling of [[ltextCol]] over a CTE exposing (doc_id, ws).
+    * Single line on purpose: interpolated into stripMargin oracles, a
+    * continuation line starting with `||` would lose its first `|`
+    * (the CurationOps.PiiTextSql lesson).
+    */
+  private val LtextSql: String =
+    s"array_to_string(list_transform(range(0, CAST(ceil(len(ws) / $LineTok.0) AS INT)), " +
+      s"i -> array_to_string(list_slice(ws, CAST(i*$LineTok+1 AS INT), CAST(i*$LineTok+$LineTok AS INT)), ' ') " +
+      s"|| (['', '.', '!'])[CAST((doc_id + i) % 3 AS INT) + 1]), chr(10))"
+
+  /** Oracle-side tokenizer over an arbitrary string expression. */
+  private def wordsSqlOf(e: String): String =
+    s"list_filter(regexp_split_to_array($e, '$WsReDuck'), x -> x <> '')"
+
+  /** The derived line-structured input for the narrow rule queries,
+    * range-exchanged on doc_id BEFORE any heavy work: the operators end
+    * with a global `orderBy("doc_id")`, and a range sort over a
+    * corpus-scale narrow pipeline re-executes the whole pipeline in the
+    * boundary-sampling pass (the measured 2x on q_gopher_rules /
+    * q_c4_clean). Exchanging the raw (doc_id, text) rows first means
+    * the sampler reads only the scan, the ltext derivation + rule
+    * battery run exactly once post-exchange, and the final sort is a
+    * LOCAL sort — RangePartitioning(doc_id) already satisfies the
+    * orderBy's distribution, so no second exchange forms.
+    */
+  private def derivedLines(docs: DataFrame): DataFrame =
+    docs
+      .repartitionByRange(col("doc_id"))
+      .filter(TextOps.wordCount(col("text")) >= 1)
+      .select(col("doc_id"), ltextCol.as("ltext"))
+
+  // ------------------------------------------------------------------
+  // Gopher quality rules
+  // ------------------------------------------------------------------
+
+  /** Per-document Gopher rule battery over `textCol` (line rules split
+    * on '\n'). Every rule is an exact integer comparison; output keeps
+    * the raw counts so downstream thresholds can be re-derived without
+    * a second corpus pass. Fully narrow: all nine counters come from
+    * ONE fused codegen pass ([[graft.functions.GopherStats]] — the
+    * builtins spelling is ~10 interpreted lambda passes per document;
+    * builtin parity is property-checked in FilterExprsSpec), and
+    * codegen subexpression elimination dedups the struct-field reads.
+    */
+  def gopherRules(
+      df: DataFrame, textCol: String = "text",
+      minWords: Long = 50, maxWords: Long = 100000): DataFrame = {
+    val st = graft.functions.GraftFunctions.gopher_stats(col(textCol))
+    df.select(
+        col("doc_id"),
+        st.getField("n_words").as("n_words"),
+        st.getField("n_lines").as("n_lines"),
+        st.getField("sum_wlen").as("sum_wlen"),
+        st.getField("n_alpha").as("n_alpha"),
+        st.getField("n_stop").as("n_stop"),
+        st.getField("n_hash").as("n_hash"),
+        st.getField("n_dots").as("n_dots"),
+        st.getField("n_bullet").as("n_bullet"),
+        st.getField("n_ell").as("n_ell"))
+      .withColumn("r_words",
+        col("n_words") >= minWords && col("n_words") <= maxWords)
+      .withColumn("r_wlen",
+        lit(3L) * col("n_words") <= col("sum_wlen") &&
+          col("sum_wlen") <= lit(10L) * col("n_words"))
+      .withColumn("r_alpha", lit(5L) * col("n_alpha") > lit(4L) * col("n_words"))
+      .withColumn("r_stop", col("n_stop") >= 2L)
+      .withColumn("r_sym",
+        lit(10L) * (col("n_hash") + col("n_dots")) < col("n_words"))
+      .withColumn("r_bullet", lit(10L) * col("n_bullet") <= lit(9L) * col("n_lines"))
+      .withColumn("r_ell", lit(10L) * col("n_ell") <= lit(3L) * col("n_lines"))
+      .withColumn("keep",
+        col("r_words") && col("r_wlen") && col("r_alpha") && col("r_stop") &&
+          col("r_sym") && col("r_bullet") && col("r_ell"))
+      .orderBy("doc_id")
+  }
+
+  // ------------------------------------------------------------------
+  // C4-style line cleaning
+  // ------------------------------------------------------------------
+
+  /** C4 line filter over `textCol`: keep lines ending in terminal
+    * punctuation with >= `minLineWords` words; document-level flags for
+    * code braces and placeholder text. Output carries the cleaned text
+    * (kept lines re-joined) plus counts. Fully narrow.
+    */
+  def c4Clean(
+      df: DataFrame, textCol: String = "text",
+      minLineWords: Int = 3): DataFrame = {
+    val t = col(textCol)
+    // line filter + rebuild fused into one codegen pass (the builtins
+    // spelling re-tokenizes every line through interpreted lambdas);
+    // builtin parity property-checked in FilterExprsSpec
+    val st = graft.functions.GraftFunctions.c4_stats(t, minLineWords)
+    df.select(
+        col("doc_id"),
+        st.getField("n_lines").as("n_lines"),
+        st.getField("n_kept").as("n_kept"),
+        (!t.contains("{") && !lower(t).contains("lorem ipsum")).as("doc_ok"),
+        st.getField("cleaned").as("cleaned"))
+      .withColumn("kept_frac",
+        Exact.round6(col("n_kept").cast("double") / col("n_lines")))
+      .withColumn("keep", col("doc_ok") && col("n_kept") >= 1L)
+      .select("doc_id", "n_lines", "n_kept", "kept_frac", "keep", "cleaned")
+      .orderBy("doc_id")
+  }
+
+  // ------------------------------------------------------------------
+  // Corpus-frequency boilerplate stripping
+  // ------------------------------------------------------------------
+
+  /** Remove every line whose content occurs in >= `minDocs` DISTINCT
+    * documents anywhere in the corpus, and rebuild each document from
+    * its surviving lines in order. Lines are `lineTokens`-token windows
+    * (the [[CurationOps.lineDupStats]] segmentation; a newline corpus
+    * would split instead). Output: (doc_id, n_lines, n_boiler, cleaned)
+    * — a fully-stripped document survives with cleaned = ''.
+    *
+    * Scale: the frequency table exchanges (16-byte digest, doc_id)
+    * pairs only and aggregates to the small frequent-line set, which
+    * joins back as an unhinted (size-honest) broadcast flag join; then
+    * ONE doc_id-keyed aggregation computes totals and rebuild together
+    * — `collect_list(when(kept, …))` skips boiler lines — so no
+    * corpus-sized join ever forms and the corpus crosses exactly one
+    * exchange, the honest floor for a rewrite that must reorder lines
+    * per document. A fully-stripped document stays in the output with
+    * cleaned = '' (the aggregation sees all its lines, so no outer
+    * join is needed to resurrect it).
+    */
+  def boilerplateStrip(
+      docs: DataFrame, lineTokens: Int = LineTok,
+      minDocs: Int = 2): DataFrame = {
+    // Explode + digest ONCE and cut lineage: the line table feeds both
+    // the frequency aggregation and the flag-join left side — without
+    // the checkpoint each consumer re-runs the corpus scan + explode
+    // (the bigramLogProb "tokenize once, reuse" discipline,
+    // PipelineOps.scala:176). Eager at construction, like its peers.
+    // Line segmentation is the fused TokenLines pass (one tokenize +
+    // build inside codegen, not the transform/slice lambda chain).
+    val lines = docs
+      .filter(TextOps.wordCount(col("text")) >= 1)
+      .select(
+        col("doc_id"),
+        posexplode(graft.functions.GraftFunctions.token_lines(
+          col("text"), lineTokens)))
+      .toDF("doc_id", "pos", "line")
+      .withColumn("dg", unhex(md5(col("line"))))
+      .localCheckpoint()
+    val boiler = lines
+      .groupBy("dg")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("dg"), lit(true).as("is_boiler"))
+    lines
+      .join(boiler, Seq("dg"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("is_boiler"), 1L).otherwise(0L)).as("n_boiler"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("is_boiler").isNull, struct(col("pos"), col("line"))))),
+            x => x.getField("line")),
+          " ").as("cleaned"))
+      .select("doc_id", "n_lines", "n_boiler", "cleaned")
+      .orderBy("doc_id")
+  }
+
+  // ------------------------------------------------------------------
+  // Perplexity-gated filtering (CCNet)
+  // ------------------------------------------------------------------
+
+  /** Score every document with the corpus bigram LM, decile the scores,
+    * keep documents at or above `keepFromDecile` (decile 10 = highest
+    * avg log-probability = lowest perplexity; CCNet's head/middle cut).
+    * The decile is computed two-phase over an exact integer image of
+    * the rounded score (`floor(avg_logprob·1e6 + 0.5)` — the +0.5
+    * absorbs the ulp of re-scaling a round6'd double, so the long is
+    * exact on both engines), value-bucketed so no single-task window
+    * appears at any corpus size. Inherits [[PipelineOps.bigramLogProb]]
+    * eagerness (model-state construction at call time).
+    */
+  def perplexityFilter(docs: DataFrame, keepFromDecile: Int = 4): DataFrame = {
+    val lp = PipelineOps.bigramLogProb(docs)
+      .withColumn("lp_micro",
+        floor(col("avg_logprob") * 1e6 + lit(0.5)).cast("long"))
+    val bucketed = lp.withColumn("__bkt", expr("lp_micro div 100000"))
+    val wIn = Window.partitionBy("__bkt").orderBy(col("lp_micro"), col("doc_id"))
+    val wOff = Window.orderBy("__bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketed.groupBy("__bkt")
+      .agg(count(lit(1)).as("nb"))
+      .withColumn("__off", coalesce(sum("nb").over(wOff), lit(0L)))
+      .select("__bkt", "__off")
+    val n = lp.agg(count(lit(1)).as("n_total"))
+    bucketed
+      .withColumn("__rn", row_number().over(wIn))
+      .join(broadcast(offsets), "__bkt")
+      .crossJoin(broadcast(n))
+      .withColumn("decile",
+        expr("(__off + __rn - 1) * 10 div n_total") + 1)
+      .select(
+        col("doc_id"), col("n_bigrams"), col("avg_logprob"),
+        col("decile").cast("long").as("decile"),
+        (col("decile") >= keepFromDecile).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  // ------------------------------------------------------------------
+  // Registered queries
+  // ------------------------------------------------------------------
+
+  def queries: Seq[Q] = Seq(
+    // Gopher rule battery over the derived line-structured corpus.
+    Q(
+      "q_gopher_rules",
+      s"""WITH w0 AS (SELECT doc_id, $WordsSql AS ws FROM documents
+         |            WHERE len($WordsSql) >= 1),
+         |d AS (SELECT doc_id, $LtextSql AS ltext FROM w0),
+         |s AS (SELECT doc_id,
+         |             ${wordsSqlOf("ltext")} AS ws,
+         |             string_split(ltext, chr(10)) AS lines,
+         |             ltext
+         |      FROM d),
+         |m AS (SELECT doc_id,
+         |             CAST(len(ws) AS BIGINT) AS n_words,
+         |             CAST(len(lines) AS BIGINT) AS n_lines,
+         |             CAST(list_sum(list_transform(ws, x -> length(x))) AS BIGINT) AS sum_wlen,
+         |             CAST(len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+         |             CAST(${TextOps.EnStop.map(s => s"(CASE WHEN list_contains(ws, '$s') THEN 1 ELSE 0 END)").mkString(" + ")} AS BIGINT) AS n_stop,
+         |             CAST(len(regexp_extract_all(ltext, '#')) AS BIGINT) AS n_hash,
+         |             CAST(len(regexp_extract_all(ltext, '\\.\\.\\.')) AS BIGINT) AS n_dots,
+         |             CAST(len(list_filter(lines, l -> starts_with(l, '- ') OR starts_with(l, '* ') OR starts_with(l, '• '))) AS BIGINT) AS n_bullet,
+         |             CAST(len(list_filter(lines, l -> ends_with(l, '...'))) AS BIGINT) AS n_ell
+         |      FROM s)
+         |SELECT doc_id, n_words, n_lines, sum_wlen, n_alpha, n_stop, n_hash,
+         |       n_dots, n_bullet, n_ell,
+         |       n_words >= 50 AND n_words <= 100000 AS r_words,
+         |       3*n_words <= sum_wlen AND sum_wlen <= 10*n_words AS r_wlen,
+         |       5*n_alpha > 4*n_words AS r_alpha,
+         |       n_stop >= 2 AS r_stop,
+         |       10*(n_hash + n_dots) < n_words AS r_sym,
+         |       10*n_bullet <= 9*n_lines AS r_bullet,
+         |       10*n_ell <= 3*n_lines AS r_ell,
+         |       (n_words >= 50 AND n_words <= 100000)
+         |         AND (3*n_words <= sum_wlen AND sum_wlen <= 10*n_words)
+         |         AND 5*n_alpha > 4*n_words AND n_stop >= 2
+         |         AND 10*(n_hash + n_dots) < n_words
+         |         AND 10*n_bullet <= 9*n_lines
+         |         AND 10*n_ell <= 3*n_lines AS keep
+         |FROM m ORDER BY doc_id"""
+    ) { (s, d) =>
+      gopherRules(derivedLines(Tables.documents(s, d)), "ltext")
+        .select("doc_id", "n_words", "n_lines", "sum_wlen", "n_alpha",
+          "n_stop", "n_hash", "n_dots", "n_bullet", "n_ell", "r_words",
+          "r_wlen", "r_alpha", "r_stop", "r_sym", "r_bullet", "r_ell", "keep")
+    },
+
+    // C4 line cleaning over the same derived corpus.
+    Q(
+      "q_c4_clean",
+      s"""WITH w0 AS (SELECT doc_id, $WordsSql AS ws FROM documents
+         |            WHERE len($WordsSql) >= 1),
+         |d AS (SELECT doc_id, $LtextSql AS ltext FROM w0),
+         |s AS (SELECT doc_id,
+         |             string_split(ltext, chr(10)) AS lines,
+         |             list_filter(string_split(ltext, chr(10)),
+         |               l -> len(${wordsSqlOf("l")}) >= 3
+         |                    AND regexp_matches(l, '[.!?]$$')) AS kept,
+         |             NOT contains(ltext, '{')
+         |               AND NOT contains(lower(ltext), 'lorem ipsum') AS doc_ok
+         |      FROM d)
+         |SELECT doc_id,
+         |       CAST(len(lines) AS BIGINT) AS n_lines,
+         |       CAST(len(kept) AS BIGINT) AS n_kept,
+         |       floor(CAST(len(kept) AS DOUBLE) / len(lines) * 1e6 + 0.5) / 1e6 AS kept_frac,
+         |       doc_ok AND len(kept) >= 1 AS keep,
+         |       array_to_string(kept, chr(10)) AS cleaned
+         |FROM s ORDER BY doc_id"""
+    ) { (s, d) => c4Clean(derivedLines(Tables.documents(s, d)), "ltext") },
+
+    // Corpus-frequency boilerplate stripping + rebuild.
+    Q(
+      "q_boilerplate_strip",
+      s"""WITH w AS (SELECT doc_id, $WordsSql AS ws FROM documents
+         |           WHERE len($WordsSql) >= 1),
+         |l AS (SELECT doc_id, u.pos AS pos, u.line AS line FROM (
+         |        SELECT doc_id,
+         |               unnest(list_transform(range(0, CAST(ceil(len(ws) / $LineTok.0) AS INT)),
+         |                 i -> {'pos': i, 'line': array_to_string(list_slice(ws, CAST(i*$LineTok+1 AS INT), CAST(i*$LineTok+$LineTok AS INT)), ' ')})) AS u
+         |        FROM w)),
+         |b AS (SELECT md5(line) AS dg FROM l
+         |      GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2),
+         |kept AS (SELECT doc_id, pos, line FROM l
+         |         WHERE md5(line) NOT IN (SELECT dg FROM b)),
+         |a AS (SELECT doc_id, COUNT(*) AS n_kept,
+         |             string_agg(line, ' ' ORDER BY pos) AS cleaned
+         |      FROM kept GROUP BY doc_id),
+         |t AS (SELECT doc_id, COUNT(*) AS n_lines FROM l GROUP BY doc_id)
+         |SELECT t.doc_id, t.n_lines,
+         |       t.n_lines - COALESCE(a.n_kept, 0) AS n_boiler,
+         |       COALESCE(a.cleaned, '') AS cleaned
+         |FROM t LEFT JOIN a USING (doc_id) ORDER BY doc_id"""
+    ) { (s, d) => boilerplateStrip(Tables.documents(s, d)) },
+
+    // CCNet perplexity gate: bigram-LM score deciles, drop the worst 3.
+    Q(
+      "q_perplexity_filter",
+      s"""WITH w AS (SELECT doc_id, $WordsSql AS ws FROM documents),
+         |b AS (SELECT doc_id,
+         |             list_transform(generate_series(1, len(ws) - 1),
+         |                            i -> [ws[i], ws[i+1]]) AS bgs
+         |      FROM w WHERE len(ws) >= 2),
+         |pairs AS (SELECT doc_id, bg[1] AS w1, bg[2] AS w2
+         |          FROM (SELECT doc_id, unnest(bgs) AS bg FROM b)),
+         |cbg AS (SELECT w1, w2, COUNT(*) AS c FROM pairs GROUP BY w1, w2),
+         |cuni AS (SELECT w1, CAST(SUM(c) AS BIGINT) AS cu FROM cbg GROUP BY w1),
+         |scored AS (
+         |  SELECT p.doc_id,
+         |         floor(ln(CAST(cb.c AS DOUBLE) / cu.cu) * 1e6 + 0.5) / 1e6 AS lp
+         |  FROM pairs p
+         |  JOIN cbg cb ON p.w1 = cb.w1 AND p.w2 = cb.w2
+         |  JOIN cuni cu ON p.w1 = cu.w1),
+         |lp AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+         |              floor(CAST(SUM(CAST(lp AS DECIMAL(38,10))) AS DOUBLE) / COUNT(*) * 1e6 + 0.5) / 1e6
+         |                AS avg_logprob
+         |       FROM scored GROUP BY doc_id),
+         |r AS (SELECT doc_id, n_bigrams, avg_logprob,
+         |             ROW_NUMBER() OVER (
+         |               ORDER BY CAST(floor(avg_logprob * 1e6 + 0.5) AS BIGINT), doc_id) AS grank,
+         |             COUNT(*) OVER () AS n_total
+         |      FROM lp)
+         |SELECT doc_id, n_bigrams, avg_logprob,
+         |       (grank - 1) * 10 // n_total + 1 AS decile,
+         |       (grank - 1) * 10 // n_total + 1 >= 4 AS keep
+         |FROM r ORDER BY doc_id"""
+    ) { (s, d) => perplexityFilter(Tables.documents(s, d)) }
+  )
+}

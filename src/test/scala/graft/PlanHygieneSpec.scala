@@ -53,7 +53,10 @@ class PlanHygieneSpec extends SparkSpec {
       "q_hybrid_rrf" -> 100L,
       // cumulative offsets over the bucket-count tables (aggregate-scale)
       "q_rank_global" -> 1000L,
-      "q_quality_deciles" -> 1000L)
+      "q_quality_deciles" -> 1000L,
+      // perplexity gate: same two-phase decile recipe — the empty
+      // window rides the bucket-count table (aggregate-scale)
+      "q_perplexity_filter" -> 1000L)
     val offenders = SparkEntry.all.flatMap { q =>
       val windows = q.fn(spark, sf01).queryExecution.optimizedPlan.collect {
         case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
@@ -162,7 +165,11 @@ class PlanHygieneSpec extends SparkSpec {
       // and every ranking rides ONE bounded two-phase aggregation
       // (agg FILTER clauses). Generate = the literal query explode.
       "q_ann_ivf_trained" -> Seq("ObjectHashAggregate", "Generate"),
-      "q_ann_ivf_nprobe" -> Seq("ObjectHashAggregate", "Generate"))
+      "q_ann_ivf_nprobe" -> Seq("ObjectHashAggregate", "Generate"),
+      // boilerplate strip: the frequent-line set joins back as a
+      // broadcast flag join (a shuffle join here would re-key the whole
+      // exploded corpus before the rebuild aggregation)
+      "q_boilerplate_strip" -> Seq("BroadcastHashJoin"))
     val failures = mustContain.toSeq.sortBy(_._1).flatMap { case (name, frags) =>
       val plan = SparkEntry.queries(name)(spark, sfDir)
         .queryExecution.executedPlan.toString
@@ -193,8 +200,11 @@ class PlanHygieneSpec extends SparkSpec {
     // q_dsir_weights qualifies because its histogram pass runs eagerly
     // at construction (collected model state); the RETURNED scoring
     // plan is a pure narrow projection over the literal ratio table.
+    // q_gopher_rules / q_c4_clean: the rule batteries are single-pass
+    // projections — all regex/list work inside the scan's project.
     Seq("q_repetition_signals", "q_stratified_sample", "q_chunk_windows",
-      "q_quality_classifier", "q_dsir_weights").foreach { name =>
+      "q_quality_classifier", "q_dsir_weights", "q_gopher_rules",
+      "q_c4_clean").foreach { name =>
       val plan = SparkEntry.queries(name)(spark, sfDir)
         .queryExecution.executedPlan.toString
       assert(!plan.contains("hashpartitioning"),

@@ -1,0 +1,164 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+
+import graft.SparkSpec
+import graft.ops.TextOps
+
+/** Parity of the fused filter/curation expressions with their
+  * composable-builtins spellings — the builtins form is the executable
+  * specification (and what the DuckDB oracles mirror); the fused form
+  * is the codegen hot path. Random inputs include newlines, bullet
+  * prefixes, dot runs, unicode whitespace, and astral-plane chars.
+  */
+class FilterExprsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val fixture = Seq(
+    "", "a", "the a of and to", "- bullet line here\n* another\n• third",
+    "ends with dots...\nplain line\nbang line!",
+    "#### #hash words", "run......of dots", ".....",
+    "a\nb\nc\n", "\n\n", "x y　z\nnext line.",
+    "emoji 😀 line.\nsecond... ",
+    "the quick brown fox jumps. over the lazy dog!")
+
+  private val pieces = Seq(
+    "the", "a", "of", "and", "to", "word", "Word7", "##", "...", ".", "!",
+    "?", "- ", "* ", "• ", "\n", " ", "\t", "\u00a0", "\u2028",
+    "\u2029", "\r", "\u0085", "😀", "{", "lorem ipsum", "Lorem Ipsum")
+  private val textGen =
+    Gen.listOf(Gen.oneOf(pieces)).map(_.mkString)
+
+  private def randomTexts: Seq[String] =
+    fixture ++ Gen.listOfN(300, textGen).sample.getOrElse(Nil)
+
+  test("gopher_stats == builtins counters (fixture + random)") {
+    val t = col("text")
+    val ws = TextOps.words(t)
+    val lines = split(t, "\n")
+    val st = GraftFunctions.gopher_stats(t)
+    val got = randomTexts.toDF("text").select(
+      st.getField("n_words"), size(ws).cast("long"),
+      st.getField("n_lines"), size(lines).cast("long"),
+      st.getField("sum_wlen"),
+      aggregate(ws, lit(0L), (a, w) => a + length(w)),
+      st.getField("n_alpha"),
+      size(filter(ws, w => w.rlike("[A-Za-z]"))).cast("long"),
+      st.getField("n_stop"),
+      TextOps.EnStop.map(s => when(array_contains(ws, s), 1L).otherwise(0L))
+        .reduce(_ + _),
+      st.getField("n_hash"), regexp_count(t, lit("#")).cast("long"),
+      st.getField("n_dots"), regexp_count(t, lit("\\.\\.\\.")).cast("long"),
+      st.getField("n_bullet"),
+      size(filter(lines, l =>
+        l.startsWith("- ") || l.startsWith("* ") || l.startsWith("• ")))
+        .cast("long"),
+      st.getField("n_ell"),
+      size(filter(lines, l => l.endsWith("..."))).cast("long"),
+      t).collect()
+    got.foreach { r =>
+      (0 until 18 by 2).foreach { i =>
+        assert(r.getLong(i) == r.getLong(i + 1),
+          s"field $i mismatch on ${r.getString(18)}: $r")
+      }
+    }
+  }
+
+  // Reference spelling anchors with Java's \z (absolute end of input),
+  // NOT $: Java's $ also matches BEFORE a final line terminator (\r,
+  // U+0085, U+2028, U+2029 — a "line." ending in   would be kept),
+  // while RE2 — the oracle's engine — anchors $ at end of text only.
+  // The fused expression pins the RE2/DuckDB semantics (last char is
+  // terminal punctuation), so the parity reference must spell \z.
+  test("c4_stats == builtins line filter + rebuild (fixture + random)") {
+    val t = col("text")
+    val lines = split(t, "\n")
+    val kept = filter(lines, l =>
+      size(TextOps.words(l)) >= 3 && l.rlike("[.!?]\\z"))
+    val st = GraftFunctions.c4_stats(t, 3)
+    val got = randomTexts.toDF("text").select(
+      st.getField("n_lines"), size(lines).cast("long"),
+      st.getField("n_kept"), size(kept).cast("long"),
+      st.getField("cleaned"), array_join(kept, "\n"), t).collect()
+    def esc(s: String): String = s.map(c =>
+      if (c < ' ' || c > '~') f"\\u${c.toInt}%04x" else c.toString).mkString
+    got.foreach { r =>
+      assert(r.getLong(0) == r.getLong(1), s"n_lines on '${esc(r.getString(6))}'")
+      assert(r.getLong(2) == r.getLong(3), s"n_kept on '${esc(r.getString(6))}'")
+      assert(r.getString(4) == r.getString(5),
+        s"cleaned '${esc(r.getString(4))}' vs '${esc(r.getString(5))}' on '${esc(r.getString(6))}'")
+    }
+  }
+
+  test("token_lines == builtins slice windows (fixture + random)") {
+    val ws = TextOps.words(col("text"))
+    val k = ceil(size(ws) / lit(3.0))
+    val combo = when(size(ws) >= 1,
+      transform(sequence(lit(0L), k - 1), i =>
+        concat_ws(" ", slice(ws, (i * 3 + 1).cast("int"), lit(3)))))
+      .otherwise(array().cast("array<string>"))
+    val got = randomTexts.toDF("text").select(
+      GraftFunctions.token_lines(col("text"), 3), combo, col("text")).collect()
+    got.foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1),
+        s"token_lines on '${r.getString(2)}'")
+    }
+  }
+
+  test("suffix_lines == builtins derivation (fixture + random, both doc_id parities)") {
+    val ws = TextOps.words(col("text"))
+    val k = ceil(size(ws) / lit(4.0))
+    val combo = array_join(
+      transform(sequence(lit(0L), k - 1), i =>
+        concat(
+          concat_ws(" ", slice(ws, (i * 4 + 1).cast("int"), lit(4))),
+          element_at(array(lit(""), lit("."), lit("!")),
+            ((col("doc_id") + i) % 3).cast("int") + 1))),
+      "\n")
+    val rows = randomTexts.zipWithIndex.collect {
+      // builtins sequence(0, k-1) errors on k == 0; the fused form
+      // returns "" there — covered by the dedicated test below
+      case (t, i) if t.trim.nonEmpty || t.exists(!_.isWhitespace) => (i.toLong, t)
+    }
+    val got = rows.toDF("doc_id", "text")
+      .filter(size(ws) >= 1)
+      .select(
+        GraftFunctions.suffix_lines(col("text"), col("doc_id"), 4),
+        combo, col("text")).collect()
+    got.foreach { r =>
+      assert(r.getString(0) == r.getString(1),
+        s"suffix_lines on '${r.getString(2)}'")
+    }
+  }
+
+  test("suffix_lines and token_lines: empty / all-whitespace input") {
+    val got = Seq((1L, ""), (2L, " \t\n ")).toDF("doc_id", "text").select(
+      GraftFunctions.suffix_lines(col("text"), col("doc_id"), 4),
+      GraftFunctions.token_lines(col("text"), 4)).collect()
+    got.foreach { r =>
+      assert(r.getString(0) == "")
+      assert(r.getSeq[String](1).isEmpty)
+    }
+  }
+
+  test("interpreted eval agrees with codegen for the fused filter exprs") {
+    // one representative per expression through both paths
+    val df = Seq((7L, "the a of\n- b c d...\nword line here.")).toDF("doc_id", "text")
+    val cols = Seq(
+      GraftFunctions.gopher_stats(col("text")).getField("n_words"),
+      GraftFunctions.c4_stats(col("text"), 3).getField("n_kept"),
+      GraftFunctions.token_lines(col("text"), 2).getItem(0),
+      GraftFunctions.suffix_lines(col("text"), col("doc_id"), 2))
+    val codegen = df.select(cols: _*).collect().head
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val interp = df.select(cols: _*).collect().head
+      assert(codegen == interp, s"$codegen vs $interp")
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+}
