@@ -398,7 +398,9 @@ object GraftOps {
     * column: word-count bounds, mean word length, alphabetic-word
     * ratio, required stopwords, symbol ratio, bullet/ellipsis line
     * ratios — every rule an exact integer comparison, raw counts kept
-    * in the output. Fully narrow. Verified by `q_gopher_rules`.
+    * in the output. Fully narrow, no presentation sort — applies to an
+    * unbounded stream unchanged (StreamingSpec). Verified by
+    * `q_gopher_rules`.
     */
   def gopherRules(
       df: DataFrame, textCol: String = "text",
@@ -408,8 +410,9 @@ object GraftOps {
   /** C4-style line cleaning (Raffel et al. 2020 §2.2): keep lines
     * ending in terminal punctuation with >= `minLineWords` words; flag
     * documents with code braces or placeholder text. Output: (doc_id,
-    * n_lines, n_kept, kept_frac, keep, cleaned). Fully narrow.
-    * Verified by `q_c4_clean`.
+    * n_lines, n_kept, kept_frac, keep, cleaned). Fully narrow, no
+    * presentation sort — stream-applicable (StreamingSpec). Verified
+    * by `q_c4_clean`.
     */
   def c4Clean(
       df: DataFrame, textCol: String = "text",

@@ -140,7 +140,9 @@ object FilterOps extends QueryModule {
       .withColumn("keep",
         col("r_words") && col("r_wlen") && col("r_alpha") && col("r_stop") &&
           col("r_sym") && col("r_bullet") && col("r_ell"))
-      .orderBy("doc_id")
+    // no presentation sort here: the battery is fully narrow, so it
+    // applies to an unbounded stream unchanged (StreamingSpec pins
+    // that); the registered query adds its own total order
   }
 
   // ------------------------------------------------------------------
@@ -170,7 +172,7 @@ object FilterOps extends QueryModule {
         Exact.round6(col("n_kept").cast("double") / col("n_lines")))
       .withColumn("keep", col("doc_ok") && col("n_kept") >= 1L)
       .select("doc_id", "n_lines", "n_kept", "kept_frac", "keep", "cleaned")
-      .orderBy("doc_id")
+    // no presentation sort (stream-applicable; the query adds it)
   }
 
   // ------------------------------------------------------------------
@@ -321,6 +323,7 @@ object FilterOps extends QueryModule {
         .select("doc_id", "n_words", "n_lines", "sum_wlen", "n_alpha",
           "n_stop", "n_hash", "n_dots", "n_bullet", "n_ell", "r_words",
           "r_wlen", "r_alpha", "r_stop", "r_sym", "r_bullet", "r_ell", "keep")
+        .orderBy("doc_id")
     },
 
     // C4 line cleaning over the same derived corpus.
@@ -344,7 +347,9 @@ object FilterOps extends QueryModule {
          |       doc_ok AND len(kept) >= 1 AS keep,
          |       array_to_string(kept, chr(10)) AS cleaned
          |FROM s ORDER BY doc_id"""
-    ) { (s, d) => c4Clean(derivedLines(Tables.documents(s, d)), "ltext") },
+    ) { (s, d) =>
+      c4Clean(derivedLines(Tables.documents(s, d)), "ltext").orderBy("doc_id")
+    },
 
     // Corpus-frequency boilerplate stripping + rebuild.
     Q(

@@ -65,6 +65,35 @@ class StreamingSpec extends SparkSpec {
       (2L, 0L, 0L, 1L, "x")))
   }
 
+  test("rule filters apply to a stream unchanged (gopherRules + c4Clean)") {
+    implicit val sq = spark.sqlContext
+    // both rule batteries are single fused codegen passes, so the same
+    // facade calls that pass the batch oracle gate an unbounded
+    // document stream — the shape of an ingest-time quality filter
+    val mem = MemoryStream[(Long, String)]
+    val g = GraftOps.gopherRules(mem.toDF().toDF("doc_id", "text"))
+      .select("doc_id", "n_words", "r_stop", "keep")
+      .writeStream.format("memory").queryName("gopher_out")
+      .outputMode(OutputMode.Append).start()
+    val c = GraftOps.c4Clean(mem.toDF().toDF("doc_id", "text"))
+      .select("doc_id", "n_lines", "n_kept", "keep", "cleaned")
+      .writeStream.format("memory").queryName("c4_out")
+      .outputMode(OutputMode.Append).start()
+    val longDoc = (1 to 60).map(i => s"word$i").mkString(" ") + " the a of"
+    mem.addData((1L, longDoc), (2L, "good line stays here.\nshort"))
+    g.processAllAvailable(); c.processAllAvailable()
+    g.stop(); c.stop()
+    val gr = spark.table("gopher_out").orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getBoolean(3)))
+    assert(gr.toSeq == Seq((1L, 63L, true, true), (2L, 5L, false, false)))
+    val cr = spark.table("c4_out").orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3),
+        r.getString(4)))
+    assert(cr.toSeq == Seq(
+      (1L, 1L, 0L, false, ""),
+      (2L, 2L, 1L, true, "good line stays here.")))
+  }
+
   test("tumblingAgg over a stream == same transform over the batch") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[Ev]
