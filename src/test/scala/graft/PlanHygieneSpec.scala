@@ -168,8 +168,15 @@ class PlanHygieneSpec extends SparkSpec {
       "q_ann_ivf_nprobe" -> Seq("ObjectHashAggregate", "Generate"),
       // boilerplate strip: the frequent-line set joins back as a
       // broadcast flag join (a shuffle join here would re-key the whole
-      // exploded corpus before the rebuild aggregation)
-      "q_boilerplate_strip" -> Seq("BroadcastHashJoin"))
+      // exploded corpus before the rebuild aggregation), and line
+      // segmentation must stay the fused codegen pass
+      "q_boilerplate_strip" -> Seq("BroadcastHashJoin", "graft_token_lines"),
+      // the rule batteries must keep their fused single-pass
+      // expressions — a regression to the interpreted lambda spelling
+      // (measured 4-7x slower) would erase these function names
+      "q_gopher_rules" -> Seq("graft_gopher_stats", "graft_suffix_lines"),
+      "q_c4_clean" -> Seq("graft_c4_stats", "graft_suffix_lines"),
+      "q_line_dedup" -> Seq("graft_token_lines"))
     val failures = mustContain.toSeq.sortBy(_._1).flatMap { case (name, frags) =>
       val plan = SparkEntry.queries(name)(spark, sfDir)
         .queryExecution.executedPlan.toString
