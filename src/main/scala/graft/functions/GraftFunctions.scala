@@ -59,6 +59,12 @@ object GraftFunctions {
   def c4_stats(c: Column, minWords: Int): Column =
     GraftBridge.column(C4Stats(GraftBridge.expression(c), minWords))
 
+  /** Native hashed-feature weight sum: Σ weights[md5-bucket(token)]
+    * over an array<string>, weight table baked into the plan.
+    */
+  def hashed_weight_sum(c: Column, weights: Seq[Long]): Column =
+    GraftBridge.column(HashedWeightSum(GraftBridge.expression(c), weights))
+
   /** Native nTok-token consecutive line windows -> array<string>. */
   def token_lines(c: Column, nTok: Int): Column =
     GraftBridge.column(TokenLines(GraftBridge.expression(c), nTok))

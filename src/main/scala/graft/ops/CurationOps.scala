@@ -164,30 +164,32 @@ object CurationOps extends QueryModule {
     */
   val HashDim = 64
 
-  /** Per-token integer weight in [-10, 10]: bucket = two md5 hex chars
-    * folded mod [[HashDim]]. INTEGER weights make the per-document sum
+  /** The per-bucket integer weight table `w[b] = (b·37) % 21 - 10 ∈
+    * [-10, 10]`, bucket = two md5 hex-char codes folded mod
+    * [[HashDim]]. INTEGER weights make the per-document sum
     * order-independent (exact associative arithmetic), so the fold
-    * order of Spark's `aggregate` vs DuckDB's `list_sum` cannot
-    * diverge — the double division happens once, after the exact sum.
+    * order of Spark vs DuckDB's `list_sum` cannot diverge — the double
+    * division happens once, after the exact sum.
     */
-  private def tokenWeight(t: Column): Column = {
-    val h = md5(t)
-    val bucket = (ascii(substring(h, 1, 1)) * 16 + ascii(substring(h, 2, 1))) % HashDim
-    (bucket * 37) % 21 - 10
-  }
+  private val QualityWeights: Seq[Long] =
+    (0 until HashDim).map(b => ((b * 37) % 21 - 10).toLong)
 
   /** Per-document hashed-linear-model score: exact integer weight sum,
     * mean scaled to [-1, 1], sigmoid probability, boolean label. Fully
-    * narrow — one codegen pass per document, no exchange but the
-    * presentation sort. Output:
-    * (doc_id, n_words, wsum, score, prob, label).
+    * narrow — the weight sum is ONE fused codegen pass
+    * ([[graft.functions.HashedWeightSum]]; the interpreted-aggregate
+    * spelling digested every token twice), and the input is
+    * range-exchanged on doc_id first so the final sort's boundary
+    * sampler reads only the scan (the FilterOps.derivedLines shape).
+    * Output: (doc_id, n_words, wsum, score, prob, label).
     */
   def hashedQuality(docs: DataFrame): DataFrame = {
     val ws = words(col("text"))
     docs
+      .repartitionByRange(col("doc_id"))
       .select(col("doc_id"),
         size(ws).cast("long").as("n_words"),
-        aggregate(ws, lit(0L), (acc, t) => acc + tokenWeight(t).cast("long"))
+        graft.functions.GraftFunctions.hashed_weight_sum(ws, QualityWeights)
           .as("wsum"))
       .filter(col("n_words") >= 1)
       .withColumn("score",
@@ -251,12 +253,15 @@ object CurationOps extends QueryModule {
       val (b, cr, ct) = (r.getInt(0), r.getLong(1), r.getLong(2))
       rint(b) = (BigInt(ct) * nr * 1000 / (BigInt(cr) * nt)).toLong
     }
-    val rlit = array(rint.map(lit(_)).toIndexedSeq: _*)
+    // scoring pass: fused codegen weight sum over the collected ratio
+    // table (model state baked into the plan), input range-exchanged
+    // first so the presentation sort costs no second compute
     docs
+      .repartitionByRange(col("doc_id"))
       .select(col("doc_id"),
         size(ws).cast("long").as("n_words"),
-        aggregate(ws, lit(0L),
-          (acc, t) => acc + element_at(rlit, bucketOf(t) + 1)).as("wsum"))
+        graft.functions.GraftFunctions.hashed_weight_sum(
+          ws, rint.toIndexedSeq).as("wsum"))
       .filter(col("n_words") >= 1)
       .withColumn("avg_ratio",
         Exact.round6(col("wsum").cast("double") / (lit(1000.0) * col("n_words"))))

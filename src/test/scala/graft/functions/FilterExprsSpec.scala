@@ -142,6 +142,22 @@ class FilterExprsSpec extends SparkSpec {
     }
   }
 
+  test("hashed_weight_sum == builtins md5-bucket aggregate (fixture + random)") {
+    val dim = 64
+    val weights = (0 until dim).map(b => ((b * 37) % 21 - 10).toLong)
+    val ws = TextOps.words(col("text"))
+    def tokenWeight(t: org.apache.spark.sql.Column) = {
+      val h = md5(t)
+      ((ascii(substring(h, 1, 1)) * 16 + ascii(substring(h, 2, 1))) % dim * 37) % 21 - 10
+    }
+    val combo = aggregate(ws, lit(0L), (acc, t) => acc + tokenWeight(t).cast("long"))
+    val got = randomTexts.toDF("text").select(
+      GraftFunctions.hashed_weight_sum(ws, weights), combo, col("text")).collect()
+    got.foreach { r =>
+      assert(r.getLong(0) == r.getLong(1), s"wsum on '${r.getString(2)}'")
+    }
+  }
+
   test("interpreted eval agrees with codegen for the fused filter exprs") {
     // one representative per expression through both paths
     val df = Seq((7L, "the a of\n- b c d...\nword line here.")).toDF("doc_id", "text")
@@ -149,7 +165,9 @@ class FilterExprsSpec extends SparkSpec {
       GraftFunctions.gopher_stats(col("text")).getField("n_words"),
       GraftFunctions.c4_stats(col("text"), 3).getField("n_kept"),
       GraftFunctions.token_lines(col("text"), 2).getItem(0),
-      GraftFunctions.suffix_lines(col("text"), col("doc_id"), 2))
+      GraftFunctions.suffix_lines(col("text"), col("doc_id"), 2),
+      GraftFunctions.hashed_weight_sum(
+        TextOps.words(col("text")), (0 until 64).map(_.toLong)))
     val codegen = df.select(cols: _*).collect().head
     spark.conf.set("spark.sql.codegen.wholeStage", "false")
     spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
