@@ -335,11 +335,15 @@ object GraftOps {
       docs: DataFrame, minTokens: Int = 10,
       requireStopwordSignal: Boolean = true,
       idCol: String = "doc_id"): DataFrame = {
-    val ws = ops.TextOps.words(col("text"))
+    // token count + stopword signal from ONE fused codegen pass (the
+    // gate only tests PRESENCE, so GopherStats' distinct-stopword count
+    // and the per-token filter count agree on `> 0` by construction;
+    // the interpreted per-token isInCollection lambda this replaces was
+    // the measured bulk of q_corpus_curation's scan job)
+    val st = functions.GraftFunctions.gopher_stats(col("text"))
     val scored = docs
-      .withColumn("n_tokens", size(ws).cast("long"))
-      .withColumn("__graft_stop",
-        size(filter(ws, x => x.isInCollection(ops.TextOps.EnStop))).cast("long"))
+      .withColumn("n_tokens", st.getField("n_words"))
+      .withColumn("__graft_stop", st.getField("n_stop"))
       .withColumn("__graft_fp", fingerprint(col("text")))
     val gated = scored
       .filter(col("n_tokens") >= minTokens)
