@@ -101,6 +101,33 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_gopher_stats", exprs => GopherStats(exprs.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_hashed_weight_sum", exprs => {
+        require(exprs.length == 2,
+          "graft_hashed_weight_sum(ws, weights) expects exactly 2 arguments")
+        require(exprs(1).resolved && exprs(1).foldable &&
+          exprs(1).dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType],
+          "graft_hashed_weight_sum weights must be a literal array of integers")
+        val arr = exprs(1).eval()
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        require(arr != null && arr.numElements() > 0,
+          "graft_hashed_weight_sum weights must be a non-empty literal array")
+        val et = exprs(1).dataType
+          .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
+        val ws = (0 until arr.numElements()).map { i =>
+          import org.apache.spark.sql.types._
+          et match {
+            case LongType => arr.getLong(i)
+            case IntegerType => arr.getInt(i).toLong
+            case ShortType => arr.getShort(i).toLong
+            case ByteType => arr.getByte(i).toLong
+            case other => throw new IllegalArgumentException(
+              s"graft_hashed_weight_sum weights must be integers, got $other")
+          }
+        }
+        HashedWeightSum(exprs(0), ws)
+      },
+      "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_token_lines", exprs => {
         require(exprs.length == 2,
           "graft_token_lines(text, n_tok) expects exactly 2 arguments")

@@ -158,6 +158,27 @@ class FilterExprsSpec extends SparkSpec {
     }
   }
 
+  test("SQL registration: the fused filter exprs callable from spark.sql") {
+    GraftFunctions.registerAll(spark)
+    Seq((5L, "the a of and\nword line here.")).toDF("doc_id", "text")
+      .createOrReplaceTempView("graft_docs_f")
+    val r = spark.sql(
+      """SELECT graft_gopher_stats(text).n_words AS nw,
+        |       graft_c4_stats(text, 3).n_kept AS nk,
+        |       size(graft_token_lines(text, 2)) AS nl,
+        |       length(graft_suffix_lines(text, doc_id, 2)) AS sl,
+        |       graft_hashed_weight_sum(graft_words(text),
+        |                               array(1L, 2L, 3L, 4L)) AS hw
+        |FROM graft_docs_f""".stripMargin).collect().head
+    assert(r.getLong(0) == 7L, "n_words")
+    assert(r.getLong(1) == 1L, "n_kept")
+    assert(r.getInt(2) == 4, "token lines")
+    assert(r.getInt(3) > 0, "suffix lines")
+    // every token maps to a bucket in [0, 4) -> weight in {1,2,3,4};
+    // 7 tokens bound the sum
+    assert(r.getLong(4) >= 7L && r.getLong(4) <= 28L, s"hw=${r.getLong(4)}")
+  }
+
   test("interpreted eval agrees with codegen for the fused filter exprs") {
     // one representative per expression through both paths
     val df = Seq((7L, "the a of\n- b c d...\nword line here.")).toDF("doc_id", "text")
