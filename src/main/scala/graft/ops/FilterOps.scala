@@ -257,15 +257,19 @@ object FilterOps extends QueryModule {
     val wIn = Window.partitionBy("__bkt").orderBy(col("lp_micro"), col("doc_id"))
     val wOff = Window.orderBy("__bkt")
       .rowsBetween(Window.unboundedPreceding, -1)
+    // n_total rides the same aggregate-scale bucket table (an unbounded
+    // window over it) instead of a separate corpus aggregation — one
+    // fewer broadcast build job and no crossJoin
+    val wAll = Window.orderBy("__bkt")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val offsets = bucketed.groupBy("__bkt")
       .agg(count(lit(1)).as("nb"))
       .withColumn("__off", coalesce(sum("nb").over(wOff), lit(0L)))
-      .select("__bkt", "__off")
-    val n = lp.agg(count(lit(1)).as("n_total"))
+      .withColumn("n_total", sum("nb").over(wAll))
+      .select("__bkt", "__off", "n_total")
     bucketed
       .withColumn("__rn", row_number().over(wIn))
       .join(broadcast(offsets), "__bkt")
-      .crossJoin(broadcast(n))
       .withColumn("decile",
         expr("(__off + __rn - 1) * 10 div n_total") + 1)
       .select(
