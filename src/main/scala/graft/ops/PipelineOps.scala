@@ -414,7 +414,6 @@ object PipelineOps extends QueryModule {
       df: DataFrame, metricCol: String, idCol: String,
       bucketWidth: Int): DataFrame = {
     val base = df.select(col(idCol), col(metricCol))
-    val n = base.agg(count(lit(1)).as("n_total"))
     // bucket id in LONG integer arithmetic: a double divide cast to int
     // would clamp metrics beyond ~2^31·width into one saturated bucket
     // (re-creating the single-task window this recipe exists to avoid)
@@ -426,14 +425,19 @@ object PipelineOps extends QueryModule {
       .orderBy(col(metricCol), col(idCol))
     val wOff = Window.orderBy("__graft_bkt")
       .rowsBetween(Window.unboundedPreceding, -1)
+    // n_total rides the same aggregate-scale bucket table (unbounded
+    // window) instead of a separate corpus aggregation — one fewer
+    // broadcast build job and no crossJoin
+    val wAll = Window.orderBy("__graft_bkt")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val offsets = bucketed.groupBy("__graft_bkt")
       .agg(count(lit(1)).as("nb"))
       .withColumn("__graft_off", coalesce(sum("nb").over(wOff), lit(0L)))
-      .select("__graft_bkt", "__graft_off")
+      .withColumn("n_total", sum("nb").over(wAll))
+      .select("__graft_bkt", "__graft_off", "n_total")
     bucketed
       .withColumn("__graft_rn", row_number().over(wIn))
       .join(broadcast(offsets), "__graft_bkt")
-      .crossJoin(broadcast(n))
       .select(col(idCol), col(metricCol),
         (expr("(__graft_off + __graft_rn - 1) * 10 div n_total") + 1)
           .as("decile"))
