@@ -187,8 +187,8 @@ object GraftOps {
     */
   def valueDeciles(
       df: DataFrame, metricCol: String, idCol: String,
-      bucketWidth: Int): DataFrame =
-    ops.PipelineOps.valueDeciles(df, metricCol, idCol, bucketWidth)
+      bucketWidth: Int, carryCols: Seq[String] = Nil): DataFrame =
+    ops.PipelineOps.valueDeciles(df, metricCol, idCol, bucketWidth, carryCols)
 
   /** BPE merge training over (doc_id, text) rows: `rounds` most-frequent
     * adjacent-symbol merges, computed on the corpus's word-frequency
@@ -380,8 +380,10 @@ object GraftOps {
 
   /** Hashed-feature linear quality classifier (fastText inference
     * shape): per document (doc_id, n_words, wsum, score, prob, label).
-    * Exact integer weight sums, fully narrow. Verified by
-    * `q_quality_classifier`.
+    * Exact integer weight sums via ONE fused codegen pass; no hash
+    * shuffle — the only exchange is the doc_id range partition the
+    * presentation sort rides (input range-exchanged first so the sort
+    * samples only the scan). Verified by `q_quality_classifier`.
     */
   def hashedQuality(docs: DataFrame): DataFrame =
     ops.CurationOps.hashedQuality(docs)
@@ -391,9 +393,10 @@ object GraftOps {
     * where `avg_ratio` is the mean hashed-unigram target/raw
     * probability ratio and `keep` marks documents more target-like
     * than average. One corpus histogram pass; the 64-bucket ratio
-    * table is collected model state baked into a literal (narrow
-    * scoring pass). Eager at construction. Verified by
-    * `q_dsir_weights`.
+    * table is collected model state baked into the fused scoring
+    * expression. No hash shuffle — the scoring pass's only exchange is
+    * the doc_id range partition its presentation sort rides. Eager at
+    * construction. Verified by `q_dsir_weights`.
     */
   def dsirWeights(docs: DataFrame, targetSources: Seq[String]): DataFrame =
     ops.CurationOps.dsirWeights(docs, targetSources)

@@ -21,6 +21,15 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object FilterExprsUtil {
 
+  /** The canonical English-stopword probe set. The [[gopherStats]]
+    * scanner below unrolls EXACTLY these five words (regionMatches +
+    * bitmask) — `TextOps.EnStop` aliases this val so the oracle SQL
+    * and every builtins spelling read the same list, and editing the
+    * set means editing the scanner in this same file (the parity
+    * property suite catches a missed update).
+    */
+  val EnStop: Seq[String] = Seq("the", "a", "of", "and", "to")
+
   /** Gopher rule counters over a line-structured text:
     * (n_words, n_lines, sum_wlen, n_alpha, n_stop, n_hash, n_dots,
     * n_bullet, n_ell). n_stop counts DISTINCT members of the EnStop
@@ -168,6 +177,11 @@ object FilterExprsUtil {
     * pass instead of the transform/slice/concat lambda chain.
     */
   def suffixLines(s: UTF8String, docId: Long, nTok: Int): UTF8String = {
+    // fail loudly on negative ids instead of silently diverging: the
+    // builtin spelling (element_at(arr, (docId+i)%3 + 1)) errors or
+    // nulls there, and the DuckDB oracle nulls — no engine has a
+    // meaningful answer, so the precondition is named here
+    require(docId >= 0, s"suffixLines requires doc_id >= 0, got $docId")
     val toks = WordsUtil.tokenize(s.toString)
     val n = toks.size
     val out = new java.lang.StringBuilder()
@@ -182,7 +196,7 @@ object FilterExprsUtil {
         out.append(toks.get(j))
         j += 1
       }
-      (((docId + line) % 3 + 3) % 3) match {
+      ((docId + line) % 3) match {
         case 1L => out.append('.')
         case 2L => out.append('!')
         case _ => ()

@@ -82,6 +82,29 @@ object GraftFunctions {
       HistogramAgg(GraftBridge.expression(c), lo, hi, n).toAggregateExpression())
 
 
+  /** Shared literal-integer argument extraction for the SQL builders:
+    * fails with a contract-naming message (probe `resolved` before
+    * foldable/dataType — both throw UnresolvedException on an
+    * unresolved column, masking the message) and validates the int
+    * range — `Number.intValue()` alone would silently WRAP a BIGINT
+    * literal (e.g. 4294967299 -> 3) into a plausible-but-wrong
+    * parameter.
+    */
+  private def literalInt(
+      e: org.apache.spark.sql.catalyst.expressions.Expression,
+      what: String): Int = {
+    require(e.resolved && e.foldable && {
+      import org.apache.spark.sql.types._
+      Seq(ByteType, ShortType, IntegerType, LongType).contains(e.dataType)
+    }, s"$what must be a literal integer")
+    val v = e.eval()
+    require(v != null, s"$what must be a non-null literal integer")
+    val l = v.asInstanceOf[Number].longValue()
+    require(l >= Int.MinValue && l <= Int.MaxValue,
+      s"$what out of int range: $l")
+    l.toInt
+  }
+
   /** Register SQL names for the native expressions (idempotent). */
   def registerAll(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -114,6 +137,11 @@ object GraftFunctions {
         val et = exprs(1).dataType
           .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
         val ws = (0 until arr.numElements()).map { i =>
+          // reject null slots loudly: getLong on a null slot would
+          // silently read weight 0, corrupting every score that hashes
+          // to that bucket
+          require(!arr.isNullAt(i),
+            s"graft_hashed_weight_sum weights must not contain NULL (slot $i)")
           import org.apache.spark.sql.types._
           et match {
             case LongType => arr.getLong(i)
@@ -131,62 +159,29 @@ object GraftFunctions {
       "graft_token_lines", exprs => {
         require(exprs.length == 2,
           "graft_token_lines(text, n_tok) expects exactly 2 arguments")
-        require(exprs(1).resolved && exprs(1).foldable && {
-          import org.apache.spark.sql.types._
-          Seq(ByteType, ShortType, IntegerType, LongType)
-            .contains(exprs(1).dataType)
-        }, "graft_token_lines n_tok must be a literal integer")
-        val nt = exprs(1).eval()
-        require(nt != null, "graft_token_lines n_tok must be a non-null literal integer")
-        TokenLines(exprs(0), nt.asInstanceOf[Number].intValue())
+        TokenLines(exprs(0), literalInt(exprs(1), "graft_token_lines n_tok"))
       },
       "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_c4_stats", exprs => {
         require(exprs.length == 2,
           "graft_c4_stats(text, min_words) expects exactly 2 arguments")
-        require(exprs(1).resolved && exprs(1).foldable && {
-          import org.apache.spark.sql.types._
-          Seq(ByteType, ShortType, IntegerType, LongType)
-            .contains(exprs(1).dataType)
-        }, "graft_c4_stats min_words must be a literal integer")
-        val mw = exprs(1).eval()
-        require(mw != null, "graft_c4_stats min_words must be a non-null literal integer")
-        C4Stats(exprs(0), mw.asInstanceOf[Number].intValue())
+        C4Stats(exprs(0), literalInt(exprs(1), "graft_c4_stats min_words"))
       },
       "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_suffix_lines", exprs => {
         require(exprs.length == 3,
           "graft_suffix_lines(text, doc_id, n_tok) expects exactly 3 arguments")
-        require(exprs(2).resolved && exprs(2).foldable && {
-          import org.apache.spark.sql.types._
-          Seq(ByteType, ShortType, IntegerType, LongType)
-            .contains(exprs(2).dataType)
-        }, "graft_suffix_lines n_tok must be a literal integer")
-        val nt = exprs(2).eval()
-        require(nt != null, "graft_suffix_lines n_tok must be a non-null literal integer")
-        SuffixLines(exprs(0), exprs(1), nt.asInstanceOf[Number].intValue())
+        SuffixLines(exprs(0), exprs(1),
+          literalInt(exprs(2), "graft_suffix_lines n_tok"))
       },
       "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_shingles", exprs => {
-        // fail with a contract-naming message instead of a bare
-        // UnsupportedOperationException from eval() on an unresolved
-        // column (the builder runs at analysis time)
         require(exprs.length == 2,
           "graft_shingles(text, n) expects exactly 2 arguments")
-        // probe resolved before foldable/dataType: both throw
-        // UnresolvedException on an unresolved column argument, which
-        // would mask the contract-naming message below
-        require(exprs(1).resolved && exprs(1).foldable && {
-          import org.apache.spark.sql.types._
-          Seq(ByteType, ShortType, IntegerType, LongType)
-            .contains(exprs(1).dataType)
-        }, "graft_shingles n must be a literal integer")
-        val nVal = exprs(1).eval()
-        require(nVal != null, "graft_shingles n must be a non-null literal integer")
-        Shingles(exprs(0), nVal.asInstanceOf[Number].intValue())
+        Shingles(exprs(0), literalInt(exprs(1), "graft_shingles n"))
       },
       "scala_udf")
   }

@@ -26,12 +26,18 @@ object HashedWeightSumUtil {
   // sees on both engines (Spark and DuckDB md5 both print lowercase)
   private val Hex = "0123456789abcdef".toCharArray
 
-  def sum(ws: ArrayData, weights: Array[Long], dim: Int): Long = {
+  /** Null-propagating like the builtins reference: a null token makes
+    * the whole sum NULL (`acc + md5(null)` nulls the aggregate), so the
+    * SQL-exposed form agrees with the spelling it claims parity with.
+    * Returns boxed Long; null marks the null-token case.
+    */
+  def sum(ws: ArrayData, weights: Array[Long], dim: Int): java.lang.Long = {
     val digest = md.get()
     var s = 0L
     var i = 0
     val n = ws.numElements()
     while (i < n) {
+      if (ws.isNullAt(i)) return null
       digest.reset()
       val h = digest.digest(ws.getUTF8String(i).getBytes)
       val b0 = h(0) & 0xFF
@@ -39,7 +45,7 @@ object HashedWeightSumUtil {
       s += weights(bucket)
       i += 1
     }
-    s
+    java.lang.Long.valueOf(s)
   }
 }
 
@@ -56,6 +62,9 @@ case class HashedWeightSum(child: Expression, weights: Seq[Long])
 
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_hashed_weight_sum"
+  // nullable: null input array (UnaryExpression handles) OR a null
+  // token element (the Util propagates it)
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
@@ -68,8 +77,17 @@ case class HashedWeightSum(child: Expression, weights: Seq[Long])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val wRef = ctx.addReferenceObj("hwsWeights", weightArr, "long[]")
-    defineCodeGen(ctx, ev,
-      c => s"graft.functions.HashedWeightSumUtil.sum($c, $wRef, $dim)")
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("hwsTmp")
+      s"""
+         |java.lang.Long $tmp = graft.functions.HashedWeightSumUtil.sum($c, $wRef, $dim);
+         |if ($tmp == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $tmp.longValue();
+         |}
+       """.stripMargin
+    })
   }
 
   override protected def withNewChildInternal(newChild: Expression): HashedWeightSum =

@@ -48,7 +48,7 @@ import graft.{Q, QueryModule, Tables}
   * bucket offsets broadcast back, nothing funnels through one task.
   */
 object FilterOps extends QueryModule {
-  import TextOps.{words, WordsSql, WsReDuck}
+  import TextOps.{WordsSql, WsReDuck}
 
   // ------------------------------------------------------------------
   // Shared derived line structure (fixture has no newlines)
@@ -253,25 +253,12 @@ object FilterOps extends QueryModule {
     val lp = PipelineOps.bigramLogProb(docs)
       .withColumn("lp_micro",
         floor(col("avg_logprob") * 1e6 + lit(0.5)).cast("long"))
-    val bucketed = lp.withColumn("__bkt", expr("lp_micro div 100000"))
-    val wIn = Window.partitionBy("__bkt").orderBy(col("lp_micro"), col("doc_id"))
-    val wOff = Window.orderBy("__bkt")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    // n_total rides the same aggregate-scale bucket table (an unbounded
-    // window over it) instead of a separate corpus aggregation — one
-    // fewer broadcast build job and no crossJoin
-    val wAll = Window.orderBy("__bkt")
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val offsets = bucketed.groupBy("__bkt")
-      .agg(count(lit(1)).as("nb"))
-      .withColumn("__off", coalesce(sum("nb").over(wOff), lit(0L)))
-      .withColumn("n_total", sum("nb").over(wAll))
-      .select("__bkt", "__off", "n_total")
-    bucketed
-      .withColumn("__rn", row_number().over(wIn))
-      .join(broadcast(offsets), "__bkt")
-      .withColumn("decile",
-        expr("(__off + __rn - 1) * 10 div n_total") + 1)
+    // the decile itself is the shared two-phase value-bucket recipe
+    // (ONE implementation — q_quality_deciles rides the same code);
+    // 0.1-logprob buckets keep the in-bucket window partitions
+    // high-cardinality at any corpus size
+    PipelineOps.valueDeciles(lp, "lp_micro", "doc_id",
+        bucketWidth = 100000, carryCols = Seq("n_bigrams", "avg_logprob"))
       .select(
         col("doc_id"), col("n_bigrams"), col("avg_logprob"),
         col("decile").cast("long").as("decile"),

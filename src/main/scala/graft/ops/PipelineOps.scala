@@ -412,8 +412,9 @@ object PipelineOps extends QueryModule {
     */
   def valueDeciles(
       df: DataFrame, metricCol: String, idCol: String,
-      bucketWidth: Int): DataFrame = {
-    val base = df.select(col(idCol), col(metricCol))
+      bucketWidth: Int, carryCols: Seq[String] = Nil): DataFrame = {
+    val base = df.select(
+      (Seq(idCol, metricCol) ++ carryCols).map(col): _*)
     // bucket id in LONG integer arithmetic: a double divide cast to int
     // would clamp metrics beyond ~2^31·width into one saturated bucket
     // (re-creating the single-task window this recipe exists to avoid)
@@ -438,9 +439,9 @@ object PipelineOps extends QueryModule {
     bucketed
       .withColumn("__graft_rn", row_number().over(wIn))
       .join(broadcast(offsets), "__graft_bkt")
-      .select(col(idCol), col(metricCol),
+      .select(Seq(col(idCol), col(metricCol)) ++ carryCols.map(col) :+
         (expr("(__graft_off + __graft_rn - 1) * 10 div n_total") + 1)
-          .as("decile"))
+          .as("decile"): _*)
   }
 
   /** BPE merge training — the actual tokenizer-training loop. One

@@ -75,7 +75,9 @@ object TextOps {
   // --------------------------------------------------------------------
   // language-ID stopword sets — deterministic heuristic, mirrored in SQL.
   // --------------------------------------------------------------------
-  private[graft] val EnStop = Seq("the", "a", "of", "and", "to")
+  // canonical copy lives next to the fused GopherStats scanner that
+  // unrolls it — see FilterExprsUtil.EnStop
+  private[graft] val EnStop = graft.functions.FilterExprsUtil.EnStop
   private val EsStop = Seq("el", "una", "y", "que", "los")
   private val DeStop = Seq("der", "die", "das", "und", "ist")
   private val FrStop = Seq("le", "les", "et", "est", "une")

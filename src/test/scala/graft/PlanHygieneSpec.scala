@@ -206,9 +206,13 @@ class PlanHygieneSpec extends SparkSpec {
   test("repetition signals and hash sampling plan no hash shuffle") {
     // q_dsir_weights qualifies because its histogram pass runs eagerly
     // at construction (collected model state); the RETURNED scoring
-    // plan is a pure narrow projection over the literal ratio table.
-    // q_gopher_rules / q_c4_clean: the rule batteries are single-pass
-    // projections — all regex/list work inside the scan's project.
+    // plan projects the fused weight expression over the literal
+    // ratio table. q_gopher_rules / q_c4_clean: single-fused-pass rule
+    // batteries. The classifier / dsir / rule queries DO carry one
+    // rangepartitioning exchange — the doc_id range their presentation
+    // sort rides (input exchanged before compute so the sort samples
+    // only the scan); what this guard bans is a HASH shuffle, i.e. any
+    // grouping/join sneaking into a per-row pipeline.
     Seq("q_repetition_signals", "q_stratified_sample", "q_chunk_windows",
       "q_quality_classifier", "q_dsir_weights", "q_gopher_rules",
       "q_c4_clean").foreach { name =>

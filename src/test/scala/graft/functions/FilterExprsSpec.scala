@@ -106,7 +106,7 @@ class FilterExprsSpec extends SparkSpec {
     }
   }
 
-  test("suffix_lines == builtins derivation (fixture + random, both doc_id parities)") {
+  test("suffix_lines == builtins derivation (fixture + random, non-negative doc_ids)") {
     val ws = TextOps.words(col("text"))
     val k = ceil(size(ws) / lit(4.0))
     val combo = array_join(
@@ -130,6 +130,20 @@ class FilterExprsSpec extends SparkSpec {
       assert(r.getString(0) == r.getString(1),
         s"suffix_lines on '${r.getString(2)}'")
     }
+  }
+
+  test("suffix_lines rejects negative doc_id with a contract-naming error") {
+    // the builtin spelling errors-or-nulls on negative ids (element_at
+    // index 0 / DuckDB list index 0) — no engine has a meaningful
+    // answer, so the fused form names the precondition loudly
+    val e = intercept[Throwable] {
+      Seq((-1L, "a b c d e")).toDF("doc_id", "text")
+        .select(GraftFunctions.suffix_lines(col("text"), col("doc_id"), 4))
+        .collect()
+    }
+    val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).toSeq
+    assert(msgs.exists(_.contains("doc_id >= 0")), s"unexpected error: $msgs")
   }
 
   test("suffix_lines and token_lines: empty / all-whitespace input") {
