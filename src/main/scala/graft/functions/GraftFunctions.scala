@@ -65,6 +65,12 @@ object GraftFunctions {
   def hashed_weight_sum(c: Column, weights: Seq[Long]): Column =
     GraftBridge.column(HashedWeightSum(GraftBridge.expression(c), weights))
 
+  /** Native per-set token occurrence counts -> array<bigint>, one slot
+    * per word set (sets baked into the plan as literals).
+    */
+  def token_set_counts(c: Column, sets: Seq[Seq[String]]): Column =
+    GraftBridge.column(TokenSetCounts(GraftBridge.expression(c), sets))
+
   /** Native nTok-token consecutive line windows -> array<string>. */
   def token_lines(c: Column, nTok: Int): Column =
     GraftBridge.column(TokenLines(GraftBridge.expression(c), nTok))

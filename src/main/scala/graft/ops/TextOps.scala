@@ -235,13 +235,18 @@ object TextOps {
          |FROM scored ORDER BY doc_id"""
     ) { (s, d) =>
       val ws = words(col("text"))
-      def hits(stop: Seq[String], name: String): Column =
-        size(filter(ws, x => x.isInCollection(stop))).as(name)
+      // all four stopword scores from ONE fused codegen pass (the
+      // per-set interpreted filter lambdas re-iterated the token array
+      // four times); codegen CSE dedups the element_at copies
+      val cnts = graft.functions.GraftFunctions.token_set_counts(
+        ws, Seq(EnStop, EsStop, DeStop, FrStop))
+      def hits(i: Int, name: String): Column =
+        element_at(cnts, i).cast("int").as(name)
       graft.Tables.documents(s, d)
         .select(
           col("doc_id"), col("lang"),
-          hits(EnStop, "s_en"), hits(EsStop, "s_es"),
-          hits(DeStop, "s_de"), hits(FrStop, "s_fr"),
+          hits(1, "s_en"), hits(2, "s_es"),
+          hits(3, "s_de"), hits(4, "s_fr"),
           col("text").rlike("[\\x{4e00}-\\x{9fff}]").as("has_cjk"))
         .select(
           col("doc_id"), col("lang"), col("s_en"), col("s_es"), col("s_de"), col("s_fr"),
@@ -279,7 +284,8 @@ object TextOps {
           size(ws).as("n_words"),
           length(col("text")).as("n_chars_actual"),
           length(regexp_replace(col("text"), WsRe, "")).as("n_nonspace"),
-          size(filter(ws, x => x.isInCollection(EnStop))).as("n_stop"))
+          element_at(graft.functions.GraftFunctions.token_set_counts(
+            ws, Seq(EnStop)), 1).cast("int").as("n_stop"))
         .select(
           col("doc_id"), col("n_words"), col("n_chars_actual"),
           (col("n_nonspace").cast("double") / col("n_words")).as("avg_word_len"),

@@ -172,6 +172,24 @@ class FilterExprsSpec extends SparkSpec {
     }
   }
 
+  test("token_set_counts == builtins per-set filter counts (fixture + random)") {
+    val sets = Seq(Seq("the", "a", "of", "and", "to"),
+      Seq("el", "una", "y", "que", "los"), Seq("..."))
+    val ws = TextOps.words(col("text"))
+    val cnts = GraftFunctions.token_set_counts(ws, sets)
+    val combos = sets.map(s =>
+      size(filter(ws, x => x.isInCollection(s))).cast("long"))
+    val got = randomTexts.toDF("text").select(
+      (Seq(cnts) ++ combos :+ col("text")): _*).collect()
+    got.foreach { r =>
+      val fused = r.getSeq[Long](0)
+      sets.indices.foreach { i =>
+        assert(fused(i) == r.getLong(1 + i),
+          s"set $i on '${r.getString(4)}': $fused")
+      }
+    }
+  }
+
   test("SQL registration: the fused filter exprs callable from spark.sql") {
     GraftFunctions.registerAll(spark)
     Seq((5L, "the a of and\nword line here.")).toDF("doc_id", "text")
