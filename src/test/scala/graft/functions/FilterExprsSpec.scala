@@ -220,7 +220,9 @@ class FilterExprsSpec extends SparkSpec {
       GraftFunctions.token_lines(col("text"), 2).getItem(0),
       GraftFunctions.suffix_lines(col("text"), col("doc_id"), 2),
       GraftFunctions.hashed_weight_sum(
-        TextOps.words(col("text")), (0 until 64).map(_.toLong)))
+        TextOps.words(col("text")), (0 until 64).map(_.toLong)),
+      GraftFunctions.token_set_counts(
+        TextOps.words(col("text")), Seq(Seq("the", "a"))).getItem(0))
     val codegen = df.select(cols: _*).collect().head
     spark.conf.set("spark.sql.codegen.wholeStage", "false")
     spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
