@@ -94,6 +94,24 @@ class StreamingSpec extends SparkSpec {
       (2L, 2L, 1L, true, "good line stays here.")))
   }
 
+  test("PII scrubbing applies to a stream unchanged (piiScrub)") {
+    implicit val sq = spark.sqlContext
+    // redaction at ingest time — the narrow regex pass runs on an
+    // unbounded stream exactly as it passes the batch oracle
+    val mem = MemoryStream[(Long, String)]
+    val q = GraftOps.piiScrub(mem.toDF().toDF("doc_id", "text"))
+      .select("doc_id", "n_emails", "scrubbed")
+      .writeStream.format("memory").queryName("pii_out")
+      .outputMode(OutputMode.Append).start()
+    mem.addData((1L, "mail me at a@b.co now"), (2L, "clean text"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("pii_out").orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    assert(rows.toSeq == Seq(
+      (1L, 1, "mail me at [EMAIL] now"), (2L, 0, "clean text")))
+  }
+
   test("tumblingAgg over a stream == same transform over the batch") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[Ev]
