@@ -162,6 +162,37 @@ object GraftFunctions {
       },
       "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_token_set_counts", exprs => {
+        require(exprs.length == 2,
+          "graft_token_set_counts(ws, sets) expects exactly 2 arguments")
+        val ok = exprs(1).resolved && exprs(1).foldable && {
+          exprs(1).dataType match {
+            case org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.ArrayType(
+                _: org.apache.spark.sql.types.StringType, _), _) => true
+            case _ => false
+          }
+        }
+        require(ok,
+          "graft_token_set_counts sets must be a literal array of string arrays")
+        val outer = exprs(1).eval()
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        require(outer != null && outer.numElements() > 0,
+          "graft_token_set_counts sets must be non-empty")
+        val sets = (0 until outer.numElements()).map { i =>
+          require(!outer.isNullAt(i),
+            s"graft_token_set_counts sets must not contain NULL (slot $i)")
+          val inner = outer.getArray(i)
+          (0 until inner.numElements()).map { j =>
+            require(!inner.isNullAt(j),
+              s"graft_token_set_counts set $i must not contain NULL (slot $j)")
+            inner.getUTF8String(j).toString
+          }
+        }
+        TokenSetCounts(exprs(0), sets)
+      },
+      "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_token_lines", exprs => {
         require(exprs.length == 2,
           "graft_token_lines(text, n_tok) expects exactly 2 arguments")

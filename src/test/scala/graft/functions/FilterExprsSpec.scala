@@ -200,7 +200,9 @@ class FilterExprsSpec extends SparkSpec {
         |       size(graft_token_lines(text, 2)) AS nl,
         |       length(graft_suffix_lines(text, doc_id, 2)) AS sl,
         |       graft_hashed_weight_sum(graft_words(text),
-        |                               array(1L, 2L, 3L, 4L)) AS hw
+        |                               array(1L, 2L, 3L, 4L)) AS hw,
+        |       graft_token_set_counts(graft_words(text),
+        |                              array(array('the', 'a'), array('word')))[0] AS tc
         |FROM graft_docs_f""".stripMargin).collect().head
     assert(r.getLong(0) == 7L, "n_words")
     assert(r.getLong(1) == 1L, "n_kept")
@@ -209,6 +211,8 @@ class FilterExprsSpec extends SparkSpec {
     // every token maps to a bucket in [0, 4) -> weight in {1,2,3,4};
     // 7 tokens bound the sum
     assert(r.getLong(4) >= 7L && r.getLong(4) <= 28L, s"hw=${r.getLong(4)}")
+    // "the a of and" + "word line here." -> {the, a} occurrences = 2
+    assert(r.getLong(5) == 2L, s"tc=${r.getLong(5)}")
   }
 
   test("interpreted eval agrees with codegen for the fused filter exprs") {
