@@ -31,6 +31,11 @@ object Bench {
     * frequency exchange + one-agg rebuild), q_perplexity_filter
     * (bigram LM + two-phase decile) —
     * compare totals per-query, not headline-sum to headline-sum.
+    * Round 9 ADDED the four retrieval/scoring queries (q_bm25,
+    * q_hybrid_rrf, q_contamination, q_inverted_index): the last
+    * oracle-green family the bench didn't watch — a regression in the
+    * BM25 corpus-stats pass or the RRF fuse was invisible to BENCH_r8.
+    * 66 queries total from r9 on.
     *
     * ROUND 8 ALSO CHANGED THE MEASURED ACTION from count() to a
     * noop-sink write (see `run` below): count() let Catalyst prune
@@ -57,6 +62,7 @@ object Bench {
     "q_pii_scrub", "q_line_dedup", "q_quality_classifier", "q_dsir_weights",
     "q_gopher_rules", "q_c4_clean", "q_boilerplate_strip",
     "q_perplexity_filter",
+    "q_bm25", "q_hybrid_rrf", "q_contamination", "q_inverted_index",
     "q_dedup_exact", "q_dedup_minhash_pairs", "q_dedup_simhash",
     "q_dedup_corpus", "q_dedup_source_overlap", "q_oov_rate",
     "q_similarity_topk", "q_ann_lsh", "q_kmeans_embed", "q_ann_ivf_trained",
@@ -137,14 +143,52 @@ object Bench {
       .map { case (k, _, sp) => s"\"" + k + "\":" + math.round(sp * 1000) / 1000.0 }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","action":"noop-write","queries":$qs,"spread":$spreads,"sf":"$sfDir"}""")
+    // Same-window DuckDB yardstick (r9): run the headline's oracle SQLs
+    // in DuckDB immediately after the Spark passes, so the bench JSON
+    // carries its own baseline — cross-window comparisons on this
+    // co-tenanted sandbox have repeatedly mis-read 2x weather swings as
+    // regressions (PLANS.md "sandbox weather"). DuckDB lives python-side
+    // only, so shell out; ANY failure (no python, no duckdb module, a
+    // hang) degrades to duckdb_total:null rather than corrupting the run.
+    val duckdbTotal: Option[Double] = try {
+      val sqlDir = java.nio.file.Files.createTempDirectory("graft_bench_sqls")
+      names.zipWithIndex.foreach { case (n, i) =>
+        SparkEntry.oracleSql.get(n).foreach { sql =>
+          java.nio.file.Files.write(
+            sqlDir.resolve(f"$i%03d_$n.sql"),
+            sql.getBytes("UTF-8")) // Q.apply already stripMargin'd
+        }
+      }
+      val script = new java.io.File("/root/repo/tools/duckdb_bench.py")
+      if (!script.isFile) None
+      else {
+        val proc = new ProcessBuilder(
+          "python3", script.getAbsolutePath, sfDir, sqlDir.toString)
+          .redirectErrorStream(false).start()
+        val out = new java.io.BufferedReader(
+          new java.io.InputStreamReader(proc.getInputStream))
+        val finished = proc.waitFor(600, java.util.concurrent.TimeUnit.SECONDS)
+        if (!finished) { proc.destroyForcibly(); None }
+        else {
+          val line = Iterator.continually(out.readLine()).takeWhile(_ != null)
+            .toSeq.lastOption.getOrElse("")
+          """"duckdb_total":\s*([0-9.]+)""".r.findFirstMatchIn(line)
+            .map(_.group(1).toDouble)
+        }
+      }
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] duckdb yardstick unavailable: ${e.getMessage}")
+      None
+    }
+    val duck = duckdbTotal.map(_.toString).getOrElse("null")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","action":"noop-write","duckdb_total":$duck,"queries":$qs,"spread":$spreads,"sf":"$sfDir"}""")
     // The full line above (per-query timings + spread map) exceeds the
     // driver's tail-capture window, so it can arrive truncated (round 6's
     // official total was lost that way: BENCH_r06 "parsed": null). Print a
     // short, final, self-contained summary line so the headline total
     // always survives tail truncation regardless of how many queries the
     // headline set grows to.
-    println(s"""{"metric":"total_compact","value":$total,"unit":"sec","n":${results.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total_compact","value":$total,"unit":"sec","n":${results.size},"duckdb_total":$duck,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,7 +1,6 @@
 package graft
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The library facade: the engine's reusable operators as plain
@@ -19,13 +18,48 @@ import org.apache.spark.sql.functions._
 object GraftOps {
 
   /** Keep the first row (smallest `orderCol`) per exact `keyCol` value.
-    * One shuffle on the key; WindowGroupLimit drops losers pre-shuffle.
+    *
+    * Spelled SORT-FREE: a map-side-combinable `min(orderCol)` keeper
+    * aggregation (plain codegen HashAggregate — the only state that
+    * crosses its exchange is (key, min order), ~24 bytes with a digest
+    * key) followed by a left-SEMI join back, HINTED to a shuffled HASH
+    * join. The row_number window this replaces — and the min_by(struct)
+    * spelling Spark plans as SortAggregate (struct buffers can't ride
+    * hash aggregation) — both SORT the full row payload, text included,
+    * on each side of the exchange; at 100 TB with a near-unique
+    * fingerprint key that sort is the heaviest avoidable cost in a
+    * curation pipeline. Here the payload crosses its one exchange
+    * unsorted and probes a per-partition hash table of the narrow
+    * keeper set. The hint matters at scale: unhinted, a fact-sized
+    * keeper set exceeds broadcast range and the planner's sort-merge
+    * fallback would re-introduce both payload sorts.
+    *
+    * Cost honestly stated: the input is computed twice (keeper pass +
+    * probe pass), but the keeper pass prunes to (key, order) columns
+    * — two codegen column-pruned scans beat one full-payload sort at
+    * any scale where this operator matters.
+    *
+    * `orderUnique = true` asserts `orderCol` is GLOBALLY unique (a
+    * doc_id-style row id): the keeper set is then exactly the output
+    * row-id set, so the semi join probes on `orderCol` ALONE — the
+    * probe side never computes the (often regex-derived) key column at
+    * all (Catalyst prunes it), and the join keys are bare longs
+    * instead of digests.
+    *
+    * Contract: `orderCol` must be non-null and unique within a key —
+    * under order ties the semi join would keep every tied row where
+    * the window kept an arbitrary one.
     */
-  def dedupExact(df: DataFrame, keyCol: String, orderCol: String): DataFrame = {
-    val w = Window.partitionBy(keyCol).orderBy(orderCol)
-    df.withColumn("__graft_rn", row_number().over(w))
-      .filter(col("__graft_rn") === 1)
-      .drop("__graft_rn")
+  def dedupExact(df: DataFrame, keyCol: String, orderCol: String,
+      orderUnique: Boolean = false): DataFrame = {
+    val keepers = df.groupBy(col(keyCol))
+      .agg(min(col(orderCol)).as(orderCol))
+      .hint("shuffle_hash")
+    val joinKeys = if (orderUnique) Seq(orderCol) else Seq(keyCol, orderCol)
+    df.join(keepers.select(joinKeys.map(col): _*), joinKeys, "left_semi")
+      // a USING join moves the join columns first — restore the
+      // caller's schema order (output contract: input rows, unchanged)
+      .select(df.columns.map(col).toSeq: _*)
   }
 
   /** Whitespace-insensitive md5 fingerprint of a text column (the
@@ -348,7 +382,9 @@ object GraftOps {
     val gated = scored
       .filter(col("n_tokens") >= minTokens)
       .filter(!lit(requireStopwordSignal) || col("__graft_stop") > 0)
-    dedupExact(gated, "__graft_fp", idCol)
+    // idCol is the caller's unique row id, so the semi join probes on
+    // it alone — the probe side's fingerprint regex is pruned away
+    dedupExact(gated, "__graft_fp", idCol, orderUnique = true)
       .drop("__graft_fp", "__graft_stop")
   }
 

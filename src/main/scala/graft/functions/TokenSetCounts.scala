@@ -17,27 +17,32 @@ import org.apache.spark.unsafe.types.UTF8String
   * distinct members — that's [[FilterExprsUtil.gopherStats]]'s n_stop).
   */
 object TokenSetCountsUtil {
-  /** Null-propagating like the builtins spelling (a null token nulls
-    * the filter result): returns null if any element is null.
+  /** Null ELEMENTS are skipped, matching the builtins spelling exactly:
+    * `filter(ws, isInCollection(set))` evaluates the predicate to null
+    * for a null token, and ArrayFilter excludes elements with a
+    * non-true predicate — so a null token contributes to no set's
+    * count. (Only a null ARRAY yields a null result, via the
+    * expression's null-safe wrapper.)
     */
   def counts(ws: ArrayData, sets: Array[Array[UTF8String]]): ArrayData = {
     val out = new Array[Long](sets.length)
     val n = ws.numElements()
     var i = 0
     while (i < n) {
-      if (ws.isNullAt(i)) return null
-      val t = ws.getUTF8String(i)
-      var si = 0
-      while (si < sets.length) {
-        val set = sets(si)
-        var wi = 0
-        var hit = false
-        while (wi < set.length && !hit) {
-          if (t.equals(set(wi))) hit = true
-          wi += 1
+      if (!ws.isNullAt(i)) {
+        val t = ws.getUTF8String(i)
+        var si = 0
+        while (si < sets.length) {
+          val set = sets(si)
+          var wi = 0
+          var hit = false
+          while (wi < set.length && !hit) {
+            if (t.equals(set(wi))) hit = true
+            wi += 1
+          }
+          if (hit) out(si) += 1
+          si += 1
         }
-        if (hit) out(si) += 1
-        si += 1
       }
       i += 1
     }
@@ -72,18 +77,10 @@ case class TokenSetCounts(child: Expression, sets: Seq[Seq[String]])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val sRef = ctx.addReferenceObj("tscSets", setArr,
       "org.apache.spark.unsafe.types.UTF8String[][]")
-    nullSafeCodeGen(ctx, ev, c => {
-      val tmp = ctx.freshName("tscTmp")
-      s"""
-         |org.apache.spark.sql.catalyst.util.ArrayData $tmp =
-         |  graft.functions.TokenSetCountsUtil.counts($c, $sRef);
-         |if ($tmp == null) {
-         |  ${ev.isNull} = true;
-         |} else {
-         |  ${ev.value} = $tmp;
-         |}
-       """.stripMargin
-    })
+    // counts() never returns null (null elements are skipped); only a
+    // null input array nulls the result, handled by nullSafeCodeGen
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TokenSetCountsUtil.counts($c, $sRef);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): TokenSetCounts =

@@ -200,8 +200,11 @@ object DedupOps extends QueryModule {
         |  FROM documents)
         |WHERE rn = 1 ORDER BY doc_id"""
     ) { (s, d) =>
-      // routed through the public facade (GraftOps.dedupExact)
-      graft.GraftOps.dedupExact(Tables.documents(s, d), "text", "doc_id")
+      // routed through the public facade (GraftOps.dedupExact);
+      // doc_id is globally unique (fixture invariant), so the semi
+      // join probes on the bare long id
+      graft.GraftOps.dedupExact(Tables.documents(s, d), "text", "doc_id",
+        orderUnique = true)
         .select(col("doc_id"), md5(col("text")).as("content_hash"))
         .orderBy("doc_id")
     },

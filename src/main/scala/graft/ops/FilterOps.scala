@@ -248,6 +248,25 @@ object FilterOps extends QueryModule {
     * exact on both engines), value-bucketed so no single-task window
     * appears at any corpus size. Inherits [[PipelineOps.bigramLogProb]]
     * eagerness (model-state construction at call time).
+    *
+    * STREAMING RECIPE (the one curation operator whose batch form is
+    * corpus-relative — LM probabilities AND decile cutoffs are corpus
+    * statistics — so it cannot run verbatim on an unbounded stream;
+    * this contract pins how it runs instead, spec'd in StreamingSpec):
+    *
+    *  1. Train on a REFERENCE corpus, batch:
+    *     `lm = PipelineOps.bigramLmTable(refDocs)` and freeze the
+    *     logprob cutoff for the kept deciles from
+    *     `perplexityFilter(refDocs)` — both are MODEL STATE.
+    *  2. Score each micro-batch inside `foreachBatch`:
+    *     `PipelineOps.scoreBigramLm(batch, lm)` (narrow explode +
+    *     broadcast LM join + one doc-keyed agg — stateless per batch),
+    *     then gate on `avg_logprob >= frozenCutoff`. Documents with no
+    *     LM-known bigram yield no score row — route them by policy.
+    *  3. REFRESH periodically: retrain `lm` (and the cutoff) on the
+    *     accumulated/recent corpus outside the stream and swap the
+    *     reference the foreachBatch closure reads — the stream picks
+    *     up the new broadcast on its next batch; no restart.
     */
   def perplexityFilter(docs: DataFrame, keepFromDecile: Int = 4): DataFrame = {
     val lp = PipelineOps.bigramLogProb(docs)

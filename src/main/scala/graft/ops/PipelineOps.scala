@@ -189,11 +189,7 @@ object PipelineOps extends QueryModule {
     // gate's count() reads it back instead of re-aggregating.
     val counts = docBg.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
       .localCheckpoint()
-    val cond = counts.groupBy(col("w1").as("cw")).agg(sum(col("c")).as("cu"))
-    val probs = counts
-      .join(cond, col("w1") === col("cw"))
-      .select(col("w1"), col("w2"),
-        Exact.round6(log(col("c").cast("double") / col("cu"))).as("lp"))
+    val probs = lmFromCounts(counts)
     // Scoring joins the probability table by broadcast when — and ONLY
     // when — the measured bigram-type count fits broadcast range: the
     // corpus-scale docBg side then streams through with NO re-shuffle
@@ -204,11 +200,57 @@ object PipelineOps extends QueryModule {
     // materialized type table, so it costs one cheap metadata-scale job,
     // never a recompute.
     val probsSide = if (counts.count() <= maxBroadcastTypes) broadcast(probs) else probs
-    docBg.join(probsSide, Seq("w1", "w2"))
+    avgLogProbAgg(docBg.join(probsSide, Seq("w1", "w2")))
+  }
+
+  /** MLE conditional probabilities from a (w1, w2, c) bigram-count
+    * table — the one derivation shared by the batch scorer and the
+    * streaming LM trainer, so the two paths cannot round differently.
+    */
+  private def lmFromCounts(counts: DataFrame): DataFrame = {
+    val cond = counts.groupBy(col("w1").as("cw")).agg(sum(col("c")).as("cu"))
+    counts
+      .join(cond, col("w1") === col("cw"))
+      .select(col("w1"), col("w2"),
+        Exact.round6(log(col("c").cast("double") / col("cu"))).as("lp"))
+  }
+
+  private def avgLogProbAgg(scoredBigrams: DataFrame): DataFrame =
+    scoredBigrams
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
         Exact.round6(Exact.dsum(col("lp")) / count(lit(1))).as("avg_logprob"))
-  }
+
+  /** The trained bigram LM as reusable MODEL STATE: (w1, w2, lp) with
+    * lp = round6(ln(c(w1,w2) / c(w1·))) — exactly the probability table
+    * [[bigramLogProb]] derives internally, exposed so it can be trained
+    * on a REFERENCE corpus and handed to [[scoreBigramLm]] (the
+    * streaming perplexity gate's scoring step). Vocabulary-bounded
+    * (bigram types), never corpus-row-bounded.
+    */
+  def bigramLmTable(docs: DataFrame): DataFrame =
+    lmFromCounts(docBigrams(docs).groupBy("w1", "w2").agg(count(lit(1)).as("c")))
+
+  /** Score (doc_id, text) rows against an already-trained
+    * [[bigramLmTable]]: per-document n_bigrams + avg_logprob over the
+    * bigrams the LM KNOWS. Unknown bigrams are skipped and a document
+    * with ZERO known bigrams yields no row — route such no-signal docs
+    * by explicit policy at the call site (drop, or admit with a
+    * sentinel), exactly the decision a production CCNet gate makes for
+    * out-of-domain text. Rounding discipline is shared with
+    * [[bigramLogProb]], so scoring a corpus against its own LM table
+    * reproduces bigramLogProb bit-for-bit (pinned by StreamingSpec).
+    *
+    * STATELESS given the LM table (one narrow explode + a broadcast
+    * join + one doc-keyed aggregation), which is what makes it the
+    * foreachBatch scoring step of the STREAMING perplexity gate — see
+    * [[FilterOps.perplexityFilter]]'s scaladoc for the full recipe.
+    * The LM is broadcast unconditionally: it is trained model state
+    * the caller already sized (the batch path's size gate exists for
+    * SELF-scoring, where the table is derived, not chosen).
+    */
+  def scoreBigramLm(docs: DataFrame, lm: DataFrame): DataFrame =
+    avgLogProbAgg(docBigrams(docs).join(broadcast(lm), Seq("w1", "w2")))
 
   def collocations(docs: DataFrame, minCount: Long, k: Int): DataFrame = {
     // One corpus pass builds the bigram-type count table; checkpoint it so
@@ -413,6 +455,17 @@ object PipelineOps extends QueryModule {
   def valueDeciles(
       df: DataFrame, metricCol: String, idCol: String,
       bucketWidth: Int, carryCols: Seq[String] = Nil): DataFrame = {
+    // carry columns are selected alongside the recipe's internals — a
+    // collision would be an ambiguous reference or silently wrong
+    // decile arithmetic, so fail with the contract-naming message the
+    // SQL builders use
+    val reserved = Set("n_total", "__graft_bkt", "__graft_rn", "__graft_off",
+      idCol, metricCol)
+    val clash = carryCols.filter(reserved)
+    require(clash.isEmpty,
+      s"valueDeciles: carryCols ${clash.mkString(", ")} collide with " +
+        s"reserved internal names (${reserved.toSeq.sorted.mkString(", ")}) — " +
+        "rename the carried column(s) before calling")
     val base = df.select(
       (Seq(idCol, metricCol) ++ carryCols).map(col): _*)
     // bucket id in LONG integer arithmetic: a double divide cast to int
@@ -460,10 +513,12 @@ object PipelineOps extends QueryModule {
     * resumes after the shared boundary space, so e.g. "a a a a" becomes
     * "aa a a" in the round rather than "aa aa" — the next rounds still
     * merge the remainder, but run-heavy corpora can order merges
-    * differently than a pairwise-rescan trainer. Each round's
-    * vocabulary table is localCheckpoint'd, so the plan stays linear in
-    * `rounds` (the self-referencing best-pair join would otherwise
-    * double it every round). Returns (round, pair, cnt) per merge.
+    * differently than a pairwise-rescan trainer. Only the corpus-scale
+    * word histogram is localCheckpoint'd; the per-round splices are
+    * LITERAL projections (the winner is collected model state), so the
+    * plan stays linear in `rounds` with no further materialization —
+    * each round is exactly ONE vocabulary-bounded job. Returns
+    * (round, pair, cnt) per merge.
     */
   def bpeMerges(docs: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1, s"bpeMerges requires rounds >= 1, got $rounds")
@@ -478,9 +533,15 @@ object PipelineOps extends QueryModule {
     // scheduling floor on it. wfreq itself (the one corpus-scale pass)
     // was materialized eagerly above, OUTSIDE this scope.
     TinyLoop.withModelStateConfs(docs.sparkSession) {
+      // the symbol column and every round's splice are NARROW literal
+      // projections over the checkpointed histogram, so no further
+      // checkpoint is needed for plan linearity — a round's histogram
+      // job simply re-runs the (tiny, vocabulary-bounded) splice chain.
+      // The per-round localCheckpoint this replaces was one pure
+      // scheduling-floor job per round: at sf0.1 it roughly doubled
+      // q_bpe_merges' wall time for zero recompute saved.
       var v = wfreq
         .withColumn("cs", trim(regexp_replace(col("word"), "(.)", "$1 ")))
-        .localCheckpoint()
       // the per-round winner is ONE row of model state — collect it and
       // bake the splice as LITERALS (the k-means centroid policy): the
       // previous spelling localCheckpoint'd the winner, probed isEmpty,
@@ -508,7 +569,6 @@ object PipelineOps extends QueryModule {
                 concat(lit(" "), col("cs"), lit(" ")),
                 lit(" " + bp + " "),
                 lit(" " + bp.replace(" ", "") + " "))))
-              .localCheckpoint()
         }
         r += 1
       }

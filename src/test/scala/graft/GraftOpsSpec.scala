@@ -20,6 +20,37 @@ class GraftOpsSpec extends SparkSpec {
     assert(kept == Seq("a" -> 1L, "b" -> 2L))
   }
 
+  test("dedupExact orderUnique probes on the order column alone, same rows") {
+    import spark.implicits._
+    // ord values GLOBALLY unique — the precondition orderUnique asserts
+    // (a doc_id-style row id); under it the keeper-id semi join must
+    // return exactly the pair-join rows, in the caller's schema order
+    val df = Seq(
+      ("a", 3L, "x3"), ("a", 1L, "x1"), ("b", 2L, "y2"), ("a", 5L, "x5"))
+      .toDF("k", "ord", "payload")
+    val viaPair = GraftOps.dedupExact(df, "k", "ord")
+      .orderBy("ord").collect().toSeq
+    val viaOrd = GraftOps.dedupExact(df, "k", "ord", orderUnique = true)
+      .orderBy("ord").collect().toSeq
+    assert(viaPair == viaOrd)
+    assert(viaPair.map(_.schema.fieldNames.toSeq).distinct ==
+      Seq(Seq("k", "ord", "payload")), "schema order must be preserved")
+  }
+
+  test("valueDeciles rejects carry columns that shadow recipe internals") {
+    import spark.implicits._
+    val df = Seq((1L, 10L, 2L)).toDF("id", "m", "n_total")
+    val e = intercept[IllegalArgumentException] {
+      GraftOps.valueDeciles(df, "m", "id", 50, carryCols = Seq("n_total"))
+    }
+    assert(e.getMessage.contains("n_total") && e.getMessage.contains("reserved"))
+    // the metric/id columns are reserved too (selecting them twice would
+    // be an ambiguous reference downstream)
+    intercept[IllegalArgumentException] {
+      GraftOps.valueDeciles(df, "m", "id", 50, carryCols = Seq("m"))
+    }
+  }
+
   test("cosineTopK excludeSelf=false scores a corpus row sharing a query id") {
     import spark.implicits._
     // corpus id 7 == query id 7 but DIFFERENT vectors (independent id

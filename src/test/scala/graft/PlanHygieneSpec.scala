@@ -100,14 +100,24 @@ class PlanHygieneSpec extends SparkSpec {
       "q_tpch_q6" -> Seq("PushedFilters: [IsNotNull"),
       "q_tpch_q3" -> Seq("PushedFilters: [IsNotNull", "BroadcastHashJoin"),
       "q_filter_predicates" -> Seq("PushedFilters: [IsNotNull"),
-      "q_join_inner" -> Seq("BroadcastHashJoin"),
+      // all three dims broadcast AND the exact decimal sums ride the
+      // two-long Dec128Sum accumulator (r9 audit: the remaining 12x
+      // vs DuckDB at sf0.1 is the per-row BigDecimal multiply + the
+      // fixed job floor, not a plan defect — PLANS.md r9 note)
+      "q_join_inner" -> Seq("BroadcastHashJoin", "graft_dec128_sum"),
       "q_join_broadcast" -> Seq("BroadcastHashJoin"),
       "q_ann_lsh" -> Seq("BroadcastHashJoin"),
       // the HAVING subquery must arrive as a SEMI join (never inner —
       // that would duplicate orders rows and corrupt the sums)
       "q_tpch_q18" -> Seq("LeftSemi"),
-      // keep-first dedup must plan the pre-shuffle group-limit
-      "q_corpus_curation" -> Seq("WindowGroupLimit"),
+      // keep-first dedup must plan as the sort-free keeper-semi-join
+      // (r9 rewrite): narrow min(orderCol) HashAggregate + hinted
+      // shuffled HASH join — never the row_number window (sorts the
+      // full text payload both sides of its exchange) and never a
+      // sort-merge fallback (same sorts, at exactly the scale where
+      // the keeper set outgrows broadcast)
+      "q_corpus_curation" -> Seq("ShuffledHashJoin", "LeftSemi"),
+      "q_dedup_exact" -> Seq("ShuffledHashJoin", "LeftSemi"),
       // non-equi (vec_id <> qid) against an explicitly broadcast 10-row
       // query set: nested-loop is fine ONLY because it's broadcast; and
       // the two-phase top-k must partial-aggregate before its shuffle
@@ -171,6 +181,19 @@ class PlanHygieneSpec extends SparkSpec {
       // exploded corpus before the rebuild aggregation), and line
       // segmentation must stay the fused codegen pass
       "q_boilerplate_strip" -> Seq("BroadcastHashJoin", "graft_token_lines"),
+      // retrieval family (bench headline from r9): BM25's per-term df
+      // table arrives broadcast and the one-row corpus stats ride the
+      // broadcast nested-loop — the fact-scale (doc, term) aggregation
+      // must never re-shuffle against either
+      "q_bm25" -> Seq("BroadcastHashJoin", "BroadcastNestedLoopJoin"),
+      // both retrieval lists are bounded top-20 BEFORE the rank/fuse
+      // (TakeOrdered, never a full sort of the scored corpus)
+      "q_hybrid_rrf" -> Seq("TakeOrderedAndProject"),
+      // the benchmark shingle set joins the exploded corpus broadcast
+      "q_contamination" -> Seq("BroadcastHashJoin"),
+      // posting lists are capped via the bounded aggregation path
+      // (ObjectHashAggregate partials), never an uncapped collect_list
+      "q_inverted_index" -> Seq("ObjectHashAggregate"),
       // the rule batteries must keep their fused single-pass
       // expressions — a regression to the interpreted lambda spelling
       // (measured 4-7x slower) would erase these function names
@@ -185,6 +208,22 @@ class PlanHygieneSpec extends SparkSpec {
       }
     }
     assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
+  // Keep-first dedup (GraftOps.dedupExact and every query built on it)
+  // must never plan a Window node again: the r8 row_number spelling
+  // shipped the FULL row payload (text included) through the exchange
+  // and sorted it per key partition — at 100 TB, with a near-unique
+  // fingerprint key, that is the heaviest avoidable exchange in a
+  // curation pipeline. The min_by aggregation collapses duplicates
+  // map-side and sorts nothing.
+  test("keep-first dedup plans contain no Window node") {
+    Seq("q_dedup_exact", "q_dedup_fingerprint", "q_corpus_curation").foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"),
+        s"$name: Window node back in a keep-first dedup plan:\n$plan")
+    }
   }
 
   // The repeated-span detector's count + distinct-doc-count pair must

@@ -495,4 +495,61 @@ class StreamingSpec extends SparkSpec {
       }
     }
   }
+
+  test("streaming perplexity gate: foreachBatch scores against a refreshed broadcast LM") {
+    implicit val sq = spark.sqlContext
+    import ops.PipelineOps
+    // The pinned contract from FilterOps.perplexityFilter's scaladoc —
+    // the ONE curation operator whose batch form is corpus-relative (LM
+    // probabilities + decile cutoffs are corpus statistics): train the
+    // LM on a reference corpus as model state, score each micro-batch
+    // against the BROADCAST table inside foreachBatch, gate on a frozen
+    // cutoff, and refresh by retraining + swapping the reference the
+    // closure reads — no stream restart.
+    val ref = Seq(
+      (100L, "the cat sat"), (101L, "the cat ran")).toDF("doc_id", "text")
+    // (0) self-scoring parity: scoring a corpus against its own trained
+    // table reproduces the batch operator bit-for-bit — the guarantee
+    // that the streaming gate scores on the SAME scale the frozen
+    // batch-trained cutoff was computed on
+    val viaLm = PipelineOps.scoreBigramLm(ref, PipelineOps.bigramLmTable(ref))
+      .orderBy("doc_id").collect().toSeq
+    val viaBatch = PipelineOps.bigramLogProb(ref)
+      .orderBy("doc_id").collect().toSeq
+    assert(viaLm == viaBatch, "LM-table scoring drifted from the batch scorer")
+
+    @volatile var lm = PipelineOps.bigramLmTable(ref).localCheckpoint()
+    val cutoff = -0.5 // frozen policy cutoff (model state, like the LM)
+    val scored = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double, Boolean)]
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = PipelineOps.scoreBigramLm(batch, lm)
+          .withColumn("keep", col("avg_logprob") >= cutoff)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+        scored.synchronized { scored ++= rows; () }
+      }
+      .start()
+    // batch 1 against the reference LM: "the cat" has lp ln(1)=0,
+    // "cat sat" lp ln(1/2); doc 1 scores (0 + ln .5)/2 >= -0.5 -> keep;
+    // doc 2's only bigram is LM-unknown -> NO score row (the documented
+    // no-signal policy hook)
+    mem.addData((1L, "the cat sat"), (2L, "zz qq"))
+    q.processAllAvailable()
+    // expected avg = round6((0 + round6(ln 1/2)) / 2) = round6(-0.3465735)
+    // = -0.346573 under round6's floor(x*1e6 + 0.5) half-UP (toward +inf)
+    assert(scored.synchronized(scored.toSeq) == Seq((1L, 2L, -0.346573, true)))
+    // REFRESH: retrain on reference + the new-domain text and swap the
+    // reference the closure reads — next batch scores under the new LM
+    lm = PipelineOps.bigramLmTable(
+      ref.union(Seq((102L, "zz qq")).toDF("doc_id", "text"))).localCheckpoint()
+    mem.addData((3L, "zz qq"))
+    q.processAllAvailable()
+    q.stop()
+    val after = scored.synchronized(scored.toSeq)
+    // "zz qq" is now LM-known with lp ln(1)=0 -> avg 0, kept
+    assert(after.size == 2 && after(1) == ((3L, 1L, 0.0, true)),
+      s"refreshed LM not picked up: $after")
+  }
 }

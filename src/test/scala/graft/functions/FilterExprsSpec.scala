@@ -190,6 +190,29 @@ class FilterExprsSpec extends SparkSpec {
     }
   }
 
+  test("token_set_counts skips null elements, matching ArrayFilter semantics") {
+    // the SQL-registered form is reachable with arbitrary array<string>:
+    // a null token must contribute to no set (the builtins spelling's
+    // isInCollection predicate is null there, and filter() excludes
+    // non-true elements — it does NOT null the whole count), and only a
+    // null ARRAY nulls the result
+    val sets = Seq(Seq("the", "a"), Seq("word"))
+    val df = Seq(1, 2).toDF("i").select(
+      when(col("i") === 1, array(lit("the"), lit(null), lit("word"), lit("a")))
+        .as("ws")) // i=2 -> ws is NULL
+    val builtins = sets.map(s =>
+      size(filter(col("ws"), x => x.isInCollection(s))).cast("long"))
+    val got = df.select(
+      GraftFunctions.token_set_counts(col("ws"), sets).as("fused") +: builtins: _*)
+      .collect()
+    assert(got(0).getSeq[Long](0) == Seq(2L, 1L), s"null element: ${got(0)}")
+    sets.indices.foreach { i =>
+      assert(got(0).getSeq[Long](0)(i) == got(0).getLong(1 + i),
+        s"parity with builtins on set $i: ${got(0)}")
+    }
+    assert(got(1).isNullAt(0), "null array stays null")
+  }
+
   test("SQL registration: the fused filter exprs callable from spark.sql") {
     GraftFunctions.registerAll(spark)
     Seq((5L, "the a of and\nword line here.")).toDF("doc_id", "text")
