@@ -150,6 +150,7 @@ object Bench {
     // regressions (PLANS.md "sandbox weather"). DuckDB lives python-side
     // only, so shell out; ANY failure (no python, no duckdb module, a
     // hang) degrades to duckdb_total:null rather than corrupting the run.
+    var duckdbJson: Option[String] = None
     val duckdbTotal: Option[Double] = try {
       val sqlDir = java.nio.file.Files.createTempDirectory("graft_bench_sqls")
       names.zipWithIndex.foreach { case (n, i) =>
@@ -172,6 +173,10 @@ object Bench {
         else {
           val line = Iterator.continually(out.readLine()).takeWhile(_ != null)
             .toSeq.lastOption.getOrElse("")
+          // keep the script's whole JSON object (total + per-query map):
+          // the per-query DuckDB times are what turn a cross-query ratio
+          // analysis into same-window evidence
+          if (line.startsWith("{") && line.endsWith("}")) duckdbJson = Some(line)
           """"duckdb_total":\s*([0-9.]+)""".r.findFirstMatchIn(line)
             .map(_.group(1).toDouble)
         }
@@ -181,7 +186,8 @@ object Bench {
       None
     }
     val duck = duckdbTotal.map(_.toString).getOrElse("null")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","action":"noop-write","duckdb_total":$duck,"queries":$qs,"spread":$spreads,"sf":"$sfDir"}""")
+    val duckObj = duckdbJson.getOrElse("null")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","action":"noop-write","duckdb_total":$duck,"queries":$qs,"spread":$spreads,"duckdb":$duckObj,"sf":"$sfDir"}""")
     // The full line above (per-query timings + spread map) exceeds the
     // driver's tail-capture window, so it can arrive truncated (round 6's
     // official total was lost that way: BENCH_r06 "parsed": null). Print a

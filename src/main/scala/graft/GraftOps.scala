@@ -341,14 +341,19 @@ object GraftOps {
 
   /** Latest-wins incremental merge (lakehouse upsert): union `base` and
     * `delta`, keep per `keyCol` the row greatest by `orderCols`
-    * (compared in order, descending). One shuffle on the merge key;
-    * WindowGroupLimit prunes losers pre-exchange. Verified by
-    * `q_upsert_latest`.
+    * (compared in order, descending). Pass `rowIdCol` — a globally
+    * unique tiebreaker that appears in `orderCols` (the precombine-key
+    * contract) — to get the SORT-FREE spelling: a narrow keeper
+    * aggregation + hinted shuffled-hash semi join, so the row payload
+    * is never sorted (see [[dedupExact]] — same discipline, keep-last).
+    * Without it, the row_number window spelling handles non-total
+    * orders (one arbitrary winner under ties) at the cost of a payload
+    * sort. Verified by `q_upsert_latest`.
     */
   def mergeLatest(
       base: DataFrame, delta: DataFrame, keyCol: String,
-      orderCols: Seq[String]): DataFrame =
-    ops.PipelineOps.mergeLatest(base, delta, keyCol, orderCols)
+      orderCols: Seq[String], rowIdCol: Option[String] = None): DataFrame =
+    ops.PipelineOps.mergeLatest(base, delta, keyCol, orderCols, rowIdCol)
 
   /** Per-document average bigram log-probability under the corpus's own
     * MLE bigram model (perplexity-style quality score). Two corpus

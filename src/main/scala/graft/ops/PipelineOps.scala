@@ -651,15 +651,43 @@ object PipelineOps extends QueryModule {
     // oracle compare
   }
 
+  /** Latest-wins merge. With `rowIdCol` set (a GLOBALLY unique column
+    * that appears in `orderCols`, e.g. an event id used as the final
+    * tiebreaker — the "precombine key" every lakehouse merger demands)
+    * the merge is SORT-FREE, the dedupExact discipline applied to
+    * keep-LAST: a narrow (key, orderCols) keeper aggregation picks each
+    * key's max order tuple (struct max — SortAggregate, but over the
+    * NARROW projection only), the winning row ids semi-join back by
+    * hinted shuffled-hash join, and the full payload crosses its one
+    * exchange unsorted. Without `rowIdCol` the row_number window
+    * spelling is kept: under order ties it returns exactly one
+    * arbitrary row per key, which no join-back spelling can reproduce.
+    */
   def mergeLatest(
       base: DataFrame, delta: DataFrame, keyCol: String,
-      orderCols: Seq[String]): DataFrame = {
-    val w = Window.partitionBy(keyCol)
-      .orderBy(orderCols.map(c => col(c).desc): _*)
-    base.unionByName(delta)
-      .withColumn("__graft_rn", row_number().over(w))
-      .filter(col("__graft_rn") === 1)
-      .drop("__graft_rn")
+      orderCols: Seq[String], rowIdCol: Option[String] = None): DataFrame = {
+    val uni = base.unionByName(delta)
+    rowIdCol match {
+      case Some(rid) =>
+        require(orderCols.contains(rid),
+          s"mergeLatest: rowIdCol '$rid' must appear in orderCols " +
+            s"(${orderCols.mkString(", ")}) — a unique final tiebreaker is " +
+            "what makes the order total and the sort-free spelling exact")
+        val keepers = uni
+          .groupBy(col(keyCol))
+          .agg(max(struct(orderCols.map(col): _*)).as("__graft_mx"))
+          .select(col("__graft_mx").getField(rid).as(rid))
+          .hint("shuffle_hash")
+        uni.join(keepers, Seq(rid), "left_semi")
+          .select(uni.columns.map(col).toSeq: _*)
+      case None =>
+        val w = Window.partitionBy(keyCol)
+          .orderBy(orderCols.map(c => col(c).desc): _*)
+        uni
+          .withColumn("__graft_rn", row_number().over(w))
+          .filter(col("__graft_rn") === 1)
+          .drop("__graft_rn")
+    }
   }
 
   /** Fixed query-term set shared by the BM25 and hybrid-fusion queries. */
@@ -1009,10 +1037,13 @@ object PipelineOps extends QueryModule {
 
     // Latest-wins incremental merge (the lakehouse upsert discipline):
     // union the base snapshot with the delta and keep, per key, the row
-    // with the greatest version — one shuffle keyed by the merge key,
-    // with WindowGroupLimit dropping losers before the exchange. The
-    // oracle states the semantic result (latest event per user over the
-    // whole table), which the split + merge must reproduce exactly.
+    // with the greatest version. event_id is the globally unique final
+    // tiebreaker (the precombine key), so the merge runs SORT-FREE: a
+    // narrow (user_id, ts, event_id) keeper aggregation + a semi join
+    // back on the winning event_ids — the event payload crosses its one
+    // exchange unsorted (plan-pinned: no Window node). The oracle
+    // states the semantic result (latest event per user over the whole
+    // table), which the split + merge must reproduce exactly.
     Q(
       "q_upsert_latest",
       """SELECT user_id,
@@ -1029,7 +1060,8 @@ object PipelineOps extends QueryModule {
       val ev = Tables.events(s, d)
       val base = ev.filter(col("ts") < lit("2024-01-20").cast("timestamp"))
       val delta = ev.filter(col("ts") >= lit("2024-01-20").cast("timestamp"))
-      graft.GraftOps.mergeLatest(base, delta, "user_id", Seq("ts", "event_id"))
+      graft.GraftOps.mergeLatest(base, delta, "user_id", Seq("ts", "event_id"),
+          rowIdCol = Some("event_id"))
         .select(col("user_id"),
           unix_timestamp(col("ts")).as("last_ts"),
           col("event_type").as("last_type"),

@@ -219,6 +219,30 @@ class GraftOpsSpec extends SparkSpec {
     assert(merged == Seq((1L, "new"), (2L, "only-base"), (3L, "only-delta")))
   }
 
+  test("mergeLatest sort-free rowIdCol path matches the window path") {
+    import spark.implicits._
+    // rid globally unique and the FINAL tiebreaker in orderCols — the
+    // precombine-key contract; under it the sort-free semi-join
+    // spelling must return exactly the window rows, schema order kept
+    val base = Seq(
+      (1L, 10L, 100L, "old"), (1L, 10L, 101L, "tie-winner"),
+      (2L, 10L, 102L, "only-base")).toDF("k", "v", "rid", "payload")
+    val delta = Seq(
+      (1L, 20L, 103L, "new"), (3L, 5L, 104L, "only-delta"))
+      .toDF("k", "v", "rid", "payload")
+    val viaWindow = GraftOps.mergeLatest(base, delta, "k", Seq("v", "rid"))
+      .orderBy("k").collect().toSeq
+    val sortFree = GraftOps.mergeLatest(base, delta, "k", Seq("v", "rid"),
+      rowIdCol = Some("rid")).orderBy("k").collect().toSeq
+    assert(viaWindow == sortFree)
+    assert(sortFree.map(_.getString(3)) == Seq("new", "only-base", "only-delta"))
+    // the contract check: a rowIdCol outside orderCols must fail loudly
+    val e = intercept[IllegalArgumentException] {
+      GraftOps.mergeLatest(base, delta, "k", Seq("v"), rowIdCol = Some("rid"))
+    }
+    assert(e.getMessage.contains("orderCols"))
+  }
+
   test("text operators tolerate null and empty text rows") {
     import spark.implicits._
     // a real corpus has malformed rows; every text operator must drop or

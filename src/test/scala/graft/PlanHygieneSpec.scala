@@ -210,19 +210,20 @@ class PlanHygieneSpec extends SparkSpec {
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 
-  // Keep-first dedup (GraftOps.dedupExact and every query built on it)
-  // must never plan a Window node again: the r8 row_number spelling
-  // shipped the FULL row payload (text included) through the exchange
-  // and sorted it per key partition — at 100 TB, with a near-unique
-  // fingerprint key, that is the heaviest avoidable exchange in a
-  // curation pipeline. The min_by aggregation collapses duplicates
-  // map-side and sorts nothing.
-  test("keep-first dedup plans contain no Window node") {
-    Seq("q_dedup_exact", "q_dedup_fingerprint", "q_corpus_curation").foreach { name =>
+  // Keep-ONE-row-per-key operators (dedupExact keep-first, mergeLatest
+  // keep-last, and every query built on them) must never plan a Window
+  // node again: the r8 row_number spelling shipped the FULL row payload
+  // (text included) through the exchange and sorted it per key
+  // partition — at 100 TB, with a near-unique key, that is the
+  // heaviest avoidable exchange in a curation/upsert pipeline. The
+  // keeper-aggregation + semi-join spelling sorts only narrow columns.
+  test("keep-first dedup and latest-wins upsert plans contain no Window node") {
+    Seq("q_dedup_exact", "q_dedup_fingerprint", "q_corpus_curation",
+      "q_upsert_latest").foreach { name =>
       val plan = SparkEntry.queries(name)(spark, sfDir)
         .queryExecution.executedPlan.toString
       assert(!plan.contains("Window"),
-        s"$name: Window node back in a keep-first dedup plan:\n$plan")
+        s"$name: Window node back in a keep-one-per-key plan:\n$plan")
     }
   }
 
