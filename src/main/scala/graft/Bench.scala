@@ -34,8 +34,9 @@ object Bench {
     * Round 9 ADDED the four retrieval/scoring queries (q_bm25,
     * q_hybrid_rrf, q_contamination, q_inverted_index): the last
     * oracle-green family the bench didn't watch — a regression in the
-    * BM25 corpus-stats pass or the RRF fuse was invisible to BENCH_r8.
-    * 66 queries total from r9 on.
+    * BM25 corpus-stats pass or the RRF fuse was invisible to BENCH_r8 —
+    * plus the new q_source_mix_temperature (most-recently-written
+    * rule). 67 queries total from r9 on.
     *
     * ROUND 8 ALSO CHANGED THE MEASURED ACTION from count() to a
     * noop-sink write (see `run` below): count() let Catalyst prune
@@ -58,7 +59,7 @@ object Bench {
     "word_count", "q_term_freq", "q_token_count", "q_corpus_curation",
     "q_repetition_signals", "q_seq_pack", "q_bigram_lm", "q_bpe_merges",
     "q_pipeline_e2e", "q_collocations", "q_source_mix", "q_repeated_spans",
-    "q_source_mix_weighted", "q_chunk_windows",
+    "q_source_mix_weighted", "q_source_mix_temperature", "q_chunk_windows",
     "q_pii_scrub", "q_line_dedup", "q_quality_classifier", "q_dsir_weights",
     "q_gopher_rules", "q_c4_clean", "q_boilerplate_strip",
     "q_perplexity_filter",

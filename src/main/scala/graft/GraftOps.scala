@@ -320,6 +320,17 @@ object GraftOps {
       docs: DataFrame, weights: Map[String, Double], totalBudget: Long): DataFrame =
     ops.PipelineOps.sourceMixWeighted(docs, weights, totalBudget)
 
+  /** Temperature-flattened mixture: per-source weights proportional to
+    * token-share^alpha (uniform as alpha→0, natural at 1 — the small-
+    * domain upweighting schedule of pretraining mixes), keep rates
+    * derived in-plan as in [[sourceMix]]. alpha = 0.5 is the
+    * cross-engine-deterministic path (sqrt, not libm pow). Verified by
+    * `q_source_mix_temperature`.
+    */
+  def sourceMixTemperature(
+      docs: DataFrame, alpha: Double, totalBudget: Long): DataFrame =
+    ops.PipelineOps.sourceMixTemperature(docs, alpha, totalBudget)
+
   /** Cross-document repeated `n`-token spans (boilerplate/template
     * detection, the signal behind exact-substring dedup): top `k` spans
     * by occurrence appearing in >= `minDocs` distinct docs. One explode

@@ -295,6 +295,15 @@ object PipelineOps extends QueryModule {
     Map("src0" -> 0.4, "src1" -> 0.3, "src2" -> 0.2, "src3" -> 0.1)
   private[ops] val MixWeightedBudget = 2000L
 
+  /** Temperature + budget for the q_source_mix_temperature fixture:
+    * alpha 0.5 (the sqrt determinism path); budget 6000 gives every
+    * source a fractional rate (~0.21-0.24) at sf0.01 while the smaller
+    * sf0.001 totals push rates past 1 — both threshold branches
+    * exercised across the suite's scales.
+    */
+  private[ops] val MixTemperatureAlpha = 0.5
+  private[ops] val MixTemperatureBudget = 6000L
+
   /** Budget-driven source rebalancing — the data-MIXING step of a
     * training run: each source whose token mass exceeds `targetTokens`
     * is deterministically hash-downsampled to (approximately) the
@@ -376,6 +385,48 @@ object PipelineOps extends QueryModule {
       .withColumn("rate",
         least(lit(1.0),
           col("weight") * lit(totalBudget).cast("double") / col("total_tokens")))
+    applyRates(t, withRate, Seq("weight"))
+  }
+
+  /** Temperature-flattened mixture — the sampling schedule pretraining
+    * runs use to upweight small high-quality domains (weights
+    * proportional to share^alpha; GPT-3's alpha≈0.7-style flattening,
+    * uniform as alpha→0, natural proportions at alpha=1). Because the
+    * share normalization cancels, weight_s = total_s^alpha /
+    * Σ_s' total_s'^alpha needs no grand total; the rate is the usual
+    * min(1, weight·budget/total_s).
+    *
+    * Cross-engine determinism discipline (the derived weight is a
+    * DOUBLE in the output contract): alpha = 0.5 rides `sqrt` —
+    * IEEE-correctly-rounded in BOTH engines, unlike `pow`, whose libm
+    * results may differ by an ulp and flip a keep decision at the hash
+    * threshold — each powered total is round6'd, and the normalizer is
+    * the EXACT decimal sum of the rounded terms (order-free), so
+    * weight, rate, and threshold are bit-identical vs the oracle. Same
+    * two narrow corpus passes + aggregate-scale model table as
+    * [[sourceMix]]; the normalizer is a one-row broadcast.
+    * An empty source (zero tokens) gets weight 0 / rate 0 explicitly —
+    * never a NaN threshold. Verified by `q_source_mix_temperature`.
+    */
+  def sourceMixTemperature(
+      docs: DataFrame, alpha: Double, totalBudget: Long): DataFrame = {
+    require(alpha > 0 && alpha <= 1 && !alpha.isNaN,
+      s"sourceMixTemperature: alpha must be in (0, 1], got $alpha")
+    require(totalBudget > 0, s"totalBudget must be > 0, got $totalBudget")
+    val (t, tot) = sourceTotals(docs)
+    val powered =
+      if (alpha == 0.5) sqrt(col("total_tokens").cast("double"))
+      else pow(col("total_tokens").cast("double"), lit(alpha))
+    val p = tot.withColumn("__graft_pw", Exact.round6(powered))
+    val norm = p.agg(Exact.dsum(col("__graft_pw")).as("__graft_spw"))
+    val withRate = p.crossJoin(broadcast(norm))
+      .withColumn("weight", col("__graft_pw") / col("__graft_spw"))
+      .withColumn("rate",
+        when(col("total_tokens") > 0,
+          least(lit(1.0),
+            col("weight") * lit(totalBudget).cast("double") / col("total_tokens")))
+          .otherwise(lit(0.0)))
+      .drop("__graft_pw", "__graft_spw")
     applyRates(t, withRate, Seq("weight"))
   }
 
@@ -1342,6 +1393,48 @@ object PipelineOps extends QueryModule {
     ) { (s, d) =>
       graft.GraftOps.sourceMixWeighted(
         Tables.documents(s, d), MixWeights, MixWeightedBudget)
+    },
+
+    // Temperature-flattened mixture (weights ∝ total^alpha, alpha=0.5):
+    // the derived weight is a computed DOUBLE, so the whole chain rides
+    // the determinism discipline — sqrt (IEEE-exact both engines, never
+    // pow's libm), round6'd powered totals, exact decimal normalizer —
+    // making weight/rate/threshold bit-identical cross-engine.
+    Q(
+      "q_source_mix_temperature",
+      s"""WITH t AS (
+         |  SELECT doc_id, source, CAST(len($WordsSql) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |tot AS (
+         |  SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+         |         COUNT(*) AS n_docs_total
+         |  FROM t GROUP BY source),
+         |p AS (
+         |  SELECT *, floor(sqrt(CAST(total_tokens AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS pw
+         |  FROM tot),
+         |norm AS (
+         |  SELECT CAST(SUM(CAST(pw AS DECIMAL(38,10))) AS DOUBLE) AS spw FROM p),
+         |r AS (
+         |  SELECT source, total_tokens, n_docs_total, pw / spw AS weight,
+         |         CASE WHEN total_tokens > 0
+         |              THEN LEAST(CAST(1.0 AS DOUBLE),
+         |                         (pw / spw) * CAST($MixTemperatureBudget AS DOUBLE) / total_tokens)
+         |              ELSE CAST(0.0 AS DOUBLE) END AS rate
+         |  FROM p, norm),
+         |thr AS (
+         |  SELECT *, CASE WHEN rate >= 1.0 THEN 'g'
+         |                 ELSE printf('%08x', CAST(floor(LEAST(rate * 4294967296.0, 4294967295.0)) AS BIGINT))
+         |            END AS h_thr
+         |  FROM r)
+         |SELECT t.source, n_docs_total, total_tokens, weight,
+         |       floor(rate * 1e6 + 0.5) / 1e6 AS rate,
+         |       COUNT(CASE WHEN substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 8) < h_thr THEN 1 END) AS n_docs_kept,
+         |       CAST(COALESCE(SUM(CASE WHEN substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 8) < h_thr THEN t.n_tokens END), 0) AS BIGINT) AS kept_tokens
+         |FROM t JOIN thr ON t.source = thr.source
+         |GROUP BY 1, 2, 3, 4, 5 ORDER BY t.source"""
+    ) { (s, d) =>
+      graft.GraftOps.sourceMixTemperature(
+        Tables.documents(s, d), MixTemperatureAlpha, MixTemperatureBudget)
     }
   )
 }

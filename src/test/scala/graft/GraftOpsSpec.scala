@@ -243,6 +243,28 @@ class GraftOpsSpec extends SparkSpec {
     assert(e.getMessage.contains("orderCols"))
   }
 
+  test("sourceMixTemperature: weights sum to 1, flatten toward uniform, reject bad alpha") {
+    import spark.implicits._
+    // big source 10x the small one: natural share 10/11 vs sqrt-flattened
+    // sqrt(10)/(sqrt(10)+1) ~ 0.76 — the flattening the schedule exists for
+    val docs = Seq.tabulate(22) { i =>
+      val src = if (i < 20) "big" else "small"
+      (i.toLong, ("w " * 10).trim, src) // 10 tokens per doc
+    }.toDF("doc_id", "text", "source")
+    val out = GraftOps.sourceMixTemperature(docs, alpha = 0.5, totalBudget = 100L)
+      .collect().map(r => r.getAs[String]("source") -> r.getAs[Double]("weight")).toMap
+    assert(math.abs(out.values.sum - 1.0) < 1e-9, s"weights must normalize: $out")
+    val bigShare = 200.0 / 220.0
+    assert(out("big") < bigShare && out("big") > 0.5,
+      s"alpha=0.5 must flatten the big source below its natural share: $out")
+    intercept[IllegalArgumentException] {
+      GraftOps.sourceMixTemperature(docs, alpha = 0.0, totalBudget = 100L)
+    }
+    intercept[IllegalArgumentException] {
+      GraftOps.sourceMixTemperature(docs, alpha = 0.5, totalBudget = 0L)
+    }
+  }
+
   test("text operators tolerate null and empty text rows") {
     import spark.implicits._
     // a real corpus has malformed rows; every text operator must drop or
