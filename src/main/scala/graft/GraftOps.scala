@@ -63,10 +63,18 @@ object GraftOps {
   }
 
   /** Whitespace-insensitive md5 fingerprint of a text column (the
-    * near-exact dedup key). Narrow, codegen'd.
+    * near-exact dedup key). Narrow, codegen'd — and REGEX-FREE: the
+    * whitespace collapse rides the native single-pass tokenizer
+    * (`graft_words`) instead of `regexp_replace`, which was the
+    * measured bulk of the keeper-pass scan in q_corpus_curation.
+    * Equivalent to `md5(trim(regexp_replace(lower(text), WS, " ")))`
+    * (the oracle's spelling) because Unicode simple lowercasing maps no
+    * character into or out of the whitespace class, so collapse-then-
+    * lower and lower-then-collapse produce the same normalized string
+    * — pinned by a property test against the regex spelling.
     */
   def fingerprint(text: Column): Column =
-    md5(trim(regexp_replace(lower(text), ops.TextOps.WsRe, " ")))
+    md5(lower(concat_ws(" ", ops.TextOps.words(text))))
 
   /** MinHash/LSH near-duplicate candidate pairs over (doc_id LONG,
     * text STRING) rows. One shuffle keyed by band hash, per-bucket pair

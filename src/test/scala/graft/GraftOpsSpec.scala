@@ -51,6 +51,34 @@ class GraftOpsSpec extends SparkSpec {
     }
   }
 
+  test("fingerprint: tokenizer spelling == regex spelling on adversarial texts") {
+    import spark.implicits._
+    // the r9 regex-free fingerprint must hash identically to the
+    // lower+regexp_replace spelling the DuckDB oracle still uses —
+    // across mixed case, every whitespace the tokenizer knows, empty
+    // and all-whitespace strings, and punctuation runs
+    val ws = Seq(" ", "\t", "\n", " ", " ", "　", "\r\n")
+    val rnd = new scala.util.Random(7)
+    def word() = (0 until 1 + rnd.nextInt(8)).map { _ =>
+      val c = "aZbY9cX.!dW,eV".charAt(rnd.nextInt(14)); c
+    }.mkString
+    val texts = Seq("", " ", "　\t ", "ONE two THREE", "  padded  ") ++
+      (0 until 200).map { _ =>
+        (0 until rnd.nextInt(12)).map(_ => word()).mkString(ws(rnd.nextInt(ws.size))) +
+          (if (rnd.nextBoolean()) ws(rnd.nextInt(ws.size)) else "")
+      }
+    val regexSpelling =
+      md5(trim(regexp_replace(lower(col("text")), ops.TextOps.WsRe, " ")))
+    val rows = texts.toDF("text")
+      .select(GraftOps.fingerprint(col("text")).as("fused"),
+        regexSpelling.as("regex"), col("text"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getString(0) == r.getString(1),
+        s"fingerprint mismatch on ${r.getString(2).take(60).toSeq}")
+    }
+  }
+
   test("cosineTopK excludeSelf=false scores a corpus row sharing a query id") {
     import spark.implicits._
     // corpus id 7 == query id 7 but DIFFERENT vectors (independent id
