@@ -36,7 +36,10 @@ object Bench {
     * oracle-green family the bench didn't watch — a regression in the
     * BM25 corpus-stats pass or the RRF fuse was invisible to BENCH_r8 —
     * plus the new q_source_mix_temperature (most-recently-written
-    * rule). 67 queries total from r9 on.
+    * rule), and later the three training-prep queries
+    * (q_trigram_backoff, q_shuffle_shards, q_domain_quality — new
+    * operators enter the bench the round they are written). 70 queries
+    * total from r9 on.
     *
     * ROUND 8 ALSO CHANGED THE MEASURED ACTION from count() to a
     * noop-sink write (see `run` below): count() let Catalyst prune
@@ -64,6 +67,7 @@ object Bench {
     "q_gopher_rules", "q_c4_clean", "q_boilerplate_strip",
     "q_perplexity_filter",
     "q_bm25", "q_hybrid_rrf", "q_contamination", "q_inverted_index",
+    "q_trigram_backoff", "q_shuffle_shards", "q_domain_quality",
     "q_dedup_exact", "q_dedup_minhash_pairs", "q_dedup_simhash",
     "q_dedup_corpus", "q_dedup_source_overlap", "q_oov_rate",
     "q_similarity_topk", "q_ann_lsh", "q_kmeans_embed", "q_ann_ivf_trained",

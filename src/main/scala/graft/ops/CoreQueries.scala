@@ -23,5 +23,6 @@ object CoreQueries extends QueryModule {
       GraphOps.queries ++
       MlOps.queries ++
       CurationOps.queries ++
-      FilterOps.queries
+      FilterOps.queries ++
+      TrainPrepOps.queries
 }

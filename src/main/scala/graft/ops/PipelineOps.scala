@@ -145,7 +145,7 @@ object PipelineOps extends QueryModule {
   /** Exploded (doc_id, w1, w2) adjacent-bigram rows (shared by the LM
     * scoring and collocation queries).
     */
-  private def docBigrams(docs: DataFrame): DataFrame = docs
+  private[ops] def docBigrams(docs: DataFrame): DataFrame = docs
     .filter(TextOps.wordCount(col("text")) >= 2)
     .select(col("doc_id"), explode(TextOps.shingles(col("text"), 2)).as("bg"))
     // tokens are maximal non-whitespace runs, so the single ' ' the

@@ -82,7 +82,7 @@ object TextOps {
   private val DeStop = Seq("der", "die", "das", "und", "ist")
   private val FrStop = Seq("le", "les", "et", "est", "une")
 
-  private def inList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("(", ", ", ")")
+  private[ops] def inList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("(", ", ", ")")
 
   def analysisQueries: Seq[graft.Q] = Seq(
     graft.Q(

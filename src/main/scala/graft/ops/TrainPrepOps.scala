@@ -1,0 +1,350 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{Q, QueryModule, Tables}
+
+/** Training-run preparation operators: the last mile between a curated
+  * corpus and a training job.
+  *
+  *  - a TRIGRAM language model with stupid backoff (Brants et al. 2007,
+  *    "Large Language Models in Machine Translation") — the KenLM-style
+  *    cross-corpus quality filter CCNet popularized, one order up from
+  *    [[GraftOps.bigramLogProb]]'s self-scoring MLE. Trained on one
+  *    split, scored on another, so the backoff chain (trigram → 0.4 ×
+  *    bigram → 0.4² × unigram → skip) actually fires;
+  *  - a DETERMINISTIC corpus shuffle + shard assignment — the global
+  *    permutation every pretraining run needs before writing shards,
+  *    spelled as hash bucketing so it is one exchange, reproducible
+  *    across runs/cluster sizes, and needs no global sort;
+  *  - DOMAIN-level quality curation — aggregate a per-document quality
+  *    signal to its source domain and drop whole domains below the
+  *    corpus mean (the RefinedWeb-style move: a spam domain's best page
+  *    is still spam).
+  *
+  * Scale shapes, per operator, are documented on each function. All
+  * model state here is vocabulary/domain-bounded (never corpus-row-
+  * bounded), and every corpus-scale pass is a narrow scan into a
+  * map-side-combinable aggregation.
+  */
+object TrainPrepOps {
+
+  /** Exploded (doc_id, w1, w2, w3) adjacent-trigram rows. Narrow: the
+    * native shingler emits the joined span in one pass and the splits
+    * are exact because tokens cannot contain the single space the
+    * shingler inserts.
+    */
+  private[ops] def docTrigrams(docs: DataFrame): DataFrame = docs
+    .filter(TextOps.wordCount(col("text")) >= 3)
+    .select(col("doc_id"), explode(TextOps.shingles(col("text"), 3)).as("tg"))
+    .select(col("doc_id"),
+      substring_index(col("tg"), " ", 1).as("w1"),
+      substring_index(substring_index(col("tg"), " ", 2), " ", -1).as("w2"),
+      substring_index(col("tg"), " ", -1).as("w3"))
+
+  /** Trained stupid-backoff model state: three log-score tables, largest
+    * first — `lp3(w1, w2, w3, lp3)`, `lp2(w2, w3, lp2)`, `lp1(w3, lp1)`.
+    * Each table is already wrapped for its join side (broadcast when its
+    * measured type count fits broadcast range), so scoring composes with
+    * a plain left-join chain.
+    */
+  final case class TrigramLm(lp3: DataFrame, lp2: DataFrame, lp1: DataFrame)
+
+  /** Train a stupid-backoff trigram LM on `train` (doc_id, text).
+    *
+    * Score of a position (w1, w2, w3), all terms round6'd at the model
+    * table so engines can't diverge by an ulp at scoring time:
+    *
+    *   lp3 = ln(c3(w1,w2,w3) / c2(w1,w2))          if the trigram is known
+    *   lp2 = ln(0.4 × (c2(w2,w3) / c1(w2)))        else if the bigram is
+    *   lp1 = ln(0.16 × (c1(w3) / N))               else if the unigram is
+    *   (position skipped)                           else
+    *
+    * EAGER, like [[GraftOps.bigramLogProb]]: the three count tables are
+    * localCheckpoint'd (each is ONE narrow corpus pass — trigram
+    * shingles, bigram shingles, words — into a map-side-combined
+    * aggregation; all three are vocabulary-bounded outputs) and counted,
+    * because the broadcast decision needs the measured type counts
+    * before the scoring plan exists. Past the gate a table joins keyed —
+    * open-web trigram types run to billions and a forced broadcast
+    * would die exactly there, the [[GraftOps.bigramLogProb]] lesson.
+    */
+  def trigramBackoffLm(
+      train: DataFrame,
+      maxBroadcastTypes: Long = PipelineOps.MaxBroadcastBigramTypes): TrigramLm = {
+    val c3 = docTrigrams(train)
+      .groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c3"))
+      .localCheckpoint()
+    val c2 = PipelineOps.docBigrams(train)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      .localCheckpoint()
+    val c1 = train
+      .select(explode(TextOps.words(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c1"))
+      .localCheckpoint()
+    val n = c1.agg(sum(col("c1")).as("n"))
+    // conditioning joins run between vocabulary-bounded CHECKPOINTED
+    // tables (partial-agg'd on both sides) — never against the corpus
+    val lp3 = c3.join(c2, Seq("w1", "w2"))
+      .select(col("w1"), col("w2"), col("w3"),
+        Exact.round6(log(col("c3").cast("double") / col("c2"))).as("lp3"))
+    val lp2 = c2.join(c1, c2("w1") === c1("w"))
+      .select(c2("w1").as("w2"), c2("w2").as("w3"),
+        Exact.round6(log(lit(0.4) * (col("c2").cast("double") / col("c1")))).as("lp2"))
+    val lp1 = c1.crossJoin(broadcast(n))
+      .select(col("w").as("w3"),
+        Exact.round6(log(lit(0.16) * (col("c1").cast("double") / col("n")))).as("lp1"))
+    def side(t: DataFrame, types: Long): DataFrame =
+      if (types <= maxBroadcastTypes) broadcast(t) else t
+    TrigramLm(side(lp3, c3.count()), side(lp2, c2.count()), side(lp1, c1.count()))
+  }
+
+  /** Score (doc_id, text) rows against a trained [[TrigramLm]]:
+    * per-document position count, scored-position count, and average
+    * log-score over the positions the backoff chain could ground
+    * (unknown-unigram positions are skipped; a document with ZERO
+    * groundable positions yields no row — same explicit no-signal
+    * policy as [[PipelineOps.scoreBigramLm]]).
+    *
+    * One narrow trigram explode over the scoring corpus, a left-join
+    * chain against the (typically broadcast) model tables, one
+    * doc-keyed aggregation — stateless given the model, so it is also
+    * the foreachBatch scoring step of a STREAMING gate, exactly like
+    * the bigram recipe StreamingSpec pins.
+    */
+  def scoreTrigramLm(docs: DataFrame, lm: TrigramLm): DataFrame =
+    docTrigrams(docs)
+      .join(lm.lp3, Seq("w1", "w2", "w3"), "left")
+      .join(lm.lp2, Seq("w2", "w3"), "left")
+      .join(lm.lp1, Seq("w3"), "left")
+      .select(col("doc_id"), coalesce(col("lp3"), col("lp2"), col("lp1")).as("lp"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_positions"),
+        count(col("lp")).as("n_scored"),
+        Exact.round6(Exact.dsum(col("lp")) / count(col("lp"))).as("avg_logprob"))
+      .filter(col("n_scored") > 0)
+
+  /** Deterministic corpus shuffle + shard assignment: appends
+    * `shuffle_h` (the md5 of `idCol:seed`) and `shard`
+    * (= first 60 bits of the digest mod `numShards`). Reproducible
+    * across runs AND cluster sizes — the permutation is a pure function
+    * of (id, seed), never of partitioning — which is what makes a
+    * training run re-startable and its data order auditable.
+    *
+    * ONE exchange end-to-end when writing:
+    * `.repartition(numShards, col("shard")).sortWithinPartitions("shuffle_h")`
+    * gives globally-determined shard files in shuffled order with NO
+    * global sort (each shard sorts locally; a total-order sort would
+    * range-sample the corpus first — strictly worse). Balance is
+    * md5-uniform: expected shard skew at 100 TB is O(1/sqrt(docs per
+    * shard)) — negligible — and the assignment never needs rebalancing
+    * logic.
+    */
+  def shuffleShards(docs: DataFrame, idCol: String, numShards: Int, seed: Int): DataFrame = {
+    require(numShards > 0, s"shuffleShards: numShards must be > 0, got $numShards")
+    val clash = docs.columns.toSet.intersect(Set("shuffle_h", "shard"))
+    require(clash.isEmpty,
+      s"shuffleShards: input already has column(s) ${clash.mkString(", ")} " +
+        "— rename them; the operator appends shuffle_h and shard")
+    docs
+      .withColumn("shuffle_h",
+        md5(concat(col(idCol).cast("string"), lit(":" + seed))))
+      .withColumn("shard",
+        pmod(conv(substring(col("shuffle_h"), 1, 15), 16, 10).cast("long"),
+          lit(numShards.toLong)))
+  }
+
+  /** Broadcast ceiling for the per-domain stats table — same practical
+    * executor-broadcast bound as [[PipelineOps.MaxBroadcastBigramTypes]];
+    * an open-web crawl has tens of millions of domains, and past the
+    * gate the join back must stay keyed.
+    */
+  private[ops] val MaxBroadcastDomainStats = 10000000L
+
+  /** Domain-level quality curation: keep only rows whose `domainCol`
+    * group has mean `qualityCol` at or above the corpus-wide mean.
+    * The RefinedWeb-style domain gate — page-level filters miss
+    * template spam that is only visible in aggregate.
+    *
+    * EAGER (the [[GraftOps.bigramLogProb]] discipline): the per-domain
+    * stats table is ONE keyed partial aggregation, localCheckpoint'd
+    * and counted so the join-back strategy is decided on the MEASURED
+    * domain count — broadcast under the gate, keyed past it. The
+    * corpus mean is a one-row broadcast derived from the same stats
+    * table (exact decimal weighted mean — identical by construction to
+    * aggregating the rows directly, with no second corpus pass). Input
+    * is scanned twice (stats pass + filter pass), both narrow and
+    * column-pruned — cheaper than caching a corpus at scale.
+    */
+  def domainQualityFilter(
+      docs: DataFrame, domainCol: String, qualityCol: String,
+      maxBroadcastDomains: Long = MaxBroadcastDomainStats): DataFrame = {
+    val reserved = docs.columns.toSet
+      .intersect(Set("__graft_domain_q", "__graft_domain_sq", "__graft_domain_n", "__graft_corpus_q"))
+    require(reserved.isEmpty,
+      s"domainQualityFilter: input column(s) ${reserved.mkString(", ")} " +
+        "collide with the operator's internals — rename them")
+    val stats = docs.groupBy(col(domainCol))
+      .agg(
+        Exact.decSum(col(qualityCol)).as("__graft_domain_sq"),
+        count(col(qualityCol)).as("__graft_domain_n"))
+      .localCheckpoint()
+    val corpus = stats
+      .agg((sum(col("__graft_domain_sq")).cast("double") /
+        sum(col("__graft_domain_n"))).as("__graft_corpus_q"))
+    val keep = stats
+      .select(col(domainCol),
+        (col("__graft_domain_sq").cast("double") / col("__graft_domain_n"))
+          .as("__graft_domain_q"))
+      .crossJoin(broadcast(corpus))
+      .filter(col("__graft_domain_q") >= col("__graft_corpus_q"))
+      .select(col(domainCol))
+    val keepSide = if (stats.count() <= maxBroadcastDomains) broadcast(keep) else keep
+    docs.join(keepSide, Seq(domainCol), "left_semi")
+  }
+
+  import TextOps.{WordsSql, WsReDuck}
+
+  def queries: Seq[Q] = Seq(
+
+    // Stupid-backoff trigram LM: train on even doc_ids, score odd ones —
+    // a REAL train/score split, so every arm of the backoff chain fires
+    // (the self-scoring bigram query can never back off: it has seen
+    // every bigram it scores).
+    Q(
+      "q_trigram_backoff",
+      s"""WITH w AS (SELECT doc_id, $WordsSql AS ws FROM documents),
+         |tw AS (SELECT doc_id, ws FROM w WHERE doc_id % 2 = 0),
+         |c1 AS (SELECT t AS w, COUNT(*) AS c FROM (SELECT unnest(ws) AS t FROM tw) GROUP BY 1),
+         |n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM c1),
+         |c2 AS (SELECT bg[1] AS a, bg[2] AS b, COUNT(*) AS c
+         |       FROM (SELECT unnest(list_transform(generate_series(1, len(ws) - 1),
+         |                            i -> [ws[i], ws[i+1]])) AS bg
+         |             FROM tw WHERE len(ws) >= 2)
+         |       GROUP BY 1, 2),
+         |c3 AS (SELECT tg[1] AS w1, tg[2] AS w2, tg[3] AS w3, COUNT(*) AS c
+         |       FROM (SELECT unnest(list_transform(generate_series(1, len(ws) - 2),
+         |                            i -> [ws[i], ws[i+1], ws[i+2]])) AS tg
+         |             FROM tw WHERE len(ws) >= 3)
+         |       GROUP BY 1, 2, 3),
+         |lp3 AS (SELECT c3.w1, c3.w2, c3.w3,
+         |               floor(ln(CAST(c3.c AS DOUBLE) / c2.c) * 1e6 + 0.5) / 1e6 AS lp3
+         |        FROM c3 JOIN c2 ON c3.w1 = c2.a AND c3.w2 = c2.b),
+         |lp2 AS (SELECT c2.a AS w2, c2.b AS w3,
+         |               floor(ln(0.4 * (CAST(c2.c AS DOUBLE) / c1.c)) * 1e6 + 0.5) / 1e6 AS lp2
+         |        FROM c2 JOIN c1 ON c2.a = c1.w),
+         |lp1 AS (SELECT c1.w AS w3,
+         |               floor(ln(0.16 * (CAST(c1.c AS DOUBLE) / n.n)) * 1e6 + 0.5) / 1e6 AS lp1
+         |        FROM c1, n),
+         |pos AS (SELECT doc_id, tg[1] AS w1, tg[2] AS w2, tg[3] AS w3
+         |        FROM (SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) - 2),
+         |                             i -> [ws[i], ws[i+1], ws[i+2]])) AS tg
+         |              FROM w WHERE doc_id % 2 = 1 AND len(ws) >= 3)),
+         |sc AS (SELECT p.doc_id, COALESCE(l3.lp3, l2.lp2, l1.lp1) AS lp
+         |       FROM pos p
+         |       LEFT JOIN lp3 l3 ON p.w1 = l3.w1 AND p.w2 = l3.w2 AND p.w3 = l3.w3
+         |       LEFT JOIN lp2 l2 ON p.w2 = l2.w2 AND p.w3 = l2.w3
+         |       LEFT JOIN lp1 l1 ON p.w3 = l1.w3)
+         |SELECT doc_id, COUNT(*) AS n_positions, COUNT(lp) AS n_scored,
+         |       floor(CAST(SUM(CAST(lp AS DECIMAL(38,10))) AS DOUBLE) / COUNT(lp) * 1e6 + 0.5) / 1e6
+         |         AS avg_logprob
+         |FROM sc GROUP BY doc_id HAVING COUNT(lp) > 0 ORDER BY doc_id"""
+    ) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val lm = trigramBackoffLm(docs.filter(col("doc_id") % 2 === 0))
+      scoreTrigramLm(docs.filter(col("doc_id") % 2 === 1), lm)
+        .orderBy("doc_id")
+    },
+
+    // Deterministic shuffle-to-shards, aggregated to per-shard stats:
+    // doc/token balance plus determinism witnesses (the digest range and
+    // the first doc in shuffle order per shard).
+    Q(
+      "q_shuffle_shards",
+      s"""WITH a AS (
+         |  SELECT doc_id,
+         |         CAST(len($WordsSql) AS BIGINT) AS n_tok,
+         |         md5(CAST(doc_id AS VARCHAR) || ':42') AS h
+         |  FROM documents),
+         |s AS (SELECT doc_id, n_tok, h,
+         |             CAST(concat('0x', substr(h, 1, 15)) AS BIGINT) % 8 AS shard
+         |      FROM a)
+         |SELECT shard, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+         |       min_by(doc_id, h) AS first_doc, MIN(h) AS min_h, MAX(h) AS max_h
+         |FROM s GROUP BY shard ORDER BY shard"""
+    ) { (s, d) =>
+      shuffleShards(Tables.documents(s, d), "doc_id", numShards = 8, seed = 42)
+        .select(col("shard"), col("shuffle_h"), col("doc_id"),
+          TextOps.wordCount(col("text")).as("n_tok"))
+        .groupBy("shard")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("n_tokens"),
+          min_by(col("doc_id"), col("shuffle_h")).as("first_doc"),
+          min(col("shuffle_h")).as("min_h"),
+          max(col("shuffle_h")).as("max_h"))
+        .orderBy("shard")
+    },
+
+    // Domain-level curation: synthetic home domains (97 per source, the
+    // q_url_extract convention), the q_quality_score signal aggregated
+    // per domain, domains below the corpus mean dropped whole, survivors
+    // rolled up per source.
+    Q(
+      "q_domain_quality",
+      s"""WITH t AS (
+         |  SELECT doc_id, source,
+         |         'd' || CAST(doc_id % 97 AS VARCHAR) || '.' || source || '.example.org' AS domain,
+         |         CAST(len($WordsSql) AS INT) AS n_words,
+         |         CAST(length(text) AS INT) AS n_chars_actual,
+         |         CAST(length(regexp_replace(text, '$WsReDuck', '', 'g')) AS INT) AS n_nonspace,
+         |         CAST(len(list_filter($WordsSql, x -> x IN ${TextOps.inList(TextOps.EnStop)})) AS INT) AS n_stop
+         |  FROM documents),
+         |q AS (
+         |  SELECT doc_id, source, domain, n_words,
+         |         CAST(n_words AS DOUBLE) / 100 * 0.5 +
+         |           CAST(n_stop AS DOUBLE) / n_words * 0.3 +
+         |           CAST(n_nonspace AS DOUBLE) / n_chars_actual * 0.2 AS quality
+         |  FROM t),
+         |ds AS (
+         |  SELECT domain,
+         |         CAST(SUM(CAST(quality AS DECIMAL(38,10))) AS DOUBLE) / COUNT(quality) AS avg_q,
+         |         SUM(CAST(quality AS DECIMAL(38,10))) AS sq,
+         |         COUNT(quality) AS nq
+         |  FROM q GROUP BY domain),
+         |c AS (SELECT CAST(SUM(sq) AS DOUBLE) / SUM(nq) AS corpus_q FROM ds),
+         |keep AS (SELECT domain FROM ds CROSS JOIN c WHERE ds.avg_q >= c.corpus_q)
+         |SELECT q.source,
+         |       COUNT(*) AS n_docs_kept,
+         |       CAST(SUM(q.n_words) AS BIGINT) AS n_tokens_kept,
+         |       COUNT(DISTINCT q.domain) AS n_domains_kept
+         |FROM q JOIN keep USING (domain)
+         |GROUP BY q.source ORDER BY q.source"""
+    ) { (s, d) =>
+      val ws = TextOps.words(col("text"))
+      val t = Tables.documents(s, d).select(
+        col("doc_id"), col("source"),
+        concat(lit("d"), (col("doc_id") % 97).cast("string"), lit("."),
+          col("source"), lit(".example.org")).as("domain"),
+        size(ws).as("n_words"),
+        length(col("text")).as("n_chars_actual"),
+        length(regexp_replace(col("text"), TextOps.WsRe, "")).as("n_nonspace"),
+        element_at(graft.functions.GraftFunctions.token_set_counts(
+          ws, Seq(TextOps.EnStop)), 1).cast("int").as("n_stop"))
+      val q = t.select(
+        col("doc_id"), col("source"), col("domain"), col("n_words"),
+        (col("n_words").cast("double") / 100 * 0.5 +
+          col("n_stop").cast("double") / col("n_words") * 0.3 +
+          col("n_nonspace").cast("double") / col("n_chars_actual") * 0.2).as("quality"))
+      domainQualityFilter(q, "domain", "quality")
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs_kept"),
+          sum(col("n_words")).as("n_tokens_kept"),
+          countDistinct(col("domain")).as("n_domains_kept"))
+        .orderBy("source")
+    }
+  )
+}

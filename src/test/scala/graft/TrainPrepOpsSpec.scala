@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import ops.TrainPrepOps
+
+/** Behavior pins for the training-prep operators (q_trigram_backoff /
+  * q_shuffle_shards / q_domain_quality are the oracle gates; these pin
+  * the semantics on crafted inputs — every backoff arm firing in one
+  * document, partitioning-independence of the shuffle, the >= boundary
+  * of the domain gate).
+  */
+class TrainPrepOpsSpec extends SparkSpec {
+
+  private def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+
+  test("trigram stupid backoff: every arm of the chain fires and scores exactly") {
+    import spark.implicits._
+    // train: unigrams a:3 b:3 c:2 d:1 (N=9); bigrams (a,b):3 (b,c):2
+    // (c,a):1 (b,d):1; trigrams (a,b,c):2 (b,c,a):1 (c,a,b):1 (a,b,d):1
+    val train = Seq((0L, "a b c a b d"), (2L, "a b c")).toDF("doc_id", "text")
+    val lm = TrainPrepOps.trigramBackoffLm(train)
+    // score "a b c x b d": (a,b,c) known trigram; (b,c,x) unknown at
+    // every order -> skipped; (c,x,b) grounds only at the unigram b;
+    // (x,b,d) backs off to the bigram (b,d)
+    val score = Seq((1L, "a b c x b d")).toDF("doc_id", "text")
+    val row = TrainPrepOps.scoreTrigramLm(score, lm).head
+    assert(row.getLong(1) == 4L, "n_positions")
+    assert(row.getLong(2) == 3L, "n_scored")
+    val expected = r6((r6(math.log(2.0 / 3)) +
+      r6(math.log(0.16 * (3.0 / 9))) +
+      r6(math.log(0.4 * (1.0 / 3)))) / 3)
+    assert(row.getDouble(3) == expected,
+      s"avg_logprob ${row.getDouble(3)} != $expected")
+  }
+
+  test("trigram scoring: zero-groundable document yields no row") {
+    import spark.implicits._
+    val train = Seq((0L, "a b c")).toDF("doc_id", "text")
+    val lm = TrainPrepOps.trigramBackoffLm(train)
+    val score = Seq((1L, "x y z w"), (3L, "a b c")).toDF("doc_id", "text")
+    val got = TrainPrepOps.scoreTrigramLm(score, lm)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == Set(3L), s"expected only the in-vocabulary doc, got $got")
+  }
+
+  test("shuffleShards: deterministic, partitioning-independent, in range") {
+    import spark.implicits._
+    val docs = (0L until 100L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+    def assign(df: org.apache.spark.sql.DataFrame): Map[Long, (Long, String)] =
+      TrainPrepOps.shuffleShards(df, "doc_id", numShards = 7, seed = 9)
+        .select("doc_id", "shard", "shuffle_h")
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    val a = assign(docs)
+    val b = assign(docs.repartition(13))
+    assert(a == b, "assignment must be a pure function of (id, seed)")
+    assert(a.values.forall { case (s, _) => s >= 0 && s < 7 })
+    // the digest is the plain md5 of "id:seed" — auditable outside Spark
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val h5 = md.digest("5:9".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(a(5L)._2 == h5)
+    // a different seed is a different permutation
+    val c = TrainPrepOps.shuffleShards(docs, "doc_id", 7, 10)
+      .select("doc_id", "shard").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a.map { case (k, (s, _)) => k -> s } != c)
+  }
+
+  test("shuffleShards rejects colliding input columns") {
+    import spark.implicits._
+    val df = Seq((1L, 0L)).toDF("doc_id", "shard")
+    val e = intercept[IllegalArgumentException] {
+      TrainPrepOps.shuffleShards(df, "doc_id", 4, 1)
+    }
+    assert(e.getMessage.contains("shard"))
+  }
+
+  test("domainQualityFilter keeps domains at or above the corpus mean") {
+    import spark.implicits._
+    // corpus mean = (1 + 1 + 0 + 0 + 0.5) / 5 = 0.5: domain a (mean 1)
+    // kept, b (mean 0) dropped, c (mean 0.5) kept — the >= boundary
+    val df = Seq(
+      (1L, "a", 1.0), (2L, "a", 1.0),
+      (3L, "b", 0.0), (4L, "b", 0.0),
+      (5L, "c", 0.5)).toDF("doc_id", "domain", "quality")
+    val kept = TrainPrepOps.domainQualityFilter(df, "domain", "quality")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 5L), s"got $kept")
+  }
+
+  test("domainQualityFilter preserves the caller's schema and rejects reserved names") {
+    import spark.implicits._
+    val df = Seq((1L, "a", 0.9, "x")).toDF("doc_id", "domain", "quality", "extra")
+    val out = TrainPrepOps.domainQualityFilter(df, "domain", "quality")
+    assert(out.columns.toSeq == Seq("domain", "doc_id", "quality", "extra") ||
+      out.columns.toSet == df.columns.toSet)
+    val bad = df.withColumn("__graft_corpus_q", lit(1.0))
+    val e = intercept[IllegalArgumentException] {
+      TrainPrepOps.domainQualityFilter(bad, "domain", "quality")
+    }
+    assert(e.getMessage.contains("__graft_corpus_q"))
+  }
+}
