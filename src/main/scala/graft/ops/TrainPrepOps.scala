@@ -30,26 +30,15 @@ import graft.{Q, QueryModule, Tables}
   */
 object TrainPrepOps {
 
-  /** Exploded (doc_id, w1, w2, w3) adjacent-trigram rows. Narrow: the
-    * native shingler emits the joined span in one pass and the splits
-    * are exact because tokens cannot contain the single space the
-    * shingler inserts.
+  /** Trained stupid-backoff model state: ONE log-score table
+    * `model(g, lp)` keyed by the gram STRING at every order (a gram's
+    * order is its space count — tokens cannot contain the shingle
+    * separator, so the orders cannot collide), already materialized
+    * (localCheckpoint'd, vocabulary-bounded). `broadcastable` records
+    * whether the measured type count fits broadcast range; scoring
+    * wraps each probe side accordingly.
     */
-  private[ops] def docTrigrams(docs: DataFrame): DataFrame = docs
-    .filter(TextOps.wordCount(col("text")) >= 3)
-    .select(col("doc_id"), explode(TextOps.shingles(col("text"), 3)).as("tg"))
-    .select(col("doc_id"),
-      substring_index(col("tg"), " ", 1).as("w1"),
-      substring_index(substring_index(col("tg"), " ", 2), " ", -1).as("w2"),
-      substring_index(col("tg"), " ", -1).as("w3"))
-
-  /** Trained stupid-backoff model state: three log-score tables, largest
-    * first — `lp3(w1, w2, w3, lp3)`, `lp2(w2, w3, lp2)`, `lp1(w3, lp1)`.
-    * Each table is already wrapped for its join side (broadcast when its
-    * measured type count fits broadcast range), so scoring composes with
-    * a plain left-join chain.
-    */
-  final case class TrigramLm(lp3: DataFrame, lp2: DataFrame, lp1: DataFrame)
+  final case class TrigramLm(model: DataFrame, broadcastable: Boolean)
 
   /** Train a stupid-backoff trigram LM on `train` (doc_id, text).
     *
@@ -61,43 +50,59 @@ object TrainPrepOps {
     *   lp1 = ln(0.16 × (c1(w3) / N))               else if the unigram is
     *   (position skipped)                           else
     *
-    * EAGER, like [[GraftOps.bigramLogProb]]: the three count tables are
-    * localCheckpoint'd (each is ONE narrow corpus pass — trigram
-    * shingles, bigram shingles, words — into a map-side-combined
-    * aggregation; all three are vocabulary-bounded outputs) and counted,
-    * because the broadcast decision needs the measured type counts
-    * before the scoring plan exists. Past the gate a table joins keyed —
-    * open-web trigram types run to billions and a forced broadcast
-    * would die exactly there, the [[GraftOps.bigramLogProb]] lesson.
+    * EAGER, like [[GraftOps.bigramLogProb]], but the training side is
+    * ONE fused corpus pass: unigrams, bigrams, and trigrams explode
+    * together (a gram's ORDER is its space count — no tag column
+    * needed) into a single map-side-combined count aggregation,
+    * localCheckpoint'd once. One scan and one exchange where the naive
+    * spelling runs three of each — the shape that matters when `train`
+    * is 100 TB. The stats job (exact per-order type counts + token
+    * total, needed for the broadcast gate and the unigram normalizer)
+    * and the model derivation both run over that checkpointed
+    * vocabulary-bounded table, never against the corpus: each gram's
+    * conditioning count is the count of its order-(n−1) PREFIX — every
+    * prefix of an observed gram is itself observed — so the whole
+    * model is ONE keyed self-join, materialized under the
+    * [[TinyLoop]] conf scope (bounded state: no AQE stage-splitting,
+    * one reduce task). Past the gate the model joins keyed — open-web
+    * trigram types run to billions and a forced broadcast would die
+    * exactly there, the [[GraftOps.bigramLogProb]] lesson.
     */
   def trigramBackoffLm(
       train: DataFrame,
       maxBroadcastTypes: Long = PipelineOps.MaxBroadcastBigramTypes): TrigramLm = {
-    val c3 = docTrigrams(train)
-      .groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c3"))
+    val counts = train
+      .select(explode(concat(
+        TextOps.words(col("text")),
+        TextOps.shingles(col("text"), 2),
+        TextOps.shingles(col("text"), 3))).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("c"))
       .localCheckpoint()
-    val c2 = PipelineOps.docBigrams(train)
-      .groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
-      .localCheckpoint()
-    val c1 = train
-      .select(explode(TextOps.words(col("text"))).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("c1"))
-      .localCheckpoint()
-    val n = c1.agg(sum(col("c1")).as("n"))
-    // conditioning joins run between vocabulary-bounded CHECKPOINTED
-    // tables (partial-agg'd on both sides) — never against the corpus
-    val lp3 = c3.join(c2, Seq("w1", "w2"))
-      .select(col("w1"), col("w2"), col("w3"),
-        Exact.round6(log(col("c3").cast("double") / col("c2"))).as("lp3"))
-    val lp2 = c2.join(c1, c2("w1") === c1("w"))
-      .select(c2("w1").as("w2"), c2("w2").as("w3"),
-        Exact.round6(log(lit(0.4) * (col("c2").cast("double") / col("c1")))).as("lp2"))
-    val lp1 = c1.crossJoin(broadcast(n))
-      .select(col("w").as("w3"),
-        Exact.round6(log(lit(0.16) * (col("c1").cast("double") / col("n")))).as("lp1"))
-    def side(t: DataFrame, types: Long): DataFrame =
-      if (types <= maxBroadcastTypes) broadcast(t) else t
-    TrigramLm(side(lp3, c3.count()), side(lp2, c2.count()), side(lp1, c1.count()))
+    val order = size(split(col("g"), " ", -1))
+    val (stats, modelCk) = TinyLoop.withModelStateConfs(train.sparkSession) {
+      val st = counts.groupBy(order.as("n"))
+        .agg(count(lit(1)).as("types"), sum(col("c")).as("occ"))
+        .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      val tokenTotal = st.get(1).map(_._2).getOrElse(0L)
+      require(tokenTotal > 0, "trigramBackoffLm: empty training corpus")
+      val pc = counts.select(col("g").as("p"), col("c").as("cp"))
+      val higher = counts.select(col("g"), col("c"), order.as("n"))
+        .filter(col("n") >= 2)
+        .withColumn("p", expr("substring_index(g, ' ', n - 1)"))
+        .join(pc, "p")
+        .select(col("g"),
+          when(col("n") === 3,
+            Exact.round6(log(col("c").cast("double") / col("cp"))))
+            .otherwise(
+              Exact.round6(log(lit(0.4) * (col("c").cast("double") / col("cp")))))
+            .as("lp"))
+      val uni = counts.filter(order === 1)
+        .select(col("g"),
+          Exact.round6(log(lit(0.16) *
+            (col("c").cast("double") / lit(tokenTotal.toDouble)))).as("lp"))
+      (st, higher.unionByName(uni).localCheckpoint())
+    }
+    TrigramLm(modelCk, stats.values.map(_._1).sum <= maxBroadcastTypes)
   }
 
   /** Score (doc_id, text) rows against a trained [[TrigramLm]]:
@@ -107,17 +112,27 @@ object TrainPrepOps {
     * groundable positions yields no row — same explicit no-signal
     * policy as [[PipelineOps.scoreBigramLm]]).
     *
-    * One narrow trigram explode over the scoring corpus, a left-join
-    * chain against the (typically broadcast) model tables, one
-    * doc-keyed aggregation — stateless given the model, so it is also
-    * the foreachBatch scoring step of a STREAMING gate, exactly like
-    * the bigram recipe StreamingSpec pins.
+    * One narrow trigram explode over the scoring corpus — each
+    * position carries its three candidate keys (the whole span, its
+    * token suffixes of length 2 and 1; key order never collides
+    * because order = space count) — then a left-join chain against
+    * three projections of the SAME materialized model table (broadcast
+    * under the gate; identical build plans, so exchange reuse
+    * applies), one doc-keyed aggregation. Stateless given the model,
+    * so it is also the foreachBatch scoring step of a STREAMING gate,
+    * exactly like the bigram recipe StreamingSpec pins.
     */
-  def scoreTrigramLm(docs: DataFrame, lm: TrigramLm): DataFrame =
-    docTrigrams(docs)
-      .join(lm.lp3, Seq("w1", "w2", "w3"), "left")
-      .join(lm.lp2, Seq("w2", "w3"), "left")
-      .join(lm.lp1, Seq("w3"), "left")
+  def scoreTrigramLm(docs: DataFrame, lm: TrigramLm): DataFrame = {
+    def side(t: DataFrame) = if (lm.broadcastable) broadcast(t) else t
+    docs
+      .filter(TextOps.wordCount(col("text")) >= 3)
+      .select(col("doc_id"), explode(TextOps.shingles(col("text"), 3)).as("k3"))
+      .select(col("doc_id"), col("k3"),
+        substring_index(col("k3"), " ", -2).as("k2"),
+        substring_index(col("k3"), " ", -1).as("k1"))
+      .join(side(lm.model.select(col("g").as("k3"), col("lp").as("lp3"))), Seq("k3"), "left")
+      .join(side(lm.model.select(col("g").as("k2"), col("lp").as("lp2"))), Seq("k2"), "left")
+      .join(side(lm.model.select(col("g").as("k1"), col("lp").as("lp1"))), Seq("k1"), "left")
       .select(col("doc_id"), coalesce(col("lp3"), col("lp2"), col("lp1")).as("lp"))
       .groupBy("doc_id")
       .agg(
@@ -125,6 +140,7 @@ object TrainPrepOps {
         count(col("lp")).as("n_scored"),
         Exact.round6(Exact.dsum(col("lp")) / count(col("lp"))).as("avg_logprob"))
       .filter(col("n_scored") > 0)
+  }
 
   /** Deterministic corpus shuffle + shard assignment: appends
     * `shuffle_h` (the md5 of `idCol:seed`) and `shard`
@@ -209,14 +225,16 @@ object TrainPrepOps {
 
   def queries: Seq[Q] = Seq(
 
-    // Stupid-backoff trigram LM: train on even doc_ids, score odd ones —
-    // a REAL train/score split, so every arm of the backoff chain fires
-    // (the self-scoring bigram query can never back off: it has seen
-    // every bigram it scores).
+    // Stupid-backoff trigram LM: train on the 10% reference split
+    // (doc_id % 10 = 0), score the other 90% — a REAL train/score split
+    // in CCNet's shape (the LM is trained on a curated reference corpus,
+    // then scores the much larger crawl), so every arm of the backoff
+    // chain fires (the self-scoring bigram query can never back off: it
+    // has seen every bigram it scores).
     Q(
       "q_trigram_backoff",
       s"""WITH w AS (SELECT doc_id, $WordsSql AS ws FROM documents),
-         |tw AS (SELECT doc_id, ws FROM w WHERE doc_id % 2 = 0),
+         |tw AS (SELECT doc_id, ws FROM w WHERE doc_id % 10 = 0),
          |c1 AS (SELECT t AS w, COUNT(*) AS c FROM (SELECT unnest(ws) AS t FROM tw) GROUP BY 1),
          |n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM c1),
          |c2 AS (SELECT bg[1] AS a, bg[2] AS b, COUNT(*) AS c
@@ -241,7 +259,7 @@ object TrainPrepOps {
          |pos AS (SELECT doc_id, tg[1] AS w1, tg[2] AS w2, tg[3] AS w3
          |        FROM (SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) - 2),
          |                             i -> [ws[i], ws[i+1], ws[i+2]])) AS tg
-         |              FROM w WHERE doc_id % 2 = 1 AND len(ws) >= 3)),
+         |              FROM w WHERE doc_id % 10 <> 0 AND len(ws) >= 3)),
          |sc AS (SELECT p.doc_id, COALESCE(l3.lp3, l2.lp2, l1.lp1) AS lp
          |       FROM pos p
          |       LEFT JOIN lp3 l3 ON p.w1 = l3.w1 AND p.w2 = l3.w2 AND p.w3 = l3.w3
@@ -253,8 +271,8 @@ object TrainPrepOps {
          |FROM sc GROUP BY doc_id HAVING COUNT(lp) > 0 ORDER BY doc_id"""
     ) { (s, d) =>
       val docs = Tables.documents(s, d)
-      val lm = trigramBackoffLm(docs.filter(col("doc_id") % 2 === 0))
-      scoreTrigramLm(docs.filter(col("doc_id") % 2 === 1), lm)
+      val lm = trigramBackoffLm(docs.filter(col("doc_id") % 10 === 0))
+      scoreTrigramLm(docs.filter(col("doc_id") % 10 =!= 0), lm)
         .orderBy("doc_id")
     },
 
