@@ -38,8 +38,8 @@ object Bench {
     * plus the new q_source_mix_temperature (most-recently-written
     * rule), and later the three training-prep queries
     * (q_trigram_backoff, q_shuffle_shards, q_domain_quality — new
-    * operators enter the bench the round they are written). 70 queries
-    * total from r9 on.
+    * operators enter the bench the round they are written), and later
+    * q_dedup_incremental (same rule). 71 queries total from r9 on.
     *
     * ROUND 8 ALSO CHANGED THE MEASURED ACTION from count() to a
     * noop-sink write (see `run` below): count() let Catalyst prune
@@ -69,7 +69,8 @@ object Bench {
     "q_bm25", "q_hybrid_rrf", "q_contamination", "q_inverted_index",
     "q_trigram_backoff", "q_shuffle_shards", "q_domain_quality",
     "q_dedup_exact", "q_dedup_minhash_pairs", "q_dedup_simhash",
-    "q_dedup_corpus", "q_dedup_source_overlap", "q_oov_rate",
+    "q_dedup_corpus", "q_dedup_source_overlap", "q_dedup_incremental",
+    "q_oov_rate",
     "q_similarity_topk", "q_ann_lsh", "q_kmeans_embed", "q_ann_ivf_trained",
     "q_ann_ivf_nprobe", "q_semantic_dedup",
     "q_events_tumbling", "q_events_session",

@@ -188,6 +188,104 @@ object DedupOps extends QueryModule {
     docs.join(nonKeepers, Seq("doc_id"), "left_anti")
   }
 
+  /** Agreement threshold for confirming an LSH candidate as a near-dup:
+    * matching signature slots out of [[NumHashes]] (4/8 estimates
+    * Jaccard >= 0.5 — the banding already guarantees 2 matching slots,
+    * so this is a real second gate, not a tautology).
+    */
+  val AgreeSlots = 4
+
+  /** Incremental near-dup admission — the production dedup shape at
+    * 100 TB: a NEW crawl snapshot is deduplicated against an ALREADY
+    * INDEXED corpus without ever re-processing the corpus text. Only the
+    * new docs are signed; the existing side participates solely through
+    * its (band_idx, band_hash, doc_id) index rows — exactly what a
+    * stored LSH index table contains. Here both sides derive from the
+    * same `documents` table (new = doc_id % 3 = 0, a one-third snapshot
+    * — the residue chosen so the fixture exercises BOTH drop arms) so
+    * the DuckDB oracle can state the identical semantics, but the plan
+    * shape is the stored-index one: a band-keyed bucket aggregation, a
+    * bounded candidate expansion, and a signature-verification join.
+    *
+    * Admission policy (deterministic, order-free): a new doc is
+    * - `dropped_index` if any existing indexed doc shares a band bucket
+    *   AND agrees on >= [[AgreeSlots]] of [[NumHashes]] signature slots;
+    * - else `dropped_batch` if any SMALLER-id new doc does (monotone
+    *   arrival-order rule: a doc never outranks an earlier one — unlike
+    *   greedy sequential insertion it may over-drop a chain member whose
+    *   predecessor was itself dropped, which is the standard trade for a
+    *   fully parallel, order-free batch admission);
+    * - else `admitted` (including short docs with no signature — nothing
+    *   to collide on).
+    *
+    * Scale posture: one signature pass (narrow codegen), ONE band-keyed
+    * shuffle whose buckets are capped by [[MaxBucketDocs]] inside the
+    * aggregation (side-split via agg FILTER so a boilerplate-flooded
+    * bucket can starve neither the index side nor the batch side), and
+    * doc-keyed joins against the candidate-scale pair set. Nothing is
+    * O(corpus²) and nothing collects.
+    */
+  def incrementalAdmission(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val spark = docs.sparkSession
+    val minkName = s"graft_min_k_$MaxBucketDocs"
+    spark.udf.register(minkName, udaf(new graft.functions.MinKLongsAgg(MaxBucketDocs)))
+    val isNew = col("doc_id") % 3 === 0
+    val sig = docs
+      .filter(TextOps.wordCount(col("text")) >= 3)
+      .select(col("doc_id"), TextOps.shingles(col("text"), 3).as("shingles"))
+      .select(col("doc_id") +: sigCols: _*)
+    val bandStructs = (0 until Bands).map { b =>
+      struct(lit(b).as("band_idx"),
+        md5(concat(col(s"m${2 * b}"), col(s"m${2 * b + 1}"))).as("band_hash"))
+    }
+    val bands = sig
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bd"))
+      .select(col("doc_id"), col("bd.band_idx"), col("bd.band_hash"))
+    // one shuffle: per band bucket, the smallest-cap index docs and new
+    // docs separately (FILTER splits the sides inside the same hash agg)
+    val buckets = bands
+      .groupBy("band_idx", "band_hash")
+      .agg(
+        expr(s"$minkName(doc_id) FILTER (WHERE doc_id % 3 <> 0)").as("idx"),
+        expr(s"$minkName(doc_id) FILTER (WHERE doc_id % 3 = 0)").as("nw"))
+      .filter(size(col("nw")) > 0 &&
+        (size(col("idx")) > 0 || size(col("nw")) > 1))
+    // candidate expansion: each new doc vs every index doc in its bucket
+    // and every smaller-id new doc — bounded by the bucket caps
+    val pairs = buckets
+      .select(col("idx"), col("nw"), explode(col("nw")).as("dn"))
+      .select(col("dn"),
+        explode(concat(col("idx"),
+          filter(col("nw"), x => x < col("dn")))).as("dd"))
+      .distinct()
+    val sigArr = sig.select(col("doc_id"),
+      array((0 until NumHashes).map(k => col(s"m$k")): _*).as("sg"))
+    val confirmed = pairs
+      .join(sigArr.toDF("ka", "sa"), col("dn") === col("ka"))
+      .join(sigArr.toDF("kb", "sb"), col("dd") === col("kb"))
+      .filter(size(filter(zip_with(col("sa"), col("sb"),
+        (a, b) => a === b), x => x)) >= AgreeSlots)
+      .groupBy(col("dn"))
+      .agg(max(col("dd") % 3 =!= 0).as("hit_index"),
+        max(col("dd") % 3 === 0).as("hit_batch"))
+    docs.filter(isNew)
+      .select(col("doc_id"), col("source"))
+      .join(confirmed, col("doc_id") === col("dn"), "left")
+      .select(col("source"),
+        when(col("hit_index"), "dropped_index")
+          .when(col("hit_batch"), "dropped_batch")
+          .otherwise("admitted").as("status"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_new"),
+        sum(when(col("status") === "admitted", 1).otherwise(0))
+          .cast("long").as("admitted"),
+        sum(when(col("status") === "dropped_index", 1).otherwise(0))
+          .cast("long").as("dropped_index"),
+        sum(when(col("status") === "dropped_batch", 1).otherwise(0))
+          .cast("long").as("dropped_batch"))
+      .orderBy("source")
+  }
+
   def queries: Seq[Q] = Seq(
     // Exact dedup: canonical keep-first-by-key. All texts in the synthetic
     // corpus are distinct, so this keeps every row — the semantics are
@@ -469,6 +567,45 @@ object DedupOps extends QueryModule {
           sum(TextOps.wordCount(col("text"))).as("total_tokens"))
         .orderBy("source")
     },
+
+    // Incremental admission: a new snapshot (doc_id % 3 = 0) deduped
+    // against the already-indexed rest of the corpus — see
+    // incrementalAdmission's scaladoc for the policy and scale shape.
+    Q(
+      "q_dedup_incremental",
+      s"""WITH $sigCte,
+         |$bandsCte,
+         |pairs AS (
+         |  SELECT n.doc_id AS dn, o.doc_id AS dd
+         |  FROM bands n JOIN bands o
+         |    ON n.band_idx = o.band_idx AND n.band_hash = o.band_hash
+         |  WHERE n.doc_id % 3 = 0
+         |    AND (o.doc_id % 3 <> 0 OR o.doc_id < n.doc_id)
+         |  GROUP BY 1, 2),
+         |conf AS (
+         |  SELECT p.dn,
+         |         bool_or(p.dd % 3 <> 0) AS hit_index,
+         |         bool_or(p.dd % 3 = 0)  AS hit_batch
+         |  FROM pairs p
+         |  JOIN sig a ON a.doc_id = p.dn
+         |  JOIN sig b ON b.doc_id = p.dd
+         |  WHERE ${(0 until NumHashes).map(k =>
+             s"(CASE WHEN a.m$k = b.m$k THEN 1 ELSE 0 END)").mkString(" + ")}
+         |        >= $AgreeSlots
+         |  GROUP BY 1),
+         |st AS (
+         |  SELECT d.source,
+         |         CASE WHEN c.hit_index THEN 'dropped_index'
+         |              WHEN c.hit_batch THEN 'dropped_batch'
+         |              ELSE 'admitted' END AS status
+         |  FROM documents d LEFT JOIN conf c ON c.dn = d.doc_id
+         |  WHERE d.doc_id % 3 = 0)
+         |SELECT source, COUNT(*) AS n_new,
+         |       CAST(SUM(CASE WHEN status = 'admitted' THEN 1 ELSE 0 END) AS BIGINT) AS admitted,
+         |       CAST(SUM(CASE WHEN status = 'dropped_index' THEN 1 ELSE 0 END) AS BIGINT) AS dropped_index,
+         |       CAST(SUM(CASE WHEN status = 'dropped_batch' THEN 1 ELSE 0 END) AS BIGINT) AS dropped_batch
+         |FROM st GROUP BY source ORDER BY source"""
+    ) { (s, d) => incrementalAdmission(Tables.documents(s, d)) },
 
     // 64-bit SimHash: per word take 64 bits of md5, sum +1/-1 per bit over
     // the document, majority vote per bit, reassemble as 16 hex chars.

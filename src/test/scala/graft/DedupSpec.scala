@@ -51,4 +51,40 @@ class DedupSpec extends SparkSpec {
     // keeper invariant: doc 0 (the cluster's canonical keeper) is linked in
     assert(pairs.count(r => r.getLong(0) == 0L) == cap - 1)
   }
+
+  // Independent re-derivation of the incremental-admission policy: the
+  // distributed operator's per-source totals must equal a driver-side
+  // replay of "confirmed candidate vs index → dropped_index, else vs a
+  // smaller-id batch doc → dropped_batch, else admitted" computed from
+  // the separately-verified pairs and signature queries.
+  test("q_dedup_incremental == driver-side replay over pairs + signatures") {
+    val pairs = SparkEntry.queries("q_dedup_minhash_pairs")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val sigs = SparkEntry.queries("q_minhash_signatures")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> (1 to 8).map(r.getString)).toMap
+    def confirmed(a: Long, b: Long): Boolean =
+      sigs(a).zip(sigs(b)).count { case (x, y) => x == y } >= ops.DedupOps.AgreeSlots
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "source")
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val conf = pairs.filter { case (a, b) => confirmed(a, b) }
+    def neighbors(n: Long): Seq[Long] =
+      conf.collect { case (a, b) if a == n => b case (a, b) if b == n => a }.toSeq
+    val expected = docs.filter(_._1 % 3 == 0).groupBy(_._2).map { case (src, ds) =>
+      val sts = ds.map { case (n, _) =>
+        val nb = neighbors(n)
+        if (nb.exists(_ % 3 != 0)) "dropped_index"
+        else if (nb.exists(o => o % 3 == 0 && o < n)) "dropped_batch"
+        else "admitted"
+      }
+      src -> (ds.length.toLong, sts.count(_ == "admitted").toLong,
+        sts.count(_ == "dropped_index").toLong, sts.count(_ == "dropped_batch").toLong)
+    }
+    val got = SparkEntry.queries("q_dedup_incremental")(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got == expected)
+    // the fixture must actually exercise the dedup path (some doc dropped)
+    assert(got.values.map(v => v._3 + v._4).sum > 0)
+  }
 }
