@@ -151,6 +151,32 @@ object CurationOps extends QueryModule {
         countDistinct(col("doc_id")).as("n_docs"))
       .orderBy("domain")
 
+  /** URL blocklist gate — the other half of the crawl-curation URL
+    * story ([[urlDomains]] builds the frequency table; this applies the
+    * decision): a doc is dropped when its URL's host matches a blocked
+    * registered domain (exact host OR any subdomain via dot-suffix
+    * match — blocking `spam.example` must catch `cdn.spam.example`) or
+    * its path contains a blocked segment (tracker/ad endpoints).
+    * Domain rule wins when both hit. The blocklist rides into the plan
+    * as a literal array (broadcast by construction — real blocklists
+    * are ~1e5 entries, far under any broadcast threshold); the whole
+    * gate is one narrow codegen pass, stream-applicable as-is.
+    */
+  def urlBlocklistGate(df: DataFrame, urlCol: String,
+      blockedDomains: Seq[String], blockedPathSeg: String): DataFrame = {
+    require(blockedDomains.forall(_.matches("[A-Za-z0-9.-]+")),
+      "blocked domains must be bare hosts (no scheme/path)")
+    val host = regexp_extract(col(urlCol), DomainRe, 1)
+    val bl = typedLit(blockedDomains)
+    val domainHit =
+      exists(bl, b => host === b || endswith(host, concat(lit("."), b)))
+    val pathHit = col(urlCol).contains(blockedPathSeg)
+    df.withColumn("status",
+      when(domainHit, "blocked_domain")
+        .when(pathHit, "blocked_path")
+        .otherwise("kept"))
+  }
+
   // ------------------------------------------------------------------
   // Hashed-feature linear quality classifier (fastText shape)
   // ------------------------------------------------------------------
@@ -350,6 +376,56 @@ object CurationOps extends QueryModule {
           lit(" or http://cdn-"), col("lang"), lit(".example.net/asset/"),
           (col("doc_id") % 100).cast("string")).as("utext"))
       urlDomains(dirty, "utext")
+    },
+
+    // URL blocklist gate over a synthesized per-doc home URL
+    // (host = {lang}.{source}.example.com, a tracker path for doc_id
+    // % 97 = 0): three registered domains block all their subdomains,
+    // one exact host blocks a single language edition, and the path
+    // rule catches the tracker segment. See urlBlocklistGate.
+    {
+      val blocked = Seq("src3.example.com", "src7.example.com",
+        "src12.example.com", "de.src5.example.com")
+      val blockedIn = blocked.map(b => s"'$b'").mkString("[", ", ", "]")
+      Q(
+        "q_url_blocklist",
+        s"""WITH p AS (
+           |  SELECT doc_id, source,
+           |         'https://' || lang || '.' || source || '.example.com/'
+           |           || CASE WHEN doc_id % 97 = 0 THEN 'tracker/' ELSE 'page/' END
+           |           || CAST(doc_id AS VARCHAR) AS url
+           |  FROM documents),
+           |st AS (
+           |  SELECT source,
+           |         CASE WHEN len(list_filter($blockedIn,
+           |                        b -> regexp_extract(url, '$DomainRe', 1) = b
+           |                          OR ends_with(regexp_extract(url, '$DomainRe', 1), '.' || b))) > 0
+           |              THEN 'blocked_domain'
+           |              WHEN contains(url, '/tracker/') THEN 'blocked_path'
+           |              ELSE 'kept' END AS status
+           |  FROM p)
+           |SELECT source, COUNT(*) AS n_docs,
+           |       CAST(SUM(CASE WHEN status = 'blocked_domain' THEN 1 ELSE 0 END) AS BIGINT) AS blocked_domain,
+           |       CAST(SUM(CASE WHEN status = 'blocked_path' THEN 1 ELSE 0 END) AS BIGINT) AS blocked_path,
+           |       CAST(SUM(CASE WHEN status = 'kept' THEN 1 ELSE 0 END) AS BIGINT) AS kept
+           |FROM st GROUP BY source ORDER BY source"""
+      ) { (s, d) =>
+        val withUrl = Tables.documents(s, d).select(col("doc_id"), col("source"),
+          concat(lit("https://"), col("lang"), lit("."), col("source"),
+            lit(".example.com/"),
+            when(col("doc_id") % 97 === 0, "tracker/").otherwise("page/"),
+            col("doc_id").cast("string")).as("url"))
+        urlBlocklistGate(withUrl, "url", blocked, "/tracker/")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("status") === "blocked_domain", 1).otherwise(0))
+              .cast("long").as("blocked_domain"),
+            sum(when(col("status") === "blocked_path", 1).otherwise(0))
+              .cast("long").as("blocked_path"),
+            sum(when(col("status") === "kept", 1).otherwise(0))
+              .cast("long").as("kept"))
+          .orderBy("source")
+      }
     },
 
     // DSIR importance weighting: src0-src3 as the target domain.

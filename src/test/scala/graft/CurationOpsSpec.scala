@@ -140,4 +140,30 @@ class CurationOpsSpec extends SparkSpec {
       assert(label == (prob > 0.5))
     }
   }
+
+  test("urlBlocklistGate: dot-suffix subdomain match, no bare-suffix false positive") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "https://spam.example/a"),          // exact registered domain
+      (2L, "https://cdn.spam.example/a"),      // subdomain of blocked
+      (3L, "https://notspam.example/a"),       // bare-suffix trap: NOT blocked
+      (4L, "https://ok.example/tracker/x"),    // path rule
+      (5L, "https://spam.example/tracker/x"),  // domain rule wins over path
+      (6L, "https://ok.example/page/1")).toDF("doc_id", "url")
+    val got = ops.CurationOps
+      .urlBlocklistGate(docs, "url", Seq("spam.example"), "/tracker/")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(got == Map(
+      1L -> "blocked_domain", 2L -> "blocked_domain", 3L -> "kept",
+      4L -> "blocked_path", 5L -> "blocked_domain", 6L -> "kept"))
+  }
+
+  test("urlBlocklistGate rejects blocklist entries with scheme or path") {
+    import spark.implicits._
+    val docs = Seq((1L, "https://a.example/x")).toDF("doc_id", "url")
+    intercept[IllegalArgumentException] {
+      ops.CurationOps.urlBlocklistGate(docs, "url",
+        Seq("https://spam.example"), "/tracker/")
+    }
+  }
 }
