@@ -227,6 +227,17 @@ class PlanHygieneSpec extends SparkSpec {
     }
   }
 
+  // The URL blocklist gate is a pure per-row decision: the literal
+  // blocklist must ride inside the projection (exists over a literal
+  // array), never become a join side or a window — either would turn a
+  // free-scaling scan gate into an exchange.
+  test("q_url_blocklist plans no Join and no Window") {
+    val plan = SparkEntry.queries("q_url_blocklist")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"Join in blocklist-gate plan:\n$plan")
+    assert(!plan.contains("Window"), s"Window in blocklist-gate plan:\n$plan")
+  }
+
   // The repeated-span detector's count + distinct-doc-count pair must
   // plan as the two-phase aggregation chain, never an Expand: Expand
   // doubles every exploded span row before the exchange — at corpus
