@@ -286,6 +286,56 @@ object DedupOps extends QueryModule {
       .orderBy("source")
   }
 
+  /** The stored-LSH-index rows for a (doc_id, text) frame: one row per
+    * (doc, band) carrying the band key and the full 8-slot signature —
+    * exactly the table an index-maintenance pipeline persists (build
+    * once over the corpus, append each admitted snapshot, probe at
+    * admission time). Docs under 3 words emit no rows (nothing to
+    * collide on). At 100 TB the persisted index is bucketed by
+    * band_hash so admission probes co-locate with no index-side
+    * shuffle.
+    */
+  def lshIndex(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val sig = docs
+      .filter(TextOps.wordCount(col("text")) >= 3)
+      .select(col("doc_id"), TextOps.shingles(col("text"), 3).as("shingles"))
+      .select(col("doc_id") +: sigCols: _*)
+    val bandStructs = (0 until Bands).map { b =>
+      struct(lit(b).as("band_idx"),
+        md5(concat(col(s"m${2 * b}"), col(s"m${2 * b + 1}"))).as("band_hash"))
+    }
+    sig
+      .select(col("doc_id"),
+        array((0 until NumHashes).map(k => col(s"m$k")): _*).as("sg"),
+        explode(array(bandStructs: _*)).as("bd"))
+      .select(col("doc_id"), col("bd.band_idx"), col("bd.band_hash"), col("sg"))
+  }
+
+  /** Admit `newDocs` against a stored [[lshIndex]] frame: drop every
+    * new doc whose bands collide with an index row AND whose signature
+    * agrees on >= [[AgreeSlots]] of [[NumHashes]] slots; keep the rest
+    * (short docs have no bands and always pass). This is the per-batch
+    * form of [[incrementalAdmission]] — the streaming admission loop
+    * calls it per micro-batch and appends `lshIndex(admitted)` back to
+    * the index, so later batches dedup against earlier admissions
+    * (spec-driven in StreamingSpec). The probe join is keyed by
+    * (band_idx, band_hash); the anti join back is doc-keyed against
+    * the hit set, which is probe-batch-bounded, never index-bounded.
+    */
+  def admitAgainstIndex(newDocs: org.apache.spark.sql.DataFrame,
+      index: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val probe = lshIndex(newDocs)
+      .toDF("p_doc_id", "band_idx", "band_hash", "p_sg")
+    val hits = probe
+      .join(index.toDF("i_doc_id", "band_idx", "band_hash", "i_sg"),
+        Seq("band_idx", "band_hash"))
+      .filter(size(filter(zip_with(col("p_sg"), col("i_sg"),
+        (a, b) => a === b), x => x)) >= AgreeSlots)
+      .select(col("p_doc_id").as("doc_id"))
+      .distinct()
+    newDocs.join(hits, Seq("doc_id"), "left_anti")
+  }
+
   def queries: Seq[Q] = Seq(
     // Exact dedup: canonical keep-first-by-key. All texts in the synthetic
     // corpus are distinct, so this keeps every row — the semantics are

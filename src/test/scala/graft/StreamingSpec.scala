@@ -552,4 +552,47 @@ class StreamingSpec extends SparkSpec {
     assert(after.size == 2 && after(1) == ((3L, 1L, 0.0, true)),
       s"refreshed LM not picked up: $after")
   }
+
+  test("streaming dedup admission: per-batch index probe + index maintenance") {
+    implicit val sq = spark.sqlContext
+    import ops.DedupOps
+    // The streaming form of incrementalAdmission: each micro-batch is
+    // admitted against the stored LSH index (band probe + signature
+    // verify), and the ADMITTED docs' index rows are appended before
+    // the next batch — so later batches dedup against earlier
+    // admissions, not just the original corpus. Index state lives as a
+    // checkpointed frame the closure swaps, the same
+    // model-state-refresh shape as the streaming LM gate above.
+    val textA = "alpha beta gamma delta epsilon zeta"
+    val textB = "one two three four five six seven"
+    val textC = "red orange yellow green blue indigo violet"
+    val textD = "north south east west up down sideways"
+    val corpus = Seq((1L, textA), (2L, textB)).toDF("doc_id", "text")
+    @volatile var index = DedupOps.lshIndex(corpus).localCheckpoint()
+    val admitted = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val adm = DedupOps.admitAgainstIndex(batch, index).localCheckpoint()
+        index = index.union(DedupOps.lshIndex(adm)).localCheckpoint()
+        admitted.synchronized {
+          admitted ++= adm.collect().map(_.getLong(0)); () }
+      }
+      .start()
+    // batch 1: doc 10 duplicates corpus doc 1 -> dropped; doc 11 fresh
+    mem.addData((10L, textA), (11L, textC))
+    q.processAllAvailable()
+    assert(admitted.synchronized(admitted.toSet) == Set(11L))
+    // batch 2: doc 20 duplicates the batch-1 ADMISSION (present only if
+    // the index was maintained); doc 21 fresh
+    mem.addData((20L, textC), (21L, textD))
+    q.processAllAvailable()
+    assert(admitted.synchronized(admitted.toSet) == Set(11L, 21L))
+    // batch 3: one dup of a batch-2 admission, one dup of the original
+    // corpus — nothing admitted
+    mem.addData((30L, textD), (31L, textB))
+    q.processAllAvailable()
+    q.stop()
+    assert(admitted.synchronized(admitted.toSet) == Set(11L, 21L))
+  }
 }
