@@ -39,8 +39,8 @@ object Bench {
     * rule), and later the three training-prep queries
     * (q_trigram_backoff, q_shuffle_shards, q_domain_quality — new
     * operators enter the bench the round they are written), and later
-    * q_dedup_incremental and q_url_blocklist (same rule). 72 queries
-    * total from r9 on.
+    * q_dedup_incremental, q_url_blocklist, and q_text_normalize (same
+    * rule). 73 queries total from r9 on.
     *
     * ROUND 8 ALSO CHANGED THE MEASURED ACTION from count() to a
     * noop-sink write (see `run` below): count() let Catalyst prune
@@ -65,7 +65,7 @@ object Bench {
     "q_pipeline_e2e", "q_collocations", "q_source_mix", "q_repeated_spans",
     "q_source_mix_weighted", "q_source_mix_temperature", "q_chunk_windows",
     "q_pii_scrub", "q_line_dedup", "q_quality_classifier", "q_dsir_weights",
-    "q_url_blocklist",
+    "q_url_blocklist", "q_text_normalize",
     "q_gopher_rules", "q_c4_clean", "q_boilerplate_strip",
     "q_perplexity_filter",
     "q_bm25", "q_hybrid_rrf", "q_contamination", "q_inverted_index",

@@ -84,6 +84,44 @@ object CurationOps extends QueryModule {
       " || ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
 
   // ------------------------------------------------------------------
+  // Typographic / control-character normalization (the ftfy-lite pass)
+  // ------------------------------------------------------------------
+
+  /** Character-level cleanup every web corpus runs before
+    * fingerprinting/dedup (typographic variants of the same sentence
+    * must collapse to one fingerprint): curly quotes → straight,
+    * en/em-dash → hyphen, ellipsis → "...", NBSP → space, control
+    * characters stripped, whitespace runs collapsed, ends trimmed.
+    * The pair list drives BOTH dialects, so the engines can't drift.
+    */
+  val NormalizePairs: Seq[(String, String)] = Seq(
+    "‘" -> "'", "’" -> "'", "“" -> "\"", "”" -> "\"",
+    "–" -> "-", "—" -> "-", "…" -> "...", " " -> " ")
+
+  /** Control characters except \t\n\r (which are whitespace and fold
+    * into the \s+ collapse); Java and RE2 read the class identically.
+    */
+  val CtrlRe = """[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]"""
+
+  /** One narrow codegen pass; stream-applicable as-is. */
+  def normalizeText(c: Column): Column = {
+    val replaced = NormalizePairs.foldLeft(c) { case (acc, (from, to)) =>
+      replace(acc, lit(from), lit(to))
+    }
+    trim(regexp_replace(regexp_replace(replaced, CtrlRe, ""), "\\s+", " "))
+  }
+
+  /** The DuckDB spelling of [[normalizeText]], generated from the SAME
+    * pair list. `inner` is a SQL expression for the raw text.
+    */
+  def normalizeTextSql(inner: String): String = {
+    val replaced = NormalizePairs.foldLeft(inner) { case (acc, (from, to)) =>
+      s"replace($acc, '$from', '${to.replace("'", "''")}')"
+    }
+    s"trim(regexp_replace(regexp_replace($replaced, '$CtrlRe', '', 'g'), '\\s+', ' ', 'g'))"
+  }
+
+  // ------------------------------------------------------------------
   // Paragraph (line-level) dedup — the CCNet/Dolma curation stage
   // ------------------------------------------------------------------
 
@@ -376,6 +414,46 @@ object CurationOps extends QueryModule {
           lit(" or http://cdn-"), col("lang"), lit(".example.net/asset/"),
           (col("doc_id") % 100).cast("string")).as("utext"))
       urlDomains(dirty, "utext")
+    },
+
+    // Typographic normalization over deterministically dirtied text
+    // (three dirty arms — curly quotes + NBSP, control char + double
+    // space + em-dash, ellipsis + en-dash — and one clean arm).
+    Q(
+      "q_text_normalize",
+      s"""WITH p AS (
+         |  SELECT doc_id, source,
+         |         text || CASE doc_id % 4
+         |                 WHEN 0 THEN ' ' || chr(160) || '‘w’ “q”'
+         |                 WHEN 1 THEN '  two' || chr(7) || ' — dash'
+         |                 WHEN 2 THEN ' tail… – x'
+         |                 ELSE '' END AS dirty
+         |  FROM documents),
+         |n AS (SELECT doc_id, source, dirty,
+         |             ${normalizeTextSql("dirty")} AS norm
+         |      FROM p)
+         |SELECT source, COUNT(*) AS n_docs,
+         |       CAST(SUM(CASE WHEN norm <> dirty THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+         |       CAST(SUM(length(dirty)) AS BIGINT) AS chars_before,
+         |       CAST(SUM(length(norm)) AS BIGINT) AS chars_after
+         |FROM n GROUP BY source ORDER BY source"""
+    ) { (s, d) =>
+      val m = col("doc_id") % 4
+      val dirty = concat(col("text"),
+        when(m === 0, lit(" \u00A0‘w’ “q”"))
+          .when(m === 1, lit("  two\u0007 — dash"))
+          .when(m === 2, lit(" tail… – x"))
+          .otherwise(lit("")))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), dirty.as("dirty"))
+        .withColumn("norm", normalizeText(col("dirty")))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("norm") =!= col("dirty"), 1).otherwise(0))
+            .cast("long").as("n_changed"),
+          sum(length(col("dirty"))).cast("long").as("chars_before"),
+          sum(length(col("norm"))).cast("long").as("chars_after"))
+        .orderBy("source")
     },
 
     // URL blocklist gate over a synthesized per-doc home URL

@@ -158,6 +158,19 @@ class CurationOpsSpec extends SparkSpec {
       4L -> "blocked_path", 5L -> "blocked_domain", 6L -> "kept"))
   }
 
+  test("normalizeText: every rule fires, and the pass is idempotent") {
+    import spark.implicits._
+    val dirty = "a\u00A0‘b’\u0007 “c” d–e—f…  g "
+    val df = Seq((1L, dirty)).toDF("doc_id", "t")
+      .select(ops.CurationOps.normalizeText(col("t")).as("n"))
+    val once = df.collect().head.getString(0)
+    assert(once == "a 'b' \"c\" d-e-f... g")
+    val twice = Seq((1L, once)).toDF("doc_id", "t")
+      .select(ops.CurationOps.normalizeText(col("t")).as("n"))
+      .collect().head.getString(0)
+    assert(twice == once, "normalization must be idempotent")
+  }
+
   test("urlBlocklistGate rejects blocklist entries with scheme or path") {
     import spark.implicits._
     val docs = Seq((1L, "https://a.example/x")).toDF("doc_id", "url")
