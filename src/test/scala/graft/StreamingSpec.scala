@@ -94,6 +94,29 @@ class StreamingSpec extends SparkSpec {
       (2L, 2L, 1L, true, "good line stays here.")))
   }
 
+  test("normalization and URL gate apply to a stream unchanged") {
+    implicit val sq = spark.sqlContext
+    // both are stateless narrow projections, so the same calls that
+    // pass the batch oracle gate an unbounded ingest stream
+    val mem = MemoryStream[(Long, String, String)]
+    val base = mem.toDF().toDF("doc_id", "url", "text")
+    val q = ops.CurationOps
+      .urlBlocklistGate(base, "url", Seq("spam.example"), "/tracker/")
+      .select(col("doc_id"), col("status"),
+        ops.CurationOps.normalizeText(col("text")).as(("norm")))
+      .writeStream.format("memory").queryName("norm_gate_out")
+      .outputMode(OutputMode.Append).start()
+    mem.addData(
+      (1L, "https://cdn.spam.example/a", "x ‘y’  z"),
+      (2L, "https://ok.example/page/1", "plain text"))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("norm_gate_out").orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(rows.toSeq == Seq(
+      (1L, "blocked_domain", "x 'y' z"),
+      (2L, "kept", "plain text")))
+  }
+
   test("PII scrubbing applies to a stream unchanged (piiScrub)") {
     implicit val sq = spark.sqlContext
     // redaction at ingest time — the narrow regex pass runs on an
