@@ -230,10 +230,17 @@ object DedupOps extends QueryModule {
     val minkName = s"graft_min_k_$MaxBucketDocs"
     spark.udf.register(minkName, udaf(new graft.functions.MinKLongsAgg(MaxBucketDocs)))
     val isNew = col("doc_id") % 3 === 0
+    // The signature table feeds BOTH the band bucketing and the
+    // verification join; materialize it once (localCheckpoint) so the
+    // corpus text is scanned and hashed a single time — unmaterialized,
+    // the two consumers each re-run the full signature pass, doubling
+    // the dominant narrow cost at 100 TB. This also matches production:
+    // the signature table IS the stored index a pipeline persists.
     val sig = docs
       .filter(TextOps.wordCount(col("text")) >= 3)
       .select(col("doc_id"), TextOps.shingles(col("text"), 3).as("shingles"))
       .select(col("doc_id") +: sigCols: _*)
+      .localCheckpoint()
     val bandStructs = (0 until Bands).map { b =>
       struct(lit(b).as("band_idx"),
         md5(concat(col(s"m${2 * b}"), col(s"m${2 * b + 1}"))).as("band_hash"))
