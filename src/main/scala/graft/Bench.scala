@@ -39,8 +39,8 @@ object Bench {
     * rule), and later the three training-prep queries
     * (q_trigram_backoff, q_shuffle_shards, q_domain_quality — new
     * operators enter the bench the round they are written), and later
-    * q_dedup_incremental, q_url_blocklist, and q_text_normalize (same
-    * rule). 73 queries total from r9 on.
+    * q_dedup_incremental, q_url_blocklist, q_text_normalize, and
+    * q_split_leakage (same rule). 74 queries total from r9 on.
     *
     * ROUND 8 ALSO CHANGED THE MEASURED ACTION from count() to a
     * noop-sink write (see `run` below): count() let Catalyst prune
@@ -72,7 +72,7 @@ object Bench {
     "q_trigram_backoff", "q_shuffle_shards", "q_domain_quality",
     "q_dedup_exact", "q_dedup_minhash_pairs", "q_dedup_simhash",
     "q_dedup_corpus", "q_dedup_source_overlap", "q_dedup_incremental",
-    "q_oov_rate",
+    "q_split_leakage", "q_oov_rate",
     "q_similarity_topk", "q_ann_lsh", "q_kmeans_embed", "q_ann_ivf_trained",
     "q_ann_ivf_nprobe", "q_semantic_dedup",
     "q_events_tumbling", "q_events_session",

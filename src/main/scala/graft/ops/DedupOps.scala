@@ -343,6 +343,77 @@ object DedupOps extends QueryModule {
     newDocs.join(hits, Seq("doc_id"), "left_anti")
   }
 
+  /** The deterministic eval-split predicate shared by the leakage query
+    * and its oracle: first hex nibble of md5("sp:" + doc_id) >= 'c' —
+    * a 25% holdout that is a pure function of doc_id (reproducible
+    * across runs and cluster sizes, the q_sample_hash discipline).
+    */
+  private val ValNibbles = Seq("c", "d", "e", "f")
+
+  /** Train/val split leakage — the decontamination check every eval
+    * split needs: a val doc whose near-duplicate sits in train leaks
+    * the answer into training, so benchmark-style n-gram overlap
+    * ([[graft.ops]] q_contamination) is not enough; the NEAR-dup form
+    * catches paraphrase-level leaks. Same machinery as
+    * [[incrementalAdmission]] — one checkpointed signature pass, one
+    * band-keyed bucket aggregation with per-side caps, bounded
+    * val x train candidate expansion, signature-verify join — but the
+    * sides are the eval split, and the output is the per-source leak
+    * audit (how much of the val set must be dropped or re-drawn).
+    */
+  def splitLeakage(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val spark = docs.sparkSession
+    val minkName = s"graft_min_k_$MaxBucketDocs"
+    spark.udf.register(minkName, udaf(new graft.functions.MinKLongsAgg(MaxBucketDocs)))
+    def isVal(c: org.apache.spark.sql.Column) =
+      substring(md5(concat(lit("sp:"), c.cast("string"))), 1, 1)
+        .isin(ValNibbles: _*)
+    val sig = docs
+      .filter(TextOps.wordCount(col("text")) >= 3)
+      .select(col("doc_id"), TextOps.shingles(col("text"), 3).as("shingles"))
+      .select(col("doc_id") +: sigCols: _*)
+      .withColumn("is_val", isVal(col("doc_id")))
+      .localCheckpoint()
+    val bandStructs = (0 until Bands).map { b =>
+      struct(lit(b).as("band_idx"),
+        md5(concat(col(s"m${2 * b}"), col(s"m${2 * b + 1}"))).as("band_hash"))
+    }
+    val bands = sig
+      .select(col("doc_id"), col("is_val"),
+        explode(array(bandStructs: _*)).as("bd"))
+      .select(col("doc_id"), col("is_val"), col("bd.band_idx"), col("bd.band_hash"))
+    val buckets = bands
+      .groupBy("band_idx", "band_hash")
+      .agg(
+        expr(s"$minkName(doc_id) FILTER (WHERE NOT is_val)").as("tr"),
+        expr(s"$minkName(doc_id) FILTER (WHERE is_val)").as("vl"))
+      .filter(size(col("vl")) > 0 && size(col("tr")) > 0)
+    val pairs = buckets
+      .select(col("tr"), explode(col("vl")).as("dv"))
+      .select(col("dv"), explode(col("tr")).as("dt"))
+      .distinct()
+    val sigArr = sig.select(col("doc_id"),
+      array((0 until NumHashes).map(k => col(s"m$k")): _*).as("sg"))
+    val leaked = pairs
+      .join(sigArr.toDF("ka", "sa"), col("dv") === col("ka"))
+      .join(sigArr.toDF("kb", "sb"), col("dt") === col("kb"))
+      .filter(size(filter(zip_with(col("sa"), col("sb"),
+        (a, b) => a === b), x => x)) >= AgreeSlots)
+      .select(col("dv").as("doc_id"))
+      .distinct()
+      .withColumn("leaked", lit(true))
+    docs.select(col("doc_id"), col("source"), isVal(col("doc_id")).as("is_val"))
+      .join(leaked, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(
+        sum(when(!col("is_val"), 1).otherwise(0)).cast("long").as("n_train"),
+        sum(when(col("is_val"), 1).otherwise(0)).cast("long").as("n_val"),
+        sum(when(col("is_val") && col("leaked"), 1).otherwise(0))
+          .cast("long").as("n_leaked_val"))
+      .withColumn("n_clean_val", col("n_val") - col("n_leaked_val"))
+      .orderBy("source")
+  }
+
   def queries: Seq[Q] = Seq(
     // Exact dedup: canonical keep-first-by-key. All texts in the synthetic
     // corpus are distinct, so this keeps every row — the semantics are
@@ -623,6 +694,41 @@ object DedupOps extends QueryModule {
         .agg(count(lit(1)).as("n_docs"),
           sum(TextOps.wordCount(col("text"))).as("total_tokens"))
         .orderBy("source")
+    },
+
+    // Train/val split leakage: near-dup decontamination audit of a
+    // deterministic 25% md5 holdout — see splitLeakage's scaladoc.
+    {
+      val valIn = ValNibbles.map(n => s"'$n'").mkString("(", ", ", ")")
+      val valSql = s"substr(md5('sp:' || CAST(doc_id AS VARCHAR)), 1, 1) IN $valIn"
+      Q(
+        "q_split_leakage",
+        s"""WITH $sigCte,
+           |$bandsCte,
+           |sp AS (SELECT doc_id, source, $valSql AS is_val FROM documents),
+           |pairs AS (
+           |  SELECT v.doc_id AS dv, t.doc_id AS dt
+           |  FROM bands v JOIN bands t
+           |    ON v.band_idx = t.band_idx AND v.band_hash = t.band_hash
+           |  JOIN sp pv ON pv.doc_id = v.doc_id
+           |  JOIN sp pt ON pt.doc_id = t.doc_id
+           |  WHERE pv.is_val AND NOT pt.is_val
+           |  GROUP BY 1, 2),
+           |lk AS (
+           |  SELECT DISTINCT p.dv FROM pairs p
+           |  JOIN sig a ON a.doc_id = p.dv
+           |  JOIN sig b ON b.doc_id = p.dt
+           |  WHERE ${(0 until NumHashes).map(k =>
+               s"(CASE WHEN a.m$k = b.m$k THEN 1 ELSE 0 END)").mkString(" + ")}
+           |        >= $AgreeSlots)
+           |SELECT source,
+           |       CAST(SUM(CASE WHEN NOT is_val THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+           |       CAST(SUM(CASE WHEN is_val THEN 1 ELSE 0 END) AS BIGINT) AS n_val,
+           |       CAST(SUM(CASE WHEN is_val AND lk.dv IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_leaked_val,
+           |       CAST(SUM(CASE WHEN is_val AND lk.dv IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_clean_val
+           |FROM sp LEFT JOIN lk ON lk.dv = sp.doc_id
+           |GROUP BY source ORDER BY source"""
+      ) { (s, d) => splitLeakage(Tables.documents(s, d)) }
     },
 
     // Incremental admission: a new snapshot (doc_id % 3 = 0) deduped

@@ -87,4 +87,38 @@ class DedupSpec extends SparkSpec {
     // the fixture must actually exercise the dedup path (some doc dropped)
     assert(got.values.map(v => v._3 + v._4).sum > 0)
   }
+
+  // Same replay discipline for the eval-split leakage audit: a val doc
+  // is leaked iff some confirmed (>= AgreeSlots agreement) candidate
+  // partner lies in train, with the split recomputed independently.
+  test("q_split_leakage == driver-side replay over pairs + signatures") {
+    val pairs = SparkEntry.queries("q_dedup_minhash_pairs")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val sigs = SparkEntry.queries("q_minhash_signatures")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> (1 to 8).map(r.getString)).toMap
+    def agree(a: Long, b: Long): Boolean =
+      sigs(a).zip(sigs(b)).count { case (x, y) => x == y } >= ops.DedupOps.AgreeSlots
+    def isVal(id: Long): Boolean = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"sp:$id".getBytes("UTF-8"))
+      "cdef".contains(f"${(md(0) >> 4) & 0xf}%x")
+    }
+    val conf = pairs.filter { case (a, b) => agree(a, b) }
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "source")
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val expected = docs.groupBy(_._2).map { case (src, ds) =>
+      val leaked = ds.count { case (id, _) =>
+        isVal(id) && conf.exists { case (a, b) =>
+          (a == id && !isVal(b)) || (b == id && !isVal(a)) }
+      }
+      val nVal = ds.count(d => isVal(d._1))
+      src -> (ds.length.toLong - nVal, nVal.toLong, leaked.toLong,
+        (nVal - leaked).toLong)
+    }
+    val got = SparkEntry.queries("q_split_leakage")(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got == expected)
+  }
 }
