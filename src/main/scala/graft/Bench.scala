@@ -39,8 +39,9 @@ object Bench {
     * rule), and later the three training-prep queries
     * (q_trigram_backoff, q_shuffle_shards, q_domain_quality — new
     * operators enter the bench the round they are written), and later
-    * q_dedup_incremental, q_url_blocklist, q_text_normalize, and
-    * q_split_leakage (same rule). 74 queries total from r9 on.
+    * q_dedup_incremental, q_url_blocklist, q_text_normalize,
+    * q_split_leakage, and q_image_neardup (same rule). 75 queries
+    * total from r9 on.
     *
     * ROUND 8 ALSO CHANGED THE MEASURED ACTION from count() to a
     * noop-sink write (see `run` below): count() let Catalyst prune
@@ -76,7 +77,7 @@ object Bench {
     "q_similarity_topk", "q_ann_lsh", "q_kmeans_embed", "q_ann_ivf_trained",
     "q_ann_ivf_nprobe", "q_semantic_dedup",
     "q_events_tumbling", "q_events_session",
-    "q_orc_roundtrip", "q_ocr_pipeline")
+    "q_orc_roundtrip", "q_ocr_pipeline", "q_image_neardup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -261,6 +261,117 @@ object MediaQueries extends QueryModule {
         .orderBy("doc_id")
     },
 
+    // Image near-dup: the multimodal sibling of the text LSH dedup —
+    // perceptual aHash computed through the REAL decode path, banded
+    // into 4 x 16-bit slices (docs sharing any band are candidates —
+    // same capped-bucket discipline as the text MinHash bands), then
+    // verified by full 64-bit hamming distance <= 6. The fixture
+    // image (a quadratic pattern, chosen so distinct ids hash distinctly
+    // — a pure gradient is brightness-shift degenerate under aHash)
+    // repeats with period 256 in doc_id, and ids >= 256 get a
+    // +8 perturbation of pixel (0,0) — so (id, id+256) are NEAR (not
+    // exact) duplicate images; the oracle replays the pixel formula
+    // analytically and computes hamming from the bit table.
+    Q(
+      "q_image_neardup",
+      {
+        val nibbles = (0 until 16).map { n =>
+          s"substr('0123456789abcdef', 1 + CAST(SUM(CASE WHEN k // 4 = $n" +
+            s" THEN bit * (1 << (3 - k % 4)) ELSE 0 END) AS INT), 1)"
+        }.mkString("concat(", ", ", ")")
+        s"""WITH px AS (
+           |  SELECT doc_id, x, y,
+           |         CASE WHEN doc_id >= 256 AND x = 0 AND y = 0
+           |              THEN (((x*x + 3*y*y + x*y*(1 + doc_id % 256)) * 41 + doc_id * 31) % 256 + 8) % 256
+           |              ELSE ((x*x + 3*y*y + x*y*(1 + doc_id % 256)) * 41 + doc_id * 31) % 256 END AS p
+           |  FROM documents,
+           |       unnest(generate_series(0, 15)) AS tx(x),
+           |       unnest(generate_series(0, 7)) AS ty(y)
+           |  WHERE doc_id < 500),
+           |tot AS (SELECT doc_id, SUM(p) AS ts FROM px GROUP BY doc_id),
+           |blocks AS (SELECT doc_id, (x // 2) AS i, y AS j, SUM(p) AS bs
+           |           FROM px GROUP BY doc_id, (x // 2), y),
+           |bits AS (SELECT b.doc_id, j * 8 + i AS k,
+           |                CASE WHEN bs * 128 > ts * 2 THEN 1 ELSE 0 END AS bit
+           |         FROM blocks b JOIN tot t ON b.doc_id = t.doc_id),
+           |hsh AS (SELECT doc_id, $nibbles AS ahash FROM bits GROUP BY doc_id),
+           |bands AS (SELECT doc_id, bi, substr(ahash, 1 + 4 * bi, 4) AS bv
+           |          FROM hsh, unnest(generate_series(0, 3)) AS tb(bi)),
+           |pairs AS (
+           |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+           |  FROM bands a JOIN bands b
+           |    ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id),
+           |ham AS (
+           |  SELECT p.d1, p.d2,
+           |         CAST(SUM(CASE WHEN ba.bit <> bb.bit THEN 1 ELSE 0 END) AS BIGINT) AS hamming
+           |  FROM pairs p
+           |  JOIN bits ba ON ba.doc_id = p.d1
+           |  JOIN bits bb ON bb.doc_id = p.d2 AND bb.k = ba.k
+           |  GROUP BY 1, 2)
+           |SELECT d1, d2, hamming FROM ham WHERE hamming <= 6 ORDER BY d1, d2"""
+      }
+    ) { (s, d) =>
+      val mkGradient = udf { (id: Long) =>
+        val img = new java.awt.image.BufferedImage(
+          16, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 16) {
+            var p = (((x * x + 3 * y * y + x * y * (1 + id % 256)) * 41
+              + id * 31) % 256).toInt
+            if (id >= 256 && x == 0 && y == 0) p = (p + 8) % 256
+            img.setRGB(x, y, (p << 16) | (p << 8) | p)
+            x += 1
+          }
+          y += 1
+        }
+        val baos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", baos)
+        baos.toByteArray
+      }
+      val ahash = udf { (b: Array[Byte]) =>
+        ImageOps.decode(b).toOption
+          .map(img => ImageOps.aHash(ImageOps.grayscale(img)))
+          .orNull
+      }
+      val spark = s
+      val minkName = s"graft_min_k_${graft.ops.DedupOps.MaxBucketDocs}"
+      spark.udf.register(minkName,
+        udaf(new graft.functions.MinKLongsAgg(graft.ops.DedupOps.MaxBucketDocs)))
+      val hashes = Tables.documents(s, d)
+        .filter(col("doc_id") < 500)
+        .select(col("doc_id"), ahash(mkGradient(col("doc_id"))).as("ahash"))
+        .localCheckpoint() // feeds bands AND both hamming ends: hash once
+      val bands = hashes.select(col("doc_id"),
+          explode(array((0 until 4).map(b =>
+            struct(lit(b).as("bi"),
+              substring(col("ahash"), 1 + 4 * b, 4).as("bv"))): _*)).as("bd"))
+        .select(col("doc_id"), col("bd.bi"), col("bd.bv"))
+      val pairs = bands
+        .groupBy("bi", "bv")
+        .agg(expr(s"$minkName(doc_id)").as("ds"))
+        .filter(size(col("ds")) > 1)
+        .select(explode(flatten(transform(col("ds"), (x, i) =>
+          transform(slice(col("ds"), i + 2, size(col("ds"))), y =>
+            struct(x.as("d1"), y.as("d2")))))).as("p"))
+        .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
+        .distinct()
+      // 64-bit hamming as 4 x 16-bit chunks: parse, xor, popcount — all
+      // codegen'd integer ops, no UDF in the pair loop
+      def chunks(h: org.apache.spark.sql.Column) = (0 until 4).map(i =>
+        conv(substring(h, 1 + 4 * i, 4), 16, 10).cast("int"))
+      val hamming = chunks(col("ha")).zip(chunks(col("hb")))
+        .map { case (a, b) => bit_count(a.bitwiseXOR(b)) }
+        .reduce(_ + _).cast("long")
+      pairs
+        .join(hashes.toDF("k1", "ha"), col("d1") === col("k1"))
+        .join(hashes.toDF("k2", "hb"), col("d2") === col("k2"))
+        .select(col("d1"), col("d2"), hamming.as("hamming"))
+        .filter(col("hamming") <= 6)
+        .orderBy("d1", "d2")
+    },
+
     // Multimodal metadata: REAL header decode (format sniffed from magic
     // bytes, dims from the PNG header) over per-row generated images.
     Q(
