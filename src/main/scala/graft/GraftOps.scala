@@ -503,4 +503,36 @@ object GraftOps {
     */
   def perplexityFilter(docs: DataFrame, keepFromDecile: Int = 4): DataFrame =
     ops.FilterOps.perplexityFilter(docs, keepFromDecile)
+
+  /** Stored-LSH-index rows for a (doc_id, text) frame — build once over
+    * the corpus, append each admitted snapshot, probe at admission time.
+    * See [[ops.DedupOps.lshIndex]]; drives [[admitAgainstIndex]].
+    */
+  def lshIndex(docs: DataFrame): DataFrame = ops.DedupOps.lshIndex(docs)
+
+  /** Per-batch incremental admission: drop every doc in `newDocs` that
+    * near-duplicates an indexed doc (band collision + signature
+    * agreement), keep the rest. The streaming admission loop calls this
+    * per micro-batch and appends `lshIndex(admitted)` to the index.
+    * Verified by `q_dedup_incremental` (bulk form) and the
+    * StreamingSpec admission loop.
+    */
+  def admitAgainstIndex(newDocs: DataFrame, index: DataFrame): DataFrame =
+    ops.DedupOps.admitAgainstIndex(newDocs, index)
+
+  /** URL blocklist gate: status = blocked_domain (exact host or
+    * dot-suffix subdomain of a blocked registered domain) |
+    * blocked_path (path contains `blockedPathSeg`) | kept. One narrow
+    * codegen pass; stream-applicable. Verified by `q_url_blocklist`.
+    */
+  def urlBlocklistGate(df: DataFrame, urlCol: String,
+      blockedDomains: Seq[String], blockedPathSeg: String): DataFrame =
+    ops.CurationOps.urlBlocklistGate(df, urlCol, blockedDomains, blockedPathSeg)
+
+  /** Typographic/control-character normalization (the pre-fingerprint
+    * cleanup pass): curly quotes, dashes, ellipsis, NBSP, control
+    * chars, whitespace runs. Idempotent; stream-applicable. Verified by
+    * `q_text_normalize`.
+    */
+  def normalizeText(c: Column): Column = ops.CurationOps.normalizeText(c)
 }
