@@ -40,8 +40,8 @@ object Bench {
     * (q_trigram_backoff, q_shuffle_shards, q_domain_quality — new
     * operators enter the bench the round they are written), and later
     * q_dedup_incremental, q_url_blocklist, q_text_normalize,
-    * q_split_leakage, and q_image_neardup (same rule). 75 queries
-    * total from r9 on.
+    * q_split_leakage, q_image_neardup, q_corpus_diff, and
+    * q_quality_tradeoff (same rule). 77 queries total from r9 on.
     *
     * ROUND 8 ALSO CHANGED THE MEASURED ACTION from count() to a
     * noop-sink write (see `run` below): count() let Catalyst prune
@@ -66,7 +66,8 @@ object Bench {
     "q_pipeline_e2e", "q_collocations", "q_source_mix", "q_repeated_spans",
     "q_source_mix_weighted", "q_source_mix_temperature", "q_chunk_windows",
     "q_pii_scrub", "q_line_dedup", "q_quality_classifier", "q_dsir_weights",
-    "q_url_blocklist", "q_text_normalize",
+    "q_url_blocklist", "q_text_normalize", "q_corpus_diff",
+    "q_quality_tradeoff",
     "q_gopher_rules", "q_c4_clean", "q_boilerplate_strip",
     "q_perplexity_filter",
     "q_bm25", "q_hybrid_rrf", "q_contamination", "q_inverted_index",

@@ -535,4 +535,20 @@ object GraftOps {
     * `q_text_normalize`.
     */
   def normalizeText(c: Column): Column = ops.CurationOps.normalizeText(c)
+
+  /** Train/val split leakage audit over a deterministic 25% md5
+    * holdout: per source, how many val docs near-duplicate a train doc
+    * (band collision + signature agreement). Verified by
+    * `q_split_leakage`.
+    */
+  def splitLeakage(docs: DataFrame): DataFrame = ops.DedupOps.splitLeakage(docs)
+
+  /** Corpus snapshot diff (dataset-versioning audit): per source, docs
+    * added/removed/changed/same between v1 and v2 by whitespace-
+    * normalized fingerprint, plus the net token delta. One doc_id-keyed
+    * full-outer join over ~50-byte projected rows. Verified by
+    * `q_corpus_diff`.
+    */
+  def corpusDiff(v1: DataFrame, v2: DataFrame): DataFrame =
+    ops.CurationOps.corpusDiff(v1, v2)
 }

@@ -216,6 +216,46 @@ object CurationOps extends QueryModule {
   }
 
   // ------------------------------------------------------------------
+  // Corpus snapshot diff — the dataset-versioning audit
+  // ------------------------------------------------------------------
+
+  /** What changed between corpus v1 and v2 — the audit every dataset
+    * release note needs: per source, how many docs were added, removed,
+    * changed (same doc_id, different content FINGERPRINT — whitespace-
+    * normalized, so formatting churn doesn't count as a change), or
+    * kept byte-identical, plus the net token delta. ONE full-outer join
+    * keyed by doc_id (both sides pre-projected to ~50-byte rows:
+    * fingerprints and counts shuffle, text never does).
+    */
+  def corpusDiff(v1: DataFrame, v2: DataFrame): DataFrame = {
+    def sideRows(v: DataFrame, tag: String) = v.select(
+      col("doc_id"), col("source").as(s"src_$tag"),
+      graft.GraftOps.fingerprint(col("text")).as(s"fp_$tag"),
+      TextOps.wordCount(col("text")).as(s"tk_$tag"))
+    sideRows(v1, "a").join(sideRows(v2, "b"), Seq("doc_id"), "full_outer")
+      .select(
+        coalesce(col("src_b"), col("src_a")).as("source"),
+        when(col("fp_a").isNull, "added")
+          .when(col("fp_b").isNull, "removed")
+          .when(col("fp_a") === col("fp_b"), "same")
+          .otherwise("changed").as("status"),
+        (coalesce(col("tk_b"), lit(0L)) - coalesce(col("tk_a"), lit(0L)))
+          .as("dtk"))
+      .groupBy("source")
+      .agg(
+        sum(when(col("status") === "added", 1).otherwise(0))
+          .cast("long").as("n_added"),
+        sum(when(col("status") === "removed", 1).otherwise(0))
+          .cast("long").as("n_removed"),
+        sum(when(col("status") === "changed", 1).otherwise(0))
+          .cast("long").as("n_changed"),
+        sum(when(col("status") === "same", 1).otherwise(0))
+          .cast("long").as("n_same"),
+        sum(col("dtk")).cast("long").as("token_delta"))
+      .orderBy("source")
+  }
+
+  // ------------------------------------------------------------------
   // Hashed-feature linear quality classifier (fastText shape)
   // ------------------------------------------------------------------
 
@@ -414,6 +454,47 @@ object CurationOps extends QueryModule {
           lit(" or http://cdn-"), col("lang"), lit(".example.net/asset/"),
           (col("doc_id") % 100).cast("string")).as("utext"))
       urlDomains(dirty, "utext")
+    },
+
+    // Corpus snapshot diff between two synthesized versions: v1 drops
+    // doc_id % 9 = 0 (so those read as ADDED in v2), v2 drops
+    // doc_id % 7 = 0 (REMOVED) and appends an edit marker to
+    // doc_id % 11 = 0 (CHANGED fingerprint); everything else is SAME.
+    Q(
+      "q_corpus_diff",
+      s"""WITH v1 AS (SELECT doc_id, source, text FROM documents WHERE doc_id % 9 <> 0),
+         |v2 AS (SELECT doc_id, source,
+         |              CASE WHEN doc_id % 11 = 0 THEN text || ' edited v2' ELSE text END AS text
+         |       FROM documents WHERE doc_id % 7 <> 0),
+         |a AS (SELECT doc_id, source,
+         |             md5(trim(regexp_replace(lower(text), '${TextOps.WsReDuck}', ' ', 'g'))) AS fp,
+         |             CAST(len($WordsSql) AS BIGINT) AS tk FROM v1),
+         |b AS (SELECT doc_id, source,
+         |             md5(trim(regexp_replace(lower(text), '${TextOps.WsReDuck}', ' ', 'g'))) AS fp,
+         |             CAST(len($WordsSql) AS BIGINT) AS tk FROM v2),
+         |j AS (SELECT COALESCE(b.source, a.source) AS source,
+         |             CASE WHEN a.fp IS NULL THEN 'added'
+         |                  WHEN b.fp IS NULL THEN 'removed'
+         |                  WHEN a.fp = b.fp THEN 'same'
+         |                  ELSE 'changed' END AS status,
+         |             COALESCE(b.tk, 0) - COALESCE(a.tk, 0) AS dtk
+         |      FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+         |SELECT source,
+         |       CAST(SUM(CASE WHEN status = 'added' THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+         |       CAST(SUM(CASE WHEN status = 'removed' THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+         |       CAST(SUM(CASE WHEN status = 'changed' THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+         |       CAST(SUM(CASE WHEN status = 'same' THEN 1 ELSE 0 END) AS BIGINT) AS n_same,
+         |       CAST(SUM(dtk) AS BIGINT) AS token_delta
+         |FROM j GROUP BY source ORDER BY source"""
+    ) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val v1 = docs.filter(col("doc_id") % 9 =!= 0)
+        .select(col("doc_id"), col("source"), col("text"))
+      val v2 = docs.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"), col("source"),
+          when(col("doc_id") % 11 === 0, concat(col("text"), lit(" edited v2")))
+            .otherwise(col("text")).as("text"))
+      corpusDiff(v1, v2)
     },
 
     // Typographic normalization over deterministically dirtied text

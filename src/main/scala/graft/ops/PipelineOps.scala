@@ -1223,6 +1223,58 @@ object PipelineOps extends QueryModule {
         .orderBy("decile")
     },
 
+    // Quality/quantity tradeoff curve: for every decile cutoff d, how
+    // many docs and tokens survive "keep deciles >= d" — the table a
+    // data team reads before choosing a quality gate (the marginal
+    // token cost of each extra notch of selectivity). Rides the shared
+    // valueDeciles recipe with the token count carried through; the
+    // reverse-cumulative window runs on the 10-row decile table, never
+    // on corpus rows. token_frac is round6'd for cross-engine float
+    // determinism.
+    Q(
+      "q_quality_tradeoff",
+      s"""WITH r AS (
+         |  SELECT doc_id, n_chars,
+         |         CAST(len($WordsSql) AS BIGINT) AS n_tokens,
+         |         ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS grank,
+         |         COUNT(*) OVER () AS n_total
+         |  FROM documents),
+         |d AS (SELECT (grank - 1) * 10 // n_total + 1 AS decile,
+         |             COUNT(*) AS n_docs,
+         |             CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+         |      FROM r GROUP BY 1),
+         |c AS (SELECT decile, n_docs, n_tokens,
+         |             CAST(SUM(n_docs) OVER w AS BIGINT) AS docs_kept,
+         |             CAST(SUM(n_tokens) OVER w AS BIGINT) AS tokens_kept,
+         |             CAST(SUM(n_tokens) OVER () AS BIGINT) AS tokens_total
+         |      FROM d
+         |      WINDOW w AS (ORDER BY decile ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+         |SELECT decile, n_docs, n_tokens, docs_kept, tokens_kept,
+         |       floor(CAST(tokens_kept AS DOUBLE) / tokens_total * 1e6 + 0.5) / 1e6 AS token_frac
+         |FROM c ORDER BY decile"""
+    ) { (s, d) =>
+      val perDec = graft.GraftOps.valueDeciles(
+        Tables.documents(s, d)
+          .withColumn("n_tokens", TextOps.wordCount(col("text"))),
+        "n_chars", "doc_id", bucketWidth = 25, carryCols = Seq("n_tokens"))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).cast("long").as("n_tokens"))
+      val wRev = Window.orderBy("decile")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val wAll = Window.orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      perDec
+        .withColumn("docs_kept", sum(col("n_docs")).over(wRev).cast("long"))
+        .withColumn("tokens_kept", sum(col("n_tokens")).over(wRev).cast("long"))
+        .withColumn("token_frac",
+          floor(col("tokens_kept").cast("double") /
+            sum(col("n_tokens")).over(wAll) * 1e6 + 0.5) / 1e6)
+        .select("decile", "n_docs", "n_tokens", "docs_kept", "tokens_kept",
+          "token_frac")
+        .orderBy("decile")
+    },
+
     // BPE merge training: 3 unrolled merge rounds over the corpus's
     // word-frequency histogram — the tokenizer-training loop itself.
     // The corpus is read once (histogram); each round's pair counting,

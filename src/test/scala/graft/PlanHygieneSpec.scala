@@ -54,6 +54,9 @@ class PlanHygieneSpec extends SparkSpec {
       // cumulative offsets over the bucket-count tables (aggregate-scale)
       "q_rank_global" -> 1000L,
       "q_quality_deciles" -> 1000L,
+      // tradeoff curve: same decile recipe, plus the reverse-cumulative
+      // windows over the 10-row decile table
+      "q_quality_tradeoff" -> 1000L,
       // perplexity gate: same two-phase decile recipe — the empty
       // window rides the bucket-count table (aggregate-scale)
       "q_perplexity_filter" -> 1000L)
