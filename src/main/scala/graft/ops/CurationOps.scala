@@ -228,10 +228,15 @@ object CurationOps extends QueryModule {
     * fingerprints and counts shuffle, text never does).
     */
   def corpusDiff(v1: DataFrame, v2: DataFrame): DataFrame = {
-    def sideRows(v: DataFrame, tag: String) = v.select(
-      col("doc_id"), col("source").as(s"src_$tag"),
-      graft.GraftOps.fingerprint(col("text")).as(s"fp_$tag"),
-      TextOps.wordCount(col("text")).as(s"tk_$tag"))
+    // tokenize ONCE per row (the engine's hottest inner loop) and derive
+    // both the fingerprint and the token count from the same array —
+    // fingerprint(text) + wordCount(text) would be two full text passes
+    def sideRows(v: DataFrame, tag: String) = v
+      .select(col("doc_id"), col("source"), words(col("text")).as("ws"))
+      .select(
+        col("doc_id"), col("source").as(s"src_$tag"),
+        md5(lower(concat_ws(" ", col("ws")))).as(s"fp_$tag"),
+        size(col("ws")).cast("long").as(s"tk_$tag"))
     sideRows(v1, "a").join(sideRows(v2, "b"), Seq("doc_id"), "full_outer")
       .select(
         coalesce(col("src_b"), col("src_a")).as("source"),

@@ -114,16 +114,26 @@ object DedupOps extends QueryModule {
     // to cap doc_ids before the exchange (a row_number window would add
     // a full sort stage and ship every row).
     val minK = udaf(new graft.functions.MinKLongsAgg(MaxBucketDocs))
-    bands
-      .groupBy("band_idx", "band_hash")
-      .agg(minK(col("doc_id")).as("ds"))
+    expandCappedBuckets(
+      bands
+        .groupBy("band_idx", "band_hash")
+        .agg(minK(col("doc_id")).as("ds")))
+  }
+
+  /** Distinct ordered pairs (d1 < d2) from a frame of capped, sorted
+    * bucket arrays `ds` — the shared pair-expansion step of every
+    * banded dedup family (text MinHash here, image aHash in
+    * MediaQueries). MinKLongsAgg emits ascending arrays, so nested
+    * slices preserve d1 < d2 by construction.
+    */
+  def expandCappedBuckets(buckets: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    buckets
       .filter(size(col("ds")) > 1)
       .select(explode(flatten(transform(col("ds"), (x, i) =>
         transform(slice(col("ds"), i + 2, size(col("ds"))), y =>
           struct(x.as("d1"), y.as("d2")))))).as("p"))
       .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
       .distinct()
-  }
 
   /** Connected components over the LSH candidate-pair graph via
     * min-label propagation: each doc's component = the smallest doc_id

@@ -27,6 +27,31 @@ object MediaQueries extends QueryModule {
         mkImage(col("text")).as("content"))
   }
 
+  /** Shared analytic-aHash oracle scaffold: the px/tot/blocks/bits CTE
+    * chain parameterized by the SQL pixel expression (in x, y, doc_id),
+    * plus the nibble-packing select expression — ONE statement of the
+    * bit/threshold convention serving both image queries, so a change
+    * to the packing cannot silently diverge between them.
+    */
+  private def aHashCtes(pixelExpr: String): String =
+    s"""px AS (
+       |  SELECT doc_id, x, y, $pixelExpr AS p
+       |  FROM documents,
+       |       unnest(generate_series(0, 15)) AS tx(x),
+       |       unnest(generate_series(0, 7)) AS ty(y)
+       |  WHERE doc_id < 500),
+       |tot AS (SELECT doc_id, SUM(p) AS ts FROM px GROUP BY doc_id),
+       |blocks AS (SELECT doc_id, (x // 2) AS i, y AS j, SUM(p) AS bs
+       |           FROM px GROUP BY doc_id, (x // 2), y),
+       |bits AS (SELECT b.doc_id, j * 8 + i AS k,
+       |                CASE WHEN bs * 128 > ts * 2 THEN 1 ELSE 0 END AS bit
+       |         FROM blocks b JOIN tot t ON b.doc_id = t.doc_id)""".stripMargin
+
+  private val AHashNibbles: String = (0 until 16).map { n =>
+    s"substr('0123456789abcdef', 1 + CAST(SUM(CASE WHEN k // 4 = $n" +
+      s" THEN bit * (1 << (3 - k % 4)) ELSE 0 END) AS INT), 1)"
+  }.mkString("concat(", ", ", ")")
+
   def queries: Seq[Q] = Seq(
     // Full R1-R10 path: dispatch → fused preprocess → per-partition OCR →
     // word count. Output must equal the source documents exactly.
@@ -209,26 +234,9 @@ object MediaQueries extends QueryModule {
     // decode, grayscale, or blocking breaks the full-value hash match.
     Q(
       "q_image_ahash",
-      {
-        val nibbles = (0 until 16).map { n =>
-          s"substr('0123456789abcdef', 1 + CAST(SUM(CASE WHEN k // 4 = $n" +
-            s" THEN bit * (1 << (3 - k % 4)) ELSE 0 END) AS INT), 1)"
-        }.mkString("concat(", ", ", ")")
-        s"""WITH px AS (
-           |  SELECT doc_id, x, y, (doc_id * 31 + x * 7 + y * 13) % 256 AS p
-           |  FROM documents,
-           |       unnest(generate_series(0, 15)) AS tx(x),
-           |       unnest(generate_series(0, 7)) AS ty(y)
-           |  WHERE doc_id < 500),
-           |tot AS (SELECT doc_id, SUM(p) AS ts FROM px GROUP BY doc_id),
-           |blocks AS (SELECT doc_id, (x // 2) AS i, y AS j, SUM(p) AS bs
-           |           FROM px GROUP BY doc_id, (x // 2), y),
-           |bits AS (SELECT b.doc_id, j * 8 + i AS k,
-           |                CASE WHEN bs * 128 > ts * 2 THEN 1 ELSE 0 END AS bit
-           |         FROM blocks b JOIN tot t ON b.doc_id = t.doc_id)
-           |SELECT doc_id, $nibbles AS ahash
-           |FROM bits GROUP BY doc_id ORDER BY doc_id"""
-      }
+      s"""WITH ${aHashCtes("(doc_id * 31 + x * 7 + y * 13) % 256")}
+         |SELECT doc_id, $AHashNibbles AS ahash
+         |FROM bits GROUP BY doc_id ORDER BY doc_id"""
     ) { (s, d) =>
       // RGB (not TYPE_BYTE_GRAY): Java's getRGB on a gray image applies a
       // gray→sRGB conversion that shifts pixel values; an RGB PNG with
@@ -275,26 +283,11 @@ object MediaQueries extends QueryModule {
     Q(
       "q_image_neardup",
       {
-        val nibbles = (0 until 16).map { n =>
-          s"substr('0123456789abcdef', 1 + CAST(SUM(CASE WHEN k // 4 = $n" +
-            s" THEN bit * (1 << (3 - k % 4)) ELSE 0 END) AS INT), 1)"
-        }.mkString("concat(", ", ", ")")
-        s"""WITH px AS (
-           |  SELECT doc_id, x, y,
-           |         CASE WHEN doc_id >= 256 AND x = 0 AND y = 0
-           |              THEN (((x*x + 3*y*y + x*y*(1 + doc_id % 256)) * 41 + doc_id * 31) % 256 + 8) % 256
-           |              ELSE ((x*x + 3*y*y + x*y*(1 + doc_id % 256)) * 41 + doc_id * 31) % 256 END AS p
-           |  FROM documents,
-           |       unnest(generate_series(0, 15)) AS tx(x),
-           |       unnest(generate_series(0, 7)) AS ty(y)
-           |  WHERE doc_id < 500),
-           |tot AS (SELECT doc_id, SUM(p) AS ts FROM px GROUP BY doc_id),
-           |blocks AS (SELECT doc_id, (x // 2) AS i, y AS j, SUM(p) AS bs
-           |           FROM px GROUP BY doc_id, (x // 2), y),
-           |bits AS (SELECT b.doc_id, j * 8 + i AS k,
-           |                CASE WHEN bs * 128 > ts * 2 THEN 1 ELSE 0 END AS bit
-           |         FROM blocks b JOIN tot t ON b.doc_id = t.doc_id),
-           |hsh AS (SELECT doc_id, $nibbles AS ahash FROM bits GROUP BY doc_id),
+        val quadPx = "CASE WHEN doc_id >= 256 AND x = 0 AND y = 0" +
+          " THEN (((x*x + 3*y*y + x*y*(1 + doc_id % 256)) * 41 + doc_id * 31) % 256 + 8) % 256" +
+          " ELSE ((x*x + 3*y*y + x*y*(1 + doc_id % 256)) * 41 + doc_id * 31) % 256 END"
+        s"""WITH ${aHashCtes(quadPx)},
+           |hsh AS (SELECT doc_id, $AHashNibbles AS ahash FROM bits GROUP BY doc_id),
            |bands AS (SELECT doc_id, bi, substr(ahash, 1 + 4 * bi, 4) AS bv
            |          FROM hsh, unnest(generate_series(0, 3)) AS tb(bi)),
            |pairs AS (
@@ -335,10 +328,8 @@ object MediaQueries extends QueryModule {
           .map(img => ImageOps.aHash(ImageOps.grayscale(img)))
           .orNull
       }
-      val spark = s
-      val minkName = s"graft_min_k_${graft.ops.DedupOps.MaxBucketDocs}"
-      spark.udf.register(minkName,
-        udaf(new graft.functions.MinKLongsAgg(graft.ops.DedupOps.MaxBucketDocs)))
+      val minK = udaf(new graft.functions.MinKLongsAgg(
+        graft.ops.DedupOps.MaxBucketDocs))
       val hashes = Tables.documents(s, d)
         .filter(col("doc_id") < 500)
         .select(col("doc_id"), ahash(mkGradient(col("doc_id"))).as("ahash"))
@@ -348,15 +339,8 @@ object MediaQueries extends QueryModule {
             struct(lit(b).as("bi"),
               substring(col("ahash"), 1 + 4 * b, 4).as("bv"))): _*)).as("bd"))
         .select(col("doc_id"), col("bd.bi"), col("bd.bv"))
-      val pairs = bands
-        .groupBy("bi", "bv")
-        .agg(expr(s"$minkName(doc_id)").as("ds"))
-        .filter(size(col("ds")) > 1)
-        .select(explode(flatten(transform(col("ds"), (x, i) =>
-          transform(slice(col("ds"), i + 2, size(col("ds"))), y =>
-            struct(x.as("d1"), y.as("d2")))))).as("p"))
-        .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
-        .distinct()
+      val pairs = graft.ops.DedupOps.expandCappedBuckets(
+        bands.groupBy("bi", "bv").agg(minK(col("doc_id")).as("ds")))
       // 64-bit hamming as 4 x 16-bit chunks: parse, xor, popcount — all
       // codegen'd integer ops, no UDF in the pair loop
       def chunks(h: org.apache.spark.sql.Column) = (0 until 4).map(i =>
