@@ -171,6 +171,26 @@ class CurationOpsSpec extends SparkSpec {
     assert(twice == once, "normalization must be idempotent")
   }
 
+  test("corpusDiff: all four statuses on crafted snapshots, formatting churn is not a change") {
+    import spark.implicits._
+    val v1 = Seq(
+      (1L, "s", "kept as is"),
+      (2L, "s", "will change"),
+      (3L, "s", "gets  SPACED   out"), // only whitespace/case churn in v2
+      (4L, "s", "will be removed")).toDF("doc_id", "source", "text")
+    val v2 = Seq(
+      (1L, "s", "kept as is"),
+      (2L, "s", "has changed"),
+      (3L, "s", "GETS spaced OUT"),
+      (5L, "s", "newly added doc")).toDF("doc_id", "source", "text")
+    val r = ops.CurationOps.corpusDiff(v1, v2).collect().head
+    // doc 3's fingerprint ignores whitespace runs and case -> SAME
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+      ((1L, 1L, 1L, 2L)), r.toString) // added, removed, changed, same
+    // token delta: v2 totals (3+2+3+3=11) minus v1 totals (3+2+3+3=11)
+    assert(r.getLong(5) == 0L, r.toString)
+  }
+
   test("urlBlocklistGate rejects blocklist entries with scheme or path") {
     import spark.implicits._
     val docs = Seq((1L, "https://a.example/x")).toDF("doc_id", "url")

@@ -154,6 +154,23 @@ class QueriesSpec extends SparkSpec {
       s"expected broadcast in:\n$plan")
   }
 
+  test("quality tradeoff curve: consistent with the decile table, monotone, complete") {
+    val dec = SparkEntry.queries("q_quality_deciles")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = SparkEntry.queries("q_quality_tradeoff")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(4), r.getDouble(5)))
+    assert(rows.map(_._1).toSeq == (1L to 10L), "one row per decile cutoff")
+    // per-decile doc counts must agree with the separately-verified decile query
+    rows.foreach { case (d, nDocs, _, _, _) => assert(nDocs == dec(d), s"decile $d") }
+    // cutoff at decile 1 keeps everything; kept totals strictly decrease
+    assert(rows.head._3 == dec.values.sum)
+    assert(rows.head._5 == 1.0)
+    rows.sliding(2).foreach { case Array((_, _, dk1, tk1, f1), (_, _, dk2, tk2, f2)) =>
+      assert(dk2 < dk1 && tk2 < tk1 && f2 < f1, "kept totals must decrease")
+    }
+  }
+
   test("no query collects to the driver mid-plan (scan of the API surface)") {
     // structural: all registered queries return lazy DataFrames — running
     // .queryExecution.analyzed must not trigger a job.
