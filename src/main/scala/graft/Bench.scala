@@ -40,8 +40,9 @@ object Bench {
     * (q_trigram_backoff, q_shuffle_shards, q_domain_quality — new
     * operators enter the bench the round they are written), and later
     * q_dedup_incremental, q_url_blocklist, q_text_normalize,
-    * q_split_leakage, q_image_neardup, q_corpus_diff, and
-    * q_quality_tradeoff (same rule). 77 queries total from r9 on.
+    * q_split_leakage, q_image_neardup, q_corpus_diff,
+    * q_quality_tradeoff, and q_knn_label (same rule). 78 queries total
+    * from r9 on.
     *
     * ROUND 8 ALSO CHANGED THE MEASURED ACTION from count() to a
     * noop-sink write (see `run` below): count() let Catalyst prune
@@ -76,7 +77,7 @@ object Bench {
     "q_dedup_corpus", "q_dedup_source_overlap", "q_dedup_incremental",
     "q_split_leakage", "q_oov_rate",
     "q_similarity_topk", "q_ann_lsh", "q_kmeans_embed", "q_ann_ivf_trained",
-    "q_ann_ivf_nprobe", "q_semantic_dedup",
+    "q_ann_ivf_nprobe", "q_semantic_dedup", "q_knn_label",
     "q_events_tumbling", "q_events_session",
     "q_orc_roundtrip", "q_ocr_pipeline", "q_image_neardup")
 

@@ -73,7 +73,128 @@ object SimilarityOps extends QueryModule {
       .orderBy("qid", "rn")
   }
 
+  /** Seed size at which [[knnLabel]] switches from the literal-array
+    * narrow path to the broadcast-join + bounded-TopK path: per-row
+    * struct-array sorting beats join-row overhead only while the seed
+    * is small (measured: 1000-seed literal path 49s vs join path at
+    * the same 100x corpus — see PLANS.md round-9).
+    */
+  val KnnLiteralSeedMax = 256
+
+  /** k-NN label propagation from a curated seed set (vec_id % 5 = 0,
+    * base replica only — a curated seed is fixed-size and does not grow
+    * with the corpus): each unlabeled vector takes the majority label
+    * of its 3 nearest seed neighbors by cosine (ties: seed id, then
+    * smallest label). The seed is bounded model state; the engine picks
+    * the physical shape by its measured size — a literal array with an
+    * O(S log S) per-row sorted slice (fully narrow, no join) for small
+    * seeds, or a broadcast cross join + bounded TopKPairAgg (map-side
+    * partials keep 3 pairs per vector) beyond [[KnnLiteralSeedMax]].
+    * Both paths are oracle-verified: sf0.01's 100-seed fixture takes
+    * the literal path, sf0.1's 1000-seed fixture the join path.
+    */
+  def knnLabel(emb: DataFrame,
+      forceLiteral: Option[Boolean] = None): DataFrame = {
+    val isSeed = col("vec_id") % 5 === 0 && col("vec_id") < 10000000L
+    val seedRows = emb.filter(isSeed)
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2)))
+      .sortBy(_._1)
+    val labeled =
+      if (forceLiteral.getOrElse(seedRows.length <= KnnLiteralSeedMax)) {
+        val seedLit = typedLit(seedRows.toSeq)
+        val scoredArr = transform(seedLit, sd =>
+          struct(
+            graft.functions.GraftFunctions
+              .cosine_sim(sd.getField("_3"), col("embedding")).as("sim"),
+            sd.getField("_1").as("sid"),
+            sd.getField("_2").as("lbl")))
+        val top3 = slice(array_sort(scoredArr, (a, b) =>
+          when(a.getField("sim") > b.getField("sim"), -1)
+            .when(a.getField("sim") < b.getField("sim"), 1)
+            .otherwise(
+              when(a.getField("sid") < b.getField("sid"), -1)
+                .when(a.getField("sid") > b.getField("sid"), 1)
+                .otherwise(0))
+            .cast("int")), 1, 3)
+        emb.filter(!isSeed)
+          .select(col("label"),
+            transform(top3, t => t.getField("lbl")).as("ls"))
+      } else {
+        // TopKPairAgg keeps (sim desc, id asc) pairs — the identical
+        // order the literal path's comparator states; labels rejoin via
+        // a seed-bounded literal map after the bounded aggregation
+        val seedDf = broadcast(emb.filter(isSeed)
+          .select(col("vec_id").as("sid"), col("embedding").as("se")))
+        val lblMap = typedLit(seedRows.map(r => r._1 -> r._2).toMap)
+        val topk = udaf(new graft.functions.TopKPairAgg(3))
+        emb.filter(!isSeed)
+          .select(col("vec_id").as("qid"), col("label"), col("embedding"))
+          .join(seedDf)
+          .select(col("qid"), col("label"),
+            graft.functions.GraftFunctions
+              .cosine_sim(col("se"), col("embedding")).as("sim"),
+            col("sid"))
+          .groupBy("qid", "label")
+          .agg(topk(col("sim"), col("sid")).as("tk"))
+          .select(col("label"),
+            transform(col("tk"), p => element_at(lblMap, p.getField("_2")))
+              .as("ls"))
+      }
+    labeled
+      .select(col("label"),
+        col("ls")(0).as("l1"), col("ls")(1).as("l2"), col("ls")(2).as("l3"))
+      .select(col("label").as("true_label"),
+        when(col("l1") === col("l2") || col("l1") === col("l3"), col("l1"))
+          .when(col("l2") === col("l3"), col("l2"))
+          .otherwise(least(col("l1"), col("l2"), col("l3")))
+          .as("pred_label"))
+      .groupBy("true_label", "pred_label")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("true_label", "pred_label")
+  }
+
   def queries: Seq[Q] = Seq(
+    // k-NN label propagation from a curated seed — the weak-supervision
+    // labeler: a SMALL labeled seed set (here the vec_id % 5 = 0 fifth,
+    // standing in for a hand-curated quality/domain sample) labels the
+    // unlabeled corpus by majority vote of each vector's 3 nearest seed
+    // neighbors by cosine (ties: seed id, then smallest label when all
+    // three disagree). Scale shape: the seed is collected as bounded
+    // model state (like the k-means centroids) and rides into the plan
+    // as a literal, so scoring is FULLY NARROW — one O(S log S) sorted
+    // slice per row, no join, no shuffle before the confusion-matrix
+    // aggregation; a larger seed would switch to the broadcast-join +
+    // TopKPairAgg path (cosineTopK). Output is the (true, predicted)
+    // confusion matrix the labeler's quality is read from.
+    Q(
+      "q_knn_label",
+      s"""WITH sd AS (SELECT vec_id AS sid, label AS lbl, embedding AS se
+         |            FROM embeddings WHERE vec_id % 5 = 0 AND vec_id < 10000000),
+         |c AS (SELECT vec_id, label, embedding FROM embeddings WHERE vec_id % 5 <> 0),
+         |scored AS (
+         |  SELECT c.vec_id, c.label, sd.sid, sd.lbl,
+         |         ${duckDot("c.embedding", "sd.se")} /
+         |           (${duckNorm("c.embedding")} * ${duckNorm("sd.se")}) AS sim
+         |  FROM c, sd),
+         |ranked AS (
+         |  SELECT vec_id, label, lbl,
+         |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, sid) AS rn
+         |  FROM scored),
+         |top3 AS (
+         |  SELECT vec_id, label,
+         |         MAX(CASE WHEN rn = 1 THEN lbl END) AS l1,
+         |         MAX(CASE WHEN rn = 2 THEN lbl END) AS l2,
+         |         MAX(CASE WHEN rn = 3 THEN lbl END) AS l3
+         |  FROM ranked WHERE rn <= 3 GROUP BY 1, 2)
+         |SELECT label AS true_label,
+         |       CASE WHEN l1 = l2 OR l1 = l3 THEN l1
+         |            WHEN l2 = l3 THEN l2
+         |            ELSE LEAST(l1, l2, l3) END AS pred_label,
+         |       COUNT(*) AS n
+         |FROM top3 GROUP BY 1, 2 ORDER BY 1, 2"""
+    ) { (s, d) => knnLabel(Tables.embeddings(s, d)) },
     // Hybrid retrieval: reciprocal-rank fusion (k=60) of the BM25
     // lexical top-20 and the cosine-similarity top-20 for one query
     // (terms for the lexical side, vector 0's embedding for the dense

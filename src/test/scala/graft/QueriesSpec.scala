@@ -171,6 +171,18 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("knnLabel: literal and broadcast-join paths agree on the same input") {
+    // the operator self-selects its physical shape by seed size; both
+    // shapes must state the SAME semantics (ordering ties included)
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    def key(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSeq
+    val lit = key(ops.SimilarityOps.knnLabel(emb, forceLiteral = Some(true)).collect())
+    val join = key(ops.SimilarityOps.knnLabel(emb, forceLiteral = Some(false)).collect())
+    assert(lit == join)
+    assert(lit.nonEmpty)
+  }
+
   test("no query collects to the driver mid-plan (scan of the API surface)") {
     // structural: all registered queries return lazy DataFrames — running
     // .queryExecution.analyzed must not trigger a job.
