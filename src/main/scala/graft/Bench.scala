@@ -41,8 +41,8 @@ object Bench {
     * operators enter the bench the round they are written), and later
     * q_dedup_incremental, q_url_blocklist, q_text_normalize,
     * q_split_leakage, q_image_neardup, q_corpus_diff,
-    * q_quality_tradeoff, and q_knn_label (same rule). 78 queries total
-    * from r9 on.
+    * q_quality_tradeoff, q_knn_label, and q_corpus_card (same rule).
+    * 79 queries total from r9 on.
     *
     * ROUND 8 ALSO CHANGED THE MEASURED ACTION from count() to a
     * noop-sink write (see `run` below): count() let Catalyst prune
@@ -63,6 +63,7 @@ object Bench {
     "q_window_topk", "q_window_moving", "q_rank_global",
     "q_sort_limit", "q_set_union_all",
     "word_count", "q_term_freq", "q_token_count", "q_corpus_curation",
+    "q_corpus_card",
     "q_repetition_signals", "q_seq_pack", "q_bigram_lm", "q_bpe_merges",
     "q_pipeline_e2e", "q_collocations", "q_source_mix", "q_repeated_spans",
     "q_source_mix_weighted", "q_source_mix_temperature", "q_chunk_windows",

@@ -170,6 +170,62 @@ object TextOps {
         .orderBy("lang", "source")
     },
 
+    // Corpus card: the per-source release report a dataset ships with —
+    // volume (docs, tokens, share of the corpus), dominant language,
+    // and the token-length distribution (p50/p90). ONE corpus pass
+    // (per-doc token counts) feeding aggregate-scale steps only: the
+    // source rollup (~#sources rows), the modal-language pick (window
+    // over the <= #sources x #langs table), and the corpus-total window
+    // over the ~#sources-row rollup — never a window over corpus rows.
+    graft.Q(
+      "q_corpus_card",
+      s"""WITH t AS (SELECT source, lang, CAST(len($WordsSql) AS BIGINT) AS tk
+         |           FROM documents),
+         |sl AS (SELECT source, lang, COUNT(*) AS c FROM t GROUP BY 1, 2),
+         |ml AS (SELECT source, lang AS top_lang FROM (
+         |         SELECT source, lang,
+         |                ROW_NUMBER() OVER (PARTITION BY source
+         |                                   ORDER BY c DESC, lang) AS rn
+         |         FROM sl) WHERE rn = 1),
+         |agg AS (SELECT source, COUNT(*) AS n_docs,
+         |               CAST(SUM(tk) AS BIGINT) AS n_tokens,
+         |               floor(quantile_cont(tk, 0.5) * 1e6 + 0.5) / 1e6 AS p50_tokens,
+         |               floor(quantile_cont(tk, 0.9) * 1e6 + 0.5) / 1e6 AS p90_tokens
+         |        FROM t GROUP BY source)
+         |SELECT a.source, a.n_docs, a.n_tokens,
+         |       floor(CAST(a.n_tokens AS DOUBLE) / SUM(a.n_tokens) OVER () * 1e6 + 0.5) / 1e6 AS token_share,
+         |       m.top_lang, a.p50_tokens, a.p90_tokens
+         |FROM agg a JOIN ml m ON m.source = a.source
+         |ORDER BY a.source"""
+    ) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val t = graft.Tables.documents(s, d)
+        .select(col("source"), col("lang"),
+          size(words(col("text"))).cast("long").as("tk"))
+      val wMl = Window.partitionBy("source")
+        .orderBy(col("c").desc, col("lang"))
+      val ml = t.groupBy("source", "lang").agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(wMl))
+        .filter(col("rn") === 1)
+        .select(col("source"), col("lang").as("top_lang"))
+      val wAll = Window.partitionBy()
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      graft.Tables.documents(s, d)
+        .select(col("source"),
+          size(words(col("text"))).cast("long").as("tk"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("tk")).cast("long").as("n_tokens"),
+          graft.ops.Exact.round6(expr("percentile(tk, 0.5)")).as("p50_tokens"),
+          graft.ops.Exact.round6(expr("percentile(tk, 0.9)")).as("p90_tokens"))
+        .withColumn("token_share", graft.ops.Exact.round6(
+          col("n_tokens").cast("double") / sum(col("n_tokens")).over(wAll)))
+        .join(ml, Seq("source"))
+        .select("source", "n_docs", "n_tokens", "token_share", "top_lang",
+          "p50_tokens", "p90_tokens")
+        .orderBy("source")
+    },
+
     graft.Q(
       "q_lang_stats",
       s"""SELECT lang,

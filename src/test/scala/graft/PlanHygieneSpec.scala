@@ -57,6 +57,8 @@ class PlanHygieneSpec extends SparkSpec {
       // tradeoff curve: same decile recipe, plus the reverse-cumulative
       // windows over the 10-row decile table
       "q_quality_tradeoff" -> 1000L,
+      // corpus card: token-share total over the ~#sources-row rollup
+      "q_corpus_card" -> 1000L,
       // perplexity gate: same two-phase decile recipe — the empty
       // window rides the bucket-count table (aggregate-scale)
       "q_perplexity_filter" -> 1000L)
