@@ -202,18 +202,32 @@ object CurationOps extends QueryModule {
     */
   def urlBlocklistGate(df: DataFrame, urlCol: String,
       blockedDomains: Seq[String], blockedPathSeg: String): DataFrame = {
-    require(blockedDomains.forall(_.matches("[A-Za-z0-9.-]+")),
-      "blocked domains must be bare hosts (no scheme/path)")
-    val host = regexp_extract(col(urlCol), DomainRe, 1)
+    require(blockedDomains.forall(_.matches("[a-z0-9.-]+")),
+      "blocked domains must be bare lowercase hosts (no scheme/path/port)")
+    // Canonicalize before matching — a gate bypassable by 'HTTPS://',
+    // a ':443' default port, or 'user@' userinfo is not a gate:
+    // case-insensitive scheme, strip userinfo (to the LAST @) and any
+    // :port, lowercase the host. The path rule reads only the PATH
+    // (query strings excluded — '?next=/tracker/x' must not over-block).
+    val rawHost = regexp_extract(col(urlCol), GateHostRe, 1)
+    val host = lower(regexp_replace(
+      regexp_replace(rawHost, "^.*@", ""), ":[0-9]+$", ""))
+    val path = regexp_extract(col(urlCol), GatePathRe, 1)
     val bl = typedLit(blockedDomains)
     val domainHit =
       exists(bl, b => host === b || endswith(host, concat(lit("."), b)))
-    val pathHit = col(urlCol).contains(blockedPathSeg)
+    val pathHit = path.contains(blockedPathSeg)
     df.withColumn("status",
       when(domainHit, "blocked_domain")
         .when(pathHit, "blocked_path")
         .otherwise("kept"))
   }
+
+  /** Gate-side URL anatomy (shared by both dialects — Java and RE2 read
+    * these identically): case-insensitive scheme; path stops at ?/#.
+    */
+  val GateHostRe = """(?i)https?://([^/]+)"""
+  val GatePathRe = """(?i)https?://[^/]+(/[^?#]*)"""
 
   // ------------------------------------------------------------------
   // Corpus snapshot diff — the dataset-versioning audit
@@ -559,15 +573,20 @@ object CurationOps extends QueryModule {
            |           || CASE WHEN doc_id % 97 = 0 THEN 'tracker/' ELSE 'page/' END
            |           || CAST(doc_id AS VARCHAR) AS url
            |  FROM documents),
+           |h AS (
+           |  SELECT source, url,
+           |         lower(regexp_replace(regexp_replace(
+           |           regexp_extract(url, '$GateHostRe', 1), '^.*@', ''), ':[0-9]+$$', '')) AS host,
+           |         regexp_extract(url, '$GatePathRe', 1) AS path
+           |  FROM p),
            |st AS (
            |  SELECT source,
            |         CASE WHEN len(list_filter($blockedIn,
-           |                        b -> regexp_extract(url, '$DomainRe', 1) = b
-           |                          OR ends_with(regexp_extract(url, '$DomainRe', 1), '.' || b))) > 0
+           |                        b -> host = b OR ends_with(host, '.' || b))) > 0
            |              THEN 'blocked_domain'
-           |              WHEN contains(url, '/tracker/') THEN 'blocked_path'
+           |              WHEN contains(path, '/tracker/') THEN 'blocked_path'
            |              ELSE 'kept' END AS status
-           |  FROM p)
+           |  FROM h)
            |SELECT source, COUNT(*) AS n_docs,
            |       CAST(SUM(CASE WHEN status = 'blocked_domain' THEN 1 ELSE 0 END) AS BIGINT) AS blocked_domain,
            |       CAST(SUM(CASE WHEN status = 'blocked_path' THEN 1 ELSE 0 END) AS BIGINT) AS blocked_path,

@@ -76,6 +76,26 @@ object DedupOps extends QueryModule {
     (0 until NumHashes).map(k => sig.getItem(k).as(s"m$k"))
   }
 
+  /** The one statement of the signature pipeline (>=3-words gate,
+    * 3-shingles, native MinHashSig slices) shared by every banded
+    * operator — pairs, clustering, index build, incremental admission,
+    * split leakage. Output: (doc_id, m0..m7).
+    */
+  private def signatures(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs
+      .filter(TextOps.wordCount(col("text")) >= 3)
+      .select(col("doc_id"), TextOps.shingles(col("text"), 3).as("shingles"))
+      .select(col("doc_id") +: sigCols: _*)
+
+  /** The banding scheme, stated once: array of (band_idx, band_hash)
+    * structs over the m0..m7 columns of [[signatures]].
+    */
+  private def bandArray: org.apache.spark.sql.Column =
+    array((0 until Bands).map { b =>
+      struct(lit(b).as("band_idx"),
+        md5(concat(col(s"m${2 * b}"), col(s"m${2 * b + 1}"))).as("band_hash"))
+    }: _*)
+
   /** Hard cap on docs aggregated per band bucket. A degenerate corpus
     * (mass-duplicated boilerplate — the normal case in web-crawl dedup)
     * can put a huge fraction of the corpus into one band hash; an
@@ -94,16 +114,8 @@ object DedupOps extends QueryModule {
     * pairs query, clustering, and the degenerate-corpus spec).
     */
   def lshCandidatePairs(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val sig = docs
-      .filter(TextOps.wordCount(col("text")) >= 3)
-      .select(col("doc_id"), TextOps.shingles(col("text"), 3).as("shingles"))
-      .select(col("doc_id") +: sigCols: _*)
-    val bandStructs = (0 until Bands).map { b =>
-      struct(lit(b).as("band_idx"),
-        md5(concat(col(s"m${2 * b}"), col(s"m${2 * b + 1}"))).as("band_hash"))
-    }
-    val bands = sig
-      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bd"))
+    val bands = signatures(docs)
+      .select(col("doc_id"), explode(bandArray).as("bd"))
       .select(col("doc_id"), col("bd.band_idx"), col("bd.band_hash"))
     // One shuffle: group docs per bucket and expand pairs inside the
     // bucket (a self-join would recompute the whole signature stage for
@@ -246,17 +258,9 @@ object DedupOps extends QueryModule {
     // the two consumers each re-run the full signature pass, doubling
     // the dominant narrow cost at 100 TB. This also matches production:
     // the signature table IS the stored index a pipeline persists.
-    val sig = docs
-      .filter(TextOps.wordCount(col("text")) >= 3)
-      .select(col("doc_id"), TextOps.shingles(col("text"), 3).as("shingles"))
-      .select(col("doc_id") +: sigCols: _*)
-      .localCheckpoint()
-    val bandStructs = (0 until Bands).map { b =>
-      struct(lit(b).as("band_idx"),
-        md5(concat(col(s"m${2 * b}"), col(s"m${2 * b + 1}"))).as("band_hash"))
-    }
+    val sig = signatures(docs).localCheckpoint()
     val bands = sig
-      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bd"))
+      .select(col("doc_id"), explode(bandArray).as("bd"))
       .select(col("doc_id"), col("bd.band_idx"), col("bd.band_hash"))
     // one shuffle: per band bucket, the smallest-cap index docs and new
     // docs separately (FILTER splits the sides inside the same hash agg)
@@ -313,39 +317,41 @@ object DedupOps extends QueryModule {
     * shuffle.
     */
   def lshIndex(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val sig = docs
-      .filter(TextOps.wordCount(col("text")) >= 3)
-      .select(col("doc_id"), TextOps.shingles(col("text"), 3).as("shingles"))
-      .select(col("doc_id") +: sigCols: _*)
-    val bandStructs = (0 until Bands).map { b =>
-      struct(lit(b).as("band_idx"),
-        md5(concat(col(s"m${2 * b}"), col(s"m${2 * b + 1}"))).as("band_hash"))
-    }
-    sig
+    signatures(docs)
       .select(col("doc_id"),
         array((0 until NumHashes).map(k => col(s"m$k")): _*).as("sg"),
-        explode(array(bandStructs: _*)).as("bd"))
+        explode(bandArray).as("bd"))
       .select(col("doc_id"), col("bd.band_idx"), col("bd.band_hash"), col("sg"))
   }
 
   /** Admit `newDocs` against a stored [[lshIndex]] frame: drop every
-    * new doc whose bands collide with an index row AND whose signature
-    * agrees on >= [[AgreeSlots]] of [[NumHashes]] slots; keep the rest
-    * (short docs have no bands and always pass). This is the per-batch
-    * form of [[incrementalAdmission]] — the streaming admission loop
-    * calls it per micro-batch and appends `lshIndex(admitted)` back to
-    * the index, so later batches dedup against earlier admissions
-    * (spec-driven in StreamingSpec). The probe join is keyed by
-    * (band_idx, band_hash); the anti join back is doc-keyed against
-    * the hit set, which is probe-batch-bounded, never index-bounded.
+    * new doc whose bands collide with an index row OR with a
+    * SMALLER-id doc of the same batch, with >= [[AgreeSlots]] of
+    * [[NumHashes]] signature slots agreeing; keep the rest (short docs
+    * have no bands and always pass). This is the per-batch form of
+    * [[incrementalAdmission]] including its dropped_batch arm — two
+    * near-dups arriving in the SAME micro-batch (the common case in
+    * bursty crawl ingest) admit only the smaller id, so the index
+    * never absorbs a within-batch duplicate pair. The streaming
+    * admission loop calls it per micro-batch and appends
+    * `lshIndex(admitted)` back to the index, so later batches dedup
+    * against earlier admissions (spec-driven in StreamingSpec). The
+    * probe join is keyed by (band_idx, band_hash); the anti join back
+    * is doc-keyed against the hit set, which is probe-batch-bounded,
+    * never index-bounded.
     */
   def admitAgainstIndex(newDocs: org.apache.spark.sql.DataFrame,
       index: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val probe = lshIndex(newDocs)
+    val probe = lshIndex(newDocs).localCheckpoint() // one signature pass
       .toDF("p_doc_id", "band_idx", "band_hash", "p_sg")
+    // index hits, plus smaller-id batch hits (the dropped_batch arm)
+    val targets = index.toDF("i_doc_id", "band_idx", "band_hash", "i_sg")
+      .withColumn("batch_side", lit(false))
+      .unionByName(probe.toDF("i_doc_id", "band_idx", "band_hash", "i_sg")
+        .withColumn("batch_side", lit(true)))
     val hits = probe
-      .join(index.toDF("i_doc_id", "band_idx", "band_hash", "i_sg"),
-        Seq("band_idx", "band_hash"))
+      .join(targets, Seq("band_idx", "band_hash"))
+      .filter(!col("batch_side") || col("i_doc_id") < col("p_doc_id"))
       .filter(size(filter(zip_with(col("p_sg"), col("i_sg"),
         (a, b) => a === b), x => x)) >= AgreeSlots)
       .select(col("p_doc_id").as("doc_id"))
@@ -378,19 +384,11 @@ object DedupOps extends QueryModule {
     def isVal(c: org.apache.spark.sql.Column) =
       substring(md5(concat(lit("sp:"), c.cast("string"))), 1, 1)
         .isin(ValNibbles: _*)
-    val sig = docs
-      .filter(TextOps.wordCount(col("text")) >= 3)
-      .select(col("doc_id"), TextOps.shingles(col("text"), 3).as("shingles"))
-      .select(col("doc_id") +: sigCols: _*)
+    val sig = signatures(docs)
       .withColumn("is_val", isVal(col("doc_id")))
       .localCheckpoint()
-    val bandStructs = (0 until Bands).map { b =>
-      struct(lit(b).as("band_idx"),
-        md5(concat(col(s"m${2 * b}"), col(s"m${2 * b + 1}"))).as("band_hash"))
-    }
     val bands = sig
-      .select(col("doc_id"), col("is_val"),
-        explode(array(bandStructs: _*)).as("bd"))
+      .select(col("doc_id"), col("is_val"), explode(bandArray).as("bd"))
       .select(col("doc_id"), col("is_val"), col("bd.band_idx"), col("bd.band_hash"))
     val buckets = bands
       .groupBy("band_idx", "band_hash")

@@ -1268,8 +1268,8 @@ object PipelineOps extends QueryModule {
         .withColumn("docs_kept", sum(col("n_docs")).over(wRev).cast("long"))
         .withColumn("tokens_kept", sum(col("n_tokens")).over(wRev).cast("long"))
         .withColumn("token_frac",
-          floor(col("tokens_kept").cast("double") /
-            sum(col("n_tokens")).over(wAll) * 1e6 + 0.5) / 1e6)
+          Exact.round6(col("tokens_kept").cast("double") /
+            sum(col("n_tokens")).over(wAll)))
         .select("decile", "n_docs", "n_tokens", "docs_kept", "tokens_kept",
           "token_frac")
         .orderBy("decile")

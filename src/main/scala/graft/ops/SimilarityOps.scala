@@ -172,7 +172,8 @@ object SimilarityOps extends QueryModule {
       "q_knn_label",
       s"""WITH sd AS (SELECT vec_id AS sid, label AS lbl, embedding AS se
          |            FROM embeddings WHERE vec_id % 5 = 0 AND vec_id < 10000000),
-         |c AS (SELECT vec_id, label, embedding FROM embeddings WHERE vec_id % 5 <> 0),
+         |c AS (SELECT vec_id, label, embedding FROM embeddings
+         |      WHERE NOT (vec_id % 5 = 0 AND vec_id < 10000000)),
          |scored AS (
          |  SELECT c.vec_id, c.label, sd.sid, sd.lbl,
          |         ${duckDot("c.embedding", "sd.se")} /

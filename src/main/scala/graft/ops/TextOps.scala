@@ -210,9 +210,7 @@ object TextOps {
         .select(col("source"), col("lang").as("top_lang"))
       val wAll = Window.partitionBy()
         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-      graft.Tables.documents(s, d)
-        .select(col("source"),
-          size(words(col("text"))).cast("long").as("tk"))
+      t
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"),
           sum(col("tk")).cast("long").as("n_tokens"),

@@ -149,13 +149,20 @@ class CurationOpsSpec extends SparkSpec {
       (3L, "https://notspam.example/a"),       // bare-suffix trap: NOT blocked
       (4L, "https://ok.example/tracker/x"),    // path rule
       (5L, "https://spam.example/tracker/x"),  // domain rule wins over path
-      (6L, "https://ok.example/page/1")).toDF("doc_id", "url")
+      (6L, "https://ok.example/page/1"),
+      (7L, "https://spam.example:443/a"),       // default port must not bypass
+      (8L, "https://user@spam.example/a"),      // userinfo must not bypass
+      (9L, "HTTPS://SPAM.EXAMPLE/a"),           // case must not bypass
+      (10L, "https://ok.example/p?next=/tracker/x") // query string: NOT the path
+    ).toDF("doc_id", "url")
     val got = ops.CurationOps
       .urlBlocklistGate(docs, "url", Seq("spam.example"), "/tracker/")
       .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
     assert(got == Map(
       1L -> "blocked_domain", 2L -> "blocked_domain", 3L -> "kept",
-      4L -> "blocked_path", 5L -> "blocked_domain", 6L -> "kept"))
+      4L -> "blocked_path", 5L -> "blocked_domain", 6L -> "kept",
+      7L -> "blocked_domain", 8L -> "blocked_domain", 9L -> "blocked_domain",
+      10L -> "kept"))
   }
 
   test("normalizeText: every rule fires, and the pass is idempotent") {

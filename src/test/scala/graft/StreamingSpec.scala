@@ -607,8 +607,9 @@ class StreamingSpec extends SparkSpec {
     q.processAllAvailable()
     assert(admitted.synchronized(admitted.toSet) == Set(11L))
     // batch 2: doc 20 duplicates the batch-1 ADMISSION (present only if
-    // the index was maintained); doc 21 fresh
-    mem.addData((20L, textC), (21L, textD))
+    // the index was maintained); doc 21 fresh; doc 22 duplicates 21
+    // WITHIN the same batch — the dropped_batch arm: only 21 admits
+    mem.addData((20L, textC), (21L, textD), (22L, textD))
     q.processAllAvailable()
     assert(admitted.synchronized(admitted.toSet) == Set(11L, 21L))
     // batch 3: one dup of a batch-2 admission, one dup of the original
