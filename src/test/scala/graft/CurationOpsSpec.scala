@@ -178,6 +178,23 @@ class CurationOpsSpec extends SparkSpec {
     assert(twice == once, "normalization must be idempotent")
   }
 
+  test("normalizeText is idempotent on random mixed-alphabet strings") {
+    import spark.implicits._
+    // fixed-seed fuzz over an alphabet biased toward the characters the
+    // rules touch (typographic pairs, controls, whitespace runs) — the
+    // one-string rule spec above can't cover rule interactions
+    val alphabet = "ab c\u2018\u2019\u201C\u201D\u2013\u2014\u2026\u00A0\u0007\t\n .x".toVector
+    val rnd = new scala.util.Random(42)
+    val strs = Seq.fill(300) {
+      Seq.fill(rnd.nextInt(40))(alphabet(rnd.nextInt(alphabet.size))).mkString
+    }
+    val df = strs.toDF("t")
+      .select(ops.CurationOps.normalizeText(col("t")).as("n1"))
+      .select(col("n1"), ops.CurationOps.normalizeText(col("n1")).as("n2"))
+    val broken = df.filter(col("n1") =!= col("n2")).collect()
+    assert(broken.isEmpty, broken.take(3).mkString("; "))
+  }
+
   test("corpusDiff: all four statuses on crafted snapshots, formatting churn is not a change") {
     import spark.implicits._
     val v1 = Seq(
