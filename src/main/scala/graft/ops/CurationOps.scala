@@ -204,6 +204,15 @@ object CurationOps extends QueryModule {
       blockedDomains: Seq[String], blockedPathSeg: String): DataFrame = {
     require(blockedDomains.forall(_.matches("[a-z0-9.-]+")),
       "blocked domains must be bare lowercase hosts (no scheme/path/port)")
+    // A bare public suffix ('com') or a degenerate entry ('.', leading/
+    // trailing dot) turns the dot-suffix rule into "block every .com
+    // host" — that is a caller mistake, not intent: a registrable
+    // domain always has an interior dot.
+    val degenerate = blockedDomains.filter(b =>
+      !b.matches("""[a-z0-9][a-z0-9-]*(\.[a-z0-9][a-z0-9-]*)+"""))
+    require(degenerate.isEmpty,
+      s"blocked domains must be registrable (label.tld — interior dot, no " +
+        s"leading/trailing/empty labels); got: ${degenerate.mkString(", ")}")
     // Canonicalize before matching — a gate bypassable by 'HTTPS://',
     // a ':443' default port, or 'user@' userinfo is not a gate:
     // case-insensitive scheme, strip userinfo (to the LAST @) and any
@@ -224,9 +233,14 @@ object CurationOps extends QueryModule {
   }
 
   /** Gate-side URL anatomy (shared by both dialects — Java and RE2 read
-    * these identically): case-insensitive scheme; path stops at ?/#.
+    * these identically): case-insensitive scheme; the HOST stops at the
+    * first of `/`, `?`, or `#` — a path-less URL like
+    * `https://spam.example?x=1` or `https://spam.example#f` ends its
+    * authority at the `?`/`#`, and a host regex that only stops at `/`
+    * would capture the query/fragment into the host and let a blocked
+    * domain through (spec'd in CurationSpec); path stops at ?/#.
     */
-  val GateHostRe = """(?i)https?://([^/]+)"""
+  val GateHostRe = """(?i)https?://([^/?#]+)"""
   val GatePathRe = """(?i)https?://[^/]+(/[^?#]*)"""
 
   // ------------------------------------------------------------------

@@ -81,6 +81,16 @@ object SimilarityOps extends QueryModule {
     */
   val KnnLiteralSeedMax = 256
 
+  /** Hard ceiling on the [[knnLabel]] seed collect — the "curated seed
+    * is bounded model state" contract, enforced instead of assumed: a
+    * mis-specified seed predicate on a real corpus would otherwise pull
+    * corpus-scale embedding rows into the driver. 100k seeds × ~200 B
+    * (id + label + a 32-float embedding) ≈ 20 MB of driver heap — model
+    * state, comfortably; anything past it is almost certainly a
+    * predicate bug, and the operator fails loudly rather than OOM.
+    */
+  val KnnMaxSeedRows = 100000
+
   /** k-NN label propagation from a curated seed set (vec_id % 5 = 0,
     * base replica only — a curated seed is fixed-size and does not grow
     * with the corpus): each unlabeled vector takes the majority label
@@ -92,13 +102,32 @@ object SimilarityOps extends QueryModule {
     * partials keep 3 pairs per vector) beyond [[KnnLiteralSeedMax]].
     * Both paths are oracle-verified: sf0.01's 100-seed fixture takes
     * the literal path, sf0.1's 1000-seed fixture the join path.
+    *
+    * EAGER, like the k-means centroid bootstrap and
+    * [[GraftOps.bigramLogProb]]: the seed collect (and therefore one
+    * Spark job) runs at DataFrame-CONSTRUCTION time, because the
+    * physical path choice needs the measured seed size before the plan
+    * exists. Callers composing lazy pipelines should call once and
+    * reuse. The collect is capped at [[KnnMaxSeedRows]] via
+    * `limit(cap + 1)` — ONE job AND the driver never materializes more
+    * than cap+1 rows even in the failure path (a count-then-collect
+    * spelling pays a second job and still collects unbounded rows if
+    * the predicate races a growing table between the two jobs).
     */
   def knnLabel(emb: DataFrame,
-      forceLiteral: Option[Boolean] = None): DataFrame = {
+      forceLiteral: Option[Boolean] = None,
+      maxSeedRows: Int = KnnMaxSeedRows): DataFrame = {
     val isSeed = col("vec_id") % 5 === 0 && col("vec_id") < 10000000L
-    val seedRows = emb.filter(isSeed)
+    val collected = emb.filter(isSeed)
       .select(col("vec_id"), col("label"), col("embedding"))
+      .limit(maxSeedRows + 1)
       .collect()
+    require(collected.length <= maxSeedRows,
+      s"knnLabel: seed predicate matched more than $maxSeedRows rows — " +
+        "a curated seed is bounded model state; this is almost certainly " +
+        "a mis-specified predicate (raise maxSeedRows only if the seed " +
+        "is genuinely this large and the driver heap is sized for it)")
+    val seedRows = collected
       .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2)))
       .sortBy(_._1)
     val labeled =

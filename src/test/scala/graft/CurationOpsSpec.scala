@@ -153,7 +153,10 @@ class CurationOpsSpec extends SparkSpec {
       (7L, "https://spam.example:443/a"),       // default port must not bypass
       (8L, "https://user@spam.example/a"),      // userinfo must not bypass
       (9L, "HTTPS://SPAM.EXAMPLE/a"),           // case must not bypass
-      (10L, "https://ok.example/p?next=/tracker/x") // query string: NOT the path
+      (10L, "https://ok.example/p?next=/tracker/x"), // query string: NOT the path
+      (11L, "https://spam.example?x=1"),          // path-less + query must not bypass
+      (12L, "https://spam.example#frag"),         // path-less + fragment must not bypass
+      (13L, "https://ok.example?x=1")             // path-less kept URL stays kept
     ).toDF("doc_id", "url")
     val got = ops.CurationOps
       .urlBlocklistGate(docs, "url", Seq("spam.example"), "/tracker/")
@@ -162,7 +165,20 @@ class CurationOpsSpec extends SparkSpec {
       1L -> "blocked_domain", 2L -> "blocked_domain", 3L -> "kept",
       4L -> "blocked_path", 5L -> "blocked_domain", 6L -> "kept",
       7L -> "blocked_domain", 8L -> "blocked_domain", 9L -> "blocked_domain",
-      10L -> "kept"))
+      10L -> "kept", 11L -> "blocked_domain", 12L -> "blocked_domain",
+      13L -> "kept"))
+  }
+
+  test("urlBlocklistGate rejects bare-TLD and degenerate blocklist entries") {
+    import spark.implicits._
+    val docs = Seq((1L, "https://a.example/x")).toDF("doc_id", "url")
+    for (bad <- Seq("com", ".", ".spam.example", "spam.example.", "a..b"))
+      intercept[IllegalArgumentException] {
+        ops.CurationOps.urlBlocklistGate(docs, "url", Seq(bad), "/tracker/")
+      }
+    // registrable entries still pass validation
+    ops.CurationOps.urlBlocklistGate(docs, "url",
+      Seq("spam.example", "ads.co.uk"), "/tracker/")
   }
 
   test("normalizeText: every rule fires, and the pass is idempotent") {

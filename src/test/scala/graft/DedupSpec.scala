@@ -52,6 +52,56 @@ class DedupSpec extends SparkSpec {
     assert(pairs.count(r => r.getLong(0) == 0L) == cap - 1)
   }
 
+  // Fixture-headroom invariant: the banded queries cap bucket membership
+  // at MaxBucketDocs (per SIDE for the split queries) while their DuckDB
+  // oracles expand uncapped buckets — equality holds only while no
+  // fixture bucket reaches the cap. Assert the headroom directly at
+  // every fixture scale the harness runs, so fixture drift (or a lowered
+  // cap) fails HERE with a named invariant instead of as a confusing
+  // oracle hash mismatch.
+  test("fixture band buckets stay below MaxBucketDocs on every side") {
+    import org.apache.spark.sql.functions._
+    val cap = ops.DedupOps.MaxBucketDocs
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+                    "/root/testdata/sf0.1")
+         if new java.io.File(dir).isDirectory) {
+      val idx = ops.DedupOps.lshIndex(Tables.documents(spark, dir))
+      // the three banded splits the registry runs: combined
+      // (q_dedup_minhash_pairs + the DedupSpec replays), index/new
+      // (q_dedup_incremental), train/val (q_split_leakage)
+      val isNew = col("doc_id") % 3 === 0
+      val isVal = substring(
+        md5(concat(lit("sp:"), col("doc_id").cast("string"))), 1, 1)
+        .isin("c", "d", "e", "f")
+      val m = idx.groupBy("band_idx", "band_hash")
+        .agg(
+          count(lit(1)).as("all"),
+          sum(when(isNew, 1).otherwise(0)).as("nw"),
+          sum(when(!isNew, 1).otherwise(0)).as("ix"),
+          sum(when(isVal, 1).otherwise(0)).as("vl"),
+          sum(when(!isVal, 1).otherwise(0)).as("tr"))
+        .agg(max("all").as("all"), max("nw").as("nw"), max("ix").as("ix"),
+          max("vl").as("vl"), max("tr").as("tr"))
+        .collect().head
+      for (side <- Seq("all", "nw", "ix", "vl", "tr"))
+        assert(m.getAs[Long](side) < cap,
+          s"$dir: text band bucket side '$side' has ${m.getAs[Long](side)} " +
+            s"docs — at/over MaxBucketDocs=$cap; capped Spark queries and " +
+            "uncapped oracles would diverge")
+      // the image aHash banding (q_image_neardup) shares the cap via
+      // expandCappedBuckets; its bands derive from the ahash query's rows
+      val imgMax = SparkEntry.queries("q_image_ahash")(spark, dir)
+        .select(col("doc_id"), explode(array((0 until 4).map(b =>
+          struct(lit(b).as("bi"),
+            substring(col("ahash"), 1 + 4 * b, 4).as("bv"))): _*)).as("bd"))
+        .groupBy("bd.bi", "bd.bv").agg(count(lit(1)).as("n"))
+        .agg(max("n")).collect().head.getLong(0)
+      assert(imgMax < cap,
+        s"$dir: image aHash band bucket has $imgMax docs — " +
+          s"at/over MaxBucketDocs=$cap")
+    }
+  }
+
   // Independent re-derivation of the incremental-admission policy: the
   // distributed operator's per-source totals must equal a driver-side
   // replay of "confirmed candidate vs index → dropped_index, else vs a

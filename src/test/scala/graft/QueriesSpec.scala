@@ -183,6 +183,20 @@ class QueriesSpec extends SparkSpec {
     assert(lit.nonEmpty)
   }
 
+  test("knnLabel fails loudly when the seed predicate matches past the cap") {
+    // the seed collect is bounded model state — a mis-specified predicate
+    // must fail at construction, not OOM the driver (the
+    // domainQualityFilter measure-then-decide discipline)
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val ex = intercept[IllegalArgumentException] {
+      ops.SimilarityOps.knnLabel(emb, maxSeedRows = 3)
+    }
+    assert(ex.getMessage.contains("bounded model state"))
+    // and the cap is enforced with at most cap+1 rows ever collected:
+    // the default cap still builds the frame on the real fixture
+    assert(ops.SimilarityOps.knnLabel(emb).columns.nonEmpty)
+  }
+
   test("no query collects to the driver mid-plan (scan of the API surface)") {
     // structural: all registered queries return lazy DataFrames — running
     // .queryExecution.analyzed must not trigger a job.
