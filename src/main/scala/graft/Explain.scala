@@ -25,7 +25,15 @@ object Explain {
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>
       println(s"========== $n ==========")
-      SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+      val df = SparkEntry.queries(n)(spark, sfDir)
+      if (sys.env.contains("SPARK_GRAFT_EXEC")) {
+        // AQE finalizes the plan only at execution: run the DataFrame's
+        // own query execution (collect — a write would plan a separate
+        // execution), then print the EXECUTED plan (ReusedExchange /
+        // runtime join strategy choices are visible only here)
+        df.collect()
+        println(df.queryExecution.executedPlan.toString)
+      } else df.explain("formatted")
     }
     spark.stop()
   }

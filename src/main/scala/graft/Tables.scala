@@ -12,8 +12,25 @@ import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
   * Catalyst).
   */
 object Tables {
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Catalog-style schema cache. A bare `spark.read.parquet(path)` must
+    * INFER the schema, and Spark 4 does that with a footer-reading Spark
+    * JOB — a fixed ~30 ms + scheduling-gap tax paid again by every query
+    * (measured: the leading scan-callsite job on every TimeQ trace). A
+    * production engine never pays it: table schemas live in the catalog
+    * and scans are planned against stored metadata. This cache is that
+    * catalog: infer once per (dir, table) per JVM, then hand the stored
+    * schema to every later read. Fixture files are immutable for a
+    * session; a long-lived service wrapping this would invalidate on
+    * table replacement exactly like a metastore refresh.
+    */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val sch = schemaCache.computeIfAbsent(path, p => spark.read.parquet(p).schema)
+    spark.read.schema(sch).parquet(path)
+  }
 
   def region(s: SparkSession, d: String): DataFrame     = apply(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = apply(s, d, "nation")

@@ -29,9 +29,15 @@ object TimeQ {
     val jobs = new AtomicInteger(0)
     val starts = TrieMap.empty[Int, Long]
     val durs = TrieMap.empty[Int, Long]
+    val descs = TrieMap.empty[Int, String]
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit = {
-        jobs.incrementAndGet(); starts(js.jobId) = js.time; ()
+        jobs.incrementAndGet(); starts(js.jobId) = js.time
+        // optional per-job provenance (SPARK_GRAFT_JOBDESC=1): the call
+        // site string answers "which operator line spawned job N"
+        descs(js.jobId) = js.stageInfos
+          .map(si => si.name.takeWhile(_ != '\n')).mkString(" | ")
+        ()
       }
       override def onJobEnd(je: SparkListenerJobEnd): Unit = {
         starts.get(je.jobId).foreach(s => durs(je.jobId) = je.time - s); ()
@@ -51,14 +57,18 @@ object TimeQ {
         // into this run's counters (listenerBus.waitUntilEmpty is
         // private[spark]; a short drain sleep is enough for a dev tool)
         Thread.sleep(150)
-        jobs.set(0); starts.clear(); durs.clear()
+        jobs.set(0); starts.clear(); durs.clear(); descs.clear()
         val t0 = System.nanoTime()
         run(n)
         ((System.nanoTime() - t0) / 1e9, jobs.get(),
-          durs.toSeq.sortBy(_._1).map(_._2).mkString(","))
+          durs.toSeq.sortBy(_._1).map(_._2).mkString(","),
+          descs.toSeq.sortBy(_._1)
+            .map { case (id, d) => s"  job $id: ${durs.getOrElse(id, -1L)}ms  $d" }
+            .mkString("\n"))
       }
       val best = runs.minBy(_._1)
       println(f"[timeq] $n%-24s ${best._1}%8.3f s  jobs=${best._2}  jobMs=[${best._3}]")
+      if (sys.env.contains("SPARK_GRAFT_JOBDESC")) println(best._4)
     }
     spark.stop()
   }

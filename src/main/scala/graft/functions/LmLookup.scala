@@ -1,0 +1,101 @@
+package graft.functions
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, DoubleType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Literal language-model state for the narrow scoring path: a plain
+  * gram → log-score hash map, shipped to executors ONCE via a real
+  * `SparkContext.broadcast` (an expression field serialized into the
+  * task binary would deserialize the whole map per TASK; `Broadcast
+  * .value` deserializes once per executor and is a cached read after
+  * that — the same transport a BroadcastHashJoin uses, minus its three
+  * separate build jobs for a three-order probe).
+  *
+  * Values MUST be collected from a Spark-computed model table (never
+  * recomputed driver-side) so the narrow path is bit-identical to the
+  * join path by construction.
+  */
+final class LmMap(val m: java.util.HashMap[String, java.lang.Double])
+    extends Serializable
+
+object LmMapUtil {
+  /** Stupid-backoff probe of a 3-token span "w1 w2 w3": the whole span,
+    * then its 2-token suffix, then its final token — first known order
+    * wins; null when even the unigram is unknown. Key orders cannot
+    * collide (a gram's order is its space count), so one map holds all
+    * three sub-models.
+    */
+  def backoff(lm: LmMap, k3: UTF8String): java.lang.Double = {
+    val s = k3.toString
+    val hit3 = lm.m.get(s)
+    if (hit3 != null) return hit3
+    val s2 = s.substring(s.indexOf(' ') + 1)
+    val hit2 = lm.m.get(s2)
+    if (hit2 != null) return hit2
+    lm.m.get(s2.substring(s2.indexOf(' ') + 1))
+  }
+
+  /** Single-key probe (the bigram LM's shape): known score or null. */
+  def lookup(lm: LmMap, k: UTF8String): java.lang.Double = lm.m.get(k.toString)
+}
+
+private[functions] trait LmProbe extends UnaryExpression {
+  def bc: Broadcast[LmMap]
+  def probeFn: String // static method name on LmMapUtil (eval + codegen)
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a STRING argument, got ${child.dataType.catalogString}")
+
+  protected def probe(lm: LmMap, k: UTF8String): java.lang.Double
+
+  override def nullSafeEval(input: Any): Any =
+    probe(bc.value, input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, { c =>
+      val bcRef = ctx.addReferenceObj("lmBc", bc,
+        classOf[Broadcast[_]].getName)
+      s"""
+         |java.lang.Double ${ev.value}_r = graft.functions.LmMapUtil.$probeFn(
+         |  (graft.functions.LmMap) $bcRef.value(), $c);
+         |if (${ev.value}_r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ${ev.value}_r.doubleValue(); }
+       """.stripMargin
+    })
+}
+
+/** `graft_backoff_lp(k3)` — the trigram stupid-backoff score of one
+  * 3-token span against a broadcast [[LmMap]]; null = skip position.
+  * The literal-path sibling of the three-projection broadcast-join
+  * chain in [[graft.ops.TrainPrepOps.scoreTrigramLm]] (which remains
+  * the path for models past the literal cap) — spec'd equal in
+  * TrainPrepOpsSpec.
+  */
+case class BackoffLp(child: Expression, bc: Broadcast[LmMap])
+    extends LmProbe {
+  override def prettyName: String = "graft_backoff_lp"
+  override def probeFn: String = "backoff"
+  override protected def probe(lm: LmMap, k: UTF8String): java.lang.Double =
+    LmMapUtil.backoff(lm, k)
+  override protected def withNewChildInternal(newChild: Expression): BackoffLp =
+    copy(child = newChild)
+}
+
+/** `graft_map_lp(k)` — single-key LM probe (bigram LM literal path). */
+case class MapLp(child: Expression, bc: Broadcast[LmMap]) extends LmProbe {
+  override def prettyName: String = "graft_map_lp"
+  override def probeFn: String = "lookup"
+  override protected def probe(lm: LmMap, k: UTF8String): java.lang.Double =
+    LmMapUtil.lookup(lm, k)
+  override protected def withNewChildInternal(newChild: Expression): MapLp =
+    copy(child = newChild)
+}

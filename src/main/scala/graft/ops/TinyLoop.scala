@@ -30,6 +30,26 @@ import org.apache.spark.sql.SparkSession
   * confs).
   */
 object TinyLoop {
+
+  /** AQE-free scope for materializing a CORPUS-scale checkpoint as ONE
+    * Spark job, KEEPING the session's shuffle parallelism (unlike
+    * [[withModelStateConfs]], which also pins one reduce task and is
+    * only for bounded model state). Rationale: AQE turns every exchange
+    * boundary into its own job — a scan → exchange → agg → checkpoint
+    * materialization becomes 3 jobs whose inter-job scheduling gaps
+    * dominate small-corpus runs — while its actual levers (partition
+    * coalescing, skew splitting) have nothing to offer a map-side-
+    * combined aggregation whose reduce side is vocabulary-bounded.
+    * Same restore discipline and concurrency caveat as
+    * [[withModelStateConfs]].
+    */
+  def withCorpusPassConfs[T](spark: SparkSession)(body: => T): T = {
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try body
+    finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   def withModelStateConfs[T](spark: SparkSession)(body: => T): T = {
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
     val prevShuf = spark.conf.get("spark.sql.shuffle.partitions", "32")

@@ -34,11 +34,26 @@ object TrainPrepOps {
     * `model(g, lp)` keyed by the gram STRING at every order (a gram's
     * order is its space count — tokens cannot contain the shingle
     * separator, so the orders cannot collide), already materialized
-    * (localCheckpoint'd, vocabulary-bounded). `broadcastable` records
-    * whether the measured type count fits broadcast range; scoring
-    * wraps each probe side accordingly.
+    * (vocabulary-bounded). `broadcastable` records whether the
+    * measured type count fits broadcast range; scoring wraps each
+    * probe side accordingly. `literal` is the measured-small physical
+    * form (the knnLabel discipline — the engine picks the shape by
+    * model size): the same rows collected into an executor-broadcast
+    * hash map, which lets scoring probe all three orders from ONE
+    * narrow codegen expression instead of a three-broadcast join
+    * chain; `model` is then a LocalRelation over the identical rows,
+    * so both physical paths state identical values by construction.
     */
-  final case class TrigramLm(model: DataFrame, broadcastable: Boolean)
+  final case class TrigramLm(model: DataFrame, broadcastable: Boolean,
+      literal: Option[org.apache.spark.broadcast.Broadcast[graft.functions.LmMap]] = None)
+
+  /** Type-count ceiling for [[TrigramLm]]'s literal hash-map path. A
+    * java HashMap costs ~100 B/gram with driver copies live during the
+    * collect — 2M types ≈ 200 MB, comfortable; past it the model stays
+    * distributed and scoring uses the broadcast-join chain (and past
+    * [[PipelineOps.MaxBroadcastBigramTypes]], keyed joins).
+    */
+  val MaxLiteralLmTypes = 2000000L
 
   /** Train a stupid-backoff trigram LM on `train` (doc_id, text).
     *
@@ -50,57 +65,143 @@ object TrainPrepOps {
     *   lp1 = ln(0.16 × (c1(w3) / N))               else if the unigram is
     *   (position skipped)                           else
     *
-    * EAGER, like [[GraftOps.bigramLogProb]], but the training side is
+    * EAGER, like [[GraftOps.bigramLogProb]], and the training side is
     * ONE fused corpus pass: unigrams, bigrams, and trigrams explode
     * together (a gram's ORDER is its space count — no tag column
     * needed) into a single map-side-combined count aggregation,
-    * localCheckpoint'd once. One scan and one exchange where the naive
-    * spelling runs three of each — the shape that matters when `train`
-    * is 100 TB. The stats job (exact per-order type counts + token
-    * total, needed for the broadcast gate and the unigram normalizer)
-    * and the model derivation both run over that checkpointed
-    * vocabulary-bounded table, never against the corpus: each gram's
-    * conditioning count is the count of its order-(n−1) PREFIX — every
-    * prefix of an observed gram is itself observed — so the whole
-    * model is ONE keyed self-join, materialized under the
-    * [[TinyLoop]] conf scope (bounded state: no AQE stage-splitting,
-    * one reduce task). Past the gate the model joins keyed — open-web
-    * trigram types run to billions and a forced broadcast would die
-    * exactly there, the [[GraftOps.bigramLogProb]] lesson.
+    * localCheckpoint'd as ONE job under the AQE-free corpus-pass
+    * scope. One scan and one exchange where the naive spelling runs
+    * three of each — the shape that matters when `train` is 100 TB.
+    * Everything after is vocabulary-bounded, and the engine picks its
+    * physical form by MEASURED size (the knnLabel discipline):
+    *
+    *  - type count ≤ `maxLiteralTypes`: a bounded `limit(cap+1)`
+    *    collect reads the checkpoint once (the driver never holds more
+    *    than cap+1 rows even on overflow) and the model derives IN THE
+    *    DRIVER — each gram's conditioning count is its order-(n−1)
+    *    PREFIX's count (every prefix of an observed gram is itself
+    *    observed), a hash lookup — as the exact scalar mirror of the
+    *    distributed branch's expressions. Total: two Spark jobs for
+    *    the whole training, and scoring probes one broadcast hash map.
+    *  - past it: a per-order stats job, then the model as one keyed
+    *    self-join over the checkpoint (prefix-count broadcast probe),
+    *    materialized under the corpus-pass scope. Past
+    *    `maxBroadcastTypes` the scoring joins go keyed — open-web
+    *    trigram types run to billions and a forced broadcast would die
+    *    exactly there, the [[GraftOps.bigramLogProb]] lesson.
+    *
+    * The two forms are value-identical by construction (spec-pinned
+    * path equality at sf0.1 + both oracle SFs).
     */
   def trigramBackoffLm(
       train: DataFrame,
-      maxBroadcastTypes: Long = PipelineOps.MaxBroadcastBigramTypes): TrigramLm = {
-    val counts = train
-      .select(explode(concat(
-        TextOps.words(col("text")),
-        TextOps.shingles(col("text"), 2),
-        TextOps.shingles(col("text"), 3))).as("g"))
-      .groupBy("g").agg(count(lit(1)).as("c"))
-      .localCheckpoint()
+      maxBroadcastTypes: Long = PipelineOps.MaxBroadcastBigramTypes,
+      maxLiteralTypes: Long = MaxLiteralLmTypes): TrigramLm = {
+    // The one corpus-scale pass, materialized as ONE job (the AQE-free
+    // corpus-pass scope keeps full shuffle parallelism — only the
+    // per-exchange job splitting goes away; map-side combine already
+    // bounds the reduce side by vocabulary size).
+    val counts = TinyLoop.withCorpusPassConfs(train.sparkSession) {
+      train
+        .select(explode(concat(
+          TextOps.words(col("text")),
+          TextOps.shingles(col("text"), 2),
+          TextOps.shingles(col("text"), 3))).as("g"))
+        .groupBy("g").agg(count(lit(1)).as("c"))
+        .localCheckpoint()
+    }
+    // Literal-first: probe the checkpointed vocabulary table with a
+    // BOUNDED collect (limit(cap+1) — one cheap job over the ckpt
+    // partitions, and the driver never holds more than cap+1 rows even
+    // when the probe overflows, the knnLabel collect discipline). Under
+    // the cap, the ENTIRE model derivation runs in the driver over the
+    // collected counts — the stats job, the conditioning-join broadcast
+    // build, and the model materialization job all disappear; the
+    // arithmetic is the exact scalar mirror of the distributed branch's
+    // column expressions (same Math.log, same floor-spelled round6 —
+    // parity pinned by the path-equality spec and both oracle SFs).
+    val capInt = math.min(maxLiteralTypes, Int.MaxValue - 2L).toInt
+    val probeRows =
+      if (maxLiteralTypes > 0) {
+        // CollectLimit's incremental scale-up (1 → 4 → 16 → … partitions)
+        // costs a JOB per step; the source here is an already-materialized
+        // checkpoint whose every partition we expect to read (the cap is a
+        // safety bound, not a selection), so read them all in ONE job
+        val spark = train.sparkSession
+        val prev = spark.conf.get("spark.sql.limit.initialNumPartitions", "1")
+        spark.conf.set("spark.sql.limit.initialNumPartitions", "1000000")
+        try counts.limit(capInt + 1).collect()
+        finally spark.conf.set("spark.sql.limit.initialNumPartitions", prev)
+      } else Array.empty[org.apache.spark.sql.Row]
+    if (maxLiteralTypes > 0 && probeRows.length <= capInt) {
+      val cnt = new java.util.HashMap[String, Long](probeRows.length * 2)
+      var tokenTotal = 0L
+      probeRows.foreach { r =>
+        val g = r.getString(0); val c = r.getLong(1)
+        cnt.put(g, c)
+        if (g.indexOf(' ') < 0) tokenTotal += c
+      }
+      require(tokenTotal > 0, "trigramBackoffLm: empty training corpus")
+      def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+      val hm = new java.util.HashMap[String, java.lang.Double](probeRows.length * 2)
+      val rows = new Array[org.apache.spark.sql.Row](probeRows.length)
+      var i = 0
+      probeRows.foreach { r =>
+        val g = r.getString(0); val c = r.getLong(1)
+        val last = g.lastIndexOf(' ')
+        val lp =
+          if (last < 0) r6(math.log(0.16 * (c.toDouble / tokenTotal.toDouble)))
+          else {
+            val cp = cnt.get(g.substring(0, last))
+            if (g.indexOf(' ') == last) // exactly one space: bigram
+              r6(math.log(0.4 * (c.toDouble / cp.toDouble)))
+            else r6(math.log(c.toDouble / cp.toDouble))
+          }
+        hm.put(g, lp)
+        rows(i) = org.apache.spark.sql.Row(g, lp)
+        i += 1
+      }
+      val bc = train.sparkSession.sparkContext.broadcast(new graft.functions.LmMap(hm))
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("g",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("lp",
+          org.apache.spark.sql.types.DoubleType, nullable = false)))
+      val local = train.sparkSession.createDataFrame(
+        java.util.Arrays.asList(rows: _*), schema)
+      return TrigramLm(local, broadcastable = true, Some(bc))
+    }
+    // Distributed branch (model past the literal cap, or probing
+    // disabled): per-order stats job, then higher ∪ uni materialized
+    // over the checkpointed vocabulary table (the conditioning join
+    // probes the checkpoint partitions against a broadcast of the same
+    // table — a hinted shuffled-hash spelling saves the build job but
+    // was measured ~6× slower: it re-exchanges BOTH vocabulary sides).
     val order = size(split(col("g"), " ", -1))
-    val (stats, modelCk) = TinyLoop.withModelStateConfs(train.sparkSession) {
-      val st = counts.groupBy(order.as("n"))
+    val stats = TinyLoop.withModelStateConfs(train.sparkSession) {
+      counts.groupBy(order.as("n"))
         .agg(count(lit(1)).as("types"), sum(col("c")).as("occ"))
         .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
-      val tokenTotal = st.get(1).map(_._2).getOrElse(0L)
-      require(tokenTotal > 0, "trigramBackoffLm: empty training corpus")
-      val pc = counts.select(col("g").as("p"), col("c").as("cp"))
-      val higher = counts.select(col("g"), col("c"), order.as("n"))
-        .filter(col("n") >= 2)
-        .withColumn("p", expr("substring_index(g, ' ', n - 1)"))
-        .join(pc, "p")
-        .select(col("g"),
-          when(col("n") === 3,
-            Exact.round6(log(col("c").cast("double") / col("cp"))))
-            .otherwise(
-              Exact.round6(log(lit(0.4) * (col("c").cast("double") / col("cp")))))
-            .as("lp"))
-      val uni = counts.filter(order === 1)
-        .select(col("g"),
-          Exact.round6(log(lit(0.16) *
-            (col("c").cast("double") / lit(tokenTotal.toDouble)))).as("lp"))
-      (st, higher.unionByName(uni).localCheckpoint())
+    }
+    val tokenTotal = stats.get(1).map(_._2).getOrElse(0L)
+    require(tokenTotal > 0, "trigramBackoffLm: empty training corpus")
+    val pc = counts.select(col("g").as("p"), col("c").as("cp"))
+    val higher = counts.select(col("g"), col("c"), order.as("n"))
+      .filter(col("n") >= 2)
+      .withColumn("p", expr("substring_index(g, ' ', n - 1)"))
+      .join(broadcast(pc), "p")
+      .select(col("g"),
+        when(col("n") === 3,
+          Exact.round6(log(col("c").cast("double") / col("cp"))))
+          .otherwise(
+            Exact.round6(log(lit(0.4) * (col("c").cast("double") / col("cp")))))
+          .as("lp"))
+    val uni = counts.filter(order === 1)
+      .select(col("g"),
+        Exact.round6(log(lit(0.16) *
+          (col("c").cast("double") / lit(tokenTotal.toDouble)))).as("lp"))
+    val modelCk = TinyLoop.withCorpusPassConfs(train.sparkSession) {
+      higher.unionByName(uni).localCheckpoint()
     }
     TrigramLm(modelCk, stats.values.map(_._1).sum <= maxBroadcastTypes)
   }
@@ -112,28 +213,46 @@ object TrainPrepOps {
     * groundable positions yields no row — same explicit no-signal
     * policy as [[PipelineOps.scoreBigramLm]]).
     *
-    * One narrow trigram explode over the scoring corpus — each
-    * position carries its three candidate keys (the whole span, its
-    * token suffixes of length 2 and 1; key order never collides
-    * because order = space count) — then a left-join chain against
-    * three projections of the SAME materialized model table (broadcast
-    * under the gate; identical build plans, so exchange reuse
-    * applies), one doc-keyed aggregation. Stateless given the model,
-    * so it is also the foreachBatch scoring step of a STREAMING gate,
-    * exactly like the bigram recipe StreamingSpec pins.
+    * One narrow trigram explode over the scoring corpus, then the
+    * physical probe the trained model's form dictates: a literal model
+    * resolves the whole backoff chain in ONE codegen expression per
+    * position ([[graft.functions.BackoffLp]] — no joins, no broadcast
+    * builds); a distributed model left-joins three projections of the
+    * model table (each carrying one candidate key — the whole span,
+    * its token suffixes of length 2 and 1; key orders never collide
+    * because a gram's order is its space count), broadcast under the
+    * gate, keyed past it. Either way the only corpus-row exchange is
+    * the doc-keyed aggregation's, and map-side combine shrinks it to
+    * per-doc partials first (a pre-explode range exchange was measured
+    * SLOWER: it ships every raw text row to save re-shuffling rows the
+    * partial agg already collapses to per-doc size). Stateless given
+    * the model, so it is also the foreachBatch scoring step of a
+    * STREAMING gate, exactly like the bigram recipe (both spec'd in
+    * StreamingSpec).
     */
   def scoreTrigramLm(docs: DataFrame, lm: TrigramLm): DataFrame = {
-    def side(t: DataFrame) = if (lm.broadcastable) broadcast(t) else t
-    docs
+    val positions = docs
       .filter(TextOps.wordCount(col("text")) >= 3)
       .select(col("doc_id"), explode(TextOps.shingles(col("text"), 3)).as("k3"))
-      .select(col("doc_id"), col("k3"),
-        substring_index(col("k3"), " ", -2).as("k2"),
-        substring_index(col("k3"), " ", -1).as("k1"))
-      .join(side(lm.model.select(col("g").as("k3"), col("lp").as("lp3"))), Seq("k3"), "left")
-      .join(side(lm.model.select(col("g").as("k2"), col("lp").as("lp2"))), Seq("k2"), "left")
-      .join(side(lm.model.select(col("g").as("k1"), col("lp").as("lp1"))), Seq("k1"), "left")
-      .select(col("doc_id"), coalesce(col("lp3"), col("lp2"), col("lp1")).as("lp"))
+    val scored = lm.literal match {
+      case Some(bc) =>
+        // literal path: the whole backoff chain is ONE narrow codegen
+        // probe per position — no joins, no broadcast-build jobs
+        positions.select(col("doc_id"),
+          org.apache.spark.sql.GraftBridge.column(graft.functions.BackoffLp(
+            org.apache.spark.sql.GraftBridge.expression(col("k3")), bc)).as("lp"))
+      case None =>
+        def side(t: DataFrame) = if (lm.broadcastable) broadcast(t) else t
+        positions
+          .select(col("doc_id"), col("k3"),
+            substring_index(col("k3"), " ", -2).as("k2"),
+            substring_index(col("k3"), " ", -1).as("k1"))
+          .join(side(lm.model.select(col("g").as("k3"), col("lp").as("lp3"))), Seq("k3"), "left")
+          .join(side(lm.model.select(col("g").as("k2"), col("lp").as("lp2"))), Seq("k2"), "left")
+          .join(side(lm.model.select(col("g").as("k1"), col("lp").as("lp1"))), Seq("k1"), "left")
+          .select(col("doc_id"), coalesce(col("lp3"), col("lp2"), col("lp1")).as("lp"))
+    }
+    scored
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_positions"),

@@ -34,6 +34,31 @@ class TrainPrepOpsSpec extends SparkSpec {
       s"avg_logprob ${row.getDouble(3)} != $expected")
   }
 
+  test("trigram literal and distributed-join scoring paths state identical values") {
+    // the engine self-selects the physical form by measured type count;
+    // both forms must agree bit-for-bit (the knnLabel dual-path pin) —
+    // run on the real fixture corpus so every backoff arm and the
+    // driver-side scalar mirror of the model arithmetic are exercised
+    val docs = Tables.documents(spark, sfDir)
+    val train = docs.filter(col("doc_id") % 10 === 0)
+    val score = docs.filter(col("doc_id") % 10 =!= 0)
+    val lit = TrainPrepOps.trigramBackoffLm(train)
+    assert(lit.literal.isDefined, "fixture model must take the literal path")
+    val dist = TrainPrepOps.trigramBackoffLm(train, maxLiteralTypes = 0)
+    assert(dist.literal.isEmpty)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val a = key(TrainPrepOps.scoreTrigramLm(score, lit))
+    val b = key(TrainPrepOps.scoreTrigramLm(score, dist))
+    assert(a == b)
+    assert(a.nonEmpty)
+    // and the model TABLES themselves carry identical rows
+    def rows(lm: TrainPrepOps.TrigramLm) =
+      lm.model.orderBy("g").collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(rows(lit) == rows(dist))
+  }
+
   test("trigram scoring: zero-groundable document yields no row") {
     import spark.implicits._
     val train = Seq((0L, "a b c")).toDF("doc_id", "text")
