@@ -164,41 +164,95 @@ object PipelineOps extends QueryModule {
     */
   private[ops] val MaxBroadcastBigramTypes = 10000000L
 
-  /** NOTE: the size gate makes this function EAGER — the bigram
-    * materialization and type count run at call time (two jobs), not at
-    * the first action on the returned frame, because the join strategy
+  /** Type-count ceiling for the literal hash-map LM path (shared with
+    * [[TrainPrepOps.MaxLiteralLmTypes]]): under it, a bounded collect
+    * turns the LM into one executor-broadcast map probed by a narrow
+    * codegen expression — no join, no broadcast-build jobs; past it
+    * the LM stays a distributed table. ~100 B/entry in a java HashMap:
+    * 2M types ≈ 200 MB of driver/executor heap.
+    */
+  val MaxLiteralLmTypes = 2000000L
+
+  /** NOTE: the size gates make this function EAGER — the bigram
+    * materialization and the model-size probe run at call time, not at
+    * the first action on the returned frame, because the physical-path
     * decision needs the measured count before the plan exists. Callers
     * composing lazy pipelines should call it once and reuse the result.
     */
   def bigramLogProb(
       docs: DataFrame,
-      maxBroadcastTypes: Long = MaxBroadcastBigramTypes): DataFrame = {
+      maxBroadcastTypes: Long = MaxBroadcastBigramTypes,
+      maxLiteralTypes: Long = MaxLiteralLmTypes): DataFrame = {
     // Tokenize/explode once and cut lineage: both the count pass and the
     // scoring pass read the materialized bigram rows instead of re-running
     // the scan + explode (same executor-local materialization the
     // clustering loop uses; at 100 TB this is the "tokenize once, reuse"
-    // discipline every multi-pass corpus job needs).
-    val docBg = docBigrams(docs).localCheckpoint()
-    // conditioning totals as a keyed partial aggregation joined back
-    // (NOT a per-w1 window: a stopword w1 pairs with most of the
-    // vocabulary, and a window sorts that whole partition in one task —
-    // the aggregation form partial-combines map-side and never builds
-    // the skewed partition). Each ln term is rounded to 6 decimals
-    // (absorbs per-ulp libm differences vs the oracle), then summed
-    // exactly in decimal. The type table is materialized so the size
-    // gate's count() reads it back instead of re-aggregating.
+    // discipline every multi-pass corpus job needs). Kept as the RAW
+    // space-joined bigram string: the literal path probes it directly,
+    // and the distributed path derives (w1, w2) with one projection.
+    val bgRows = TinyLoop.withCorpusPassConfs(docs.sparkSession) {
+      docs
+        .filter(TextOps.wordCount(col("text")) >= 2)
+        .select(col("doc_id"), explode(TextOps.shingles(col("text"), 2)).as("bg"))
+        .localCheckpoint()
+    }
+    // Literal-first (the trigramBackoffLm discipline): a bounded
+    // single-job collect of the type table; under the cap the MLE
+    // derivation runs in the driver (conditioning totals are hash-map
+    // sums over the collected counts) as the exact scalar mirror of
+    // [[lmFromCounts]], and scoring probes ONE broadcast hash map from
+    // a narrow codegen expression — no counts checkpoint, no gate
+    // count job, no probability-table join.
+    val countsPlan = bgRows.groupBy("bg").agg(count(lit(1)).as("c"))
+    val probeRows =
+      if (maxLiteralTypes > 0) TinyLoop.boundedCollect(countsPlan, maxLiteralTypes)
+      else Array.empty[org.apache.spark.sql.Row]
+    if (maxLiteralTypes > 0 && probeRows.length <= maxLiteralTypes) {
+      val cu = new java.util.HashMap[String, Long](probeRows.length * 2)
+      probeRows.foreach { r =>
+        val w1 = r.getString(0).substring(0, r.getString(0).indexOf(' '))
+        val prev = cu.get(w1)
+        cu.put(w1, (if (prev == null) 0L else prev.longValue) + r.getLong(1))
+      }
+      def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+      val hm = new java.util.HashMap[String, java.lang.Double](probeRows.length * 2)
+      probeRows.foreach { r =>
+        val bg = r.getString(0)
+        val c = r.getLong(1)
+        val tot = cu.get(bg.substring(0, bg.indexOf(' '))).longValue
+        hm.put(bg, r6(math.log(c.toDouble / tot.toDouble)))
+      }
+      val bc = docs.sparkSession.sparkContext.broadcast(new graft.functions.LmMap(hm))
+      val scored = bgRows.select(col("doc_id"),
+        org.apache.spark.sql.GraftBridge.column(graft.functions.MapLp(
+          org.apache.spark.sql.GraftBridge.expression(col("bg")), bc)).as("lp"))
+        // self-scoring: every bigram is known, so the filter drops
+        // nothing — it states the same inner-join semantics the
+        // distributed path has (unknowns skipped)
+        .filter(col("lp").isNotNull)
+      return scored.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          Exact.round6(Exact.dsum(col("lp")) / count(lit(1))).as("avg_logprob"))
+    }
+    // Distributed path (type table past the literal cap): conditioning
+    // totals as a keyed partial aggregation joined back (NOT a per-w1
+    // window: a stopword w1 pairs with most of the vocabulary, and a
+    // window sorts that whole partition in one task — the aggregation
+    // form partial-combines map-side and never builds the skewed
+    // partition). Each ln term is rounded to 6 decimals (absorbs
+    // per-ulp libm differences vs the oracle), then summed exactly in
+    // decimal. The type table is materialized so the size gate's
+    // count() reads it back instead of re-aggregating; scoring joins
+    // it by broadcast when — and ONLY when — the measured type count
+    // fits broadcast range (the corpus-scale side then streams with NO
+    // re-shuffle), keyed past the gate: open-web bigram types run to
+    // billions and a forced broadcast would die exactly there.
+    val docBg = bgRows.select(col("doc_id"),
+      substring_index(col("bg"), " ", 1).as("w1"),
+      substring_index(col("bg"), " ", -1).as("w2"))
     val counts = docBg.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
       .localCheckpoint()
     val probs = lmFromCounts(counts)
-    // Scoring joins the probability table by broadcast when — and ONLY
-    // when — the measured bigram-type count fits broadcast range: the
-    // corpus-scale docBg side then streams through with NO re-shuffle
-    // (a keyed join would re-exchange every bigram occurrence). Past
-    // the gate, the hint is withheld and the planner (AQE at runtime)
-    // picks the join strategy — correctness is unchanged, only the
-    // exchange appears. The gate is a count over the already-
-    // materialized type table, so it costs one cheap metadata-scale job,
-    // never a recompute.
     val probsSide = if (counts.count() <= maxBroadcastTypes) broadcast(probs) else probs
     avgLogProbAgg(docBg.join(probsSide, Seq("w1", "w2")))
   }

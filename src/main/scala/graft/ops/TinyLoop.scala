@@ -50,6 +50,24 @@ object TinyLoop {
     finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  /** Bounded single-job collect: up to `cap + 1` rows (callers check
+    * `length <= cap` and fail/fall back on overflow — the driver never
+    * holds more, the knnLabel collect discipline). CollectLimit's
+    * incremental partition scale-up (1 → 4 → 16 → …) costs a JOB per
+    * step; the sources here are materialized checkpoints whose every
+    * partition the caller expects to read (the cap is a safety bound,
+    * not a selection), so pin the initial partition count high and read
+    * them all in ONE job, under the AQE-free scope.
+    */
+  def boundedCollect(df: org.apache.spark.sql.DataFrame, cap: Long): Array[org.apache.spark.sql.Row] = {
+    val capInt = math.min(cap, Int.MaxValue - 2L).toInt
+    val spark = df.sparkSession
+    val prev = spark.conf.get("spark.sql.limit.initialNumPartitions", "1")
+    spark.conf.set("spark.sql.limit.initialNumPartitions", "1000000")
+    try withCorpusPassConfs(spark)(df.limit(capInt + 1).collect())
+    finally spark.conf.set("spark.sql.limit.initialNumPartitions", prev)
+  }
+
   def withModelStateConfs[T](spark: SparkSession)(body: => T): T = {
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
     val prevShuf = spark.conf.get("spark.sql.shuffle.partitions", "32")

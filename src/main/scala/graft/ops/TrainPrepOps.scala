@@ -47,13 +47,13 @@ object TrainPrepOps {
   final case class TrigramLm(model: DataFrame, broadcastable: Boolean,
       literal: Option[org.apache.spark.broadcast.Broadcast[graft.functions.LmMap]] = None)
 
-  /** Type-count ceiling for [[TrigramLm]]'s literal hash-map path. A
-    * java HashMap costs ~100 B/gram with driver copies live during the
-    * collect — 2M types ≈ 200 MB, comfortable; past it the model stays
-    * distributed and scoring uses the broadcast-join chain (and past
+  /** Type-count ceiling for [[TrigramLm]]'s literal hash-map path
+    * (the engine-wide constant lives in
+    * [[PipelineOps.MaxLiteralLmTypes]]; past it the model stays
+    * distributed and scoring uses the broadcast-join chain — and past
     * [[PipelineOps.MaxBroadcastBigramTypes]], keyed joins).
     */
-  val MaxLiteralLmTypes = 2000000L
+  val MaxLiteralLmTypes: Long = PipelineOps.MaxLiteralLmTypes
 
   /** Train a stupid-backoff trigram LM on `train` (doc_id, text).
     *
@@ -120,20 +120,10 @@ object TrainPrepOps {
     // arithmetic is the exact scalar mirror of the distributed branch's
     // column expressions (same Math.log, same floor-spelled round6 —
     // parity pinned by the path-equality spec and both oracle SFs).
-    val capInt = math.min(maxLiteralTypes, Int.MaxValue - 2L).toInt
     val probeRows =
-      if (maxLiteralTypes > 0) {
-        // CollectLimit's incremental scale-up (1 → 4 → 16 → … partitions)
-        // costs a JOB per step; the source here is an already-materialized
-        // checkpoint whose every partition we expect to read (the cap is a
-        // safety bound, not a selection), so read them all in ONE job
-        val spark = train.sparkSession
-        val prev = spark.conf.get("spark.sql.limit.initialNumPartitions", "1")
-        spark.conf.set("spark.sql.limit.initialNumPartitions", "1000000")
-        try counts.limit(capInt + 1).collect()
-        finally spark.conf.set("spark.sql.limit.initialNumPartitions", prev)
-      } else Array.empty[org.apache.spark.sql.Row]
-    if (maxLiteralTypes > 0 && probeRows.length <= capInt) {
+      if (maxLiteralTypes > 0) TinyLoop.boundedCollect(counts, maxLiteralTypes)
+      else Array.empty[org.apache.spark.sql.Row]
+    if (maxLiteralTypes > 0 && probeRows.length <= maxLiteralTypes) {
       val cnt = new java.util.HashMap[String, Long](probeRows.length * 2)
       var tokenTotal = 0L
       probeRows.foreach { r =>
