@@ -485,32 +485,40 @@ object PipelineOps extends QueryModule {
   }
 
   /** Most-repeated `n`-token word spans appearing in at least `minDocs`
-    * distinct documents, top `k` by occurrence count. One explode + one
-    * aggregation — keyed by `unhex(md5(span))` (the 16-byte BINARY
-    * digest; the bare `md5()` builtin returns the 32-char hex STRING,
-    * double the key weight), NOT the raw span string (~50 bytes for 8
-    * tokens), so the exchange and the aggregation hash table compare
-    * fixed-width binary keys instead of hauling the exploded span
-    * corpus as strings; the display span rides as a `min(span)`
-    * payload. The distinct-doc count is a two-phase count-distinct on
-    * the same key. Collision-correctness: the oracle groups by the
-    * identical `unhex(md5(span))`, so even in the 2^-64-scale
-    * collision case both engines agree by construction; ties in the
-    * top-k order break on the digest (bytewise-unsigned binary order in
-    * both engines — the same total order the hex string gave).
+    * distinct documents, top `k` by occurrence count. One explode into
+    * an EXPLICIT two-phase distinct-doc aggregation, both phases plain
+    * HashAggregates: phase 1 groups (span, doc_id) → per-doc occurrence
+    * count (map-side combine collapses within-doc repeats before the
+    * exchange), phase 2 groups span → total occurrences + distinct-doc
+    * count. The span STRING is the group key on purpose: a carried
+    * `min(span)` payload is a var-length aggregate BUFFER, which
+    * HashAggregate cannot hold — the r9 spelling was measured planning
+    * SortAggregates that fully sorted the exploded corpus at every
+    * level (the dominant 555 ms of the query), while var-length group
+    * KEYS hash fine; and `countDistinct` alongside other aggregates
+    * would have added an Expand doubling every exploded row. The md5
+    * tiebreak digest is computed on the aggregated survivors only
+    * (vocabulary-scale), never per corpus row. Collision-correctness:
+    * the oracle groups by `unhex(md5(span))`, which partitions rows
+    * identically to the span string itself away from the 2^-64-scale
+    * collision case; ties in the top-k order break on the digest
+    * (bytewise-unsigned binary order in both engines).
     */
   def repeatedSpans(docs: DataFrame, n: Int, minDocs: Long, k: Int): DataFrame =
     docs
       .filter(TextOps.wordCount(col("text")) >= n)
       .select(col("doc_id"), explode(TextOps.shingles(col("text"), n)).as("sp"))
-      .groupBy(unhex(md5(col("sp"))).as("__graft_h"))
-      .agg(min(col("sp")).as("span"),
-        count(lit(1)).as("n_occurrences"),
-        countDistinct(col("doc_id")).as("n_docs"))
+      .groupBy(col("sp"), col("doc_id"))
+      .agg(count(lit(1)).as("__graft_c"))
+      .groupBy(col("sp"))
+      .agg(sum(col("__graft_c")).as("n_occurrences"),
+        count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= minDocs)
-      .orderBy(col("n_occurrences").desc, col("__graft_h"))
+      .orderBy(col("n_occurrences").desc, unhex(md5(col("sp"))))
       .limit(k)
-      .select("span", "n_occurrences", "n_docs")
+      .select(col("sp").as("span"),
+        col("n_occurrences").cast("long").as("n_occurrences"),
+        col("n_docs"))
 
   def contaminationCheck(corpus: DataFrame, benchmark: DataFrame): DataFrame = {
     def shingled(df: DataFrame) = df
