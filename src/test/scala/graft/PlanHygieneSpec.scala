@@ -132,9 +132,12 @@ class PlanHygieneSpec extends SparkSpec {
       // correctness path
       "q_bloom_prefilter_join" -> Seq(
         "BroadcastHashJoin", "LeftSemi", "LessThan(s_nationkey,5)"),
-      // bigram scoring must join the vocabulary-bounded probability
-      // table by broadcast (a shuffle join would re-key the whole corpus)
-      "q_bigram_lm" -> Seq("BroadcastHashJoin"),
+      // bigram self-scoring at fixture scale must take the literal-LM
+      // path: the probability map probed by the narrow codegen
+      // expression, never a per-query join chain (the distributed
+      // branch's broadcast/keyed gates are pinned by the dedicated
+      // dual-path test below)
+      "q_bigram_lm" -> Seq("graft_map_lp"),
       // the 6-way Q5: every dimension arrives broadcast, both fact
       // filters reach the parquet scans
       "q_tpch_q5" -> Seq("BroadcastHashJoin", "PushedFilters: [IsNotNull"),
@@ -342,30 +345,39 @@ class PlanHygieneSpec extends SparkSpec {
     }
   }
 
-  // The bigram-LM probability-table broadcast is SIZE-GATED (a forced
-  // hint never degrades; past broadcast range the job must fall back to
-  // a planner-chosen join, not die). Pin BOTH modes: the default gate
-  // broadcasts at test SF (covered by the headline-plans test above),
-  // and the gated-off path (threshold 0) plans WITHOUT the hint yet
-  // produces identical rows.
-  test("q_bigram_lm: gated-off broadcast path plans unhinted and matches") {
+  // The bigram LM is TRIPLE-GATED by measured type count: literal map
+  // under the literal cap, broadcast-hinted probability-table join
+  // between the caps, planner-chosen keyed join past broadcast range (a
+  // forced hint never degrades; past broadcast range the job must fall
+  // back, not die). Pin all three: the literal default is covered by
+  // the headline-plans test; here the literal-off path must broadcast,
+  // the fully-gated-off path must plan WITHOUT the hint, and all three
+  // must produce identical rows.
+  test("q_bigram_lm: literal, broadcast, and gated-off paths agree") {
     val sf01 = "/root/testdata/sf0.01"
     val docs = Tables.documents(spark, sf01)
-    val hinted = ops.PipelineOps.bigramLogProb(docs)
-    val unhinted = ops.PipelineOps.bigramLogProb(docs, maxBroadcastTypes = 0L)
+    val literal = ops.PipelineOps.bigramLogProb(docs)
+    val hinted = ops.PipelineOps.bigramLogProb(docs, maxLiteralTypes = 0L)
+    assert(hinted.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "literal-off path must broadcast the probability table")
+    val unhinted = ops.PipelineOps.bigramLogProb(docs,
+      maxBroadcastTypes = 0L, maxLiteralTypes = 0L)
     // force a genuine non-broadcast plan: disable the size estimator's
     // auto-broadcast so the only way to a BHJ would be the (withheld) hint
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
     try {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      val plan = ops.PipelineOps.bigramLogProb(docs, maxBroadcastTypes = 0L)
+      val plan = ops.PipelineOps.bigramLogProb(docs,
+          maxBroadcastTypes = 0L, maxLiteralTypes = 0L)
         .queryExecution.executedPlan.toString
       assert(!plan.contains("BroadcastHashJoin"),
         s"gated-off path still broadcasts:\n$plan")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
-    val a = hinted.orderBy("doc_id").collect().toSeq
-    val b = unhinted.orderBy("doc_id").collect().toSeq
-    assert(a == b, "hinted and unhinted bigram-LM paths disagree")
+    val a = literal.orderBy("doc_id").collect().toSeq
+    val b = hinted.orderBy("doc_id").collect().toSeq
+    val c = unhinted.orderBy("doc_id").collect().toSeq
+    assert(a == b, "literal and broadcast bigram-LM paths disagree")
+    assert(b == c, "hinted and unhinted bigram-LM paths disagree")
   }
 
   // The supplier-scale dims in Q5/Q7/Q8/Q9/Q15/Q21 (and Q2's euroSupp)
