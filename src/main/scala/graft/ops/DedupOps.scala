@@ -312,9 +312,10 @@ object DedupOps extends QueryModule {
     * exactly the table an index-maintenance pipeline persists (build
     * once over the corpus, append each admitted snapshot, probe at
     * admission time). Docs under 3 words emit no rows (nothing to
-    * collide on). At 100 TB the persisted index is bucketed by
-    * band_hash so admission probes co-locate with no index-side
-    * shuffle.
+    * collide on). At 100 TB the persisted index is written
+    * `bucketBy(N, "band_idx", "band_hash")` so admission probes
+    * co-locate against the on-disk layout with no index-side shuffle
+    * (plan-pinned by BucketedJoinSpec against a real bucketed table).
     */
   def lshIndex(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     signatures(docs)
@@ -339,22 +340,34 @@ object DedupOps extends QueryModule {
     * probe join is keyed by (band_idx, band_hash); the anti join back
     * is doc-keyed against the hit set, which is probe-batch-bounded,
     * never index-bounded.
+    *
+    * The index probe and the within-batch probe are SEPARATE joins on
+    * purpose (not one join against `index ∪ probe` — a union erases
+    * the index's output partitioning): when the persisted index is
+    * written `bucketBy(N, "band_idx", "band_hash")` — the 100 TB shape
+    * — its scan
+    * arrives pre-partitioned on the join key and the probe co-locates
+    * with NO index-side exchange, while the probe side (a micro-batch,
+    * orders of magnitude smaller) is the only side shuffled or
+    * broadcast. Pinned by BucketedJoinSpec against a bucketed on-disk
+    * index.
     */
   def admitAgainstIndex(newDocs: org.apache.spark.sql.DataFrame,
       index: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val probe = lshIndex(newDocs).localCheckpoint() // one signature pass
       .toDF("p_doc_id", "band_idx", "band_hash", "p_sg")
-    // index hits, plus smaller-id batch hits (the dropped_batch arm)
-    val targets = index.toDF("i_doc_id", "band_idx", "band_hash", "i_sg")
-      .withColumn("batch_side", lit(false))
-      .unionByName(probe.toDF("i_doc_id", "band_idx", "band_hash", "i_sg")
-        .withColumn("batch_side", lit(true)))
-    val hits = probe
+    def verifiedHits(targets: org.apache.spark.sql.DataFrame) = probe
       .join(targets, Seq("band_idx", "band_hash"))
-      .filter(!col("batch_side") || col("i_doc_id") < col("p_doc_id"))
       .filter(size(filter(zip_with(col("p_sg"), col("i_sg"),
         (a, b) => a === b), x => x)) >= AgreeSlots)
-      .select(col("p_doc_id").as("doc_id"))
+    // index hits, plus smaller-id batch hits (the dropped_batch arm)
+    val idxHits = verifiedHits(
+      index.toDF("i_doc_id", "band_idx", "band_hash", "i_sg"))
+    val batchHits = verifiedHits(
+      probe.toDF("i_doc_id", "band_idx", "band_hash", "i_sg"))
+      .filter(col("i_doc_id") < col("p_doc_id"))
+    val hits = idxHits.select(col("p_doc_id").as("doc_id"))
+      .unionByName(batchHits.select(col("p_doc_id").as("doc_id")))
       .distinct()
     newDocs.join(hits, Seq("doc_id"), "left_anti")
   }

@@ -32,6 +32,81 @@ class BucketedJoinSpec extends SparkSpec {
     }
   }
 
+  // The 100 TB admission story: the persisted LSH index is written
+  // bucketed on its band key, so a micro-batch admission probe
+  // co-locates against the on-disk layout with NO index-side exchange —
+  // only the (orders-of-magnitude smaller) probe side shuffles. This is
+  // the q_bucketed_join treatment for the claim in
+  // DedupOps.lshIndex/admitAgainstIndex's scaladoc; semantics equality
+  // vs an unbucketed index frame is asserted alongside the plan shape.
+  test("admitAgainstIndex probes a bucketed on-disk index with no index-side exchange") {
+    val base = Files.createTempDirectory("graft_lsh_idx").toFile.getAbsolutePath
+    spark.sql("DROP TABLE IF EXISTS spec_lsh_index_bkt")
+    val docs = Tables.documents(spark, sfDir)
+    val corpus = docs.filter(col("doc_id") % 3 =!= 0)
+    val batch = docs.filter(col("doc_id") % 3 === 0)
+    ops.DedupOps.lshIndex(corpus).write
+      .bucketBy(4, "band_idx", "band_hash").sortBy("band_idx", "band_hash")
+      .option("path", s"$base/idx").saveAsTable("spec_lsh_index_bkt")
+    // disable broadcast: the probe side must arrive via the bucket
+    // layout's partitioning, proving the index side re-shuffle-free
+    // even when the planner cannot just broadcast the batch
+    withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val admitted = ops.DedupOps.admitAgainstIndex(
+        batch, spark.table("spec_lsh_index_bkt"))
+      admitted.collect() // run the frame's own QE so AQE finalizes it
+      val plan = admitted.queryExecution.executedPlan
+      // no shuffle exchange may have the bucketed index scan below it
+      // AQE wraps exchanges in leaf QueryStageExec nodes, so a plain
+      // collect() never sees them — descend into stages explicitly
+      def allNodes(p: org.apache.spark.sql.execution.SparkPlan):
+          Seq[org.apache.spark.sql.execution.SparkPlan] = {
+        val inner = p match {
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            Seq(a.executedPlan)
+          case _ => Nil
+        }
+        p +: (p.children ++ inner).flatMap(allNodes)
+      }
+      val shuffles = allNodes(plan).collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+      }
+      // traversal sanity: the probe side DOES shuffle (broadcast is off),
+      // so finding zero shuffles would mean we failed to walk the tree
+      assert(shuffles.nonEmpty, s"no shuffles found — traversal broken?\n$plan")
+      // offending = an exchange of RAW index rows (index scan below it
+      // with no join in between); exchanges above the band join carry
+      // probe-bounded hit rows and are fine
+      val offenders = shuffles.filter { e =>
+        allNodes(e.child).exists {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+            s.toString.contains("spec_lsh_index_bkt")
+          case _ => false
+        } && !allNodes(e.child).exists(
+          _.isInstanceOf[org.apache.spark.sql.execution.joins.BaseJoinExec])
+      }
+      assert(offenders.isEmpty,
+        s"index side re-shuffled:\n${offenders.headOption.getOrElse(plan)}")
+      val idxScans = allNodes(plan).collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec
+            if s.toString.contains("spec_lsh_index_bkt") => s
+      }
+      assert(idxScans.nonEmpty, "bucketed index scan missing from the plan")
+      assert(idxScans.forall(_.toString.contains("Bucketed: true")),
+        s"index scan not reading via buckets:\n${idxScans.head}")
+    }
+    // value parity: the bucketed read and the plain frame admit the same set
+    val viaBucket = ops.DedupOps.admitAgainstIndex(
+        batch, spark.table("spec_lsh_index_bkt"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val viaFrame = ops.DedupOps.admitAgainstIndex(
+        batch, ops.DedupOps.lshIndex(corpus))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(viaBucket == viaFrame)
+    assert(viaBucket.nonEmpty)
+  }
+
   private def withConf(kv: (String, String)*)(body: => Unit): Unit = {
     val old = kv.map { case (k, _) => k -> spark.conf.getOption(k) }
     kv.foreach { case (k, v) => spark.conf.set(k, v) }

@@ -576,6 +576,55 @@ class StreamingSpec extends SparkSpec {
       s"refreshed LM not picked up: $after")
   }
 
+  test("streaming trigram gate: foreachBatch scores against a refreshed backoff LM") {
+    implicit val sq = spark.sqlContext
+    import ops.TrainPrepOps
+    // The trigram sibling of the streaming perplexity gate above —
+    // scoreTrigramLm's scaladoc pins it as the foreachBatch scoring step
+    // of a STREAMING gate: train on a reference corpus as model state,
+    // score each micro-batch against the broadcast/literal model inside
+    // foreachBatch, gate on a frozen cutoff, refresh by retraining and
+    // swapping the model the closure reads — no stream restart.
+    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val ref = Seq((0L, "a b c a b d"), (2L, "a b c")).toDF("doc_id", "text")
+    @volatile var lm = TrainPrepOps.trigramBackoffLm(ref)
+    val cutoff = -2.0 // frozen policy cutoff (model state, like the LM)
+    val scored = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Double, Boolean)]
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = TrainPrepOps.scoreTrigramLm(batch, lm)
+          .withColumn("keep", col("avg_logprob") >= cutoff)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))
+        scored.synchronized { scored ++= rows; () }
+      }
+      .start()
+    // batch 1: doc 1 grounds 3 of 4 positions (known trigram, unigram
+    // backoff, bigram backoff — the TrainPrepOpsSpec example); doc 9 is
+    // out-of-vocabulary at every order -> NO row (no-signal policy)
+    mem.addData((1L, "a b c x b d"), (9L, "z z z z"))
+    q.processAllAvailable()
+    val exp1 = r6((r6(math.log(2.0 / 3)) +
+      r6(math.log(0.16 * (3.0 / 9))) +
+      r6(math.log(0.4 * (1.0 / 3)))) / 3)
+    assert(scored.synchronized(scored.toSeq) ==
+      Seq((1L, 4L, 3L, exp1, exp1 >= cutoff)))
+    // REFRESH: retrain with the new-domain text and swap the model the
+    // closure reads — the next batch scores under the new LM
+    lm = TrainPrepOps.trigramBackoffLm(
+      ref.union(Seq((4L, "z z z z")).toDF("doc_id", "text")))
+    mem.addData((10L, "z z z"))
+    q.processAllAvailable()
+    q.stop()
+    val after = scored.synchronized(scored.toSeq)
+    // "z z z" is now a known trigram: lp = ln(c3(z,z,z)/c2(z,z)) = ln(2/2)...
+    // c3(z z z) = 2 (two windows in "z z z z"), c2(z z) = 3 -> ln(2/3)
+    val exp2 = r6(r6(math.log(2.0 / 3)) / 1)
+    assert(after.size == 2 && after(1) == ((10L, 1L, 1L, exp2, true)),
+      s"refreshed LM not picked up: $after")
+  }
+
   test("streaming dedup admission: per-batch index probe + index maintenance") {
     implicit val sq = spark.sqlContext
     import ops.DedupOps
