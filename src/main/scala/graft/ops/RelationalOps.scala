@@ -102,9 +102,15 @@ object RelationalOps extends QueryModule {
         |GROUP BY n_name
         |ORDER BY n_name"""
     ) { (s, d) =>
-      Tables.customer(s, d)
-        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
-        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      // FACT-FIRST join order: lineitem is the streaming side throughout,
+      // so the planner's build sides are orders → customer → nation
+      // (each smaller than the last). The dim-first spelling let the
+      // size estimator pick LINEITEM as a broadcast build (600k-row
+      // hashed relation, the measured 381ms of this query) — and at
+      // 100 TB the fact side must never be a build side at all.
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
         .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
         .groupBy("n_name")
         .agg(
@@ -349,10 +355,15 @@ object RelationalOps extends QueryModule {
         .agg(sum(col("l_quantity")).as("tq"))
         .filter(col("tq") > 200)
         .select("bk")
-      Tables.customer(s, d)
-        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
-        .join(big, col("o_orderkey") === col("bk"), "left_semi")
-        .join(li, col("o_orderkey") === col("l_orderkey"))
+      // FACT-FIRST (the q_join_inner lesson): lineitem streams, the
+      // semi-filtered orders and customer are the build sides — the
+      // customer-first spelling let the estimator broadcast-build the
+      // fact table itself.
+      li
+        .join(Tables.orders(s, d)
+            .join(big, col("o_orderkey") === col("bk"), "left_semi"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
         .groupBy(
           col("c_name"), col("c_custkey"), col("o_orderkey"),
           col("o_orderdate"), col("o_totalprice"))
@@ -429,12 +440,17 @@ object RelationalOps extends QueryModule {
         .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
           col("n_regionkey") === col("r_regionkey"))
         .select("n_nationkey", "n_name")
-      Tables.customer(s, d)
+      // FACT-FIRST join order (the q_join_inner lesson): lineitem
+      // streams through every join; the build sides are the
+      // date-filtered orders, customer, supplier, nation — never the
+      // fact table (the dim-first spelling let the size estimator pick
+      // lineitem itself as a broadcast build).
+      Tables.lineitem(s, d)
         .join(Tables.orders(s, d)
             .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
               col("o_orderdate") < lit("1997-01-01").cast("timestamp")),
-          col("c_custkey") === col("o_custkey"))
-        .join(Tables.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
         .join(dimBroadcast(Tables.supplier(s, d), constantBounded = false),
           col("l_suppkey") === col("s_suppkey") &&
             col("c_nationkey") === col("s_nationkey"))

@@ -303,31 +303,68 @@ object TrainPrepOps {
     * is scanned twice (stats pass + filter pass), both narrow and
     * column-pruned — cheaper than caching a corpus at scale.
     */
+  /** Domain-count ceiling for [[domainQualityFilter]]'s literal path
+    * (a bounded collect of the per-domain stats; ~100 B/domain).
+    */
+  val MaxLiteralDomains = 2000000L
+
   def domainQualityFilter(
       docs: DataFrame, domainCol: String, qualityCol: String,
-      maxBroadcastDomains: Long = MaxBroadcastDomainStats): DataFrame = {
+      maxBroadcastDomains: Long = MaxBroadcastDomainStats,
+      maxLiteralDomains: Long = MaxLiteralDomains): DataFrame = {
     val reserved = docs.columns.toSet
       .intersect(Set("__graft_domain_q", "__graft_domain_sq", "__graft_domain_n", "__graft_corpus_q"))
     require(reserved.isEmpty,
       s"domainQualityFilter: input column(s) ${reserved.mkString(", ")} " +
         "collide with the operator's internals — rename them")
-    val stats = docs.groupBy(col(domainCol))
+    val statsPlan = docs.groupBy(col(domainCol))
       .agg(
         Exact.decSum(col(qualityCol)).as("__graft_domain_sq"),
         count(col(qualityCol)).as("__graft_domain_n"))
-      .localCheckpoint()
-    val corpus = stats
-      .agg((sum(col("__graft_domain_sq")).cast("double") /
-        sum(col("__graft_domain_n"))).as("__graft_corpus_q"))
-    val keep = stats
-      .select(col(domainCol),
-        (col("__graft_domain_sq").cast("double") / col("__graft_domain_n"))
-          .as("__graft_domain_q"))
-      .crossJoin(broadcast(corpus))
-      .filter(col("__graft_domain_q") >= col("__graft_corpus_q"))
-      .select(col(domainCol))
-    val keepSide = if (stats.count() <= maxBroadcastDomains) broadcast(keep) else keep
-    docs.join(keepSide, Seq(domainCol), "left_semi")
+    // Literal-first (the trigramBackoffLm discipline): one bounded
+    // single-job collect of the per-domain stats, the corpus mean and
+    // the keep decision in the driver as the exact scalar mirror of the
+    // distributed expressions (decimal sums collect as BigDecimal, so
+    // the exact-arithmetic contract carries over unchanged), and the
+    // keep set rides back as a literal IN-set — the whole gate is then
+    // one stats job plus one narrow filter pass. Past the literal cap
+    // (an open-web crawl has tens of millions of domains) the stats
+    // checkpoint + measured broadcast-or-keyed semi join remain.
+    val probe =
+      if (maxLiteralDomains > 0) TinyLoop.boundedCollect(statsPlan, maxLiteralDomains)
+      else Array.empty[org.apache.spark.sql.Row]
+    if (maxLiteralDomains > 0 && probe.length <= maxLiteralDomains) {
+      var totSq = java.math.BigDecimal.ZERO
+      var totN = 0L
+      probe.foreach { r =>
+        // an all-null-quality domain has sum NULL / count 0: it adds
+        // nothing to the corpus mean and is never kept (same as the
+        // distributed path's null >= x comparison)
+        if (r.getDecimal(1) != null) {
+          totSq = totSq.add(r.getDecimal(1)); totN += r.getLong(2)
+        }
+      }
+      if (totN == 0) return docs.filter(lit(false)) // no quality signal at all
+      val corpusQ = totSq.doubleValue / totN.toDouble
+      val keep = probe.filter(r => r.getDecimal(1) != null &&
+        r.getDecimal(1).doubleValue / r.getLong(2).toDouble >= corpusQ)
+        .map(_.get(0))
+      docs.filter(col(domainCol).isin(keep.toSeq: _*))
+    } else {
+      val stats = statsPlan.localCheckpoint()
+      val corpus = stats
+        .agg((sum(col("__graft_domain_sq")).cast("double") /
+          sum(col("__graft_domain_n"))).as("__graft_corpus_q"))
+      val keep = stats
+        .select(col(domainCol),
+          (col("__graft_domain_sq").cast("double") / col("__graft_domain_n"))
+            .as("__graft_domain_q"))
+        .crossJoin(broadcast(corpus))
+        .filter(col("__graft_domain_q") >= col("__graft_corpus_q"))
+        .select(col(domainCol))
+      val keepSide = if (stats.count() <= maxBroadcastDomains) broadcast(keep) else keep
+      docs.join(keepSide, Seq(domainCol), "left_semi")
+    }
   }
 
   import TextOps.{WordsSql, WsReDuck}

@@ -113,6 +113,23 @@ class TrainPrepOpsSpec extends SparkSpec {
     assert(kept == Set(1L, 2L, 5L), s"got $kept")
   }
 
+  test("domainQualityFilter: literal IN-set and distributed semi-join paths agree") {
+    // the engine self-selects by measured domain count; the literal
+    // driver-side mean must be the exact mirror of the distributed
+    // decimal arithmetic — run on the real fixture quality signal
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        concat(lit("d"), col("doc_id") % 97, lit("."), col("source")).as("domain"),
+        (length(col("text")) % 100).cast("double").as("quality"))
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    val lit_ = key(TrainPrepOps.domainQualityFilter(docs, "domain", "quality"))
+    val dist = key(TrainPrepOps.domainQualityFilter(docs, "domain", "quality",
+      maxLiteralDomains = 0))
+    assert(lit_ == dist)
+    assert(lit_.nonEmpty && lit_.size < docs.count())
+  }
+
   test("domainQualityFilter preserves the caller's schema and rejects reserved names") {
     import spark.implicits._
     val df = Seq((1L, "a", 0.9, "x")).toDF("doc_id", "domain", "quality", "extra")
