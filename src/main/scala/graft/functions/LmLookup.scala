@@ -90,6 +90,74 @@ case class BackoffLp(child: Expression, bc: Broadcast[LmMap])
     copy(child = newChild)
 }
 
+/** Literal string-set state (same transport rationale as [[LmMap]]):
+  * a benchmark's distinct shingle set, broadcast once.
+  */
+final class StrSet(val s: java.util.HashSet[String]) extends Serializable
+
+object ShingleHitUtil {
+  /** Distinct word `n`-grams of `text` and how many are in `set` — the
+    * whole corpus side of a contamination check in ONE pass: tokenize,
+    * shingle, per-document dedup, set probe, with no exploded rows, no
+    * join, and no per-document aggregation. Mirror of
+    * `array_distinct(graft_shingles(text, n))` + a membership count
+    * (dual-path spec'd in GraftOpsSpec).
+    */
+  def hits(set: StrSet, text: UTF8String, n: Int):
+      org.apache.spark.sql.catalyst.InternalRow = {
+    val toks = WordsUtil.tokenize(text.toString)
+    val seen = new java.util.HashSet[String]()
+    var nHit = 0L
+    var i = 0
+    val m = toks.size - n + 1
+    while (i < m) {
+      val sb = new java.lang.StringBuilder(toks.get(i))
+      var j = 1
+      while (j < n) { sb.append(' ').append(toks.get(i + j)); j += 1 }
+      val sp = sb.toString
+      if (seen.add(sp) && set.s.contains(sp)) nHit += 1
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](seen.size.toLong, nHit))
+  }
+}
+
+/** `graft_shingle_hits(text)` -> struct<n_shingles, n_hit> against a
+  * broadcast [[StrSet]] (the contamination check's literal path).
+  */
+case class ShingleHits(child: Expression, bc: Broadcast[StrSet], n: Int)
+    extends UnaryExpression {
+  require(n >= 1, s"shingle size must be >= 1, got $n")
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("n_shingles",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_hit",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+  override def prettyName: String = "graft_shingle_hits"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a STRING argument, got ${child.dataType.catalogString}")
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleHitUtil.hits(bc.value, input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcRef = ctx.addReferenceObj("shingleSetBc", bc,
+      classOf[Broadcast[_]].getName)
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.ShingleHitUtil.hits(" +
+        s"(graft.functions.StrSet) $bcRef.value(), $c, $n)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHits =
+    copy(child = newChild)
+}
+
 /** `graft_map_lp(k)` — single-key LM probe (bigram LM literal path). */
 case class MapLp(child: Expression, bc: Broadcast[LmMap]) extends LmProbe {
   override def prettyName: String = "graft_map_lp"

@@ -520,23 +520,55 @@ object PipelineOps extends QueryModule {
         col("n_occurrences").cast("long").as("n_occurrences"),
         col("n_docs"))
 
-  def contaminationCheck(corpus: DataFrame, benchmark: DataFrame): DataFrame = {
+  /** Shingle-count ceiling for [[contaminationCheck]]'s literal path —
+    * a benchmark's distinct-shingle set is eval-suite-bounded by
+    * construction; 2M shingles ≈ 150 MB of set. Past it (or with the
+    * cap at 0) the join path runs.
+    */
+  val MaxLiteralBenchShingles = 2000000L
+
+  def contaminationCheck(corpus: DataFrame, benchmark: DataFrame,
+      maxLiteralShingles: Long = MaxLiteralBenchShingles): DataFrame = {
     def shingled(df: DataFrame) = df
       .filter(TextOps.wordCount(col("text")) >= 3)
       .select(col("doc_id"),
         array_distinct(TextOps.shingles(col("text"), 3)).as("shs"))
-    val bench = shingled(benchmark)
-      .select(explode(col("shs")).as("s")).distinct()
-      .withColumn("__graft_hit", lit(1))
-    shingled(corpus)
-      .select(col("doc_id"), size(col("shs")).cast("long").as("n_shingles"),
-        explode(col("shs")).as("s"))
-      .join(broadcast(bench), Seq("s"), "left")
-      .groupBy("doc_id")
-      .agg(max(col("n_shingles")).as("n_shingles"),
-        count(col("__graft_hit")).as("n_hit"))
-      .select(col("doc_id"), col("n_shingles"), col("n_hit"),
-        (col("n_hit").cast("double") / col("n_shingles")).as("frac"))
+    val benchPlan = shingled(benchmark).select(explode(col("shs")).as("s")).distinct()
+    // Literal-first (the trigramBackoffLm discipline): the benchmark
+    // shingle set is MODEL STATE — one bounded collect, then the whole
+    // corpus side is a single narrow codegen pass (tokenize + shingle +
+    // per-doc dedup + set probe fused in graft_shingle_hits): no
+    // exploded rows, no join, no doc-keyed aggregation — where the join
+    // spelling explodes every distinct shingle occurrence and
+    // re-aggregates the corpus by doc_id.
+    val probe =
+      if (maxLiteralShingles > 0) TinyLoop.boundedCollect(benchPlan, maxLiteralShingles)
+      else Array.empty[org.apache.spark.sql.Row]
+    if (maxLiteralShingles > 0 && probe.length <= maxLiteralShingles) {
+      val hs = new java.util.HashSet[String](probe.length * 2)
+      probe.foreach(r => hs.add(r.getString(0)))
+      val bc = corpus.sparkSession.sparkContext.broadcast(new graft.functions.StrSet(hs))
+      val st = org.apache.spark.sql.GraftBridge.column(graft.functions.ShingleHits(
+        org.apache.spark.sql.GraftBridge.expression(col("text")), bc, 3))
+      corpus
+        .filter(TextOps.wordCount(col("text")) >= 3)
+        .select(col("doc_id"), st.as("__graft_st"))
+        .select(col("doc_id"),
+          col("__graft_st.n_shingles").as("n_shingles"),
+          col("__graft_st.n_hit").as("n_hit"))
+        .withColumn("frac", col("n_hit").cast("double") / col("n_shingles"))
+    } else {
+      val bench = benchPlan.withColumn("__graft_hit", lit(1))
+      shingled(corpus)
+        .select(col("doc_id"), size(col("shs")).cast("long").as("n_shingles"),
+          explode(col("shs")).as("s"))
+        .join(broadcast(bench), Seq("s"), "left")
+        .groupBy("doc_id")
+        .agg(max(col("n_shingles")).as("n_shingles"),
+          count(col("__graft_hit")).as("n_hit"))
+        .select(col("doc_id"), col("n_shingles"), col("n_hit"),
+          (col("n_hit").cast("double") / col("n_shingles")).as("frac"))
+    }
   }
 
   /** Per-document out-of-vocabulary rate against the corpus's own

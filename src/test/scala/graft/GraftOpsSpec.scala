@@ -237,6 +237,21 @@ class GraftOpsSpec extends SparkSpec {
     assert(rows(1).getAs[Double]("frac") == 0.0)
   }
 
+  test("contamination literal-set and join paths agree on the fixture corpus") {
+    // the engine self-selects by measured benchmark-shingle count; the
+    // fused codegen probe must state the join spelling's exact results
+    val docs = Tables.documents(spark, sfDir)
+    val bench = docs.filter(col("doc_id") % 50 === 0)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val lit_ = key(ops.PipelineOps.contaminationCheck(docs, bench))
+    val join = key(ops.PipelineOps.contaminationCheck(docs, bench,
+      maxLiteralShingles = 0))
+    assert(lit_ == join)
+    assert(lit_.nonEmpty && lit_.exists(_._3 > 0))
+  }
+
   test("mergeLatest keeps the greatest version per key across base and delta") {
     import spark.implicits._
     val base = Seq((1L, 10L, "old"), (2L, 10L, "only-base")).toDF("k", "v", "payload")

@@ -197,8 +197,10 @@ class PlanHygieneSpec extends SparkSpec {
       // both retrieval lists are bounded top-20 BEFORE the rank/fuse
       // (TakeOrdered, never a full sort of the scored corpus)
       "q_hybrid_rrf" -> Seq("TakeOrderedAndProject"),
-      // the benchmark shingle set joins the exploded corpus broadcast
-      "q_contamination" -> Seq("BroadcastHashJoin"),
+      // the benchmark shingle set is literal model state probed by the
+      // fused codegen pass — no exploded corpus rows, no join (the
+      // past-cap join path is dual-path spec'd in GraftOpsSpec)
+      "q_contamination" -> Seq("graft_shingle_hits"),
       // posting lists are capped via the bounded aggregation path
       // (ObjectHashAggregate partials), never an uncapped collect_list
       "q_inverted_index" -> Seq("ObjectHashAggregate"),
