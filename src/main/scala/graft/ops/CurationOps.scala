@@ -6,6 +6,8 @@ import org.apache.spark.sql.functions._
 
 import graft.{Q, QueryModule, Tables}
 
+import Present._
+
 /** Corpus-curation operators a production training-data pipeline runs
   * between raw crawl and tokenizer: PII detection/redaction, paragraph
   * (line-level) deduplication, URL canonicalization, and hashed-feature
@@ -285,7 +287,7 @@ object CurationOps extends QueryModule {
         sum(when(col("status") === "same", 1).otherwise(0))
           .cast("long").as("n_same"),
         sum(col("dtk")).cast("long").as("token_delta"))
-      .orderBy("source")
+      .boundedSort("source")
   }
 
   // ------------------------------------------------------------------
@@ -447,7 +449,7 @@ object CurationOps extends QueryModule {
           sum(col("n_phones")).cast("long").as("n_phones"),
           sum(length(col("pii_text")) - length(col("scrubbed")))
             .cast("long").as("chars_redacted"))
-        .orderBy("source")
+        .boundedSort("source")
     },
 
     // Paragraph-level dedup statistics + the CCNet drop rule.
@@ -567,7 +569,7 @@ object CurationOps extends QueryModule {
             .cast("long").as("n_changed"),
           sum(length(col("dirty"))).cast("long").as("chars_before"),
           sum(length(col("norm"))).cast("long").as("chars_after"))
-        .orderBy("source")
+        .boundedSort("source")
     },
 
     // URL blocklist gate over a synthesized per-doc home URL
@@ -621,7 +623,7 @@ object CurationOps extends QueryModule {
               .cast("long").as("blocked_path"),
             sum(when(col("status") === "kept", 1).otherwise(0))
               .cast("long").as("kept"))
-          .orderBy("source")
+          .boundedSort("source")
       }
     },
 

@@ -4,6 +4,8 @@ import org.apache.spark.sql.functions._
 
 import graft.{Q, QueryModule, Tables}
 
+import Present._
+
 /** Deduplication operators for a large-scale training-data pipeline
   * (SURVEY.md §2C): exact, fingerprint, MinHash+LSH banding, n-gram
   * Jaccard, SimHash.
@@ -304,7 +306,7 @@ object DedupOps extends QueryModule {
           .cast("long").as("dropped_index"),
         sum(when(col("status") === "dropped_batch", 1).otherwise(0))
           .cast("long").as("dropped_batch"))
-      .orderBy("source")
+      .boundedSort("source")
   }
 
   /** The stored-LSH-index rows for a (doc_id, text) frame: one row per
@@ -432,7 +434,7 @@ object DedupOps extends QueryModule {
         sum(when(col("is_val") && col("leaked"), 1).otherwise(0))
           .cast("long").as("n_leaked_val"))
       .withColumn("n_clean_val", col("n_val") - col("n_leaked_val"))
-      .orderBy("source")
+      .boundedSort("source")
   }
 
   def queries: Seq[Q] = Seq(
@@ -714,7 +716,7 @@ object DedupOps extends QueryModule {
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"),
           sum(TextOps.wordCount(col("text"))).as("total_tokens"))
-        .orderBy("source")
+        .boundedSort("source")
     },
 
     // Train/val split leakage: near-dup decontamination audit of a

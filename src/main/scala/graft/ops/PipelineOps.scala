@@ -6,6 +6,8 @@ import org.apache.spark.sql.functions._
 
 import graft.{Q, QueryModule, Tables}
 
+import Present._
+
 /** Training-data pipeline operators beyond the dedup/similarity suite
   * (SURVEY.md §2C): repetition-based quality signals, sequence packing,
   * inverted-index construction, deterministic stratified sampling, a
@@ -408,7 +410,7 @@ object PipelineOps extends QueryModule {
         count(when(col("__graft_h") < col("h_thr"), 1)).as("n_docs_kept"),
         coalesce(sum(when(col("__graft_h") < col("h_thr"), col("n_tokens"))), lit(0L))
           .as("kept_tokens"))
-      .orderBy("source")
+      .boundedSort("source")
   }
 
   def sourceMix(docs: DataFrame, targetTokens: Long): DataFrame = {
@@ -1264,7 +1266,7 @@ object PipelineOps extends QueryModule {
           count(lit(1)).as("n_docs"),
           sum(col("n_tokens")).as("total_tokens"),
           (max(col("end_seq")) + 1).as("n_seqs"))
-        .orderBy("source")
+        .boundedSort("source")
     },
 
     // Out-of-vocabulary rate per document against the corpus's own
@@ -1314,7 +1316,7 @@ object PipelineOps extends QueryModule {
         .agg(count(lit(1)).as("n_docs"),
           min(col("n_chars")).as("min_chars"),
           max(col("n_chars")).as("max_chars"))
-        .orderBy("decile")
+        .boundedSort("decile")
     },
 
     // Quality/quantity tradeoff curve: for every decile cutoff d, how

@@ -7,6 +7,8 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.{Q, QueryModule, Tables}
 
+import Present._
+
 /** Relational core (SURVEY.md §2B): scans, filters, every join type,
   * aggregations (incl. rollup/cube/grouping sets), window functions,
   * sort/limit/top-k, set operations.
@@ -116,7 +118,7 @@ object RelationalOps extends QueryModule {
         .agg(
           Exact.dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
           count(lit(1)).as("n_items"))
-        .orderBy("n_name")
+        .boundedSort("n_name")
     },
 
     Q(
@@ -458,7 +460,7 @@ object RelationalOps extends QueryModule {
         .groupBy(col("n_name"))
         .agg(Exact.dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
           .as("revenue"))
-        .orderBy(col("revenue").desc, col("n_name"))
+        .boundedSortCols(col("revenue").desc, col("n_name"))
     },
 
     // TPC-H Q4 shape (order priority checking): EXISTS-style semi join
@@ -516,7 +518,7 @@ object RelationalOps extends QueryModule {
         .agg(count(col("o_orderkey")).as("c_count"))
         .groupBy("c_count")
         .agg(count(lit(1)).as("custdist"))
-        .orderBy(col("custdist").desc, col("c_count").desc)
+        .boundedSortCols(col("custdist").desc, col("c_count").desc)
     },
 
     // TPC-H Q7 shape (volume shipping between two nations): the fact
@@ -1093,7 +1095,7 @@ object RelationalOps extends QueryModule {
           Exact.davg(col("l_quantity")).as("avg_qty"),
           Exact.davg(col("l_discount")).as("avg_disc"),
           count(lit(1)).as("count_order"))
-        .orderBy("l_returnflag", "l_linestatus")
+        .boundedSort("l_returnflag", "l_linestatus")
     },
 
     Q(

@@ -5,6 +5,8 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 
+import Present._
+
 /** Text analysis operators over the `documents` table.
   *
   * The flagship computation mirrors the reference's word count
@@ -221,7 +223,7 @@ object TextOps {
         .join(ml, Seq("source"))
         .select("source", "n_docs", "n_tokens", "token_share", "top_lang",
           "p50_tokens", "p90_tokens")
-        .orderBy("source")
+        .boundedSort("source")
     },
 
     graft.Q(

@@ -5,6 +5,8 @@ import org.apache.spark.sql.functions._
 
 import graft.{Q, QueryModule, Tables}
 
+import Present._
+
 /** Training-run preparation operators: the last mile between a curated
   * corpus and a training job.
   *
@@ -449,7 +451,7 @@ object TrainPrepOps {
           min_by(col("doc_id"), col("shuffle_h")).as("first_doc"),
           min(col("shuffle_h")).as("min_h"),
           max(col("shuffle_h")).as("max_h"))
-        .orderBy("shard")
+        .boundedSort("shard")
     },
 
     // Domain-level curation: synthetic home domains (97 per source, the
@@ -508,7 +510,7 @@ object TrainPrepOps {
           count(lit(1)).as("n_docs_kept"),
           sum(col("n_words")).as("n_tokens_kept"),
           countDistinct(col("domain")).as("n_domains_kept"))
-        .orderBy("source")
+        .boundedSort("source")
     }
   )
 }
