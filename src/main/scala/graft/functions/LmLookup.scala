@@ -90,6 +90,37 @@ case class BackoffLp(child: Expression, bc: Broadcast[LmMap])
     copy(child = newChild)
 }
 
+/** `graft_bloom_contains(key)` — codegen probe of a broadcast
+  * `util.sketch.BloomFilter` over a BIGINT key: the bloom-prefilter's
+  * hot-path test stays inside whole-stage codegen (the ScalaUDF
+  * spelling it replaces broke codegen at the fact scan and boxed every
+  * key).
+  */
+case class BloomContains(child: Expression,
+    bc: Broadcast[org.apache.spark.util.sketch.BloomFilter])
+    extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def prettyName: String = "graft_bloom_contains"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a BIGINT argument, got ${child.dataType.catalogString}")
+
+  override def nullSafeEval(input: Any): Any =
+    bc.value.mightContainLong(input.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcRef = ctx.addReferenceObj("bloomBc", bc, classOf[Broadcast[_]].getName)
+    defineCodeGen(ctx, ev, c =>
+      s"((org.apache.spark.util.sketch.BloomFilter) $bcRef.value()).mightContainLong($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BloomContains =
+    copy(child = newChild)
+}
+
 /** Literal string-set state (same transport rationale as [[LmMap]]):
   * a benchmark's distinct shingle set, broadcast once.
   */

@@ -134,13 +134,19 @@ object PipelineOps extends QueryModule {
     // dim-sized scalar count job (not a data collect)
     val nKeys = if (expectedKeys > 0) expectedKeys else math.max(keys.count(), 1000L)
     val bf = keys.stat.bloomFilter(dimKey, nKeys, fpp)
-    val mightContain =
-      udf((k: java.lang.Long) => k != null && bf.mightContain(k.longValue()))
+    // the probe rides a codegen expression over an executor broadcast —
+    // a ScalaUDF here broke whole-stage codegen at the fact scan and
+    // boxed every key, and an expression-held sketch would deserialize
+    // per task instead of once per executor
+    val bfBc = fact.sparkSession.sparkContext.broadcast(bf)
+    val mightContain = org.apache.spark.sql.GraftBridge.column(
+      graft.functions.BloomContains(
+        org.apache.spark.sql.GraftBridge.expression(col(factKey)), bfBc))
     // no broadcast hint: the prefilter exists precisely for dims that may
     // outgrow broadcast range, so the join strategy is the planner's call
     // (AQE broadcasts small dims on its own)
     fact
-      .filter(mightContain(col(factKey)))
+      .filter(mightContain)
       .join(keys, col(factKey) === col(dimKey), "left_semi")
   }
 
@@ -1093,11 +1099,14 @@ object PipelineOps extends QueryModule {
         |WHERE l_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_nationkey < 5)
         |GROUP BY l_suppkey ORDER BY l_suppkey"""
     ) { (s, d) =>
+      // expectedKeys: a production caller sizes the sketch from table
+      // stats (suppliers in 5 of 25 nations); the estimate only needs
+      // the right order of magnitude and skips the dim count job
       graft.GraftOps.bloomSemiJoin(
         Tables.lineitem(s, d).select(col("l_suppkey"), col("l_quantity")),
         "l_suppkey",
         Tables.supplier(s, d).filter(col("s_nationkey") < 5),
-        "s_suppkey")
+        "s_suppkey", expectedKeys = 2000L)
         .groupBy("l_suppkey")
         .agg(count(lit(1)).as("n_items"), Exact.dsum(col("l_quantity")).as("sum_qty"))
         .orderBy("l_suppkey")

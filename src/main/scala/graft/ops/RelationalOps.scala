@@ -829,7 +829,8 @@ object RelationalOps extends QueryModule {
           amount.as("amount"))
         .groupBy("nation", "o_year")
         .agg(Exact.dsum(col("amount")).as("sum_profit"))
-        .orderBy(col("nation"), col("o_year").desc)
+        // bounded domain: 25 nations x order-date years
+        .boundedSortCols(col("nation"), col("o_year").desc)
     },
 
     // TPC-H Q8 shape (national market share): the 8-way join-order
