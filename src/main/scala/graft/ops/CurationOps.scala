@@ -51,20 +51,28 @@ object CurationOps extends QueryModule {
     * `n_emails`/`n_ips`/`n_phones` (match counts on the ORIGINAL text,
     * so overlapping categories each see the raw string) and `scrubbed`
     * (emails → `[EMAIL]`, then IPv4 → `[IP]`, then phones → `[PHONE]`,
-    * in that fixed order on both engines). Fully narrow — regex work
-    * rides whole-stage codegen inside the scan's project.
+    * in that fixed order on both engines). Fully narrow, and all four
+    * outputs come from ONE fused codegen pass
+    * ([[graft.functions.PiiStats]] — the builtins chain evaluated six
+    * regex expressions per row, each with its own string conversion;
+    * builtin parity is spec'd in CurationOpsSpec); codegen
+    * subexpression elimination dedups the struct-field reads.
     */
   def piiScrub(df: DataFrame, textCol: String = "text"): DataFrame = {
-    val t = col(textCol)
-    df.withColumn("n_emails", regexp_count(t, lit(EmailRe)))
-      .withColumn("n_ips", regexp_count(t, lit(Ipv4Re)))
-      .withColumn("n_phones", regexp_count(t, lit(PhoneRe)))
-      .withColumn("scrubbed",
-        regexp_replace(
-          regexp_replace(
-            regexp_replace(t, EmailRe, "[EMAIL]"),
-            Ipv4Re, "[IP]"),
-          PhoneRe, "[PHONE]"))
+    val st = org.apache.spark.sql.GraftBridge.column(
+      graft.functions.PiiStats(
+        org.apache.spark.sql.GraftBridge.expression(col(textCol))))
+    // the struct lands in its OWN projection and the four field reads
+    // in the next: CollapseProject keeps the split (a non-cheap
+    // expression referenced four times is not inlined), so the battery
+    // runs once per row even where codegen-level subexpression
+    // elimination would not reach (e.g. into partial aggregates)
+    df.withColumn("__graft_pii_st", st)
+      .withColumn("n_emails", col("__graft_pii_st.n_emails"))
+      .withColumn("n_ips", col("__graft_pii_st.n_ips"))
+      .withColumn("n_phones", col("__graft_pii_st.n_phones"))
+      .withColumn("scrubbed", col("__graft_pii_st.scrubbed"))
+      .drop("__graft_pii_st")
   }
 
   /** The shared dirty-text derivation: one email, one IPv4, one phone

@@ -141,6 +141,37 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("fused PII pass matches the builtins regex chain") {
+    import spark.implicits._
+    // crafted rows covering every pattern, overlaps, repeats, and misses
+    val texts = Seq(
+      "a@b.co and c.d-e@f.g.hh twice a@b.co",
+      "ip 1.2.3.4 then 255.255.255.255 and phone 555-1234",
+      "overlap a@1.2.3.4.com near 999-0000 123-4567",
+      "nothing to see here",
+      "edge .@. 1.2.3 555-123 12.34.56.789.00")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val fused = ops.CurationOps.piiScrub(df)
+      .select("doc_id", "n_emails", "n_ips", "n_phones", "scrubbed")
+      .orderBy("doc_id").collect().toSeq
+    val t = col("text")
+    val builtins = df
+      .withColumn("n_emails", regexp_count(t, lit(ops.CurationOps.EmailRe)))
+      .withColumn("n_ips", regexp_count(t, lit(ops.CurationOps.Ipv4Re)))
+      .withColumn("n_phones", regexp_count(t, lit(ops.CurationOps.PhoneRe)))
+      .withColumn("scrubbed",
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(t, ops.CurationOps.EmailRe, "[EMAIL]"),
+            ops.CurationOps.Ipv4Re, "[IP]"),
+          ops.CurationOps.PhoneRe, "[PHONE]"))
+      .select("doc_id", "n_emails", "n_ips", "n_phones", "scrubbed")
+      .orderBy("doc_id").collect().toSeq
+    assert(fused == builtins)
+    assert(fused.exists(_.getInt(1) > 0) && fused.exists(_.getInt(2) > 0))
+  }
+
   test("urlBlocklistGate: dot-suffix subdomain match, no bare-suffix false positive") {
     import spark.implicits._
     val docs = Seq(

@@ -209,7 +209,10 @@ class PlanHygieneSpec extends SparkSpec {
       // (measured 4-7x slower) would erase these function names
       "q_gopher_rules" -> Seq("graft_gopher_stats", "graft_suffix_lines"),
       "q_c4_clean" -> Seq("graft_c4_stats", "graft_suffix_lines"),
-      "q_line_dedup" -> Seq("graft_token_lines"))
+      "q_line_dedup" -> Seq("graft_token_lines"),
+      // the PII battery is one fused pass (six builtin regex
+      // evaluations per row collapsed into graft_pii_stats)
+      "q_pii_scrub" -> Seq("graft_pii_stats"))
     val failures = mustContain.toSeq.sortBy(_._1).flatMap { case (name, frags) =>
       val plan = SparkEntry.queries(name)(spark, sfDir)
         .queryExecution.executedPlan.toString
