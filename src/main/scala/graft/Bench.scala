@@ -101,6 +101,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // AQE stays ON even at bench scale: a clean same-window A/B over the
+    // full headline (r10) read AQE-off as +10.5s suite-wide — runtime
+    // partition coalescing and broadcast conversion buy more than the
+    // per-query-stage job materialization costs, even at sf0.1 on
+    // local[4]. (Model-state loops still scope it off via TinyLoop,
+    // where the loop-job arithmetic is different.)
     // Steady-state measurement: one full unmeasured warmup pass (JIT
     // compilation of generated code, parquet footer/page cache, shuffle
     // machinery), then three measured passes reporting the per-query MIN

@@ -221,6 +221,14 @@ object FilterOps extends QueryModule {
       .select(col("dg"), lit(true).as("is_boiler"))
     lines
       .join(boiler, Seq("dg"), "left")
+      // RANGE-partition on doc_id up front (the q_window_moving move):
+      // it satisfies the rebuild aggregation's ClusteredDistribution,
+      // and because the presentation ORDER BY is doc_id, the final sort
+      // is LOCAL — the old plan re-exchanged the AGGREGATED output
+      // (doc_id + the full rebuilt `cleaned` text, the heaviest column
+      // in the query) through a second full shuffle + boundary-sampling
+      // pass just to order it.
+      .repartitionByRange(col("doc_id"))
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_lines"),
