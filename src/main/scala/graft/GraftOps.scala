@@ -223,14 +223,19 @@ object GraftOps {
     ops.PipelineOps.oovRate(docs, vocabSize)
 
   /** Global decile of `metricCol` per row (ties by `idCol`), computed
-    * two-phase (value buckets + broadcast offsets) so no single-task
-    * window appears at any corpus size. `bucketWidth` is the value-space
-    * bucket size for the partial ranks. Verified by `q_quality_deciles`.
+    * two-phase (value buckets + offsets) so no single-task window
+    * appears at any corpus size. `bucketWidth` is the value-space
+    * bucket size for the partial ranks. When the measured bucket count
+    * is bounded the offsets ride a literal broadcast map (EAGER:
+    * histogram collected at call time); past the cap the broadcast-
+    * offsets join path takes over. Verified by `q_quality_deciles`.
     */
   def valueDeciles(
       df: DataFrame, metricCol: String, idCol: String,
-      bucketWidth: Int, carryCols: Seq[String] = Nil): DataFrame =
-    ops.PipelineOps.valueDeciles(df, metricCol, idCol, bucketWidth, carryCols)
+      bucketWidth: Int, carryCols: Seq[String] = Nil,
+      maxLiteralBuckets: Long = ops.PipelineOps.MaxLiteralDecileBuckets): DataFrame =
+    ops.PipelineOps.valueDeciles(df, metricCol, idCol, bucketWidth, carryCols,
+      maxLiteralBuckets)
 
   /** BPE merge training over (doc_id, text) rows: `rounds` most-frequent
     * adjacent-symbol merges, computed on the corpus's word-frequency

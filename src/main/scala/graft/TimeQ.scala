@@ -58,16 +58,29 @@ object TimeQ {
         // private[spark]; a short drain sleep is enough for a dev tool)
         Thread.sleep(150)
         jobs.set(0); starts.clear(); durs.clear(); descs.clear()
+        // split out the DRIVER-SIDE cost: DataFrame construction +
+        // analysis (buildMs) and optimization + physical planning
+        // (planMs) — the part of the per-query floor no job-count cut
+        // can touch. The write action below replans its own command
+        // wrapper, so this is a lower bound on planning paid per run.
+        val tb = System.nanoTime()
+        val df = SparkEntry.queries(n)(spark, sfDir)
+        df.queryExecution.analyzed
+        val tp = System.nanoTime()
+        df.queryExecution.executedPlan
         val t0 = System.nanoTime()
-        run(n)
-        ((System.nanoTime() - t0) / 1e9, jobs.get(),
+        df.write.format("noop").mode("overwrite").save()
+        ((System.nanoTime() - tb) / 1e9, jobs.get(),
           durs.toSeq.sortBy(_._1).map(_._2).mkString(","),
           descs.toSeq.sortBy(_._1)
             .map { case (id, d) => s"  job $id: ${durs.getOrElse(id, -1L)}ms  $d" }
-            .mkString("\n"))
+            .mkString("\n"),
+          (tp - tb) / 1e9, (t0 - tp) / 1e9)
       }
       val best = runs.minBy(_._1)
-      println(f"[timeq] $n%-24s ${best._1}%8.3f s  jobs=${best._2}  jobMs=[${best._3}]")
+      println(f"[timeq] $n%-24s ${best._1}%8.3f s  jobs=${best._2}  " +
+        f"buildMs=${math.round(best._5 * 1000)}  planMs=${math.round(best._6 * 1000)}  " +
+        f"jobMs=[${best._3}]")
       if (sys.env.contains("SPARK_GRAFT_JOBDESC")) println(best._4)
     }
     spark.stop()

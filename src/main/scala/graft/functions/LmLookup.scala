@@ -198,3 +198,52 @@ case class MapLp(child: Expression, bc: Broadcast[LmMap]) extends LmProbe {
   override protected def withNewChildInternal(newChild: Expression): MapLp =
     copy(child = newChild)
 }
+
+/** Literal long-keyed model state (same transport rationale as
+  * [[LmMap]]): the two-phase global-rank recipe's bucket → offset
+  * table when the bucket count is bounded (valueDeciles' literal
+  * path).
+  */
+final class LongMap(val m: java.util.HashMap[java.lang.Long, java.lang.Long])
+    extends Serializable
+
+object LongMapUtil {
+  def lookup(lm: LongMap, k: Long): java.lang.Long = lm.m.get(k)
+}
+
+/** `graft_long_map(k)` — broadcast BIGINT → BIGINT probe; null when
+  * the key is absent (for the offset table that cannot happen by
+  * construction: the map is collected from the same frame it probes).
+  */
+case class LongMapLookup(child: Expression, bc: Broadcast[LongMap])
+    extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_long_map"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a BIGINT argument, got ${child.dataType.catalogString}")
+
+  override def nullSafeEval(input: Any): Any = {
+    val r = LongMapUtil.lookup(bc.value, input.asInstanceOf[Long])
+    if (r == null) null else r.longValue()
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, { c =>
+      val bcRef = ctx.addReferenceObj("longMapBc", bc,
+        classOf[Broadcast[_]].getName)
+      s"""
+         |java.lang.Long ${ev.value}_r = graft.functions.LongMapUtil.lookup(
+         |  (graft.functions.LongMap) $bcRef.value(), $c);
+         |if (${ev.value}_r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ${ev.value}_r.longValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): LongMapLookup =
+    copy(child = newChild)
+}

@@ -277,9 +277,17 @@ object FilterOps extends QueryModule {
     *     up the new broadcast on its next batch; no restart.
     */
   def perplexityFilter(docs: DataFrame, keepFromDecile: Int = 4): DataFrame = {
-    val lp = PipelineOps.bigramLogProb(docs)
-      .withColumn("lp_micro",
-        floor(col("avg_logprob") * 1e6 + lit(0.5)).cast("long"))
+    // Materialize the SCORED frame once (narrow per-doc rows — exactly
+    // what a production gate persists between scoring and bucketing):
+    // valueDeciles reads its input twice (bucket histogram + in-bucket
+    // rank), and without this checkpoint each read re-ran the whole
+    // explode-probe-aggregate scoring pass over the corpus.
+    val lp = TinyLoop.withCorpusPassConfs(docs.sparkSession) {
+      PipelineOps.bigramLogProb(docs)
+        .withColumn("lp_micro",
+          floor(col("avg_logprob") * 1e6 + lit(0.5)).cast("long"))
+        .localCheckpoint()
+    }
     // the decile itself is the shared two-phase value-bucket recipe
     // (ONE implementation — q_quality_deciles rides the same code);
     // 0.1-logprob buckets keep the in-bucket window partitions

@@ -216,7 +216,7 @@ object PipelineOps extends QueryModule {
       if (maxLiteralTypes > 0) TinyLoop.boundedCollect(countsPlan, maxLiteralTypes)
       else Array.empty[org.apache.spark.sql.Row]
     if (maxLiteralTypes > 0 && probeRows.length <= maxLiteralTypes) {
-      val cu = new java.util.HashMap[String, Long](probeRows.length * 2)
+      val cu = new java.util.HashMap[String, java.lang.Long](probeRows.length * 2)
       probeRows.foreach { r =>
         val w1 = r.getString(0).substring(0, r.getString(0).indexOf(' '))
         val prev = cu.get(w1)
@@ -598,16 +598,34 @@ object PipelineOps extends QueryModule {
         (col("n_oov").cast("double") / col("n_tokens")).as("oov_rate"))
   }
 
+  /** Bucket-count cap for [[valueDeciles]]' literal-offsets path: the
+    * offset table is bounded by metric_range / bucketWidth — a DOMAIN
+    * property (logprob range, document-length cap), not a corpus-size
+    * one — so callers that choose a sane width stay far under this.
+    * 64k buckets ≈ 1 MB of broadcast state.
+    */
+  val MaxLiteralDecileBuckets = 65536L
+
   /** Global decile assignment by `metricCol` without a single-task
     * window: fixed-width value buckets partition the rank computation
     * (the q_rank_global two-phase recipe), a tiny per-bucket offset
     * table turns in-bucket ranks into global ranks, and the decile is
     * integer arithmetic on the global rank — the curriculum-bucketing
     * step of a training-data pipeline, at any corpus size.
+    *
+    * NOTE: EAGER under the literal path (the [[bigramLogProb]]
+    * discipline) — the bucket histogram is collected at call time to
+    * decide the physical path and bake the offsets; decile cutoffs are
+    * MODEL STATE (the perplexity gate's streaming recipe freezes
+    * exactly these), so the collect is the one bounded model read, not
+    * a data-scale driver pull. Past [[MaxLiteralDecileBuckets]] the
+    * distributed broadcast-offsets spelling takes over (dual-path
+    * equality spec'd in GraftOpsSpec).
     */
   def valueDeciles(
       df: DataFrame, metricCol: String, idCol: String,
-      bucketWidth: Int, carryCols: Seq[String] = Nil): DataFrame = {
+      bucketWidth: Int, carryCols: Seq[String] = Nil,
+      maxLiteralBuckets: Long = MaxLiteralDecileBuckets): DataFrame = {
     // carry columns are selected alongside the recipe's internals — a
     // collision would be an ambiguous reference or silently wrong
     // decile arithmetic, so fail with the contract-naming message the
@@ -630,6 +648,37 @@ object PipelineOps extends QueryModule {
       "__graft_bkt", expr(s"CAST(`$metricCol` AS BIGINT) div $bucketWidth"))
     val wIn = Window.partitionBy("__graft_bkt")
       .orderBy(col(metricCol), col(idCol))
+    // Literal-offsets path: ONE bounded single-job collect of the
+    // bucket histogram replaces the offsets subtree (a second full
+    // evaluation of `df` into a groupBy + two aggregate-scale windows +
+    // a broadcast build). The cumulative offsets and n_total are the
+    // exact integer mirror of the wOff/wAll windows below; the probe is
+    // a narrow codegen broadcast lookup, so the corpus-side plan is
+    // exchange-on-bucket + in-bucket rank + project — nothing else.
+    if (maxLiteralBuckets > 0) {
+      val hist = graft.ops.TinyLoop.boundedCollect(
+        bucketed.groupBy("__graft_bkt").agg(count(lit(1)).as("nb")),
+        maxLiteralBuckets)
+      if (hist.length <= maxLiteralBuckets) {
+        val sorted = hist.map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+        val nTotal = sorted.iterator.map(_._2).sum
+        val hm = new java.util.HashMap[java.lang.Long, java.lang.Long](
+          sorted.length * 2)
+        var acc = 0L
+        sorted.foreach { case (bkt, nb) => hm.put(bkt, acc); acc += nb }
+        val bc = df.sparkSession.sparkContext
+          .broadcast(new graft.functions.LongMap(hm))
+        return bucketed
+          .withColumn("__graft_rn", row_number().over(wIn))
+          .withColumn("__graft_off", org.apache.spark.sql.GraftBridge.column(
+            graft.functions.LongMapLookup(
+              org.apache.spark.sql.GraftBridge.expression(col("__graft_bkt")),
+              bc)))
+          .select(Seq(col(idCol), col(metricCol)) ++ carryCols.map(col) :+
+            (expr(s"(__graft_off + __graft_rn - 1) * 10 div CAST($nTotal AS BIGINT)") + 1)
+              .as("decile"): _*)
+      }
+    }
     val wOff = Window.orderBy("__graft_bkt")
       .rowsBetween(Window.unboundedPreceding, -1)
     // n_total rides the same aggregate-scale bucket table (unbounded

@@ -394,6 +394,19 @@ class GraftOpsSpec extends SparkSpec {
     }
   }
 
+  test("valueDeciles literal and distributed offset paths are identical") {
+    import spark.implicits._
+    // width 1 on a 0..499 metric → 500 buckets: enough to exercise the
+    // cumulative offsets; cap 0 forces the broadcast-offsets join path
+    val df = (1L to 2000L).map(i => (i, i * 13 % 500, i % 7)).toDF("id", "m", "c")
+    val lit = GraftOps.valueDeciles(df, "m", "id", bucketWidth = 1,
+      carryCols = Seq("c"))
+    val dist = GraftOps.valueDeciles(df, "m", "id", bucketWidth = 1,
+      carryCols = Seq("c"), maxLiteralBuckets = 0L)
+    assert(lit.columns.sameElements(dist.columns))
+    assert(lit.exceptAll(dist).isEmpty && dist.exceptAll(lit).isEmpty)
+  }
+
   test("sourceMix keeps small sources whole and downsamples big ones") {
     import spark.implicits._
     // source "big": 40 docs x 5 tokens = 200 tokens; "small": 2 docs
