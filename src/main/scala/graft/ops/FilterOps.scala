@@ -277,17 +277,26 @@ object FilterOps extends QueryModule {
     *     up the new broadcast on its next batch; no restart.
     */
   def perplexityFilter(docs: DataFrame, keepFromDecile: Int = 4): DataFrame = {
+    val scored = PipelineOps.bigramLogProb(docs)
+      .withColumn("lp_micro",
+        floor(col("avg_logprob") * 1e6 + lit(0.5)).cast("long"))
     // Materialize the SCORED frame once (narrow per-doc rows — exactly
-    // what a production gate persists between scoring and bucketing):
-    // valueDeciles reads its input twice (bucket histogram + in-bucket
-    // rank), and without this checkpoint each read re-ran the whole
-    // explode-probe-aggregate scoring pass over the corpus.
-    val lp = TinyLoop.withCorpusPassConfs(docs.sparkSession) {
-      PipelineOps.bigramLogProb(docs)
-        .withColumn("lp_micro",
-          floor(col("avg_logprob") * 1e6 + lit(0.5)).cast("long"))
-        .localCheckpoint()
-    }
+    // what a production gate persists between scoring and bucketing) —
+    // but ONLY when the LM took the literal path: there scoring is a
+    // narrow MapLp projection, and valueDeciles' two reads (bucket
+    // histogram + in-bucket rank) would re-run the whole explode-probe-
+    // aggregate pass twice with nothing for AQE to dedup. Under the
+    // distributed path the scoring subtree ends in a doc-keyed
+    // aggregation exchange that both reads already share via
+    // ReusedExchange — a checkpoint there only adds a full extra
+    // materialization (measured +5s at the 100x-mutate datapoint,
+    // where the vocabulary blow-up forces the distributed LM).
+    val literalLm = scored.queryExecution.analyzed.exists(
+      _.expressions.exists(_.exists(_.isInstanceOf[graft.functions.MapLp])))
+    val lp =
+      if (literalLm)
+        TinyLoop.withCorpusPassConfs(docs.sparkSession)(scored.localCheckpoint())
+      else scored
     // the decile itself is the shared two-phase value-bucket recipe
     // (ONE implementation — q_quality_deciles rides the same code);
     // 0.1-logprob buckets keep the in-bucket window partitions

@@ -904,25 +904,51 @@ object PipelineOps extends QueryModule {
   def bm25Scores(docs: DataFrame, queryTerms: Seq[String]): DataFrame = {
     val k1 = lit(1.2)
     val b = lit(0.75)
-    val dls = docs
-      .select(col("doc_id"), TextOps.wordCount(col("text")).as("dl"))
-      .filter(col("dl") > 0)
-    val stats = dls.agg(
-      count(lit(1)).as("n"),
-      (Exact.dsum(col("dl")) / count(lit(1))).as("avgdl"))
-    val tf = docs
-      .select(col("doc_id"), explode(words(col("text"))).as("term"))
-      .filter(col("term").isin(queryTerms: _*))
-      .groupBy("doc_id", "term")
-      .agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    // ONE fused corpus pass (r10; the r9 spelling ran two — a length
+    // pass and an explode-to-term-rows pass — then joined them back
+    // with the frequency table): per-doc length + per-query-term
+    // occurrence counts from the fused TokenSetCounts codegen scan,
+    // materialized once. The checkpoint is the standard narrow per-doc
+    // persist of a multi-read pipeline stage.
+    val perDoc = TinyLoop.withCorpusPassConfs(docs.sparkSession) {
+      docs.select(col("doc_id"),
+          TextOps.wordCount(col("text")).as("dl"),
+          graft.functions.GraftFunctions.token_set_counts(
+            words(col("text")), queryTerms.map(Seq(_))).as("tfs"))
+        .filter(col("dl") > 0)
+        .localCheckpoint()
+    }
+    // BM25's whole model state is K+2 numbers (N, Σdl, per-term doc
+    // frequency) — bounded by the QUERY's term count, not the corpus —
+    // so it is always literal state: one single-job aggregation read,
+    // then the stats bake into the scoring expression and no join
+    // (broadcast or otherwise) appears anywhere in the plan. This makes
+    // construction EAGER (the bigramLogProb discipline).
+    val statCols =
+      count(lit(1)).as("n") +:
+      Exact.dsum(col("dl")).as("sumdl") +:
+      queryTerms.indices.map(i =>
+        sum(when(element_at(col("tfs"), i + 1) > 0, 1L).otherwise(0L))
+          .as(s"df$i"))
+    val statsRow = TinyLoop.boundedCollect(
+      perDoc.agg(statCols.head, statCols.tail: _*), 2L).head
+    val n = statsRow.getLong(0)
+    // same IEEE division the old in-plan `dsum(dl) / count` performed
+    val avgdl = statsRow.getDouble(1) / n
+    val dfs = queryTerms.indices.map(i => statsRow.getLong(2 + i)).toArray
+    // scoring: narrow posexplode of the K-slot count array; df arrives
+    // by slot index from a K-element literal. The term-score expression
+    // is the r9 tree verbatim with the model columns replaced by
+    // literals, so every double op folds identically.
     val termScore = Exact.round6(
-      log((col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + 1)
+      log((lit(n) - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + 1)
         * (col("tf") * (k1 + 1))
-        / (col("tf") + k1 * (lit(1) - b + b * col("dl") / col("avgdl"))))
-    tf.join(broadcast(dfreq), "term")
-      .join(dls, "doc_id")
-      .crossJoin(broadcast(stats))
+        / (col("tf") + k1 * (lit(1) - b + b * col("dl") / lit(avgdl))))
+    perDoc
+      .select(col("doc_id"), col("dl"), posexplode(col("tfs")))
+      .toDF("doc_id", "dl", "i", "tf")
+      .filter(col("tf") > 0)
+      .withColumn("df", element_at(typedlit(dfs), col("i") + 1))
       .select(col("doc_id"), termScore.as("term_score"))
       .groupBy("doc_id")
       .agg(Exact.round6(Exact.dsum(col("term_score"))).as("score"))

@@ -189,11 +189,13 @@ class PlanHygieneSpec extends SparkSpec {
       // exploded corpus before the rebuild aggregation), and line
       // segmentation must stay the fused codegen pass
       "q_boilerplate_strip" -> Seq("BroadcastHashJoin", "graft_token_lines"),
-      // retrieval family (bench headline from r9): BM25's per-term df
-      // table arrives broadcast and the one-row corpus stats ride the
-      // broadcast nested-loop — the fact-scale (doc, term) aggregation
-      // must never re-shuffle against either
-      "q_bm25" -> Seq("BroadcastHashJoin", "BroadcastNestedLoopJoin"),
+      // retrieval family (bench headline from r9; literal-stats form
+      // r10): BM25's model state (N, Σdl, per-term df) bakes into the
+      // scoring expression over the checkpointed fused-scan frame, so
+      // the final plan is posexplode + one doc-keyed aggregation +
+      // bounded top-k — the no-join half of the pin lives in the
+      // literal-state test below
+      "q_bm25" -> Seq("TakeOrderedAndProject"),
       // both retrieval lists are bounded top-20 BEFORE the rank/fuse
       // (TakeOrdered, never a full sort of the scored corpus)
       "q_hybrid_rrf" -> Seq("TakeOrderedAndProject"),
@@ -326,7 +328,11 @@ class PlanHygieneSpec extends SparkSpec {
   // table crossJoin, or a broadcast query-set join) would re-add
   // broadcast-build jobs to every training-loop query.
   test("training queries plan no join at all (literal centroid + query state)") {
-    Seq("q_kmeans_embed", "q_ann_ivf_trained", "q_ann_ivf_nprobe").foreach { name =>
+    // q_bm25 joined its way from stats to scores until r10: now N, Σdl
+    // and the per-term doc frequencies are literal model state, so a
+    // join reappearing means the literal-stats path regressed
+    Seq("q_kmeans_embed", "q_ann_ivf_trained", "q_ann_ivf_nprobe",
+        "q_bm25").foreach { name =>
       val plan = SparkEntry.queries(name)(spark, sfDir)
         .queryExecution.executedPlan.toString
       assert(!plan.contains("Join"), s"unexpected join in $name plan:\n$plan")
