@@ -65,6 +65,10 @@ object GraftFunctions {
   def hashed_weight_sum(c: Column, weights: Seq[Long]): Column =
     GraftBridge.column(HashedWeightSum(GraftBridge.expression(c), weights))
 
+  /** Native per-doc md5-bucket token counts -> array<bigint>[dim]. */
+  def hashed_bucket_counts(c: Column, dim: Int): Column =
+    GraftBridge.column(HashedBucketCounts(GraftBridge.expression(c), dim))
+
   /** Native per-set token occurrence counts -> array<bigint>, one slot
     * per word set (sets baked into the plan as literals).
     */
@@ -159,6 +163,17 @@ object GraftFunctions {
           }
         }
         HashedWeightSum(exprs(0), ws)
+      },
+      "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_hashed_bucket_counts", exprs => {
+        require(exprs.length == 2,
+          "graft_hashed_bucket_counts(ws, dim) expects exactly 2 arguments")
+        require(exprs(1).resolved && exprs(1).foldable &&
+          exprs(1).dataType == org.apache.spark.sql.types.IntegerType,
+          "graft_hashed_bucket_counts dim must be a literal INT")
+        val dim = exprs(1).eval().asInstanceOf[Int]
+        HashedBucketCounts(exprs(0), dim)
       },
       "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -26,6 +26,12 @@ object HashedWeightSumUtil {
   // sees on both engines (Spark and DuckDB md5 both print lowercase)
   private val Hex = "0123456789abcdef".toCharArray
 
+  // shared by HashedBucketCounts so the training histogram and the
+  // scoring sum use bit-identical bucket arithmetic
+  private[functions] def digest(): java.security.MessageDigest = md.get()
+  private[functions] def bucketOf(b0: Int, dim: Int): Int =
+    (Hex(b0 >>> 4) * 16 + Hex(b0 & 0xF)) % dim
+
   /** Null-propagating like the builtins reference: a null token makes
     * the whole sum NULL (`acc + md5(null)` nulls the aggregate), so the
     * SQL-exposed form agrees with the spelling it claims parity with.
@@ -41,8 +47,7 @@ object HashedWeightSumUtil {
       digest.reset()
       val h = digest.digest(ws.getUTF8String(i).getBytes)
       val b0 = h(0) & 0xFF
-      val bucket = (Hex(b0 >>> 4) * 16 + Hex(b0 & 0xF)) % dim
-      s += weights(bucket)
+      s += weights(bucketOf(b0, dim))
       i += 1
     }
     java.lang.Long.valueOf(s)
@@ -91,5 +96,71 @@ case class HashedWeightSum(child: Expression, weights: Seq[Long])
   }
 
   override protected def withNewChildInternal(newChild: Expression): HashedWeightSum =
+    copy(child = newChild)
+}
+
+object HashedBucketCountsUtil {
+  /** Per-document md5-bucket occurrence counts in one fused pass —
+    * the histogram-TRAINING sibling of [[HashedWeightSumUtil.sum]]
+    * (same digest, same hex-ascii bucket arithmetic, so the counts
+    * this emits are exactly what the explode + bucketOf + groupBy
+    * spelling aggregates). Null token propagates null like the
+    * builtins reference.
+    */
+  def counts(ws: ArrayData, dim: Int): ArrayData = {
+    val digest = HashedWeightSumUtil.digest()
+    val out = new Array[Long](dim)
+    var i = 0
+    val n = ws.numElements()
+    while (i < n) {
+      if (ws.isNullAt(i)) return null
+      digest.reset()
+      val h = digest.digest(ws.getUTF8String(i).getBytes)
+      val b0 = h(0) & 0xFF
+      out(HashedWeightSumUtil.bucketOf(b0, dim)) += 1L
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      out.map(java.lang.Long.valueOf(_): AnyRef))
+  }
+}
+
+/** `graft_hashed_bucket_counts(ws)` -> array<bigint>[dim] of per-doc
+  * md5-bucket token counts: the corpus-histogram pass of DSIR-style
+  * importance weighting fused into one codegen scan (no per-token
+  * explode rows; the downstream aggregation sums dim-slot arrays).
+  */
+case class HashedBucketCounts(child: Expression, dim: Int)
+    extends UnaryExpression {
+  require(dim >= 1, s"HashedBucketCounts needs dim >= 1, got $dim")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_hashed_bucket_counts"
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<string>, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(ws: Any): Any =
+    HashedBucketCountsUtil.counts(ws.asInstanceOf[ArrayData], dim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("hbcTmp")
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData $tmp =
+         |  graft.functions.HashedBucketCountsUtil.counts($c, $dim);
+         |if ($tmp == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $tmp;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): HashedBucketCounts =
     copy(child = newChild)
 }

@@ -383,22 +383,43 @@ object CurationOps extends QueryModule {
       val h = md5(t)
       (ascii(substring(h, 1, 1)) * 16 + ascii(substring(h, 2, 1))) % HashDim
     }
-    val hist = docs
-      .select(col("source"), explode(ws).as("t"))
-      .select(bucketOf(col("t")).as("bkt"),
-        col("source").isInCollection(targetSources).as("is_tgt"))
-      .groupBy("bkt")
-      .agg(count(lit(1)).as("cr"),
-        sum(when(col("is_tgt"), 1L).otherwise(0L)).as("ct"))
-      .collect()
-    val nr = hist.map(_.getLong(1)).sum
-    val nt = hist.map(_.getLong(2)).sum
+    // Histogram pass fused (r10): one graft_hashed_bucket_counts scan
+    // emits each document's 64-slot bucket-count array — no per-token
+    // explode rows ever materialize — and a 2-group aggregation (target
+    // vs rest, 64 sums each) reduces the whole corpus to at most two
+    // rows read in one bounded job. Bucket arithmetic is shared code
+    // with the scoring pass's HashedWeightSum, so the counts are the
+    // explode + groupBy spelling's exactly (fused-vs-explode parity
+    // spec'd in FilterExprsSpec).
+    val aggCols = (0 until HashDim).map(i =>
+      sum(element_at(col("bc"), i + 1)).as(s"c$i"))
+    val grouped = TinyLoop.boundedCollect(
+      docs.select(
+          col("source").isInCollection(targetSources).as("is_tgt"),
+          graft.functions.GraftFunctions.hashed_bucket_counts(ws, HashDim)
+            .as("bc"))
+        .groupBy("is_tgt")
+        .agg(aggCols.head, aggCols.tail: _*), 4L)
+    val crArr = Array.fill(HashDim)(0L)
+    val ctArr = Array.fill(HashDim)(0L)
+    grouped.foreach { r =>
+      val tgt = r.getBoolean(0)
+      var i = 0
+      while (i < HashDim) {
+        val v = if (r.isNullAt(i + 1)) 0L else r.getLong(i + 1)
+        crArr(i) += v
+        if (tgt) ctArr(i) += v
+        i += 1
+      }
+    }
+    val nr = crArr.sum
+    val nt = ctArr.sum
     require(nt > 0,
       s"dsirWeights: no tokens found in target sources $targetSources")
     val rint = Array.fill(HashDim)(0L)
-    hist.foreach { r =>
-      val (b, cr, ct) = (r.getInt(0), r.getLong(1), r.getLong(2))
-      rint(b) = (BigInt(ct) * nr * 1000 / (BigInt(cr) * nt)).toLong
+    (0 until HashDim).foreach { b =>
+      if (crArr(b) > 0)
+        rint(b) = (BigInt(ctArr(b)) * nr * 1000 / (BigInt(crArr(b)) * nt)).toLong
     }
     // scoring pass: fused codegen weight sum over the collected ratio
     // table (model state baked into the plan), input range-exchanged

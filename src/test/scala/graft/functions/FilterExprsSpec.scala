@@ -172,6 +172,28 @@ class FilterExprsSpec extends SparkSpec {
     }
   }
 
+  test("hashed_bucket_counts == builtins md5-bucket histogram (fixture + random)") {
+    val dim = 64
+    val ws = TextOps.words(col("text"))
+    def bucketOf(t: org.apache.spark.sql.Column) = {
+      val h = md5(t)
+      (ascii(substring(h, 1, 1)) * 16 + ascii(substring(h, 2, 1))) % dim
+    }
+    // builtins histogram: count per bucket via size(filter(...))
+    val combos = (0 until dim).map(b =>
+      size(filter(ws, x => bucketOf(x) === b)).cast("long"))
+    val got = randomTexts.toDF("text").select(
+      (GraftFunctions.hashed_bucket_counts(ws, dim) +: combos :+ col("text")): _*)
+      .collect()
+    got.foreach { r =>
+      val fused = r.getSeq[Long](0)
+      (0 until dim).foreach { b =>
+        assert(fused(b) == r.getLong(1 + b),
+          s"bucket $b on '${r.getString(1 + dim)}': $fused")
+      }
+    }
+  }
+
   test("token_set_counts == builtins per-set filter counts (fixture + random)") {
     val sets = Seq(Seq("the", "a", "of", "and", "to"),
       Seq("el", "una", "y", "que", "los"), Seq("..."))
