@@ -32,6 +32,36 @@ object Tables {
     spark.read.schema(sch).parquet(path)
   }
 
+  /** Footer row-count catalog: exact table cardinality summed from the
+    * parquet block metadata — ZERO Spark jobs, the statistics read a
+    * metastore-backed engine answers from its catalog. Callers use it
+    * to size data structures (bloom sketches) and gate physical paths
+    * the way the planner uses table stats; cached like the schema.
+    */
+  private val rowCountCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  def rowCount(spark: SparkSession, dir: String, name: String): Long =
+    rowCountCache.computeIfAbsent(s"$dir/$name.parquet", path => {
+      val conf = spark.sessionState.newHadoopConf()
+      val root = new org.apache.hadoop.fs.Path(path)
+      val fs = root.getFileSystem(conf)
+      def footerRows(f: org.apache.hadoop.fs.Path): Long = {
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getFooter.getBlocks.asInstanceOf[java.util.List[
+          org.apache.parquet.hadoop.metadata.BlockMetaData]]
+          .stream().mapToLong(_.getRowCount).sum()
+        finally r.close()
+      }
+      val st = fs.getFileStatus(root)
+      if (st.isDirectory)
+        fs.listStatus(root).iterator
+          .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+          .map(s => footerRows(s.getPath)).sum
+      else footerRows(root)
+    })
+
   def region(s: SparkSession, d: String): DataFrame     = apply(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = apply(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame   = apply(s, d, "customer")

@@ -1174,14 +1174,17 @@ object PipelineOps extends QueryModule {
         |WHERE l_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_nationkey < 5)
         |GROUP BY l_suppkey ORDER BY l_suppkey"""
     ) { (s, d) =>
-      // expectedKeys: a production caller sizes the sketch from table
-      // stats (suppliers in 5 of 25 nations); the estimate only needs
-      // the right order of magnitude and skips the dim count job
+      // expectedKeys from CATALOG stats: exact supplier cardinality
+      // read from the parquet footers (zero jobs, Tables.rowCount) x
+      // the predicate's selectivity (5 of the 25 fixed nations) — how a
+      // production planner sizes the sketch; only the order of
+      // magnitude matters, and the dim count job is skipped
       graft.GraftOps.bloomSemiJoin(
         Tables.lineitem(s, d).select(col("l_suppkey"), col("l_quantity")),
         "l_suppkey",
         Tables.supplier(s, d).filter(col("s_nationkey") < 5),
-        "s_suppkey", expectedKeys = 2000L)
+        "s_suppkey",
+        expectedKeys = math.max(Tables.rowCount(s, d, "supplier") / 5, 100L))
         .groupBy("l_suppkey")
         .agg(count(lit(1)).as("n_items"), Exact.dsum(col("l_quantity")).as("sum_qty"))
         .orderBy("l_suppkey")

@@ -48,4 +48,15 @@ class SourcesSpec extends SparkSpec {
     }
     assert(ex.getMessage != null)
   }
+  test("Tables.rowCount reads exact cardinality from parquet footers") {
+    // the catalog-statistics read must agree with a full count at every
+    // generated SF, for a single-file table and the widest one
+    Seq("sf0.001", "sf0.01").foreach { sf =>
+      val dir = s"/root/testdata/$sf"
+      Seq("supplier", "lineitem", "documents").foreach { t =>
+        assert(Tables.rowCount(spark, dir, t) == Tables(spark, dir, t).count(),
+          s"footer row count diverges for $dir/$t")
+      }
+    }
+  }
 }
