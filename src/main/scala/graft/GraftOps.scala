@@ -215,6 +215,16 @@ object GraftOps {
       fpp: Double = 0.01, expectedKeys: Long = -1L): DataFrame =
     ops.PipelineOps.bloomSemiJoin(fact, factKey, dim, dimKey, fpp, expectedKeys)
 
+  /** Okapi BM25 (k1=1.2, b=0.75) score of every document against a
+    * fixed query-term set: one fused corpus pass; the whole model
+    * state (N, Σdl, per-term doc frequency) is K+2 numbers and bakes
+    * into the scoring expression, so the plan is JOIN-FREE at any
+    * corpus size. EAGER ([[bigramLogProb]] discipline). Verified by
+    * `q_bm25` (and fused into `q_hybrid_rrf`).
+    */
+  def bm25Scores(docs: DataFrame, queryTerms: Seq[String]): DataFrame =
+    ops.PipelineOps.bm25Scores(docs, queryTerms)
+
   /** Per-document out-of-vocabulary rate against the corpus's own
     * top-`vocabSize` terms (deterministic top-k by freq desc, word).
     * Verified by `q_oov_rate`.
