@@ -422,15 +422,23 @@ object CurationOps extends QueryModule {
         rint(b) = (BigInt(ctArr(b)) * nr * 1000 / (BigInt(crArr(b)) * nt)).toLong
     }
     // scoring pass: fused codegen weight sum over the collected ratio
-    // table (model state baked into the plan), input range-exchanged
-    // first so the presentation sort costs no second compute
-    docs
-      .repartitionByRange(col("doc_id"))
-      .select(col("doc_id"),
-        size(ws).cast("long").as("n_words"),
-        graft.functions.GraftFunctions.hashed_weight_sum(
-          ws, rint.toIndexedSeq).as("wsum"))
-      .filter(col("n_words") >= 1)
+    // table (model state baked into the plan), materialized as NARROW
+    // per-doc rows BEFORE the presentation sort — the previous spelling
+    // range-exchanged the raw documents so the sort's sampling stayed
+    // cheap, which shipped the full TEXT column through the shuffle; at
+    // corpus scale text must never shuffle (the corpusDiff discipline),
+    // and sorting the 24-byte checkpointed rows costs the sampling pass
+    // nothing.
+    val scored = TinyLoop.withCorpusPassConfs(docs.sparkSession) {
+      docs
+        .select(col("doc_id"),
+          size(ws).cast("long").as("n_words"),
+          graft.functions.GraftFunctions.hashed_weight_sum(
+            ws, rint.toIndexedSeq).as("wsum"))
+        .filter(col("n_words") >= 1)
+        .localCheckpoint()
+    }
+    scored
       .withColumn("avg_ratio",
         Exact.round6(col("wsum").cast("double") / (lit(1000.0) * col("n_words"))))
       .withColumn("keep", col("wsum") >= lit(1000L) * col("n_words"))
