@@ -325,20 +325,25 @@ object CurationOps extends QueryModule {
     * mean scaled to [-1, 1], sigmoid probability, boolean label. Fully
     * narrow — the weight sum is ONE fused codegen pass
     * ([[graft.functions.HashedWeightSum]]; the interpreted-aggregate
-    * spelling digested every token twice), and the input is
-    * range-exchanged on doc_id first so the final sort's boundary
-    * sampler reads only the scan (the FilterOps.derivedLines shape).
+    * spelling digested every token twice), materialized as narrow
+    * per-doc rows BEFORE the presentation sort so document TEXT never
+    * crosses a shuffle (the corpusDiff discipline — the previous
+    * spelling range-exchanged the raw documents to keep the sort's
+    * sampling cheap, shipping the whole corpus through the exchange).
+    * EAGER at the checkpoint, like the other scored-frame operators.
     * Output: (doc_id, n_words, wsum, score, prob, label).
     */
   def hashedQuality(docs: DataFrame): DataFrame = {
     val ws = words(col("text"))
-    docs
-      .repartitionByRange(col("doc_id"))
-      .select(col("doc_id"),
-        size(ws).cast("long").as("n_words"),
-        graft.functions.GraftFunctions.hashed_weight_sum(ws, QualityWeights)
-          .as("wsum"))
-      .filter(col("n_words") >= 1)
+    TinyLoop.withCorpusPassConfs(docs.sparkSession) {
+      docs
+        .select(col("doc_id"),
+          size(ws).cast("long").as("n_words"),
+          graft.functions.GraftFunctions.hashed_weight_sum(ws, QualityWeights)
+            .as("wsum"))
+        .filter(col("n_words") >= 1)
+        .localCheckpoint()
+    }
       .withColumn("score",
         Exact.round6(col("wsum").cast("double") / (lit(10.0) * col("n_words"))))
       .withColumn("prob",

@@ -82,19 +82,18 @@ object FilterOps extends QueryModule {
     s"list_filter(regexp_split_to_array($e, '$WsReDuck'), x -> x <> '')"
 
   /** The derived line-structured input for the narrow rule queries,
-    * range-exchanged on doc_id BEFORE any heavy work: the operators end
-    * with a global `orderBy("doc_id")`, and a range sort over a
-    * corpus-scale narrow pipeline re-executes the whole pipeline in the
-    * boundary-sampling pass (the measured 2x on q_gopher_rules /
-    * q_c4_clean). Exchanging the raw (doc_id, text) rows first means
-    * the sampler reads only the scan, the ltext derivation + rule
-    * battery run exactly once post-exchange, and the final sort is a
-    * LOCAL sort — RangePartitioning(doc_id) already satisfies the
-    * orderBy's distribution, so no second exchange forms.
+    * presentation ordering is the CALLER's problem: a global
+    * `orderBy("doc_id")` over a corpus-scale narrow pipeline
+    * re-executes the whole pipeline in the boundary-sampling pass (the
+    * measured 2x on q_gopher_rules / q_c4_clean), so each registered
+    * query picks its shape — q_c4_clean (whose OUTPUT carries rebuilt
+    * text, so text must cross the presentation exchange regardless)
+    * range-exchanges the raw rows first and sorts locally;
+    * q_gopher_rules (narrow output) checkpoints the battery rows and
+    * sorts those, keeping text out of every shuffle.
     */
   private def derivedLines(docs: DataFrame): DataFrame =
     docs
-      .repartitionByRange(col("doc_id"))
       .filter(TextOps.wordCount(col("text")) >= 1)
       .select(col("doc_id"), ltextCol.as("ltext"))
 
@@ -354,11 +353,15 @@ object FilterOps extends QueryModule {
          |         AND 10*n_ell <= 3*n_lines AS keep
          |FROM m ORDER BY doc_id"""
     ) { (s, d) =>
-      gopherRules(derivedLines(Tables.documents(s, d)), "ltext")
-        .select("doc_id", "n_words", "n_lines", "sum_wlen", "n_alpha",
-          "n_stop", "n_hash", "n_dots", "n_bullet", "n_ell", "r_words",
-          "r_wlen", "r_alpha", "r_stop", "r_sym", "r_bullet", "r_ell", "keep")
-        .orderBy("doc_id")
+      // narrow output: checkpoint the battery rows, sort those — text
+      // never shuffles (see derivedLines)
+      TinyLoop.withCorpusPassConfs(s) {
+        gopherRules(derivedLines(Tables.documents(s, d)), "ltext")
+          .select("doc_id", "n_words", "n_lines", "sum_wlen", "n_alpha",
+            "n_stop", "n_hash", "n_dots", "n_bullet", "n_ell", "r_words",
+            "r_wlen", "r_alpha", "r_stop", "r_sym", "r_bullet", "r_ell", "keep")
+          .localCheckpoint()
+      }.orderBy("doc_id")
     },
 
     // C4 line cleaning over the same derived corpus.
@@ -383,7 +386,12 @@ object FilterOps extends QueryModule {
          |       array_to_string(kept, chr(10)) AS cleaned
          |FROM s ORDER BY doc_id"""
     ) { (s, d) =>
-      c4Clean(derivedLines(Tables.documents(s, d)), "ltext").orderBy("doc_id")
+      // output carries rebuilt text, so text crosses the presentation
+      // exchange regardless — exchange the raw rows FIRST so the rule
+      // battery runs once post-exchange and the final sort is local
+      c4Clean(
+        derivedLines(Tables.documents(s, d).repartitionByRange(col("doc_id"))),
+        "ltext").orderBy("doc_id")
     },
 
     // Corpus-frequency boilerplate stripping + rebuild.

@@ -208,8 +208,10 @@ class PlanHygieneSpec extends SparkSpec {
       "q_inverted_index" -> Seq("ObjectHashAggregate"),
       // the rule batteries must keep their fused single-pass
       // expressions — a regression to the interpreted lambda spelling
-      // (measured 4-7x slower) would erase these function names
-      "q_gopher_rules" -> Seq("graft_gopher_stats", "graft_suffix_lines"),
+      // (measured 4-7x slower) would erase these function names.
+      // (q_gopher_rules now checkpoints its battery rows before the
+      // presentation sort, so its fused names are pinned against the
+      // OPERATOR plan in the dedicated test below.)
       "q_c4_clean" -> Seq("graft_c4_stats", "graft_suffix_lines"),
       "q_line_dedup" -> Seq("graft_token_lines"),
       // the PII battery is one fused pass (six builtin regex
@@ -327,6 +329,17 @@ class PlanHygieneSpec extends SparkSpec {
   // join either. A regression reintroducing a join (e.g. a centroid
   // table crossJoin, or a broadcast query-set join) would re-add
   // broadcast-build jobs to every training-loop query.
+  test("gopher battery keeps its fused single-pass expression (operator plan)") {
+    // q_gopher_rules checkpoints the battery rows before its
+    // presentation sort, so the registered query's FINAL plan no longer
+    // shows the fused name — pin it on the operator frame instead (the
+    // regression class is the battery collapsing back to the
+    // interpreted lambda spelling, measured 4-7x slower)
+    val plan = GraftOps.gopherRules(Tables.documents(spark, sfDir))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("graft_gopher_stats"), plan)
+  }
+
   test("training queries plan no join at all (literal centroid + query state)") {
     // q_bm25 joined its way from stats to scores until r10: now N, Σdl
     // and the per-term doc frequencies are literal model state, so a
