@@ -36,19 +36,26 @@ object ProtocolAB {
       (System.nanoTime() - t0) / 1e9
     }
     fns.foreach { case (_, fn) => run(fn) } // warmup
-    // (a) interleaved: 3 passes over the whole list
-    val inter = collection.mutable.Map.empty[String, List[Double]].withDefaultValue(Nil)
-    (1 to 3).foreach { _ =>
-      fns.foreach { case (n, fn) => System.gc(); inter(n) = run(fn) :: inter(n) }
+    // SPARK_GRAFT_AB_REVERSE=1 runs (b) before (a) — if the effect were
+    // JVM warmup rather than protocol, reversing the order would flip it
+    val reverse = sys.env.contains("SPARK_GRAFT_AB_REVERSE")
+    def interleavedPass(): Map[String, Double] = {
+      val inter = collection.mutable.Map.empty[String, List[Double]].withDefaultValue(Nil)
+      (1 to 3).foreach { _ =>
+        fns.foreach { case (n, fn) => System.gc(); inter(n) = run(fn) :: inter(n) }
+      }
+      inter.view.mapValues(_.min).toMap
     }
-    // (b) consecutive: min-of-3 back to back
-    val consec = fns.map { case (n, fn) =>
+    def consecutivePass(): Map[String, Double] = fns.map { case (n, fn) =>
       System.gc()
       n -> (1 to 3).map(_ => run(fn)).min
     }.toMap
+    val (inter, consec) =
+      if (reverse) { val c = consecutivePass(); (interleavedPass(), c) }
+      else { val i = interleavedPass(); (i, consecutivePass()) }
     var ti = 0.0; var tc = 0.0
     names.foreach { n =>
-      val i = inter(n).min; val c = consec(n); ti += i; tc += c
+      val i = inter(n); val c = consec(n); ti += i; tc += c
       println(f"[protocol-ab] $n%-24s interleaved=$i%6.3f consecutive=$c%6.3f penalty=${(i / c - 1) * 100}%5.1f%%")
     }
     println(f"[protocol-ab] TOTAL interleaved=$ti%6.2f consecutive=$tc%6.2f penalty=${(ti / tc - 1) * 100}%5.1f%%")
