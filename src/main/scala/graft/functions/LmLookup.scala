@@ -189,6 +189,45 @@ case class ShingleHits(child: Expression, bc: Broadcast[StrSet], n: Int)
     copy(child = newChild)
 }
 
+/** `graft_strset_contains(s)` — broadcast string-set membership probe.
+  * The literal-path replacement for a multi-million-value `isin(...)`:
+  * an In over millions of Literal nodes costs the driver the whole
+  * analyzed-plan allocation and optimization walk, where this ships the
+  * set once via SparkContext.broadcast and probes it in codegen (the
+  * [[ShingleHits]] transport). Null input -> null (isin parity: a null
+  * probe never matches).
+  */
+object StrSetUtil {
+  // Janino-callable static entry: Scala's `val s` compiles to a PRIVATE
+  // field + accessor, which generated code cannot touch directly.
+  def contains(set: StrSet, s: UTF8String): Boolean =
+    set.s.contains(s.toString)
+}
+
+case class StrSetContains(child: Expression, bc: Broadcast[StrSet])
+    extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def prettyName: String = "graft_strset_contains"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a STRING argument, got ${child.dataType.catalogString}")
+
+  override def nullSafeEval(input: Any): Any =
+    StrSetUtil.contains(bc.value, input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcRef = ctx.addReferenceObj("strSetBc", bc, classOf[Broadcast[_]].getName)
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.StrSetUtil.contains(" +
+        s"(graft.functions.StrSet) $bcRef.value(), $c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): StrSetContains =
+    copy(child = newChild)
+}
+
 /** `graft_map_lp(k)` — single-key LM probe (bigram LM literal path). */
 case class MapLp(child: Expression, bc: Broadcast[LmMap]) extends LmProbe {
   override def prettyName: String = "graft_map_lp"

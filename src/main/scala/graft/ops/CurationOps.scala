@@ -408,7 +408,10 @@ object CurationOps extends QueryModule {
     val crArr = Array.fill(HashDim)(0L)
     val ctArr = Array.fill(HashDim)(0L)
     grouped.foreach { r =>
-      val tgt = r.getBoolean(0)
+      // A null `source` yields a null is_tgt group (isInCollection is
+      // null-propagating); treat it as non-target — the old
+      // when(...).otherwise(0) spelling's semantics.
+      val tgt = !r.isNullAt(0) && r.getBoolean(0)
       var i = 0
       while (i < HashDim) {
         val v = if (r.isNullAt(i + 1)) 0L else r.getLong(i + 1)

@@ -644,7 +644,13 @@ object PipelineOps extends QueryModule {
     // (re-creating the single-task window this recipe exists to avoid)
     // and lose precision past 2^53. Truncating the metric to BIGINT
     // first is fine: any monotone bucketing partitions correctly.
-    val bucketed = base.withColumn(
+    // Null metrics are dropped up front: the distributed path's inner
+    // offsets join already excludes them, and dropping before the
+    // bucket exchange keeps the literal path identical (a null bucket
+    // key would otherwise unbox to 0 in the histogram collect and
+    // corrupt real bucket 0's cumulative offset) while shipping fewer
+    // rows through the shuffle.
+    val bucketed = base.filter(col(metricCol).isNotNull).withColumn(
       "__graft_bkt", expr(s"CAST(`$metricCol` AS BIGINT) div $bucketWidth"))
     val wIn = Window.partitionBy("__graft_bkt")
       .orderBy(col(metricCol), col(idCol))
@@ -901,7 +907,13 @@ object PipelineOps extends QueryModule {
     * aggregation the inverted index uses. Per-term scores are rounded
     * then exact-decimal-summed for cross-engine parity.
     */
-  def bm25Scores(docs: DataFrame, queryTerms: Seq[String]): DataFrame = {
+  def bm25Scores(docs: DataFrame, queryTermsRaw: Seq[String]): DataFrame = {
+    // One slot per DISTINCT term: a duplicated query term would get two
+    // token_set_counts slots and contribute its term score twice, where
+    // the r9 explode + isin + groupBy(doc, term) spelling scored each
+    // distinct term once. BM25 over a term multiset is a different
+    // (and non-standard) function; keep set semantics.
+    val queryTerms = queryTermsRaw.distinct
     val k1 = lit(1.2)
     val b = lit(0.75)
     // ONE fused corpus pass (r10; the r9 spelling ran two — a length

@@ -177,11 +177,19 @@ object TrainPrepOps {
     }
     val tokenTotal = stats.get(1).map(_._2).getOrElse(0L)
     require(tokenTotal > 0, "trigramBackoffLm: empty training corpus")
+    val totalTypes = stats.values.map(_._1).sum
     val pc = counts.select(col("g").as("p"), col("c").as("cp"))
+    // Conditioning join: broadcast the prefix-count side only while the
+    // MEASURED type count fits the gate (the same gate the scoring side
+    // honors). Past it — open-web trigram types run to billions — a
+    // forced broadcast would blow the 8 GB/driver-heap limit exactly
+    // where this branch exists to operate, so the join goes unhinted
+    // and Catalyst keys both sides.
+    val pcSide = if (totalTypes <= maxBroadcastTypes) broadcast(pc) else pc
     val higher = counts.select(col("g"), col("c"), order.as("n"))
       .filter(col("n") >= 2)
       .withColumn("p", expr("substring_index(g, ' ', n - 1)"))
-      .join(broadcast(pc), "p")
+      .join(pcSide, "p")
       .select(col("g"),
         when(col("n") === 3,
           Exact.round6(log(col("c").cast("double") / col("cp"))))
@@ -195,7 +203,7 @@ object TrainPrepOps {
     val modelCk = TinyLoop.withCorpusPassConfs(train.sparkSession) {
       higher.unionByName(uni).localCheckpoint()
     }
-    TrigramLm(modelCk, stats.values.map(_._1).sum <= maxBroadcastTypes)
+    TrigramLm(modelCk, totalTypes <= maxBroadcastTypes)
   }
 
   /** Score (doc_id, text) rows against a trained [[TrigramLm]]:
@@ -351,7 +359,25 @@ object TrainPrepOps {
       val keep = probe.filter(r => r.getDecimal(1) != null &&
         r.getDecimal(1).doubleValue / r.getLong(2).toDouble >= corpusQ)
         .map(_.get(0))
-      docs.filter(col(domainCol).isin(keep.toSeq: _*))
+      // The keep set rides back as a broadcast StrSet probed by one
+      // codegen expression, NOT an isin(...) literal list: near the 2M
+      // cap an In plan carries millions of Literal nodes through every
+      // analysis/optimization walk and a matching driver allocation,
+      // where the broadcast ships the set once (the contaminationCheck
+      // transport). Null domains: the probe is null-propagating and the
+      // filter drops null, the exact isin semantics.
+      docs.schema(domainCol).dataType match {
+        case _: org.apache.spark.sql.types.StringType =>
+          val hs = new java.util.HashSet[String](keep.length * 2)
+          keep.foreach { d => if (d != null) hs.add(d.toString) }
+          val bc = docs.sparkSession.sparkContext.broadcast(
+            new graft.functions.StrSet(hs))
+          docs.filter(org.apache.spark.sql.GraftBridge.column(
+            graft.functions.StrSetContains(
+              org.apache.spark.sql.GraftBridge.expression(col(domainCol)), bc)))
+        case _ => // non-string domain keys: keep the literal IN-set
+          docs.filter(col(domainCol).isin(keep.toSeq: _*))
+      }
     } else {
       val stats = statsPlan.localCheckpoint()
       val corpus = stats

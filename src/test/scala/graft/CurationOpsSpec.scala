@@ -112,6 +112,23 @@ class CurationOpsSpec extends SparkSpec {
     assert(got(1L) && got(3L) && !got(2L), got.toString)
   }
 
+  test("dsirWeights treats a null source as non-target (no NPE)") {
+    import spark.implicits._
+    // r10 regression: isInCollection propagates a null source to a null
+    // is_tgt GROUP, and the collected-row getBoolean threw NPE. Null
+    // sources must count toward the raw corpus, exactly like the old
+    // when(...).otherwise(0) spelling.
+    val df = Seq(
+      (1L, Some("tgt"), "a a"),
+      (2L, Some("web"), "b b"),
+      (3L, Option.empty[String], "b b")).toDF("doc_id", "source", "text")
+    val got = GraftOps.dsirWeights(df, Seq("tgt"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    // "a" is target-exclusive (kept); "b" appears only in non-target
+    // rows — including the null-source row — so both "b" docs drop
+    assert(got == Map(1L -> true, 2L -> false, 3L -> false), got.toString)
+  }
+
   test("dsirWeights rejects an empty target and a target with no tokens") {
     import spark.implicits._
     val df = Seq((1L, "web", "x y")).toDF("doc_id", "source", "text")

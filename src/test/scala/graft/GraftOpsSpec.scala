@@ -394,6 +394,23 @@ class GraftOpsSpec extends SparkSpec {
     }
   }
 
+  test("valueDeciles drops null-metric rows identically on both paths") {
+    import spark.implicits._
+    // r10 regression: the literal path unboxed a null bucket key to 0,
+    // corrupting real bucket 0's cumulative offset AND emitting
+    // null-decile rows the distributed path (inner offsets join) never
+    // produced. Both paths must now drop null metrics up front.
+    val df = ((1L to 200L).map(i => (i, Some(i * 13 % 50))) ++
+      Seq((201L, Option.empty[Long]), (202L, Option.empty[Long])))
+      .toDF("id", "m")
+    val lit = GraftOps.valueDeciles(df, "m", "id", bucketWidth = 1)
+    val dist = GraftOps.valueDeciles(df, "m", "id", bucketWidth = 1,
+      maxLiteralBuckets = 0L)
+    assert(lit.count() == 200L && dist.count() == 200L)
+    assert(lit.filter(col("decile").isNull).isEmpty)
+    assert(lit.exceptAll(dist).isEmpty && dist.exceptAll(lit).isEmpty)
+  }
+
   test("valueDeciles literal and distributed offset paths are identical") {
     import spark.implicits._
     // width 1 on a 0..499 metric → 500 buckets: enough to exercise the
@@ -405,6 +422,21 @@ class GraftOpsSpec extends SparkSpec {
       carryCols = Seq("c"), maxLiteralBuckets = 0L)
     assert(lit.columns.sameElements(dist.columns))
     assert(lit.exceptAll(dist).isEmpty && dist.exceptAll(lit).isEmpty)
+  }
+
+  test("bm25Scores: duplicated query terms score once (set semantics)") {
+    import spark.implicits._
+    // r10 regression: one token_set_counts slot was allocated per
+    // queryTerms ENTRY, so a duplicated term posexploded into two slots
+    // and contributed its term score twice. BM25 queries are term SETS.
+    val docs = Seq(
+      (1L, "spark join data spark"),
+      (2L, "query stream stream other words here")).toDF("doc_id", "text")
+    val once = ops.PipelineOps.bm25Scores(docs, Seq("spark", "query"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val duped = ops.PipelineOps.bm25Scores(docs, Seq("spark", "query", "spark"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(once == duped, s"$once vs $duped")
   }
 
   test("sourceMix keeps small sources whole and downsamples big ones") {

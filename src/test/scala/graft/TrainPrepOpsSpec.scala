@@ -59,6 +59,24 @@ class TrainPrepOpsSpec extends SparkSpec {
     assert(rows(lit) == rows(dist))
   }
 
+  test("trigram distributed branch past the broadcast gate: same model, keyed joins") {
+    // r10 regression: the distributed conditioning join FORCED
+    // broadcast(pc) regardless of the measured type count — the exact
+    // driver-death the branch exists to avoid at billion-type scale.
+    // Gate=0 forces the keyed spelling everywhere; the model must be
+    // value-identical and flagged non-broadcastable for scoring.
+    val docs = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 20 === 0).select("doc_id", "text")
+    val hinted = TrainPrepOps.trigramBackoffLm(docs, maxLiteralTypes = 0)
+    val keyed = TrainPrepOps.trigramBackoffLm(docs, maxLiteralTypes = 0,
+      maxBroadcastTypes = 0)
+    assert(hinted.broadcastable && !keyed.broadcastable)
+    def rows(lm: TrainPrepOps.TrigramLm) =
+      lm.model.orderBy("g").collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(rows(hinted) == rows(keyed))
+    assert(rows(keyed).nonEmpty)
+  }
+
   test("trigram scoring: zero-groundable document yields no row") {
     import spark.implicits._
     val train = Seq((0L, "a b c")).toDF("doc_id", "text")
@@ -128,6 +146,31 @@ class TrainPrepOpsSpec extends SparkSpec {
       maxLiteralDomains = 0))
     assert(lit_ == dist)
     assert(lit_.nonEmpty && lit_.size < docs.count())
+  }
+
+  test("domainQualityFilter literal path probes a broadcast set, not In-literals") {
+    import spark.implicits._
+    // r10 regression: the keep set rode back as isin(...) — near the 2M
+    // cap that is millions of Literal nodes in every analyzer walk. The
+    // literal path must now plan ONE graft_strset_contains probe. (A
+    // parquet-backed corpus: on a local Seq the optimizer's
+    // ConvertToLocalRelation evaluates the probe away at plan time.)
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source").as("domain"),
+        (length(col("text")) % 100).cast("double").as("quality"))
+    val kept = TrainPrepOps.domainQualityFilter(docs, "domain", "quality")
+    val plan = kept.queryExecution.optimizedPlan.toString
+    assert(plan.contains("graft_strset_contains"), plan)
+    assert(!plan.contains(" IN ("), plan)
+    assert(kept.count() > 0 && kept.count() < docs.count())
+    // semantics unchanged on a tiny local corpus (values, not the plan):
+    // corpus mean (1+1+0+0.5)/4 = 0.625 — only domain a (mean 1) stays
+    val df = Seq(
+      (1L, "a", 1.0), (2L, "a", 1.0), (3L, "b", 0.0), (4L, "c", 0.5))
+      .toDF("doc_id", "domain", "quality")
+    val keptIds = TrainPrepOps.domainQualityFilter(df, "domain", "quality")
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptIds == Set(1L, 2L))
   }
 
   test("domainQualityFilter preserves the caller's schema and rejects reserved names") {
