@@ -1,5 +1,11 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Ad-hoc text-shuffle scan at an arbitrary SF (the CI gate lives in
+  * PlanHygieneSpec and runs at sf0.01; this main exists for sf0.1+
+  * spot-checks). Delegates to [[graft.plans.TextShuffleAudit]] — the
+  * single walker both entry points share.
+  */
 object TextShuffleScan {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
@@ -13,15 +19,9 @@ object TextShuffleScan {
     var checked = 0
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
-        val plan = fn(spark, sfDir).queryExecution.executedPlan
-        val hits = plan.collect {
-          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
-            if e.child.output.exists(a =>
-              a.name == "text" || a.name == "ltext" || a.name == "cleaned" ||
-              a.name == "norm" || a.name == "dirty" || a.name == "line") => e
-        }
+        val hits = graft.plans.TextShuffleAudit.offendingExchanges(fn(spark, sfDir))
         checked += 1
-        if (hits.nonEmpty) println(s"[textshuffle] $name: ${hits.size}")
+        if (hits.nonEmpty) println(s"[textshuffle] $name: ${hits.mkString("; ")}")
       } catch { case e: Throwable => println(s"[textshuffle] $name ERR ${e.getClass.getSimpleName}") }
     }
     println(s"[textshuffle] scan complete: $checked queries checked")

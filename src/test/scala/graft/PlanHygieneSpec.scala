@@ -27,6 +27,44 @@ class PlanHygieneSpec extends SparkSpec {
     assert(offenders.isEmpty, s"cartesian products in: $offenders")
   }
 
+  // The text-never-shuffles invariant as a CI gate (r11, promoted from
+  // the TextShuffleScan dev tool): at 100 TB the text payload dominates
+  // every table's byte size, so ONE accidental exchange carrying a
+  // text-like column multiplies a query's shuffle bytes by the corpus
+  // size. The r10 audit caught exactly this class three times (DSIR,
+  // hashedQuality, q_gopher_rules — each had a narrow-checkpoint
+  // alternative); this sweep pins the zero-hit end state at sf0.01.
+  //
+  // Caveat, documented here because the assert is plan-shape, not
+  // semantics: the invariant is PLAN-dependent. dedupExact's payload
+  // semi join probes a BROADCAST keeper set at these SFs; past
+  // broadcast range the payload (text included) crosses its one
+  // documented exchange by design, and that is correct — the audit's
+  // value is catching ACCIDENTAL text exchanges that have narrow
+  // alternatives, not banning every conceivable text movement.
+  test("no registered query shuffles a text-like column") {
+    val sf01 = "/root/testdata/sf0.01"
+    // Deliberate raw-row exchanges only (keep this list tiny — every
+    // entry needs a measured justification in PLANS.md):
+    //  - q_c4_clean: its OUTPUT carries rebuilt text, so the rebuilt
+    //    column may legitimately cross the presentation exchange
+    //    (measured 2x faster than the checkpoint spelling, FilterOps).
+    val allow = Set("q_c4_clean")
+    val offenders = SparkEntry.all.flatMap { q =>
+      if (allow(q.name)) None
+      else try {
+        val hits = plans.TextShuffleAudit.offendingExchanges(q.fn(spark, sf01))
+        if (hits.nonEmpty) Some(s"${q.name}: text-carrying exchange over " +
+          s"[${hits.mkString("; ")}] — score/flag into a narrow checkpointed " +
+          "frame before the wide step (the DSIR/hashedQuality r10 fix)")
+        else None
+      } catch {
+        case e: Throwable => Some(s"${q.name} (plan failed: ${e.getMessage.take(80)})")
+      }
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
   // Two window guards sharing ONE sweep of the registry (building each
   // query's DataFrame eagerly runs checkpointed training/propagation
   // loops, so the sweep itself is the expensive part — collect every
