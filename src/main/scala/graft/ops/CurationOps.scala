@@ -335,15 +335,13 @@ object CurationOps extends QueryModule {
     */
   def hashedQuality(docs: DataFrame): DataFrame = {
     val ws = words(col("text"))
-    TinyLoop.withCorpusPassConfs(docs.sparkSession) {
+    TinyLoop.corpusCheckpoint(
       docs
         .select(col("doc_id"),
           size(ws).cast("long").as("n_words"),
           graft.functions.GraftFunctions.hashed_weight_sum(ws, QualityWeights)
             .as("wsum"))
-        .filter(col("n_words") >= 1)
-        .localCheckpoint()
-    }
+        .filter(col("n_words") >= 1))
       .withColumn("score",
         Exact.round6(col("wsum").cast("double") / (lit(10.0) * col("n_words"))))
       .withColumn("prob",
@@ -437,15 +435,13 @@ object CurationOps extends QueryModule {
     // corpus scale text must never shuffle (the corpusDiff discipline),
     // and sorting the 24-byte checkpointed rows costs the sampling pass
     // nothing.
-    val scored = TinyLoop.withCorpusPassConfs(docs.sparkSession) {
+    val scored = TinyLoop.corpusCheckpoint(
       docs
         .select(col("doc_id"),
           size(ws).cast("long").as("n_words"),
           graft.functions.GraftFunctions.hashed_weight_sum(
             ws, rint.toIndexedSeq).as("wsum"))
-        .filter(col("n_words") >= 1)
-        .localCheckpoint()
-    }
+        .filter(col("n_words") >= 1))
     scored
       .withColumn("avg_ratio",
         Exact.round6(col("wsum").cast("double") / (lit(1000.0) * col("n_words"))))

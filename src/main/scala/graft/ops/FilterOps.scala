@@ -293,8 +293,7 @@ object FilterOps extends QueryModule {
     val literalLm = scored.queryExecution.analyzed.exists(
       _.expressions.exists(_.exists(_.isInstanceOf[graft.functions.MapLp])))
     val lp =
-      if (literalLm)
-        TinyLoop.withCorpusPassConfs(docs.sparkSession)(scored.localCheckpoint())
+      if (literalLm) TinyLoop.corpusCheckpoint(scored)
       else scored
     // the decile itself is the shared two-phase value-bucket recipe
     // (ONE implementation — q_quality_deciles rides the same code);
@@ -355,13 +354,12 @@ object FilterOps extends QueryModule {
     ) { (s, d) =>
       // narrow output: checkpoint the battery rows, sort those — text
       // never shuffles (see derivedLines)
-      TinyLoop.withCorpusPassConfs(s) {
+      TinyLoop.corpusCheckpoint(
         gopherRules(derivedLines(Tables.documents(s, d)), "ltext")
           .select("doc_id", "n_words", "n_lines", "sum_wlen", "n_alpha",
             "n_stop", "n_hash", "n_dots", "n_bullet", "n_ell", "r_words",
-            "r_wlen", "r_alpha", "r_stop", "r_sym", "r_bullet", "r_ell", "keep")
-          .localCheckpoint()
-      }.orderBy("doc_id")
+            "r_wlen", "r_alpha", "r_stop", "r_sym", "r_bullet", "r_ell", "keep"))
+        .orderBy("doc_id")
     },
 
     // C4 line cleaning over the same derived corpus.

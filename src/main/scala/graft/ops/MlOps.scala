@@ -289,18 +289,21 @@ object MlOps extends QueryModule {
     require(seed.nonEmpty,
       s"kmeans training needs >= 1 seed vector with vec_id < $k; input has none")
     var cents: Cents = seed
-    // model-state conf scope (see TinyLoop): each per-iteration update
-    // aggregates K·dim rows — AQE's extra stage-job per iteration is
-    // dead scheduling floor there, and one reduce task is the right
-    // plan. The corpus-scale map side (the cached `vecs` scan) is
-    // unaffected: shuffle.partitions only shapes the reduce side.
-    TinyLoop.withModelStateConfs(vecs.sparkSession) {
+    // model-state iteration scope (see TinyLoop): each per-iteration
+    // update aggregates K·dim rows — AQE's extra stage-job per
+    // iteration is dead scheduling floor there, and one reduce task is
+    // the right plan. The corpus-scale map side (the cached `vecs`
+    // scan, still an InMemoryRelation hit on the clone: the cache
+    // manager is shared state) is unaffected: shuffle.partitions only
+    // shapes the reduce side. The scope re-binds `vecs` onto the clone,
+    // so the caller's session is never mutated.
+    TinyLoop.withModelState(vecs) { v =>
       (1 to iters).foreach { _ =>
         // the mean rides the pre-cast decimal column (see `prepared`):
         // sum(decimal)/count is value-identical to Exact.davg over the
         // doubles, but the expensive double→decimal quantization was paid
         // ONCE at cache build instead of once per iteration
-        val updated = assignTo(vecs, cents)
+        val updated = assignTo(v, cents)
           // NearestCentroid yields null for a ragged-dimension vector;
           // without this guard Row.getLong(0) below would read null as 0L
           // and silently fold such rows into cluster 0's centroid

@@ -198,12 +198,10 @@ object PipelineOps extends QueryModule {
     // discipline every multi-pass corpus job needs). Kept as the RAW
     // space-joined bigram string: the literal path probes it directly,
     // and the distributed path derives (w1, w2) with one projection.
-    val bgRows = TinyLoop.withCorpusPassConfs(docs.sparkSession) {
+    val bgRows = TinyLoop.corpusCheckpoint(
       docs
         .filter(TextOps.wordCount(col("text")) >= 2)
-        .select(col("doc_id"), explode(TextOps.shingles(col("text"), 2)).as("bg"))
-        .localCheckpoint()
-    }
+        .select(col("doc_id"), explode(TextOps.shingles(col("text"), 2)).as("bg")))
     // Literal-first (the trigramBackoffLm discipline): a bounded
     // single-job collect of the type table; under the cap the MLE
     // derivation runs in the driver (conditioning totals are hash-map
@@ -735,12 +733,14 @@ object PipelineOps extends QueryModule {
       .groupBy("word").agg(count(lit(1)).as("freq"))
       // merge rounds iterate this tiny table; never re-read the corpus
       .localCheckpoint()
-    // model-state conf scope (see TinyLoop): every job below the
+    // model-state iteration scope (see TinyLoop): every job below the
     // histogram iterates the VOCABULARY-BOUNDED table — AQE's extra
     // stage-job per round and 32 near-empty reduce tasks are pure
     // scheduling floor on it. wfreq itself (the one corpus-scale pass)
-    // was materialized eagerly above, OUTSIDE this scope.
-    TinyLoop.withModelStateConfs(docs.sparkSession) {
+    // was materialized eagerly above, OUTSIDE this scope; inside it the
+    // re-bound frame plans on the scoped clone, so a concurrent query
+    // on the caller's session keeps AQE and full parallelism.
+    TinyLoop.withModelState(wfreq) { wf =>
       // the symbol column and every round's splice are NARROW literal
       // projections over the checkpointed histogram, so no further
       // checkpoint is needed for plan linearity — a round's histogram
@@ -748,7 +748,7 @@ object PipelineOps extends QueryModule {
       // The per-round localCheckpoint this replaces was one pure
       // scheduling-floor job per round: at sf0.1 it roughly doubled
       // q_bpe_merges' wall time for zero recompute saved.
-      var v = wfreq
+      var v = wf
         .withColumn("cs", trim(regexp_replace(col("word"), "(.)", "$1 ")))
       // the per-round winner is ONE row of model state — collect it and
       // bake the splice as LITERALS (the k-means centroid policy): the
@@ -922,14 +922,12 @@ object PipelineOps extends QueryModule {
     // occurrence counts from the fused TokenSetCounts codegen scan,
     // materialized once. The checkpoint is the standard narrow per-doc
     // persist of a multi-read pipeline stage.
-    val perDoc = TinyLoop.withCorpusPassConfs(docs.sparkSession) {
+    val perDoc = TinyLoop.corpusCheckpoint(
       docs.select(col("doc_id"),
           TextOps.wordCount(col("text")).as("dl"),
           graft.functions.GraftFunctions.token_set_counts(
             words(col("text")), queryTerms.map(Seq(_))).as("tfs"))
-        .filter(col("dl") > 0)
-        .localCheckpoint()
-    }
+        .filter(col("dl") > 0))
     // BM25's whole model state is K+2 numbers (N, Σdl, per-term doc
     // frequency) — bounded by the QUERY's term count, not the corpus —
     // so it is always literal state: one single-job aggregation read,

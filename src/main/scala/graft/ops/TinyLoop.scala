@@ -1,53 +1,63 @@
 package graft.ops
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, GraftBridge, Row, SparkSession}
 
-/** Session-conf scope for MODEL-STATE training loops (k-means centroid
-  * updates, BPE merge rounds): every per-iteration job aggregates a
-  * bounded table (K·dim rows, the vocabulary histogram) whose runtime
-  * is pure scheduling floor, and AQE splits each into a shuffle-stage
-  * job plus a result-stage job — doubling the loop's job count for a
-  * re-plan that has nothing to improve on bounded data — while the
-  * 32-partition default spreads a few hundred rows over 32 near-empty
-  * reduce tasks. One reduce task IS the right plan for bounded state
-  * (AQE would coalesce to it; without AQE it must be pinned).
+/** Conf-scoped execution for MODEL-STATE training loops (k-means
+  * centroid updates, BPE merge rounds) and single-job corpus-checkpoint
+  * materializations: every per-iteration job aggregates a bounded table
+  * (K·dim rows, the vocabulary histogram) whose runtime is pure
+  * scheduling floor, and AQE splits each into a shuffle-stage job plus
+  * a result-stage job — doubling the loop's job count for a re-plan
+  * that has nothing to improve on bounded data — while the 32-partition
+  * default spreads a few hundred rows over 32 near-empty reduce tasks.
+  * One reduce task IS the right plan for bounded state (AQE would
+  * coalesce to it; without AQE it must be pinned).
   *
-  * Both settings are restored before returning, so no caller-visible
-  * frame is ever PLANNED under them; frames localCheckpoint'd inside
-  * the scope were already materialized eagerly. The CORPUS passes of a
-  * training operator (histogram build, cached-corpus assignment scans)
-  * must run OUTSIDE the scope or be materialized before it — only the
-  * bounded iteration state belongs in here.
-  *
-  * CONCURRENCY CAVEAT: `spark.conf.set` is session-wide, not
-  * query-scoped — an UNRELATED query planned on the same SparkSession
-  * while a training call is inside this scope would also get one
-  * reduce task and no AQE. Training operators (kmeans, semanticDedup,
-  * bpeMerges) therefore briefly mutate session state: callers running
-  * concurrent heavy queries on one session should serialize around
-  * training calls or give training its own session
-  * (`spark.newSession()` shares the catalog and cache but isolates
-  * confs).
+  * Isolation (r11): the overrides live on a CLONED session — same
+  * runtime confs, temp views, and registered functions, same shared
+  * catalog and cache (so InMemoryRelation lookups still hit), but
+  * isolated conf state — and the work is re-bound onto it by logical
+  * plan. The caller's session is NEVER mutated, so an unrelated query
+  * planned concurrently on it keeps AQE and full shuffle parallelism
+  * (the r10 spelling mutated `spark.conf` in place and raced exactly
+  * there). Frames returned to callers are re-bound onto the caller's
+  * session, so no caller-visible frame is ever PLANNED under the
+  * overrides. The CORPUS passes of a training operator (histogram
+  * build, cached-corpus assignment scans) are unaffected by the
+  * model-state pin: shuffle.partitions only shapes the reduce side.
   */
 object TinyLoop {
 
-  /** AQE-free scope for materializing a CORPUS-scale checkpoint as ONE
-    * Spark job, KEEPING the session's shuffle parallelism (unlike
-    * [[withModelStateConfs]], which also pins one reduce task and is
-    * only for bounded model state). Rationale: AQE turns every exchange
-    * boundary into its own job — a scan → exchange → agg → checkpoint
-    * materialization becomes 3 jobs whose inter-job scheduling gaps
-    * dominate small-corpus runs — while its actual levers (partition
-    * coalescing, skew splitting) have nothing to offer a map-side-
-    * combined aggregation whose reduce side is vocabulary-bounded.
-    * Same restore discipline and concurrency caveat as
-    * [[withModelStateConfs]].
+  /** Clone `spark` and apply the overrides to the clone only. */
+  private def scoped(spark: SparkSession, confs: (String, String)*): SparkSession = {
+    val s = GraftBridge.cloneSession(spark)
+    confs.foreach { case (k, v) => s.conf.set(k, v) }
+    s
+  }
+
+  /** Re-bind `df`'s logical plan onto `s` (same SparkContext): the
+    * resulting frame plans and executes under `s`'s confs. Shared
+    * cache manager + copied function registry mean cached subtrees and
+    * session-registered UDFs resolve identically on the clone.
     */
-  def withCorpusPassConfs[T](spark: SparkSession)(body: => T): T = {
-    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try body
-    finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  private def rebind(df: DataFrame, s: SparkSession): DataFrame =
+    GraftBridge.ofRows(s, df.queryExecution.logical)
+
+  /** Materialize a CORPUS-scale checkpoint as ONE Spark job, KEEPING
+    * the session's shuffle parallelism (unlike the model-state scope,
+    * which also pins one reduce task and is only for bounded state).
+    * Rationale: AQE turns every exchange boundary into its own job — a
+    * scan → exchange → agg → checkpoint materialization becomes 3 jobs
+    * whose inter-job scheduling gaps dominate small-corpus runs — while
+    * its actual levers (partition coalescing, skew splitting) have
+    * nothing to offer a map-side-combined aggregation whose reduce side
+    * is vocabulary-bounded. The returned frame (a checkpointed
+    * LogicalRDD) is re-bound onto the caller's session.
+    */
+  def corpusCheckpoint(df: DataFrame): DataFrame = {
+    val caller = df.sparkSession
+    val s = scoped(caller, "spark.sql.adaptive.enabled" -> "false")
+    rebind(rebind(df, s).localCheckpoint(), caller)
   }
 
   /** Bounded single-job collect: up to `cap + 1` rows (callers check
@@ -57,26 +67,40 @@ object TinyLoop {
     * step; the sources here are materialized checkpoints whose every
     * partition the caller expects to read (the cap is a safety bound,
     * not a selection), so pin the initial partition count high and read
-    * them all in ONE job, under the AQE-free scope.
+    * them all in ONE job, on the AQE-free clone.
     */
-  def boundedCollect(df: org.apache.spark.sql.DataFrame, cap: Long): Array[org.apache.spark.sql.Row] = {
+  def boundedCollect(df: DataFrame, cap: Long): Array[Row] = {
     val capInt = math.min(cap, Int.MaxValue - 2L).toInt
-    val spark = df.sparkSession
-    val prev = spark.conf.get("spark.sql.limit.initialNumPartitions", "1")
-    spark.conf.set("spark.sql.limit.initialNumPartitions", "1000000")
-    try withCorpusPassConfs(spark)(df.limit(capInt + 1).collect())
-    finally spark.conf.set("spark.sql.limit.initialNumPartitions", prev)
+    val s = scoped(df.sparkSession,
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.limit.initialNumPartitions" -> "1000000")
+    rebind(df, s).limit(capInt + 1).collect()
   }
 
-  def withModelStateConfs[T](spark: SparkSession)(body: => T): T = {
-    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    val prevShuf = spark.conf.get("spark.sql.shuffle.partitions", "32")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    spark.conf.set("spark.sql.shuffle.partitions", "1")
-    try body
-    finally {
-      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
-      spark.conf.set("spark.sql.shuffle.partitions", prevShuf)
-    }
+  /** One-reduce-task, AQE-free collect of a BOUNDED model-state
+    * aggregation (per-order LM stats, a merge round's winner): the
+    * whole result is driver-sized by construction.
+    */
+  def modelCollect(df: DataFrame): Array[Row] = {
+    val s = scoped(df.sparkSession,
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.shuffle.partitions" -> "1")
+    rebind(df, s).collect()
+  }
+
+  /** Model-state ITERATION scope: `state` re-bound onto a one-reduce-
+    * task, AQE-free clone and handed to `body` — every plan derived
+    * from the re-bound frame inside the loop inherits the clone's
+    * confs, while the caller's session stays untouched for concurrent
+    * queries. `body`'s result must be driver-sized state or a frame the
+    * caller re-materializes itself (the kmeans/bpeMerges contract:
+    * both return collected model state, never a lazy plan over the
+    * scoped frame).
+    */
+  def withModelState[T](state: DataFrame)(body: DataFrame => T): T = {
+    val s = scoped(state.sparkSession,
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.shuffle.partitions" -> "1")
+    body(rebind(state, s))
   }
 }

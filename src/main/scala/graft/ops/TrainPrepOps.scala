@@ -103,15 +103,13 @@ object TrainPrepOps {
     // corpus-pass scope keeps full shuffle parallelism — only the
     // per-exchange job splitting goes away; map-side combine already
     // bounds the reduce side by vocabulary size).
-    val counts = TinyLoop.withCorpusPassConfs(train.sparkSession) {
+    val counts = TinyLoop.corpusCheckpoint(
       train
         .select(explode(concat(
           TextOps.words(col("text")),
           TextOps.shingles(col("text"), 2),
           TextOps.shingles(col("text"), 3))).as("g"))
-        .groupBy("g").agg(count(lit(1)).as("c"))
-        .localCheckpoint()
-    }
+        .groupBy("g").agg(count(lit(1)).as("c")))
     // Literal-first: probe the checkpointed vocabulary table with a
     // BOUNDED collect (limit(cap+1) — one cheap job over the ckpt
     // partitions, and the driver never holds more than cap+1 rows even
@@ -170,11 +168,10 @@ object TrainPrepOps {
     // table — a hinted shuffled-hash spelling saves the build job but
     // was measured ~6× slower: it re-exchanges BOTH vocabulary sides).
     val order = size(split(col("g"), " ", -1))
-    val stats = TinyLoop.withModelStateConfs(train.sparkSession) {
+    val stats = TinyLoop.modelCollect(
       counts.groupBy(order.as("n"))
-        .agg(count(lit(1)).as("types"), sum(col("c")).as("occ"))
-        .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
-    }
+        .agg(count(lit(1)).as("types"), sum(col("c")).as("occ")))
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     val tokenTotal = stats.get(1).map(_._2).getOrElse(0L)
     require(tokenTotal > 0, "trigramBackoffLm: empty training corpus")
     val totalTypes = stats.values.map(_._1).sum
@@ -200,9 +197,7 @@ object TrainPrepOps {
       .select(col("g"),
         Exact.round6(log(lit(0.16) *
           (col("c").cast("double") / lit(tokenTotal.toDouble)))).as("lp"))
-    val modelCk = TinyLoop.withCorpusPassConfs(train.sparkSession) {
-      higher.unionByName(uni).localCheckpoint()
-    }
+    val modelCk = TinyLoop.corpusCheckpoint(higher.unionByName(uni))
     TrigramLm(modelCk, totalTypes <= maxBroadcastTypes)
   }
 

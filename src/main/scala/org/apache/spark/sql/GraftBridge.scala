@@ -15,4 +15,13 @@ object GraftBridge {
       spark: SparkSession,
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Identical copy of the session — same runtime confs, temp views,
+    * registered functions — sharing the SparkContext, catalog, and
+    * cache, but with ISOLATED conf state (cloneSession is private[sql]).
+    * This is the transport for query-scoped conf overrides: mutate the
+    * clone, never the caller's session.
+    */
+  def cloneSession(spark: SparkSession): SparkSession =
+    spark.asInstanceOf[classic.SparkSession].cloneSession()
 }
