@@ -13,11 +13,15 @@ import javax.imageio.ImageIO
   * What's real vs stubbed in this environment:
   *  - image header/metadata decode and image resize are REAL (java.awt /
   *    javax.imageio ship with the JVM);
-  *  - video frame sampling and audio feature extraction are DETERMINISTIC
-  *    STUBS (no codec libraries in the container — SURVEY.md §7.4): the
-  *    Spark-side plumbing (schema, batch shape, per-partition execution)
-  *    is real and tested, the codec call is a fixed fake keyed on content
-  *    hash so results are reproducible.
+  *  - WAV audio decode + featurization is REAL (javax.sound.sampled ships
+  *    with the JVM — [[audioFeatures]]), with a stub fallback for bytes
+  *    that aren't decodable PCM WAV;
+  *  - video frame sampling and the legacy byte-level audio stub remain
+  *    DETERMINISTIC STUBS (no video/compressed-audio codec libraries in
+  *    the container — SURVEY.md §7.4): the Spark-side plumbing (schema,
+  *    batch shape, per-partition execution) is real and tested, the codec
+  *    call is a fixed fake keyed on content hash so results are
+  *    reproducible.
   */
 object MultimodalOps {
 
@@ -104,6 +108,102 @@ object MultimodalOps {
     AudioFeatures(
       audio.length.toLong, sum / audio.length,
       math.sqrt(sumSq / audio.length), md5hex(audio))
+  }
+
+  final case class WavFeatures(
+      n_frames: Long, channels: Int, sample_rate: Int, duration_ms: Long,
+      rms_blocks: Seq[Double], rms: Double, decoder: String)
+
+  private def round6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+
+  /** Synthesize a PCM16 little-endian WAV in memory: `nFrames` frames of
+    * `channels` interleaved samples where the k-th SAMPLE (global
+    * interleaved index) is the integer recurrence
+    * `((seed * 31 + k * 7) % 2003) - 1001` — chosen so a SQL engine can
+    * recompute every sample analytically (the q_image_ahash fixture
+    * treatment for the audio modality). Encoded through the real
+    * javax.sound writer, not a hand-rolled header.
+    */
+  def wavSynth(seed: Long, nFrames: Int, channels: Int, sampleRate: Int): Array[Byte] = {
+    require(nFrames > 0 && channels > 0 && sampleRate > 0)
+    val n = nFrames * channels
+    val pcm = new Array[Byte](n * 2)
+    var k = 0
+    while (k < n) {
+      val v = ((seed * 31 + k.toLong * 7) % 2003 - 1001).toInt
+      pcm(2 * k) = (v & 0xff).toByte
+      pcm(2 * k + 1) = ((v >> 8) & 0xff).toByte
+      k += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate.toFloat, 16, channels, true, false) // signed, little-endian
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+    val baos = new ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    baos.toByteArray
+  }
+
+  /** REAL audio featurizer: decode `bytes` as a WAV via
+    * `javax.sound.sampled` (PCM signed 16-bit) and report frame count,
+    * channel count, sample rate, integer duration, per-block RMS over
+    * `blockFrames`-frame windows (all channels interleaved in a block),
+    * and whole-clip RMS. Sum-of-squares is exact 64-bit integer
+    * arithmetic, then ONE sqrt + the portable round6 — bit-identical
+    * across engines recomputing the same samples.
+    *
+    * Bytes that are not a decodable 16-bit PCM WAV fall back to the
+    * deterministic [[audioFeaturesStub]] shape (`decoder = "stub"`,
+    * mirroring [[Tess4JOcr.AutoFactory]]'s never-throw discipline): the
+    * row keeps flowing with the error visible in the decoder column.
+    */
+  def audioFeatures(bytes: Array[Byte], blockFrames: Int): WavFeatures = {
+    require(blockFrames > 0, s"blockFrames must be > 0, got $blockFrames")
+    def stubbed: WavFeatures = {
+      val s = audioFeaturesStub(bytes)
+      WavFeatures(s.n_samples, 1, 0, 0L, Seq.empty, round6(s.rms), "stub")
+    }
+    if (bytes == null || bytes.isEmpty) return stubbed
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new ByteArrayInputStream(bytes))
+      val fmt = ais.getFormat
+      if (fmt.getSampleSizeInBits != 16 ||
+          fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+        return stubbed
+      val ch = fmt.getChannels
+      val bigEndian = fmt.isBigEndian
+      val data = ais.readAllBytes()
+      val n = data.length / 2
+      val nFrames = n / ch
+      if (nFrames == 0) return stubbed
+      val blockSamples = blockFrames * ch
+      val nBlocks = (n + blockSamples - 1) / blockSamples
+      val ss = new Array[Long](nBlocks)
+      val cnt = new Array[Long](nBlocks)
+      var total = 0L
+      var k = 0
+      while (k < n) {
+        val lo = data(2 * k) & 0xff
+        val hi = data(2 * k + 1) & 0xff
+        val v = (if (bigEndian) (lo << 8) | hi else (hi << 8) | lo).toShort.toLong
+        val b = k / blockSamples
+        ss(b) += v * v
+        cnt(b) += 1
+        total += v * v
+        k += 1
+      }
+      val rate = fmt.getSampleRate.toInt
+      WavFeatures(
+        nFrames.toLong, ch, rate,
+        nFrames.toLong * 1000L / rate,
+        (0 until nBlocks).map(b => round6(math.sqrt(ss(b).toDouble / cnt(b)))),
+        round6(math.sqrt(total.toDouble / n)),
+        "wav")
+    } catch {
+      case _: Exception => stubbed
+    }
   }
 
   /** Render a white PNG of the given size (fixture generator for the

@@ -196,6 +196,58 @@ object MediaQueries extends QueryModule {
         .orderBy("doc_id")
     },
 
+    // REAL WAV audio decode (javax.sound.sampled) through the binary-
+    // column pipeline: synthesize a PCM16 WAV per document from an
+    // integer sample recurrence, decode it with the real reader, and
+    // report per-block RMS. The oracle recomputes every sample
+    // analytically from the same recurrence (the q_image_ahash
+    // treatment for the audio modality), and its literal decoder='wav'
+    // column pins the REAL decode path: a fallback to the stub would
+    // mismatch. Sum-of-squares is exact BIGINT on both sides; the one
+    // sqrt is IEEE-identical, then the portable round6.
+    Q(
+      "q_audio_wav",
+      """WITH p AS (
+        |  SELECT doc_id,
+        |         800 + (doc_id % 5) * 80 AS nf,
+        |         1 + doc_id % 2 AS ch
+        |  FROM documents WHERE doc_id < 300),
+        |s AS (
+        |  SELECT doc_id, nf, ch, k,
+        |         ((doc_id * 31 + k * 7) % 2003) - 1001 AS v
+        |  FROM p, unnest(generate_series(0, CAST(nf * ch - 1 AS BIGINT))) AS t(k)),
+        |b AS (
+        |  SELECT doc_id, nf, ch, CAST(k // ch // 400 AS INT) AS block,
+        |         SUM(v * v) AS ss, COUNT(*) AS n
+        |  FROM s GROUP BY 1, 2, 3, 4)
+        |SELECT doc_id,
+        |       CAST(nf AS BIGINT) AS n_frames,
+        |       CAST(ch AS INT) AS channels,
+        |       CAST(8000 AS INT) AS sample_rate,
+        |       CAST(nf * 1000 // 8000 AS BIGINT) AS duration_ms,
+        |       block,
+        |       floor(sqrt(CAST(ss AS DOUBLE) / n) * 1e6 + 0.5) / 1e6 AS rms,
+        |       'wav' AS decoder
+        |FROM b ORDER BY doc_id, block"""
+    ) { (s, d) =>
+      val mkWav = udf((docId: Long) => MultimodalOps.wavSynth(
+        docId, (800 + docId % 5 * 80).toInt, (1 + docId % 2).toInt, 8000))
+      val feats = udf((bytes: Array[Byte]) =>
+        MultimodalOps.audioFeatures(bytes, 400))
+      Tables.documents(s, d)
+        .filter(col("doc_id") < 300)
+        .select(col("doc_id"), feats(mkWav(col("doc_id"))).as("a"))
+        .select(
+          col("doc_id"),
+          col("a.n_frames").as("n_frames"),
+          col("a.channels").as("channels"),
+          col("a.sample_rate").as("sample_rate"),
+          col("a.duration_ms").as("duration_ms"),
+          posexplode(col("a.rms_blocks")).as(Seq("block", "rms")),
+          col("a.decoder").as("decoder"))
+        .orderBy("doc_id", "block")
+    },
+
     // REAL image resize (bilinear, java.awt) through the binary-column
     // pipeline: generate → resize to 8x4 → re-decode the re-encoded PNG
     // and read its header. The oracle pins the decoded dims/format —

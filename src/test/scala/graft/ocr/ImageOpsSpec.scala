@@ -83,6 +83,44 @@ class ImageOpsSpec extends AnyFunSuite {
     assert(a.clip_id != null)
   }
 
+  test("real WAV decode: committed fixture yields its analytic features") {
+    // fixtures/tone.wav: 8000 Hz mono PCM16, 800 frames of a ±1000
+    // square wave (period 8) — RMS is EXACTLY 1000.0 by construction,
+    // duration 100 ms, two 400-frame blocks each also RMS 1000.
+    val in = getClass.getResourceAsStream("/fixtures/tone.wav")
+    assert(in != null, "missing test fixture /fixtures/tone.wav")
+    val bytes = in.readAllBytes(); in.close()
+    val f = MultimodalOps.audioFeatures(bytes, 400)
+    assert(f.decoder == "wav", "fixture must take the REAL decode path")
+    assert(f.n_frames == 800L && f.channels == 1 && f.sample_rate == 8000)
+    assert(f.duration_ms == 100L)
+    assert(f.rms == 1000.0 && f.rms_blocks == Seq(1000.0, 1000.0))
+  }
+
+  test("real WAV decode: synth roundtrip matches the sample recurrence; stub fallback") {
+    // wavSynth(seed, …) encodes sample k = ((seed*31 + k*7) % 2003) - 1001
+    // through the real javax.sound writer; the real reader must hand the
+    // exact integers back (stereo: interleaved frames, 2 frames' worth
+    // per 400-frame block boundary handled by integer-floor identity).
+    val seed = 42L
+    val wav = MultimodalOps.wavSynth(seed, nFrames = 500, channels = 2, sampleRate = 8000)
+    val f = MultimodalOps.audioFeatures(wav, 400)
+    assert(f.decoder == "wav" && f.n_frames == 500L && f.channels == 2)
+    assert(f.sample_rate == 8000 && f.duration_ms == 62L) // 500*1000/8000 floor
+    def s(k: Int): Long = (seed * 31 + k.toLong * 7) % 2003 - 1001
+    def rmsOf(ks: Range): Double = {
+      val ss = ks.map(k => s(k) * s(k)).sum
+      math.floor(math.sqrt(ss.toDouble / ks.size) * 1e6 + 0.5) / 1e6
+    }
+    assert(f.rms_blocks == Seq(rmsOf(0 until 800), rmsOf(800 until 1000)))
+    assert(f.rms == rmsOf(0 until 1000))
+    // non-WAV bytes: never throw, fall back to the stub shape with the
+    // failure visible in the decoder column (the AutoFactory discipline)
+    val junk = MultimodalOps.audioFeatures(Array[Byte](3, -3, 3, -3), 400)
+    assert(junk.decoder == "stub" && junk.n_frames == 4L && junk.rms == 3.0)
+    assert(MultimodalOps.audioFeatures(null, 400).decoder == "stub")
+  }
+
   test("aHash: hand-computed hash, edit locality, grid divisibility") {
     // 8x8 identity grid (1 pixel per block): left half 0, right half 255
     // -> each row's bits are 00001111 -> nibbles "0f" x 8
