@@ -4,6 +4,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.types.{DataType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -171,6 +172,81 @@ object FilterExprsUtil {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
   }
 
+  private def md5Hex(md: java.security.MessageDigest, line: String): String = {
+    md.reset()
+    val dig = md.digest(line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val hex = new java.lang.StringBuilder(32)
+    var k = 0
+    while (k < dig.length) {
+      hex.append(Character.forDigit((dig(k) >> 4) & 0xf, 16))
+      hex.append(Character.forDigit(dig(k) & 0xf, 16))
+      k += 1
+    }
+    hex.toString
+  }
+
+  /** One-pass boilerplate strip against a broadcast set of boiler-line
+    * md5 HEX digests: [[tokenLines]] segmentation, per-line md5, drop
+    * members, rejoin survivors with ' ' in original order. Value parity
+    * with the join spelling (explode + flag join + ordered
+    * collect_list + array_join(' ')) is exact: same tokenizer, same
+    * line windows, same digest function, same joiner.
+    */
+  def boilerStrip(set: StrSet, s: UTF8String, nTok: Int): InternalRow = {
+    val toks = WordsUtil.tokenize(s.toString)
+    val n = toks.size
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var nLines = 0L
+    var nBoiler = 0L
+    val out = new java.lang.StringBuilder
+    var i = 0
+    while (i < n) {
+      val end = math.min(i + nTok, n)
+      val lb = new java.lang.StringBuilder(toks.get(i))
+      var j = i + 1
+      while (j < end) { lb.append(' ').append(toks.get(j)); j += 1 }
+      val line = lb.toString
+      nLines += 1
+      if (set.s.contains(md5Hex(md, line))) nBoiler += 1
+      else {
+        if (out.length() > 0) out.append(' ')
+        out.append(line)
+      }
+      i = end
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nLines, nBoiler, UTF8String.fromString(out.toString)))
+  }
+
+  /** Per-document DISTINCT md5 hex digests of the [[tokenLines]]
+    * windows — the corpus side of the boiler FREQUENCY pass in one
+    * fused scan. Per-doc dedup here turns the downstream
+    * doc-frequency aggregation into a plain map-side-combinable
+    * `count` (each document contributes each digest at most once, so
+    * count == countDistinct(doc_id)) — the countDistinct spelling's
+    * expand + distinct shuffle was the pass's hotspot.
+    */
+  def lineDigests(s: UTF8String, nTok: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val toks = WordsUtil.tokenize(s.toString)
+    val n = toks.size
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val seen = new java.util.LinkedHashSet[String]()
+    var i = 0
+    while (i < n) {
+      val end = math.min(i + nTok, n)
+      val lb = new java.lang.StringBuilder(toks.get(i))
+      var j = i + 1
+      while (j < end) { lb.append(' ').append(toks.get(j)); j += 1 }
+      seen.add(md5Hex(md, lb.toString))
+      i = end
+    }
+    val arr = new Array[AnyRef](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { arr(k) = UTF8String.fromString(it.next()); k += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+  }
+
   /** The derived line structure for the fixture corpus (newline-free
     * word soup): `nTok`-token lines joined by '\n', line i suffixed
     * with '' / '.' / '!' by (docId + i) % 3 — one tokenize + one build
@@ -262,6 +338,71 @@ case class C4Stats(child: Expression, minWords: Int) extends UnaryExpression {
       c => s"graft.functions.FilterExprsUtil.c4Stats($c, $minWords)")
 
   override protected def withNewChildInternal(newChild: Expression): C4Stats =
+    copy(child = newChild)
+}
+
+/** `graft_boiler_strip(text)` -> struct<n_lines, n_boiler, cleaned>:
+  * the whole rebuild side of corpus-frequency boilerplate stripping in
+  * ONE codegen pass against a broadcast set of boiler-line md5 digests
+  * (hex) — tokenize, window into `nTok`-token lines, drop lines whose
+  * digest is in the set, rejoin the survivors in order. The literal
+  * path replaces a corpus-scale line explode + flag join + per-line
+  * text exchange + collect_list rebuild with a narrow projection; the
+  * value contract is the join spelling's exactly (dual-path spec'd).
+  */
+case class BoilerStrip(child: Expression, bc: Broadcast[StrSet], nTok: Int)
+    extends UnaryExpression {
+  require(nTok >= 1, s"nTok must be >= 1, got $nTok")
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_lines", LongType, nullable = false),
+    StructField("n_boiler", LongType, nullable = false),
+    StructField("cleaned", StringType, nullable = false)))
+  override def prettyName: String = "graft_boiler_strip"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a STRING argument, got ${child.dataType.catalogString}")
+
+  override def nullSafeEval(input: Any): Any =
+    FilterExprsUtil.boilerStrip(bc.value, input.asInstanceOf[UTF8String], nTok)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcRef = ctx.addReferenceObj("boilerSetBc", bc, classOf[Broadcast[_]].getName)
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.FilterExprsUtil.boilerStrip(" +
+        s"(graft.functions.StrSet) $bcRef.value(), $c, $nTok)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BoilerStrip =
+    copy(child = newChild)
+}
+
+/** `graft_line_digests(text, n_tok)` -> array of per-document DISTINCT
+  * md5 hex digests of the token-line windows
+  * ([[FilterExprsUtil.lineDigests]]).
+  */
+case class LineDigests(child: Expression, nTok: Int) extends UnaryExpression {
+  require(nTok >= 1, s"nTok must be >= 1, got $nTok")
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_line_digests"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a STRING argument, got ${child.dataType.catalogString}")
+
+  override def nullSafeEval(input: Any): Any =
+    FilterExprsUtil.lineDigests(input.asInstanceOf[UTF8String], nTok)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.FilterExprsUtil.lineDigests($c, $nTok)")
+
+  override protected def withNewChildInternal(newChild: Expression): LineDigests =
     copy(child = newChild)
 }
 

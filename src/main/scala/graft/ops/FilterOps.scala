@@ -92,7 +92,7 @@ object FilterOps extends QueryModule {
     * q_gopher_rules (narrow output) checkpoints the battery rows and
     * sorts those, keeping text out of every shuffle.
     */
-  private def derivedLines(docs: DataFrame): DataFrame =
+  private[ops] def derivedLines(docs: DataFrame): DataFrame =
     docs
       .filter(TextOps.wordCount(col("text")) >= 1)
       .select(col("doc_id"), ltextCol.as("ltext"))
@@ -178,6 +178,34 @@ object FilterOps extends QueryModule {
   // Corpus-frequency boilerplate stripping
   // ------------------------------------------------------------------
 
+  /** Cap for collecting the boiler-line digest set into the driver
+    * (the [[TrainPrepOps.MaxLiteralDomains]] discipline: 2M hex
+    * digests ≈ 160 MB of driver strings, the knnLabel bound).
+    */
+  val MaxLiteralBoilerLines = 2000000L
+
+  /** The literal path's fused strip frame — package-visible so the
+    * plan-hygiene spec can pin the graft_boiler_strip expression on the
+    * OPERATOR plan (the registered query checkpoints it away, the
+    * gopherRules precedent).
+    */
+  private[graft] def boilerProbeFrame(
+      withWords: DataFrame,
+      bc: org.apache.spark.broadcast.Broadcast[graft.functions.StrSet],
+      lineTokens: Int): DataFrame = {
+    val st = org.apache.spark.sql.GraftBridge.column(
+      graft.functions.BoilerStrip(
+        org.apache.spark.sql.GraftBridge.expression(col("text")),
+        bc, lineTokens))
+    withWords
+      .select(col("doc_id"), st.as("st"))
+      .select(
+        col("doc_id"),
+        col("st.n_lines").as("n_lines"),
+        col("st.n_boiler").as("n_boiler"),
+        col("st.cleaned").as("cleaned"))
+  }
+
   /** Remove every line whose content occurs in >= `minDocs` DISTINCT
     * documents anywhere in the corpus, and rebuild each document from
     * its surviving lines in order. Lines are `lineTokens`-token windows
@@ -185,34 +213,71 @@ object FilterOps extends QueryModule {
     * would split instead). Output: (doc_id, n_lines, n_boiler, cleaned)
     * — a fully-stripped document survives with cleaned = ''.
     *
-    * Scale: the frequency table exchanges (16-byte digest, doc_id)
-    * pairs only and aggregates to the small frequent-line set, which
-    * joins back as an unhinted (size-honest) broadcast flag join; then
-    * ONE doc_id-keyed aggregation computes totals and rebuild together
-    * — `collect_list(when(kept, …))` skips boiler lines — so no
-    * corpus-sized join ever forms and the corpus crosses exactly one
-    * exchange, the honest floor for a rewrite that must reorder lines
-    * per document. A fully-stripped document stays in the output with
-    * cleaned = '' (the aggregation sees all its lines, so no outer
-    * join is needed to resurrect it).
+    * Scale (r11, literal-first): the frequency pass exchanges (hex
+    * digest, doc_id) pairs only and aggregates to the frequent-line
+    * set. Under [[MaxLiteralBoilerLines]] that set rides back as a
+    * broadcast [[graft.functions.StrSet]] probed by ONE fused
+    * graft_boiler_strip codegen pass over the documents — no line
+    * table ever materializes, no line-level join forms, and the only
+    * text the query moves is the REBUILT output crossing its
+    * presentation sort (the q_c4_clean shape). Past the cap, the join
+    * spelling remains: one-evaluation checkpointed line table (A/B'd:
+    * 0.87s vs 1.00s two-explode at sf0.1, even at the 100x datapoint),
+    * size-honest flag join, ONE doc_id-keyed rebuild aggregation whose
+    * range exchange is the operator's one corpus-text move — the
+    * honest floor for a line-level rewrite whose frequent set outgrows
+    * the driver. A fully-stripped document stays in the output with
+    * cleaned = '' on both paths (dual-path equality spec'd).
     */
   def boilerplateStrip(
       docs: DataFrame, lineTokens: Int = LineTok,
-      minDocs: Int = 2): DataFrame = {
-    // The line table feeds both the frequency aggregation and the
-    // flag-join left side, so the scan + explode runs twice — measured
-    // CHEAPER than a localCheckpoint now that segmentation is the
-    // fused TokenLines codegen pass (1.12s vs 1.25s at sf0.1; the
-    // materialization write+read outweighs one fused re-explode), and
-    // it keeps the operator lazy/stream-composable.
-    val lines = docs
-      .filter(TextOps.wordCount(col("text")) >= 1)
+      minDocs: Int = 2, materializeLines: Boolean = true,
+      maxLiteralBoiler: Long = MaxLiteralBoilerLines): DataFrame = {
+    val withWords = docs.filter(TextOps.wordCount(col("text")) >= 1)
+    if (maxLiteralBoiler > 0) {
+      // Literal-first: one fused scan emits each document's DISTINCT
+      // line digests (graft_line_digests), so doc-frequency is a plain
+      // map-side-combinable count — the countDistinct spelling's
+      // expand + distinct shuffle was this pass's measured hotspot —
+      // then a bounded collect of the frequent set feeds the probe.
+      val freq = withWords
+        .select(explode(org.apache.spark.sql.GraftBridge.column(
+          graft.functions.LineDigests(
+            org.apache.spark.sql.GraftBridge.expression(col("text")),
+            lineTokens))).as("dg"))
+        .groupBy("dg")
+        .agg(count(lit(1)).as("nd"))
+        .filter(col("nd") >= minDocs)
+        .select("dg")
+      val probe = TinyLoop.boundedCollect(freq, maxLiteralBoiler)
+      if (probe.length <= maxLiteralBoiler) {
+        val hs = new java.util.HashSet[String](probe.length * 2)
+        probe.foreach(r => hs.add(r.getString(0)))
+        val bc = docs.sparkSession.sparkContext.broadcast(
+          new graft.functions.StrSet(hs))
+        // Checkpoint BEFORE the presentation sort (the gopherRules
+        // pattern): a global orderBy range-partitions, and the range
+        // sampler executes its child lineage a second time — without
+        // the checkpoint the whole fused strip scan (tokenize + md5
+        // over the corpus) runs twice just to pick sort bounds.
+        return TinyLoop.corpusCheckpoint(boilerProbeFrame(withWords, bc, lineTokens))
+          .orderBy("doc_id")
+      }
+    }
+    // Join path (frequent set past the driver cap). The line table
+    // feeds both the frequency aggregation and the flag-join left
+    // side: ONE evaluation via corpusCheckpoint by default;
+    // `materializeLines = false` keeps the lazy two-explode spelling
+    // for stream composition (a streaming frame cannot checkpoint).
+    val exploded = withWords
       .select(
         col("doc_id"),
         posexplode(graft.functions.GraftFunctions.token_lines(
           col("text"), lineTokens)))
       .toDF("doc_id", "pos", "line")
       .withColumn("dg", unhex(md5(col("line"))))
+    val lines =
+      if (materializeLines) TinyLoop.corpusCheckpoint(exploded) else exploded
     val boiler = lines
       .groupBy("dg")
       .agg(countDistinct(col("doc_id")).as("nd"))
@@ -384,12 +449,15 @@ object FilterOps extends QueryModule {
          |       array_to_string(kept, chr(10)) AS cleaned
          |FROM s ORDER BY doc_id"""
     ) { (s, d) =>
-      // output carries rebuilt text, so text crosses the presentation
-      // exchange regardless — exchange the raw rows FIRST so the rule
-      // battery runs once post-exchange and the final sort is local
-      c4Clean(
-        derivedLines(Tables.documents(s, d).repartitionByRange(col("doc_id"))),
-        "ltext").orderBy("doc_id")
+      // checkpoint the cleaned rows, sort those (r11; replaces the
+      // exchange-raw-rows-first spelling): the fused battery runs ONCE
+      // into the checkpoint instead of once per sort-sampling pass,
+      // and the only text crossing an exchange is the REBUILT output
+      // through its presentation sort — A/B'd 0.61s vs 0.70s at sf0.1,
+      // even (4.65 vs 4.55) at the 100x datapoint
+      TinyLoop.corpusCheckpoint(
+        c4Clean(derivedLines(Tables.documents(s, d)), "ltext"))
+        .orderBy("doc_id")
     },
 
     // Corpus-frequency boilerplate stripping + rebuild.

@@ -115,6 +115,22 @@ class FilterOpsSpec extends SparkSpec {
     assert(got(2L) == "")
   }
 
+  test("boilerplateStrip: literal broadcast-probe and join paths are identical") {
+    // the engine self-selects by the measured frequent-set size; the
+    // fused graft_boiler_strip probe must reproduce the join spelling's
+    // values exactly — run on the real fixture corpus so real boiler
+    // lines, partial trailing windows, and fully-stripped docs all occur
+    val docs = Tables.documents(spark, sfDir)
+    def rows(maxLit: Long) =
+      graft.ops.FilterOps.boilerplateStrip(docs, maxLiteralBoiler = maxLit)
+        .collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    val lit_ = rows(graft.ops.FilterOps.MaxLiteralBoilerLines)
+    val join = rows(0L)
+    assert(lit_ == join)
+    assert(lit_.nonEmpty && lit_.exists(_._3 > 0), "fixture must contain boiler lines")
+  }
+
   test("perplexityFilter: deciles partition the corpus, keep gates at the threshold") {
     import spark.implicits._
     // 20 two-word docs over a skewed bigram table: "a b" dominates, so

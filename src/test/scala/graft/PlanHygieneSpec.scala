@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions._
+
 /** Sweeping plan-shape guards over the entire registered surface — the
   * "would this plan survive 100×?" gate:
   *
@@ -44,12 +46,16 @@ class PlanHygieneSpec extends SparkSpec {
   // alternatives, not banning every conceivable text movement.
   test("no registered query shuffles a text-like column") {
     val sf01 = "/root/testdata/sf0.01"
-    // Deliberate raw-row exchanges only (keep this list tiny — every
-    // entry needs a measured justification in PLANS.md):
-    //  - q_c4_clean: its OUTPUT carries rebuilt text, so the rebuilt
-    //    column may legitimately cross the presentation exchange
-    //    (measured 2x faster than the checkpoint spelling, FilterOps).
-    val allow = Set("q_c4_clean")
+    // Deliberate mid-plan text moves only (keep this list tiny — every
+    // entry needs a documented justification):
+    //  - q_dedup_exact / q_dedup_corpus: keep-one-row-per-key dedup
+    //    moves the payload (text included) to its keeper through the
+    //    hinted shuffled-hash semi join — the operator's ONE documented
+    //    exchange, deliberately broadcast-free (the keeper set outgrows
+    //    broadcast exactly at scale; GraftOps.dedupExact scaladoc).
+    // Presentation sorts of output text are exempted by the walker
+    // itself (TextShuffleAudit), not listed here.
+    val allow = Set("q_dedup_exact", "q_dedup_corpus")
     val offenders = SparkEntry.all.flatMap { q =>
       if (allow(q.name)) None
       else try {
@@ -222,11 +228,11 @@ class PlanHygieneSpec extends SparkSpec {
       // (agg FILTER clauses). Generate = the literal query explode.
       "q_ann_ivf_trained" -> Seq("ObjectHashAggregate", "Generate"),
       "q_ann_ivf_nprobe" -> Seq("ObjectHashAggregate", "Generate"),
-      // boilerplate strip: the frequent-line set joins back as a
-      // broadcast flag join (a shuffle join here would re-key the whole
-      // exploded corpus before the rebuild aggregation), and line
-      // segmentation must stay the fused codegen pass
-      "q_boilerplate_strip" -> Seq("BroadcastHashJoin", "graft_token_lines"),
+      // boilerplate strip (r11 literal path): fused frequency scan +
+      // broadcast strip probe both run eagerly into a checkpoint, so
+      // the fused names are pinned on the OPERATOR frames in the
+      // dedicated test below; nothing left to pin on the final plan
+      // beyond the no-join guard there.
       // retrieval family (bench headline from r9; literal-stats form
       // r10): BM25's model state (N, Σdl, per-term df) bakes into the
       // scoring expression over the checkpointed fused-scan frame, so
@@ -247,10 +253,10 @@ class PlanHygieneSpec extends SparkSpec {
       // the rule batteries must keep their fused single-pass
       // expressions — a regression to the interpreted lambda spelling
       // (measured 4-7x slower) would erase these function names.
-      // (q_gopher_rules now checkpoints its battery rows before the
-      // presentation sort, so its fused names are pinned against the
-      // OPERATOR plan in the dedicated test below.)
-      "q_c4_clean" -> Seq("graft_c4_stats", "graft_suffix_lines"),
+      // (q_gopher_rules and, since r11, q_c4_clean checkpoint their
+      // battery rows before the presentation sort, so their fused
+      // names are pinned against the OPERATOR plan in the dedicated
+      // test below.)
       "q_line_dedup" -> Seq("graft_token_lines"),
       // the PII battery is one fused pass (six builtin regex
       // evaluations per row collapsed into graft_pii_stats)
@@ -376,6 +382,34 @@ class PlanHygieneSpec extends SparkSpec {
     val plan = GraftOps.gopherRules(Tables.documents(spark, sfDir))
       .queryExecution.executedPlan.toString
     assert(plan.contains("graft_gopher_stats"), plan)
+  }
+
+  test("c4 + boilerplate keep their fused expressions (operator plans)") {
+    // both registered queries checkpoint before their presentation
+    // sorts (r11), so the fused names are invisible on the final plans
+    // — pin them on the operator frames (same regression class as the
+    // gopher battery: a collapse back to interpreted lambda / join
+    // spellings)
+    val docs = Tables.documents(spark, sfDir)
+    val c4 = GraftOps.c4Clean(docs).queryExecution.executedPlan.toString
+    assert(c4.contains("graft_c4_stats"), c4)
+    val withWords = docs.filter(
+      graft.ops.TextOps.wordCount(col("text")) >= 1)
+    val bc = spark.sparkContext.broadcast(
+      new graft.functions.StrSet(new java.util.HashSet[String]()))
+    val probe = graft.ops.FilterOps.boilerProbeFrame(withWords, bc, 4)
+      .queryExecution.executedPlan.toString
+    assert(probe.contains("graft_boiler_strip"), probe)
+    // and the frequency side must stay the per-doc-distinct fused scan
+    // (count, never the expand + distinct countDistinct spelling) —
+    // pinned end-to-end: the registered query's construction is the
+    // only caller, so assert on a hand-built equivalent
+    val freq = withWords.select(explode(org.apache.spark.sql.GraftBridge.column(
+        graft.functions.LineDigests(
+          org.apache.spark.sql.GraftBridge.expression(col("text")), 4))).as("dg"))
+      .groupBy("dg").agg(count(lit(1)).as("nd"))
+      .queryExecution.executedPlan.toString
+    assert(freq.contains("graft_line_digests") && !freq.contains("Expand"), freq)
   }
 
   test("training queries plan no join at all (literal centroid + query state)") {
