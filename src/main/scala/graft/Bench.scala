@@ -148,12 +148,17 @@ object Bench {
     // round comparability: r10+ numbers are strictly the same work under
     // the aligned protocol; the JSON carries "protocol" so a reader can
     // tell which methodology produced it.
-    val results = headline.map { case (name, fn) =>
-      // Untimed GC before each query's runs: keeps cleaner progress (and
-      // therefore disk/memory footprint) flat across the suite instead
-      // of letting it accumulate into the later queries' timings.
-      System.gc()
-      val ts = (1 to 3).map { _ =>
+    // Spread-aware re-runs (r11): a min-of-3 whose relative spread
+    // ((max-min)/min) exceeds this threshold was measured during a
+    // co-tenancy burst — the q_dedup_simhash r10 artifact read 2.69s
+    // on the driver and 0.46s for the judge on IDENTICAL code. One
+    // extra 3-run round with the overall min kills that class of
+    // single-query weather before round-over-round triage chases it;
+    // the JSON's "reruns" list records when the logic engaged.
+    val SpreadRerunThreshold = 0.5
+    def measure3(name: String,
+        fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Seq[Double] =
+      (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try { run(fn) } catch {
           case e: Throwable =>
@@ -162,13 +167,25 @@ object Bench {
         }
         (System.nanoTime() - t0) / 1e9
       }
-      (name, ts.min, (ts.max - ts.min) / ts.min)
+    val results = headline.map { case (name, fn) =>
+      // Untimed GC before each query's runs: keeps cleaner progress (and
+      // therefore disk/memory footprint) flat across the suite instead
+      // of letting it accumulate into the later queries' timings.
+      System.gc()
+      val first = measure3(name, fn)
+      val spread1 = (first.max - first.min) / first.min
+      val (ts, rerun) =
+        if (spread1 > SpreadRerunThreshold) (first ++ measure3(name, fn), true)
+        else (first, false)
+      (name, ts.min, (ts.max - ts.min) / ts.min, rerun)
     }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val spreads = results
-      .map { case (k, _, sp) => s"\"" + k + "\":" + math.round(sp * 1000) / 1000.0 }
+      .map { case (k, _, sp, _) => s"\"" + k + "\":" + math.round(sp * 1000) / 1000.0 }
       .mkString("{", ",", "}")
+    val reruns = results.collect { case (k, _, _, true) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
     val total = results.map(_._2).sum
     // Same-window DuckDB yardstick (r9): run the headline's oracle SQLs
     // in DuckDB immediately after the Spark passes, so the bench JSON
@@ -231,14 +248,14 @@ object Bench {
       s""""real_work_n":${realNames.size},""" +
       f""""real_work_spark":$realSpark%.4f,""" +
       f""""real_work_duckdb":$realDuck%.4f"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","action":"noop-write","protocol":"per-query-consecutive","duckdb_total":$duck,$rw,"queries":$qs,"spread":$spreads,"duckdb":$duckObj,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","action":"noop-write","protocol":"per-query-consecutive","duckdb_total":$duck,$rw,"queries":$qs,"spread":$spreads,"reruns":$reruns,"duckdb":$duckObj,"sf":"$sfDir"}""")
     // The full line above (per-query timings + spread map) exceeds the
     // driver's tail-capture window, so it can arrive truncated (round 6's
     // official total was lost that way: BENCH_r06 "parsed": null). Print a
     // short, final, self-contained summary line so the headline total
     // always survives tail truncation regardless of how many queries the
     // headline set grows to.
-    println(s"""{"metric":"total_compact","value":$total,"unit":"sec","protocol":"per-query-consecutive","n":${results.size},"duckdb_total":$duck,$rw,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total_compact","value":$total,"unit":"sec","protocol":"per-query-consecutive","n":${results.size},"duckdb_total":$duck,$rw,"reruns":$reruns,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
