@@ -535,6 +535,26 @@ object GraftOps {
   def admitAgainstIndex(newDocs: DataFrame, index: DataFrame): DataFrame =
     ops.DedupOps.admitAgainstIndex(newDocs, index)
 
+  /** Stored IVF index rows (vec_id, cell, embedding) for a vector frame
+    * against a stored (k, carr) codebook — build once, append admitted
+    * batches, probe cell-keyed at search time. See
+    * [[ops.MlOps.ivfIndex]]; drives [[searchAgainstIvfIndex]].
+    */
+  def ivfIndex(emb: DataFrame, codebook: DataFrame): DataFrame =
+    ops.MlOps.ivfIndex(emb, codebook)
+
+  /** Per-batch cell-probed ANN search against a stored IVF index — the
+    * similarity side's [[admitAgainstIndex]]: each query scores only
+    * its own cell's index rows, bounded top-k per query. The streaming
+    * loop calls this per micro-batch, appends `ivfIndex(batch,
+    * codebook)`, and retrains-and-swaps the codebook on drift
+    * (StreamingSpec drives all three). Output: (qid, cell, vid, sim).
+    */
+  def searchAgainstIvfIndex(
+      queries: DataFrame, codebook: DataFrame, index: DataFrame,
+      topk: Int = 3): DataFrame =
+    ops.MlOps.searchAgainstIvfIndex(queries, codebook, index, topk)
+
   /** URL blocklist gate: status = blocked_domain (exact host or
     * dot-suffix subdomain of a blocked registered domain) |
     * blocked_path (path contains `blockedPathSeg`) | kept. One narrow

@@ -360,6 +360,68 @@ object MlOps extends QueryModule {
     train(prepared(emb), k, iters).toDF("k", "carr")
   }
 
+  /** Collect a STORED codebook frame (k, carr) back into driver-side
+    * literal state — bounded by K rows, the model-state collect.
+    */
+  private def collectCodebook(codebook: DataFrame): Cents =
+    TinyLoop.modelCollect(codebook.select(col("k"), col("carr")))
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toIndexedSeq))
+      .toSeq.sortBy(_._1)
+
+  /** Stored IVF index rows for a vector frame against a stored
+    * codebook: (vec_id, cell, embedding), assignment via the narrow
+    * literal-centroid fold (no join, no exchange). At scale the index
+    * persists `bucketBy(N, "cell")` so later cell-keyed probes
+    * co-locate with no index-side exchange — the
+    * [[DedupOps.admitAgainstIndex]] storage shape for the similarity
+    * side.
+    */
+  def ivfIndex(emb: DataFrame, codebook: DataFrame): DataFrame = {
+    val cents = collectCodebook(codebook)
+    emb
+      .withColumn("m", graft.functions.GraftFunctions.nearest_centroid(
+        col("embedding"), cents.map(_._1), cents.map(_._2)))
+      .select(col("vec_id"), col("m.k").as("cell"), col("embedding"))
+  }
+
+  /** Cell-probed search of a (micro-)batch of query vectors against a
+    * stored IVF index — the similarity side's [[DedupOps
+    * .admitAgainstIndex]]: assign each query to its nearest stored
+    * centroid (narrow literal fold, bit-identical to the index's own
+    * assignment), join ONLY that cell's index rows (cell-keyed join —
+    * a bucketed index scan arrives pre-partitioned, so the batch-sized
+    * probe is the only side moved), score one codegen cosine per
+    * candidate, keep the bounded top-`topk` per query. Queries whose
+    * cell holds no other vector emit no row (no-signal policy). The
+    * streaming admission loop calls this per micro-batch, appends
+    * `ivfIndex(batch, codebook)` for the admitted vectors, and
+    * RETRAINS-AND-SWAPS the codebook + index when drift warrants (the
+    * model-state-refresh closure shape — spec-driven in StreamingSpec
+    * over ≥3 batches with values asserted against this same batch
+    * path). Output: (qid, cell, vid, sim round6).
+    */
+  def searchAgainstIvfIndex(
+      queries: DataFrame, codebook: DataFrame, index: DataFrame,
+      topk: Int = 3): DataFrame = {
+    val cents = collectCodebook(codebook)
+    val tkName = registerTopk(queries.sparkSession, topk)
+    queries
+      .withColumn("m", graft.functions.GraftFunctions.nearest_centroid(
+        col("embedding"), cents.map(_._1), cents.map(_._2)))
+      .select(col("vec_id").as("qid"), col("embedding").as("qemb"),
+        col("m.k").as("cell"))
+      .join(index.toDF("vid", "cell", "i_emb"), Seq("cell"))
+      .filter(col("vid") =!= col("qid"))
+      .select(col("qid"), col("cell"), col("vid"),
+        graft.functions.GraftFunctions.cosine_sim(
+          col("qemb"), col("i_emb")).as("sim"))
+      .groupBy("qid", "cell")
+      .agg(expr(s"$tkName(sim, vid)").as("tp"))
+      .select(col("qid"), col("cell"), explode(col("tp")).as("p"))
+      .select(col("qid"), col("cell"), col("p._2").as("vid"),
+        Exact.round6(col("p._1")).as("sim"))
+  }
+
   /** Cluster summary after training: (cluster, n_vecs, inertia). */
   def kmeans(emb: DataFrame, k: Int = K, iters: Int = Iters): DataFrame = {
     val vecs = prepared(emb)

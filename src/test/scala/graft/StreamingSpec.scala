@@ -668,4 +668,92 @@ class StreamingSpec extends SparkSpec {
     q.stop()
     assert(admitted.synchronized(admitted.toSet) == Set(11L, 21L))
   }
+
+  test("streaming ANN admission: cell probe + index append + retrain-and-swap") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    // The similarity side of the streaming-admission story
+    // (MlOps.searchAgainstIvfIndex): each micro-batch of new embeddings
+    // is assigned to the STORED codebook and searches only its cell's
+    // index rows; admitted batches append their index rows; a
+    // retrain-and-swap step replaces codebook AND index (drift +
+    // retention), and the next batch must observably probe the NEW
+    // state. Every batch's values are asserted against a driver-side
+    // brute-force mirror of the batch path (same argmin-cell, same
+    // cosine, same round6).
+    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      dot / (math.sqrt(a.map(x => x.toDouble * x.toDouble).sum) *
+        math.sqrt(b.map(x => x.toDouble * x.toDouble).sum))
+    }
+    def cellOf(e: Seq[Float], cents: Seq[(Long, Seq[Double])]): Long =
+      cents.map { case (k, c) =>
+        (e.zip(c).map { case (x, cc) =>
+          (x.toDouble - cc) * (x.toDouble - cc) }.sum, k)
+      }.min._2
+    def centsOf(codebook: org.apache.spark.sql.DataFrame): Seq[(Long, Seq[Double])] =
+      codebook.collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq.sortBy(_._1)
+    def expectTop2(qid: Long, qe: Seq[Float], pool: Seq[(Long, Seq[Float])],
+        cents: Seq[(Long, Seq[Double])]): Set[(Long, Long, Long, Double)] = {
+      val cell = cellOf(qe, cents)
+      pool.filter(v => v._1 != qid && cellOf(v._2, cents) == cell)
+        .map(v => (qid, cell, v._1, r6(cos(qe, v._2))))
+        .sortBy(-_._4).take(2).toSet
+    }
+    val corpusRows = Seq(
+      0L -> Seq(1.0f, 0.0f), 1L -> Seq(0.0f, 1.0f),
+      2L -> Seq(0.9f, 0.1f), 3L -> Seq(0.1f, 0.9f))
+    val corpus = corpusRows.toDF("vec_id", "embedding")
+    @volatile var codebook = GraftOps.kmeansCentroids(corpus, k = 2, iters = 2)
+      .localCheckpoint()
+    @volatile var index = GraftOps.ivfIndex(corpus, codebook).localCheckpoint()
+    val found = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Double)]
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = mem.toDF().toDF("vec_id", "embedding").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val hits = GraftOps.searchAgainstIvfIndex(batch, codebook, index, topk = 2)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        found.synchronized { found ++= hits; () }
+        // admit: later batches search earlier admissions too
+        index = index.union(GraftOps.ivfIndex(batch, codebook)).localCheckpoint()
+      }
+      .start()
+    val cents1 = centsOf(codebook)
+    // batch 1: one query per cell; results = brute force over the
+    // original corpus cells
+    mem.addData((10L, Seq(0.8f, 0.2f)), (11L, Seq(0.2f, 0.8f)))
+    q.processAllAvailable()
+    val exp1 = expectTop2(10L, Seq(0.8f, 0.2f), corpusRows, cents1) ++
+      expectTop2(11L, Seq(0.2f, 0.8f), corpusRows, cents1)
+    assert(found.synchronized(found.toSet) == exp1, s"batch1: ${found.toSeq}")
+    // batch 2: candidates must include the batch-1 ADMISSION (vec 10
+    // lands in q20's cell and outranks vec 0 by cosine)
+    val pool2 = corpusRows ++ Seq(10L -> Seq(0.8f, 0.2f), 11L -> Seq(0.2f, 0.8f))
+    mem.addData((20L, Seq(0.85f, 0.15f)))
+    q.processAllAvailable()
+    val exp2 = expectTop2(20L, Seq(0.85f, 0.15f), pool2, cents1)
+    assert(found.synchronized(found.toSet) == exp1 ++ exp2, s"batch2: ${found.toSeq}")
+    assert(exp2.exists(_._3 == 10L), "sanity: the admitted vec must rank in top-2")
+    // RETRAIN-AND-SWAP: retention drops the old corpus tail (vecs 2, 3)
+    // — keep the seeds + every admission — and the codebook retrains on
+    // the retained set; both swap atomically before the next batch
+    val retained = Seq(0L -> Seq(1.0f, 0.0f), 1L -> Seq(0.0f, 1.0f)) ++
+      Seq(10L -> Seq(0.8f, 0.2f), 11L -> Seq(0.2f, 0.8f), 20L -> Seq(0.85f, 0.15f))
+    val retainedDf = retained.toDF("vec_id", "embedding")
+    codebook = GraftOps.kmeansCentroids(retainedDf, k = 2, iters = 2).localCheckpoint()
+    index = GraftOps.ivfIndex(retainedDf, codebook).localCheckpoint()
+    val cents2 = centsOf(codebook)
+    // batch 3: probes the NEW state — vec 2 would be a top-2 hit under
+    // the old index (cos((0.9,0.05),(0.9,0.1)) outranks every retained
+    // axis vector except vec 0), so its absence pins the swap
+    mem.addData((30L, Seq(0.9f, 0.05f)))
+    q.processAllAvailable()
+    q.stop()
+    val exp3 = expectTop2(30L, Seq(0.9f, 0.05f), retained, cents2)
+    val all = found.synchronized(found.toSet)
+    assert(all == exp1 ++ exp2 ++ exp3, s"batch3: ${found.toSeq}")
+    assert(!all.exists(h => h._1 == 30L && h._3 == 2L),
+      "vec 2 was dropped by retention — a hit means the old index survived the swap")
+  }
 }
