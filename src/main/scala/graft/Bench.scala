@@ -149,13 +149,19 @@ object Bench {
     // the aligned protocol; the JSON carries "protocol" so a reader can
     // tell which methodology produced it.
     // Spread-aware re-runs (r11): a min-of-3 whose relative spread
-    // ((max-min)/min) exceeds this threshold was measured during a
-    // co-tenancy burst — the q_dedup_simhash r10 artifact read 2.69s
-    // on the driver and 0.46s for the judge on IDENTICAL code. One
-    // extra 3-run round with the overall min kills that class of
-    // single-query weather before round-over-round triage chases it;
-    // the JSON's "reruns" list records when the logic engaged.
+    // ((max-min)/min) exceeds 0.5 AND whose absolute spread exceeds
+    // 0.3s was measured during a co-tenancy burst — the q_dedup_simhash
+    // r10 artifact read 2.69s on the driver and 0.46s for the judge on
+    // IDENTICAL code. One extra 3-run round with the overall min kills
+    // that class of single-query weather before round-over-round triage
+    // chases it; the JSON's "reruns" list records when the logic
+    // engaged. The absolute floor matters: on a 100ms query ±60ms of
+    // ordinary jitter clears the relative bar alone (a first full-suite
+    // run re-ran 49 of 80 queries, +60% suite wall for values the min
+    // already had right), while the artifact class this targets is
+    // seconds-scale.
     val SpreadRerunThreshold = 0.5
+    val SpreadRerunFloorSec = 0.3
     def measure3(name: String,
         fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Seq[Double] =
       (1 to 3).map { _ =>
@@ -175,7 +181,9 @@ object Bench {
       val first = measure3(name, fn)
       val spread1 = (first.max - first.min) / first.min
       val (ts, rerun) =
-        if (spread1 > SpreadRerunThreshold) (first ++ measure3(name, fn), true)
+        if (spread1 > SpreadRerunThreshold &&
+            first.max - first.min > SpreadRerunFloorSec)
+          (first ++ measure3(name, fn), true)
         else (first, false)
       (name, ts.min, (ts.max - ts.min) / ts.min, rerun)
     }
@@ -255,7 +263,7 @@ object Bench {
     // short, final, self-contained summary line so the headline total
     // always survives tail truncation regardless of how many queries the
     // headline set grows to.
-    println(s"""{"metric":"total_compact","value":$total,"unit":"sec","protocol":"per-query-consecutive","n":${results.size},"duckdb_total":$duck,$rw,"reruns":$reruns,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total_compact","value":$total,"unit":"sec","protocol":"per-query-consecutive","n":${results.size},"duckdb_total":$duck,$rw,"n_reruns":${results.count(_._4)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
