@@ -260,6 +260,50 @@ class FilterExprsSpec extends SparkSpec {
     assert(r.getLong(5) == 2L, s"tc=${r.getLong(5)}")
   }
 
+  test("broadcast-probe exprs: hand values + interpreted/codegen parity") {
+    // BoilerStrip / LineDigests / StrSetContains (r11): hand-checked
+    // values through codegen, then the same frame through the
+    // interpreted path (the NO_CODEGEN discipline below).
+    import org.apache.spark.sql.GraftBridge.{column => gc, expression => ge}
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hex(s: String): String = md.digest(
+      s.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+    val boiler = new java.util.HashSet[String]()
+    boiler.add(hex("nav home")) // 2-token boiler line
+    val bcSet = spark.sparkContext.broadcast(new graft.functions.StrSet(boiler))
+    val strs = new java.util.HashSet[String]()
+    strs.add("keep.me")
+    val bcStr = spark.sparkContext.broadcast(new graft.functions.StrSet(strs))
+    val df = Seq(
+      (1L, "nav home alpha beta nav home", "keep.me"),
+      (2L, "alpha beta", "drop.me")).toDF("doc_id", "text", "dom")
+    val cols = Seq(
+      gc(graft.functions.BoilerStrip(ge(col("text")), bcSet, 2)),
+      gc(graft.functions.LineDigests(ge(col("text")), 2)),
+      gc(graft.functions.StrSetContains(ge(col("dom")), bcStr)))
+    def read(rows: Array[org.apache.spark.sql.Row]) = rows.map { r =>
+      val st = r.getStruct(0)
+      ((st.getLong(0), st.getLong(1), st.getString(2)),
+        r.getSeq[String](1).toSet, r.getBoolean(2))
+    }.toSeq
+    val codegen = read(df.orderBy("doc_id").select(cols: _*).collect())
+    // doc 1: lines [nav home][alpha beta][nav home] — the boiler line
+    // counts PER INSTANCE (2), survivors rejoin in order; digests are
+    // per-doc DISTINCT (2 entries, not 3)
+    assert(codegen == Seq(
+      ((3L, 2L, "alpha beta"), Set(hex("nav home"), hex("alpha beta")), true),
+      ((1L, 0L, "alpha beta"), Set(hex("alpha beta")), false)), codegen.toString)
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val interp = read(df.orderBy("doc_id").select(cols: _*).collect())
+      assert(codegen == interp, s"$codegen vs $interp")
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
   test("interpreted eval agrees with codegen for the fused filter exprs") {
     // one representative per expression through both paths
     val df = Seq((7L, "the a of\n- b c d...\nword line here.")).toDF("doc_id", "text")
