@@ -85,14 +85,14 @@ object FilterOps extends QueryModule {
     * presentation ordering is the CALLER's problem: a global
     * `orderBy("doc_id")` over a corpus-scale narrow pipeline
     * re-executes the whole pipeline in the boundary-sampling pass (the
-    * measured 2x on q_gopher_rules / q_c4_clean), so each registered
-    * query picks its shape — q_c4_clean (whose OUTPUT carries rebuilt
-    * text, so text must cross the presentation exchange regardless)
-    * range-exchanges the raw rows first and sorts locally;
-    * q_gopher_rules (narrow output) checkpoints the battery rows and
-    * sorts those, keeping text out of every shuffle.
+    * measured 2x on q_gopher_rules / q_c4_clean), so both registered
+    * queries checkpoint their battery rows first and sort those (r11;
+    * q_c4_clean's earlier exchange-raw-rows-first spelling was
+    * re-A/B'd and lost to the checkpoint — PLANS.md r11) — the only
+    * text crossing an exchange is q_c4_clean's rebuilt OUTPUT through
+    * its presentation sort.
     */
-  private[ops] def derivedLines(docs: DataFrame): DataFrame =
+  private[graft] def derivedLines(docs: DataFrame): DataFrame =
     docs
       .filter(TextOps.wordCount(col("text")) >= 1)
       .select(col("doc_id"), ltextCol.as("ltext"))
@@ -221,34 +221,35 @@ object FilterOps extends QueryModule {
     * table ever materializes, no line-level join forms, and the only
     * text the query moves is the REBUILT output crossing its
     * presentation sort (the q_c4_clean shape). Past the cap, the join
-    * spelling remains: one-evaluation checkpointed line table (A/B'd:
-    * 0.87s vs 1.00s two-explode at sf0.1, even at the 100x datapoint),
-    * size-honest flag join, ONE doc_id-keyed rebuild aggregation whose
-    * range exchange is the operator's one corpus-text move — the
-    * honest floor for a line-level rewrite whose frequent set outgrows
-    * the driver. A fully-stripped document stays in the output with
-    * cleaned = '' on both paths (dual-path equality spec'd).
+    * spelling remains — the SAME fused frequency plan feeding a
+    * size-honest flag join (its one re-execution is a scan, never the
+    * countDistinct expand+distinct respell), then ONE doc_id-keyed
+    * rebuild aggregation whose range exchange is the operator's one
+    * corpus-text move — the honest floor for a line-level rewrite
+    * whose frequent set outgrows the driver. A fully-stripped document
+    * stays in the output with cleaned = '' on both paths (dual-path
+    * equality spec'd).
     */
   def boilerplateStrip(
       docs: DataFrame, lineTokens: Int = LineTok,
-      minDocs: Int = 2, materializeLines: Boolean = true,
+      minDocs: Int = 2,
       maxLiteralBoiler: Long = MaxLiteralBoilerLines): DataFrame = {
     val withWords = docs.filter(TextOps.wordCount(col("text")) >= 1)
+    // ONE frequency spelling for both paths: a fused scan emits each
+    // document's DISTINCT line digests (graft_line_digests), so
+    // doc-frequency is a plain map-side-combinable count — the
+    // countDistinct spelling's expand + distinct shuffle was this
+    // pass's measured hotspot (855 -> 303 ms at sf0.1).
+    val freq = withWords
+      .select(explode(org.apache.spark.sql.GraftBridge.column(
+        graft.functions.LineDigests(
+          org.apache.spark.sql.GraftBridge.expression(col("text")),
+          lineTokens))).as("dg"))
+      .groupBy("dg")
+      .agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select("dg")
     if (maxLiteralBoiler > 0) {
-      // Literal-first: one fused scan emits each document's DISTINCT
-      // line digests (graft_line_digests), so doc-frequency is a plain
-      // map-side-combinable count — the countDistinct spelling's
-      // expand + distinct shuffle was this pass's measured hotspot —
-      // then a bounded collect of the frequent set feeds the probe.
-      val freq = withWords
-        .select(explode(org.apache.spark.sql.GraftBridge.column(
-          graft.functions.LineDigests(
-            org.apache.spark.sql.GraftBridge.expression(col("text")),
-            lineTokens))).as("dg"))
-        .groupBy("dg")
-        .agg(count(lit(1)).as("nd"))
-        .filter(col("nd") >= minDocs)
-        .select("dg")
       val probe = TinyLoop.boundedCollect(freq, maxLiteralBoiler)
       if (probe.length <= maxLiteralBoiler) {
         val hs = new java.util.HashSet[String](probe.length * 2)
@@ -264,25 +265,22 @@ object FilterOps extends QueryModule {
           .orderBy("doc_id")
       }
     }
-    // Join path (frequent set past the driver cap). The line table
-    // feeds both the frequency aggregation and the flag-join left
-    // side: ONE evaluation via corpusCheckpoint by default;
-    // `materializeLines = false` keeps the lazy two-explode spelling
-    // for stream composition (a streaming frame cannot checkpoint).
-    val exploded = withWords
+    // Join path (frequent set past the driver cap): the frequent set
+    // rides the SAME fused `freq` plan into the flag join (hex -> the
+    // line table's 16-byte binary key), and the line table is consumed
+    // exactly once, so nothing needs materializing. On literal-probe
+    // overflow this re-executes the frequency SCAN — the collect
+    // already shipped its result to the driver, where it cannot be
+    // reused as a frame — but never the expand+distinct respell.
+    val boiler = freq
+      .select(unhex(col("dg")).as("dg"), lit(true).as("is_boiler"))
+    val lines = withWords
       .select(
         col("doc_id"),
         posexplode(graft.functions.GraftFunctions.token_lines(
           col("text"), lineTokens)))
       .toDF("doc_id", "pos", "line")
       .withColumn("dg", unhex(md5(col("line"))))
-    val lines =
-      if (materializeLines) TinyLoop.corpusCheckpoint(exploded) else exploded
-    val boiler = lines
-      .groupBy("dg")
-      .agg(countDistinct(col("doc_id")).as("nd"))
-      .filter(col("nd") >= minDocs)
-      .select(col("dg"), lit(true).as("is_boiler"))
     lines
       .join(boiler, Seq("dg"), "left")
       // RANGE-partition on doc_id up front (the q_window_moving move):

@@ -410,7 +410,11 @@ object MlOps extends QueryModule {
         col("embedding"), cents.map(_._1), cents.map(_._2)))
       .select(col("vec_id").as("qid"), col("embedding").as("qemb"),
         col("m.k").as("cell"))
-      .join(index.toDF("vid", "cell", "i_emb"), Seq("cell"))
+      // name-based rename: a positional toDF would silently mis-bind a
+      // stored index read back in a different column order (vec_id and
+      // cell are both LongType — the join would key on the wrong one)
+      .join(index.select(col("vec_id").as("vid"), col("cell"),
+        col("embedding").as("i_emb")), Seq("cell"))
       .filter(col("vid") =!= col("qid"))
       .select(col("qid"), col("cell"), col("vid"),
         graft.functions.GraftFunctions.cosine_sim(

@@ -38,11 +38,21 @@ object TextShuffleAudit {
     * 100 TB, where the small-side estimate that triggers the
     * conversion no longer holds.
     */
-  private def allNodes(p: SparkPlan): Seq[SparkPlan] =
-    p.collect {
+  private def allNodes(p: SparkPlan): Seq[SparkPlan] = {
+    val direct = p.collect {
       case a: AdaptiveSparkPlanExec => allNodes(a.initialPlan)
+      // cached subtrees: InMemoryTableScanExec is a leaf whose plan
+      // hangs off the relation — the exchange that MATERIALIZES a
+      // cache still runs once, so it counts
+      case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        m +: allNodes(m.relation.cachedPlan)
       case x => Seq(x)
     }.flatten
+    // subquery plans hang off EXPRESSIONS, not children — a text
+    // exchange inside a scalar/IN subquery is invisible to the child
+    // walk (the same blind-spot class as the AQE leaf)
+    direct ++ direct.flatMap(_.subqueries.flatMap(allNodes))
+  }
 
   /** Text-carrying shuffle exchanges in `df`'s executed plan (adaptive
     * subtrees included), rendered as the offending column lists —

@@ -391,8 +391,14 @@ class PlanHygieneSpec extends SparkSpec {
     // gopher battery: a collapse back to interpreted lambda / join
     // spellings)
     val docs = Tables.documents(spark, sfDir)
-    val c4 = GraftOps.c4Clean(docs).queryExecution.executedPlan.toString
-    assert(c4.contains("graft_c4_stats"), c4)
+    // the REGISTERED construction: battery over the derived-line frame,
+    // so BOTH fused names (suffix_lines derivation + c4 battery) stay
+    // pinned — the plain c4Clean(docs) spelling would let suffix_lines
+    // regress to its interpreted lambda chain unnoticed
+    val c4 = graft.ops.FilterOps.c4Clean(
+      graft.ops.FilterOps.derivedLines(docs), "ltext")
+      .queryExecution.executedPlan.toString
+    assert(c4.contains("graft_c4_stats") && c4.contains("graft_suffix_lines"), c4)
     val withWords = docs.filter(
       graft.ops.TextOps.wordCount(col("text")) >= 1)
     val bc = spark.sparkContext.broadcast(
