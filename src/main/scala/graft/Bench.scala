@@ -78,7 +78,7 @@ object Bench {
     "q_dedup_corpus", "q_dedup_source_overlap", "q_dedup_incremental",
     "q_split_leakage", "q_oov_rate",
     "q_similarity_topk", "q_ann_lsh", "q_kmeans_embed", "q_ann_ivf_trained",
-    "q_ann_ivf_nprobe", "q_semantic_dedup", "q_knn_label",
+    "q_ann_ivf_nprobe", "q_ann_ivf_search", "q_semantic_dedup", "q_knn_label",
     "q_events_tumbling", "q_events_session",
     "q_orc_roundtrip", "q_ocr_pipeline", "q_image_neardup", "q_audio_wav")
 

@@ -717,6 +717,44 @@ object MlOps extends QueryModule {
       graft.GraftOps.annIvfTrainedRecall(Tables.embeddings(s, d))
     },
 
+    // the STORED-index search path (the bulk form of the streaming ANN
+    // admission loop, the q_dedup_incremental symmetry): train a
+    // codebook, persist index rows (vec_id, cell, embedding), then
+    // search a query batch cell-probed against the stored frames — the
+    // exact code path a deployment calls per micro-batch. The batch
+    // side (10 queries) broadcasts; the index side never exchanges
+    // (bucketBy(cell) at scale). The oracle reruns Lloyd and ranks
+    // each query's own cell by raw cosine with the (sim DESC, vid)
+    // tie-break the bounded TopKPairAgg implements.
+    Q(
+      "q_ann_ivf_search",
+      s"""WITH $lloydCtes,
+         |q AS (
+         |  SELECT a.vec_id AS qid, e.embedding AS qe, a.cl AS qcell
+         |  FROM a$Iters a JOIN embeddings e ON e.vec_id = a.vec_id
+         |  WHERE a.vec_id < 10),
+         |cand AS (
+         |  SELECT a.vec_id AS vid, e.embedding AS ve, a.cl AS cell
+         |  FROM a$Iters a JOIN embeddings e ON e.vec_id = a.vec_id),
+         |scored AS (
+         |  SELECT qid, qcell AS cell, vid,
+         |         ${duckDot("qe", "ve")} / (${duckNorm("qe")} * ${duckNorm("ve")}) AS sim
+         |  FROM q JOIN cand ON cand.cell = q.qcell AND vid <> qid)
+         |SELECT qid, CAST(cell AS BIGINT) AS cell, vid,
+         |       floor(sim * 1e6 + 0.5) / 1e6 AS sim
+         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vid) AS rn
+         |      FROM scored)
+         |WHERE rn <= 3 ORDER BY qid, vid""".stripMargin
+    ) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val codebook = kmeansCentroids(emb)
+      val index = ivfIndex(emb, codebook)
+      searchAgainstIvfIndex(
+        emb.filter(col("vec_id") < 10).select("vec_id", "embedding"),
+        codebook, index, topk = 3)
+        .orderBy("qid", "vid")
+    },
+
     // the recall-vs-cost knob: same trained codebook, but each query
     // probes its 2 nearest cells. recall_np2 >= recall_np1 by
     // construction (a global-top-3 item in the np1 candidate set is in
