@@ -107,6 +107,68 @@ class BucketedJoinSpec extends SparkSpec {
     assert(viaBucket.nonEmpty)
   }
 
+  // The similarity-side sibling (r11): the persisted IVF index is
+  // written bucketed on its cell key, so a query-batch search
+  // co-locates against the on-disk layout with NO index-side exchange —
+  // the MlOps.ivfIndex/searchAgainstIvfIndex scaladoc claim, proven the
+  // same way as the LSH admission probe above.
+  test("searchAgainstIvfIndex probes a bucketed on-disk index with no index-side exchange") {
+    val base = Files.createTempDirectory("graft_ivf_idx").toFile.getAbsolutePath
+    spark.sql("DROP TABLE IF EXISTS spec_ivf_index_bkt")
+    val emb = Tables.embeddings(spark, sfDir)
+    val codebook = GraftOps.kmeansCentroids(emb).localCheckpoint()
+    ops.MlOps.ivfIndex(emb, codebook).write
+      .bucketBy(4, "cell").sortBy("cell")
+      .option("path", s"$base/idx").saveAsTable("spec_ivf_index_bkt")
+    val queries = emb.filter(col("vec_id") < 10).select("vec_id", "embedding")
+    withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val found = ops.MlOps.searchAgainstIvfIndex(
+        queries, codebook, spark.table("spec_ivf_index_bkt"))
+      found.collect()
+      val plan = found.queryExecution.executedPlan
+      def allNodes(p: org.apache.spark.sql.execution.SparkPlan):
+          Seq[org.apache.spark.sql.execution.SparkPlan] = {
+        val inner = p match {
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            Seq(a.executedPlan)
+          case _ => Nil
+        }
+        p +: (p.children ++ inner).flatMap(allNodes)
+      }
+      val shuffles = allNodes(plan).collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+      }
+      assert(shuffles.nonEmpty, s"no shuffles found — traversal broken?\n$plan")
+      val offenders = shuffles.filter { e =>
+        allNodes(e.child).exists {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+            s.toString.contains("spec_ivf_index_bkt")
+          case _ => false
+        } && !allNodes(e.child).exists(
+          _.isInstanceOf[org.apache.spark.sql.execution.joins.BaseJoinExec])
+      }
+      assert(offenders.isEmpty,
+        s"index side re-shuffled:\n${offenders.headOption.getOrElse(plan)}")
+      val idxScans = allNodes(plan).collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec
+            if s.toString.contains("spec_ivf_index_bkt") => s
+      }
+      assert(idxScans.nonEmpty, "bucketed index scan missing from the plan")
+      assert(idxScans.forall(_.toString.contains("Bucketed: true")),
+        s"index scan not reading via buckets:\n${idxScans.head}")
+    }
+    // value parity vs the in-memory index frame
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val viaBucket = key(ops.MlOps.searchAgainstIvfIndex(
+      queries, codebook, spark.table("spec_ivf_index_bkt")))
+    val viaFrame = key(ops.MlOps.searchAgainstIvfIndex(
+      queries, codebook, ops.MlOps.ivfIndex(emb, codebook)))
+    assert(viaBucket == viaFrame)
+    assert(viaBucket.nonEmpty)
+  }
+
   private def withConf(kv: (String, String)*)(body: => Unit): Unit = {
     val old = kv.map { case (k, _) => k -> spark.conf.getOption(k) }
     kv.foreach { case (k, v) => spark.conf.set(k, v) }
