@@ -1,0 +1,234 @@
+package graft.ops
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{Q, QueryModule, Tables}
+import graft.sources.Warc
+
+/** Row produced by the WARC corpus reader: one per parsed record, plus
+  * row-level `error` entries for malformed framing (the reference's
+  * error-column discipline, `/root/reference/main.go:73-80`). Non-`text/`
+  * payloads would surface through `headers`' Content-Type; the corpus
+  * writer only emits UTF-8 text resources.
+  */
+final case class WarcDocRow(
+    path: String,
+    warc_type: String,
+    record_id: String,
+    target_uri: String,
+    lang: String,
+    source: String,
+    text: String,
+    error: String)
+
+/** Archive-format ingest: WARC (ISO 28500), the format 100 TB-scale web
+  * crawls actually ship (see `graft.sources.Warc` for the framing and
+  * the scale posture). The engine both WRITES a corpus as sharded
+  * WARC/WARC-gz and READS it back through a streaming per-file parser,
+  * and the registered query proves the full roundtrip against the
+  * original parquet table.
+  */
+object ArchiveOps extends QueryModule {
+
+  /** Write `docs` (doc_id, text, lang, source) as `shards` WARC files
+    * under `dir`. Sharding is `doc_id % shards` — deterministic file
+    * contents (records ascend by doc_id within a shard) so fixtures and
+    * re-runs are byte-stable. Even shards are written as per-member
+    * `.warc.gz` (the Common Crawl layout), odd shards as plain `.warc`,
+    * so one corpus exercises both decode paths; pass `gzip = Some(b)`
+    * to force a uniform layout.
+    *
+    * Scale: one task per shard (`repartition(shards, shard)` keys every
+    * record of a shard to one partition); each task streams its records
+    * through one buffered writer — O(record) memory, no collect. A
+    * cluster deployment points `dir` at shared storage exactly like any
+    * file sink.
+    */
+  def writeCorpus(
+      docs: DataFrame,
+      dir: String,
+      shards: Int,
+      gzip: Option[Boolean] = None): Unit = {
+    val withShard = docs
+      .select(col("doc_id").cast("long"), col("text"), col("lang"), col("source"))
+      .withColumn("shard", pmod(col("doc_id"), lit(shards.toLong)))
+      .repartition(shards, col("shard"))
+      .sortWithinPartitions("shard", "doc_id")
+    withShard.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+      var cur: Warc.WarcShardWriter = null
+      var curShard = -1L
+      try {
+        rows.foreach { r =>
+          val shard = r.getLong(4)
+          if (shard != curShard) {
+            if (cur != null) cur.close()
+            val gz = gzip.getOrElse(shard % 2 == 0)
+            val ext = if (gz) "warc.gz" else "warc"
+            cur = Warc.shardWriter(
+              new java.io.File(dir, f"part-$shard%05d.$ext"), gz)
+            curShard = shard
+          }
+          val docId = r.getLong(0)
+          val text = r.getString(1)
+          cur.write(Warc.WarcRecord(
+            warcType = "resource",
+            recordId = s"urn:graft:doc:$docId",
+            targetUri = Some(s"https://graft.invalid/${r.getString(3)}/$docId"),
+            headers = Map(
+              "Content-Type" -> "text/plain; charset=utf-8",
+              "X-Graft-Lang" -> r.getString(2),
+              "X-Graft-Source" -> r.getString(3)),
+            payload = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+        }
+      } finally if (cur != null) cur.close()
+    }
+  }
+
+  /** Read every `.warc` / `.warc.gz` under `dir` into a DataFrame of
+    * [[WarcDocRow]]. Parallelism unit = file (the format's standard;
+    * see `Warc`'s scale notes); each task parses its file as a STREAM
+    * via PortableDataStream — the file is never materialized whole.
+    */
+  def readCorpus(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val files = spark.sparkContext.binaryFiles(dir + "/part-*.warc*")
+    files.flatMap { case (path, pds) =>
+      val in = pds.open()
+      val gz = path.endsWith(".gz")
+      Warc.parseStream(in, gz).map {
+        case Right(rec) =>
+          WarcDocRow(
+            path = path,
+            warc_type = rec.warcType,
+            record_id = rec.recordId,
+            target_uri = rec.targetUri.orNull,
+            lang = rec.headers.getOrElse("X-Graft-Lang", null),
+            source = rec.headers.getOrElse("X-Graft-Source", null),
+            text = new String(rec.payload, java.nio.charset.StandardCharsets.UTF_8),
+            error = null)
+        case Left(err) =>
+          WarcDocRow(path, null, null, null, null, null, null, err)
+      } ++ { in.close(); Iterator.empty }
+    }.toDF()
+  }
+
+  /** Write `docs` as `shards` Avro object-container files (sharding and
+    * determinism as in [[writeCorpus]]; one streaming writer per task).
+    */
+  def writeAvroCorpus(docs: DataFrame, dir: String, shards: Int): Unit = {
+    val withShard = docs
+      .select(col("doc_id").cast("long"), col("text"), col("lang"), col("source"))
+      .withColumn("shard", pmod(col("doc_id"), lit(shards.toLong)))
+      .repartition(shards, col("shard"))
+      .sortWithinPartitions("shard", "doc_id")
+    withShard.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+      // rows arrive sorted by (shard, doc_id): stream each contiguous
+      // shard group straight into its file writer, O(block) memory
+      val grouped = new Iterator[Iterator[org.apache.spark.sql.Row]] {
+        private val buf = rows.buffered
+        def hasNext: Boolean = buf.hasNext
+        def next(): Iterator[org.apache.spark.sql.Row] = {
+          val shard = buf.head.getLong(4)
+          new Iterator[org.apache.spark.sql.Row] {
+            def hasNext: Boolean = buf.hasNext && buf.head.getLong(4) == shard
+            def next(): org.apache.spark.sql.Row = buf.next()
+          }
+        }
+      }
+      grouped.foreach { grp =>
+        val first = grp.next()
+        val shard = first.getLong(4)
+        graft.sources.AvroIo.writeFile(
+          new java.io.File(dir, f"part-$shard%05d.avro"),
+          (Iterator(first) ++ grp).map(r =>
+            graft.sources.AvroIo.Doc(r.getLong(0), r.getString(1), r.getString(2), r.getString(3))))
+      }
+    }
+  }
+
+  /** Read every `.avro` container under `dir` (file = unit of
+    * parallelism; stream decode via PortableDataStream, schema taken
+    * from each file's own header).
+    */
+  def readAvroCorpus(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.sparkContext.binaryFiles(dir + "/part-*.avro")
+      .flatMap { case (_, pds) =>
+        val in = pds.open()
+        graft.sources.AvroIo.readStream(in).map(d =>
+          (d.docId, d.text, d.lang, d.source)) ++ { in.close(); Iterator.empty }
+      }
+      .toDF("doc_id", "text", "lang", "source")
+  }
+
+  def queries: Seq[Q] = Seq(
+    // Full WARC roundtrip: documents -> sharded .warc/.warc.gz ->
+    // streaming parse -> per-source aggregate. The oracle aggregates the
+    // ORIGINAL parquet table, so equality proves byte-exact framing
+    // (Content-Length in bytes vs LENGTH in chars over multi-byte UTF-8),
+    // id/header fidelity, and both compression layouts. The aggregation
+    // computes lengths BEFORE its exchange — parsed text never shuffles
+    // (PlanHygieneSpec's corpus-wide invariant).
+    Q(
+      "q_warc_roundtrip",
+      """SELECT source,
+        |       COUNT(*) AS n_docs,
+        |       CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_chars,
+        |       CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+        |       MIN(doc_id) AS min_id,
+        |       MAX(doc_id) AS max_id
+        |FROM documents GROUP BY source ORDER BY source"""
+    ) { (s, d) =>
+      val dir = Files.createTempDirectory("graft_warc").toFile.getAbsolutePath
+      writeCorpus(Tables.documents(s, d).select("doc_id", "text", "lang", "source"),
+        dir, shards = 8)
+      readCorpus(s, dir)
+        .filter(col("warc_type") === "resource" && col("error").isNull)
+        .select(
+          col("source"),
+          expr("CAST(substring_index(record_id, ':', -1) AS BIGINT)").as("doc_id"),
+          length(col("text")).cast("long").as("n_chars"))
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(col("doc_id")).as("sum_ids"),
+          min(col("doc_id")).as("min_id"),
+          max(col("doc_id")).as("max_id"))
+        .orderBy("source")
+    },
+
+    // Avro object-container roundtrip: documents -> sharded .avro
+    // (deflate blocks, embedded writer schema) -> per-file stream
+    // decode -> per-lang aggregate vs the original parquet. The reader
+    // takes the schema from each FILE's header, so equality also proves
+    // schema fidelity end-to-end.
+    Q(
+      "q_avro_roundtrip",
+      """SELECT lang,
+        |       COUNT(*) AS n_docs,
+        |       CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_chars,
+        |       CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+        |       MIN(doc_id) AS min_id,
+        |       MAX(doc_id) AS max_id
+        |FROM documents GROUP BY lang ORDER BY lang"""
+    ) { (s, d) =>
+      val dir = Files.createTempDirectory("graft_avro").toFile.getAbsolutePath
+      writeAvroCorpus(Tables.documents(s, d).select("doc_id", "text", "lang", "source"),
+        dir, shards = 8)
+      readAvroCorpus(s, dir)
+        .select(col("lang"), col("doc_id"), length(col("text")).cast("long").as("n_chars"))
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(col("doc_id")).as("sum_ids"),
+          min(col("doc_id")).as("min_id"),
+          max(col("doc_id")).as("max_id"))
+        .orderBy("lang")
+    }
+  )
+}

@@ -16,6 +16,7 @@ object CoreQueries extends QueryModule {
       EventOps.queries ++
       MediaQueries.queries ++
       AdvancedOps.queries ++
+      ArchiveOps.queries ++
       ScaleOps.queries ++
       ExtraOps.queries ++
       SecondPassOps.queries ++

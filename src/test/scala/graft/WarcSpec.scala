@@ -1,0 +1,129 @@
+package graft
+
+import java.io.ByteArrayInputStream
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.ArchiveOps
+import graft.sources.Warc
+
+/** WARC source (ISO 28500): framing unit tests on the writer/parser
+  * pair, the row-level error channel, and the full corpus roundtrip
+  * the registered query relies on.
+  */
+class WarcSpec extends SparkSpec {
+
+  private def records(dir: java.io.File, name: String): Seq[Either[String, Warc.WarcRecord]] = {
+    val f = new java.io.File(dir, name)
+    val in = new java.io.FileInputStream(f)
+    try Warc.parseStream(in, name.endsWith(".gz")).toList
+    finally in.close()
+  }
+
+  private def mkRec(id: Long, text: String): Warc.WarcRecord =
+    Warc.WarcRecord("resource", s"urn:graft:doc:$id",
+      Some(s"https://graft.invalid/web/$id"),
+      Map("Content-Type" -> "text/plain; charset=utf-8"),
+      text.getBytes(UTF_8))
+
+  test("writer->parser roundtrip is exact for both layouts, incl. multi-byte UTF-8 and empty payloads") {
+    val dir = Files.createTempDirectory("graft_warc_unit").toFile
+    // "héllo → wörld" is 3 multi-byte chars: Content-Length (bytes) must
+    // diverge from the char count for the roundtrip to prove anything
+    val docs = Seq(mkRec(1, "plain ascii"), mkRec(2, "héllo → wörld"), mkRec(3, ""))
+    Seq("u.warc" -> false, "u.warc.gz" -> true).foreach { case (name, gz) =>
+      val w = Warc.shardWriter(new java.io.File(dir, name), gz)
+      docs.foreach(w.write); w.close()
+      val got = records(dir, name)
+      assert(got.forall(_.isRight), s"$name: unexpected parse error ${got.find(_.isLeft)}")
+      val recs = got.map(_.toOption.get)
+      assert(recs.head.warcType == "warcinfo") // leading warcinfo record
+      val bodies = recs.tail
+      assert(bodies.map(_.recordId) == docs.map(_.recordId))
+      assert(bodies.map(r => new String(r.payload, UTF_8)) ==
+        Seq("plain ascii", "héllo → wörld", ""))
+      assert(bodies.head.targetUri.contains("https://graft.invalid/web/1"))
+      assert(bodies.head.headers("Content-Type") == "text/plain; charset=utf-8")
+    }
+  }
+
+  test("header obs-fold continuation lines append to the prior header") {
+    val raw = ("WARC/1.1\r\nWARC-Type: resource\r\nWARC-Record-ID: urn:x:1\r\n" +
+      "X-Long: part one\r\n  part two\r\nContent-Length: 2\r\n\r\nok\r\n\r\n").getBytes(UTF_8)
+    val got = Warc.parseStream(new ByteArrayInputStream(raw), gzipped = false).toList
+    assert(got.length == 1 && got.head.isRight, got.toString)
+    assert(got.head.toOption.get.headers("X-Long") == "part one part two")
+    assert(new String(got.head.toOption.get.payload, UTF_8) == "ok")
+  }
+
+  test("malformed framing becomes one error row; prior records survive; other files unaffected") {
+    val dir = Files.createTempDirectory("graft_warc_err").toFile
+    val good = Warc.shardWriter(new java.io.File(dir, "part-00000.warc"), gzip = false)
+    good.write(mkRec(10, "good file")); good.close()
+    // one valid record, then a record whose Content-Length overruns EOF
+    val corrupt = new java.io.FileOutputStream(new java.io.File(dir, "part-00001.warc"))
+    Warc.writeRecord(corrupt, mkRec(20, "still fine"))
+    corrupt.write("WARC/1.1\r\nWARC-Type: resource\r\nContent-Length: 9999\r\n\r\nshort".getBytes(UTF_8))
+    corrupt.close()
+    val df = ArchiveOps.readCorpus(spark, dir.getAbsolutePath).cache()
+    try {
+      assert(df.filter(col("error").isNotNull).count() == 1)
+      assert(df.filter(col("error").isNotNull).head().getString(0).endsWith("part-00001.warc"))
+      // both files' good records all present: 2 warcinfo + docs 10 and 20
+      assert(df.filter(col("warc_type") === "resource").count() == 2)
+      assert(df.filter(col("record_id") === "urn:graft:doc:20").count() == 1)
+    } finally df.unpersist()
+  }
+
+  test("corpus roundtrip: every document byte-identical through sharded warc/warc.gz") {
+    val dir = Files.createTempDirectory("graft_warc_corpus").toFile.getAbsolutePath
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text", "lang", "source")
+    ArchiveOps.writeCorpus(docs, dir, shards = 4)
+    // default layout: even shards gz, odd plain — both must be present
+    val names = new java.io.File(dir).list().sorted.toSeq
+    assert(names.exists(_.endsWith(".warc")) && names.exists(_.endsWith(".warc.gz")), names.toString)
+    val back = ArchiveOps.readCorpus(spark, dir)
+      .filter(col("warc_type") === "resource")
+      .select(expr("CAST(substring_index(record_id, ':', -1) AS BIGINT)").as("doc_id"),
+        col("text").as("rt_text"), col("lang").as("rt_lang"), col("source").as("rt_source"))
+    assert(back.filter(col("error").isNotNull).count() == 0)
+    val joined = docs.join(back, "doc_id")
+    assert(joined.count() == docs.count()) // no doc lost or duplicated
+    assert(joined.filter(col("text") =!= col("rt_text") ||
+      col("lang") =!= col("rt_lang") || col("source") =!= col("rt_source")).count() == 0)
+  }
+
+  test("avro container roundtrip: stream decode recovers every document; schema read from file header") {
+    val dir = Files.createTempDirectory("graft_avro_corpus").toFile.getAbsolutePath
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text", "lang", "source")
+    ArchiveOps.writeAvroCorpus(docs, dir, shards = 4)
+    val files = new java.io.File(dir).list().filter(_.endsWith(".avro"))
+    assert(files.length == 4, files.toSeq.toString)
+    val back = ArchiveOps.readAvroCorpus(spark, dir)
+      .withColumnRenamed("text", "rt_text")
+      .withColumnRenamed("lang", "rt_lang")
+      .withColumnRenamed("source", "rt_source")
+    val joined = docs.join(back, "doc_id")
+    assert(joined.count() == docs.count())
+    assert(joined.filter(col("text") =!= col("rt_text") ||
+      col("lang") =!= col("rt_lang") || col("source") =!= col("rt_source")).count() == 0)
+  }
+
+  test("q_avro_roundtrip aggregates one group per lang") {
+    val df = SparkEntry.queries("q_avro_roundtrip")(spark, sfDir)
+    val rows = df.collect()
+    val nLangs = Tables.documents(spark, sfDir).select("lang").distinct().count()
+    assert(rows.length == nLangs)
+    assert(rows.map(_.getLong(1)).sum == Tables.documents(spark, sfDir).count())
+  }
+
+  test("q_warc_roundtrip aggregates one group per source") {
+    val df = SparkEntry.queries("q_warc_roundtrip")(spark, sfDir)
+    val rows = df.collect()
+    val nSources = Tables.documents(spark, sfDir).select("source").distinct().count()
+    assert(rows.length == nSources)
+    assert(rows.map(_.getLong(1)).sum == Tables.documents(spark, sfDir).count())
+  }
+}
