@@ -73,6 +73,10 @@ object ArchiveOps extends QueryModule {
           }
           val docId = r.getLong(0)
           val text = r.getString(1)
+          // fail loudly: a null payload/header can't be represented in
+          // WARC and would otherwise serialize as the string "null"
+          require(text != null && r.getString(2) != null && r.getString(3) != null,
+            s"writeCorpus: null text/lang/source for doc_id=$docId")
           cur.write(Warc.WarcRecord(
             warcType = "resource",
             recordId = s"urn:graft:doc:$docId",
@@ -92,27 +96,65 @@ object ArchiveOps extends QueryModule {
     * see `Warc`'s scale notes); each task parses its file as a STREAM
     * via PortableDataStream — the file is never materialized whole.
     */
+  private def toRow(path: String)(e: Either[String, Warc.WarcRecord]): WarcDocRow =
+    e match {
+      case Right(rec) =>
+        WarcDocRow(
+          path = path,
+          warc_type = rec.warcType,
+          record_id = rec.recordId,
+          target_uri = rec.targetUri.orNull,
+          lang = rec.headers.getOrElse("X-Graft-Lang", null),
+          source = rec.headers.getOrElse("X-Graft-Source", null),
+          text = new String(rec.payload, java.nio.charset.StandardCharsets.UTF_8),
+          error = null)
+      case Left(err) =>
+        WarcDocRow(path, null, null, null, null, null, null, err)
+    }
+
   def readCorpus(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val files = spark.sparkContext.binaryFiles(dir + "/part-*.warc*")
     files.flatMap { case (path, pds) =>
       val in = pds.open()
-      val gz = path.endsWith(".gz")
-      Warc.parseStream(in, gz).map {
-        case Right(rec) =>
-          WarcDocRow(
-            path = path,
-            warc_type = rec.warcType,
-            record_id = rec.recordId,
-            target_uri = rec.targetUri.orNull,
-            lang = rec.headers.getOrElse("X-Graft-Lang", null),
-            source = rec.headers.getOrElse("X-Graft-Source", null),
-            text = new String(rec.payload, java.nio.charset.StandardCharsets.UTF_8),
-            error = null)
-        case Left(err) =>
-          WarcDocRow(path, null, null, null, null, null, null, err)
-      } ++ { in.close(); Iterator.empty }
+      // close with the TASK, not iterator exhaustion — a limit/error
+      // downstream must not leak the file handle
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => in.close()))
+      Warc.parseStream(in, path.endsWith(".gz")).map(toRow(path))
     }.toDF()
+  }
+
+  /** Streaming WARC ingest: parse crawl shards AS THEY LAND in `dir` —
+    * the continuous-crawl admission pattern (a fetcher drops finished
+    * `.warc.gz` shards into the landing prefix; the engine tails the
+    * directory). Built on the `binaryFile` file-stream source, so the
+    * exactly-once file-tracking ledger (which files a batch has
+    * consumed) is Spark's own checkpointed source log; downstream the
+    * rows compose with the existing streaming gates (perplexity,
+    * dedup admission) via foreachBatch. The file-stream source hands
+    * whole-file `content` per row — shard size bounds batch memory
+    * (crawls shard at ~1 GB precisely so per-file processing stays
+    * bounded); the batch reader's PortableDataStream path remains the
+    * lowest-memory bulk option.
+    */
+  def streamCorpus(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val binaryFileSchema = new StructType()
+      .add("path", StringType).add("modificationTime", TimestampType)
+      .add("length", LongType).add("content", BinaryType)
+    spark.readStream.format("binaryFile")
+      .schema(binaryFileSchema)
+      .option("pathGlobFilter", "*.warc*")
+      .load(dir)
+      .select("path", "content")
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        Warc.parseStream(new java.io.ByteArrayInputStream(bytes),
+          path.endsWith(".gz")).map(toRow(path))
+      }
+      .toDF()
   }
 
   /** Write `docs` as `shards` Avro object-container files (sharding and
@@ -143,8 +185,11 @@ object ArchiveOps extends QueryModule {
         val shard = first.getLong(4)
         graft.sources.AvroIo.writeFile(
           new java.io.File(dir, f"part-$shard%05d.avro"),
-          (Iterator(first) ++ grp).map(r =>
-            graft.sources.AvroIo.Doc(r.getLong(0), r.getString(1), r.getString(2), r.getString(3))))
+          (Iterator(first) ++ grp).map { r =>
+            require(r.getString(1) != null && r.getString(2) != null && r.getString(3) != null,
+              s"writeAvroCorpus: null text/lang/source for doc_id=${r.getLong(0)}")
+            graft.sources.AvroIo.Doc(r.getLong(0), r.getString(1), r.getString(2), r.getString(3))
+          })
       }
     }
   }
@@ -158,8 +203,10 @@ object ArchiveOps extends QueryModule {
     spark.sparkContext.binaryFiles(dir + "/part-*.avro")
       .flatMap { case (_, pds) =>
         val in = pds.open()
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => in.close()))
         graft.sources.AvroIo.readStream(in).map(d =>
-          (d.docId, d.text, d.lang, d.source)) ++ { in.close(); Iterator.empty }
+          (d.docId, d.text, d.lang, d.source))
       }
       .toDF("doc_id", "text", "lang", "source")
   }

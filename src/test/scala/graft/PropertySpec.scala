@@ -160,4 +160,36 @@ class PropertySpec extends AnyFunSuite {
       assert(BigInt(lexMin, 16) == BigInt(numMin, 16))
     }
   }
+
+  test("WARC framing: write->parse roundtrips arbitrary payloads, incl. embedded CRLF and fake version lines") {
+    import graft.sources.Warc
+    // payloads drawn to ATTACK the framing: raw "\r\n\r\n" runs and
+    // "WARC/1.1" strings inside the body must not desynchronize the
+    // parser — Content-Length alone governs the record boundary
+    val attack = Gen.oneOf("\r\n", "\r\n\r\n", "WARC/1.1\r\n", "Content-Length: 3\r\n\r\nabc")
+    val chunk = Gen.oneOf(attack, Gen.asciiPrintableStr, Gen.listOf(Gen.choose(0, 0x10ffff)
+      .suchThat(c => !Character.isSurrogate(c.toChar) || c > 0xffff)
+      .map(Character.toChars(_).mkString)).map(_.mkString))
+    val payloadGen = Gen.listOf(chunk).map(_.mkString)
+    samples(Gen.zip(Gen.choose(0, 5), Gen.listOf(payloadGen)), n = 120).foreach {
+      case (seed, payloads) =>
+        Seq(false, true).foreach { gz =>
+          val bos = new java.io.ByteArrayOutputStream()
+          val recs = payloads.zipWithIndex.map { case (p, i) =>
+            Warc.WarcRecord("resource", s"urn:p:$seed:$i", Some(s"https://x.invalid/$i"),
+              Map("X-K" -> s"v$i"), p.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          }
+          val out: java.io.OutputStream =
+            if (gz) new java.util.zip.GZIPOutputStream(bos) else bos
+          recs.foreach(Warc.writeRecord(out, _))
+          out match { case g: java.util.zip.GZIPOutputStream => g.finish(); case _ => () }
+          val got = Warc.parseStream(
+            new java.io.ByteArrayInputStream(bos.toByteArray), gz).toList
+          assert(got.forall(_.isRight), s"gz=$gz: ${got.find(_.isLeft)}")
+          val back = got.map(_.toOption.get)
+          assert(back.map(_.recordId) == recs.map(_.recordId))
+          assert(back.map(_.payload.toSeq) == recs.map(_.payload.toSeq), s"gz=$gz payload drift")
+        }
+    }
+  }
 }

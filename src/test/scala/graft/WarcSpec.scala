@@ -95,6 +95,50 @@ class WarcSpec extends SparkSpec {
       col("lang") =!= col("rt_lang") || col("source") =!= col("rt_source")).count() == 0)
   }
 
+  test("streaming WARC ingest: shards landing in the directory parse exactly once; errors surfaced") {
+    val landing = Files.createTempDirectory("graft_warc_stream").toFile
+    val ckpt = Files.createTempDirectory("graft_warc_ckpt").toFile.getAbsolutePath
+    val seen = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    val q = ArchiveOps.streamCorpus(spark, landing.getAbsolutePath)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = batch.select("record_id", "error").collect()
+          .map(r => (r.getString(0), r.getString(1)))
+        seen.synchronized { seen ++= rows }
+        ()
+      }.start()
+    try {
+      val docs = Tables.documents(spark, sfDir).select("doc_id", "text", "lang", "source")
+      def land(lo: Long, hi: Long, tag: String): Unit = {
+        val stage = Files.createTempDirectory("graft_warc_stage").toFile
+        ArchiveOps.writeCorpus(
+          docs.filter(col("doc_id") >= lo && col("doc_id") < hi),
+          stage.getAbsolutePath, shards = 2)
+        stage.listFiles().foreach { f =>
+          java.nio.file.Files.move(f.toPath,
+            new java.io.File(landing, s"$tag-${f.getName}").toPath)
+        }
+      }
+      def docIds = seen.synchronized {
+        seen.collect { case (id, null) if id != null && id.startsWith("urn:graft:doc:") =>
+          id.stripPrefix("urn:graft:doc:").toLong }
+      }
+      land(0, 15, "b1"); q.processAllAvailable()
+      assert(docIds.sorted == (0L until 15L))
+      // second landing: only the NEW files are read (the checkpointed
+      // source ledger, not a re-listing, decides — exactly-once)
+      land(15, 30, "b2"); q.processAllAvailable()
+      assert(docIds.sorted == (0L until 30L)) // no b1 record re-delivered
+      // a truncated shard surfaces as an error ROW, the stream survives
+      Files.write(new java.io.File(landing, "b3-part-broken.warc").toPath,
+        "WARC/1.1\r\nContent-Length: 999\r\n\r\nxx".getBytes(UTF_8))
+      land(30, 40, "b3"); q.processAllAvailable()
+      assert(docIds.sorted == (0L until 40L))
+      assert(seen.synchronized(seen.count(_._2 != null)) == 1)
+      assert(q.isActive)
+    } finally q.stop()
+  }
+
   test("avro container roundtrip: stream decode recovers every document; schema read from file header") {
     val dir = Files.createTempDirectory("graft_avro_corpus").toFile.getAbsolutePath
     val docs = Tables.documents(spark, sfDir).select("doc_id", "text", "lang", "source")
