@@ -57,8 +57,19 @@ object Warc {
 
   private val Crlf = "\r\n".getBytes(UTF_8)
 
-  /** Serialize one record: header block, payload, record trailer. */
+  /** Serialize one record: header block, payload, record trailer.
+    * Header names/values and the URI must be CR/LF-free — a value
+    * containing a line break would inject framing (the header-block
+    * analog of CRLF injection), so it fails loudly instead.
+    */
   def writeRecord(out: OutputStream, rec: WarcRecord): Unit = {
+    def safe(s: String): String = {
+      require(s.indexOf('\r') < 0 && s.indexOf('\n') < 0,
+        s"WARC header field contains a line break: '$s'")
+      s
+    }
+    (Seq(rec.warcType, rec.recordId) ++ rec.targetUri ++
+      rec.headers.flatMap { case (k, v) => Seq(k, v) }).foreach(safe)
     val sb = new StringBuilder(256)
     sb.append(Version).append("\r\n")
     sb.append("WARC-Type: ").append(rec.warcType).append("\r\n")
