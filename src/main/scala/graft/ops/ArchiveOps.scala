@@ -91,11 +91,6 @@ object ArchiveOps extends QueryModule {
     }
   }
 
-  /** Read every `.warc` / `.warc.gz` under `dir` into a DataFrame of
-    * [[WarcDocRow]]. Parallelism unit = file (the format's standard;
-    * see `Warc`'s scale notes); each task parses its file as a STREAM
-    * via PortableDataStream — the file is never materialized whole.
-    */
   private def toRow(path: String)(e: Either[String, Warc.WarcRecord]): WarcDocRow =
     e match {
       case Right(rec) =>
@@ -112,6 +107,11 @@ object ArchiveOps extends QueryModule {
         WarcDocRow(path, null, null, null, null, null, null, err)
     }
 
+  /** Read every `.warc` / `.warc.gz` under `dir` into a DataFrame of
+    * [[WarcDocRow]]. Parallelism unit = file (the format's standard;
+    * see `Warc`'s scale notes); each task parses its file as a STREAM
+    * via PortableDataStream — the file is never materialized whole.
+    */
   def readCorpus(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val files = spark.sparkContext.binaryFiles(dir + "/part-*.warc*")
