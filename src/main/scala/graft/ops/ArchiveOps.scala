@@ -24,6 +24,14 @@ final case class WarcDocRow(
     text: String,
     error: String)
 
+/** One CDX-style index entry: where record `record_id` lives — the
+  * `(offset, length)` byte span of its gzip member (or plain-WARC
+  * span) inside shard file `path`. The span inflates/parses standalone,
+  * so a reader can serve ONE record without touching the rest of the
+  * shard.
+  */
+final case class WarcIndexRow(record_id: String, path: String, offset: Long, length: Long)
+
 /** Archive-format ingest: WARC (ISO 28500), the format 100 TB-scale web
   * crawls actually ship (see `graft.sources.Warc` for the framing and
   * the scale posture). The engine both WRITES a corpus as sharded
@@ -123,6 +131,99 @@ object ArchiveOps extends QueryModule {
         .foreach(_.addTaskCompletionListener[Unit](_ => in.close()))
       Warc.parseStream(in, path.endsWith(".gz")).map(toRow(path))
     }.toDF()
+  }
+
+  /** [[writeCorpus]] that also emits the CDX-style record index — one
+    * [[WarcIndexRow]] per resource record. Returns the index as a
+    * LAZY Dataset whose evaluation performs the write (one job);
+    * callers materialize it exactly once (the registered query writes
+    * it to parquet — the production flow, where the index IS a table
+    * next to the archive). Same sharding/layout rules as
+    * [[writeCorpus]].
+    */
+  def writeIndexedCorpus(
+      docs: DataFrame,
+      dir: String,
+      shards: Int,
+      gzip: Option[Boolean] = None): org.apache.spark.sql.Dataset[WarcIndexRow] = {
+    import docs.sparkSession.implicits._
+    val withShard = docs
+      .select(col("doc_id").cast("long"), col("text"), col("lang"), col("source"))
+      .withColumn("shard", pmod(col("doc_id"), lit(shards.toLong)))
+      .repartition(shards, col("shard"))
+      .sortWithinPartitions("shard", "doc_id")
+    withShard.mapPartitions { rows =>
+      // eager per-partition write (files complete and writers closed
+      // before any index row is consumed); the index entries are tiny
+      // (4 fields) so buffering a partition's worth is bounded
+      val out = scala.collection.mutable.ArrayBuffer[WarcIndexRow]()
+      var cur: Warc.WarcShardWriter = null
+      var curShard = -1L
+      var curPath: String = null
+      try {
+        rows.foreach { r =>
+          val shard = r.getLong(4)
+          if (shard != curShard) {
+            if (cur != null) cur.close()
+            val gz = gzip.getOrElse(shard % 2 == 0)
+            val f = new java.io.File(dir, f"part-$shard%05d." + (if (gz) "warc.gz" else "warc"))
+            cur = Warc.shardWriter(f, gz)
+            curShard = shard
+            curPath = f.getAbsolutePath
+          }
+          val docId = r.getLong(0)
+          val text = r.getString(1)
+          require(text != null && r.getString(2) != null && r.getString(3) != null,
+            s"writeIndexedCorpus: null text/lang/source for doc_id=$docId")
+          val recId = s"urn:graft:doc:$docId"
+          val (off, len) = cur.write(Warc.WarcRecord(
+            warcType = "resource",
+            recordId = recId,
+            targetUri = Some(s"https://graft.invalid/${r.getString(3)}/$docId"),
+            headers = Map(
+              "Content-Type" -> "text/plain; charset=utf-8",
+              "X-Graft-Lang" -> r.getString(2),
+              "X-Graft-Source" -> r.getString(3)),
+            payload = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+          out += WarcIndexRow(recId, curPath, off, len)
+        }
+      } finally if (cur != null) cur.close()
+      out.iterator
+    }
+  }
+
+  /** Random access into an indexed WARC corpus: for each index row,
+    * seek to the member's byte span and parse THAT record alone — the
+    * serve-one-document pattern an archived crawl supports only through
+    * its index (Common Crawl's CDX service is exactly this). One tiny
+    * index exchange (grouping requests by shard file), then each task
+    * reads its files with ascending-offset seeks; bytes read ==
+    * Σ requested member lengths, independent of shard or corpus size.
+    */
+  def fetchRecords(index: DataFrame): DataFrame = {
+    import index.sparkSession.implicits._
+    index.select("record_id", "path", "offset", "length")
+      .repartition(col("path"))
+      .sortWithinPartitions("path", "offset")
+      .mapPartitions { rows =>
+        var curPath: String = null
+        var in: java.io.RandomAccessFile = null
+        def close(): Unit = if (in != null) { in.close(); in = null }
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => close()))
+        rows.map { r =>
+          val (recId, p, off, len) =
+            (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))
+          if (p != curPath) { close(); in = new java.io.RandomAccessFile(p, "r"); curPath = p }
+          in.seek(off)
+          val buf = new Array[Byte](len.toInt)
+          in.readFully(buf)
+          Warc.parseStream(new java.io.ByteArrayInputStream(buf), p.endsWith(".gz"))
+            .map(toRow(p)).toSeq.headOption
+            .getOrElse(WarcDocRow(p, null, recId, null, null, null, null,
+              s"empty member span at $off+$len"))
+        }
+      }.toDF()
   }
 
   /** Streaming WARC ingest: parse crawl shards AS THEY LAND in `dir` —
@@ -246,6 +347,33 @@ object ArchiveOps extends QueryModule {
           min(col("doc_id")).as("min_id"),
           max(col("doc_id")).as("max_id"))
         .orderBy("source")
+    },
+
+    // Indexed random access: write the corpus WITH its CDX-style record
+    // index (persisted as a parquet table next to the archive — the
+    // production layout), then serve a doc_id subset by SEEKING straight
+    // to each record's member span. Bytes read scale with the request,
+    // not the corpus. Oracle: the same subset from the original table.
+    Q(
+      "q_warc_fetch",
+      """SELECT doc_id,
+        |       CAST(LENGTH(text) AS INT) AS n_chars,
+        |       lang, source
+        |FROM documents WHERE doc_id % 37 = 0 ORDER BY doc_id"""
+    ) { (s, d) =>
+      val dir = Files.createTempDirectory("graft_warcidx").toFile.getAbsolutePath
+      val idxDir = Files.createTempDirectory("graft_warc_cdx").toFile.getAbsolutePath
+      writeIndexedCorpus(Tables.documents(s, d).select("doc_id", "text", "lang", "source"),
+        dir, shards = 8)
+        .write.mode("overwrite").parquet(idxDir)
+      val wanted = s.read.parquet(idxDir)
+        .filter(expr("CAST(substring_index(record_id, ':', -1) AS BIGINT)") % 37 === 0)
+      fetchRecords(wanted)
+        .select(
+          expr("CAST(substring_index(record_id, ':', -1) AS BIGINT)").as("doc_id"),
+          length(col("text")).as("n_chars"),
+          col("lang"), col("source"))
+        .orderBy("doc_id")
     },
 
     // Avro object-container roundtrip: documents -> sharded .avro

@@ -93,8 +93,22 @@ object Warc {
   def shardWriter(path: java.io.File, gzip: Boolean): WarcShardWriter =
     new WarcShardWriter(path, gzip)
 
+  /** Counts logical bytes BEFORE buffering, so member offsets are exact
+    * at write time (the buffer sits below the counter).
+    */
+  private final class CountingOutputStream(out: OutputStream) extends OutputStream {
+    var count = 0L
+    override def write(b: Int): Unit = { out.write(b); count += 1 }
+    override def write(b: Array[Byte], off: Int, len: Int): Unit = {
+      out.write(b, off, len); count += len
+    }
+    override def flush(): Unit = out.flush()
+    override def close(): Unit = out.close()
+  }
+
   final class WarcShardWriter(path: java.io.File, gzip: Boolean) {
-    private val raw = new BufferedOutputStream(new java.io.FileOutputStream(path), 1 << 16)
+    private val raw = new CountingOutputStream(
+      new BufferedOutputStream(new java.io.FileOutputStream(path), 1 << 16))
     // ONE reused native Deflater per shard, reset per member. The naive
     // spelling (a fresh GZIPOutputStream per record) allocates a native
     // zlib context per record and never `end()`s it — measured 173 s for
@@ -116,7 +130,8 @@ object Warc {
       raw.write(((v >> 16) & 0xff).toInt); raw.write(((v >> 24) & 0xff).toInt)
     }
 
-    private def writeOne(rec: WarcRecord): Unit =
+    private def writeOne(rec: WarcRecord): (Long, Long) = {
+      val start = raw.count
       if (gzip) {
         // one gzip member per record (the Common Crawl layout, so an
         // indexed reader can seek to a member and inflate one record)
@@ -136,8 +151,15 @@ object Warc {
         writeIntLE(crc.getValue)
         writeIntLE(data.length.toLong)
       } else writeRecord(raw, rec)
+      (start, raw.count - start)
+    }
 
-    def write(rec: WarcRecord): Unit = writeOne(rec)
+    /** Write one record; returns its member's `(byteOffset, byteLength)`
+      * in the shard file — the CDX-style index entry that makes the
+      * shard randomly accessible (a gz member inflates standalone; a
+      * plain-WARC span parses standalone).
+      */
+    def write(rec: WarcRecord): (Long, Long) = writeOne(rec)
     def close(): Unit = {
       raw.flush(); raw.close()
       if (deflater != null) deflater.end()

@@ -163,6 +163,44 @@ class WarcSpec extends SparkSpec {
     assert(rows.map(_.getLong(1)).sum == Tables.documents(spark, sfDir).count())
   }
 
+  test("CDX index: every member span fetches standalone and matches the source row") {
+    val dir = Files.createTempDirectory("graft_warc_cdx_t").toFile.getAbsolutePath
+    val idxDir = Files.createTempDirectory("graft_warc_cdx_i").toFile.getAbsolutePath
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text", "lang", "source")
+    ArchiveOps.writeIndexedCorpus(docs, dir, shards = 4)
+      .write.mode("overwrite").parquet(idxDir)
+    val index = spark.read.parquet(idxDir).cache()
+    try {
+      assert(index.count() == docs.count()) // one entry per resource record
+      // spans are disjoint and never cover the leading warcinfo member
+      index.collect().groupBy(_.getString(1)).foreach { case (p, rows) =>
+        val spans = rows.map(r => (r.getLong(2), r.getLong(3))).sortBy(_._1)
+        assert(spans.head._1 > 0, s"$p: first doc span overlaps warcinfo")
+        spans.sliding(2).foreach {
+          case Array((o1, l1), (o2, _)) => assert(o1 + l1 <= o2, s"$p: overlapping spans")
+          case _ => ()
+        }
+      }
+      // every record fetches standalone, byte-identical to the source
+      val fetched = ArchiveOps.fetchRecords(index)
+        .select(expr("CAST(substring_index(record_id, ':', -1) AS BIGINT)").as("doc_id"),
+          col("text").as("rt_text"), col("error"))
+      assert(fetched.filter(col("error").isNotNull).count() == 0)
+      val joined = docs.join(fetched, "doc_id")
+      assert(joined.count() == docs.count())
+      assert(joined.filter(col("text") =!= col("rt_text")).count() == 0)
+    } finally index.unpersist()
+  }
+
+  test("q_warc_fetch returns exactly the requested subset") {
+    val df = SparkEntry.queries("q_warc_fetch")(spark, sfDir)
+    val rows = df.collect()
+    val expect = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 37 === 0).count()
+    assert(rows.length == expect && rows.nonEmpty)
+    assert(rows.map(_.getLong(0)).forall(_ % 37 == 0))
+  }
+
   test("q_warc_roundtrip aggregates one group per source") {
     val df = SparkEntry.queries("q_warc_roundtrip")(spark, sfDir)
     val rows = df.collect()
