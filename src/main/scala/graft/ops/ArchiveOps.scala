@@ -59,45 +59,23 @@ object ArchiveOps extends QueryModule {
       docs: DataFrame,
       dir: String,
       shards: Int,
-      gzip: Option[Boolean] = None): Unit = {
-    val withShard = docs
+      gzip: Option[Boolean] = None): Unit =
+    // one implementation: the indexed writer IS the writer (the index
+    // rows are a few tens of bytes per record; discarding them costs
+    // nothing and keeps the two paths incapable of drifting apart)
+    writeIndexedCorpus(docs, dir, shards, gzip).foreach((_: WarcIndexRow) => ())
+
+  /** Shared sharding prologue: `doc_id % shards`, one partition per
+    * shard, records ascending by doc_id within a shard — deterministic
+    * file contents for fixtures and re-runs. Row layout:
+    * (doc_id, text, lang, source, shard).
+    */
+  private def shardedByDoc(docs: DataFrame, shards: Int): DataFrame =
+    docs
       .select(col("doc_id").cast("long"), col("text"), col("lang"), col("source"))
       .withColumn("shard", pmod(col("doc_id"), lit(shards.toLong)))
       .repartition(shards, col("shard"))
       .sortWithinPartitions("shard", "doc_id")
-    withShard.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
-      var cur: Warc.WarcShardWriter = null
-      var curShard = -1L
-      try {
-        rows.foreach { r =>
-          val shard = r.getLong(4)
-          if (shard != curShard) {
-            if (cur != null) cur.close()
-            val gz = gzip.getOrElse(shard % 2 == 0)
-            val ext = if (gz) "warc.gz" else "warc"
-            cur = Warc.shardWriter(
-              new java.io.File(dir, f"part-$shard%05d.$ext"), gz)
-            curShard = shard
-          }
-          val docId = r.getLong(0)
-          val text = r.getString(1)
-          // fail loudly: a null payload/header can't be represented in
-          // WARC and would otherwise serialize as the string "null"
-          require(text != null && r.getString(2) != null && r.getString(3) != null,
-            s"writeCorpus: null text/lang/source for doc_id=$docId")
-          cur.write(Warc.WarcRecord(
-            warcType = "resource",
-            recordId = s"urn:graft:doc:$docId",
-            targetUri = Some(s"https://graft.invalid/${r.getString(3)}/$docId"),
-            headers = Map(
-              "Content-Type" -> "text/plain; charset=utf-8",
-              "X-Graft-Lang" -> r.getString(2),
-              "X-Graft-Source" -> r.getString(3)),
-            payload = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
-        }
-      } finally if (cur != null) cur.close()
-    }
-  }
 
   private def toRow(path: String)(e: Either[String, Warc.WarcRecord]): WarcDocRow =
     e match {
@@ -147,12 +125,7 @@ object ArchiveOps extends QueryModule {
       shards: Int,
       gzip: Option[Boolean] = None): org.apache.spark.sql.Dataset[WarcIndexRow] = {
     import docs.sparkSession.implicits._
-    val withShard = docs
-      .select(col("doc_id").cast("long"), col("text"), col("lang"), col("source"))
-      .withColumn("shard", pmod(col("doc_id"), lit(shards.toLong)))
-      .repartition(shards, col("shard"))
-      .sortWithinPartitions("shard", "doc_id")
-    withShard.mapPartitions { rows =>
+    shardedByDoc(docs, shards).mapPartitions { rows =>
       // eager per-partition write (files complete and writers closed
       // before any index row is consumed); the index entries are tiny
       // (4 fields) so buffering a partition's worth is bounded
@@ -206,22 +179,43 @@ object ArchiveOps extends QueryModule {
       .repartition(col("path"))
       .sortWithinPartitions("path", "offset")
       .mapPartitions { rows =>
+        // Hadoop FileSystem, not java.io: the index may point at any
+        // storage the writer's dir lived on (file:/, hdfs:/, s3a:/ —
+        // the Configuration picks up the cluster's site files from the
+        // executor classpath exactly like every other scan)
+        val conf = new org.apache.hadoop.conf.Configuration()
         var curPath: String = null
-        var in: java.io.RandomAccessFile = null
+        var in: org.apache.hadoop.fs.FSDataInputStream = null
         def close(): Unit = if (in != null) { in.close(); in = null }
         Option(org.apache.spark.TaskContext.get())
           .foreach(_.addTaskCompletionListener[Unit](_ => close()))
         rows.map { r =>
           val (recId, p, off, len) =
             (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))
-          if (p != curPath) { close(); in = new java.io.RandomAccessFile(p, "r"); curPath = p }
-          in.seek(off)
-          val buf = new Array[Byte](len.toInt)
-          in.readFully(buf)
-          Warc.parseStream(new java.io.ByteArrayInputStream(buf), p.endsWith(".gz"))
-            .map(toRow(p)).toSeq.headOption
-            .getOrElse(WarcDocRow(p, null, recId, null, null, null, null,
-              s"empty member span at $off+$len"))
+          if (len > Int.MaxValue - 8L)
+            WarcDocRow(p, null, recId, null, null, null, null,
+              s"member too large to buffer ($len bytes)")
+          else {
+            if (p != curPath) {
+              close()
+              val hp = new org.apache.hadoop.fs.Path(p)
+              in = hp.getFileSystem(conf).open(hp)
+              curPath = p
+            }
+            val buf = new Array[Byte](len.toInt)
+            in.readFully(off, buf) // positioned read: ascending seeks per file
+            val row = Warc.parseStream(new java.io.ByteArrayInputStream(buf), p.endsWith(".gz"))
+              .map(toRow(p)).toSeq.headOption
+              .getOrElse(WarcDocRow(p, null, recId, null, null, null, null,
+                s"empty member span at $off+$len"))
+            // a stale index (corpus rewritten underneath it) can hand
+            // back a DIFFERENT parseable record — that must be an error
+            // row, never silently mis-attributed text
+            if (row.error == null && row.record_id != recId)
+              WarcDocRow(p, null, recId, null, null, null, null,
+                s"index mismatch: span at $off holds '${row.record_id}'")
+            else row
+          }
         }
       }.toDF()
   }
@@ -262,12 +256,7 @@ object ArchiveOps extends QueryModule {
     * determinism as in [[writeCorpus]]; one streaming writer per task).
     */
   def writeAvroCorpus(docs: DataFrame, dir: String, shards: Int): Unit = {
-    val withShard = docs
-      .select(col("doc_id").cast("long"), col("text"), col("lang"), col("source"))
-      .withColumn("shard", pmod(col("doc_id"), lit(shards.toLong)))
-      .repartition(shards, col("shard"))
-      .sortWithinPartitions("shard", "doc_id")
-    withShard.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+    shardedByDoc(docs, shards).foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
       // rows arrive sorted by (shard, doc_id): stream each contiguous
       // shard group straight into its file writer, O(block) memory
       val grouped = new Iterator[Iterator[org.apache.spark.sql.Row]] {

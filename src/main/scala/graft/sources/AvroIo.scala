@@ -43,17 +43,26 @@ object AvroIo {
   def writeFile(path: File, docs: Iterator[Doc]): Unit = {
     val schema = docSchema()
     val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
-    w.setCodec(CodecFactory.deflateCodec(6))
-    w.setSyncInterval(64 * 1024)
-    w.create(schema, path)
-    try docs.foreach { d =>
-      val rec = new GenericData.Record(schema)
-      rec.put("doc_id", d.docId)
-      rec.put("text", d.text)
-      rec.put("lang", d.lang)
-      rec.put("source", d.source)
-      w.append(rec)
-    } finally w.close()
+    // own the output stream: DataFileWriter.close() is a no-op unless
+    // create() fully succeeded, so a failure during the header write
+    // would otherwise leak the fd (close twice is idempotent)
+    val out = new java.io.BufferedOutputStream(new java.io.FileOutputStream(path), 1 << 16)
+    try {
+      w.setCodec(CodecFactory.deflateCodec(6))
+      w.setSyncInterval(64 * 1024)
+      w.create(schema, out)
+      docs.foreach { d =>
+        val rec = new GenericData.Record(schema)
+        rec.put("doc_id", d.docId)
+        rec.put("text", d.text)
+        rec.put("lang", d.lang)
+        rec.put("source", d.source)
+        w.append(rec)
+      }
+    } finally {
+      try w.close()
+      finally out.close()
+    }
   }
 
   /** Stream-decode one container file. The schema is read from the FILE

@@ -57,10 +57,20 @@ object Warc {
 
   private val Crlf = "\r\n".getBytes(UTF_8)
 
+  /** Header names [[writeRecord]] emits itself — a custom header
+    * colliding with one of these (case-insensitively) would let a
+    * caller forge framing (a bogus `content-length` sorts before the
+    * real one and mis-frames every later record), so they are reserved.
+    */
+  private val ReservedHeaderNames =
+    Set("warc-type", "warc-record-id", "warc-target-uri", "content-length")
+
   /** Serialize one record: header block, payload, record trailer.
-    * Header names/values and the URI must be CR/LF-free — a value
-    * containing a line break would inject framing (the header-block
-    * analog of CRLF injection), so it fails loudly instead.
+    * Header names/values and the URI must be CR/LF-free (a line break
+    * would inject framing), and header NAMES must additionally be
+    * non-empty, colon-free, not start with SP/HT (which would obs-fold
+    * into the previous header), and not collide with the framing
+    * headers this writer emits — all fail loudly.
     */
   def writeRecord(out: OutputStream, rec: WarcRecord): Unit = {
     def safe(s: String): String = {
@@ -70,6 +80,12 @@ object Warc {
     }
     (Seq(rec.warcType, rec.recordId) ++ rec.targetUri ++
       rec.headers.flatMap { case (k, v) => Seq(k, v) }).foreach(safe)
+    rec.headers.keys.foreach { k =>
+      require(k.nonEmpty && k.indexOf(':') < 0 && !k.head.isWhitespace,
+        s"invalid WARC header name: '$k'")
+      require(!ReservedHeaderNames(k.toLowerCase),
+        s"WARC header name '$k' collides with a framing header")
+    }
     val sb = new StringBuilder(256)
     sb.append(Version).append("\r\n")
     sb.append("WARC-Type: ").append(rec.warcType).append("\r\n")
@@ -178,10 +194,24 @@ object Warc {
     val buf = new ArrayBuffer[Byte](96)
     var b = in.read()
     if (b < 0) return null
-    while (b >= 0 && b != '\n') { buf += b.toByte; b = in.read() }
+    while (b >= 0 && b != '\n') {
+      buf += b.toByte
+      // bound the line: garbage input with no LF (a binary file dropped
+      // in the landing dir) must cost one cheap error row, not an
+      // executor-sized buffer of the whole shard
+      if (buf.length > MaxHeaderLineBytes)
+        throw new java.io.IOException(
+          s"header line exceeds $MaxHeaderLineBytes bytes — not a WARC stream")
+      b = in.read()
+    }
     val n = if (buf.nonEmpty && buf.last == '\r') buf.length - 1 else buf.length
     new String(buf.toArray, 0, n, UTF_8)
   }
+
+  /** Longest header line the parser accepts (spec headers are tiny; a
+    * longer "line" means the bytes are not a WARC header block).
+    */
+  val MaxHeaderLineBytes: Int = 64 * 1024
 
   private def readFully(in: InputStream, n: Int): Array[Byte] = {
     val out = new Array[Byte](n)
@@ -194,70 +224,141 @@ object Warc {
     out
   }
 
+  private def skipFully(in: InputStream, n: Long): Unit = {
+    var left = n
+    while (left > 0) {
+      val s = in.skip(left)
+      if (s > 0) left -= s
+      else if (in.read() < 0)
+        throw new EOFException(s"payload truncated while skipping (${n - left}/$n bytes)")
+      else left -= 1
+    }
+  }
+
+  /** `available()` that answers by PEEKING (one blocking read +
+    * unread) instead of trusting the source's estimate.
+    * `GZIPInputStream` decides whether a concatenated stream has
+    * another member by `in.available() > 0` — Hadoop streams
+    * (HDFS/S3) routinely report 0 at a member boundary, which would
+    * make the reader declare EOF and SILENTLY drop every remaining
+    * record in the shard. Local `FileInputStream.available()` is
+    * always positive, so only cluster runs would have hit it.
+    */
+  private final class PeekAvailableInputStream(in: java.io.PushbackInputStream)
+      extends InputStream {
+    override def read(): Int = in.read()
+    override def read(b: Array[Byte], off: Int, len: Int): Int = in.read(b, off, len)
+    override def available(): Int = {
+      val b = in.read()
+      if (b < 0) 0 else { in.unread(b); 1 }
+    }
+    override def close(): Unit = in.close()
+  }
+
   /** Parse every record in a stream. Returns Right(record) per parsed
-    * record; on the first framing error, one Left(message) and the
-    * iterator ends (see the resync note in the object doc). The caller
+    * record. Error semantics (the row-level error channel):
+    *  - an over-sized payload (> `maxBufferedPayload`, default the JVM
+    *    array limit) yields one Left and is SKIPPED — later records in
+    *    the shard still parse (Content-Length is trusted framing);
+    *  - any other framing/IO/decompression error (including corrupt
+    *    gzip bytes) yields one Left and ENDS the file's iterator —
+    *    past broken framing there is no trustworthy resync point;
+    *  - an empty stream (zero bytes) is a clean zero-record parse.
+    * Exceptions never escape: a poisoned shard costs error rows, not a
+    * task (for a stream, a permanently-wedged retry loop). The caller
     * owns closing the underlying stream.
     */
-  def parseStream(raw: InputStream, gzipped: Boolean): Iterator[Either[String, WarcRecord]] = {
-    val in: InputStream =
-      if (gzipped) new BufferedInputStream(new GZIPInputStream(new BufferedInputStream(raw, 1 << 16)), 1 << 16)
-      else new BufferedInputStream(raw, 1 << 16)
-
+  def parseStream(
+      raw: InputStream,
+      gzipped: Boolean,
+      maxBufferedPayload: Long = Int.MaxValue - 8L): Iterator[Either[String, WarcRecord]] = {
     new Iterator[Either[String, WarcRecord]] {
+      private var in: InputStream = _
       private var done = false
       private var pending: Either[String, WarcRecord] = _
       private var loaded = false
 
       private def fail(msg: String): Either[String, WarcRecord] = { done = true; Left(msg) }
 
+      /** Lazily build the decode stack so constructor-time failures
+        * (e.g. `GZIPInputStream` on a corrupt header) land in the
+        * error channel too. Returns false for an empty source.
+        */
+      private def ensureOpen(): Boolean = {
+        if (in != null) return true
+        val pb = new java.io.PushbackInputStream(new BufferedInputStream(raw, 1 << 16), 1)
+        val first = pb.read()
+        if (first < 0) { done = true; return false } // empty file: clean zero records
+        pb.unread(first)
+        in =
+          if (gzipped)
+            new BufferedInputStream(
+              new GZIPInputStream(new PeekAvailableInputStream(pb), 1 << 16), 1 << 16)
+          else new BufferedInputStream(pb, 1 << 16)
+        true
+      }
+
       private def advance(): Unit = {
         pending = null
         if (done) return
-        // Version line; EOF here is the clean end of the file. Tolerate
-        // stray blank lines between records (some writers pad).
-        var line = readLine(in)
-        while (line != null && line.isEmpty) line = readLine(in)
-        if (line == null) { done = true; return }
-        if (!line.startsWith("WARC/")) { pending = fail(s"expected WARC version line, got '$line'"); return }
-        // Header block up to the blank line, with simple obs-fold
-        // (continuation lines start with SP/HT) appended to the prior
-        // header.
-        val headers = scala.collection.mutable.LinkedHashMap[String, String]()
-        var lastKey: String = null
-        var h = readLine(in)
-        while (h != null && h.nonEmpty) {
-          if ((h.charAt(0) == ' ' || h.charAt(0) == '\t') && lastKey != null) {
-            headers(lastKey) = headers(lastKey) + " " + h.trim
-          } else {
-            val i = h.indexOf(':')
-            if (i < 0) { pending = fail(s"malformed header line '$h'"); return }
-            lastKey = h.substring(0, i).trim
-            headers(lastKey) = h.substring(i + 1).trim
+        try {
+          if (!ensureOpen()) return
+          // Version line; EOF here is the clean end of the file. Tolerate
+          // stray blank lines between records (some writers pad).
+          var line = readLine(in)
+          while (line != null && line.isEmpty) line = readLine(in)
+          if (line == null) { done = true; return }
+          if (!line.startsWith("WARC/")) { pending = fail(s"expected WARC version line, got '$line'"); return }
+          // Header block up to the blank line, with simple obs-fold
+          // (continuation lines start with SP/HT) appended to the prior
+          // header.
+          val headers = scala.collection.mutable.LinkedHashMap[String, String]()
+          var lastKey: String = null
+          var h = readLine(in)
+          while (h != null && h.nonEmpty) {
+            if ((h.charAt(0) == ' ' || h.charAt(0) == '\t') && lastKey != null) {
+              headers(lastKey) = headers(lastKey) + " " + h.trim
+            } else {
+              val i = h.indexOf(':')
+              if (i < 0) { pending = fail(s"malformed header line '$h'"); return }
+              lastKey = h.substring(0, i).trim
+              headers(lastKey) = h.substring(i + 1).trim
+            }
+            h = readLine(in)
           }
-          h = readLine(in)
+          if (h == null) { pending = fail("EOF inside header block"); return }
+          val lenStr = headers.iterator.collectFirst {
+            case (k, v) if k.equalsIgnoreCase("Content-Length") => v
+          }.orNull
+          if (lenStr == null) { pending = fail("missing Content-Length"); return }
+          // Long, not Int: the spec's digit field is unbounded, and a
+          // 3 GB record must SKIP cleanly rather than kill the shard
+          val len =
+            try lenStr.toLong
+            catch { case _: NumberFormatException => pending = fail(s"bad Content-Length '$lenStr'"); return }
+          if (len < 0) { pending = fail(s"bad Content-Length '$lenStr'"); return }
+          if (len > maxBufferedPayload) {
+            skipFully(in, len) // framing stays trusted: later records survive
+            pending = Left(s"payload too large to buffer ($len bytes), record skipped")
+            return
+          }
+          val payload = readFully(in, len.toInt)
+          val get = (k: String) => headers.iterator.collectFirst {
+            case (hk, v) if hk.equalsIgnoreCase(k) => v
+          }
+          pending = Right(WarcRecord(
+            get("WARC-Type").getOrElse(""),
+            get("WARC-Record-ID").getOrElse(""),
+            get("WARC-Target-URI"),
+            headers.toMap,
+            payload))
+        } catch {
+          // EOFException (truncation), ZipException (corrupt gzip), and
+          // any other IO failure all land in the error channel
+          case e: java.io.IOException =>
+            pending = fail(
+              if (e.getMessage != null) e.getMessage else e.getClass.getSimpleName)
         }
-        if (h == null) { pending = fail("EOF inside header block"); return }
-        val lenStr = headers.iterator.collectFirst {
-          case (k, v) if k.equalsIgnoreCase("Content-Length") => v
-        }.orNull
-        if (lenStr == null) { pending = fail("missing Content-Length"); return }
-        val len =
-          try lenStr.toInt
-          catch { case _: NumberFormatException => pending = fail(s"bad Content-Length '$lenStr'"); return }
-        if (len < 0) { pending = fail(s"bad Content-Length '$lenStr'"); return }
-        val payload =
-          try readFully(in, len)
-          catch { case e: EOFException => pending = fail(e.getMessage); return }
-        val get = (k: String) => headers.iterator.collectFirst {
-          case (hk, v) if hk.equalsIgnoreCase(k) => v
-        }
-        pending = Right(WarcRecord(
-          get("WARC-Type").getOrElse(""),
-          get("WARC-Record-ID").getOrElse(""),
-          get("WARC-Target-URI"),
-          headers.toMap,
-          payload))
       }
 
       def hasNext: Boolean = {

@@ -163,6 +163,93 @@ class WarcSpec extends SparkSpec {
     assert(rows.map(_.getLong(1)).sum == Tables.documents(spark, sfDir).count())
   }
 
+  test("decode failures land in the error channel, never as exceptions") {
+    // empty .gz: clean zero-record parse (a fetcher touched the file
+    // and died before writing anything)
+    assert(Warc.parseStream(new ByteArrayInputStream(Array.emptyByteArray), gzipped = true).toList.isEmpty)
+    assert(Warc.parseStream(new ByteArrayInputStream(Array.emptyByteArray), gzipped = false).toList.isEmpty)
+    // corrupt gzip bytes under a .gz name: one error row, no throw
+    val garbage = Warc.parseStream(
+      new ByteArrayInputStream("this is not gzip at all".getBytes(UTF_8)), gzipped = true).toList
+    assert(garbage.length == 1 && garbage.head.isLeft, garbage.toString)
+    // binary garbage with no LF anywhere: the header-line cap turns it
+    // into one cheap error row instead of buffering the whole "file"
+    val noLf = Array.fill(Warc.MaxHeaderLineBytes + 512)('x'.toByte)
+    val capped = Warc.parseStream(new ByteArrayInputStream(noLf), gzipped = false).toList
+    assert(capped.length == 1 && capped.head.isLeft, capped.take(1).toString)
+    assert(capped.head.swap.toOption.get.contains("header line exceeds"))
+  }
+
+  test("GZIPInputStream member-boundary: records survive a source whose available() is always 0") {
+    // Hadoop streams report available()==0 at member boundaries; the
+    // peeking wrapper must keep the concatenated-member reader going
+    // build a many-member concatenation through the real writer path
+    val tmp = Files.createTempDirectory("graft_gz_avail").toFile
+    val f = new java.io.File(tmp, "m.warc.gz")
+    val sw = Warc.shardWriter(f, gzip = true)
+    (1 to 25).foreach(i => sw.write(mkRec(i.toLong, s"record number $i")))
+    sw.close()
+    val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+    val zeroAvail = new java.io.InputStream {
+      private val in = new ByteArrayInputStream(bytes)
+      def read(): Int = in.read()
+      override def read(b: Array[Byte], o: Int, l: Int): Int = in.read(b, o, l)
+      override def available(): Int = 0 // the HDFS/S3 behavior
+    }
+    val got = Warc.parseStream(zeroAvail, gzipped = true).toList
+    assert(got.forall(_.isRight), got.find(_.isLeft).toString)
+    assert(got.count(_.toOption.get.warcType == "resource") == 25)
+  }
+
+  test("oversized Content-Length is skipped as one error row; later records still parse") {
+    val bos = new java.io.ByteArrayOutputStream()
+    Warc.writeRecord(bos, mkRec(1, "before"))
+    Warc.writeRecord(bos, mkRec(2, "a payload past the buffer cap"))
+    Warc.writeRecord(bos, mkRec(3, "after"))
+    val got = Warc.parseStream(new ByteArrayInputStream(bos.toByteArray),
+      gzipped = false, maxBufferedPayload = 16L).toList
+    assert(got.length == 3, got.toString)
+    assert(got(0).isRight && new String(got(0).toOption.get.payload, UTF_8) == "before")
+    assert(got(1).isLeft && got(1).swap.toOption.get.contains("too large"), got(1).toString)
+    assert(got(2).isRight && new String(got(2).toOption.get.payload, UTF_8) == "after")
+  }
+
+  test("writer rejects header names that could forge or corrupt framing") {
+    val out = new java.io.ByteArrayOutputStream()
+    def rec(h: Map[String, String]) = mkRec(1, "x").copy(headers = h)
+    intercept[IllegalArgumentException] {
+      Warc.writeRecord(out, rec(Map("content-length" -> "0")))
+    }
+    intercept[IllegalArgumentException] {
+      Warc.writeRecord(out, rec(Map("Bad:Name" -> "v")))
+    }
+    intercept[IllegalArgumentException] {
+      Warc.writeRecord(out, rec(Map(" folded" -> "v")))
+    }
+    intercept[IllegalArgumentException] {
+      Warc.writeRecord(out, rec(Map("X-Ok" -> "evil\r\nInjected: yes")))
+    }
+  }
+
+  test("fetchRecords flags a stale index as an error row instead of serving the wrong record") {
+    val dir = Files.createTempDirectory("graft_warc_stale").toFile.getAbsolutePath
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text", "lang", "source")
+    val idx = ArchiveOps.writeIndexedCorpus(docs, dir, shards = 2).collect()
+    // pretend the corpus was regenerated: one entry now claims a span
+    // that actually holds a different record
+    import spark.implicits._
+    val tampered = idx.toSeq.zipWithIndex.map { case (e, i) =>
+      if (i == 0) e.copy(record_id = "urn:graft:doc:999999") else e
+    }.toDF()
+    val fetched = ArchiveOps.fetchRecords(tampered).cache()
+    try {
+      val bad = fetched.filter(col("error").isNotNull).collect()
+      assert(bad.length == 1, bad.mkString(";"))
+      assert(bad.head.getString(7).contains("index mismatch"), bad.head.toString)
+      assert(fetched.filter(col("error").isNull).count() == idx.length - 1)
+    } finally fetched.unpersist()
+  }
+
   test("CDX index: every member span fetches standalone and matches the source row") {
     val dir = Files.createTempDirectory("graft_warc_cdx_t").toFile.getAbsolutePath
     val idxDir = Files.createTempDirectory("graft_warc_cdx_i").toFile.getAbsolutePath
