@@ -338,6 +338,32 @@ object ArchiveOps extends QueryModule {
         .orderBy("source")
     },
 
+    // DataSourceV2 scan with pruning + pushdown: the same corpus read
+    // through `format("warc")`, projecting NO text column (every
+    // payload skipped, never decoded) under a pushed source filter
+    // (non-matching records cost a header parse + skip). The executed
+    // plan's ReadSchema/PushedFilters are spec-pinned in WarcDsv2Spec;
+    // the oracle pins the values.
+    Q(
+      "q_warc_pushdown",
+      """SELECT lang,
+        |       COUNT(*) AS n_docs,
+        |       CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+        |FROM documents WHERE source = 'src7'
+        |GROUP BY lang ORDER BY lang"""
+    ) { (s, d) =>
+      val dir = Files.createTempDirectory("graft_warc_ds").toFile.getAbsolutePath
+      writeCorpus(Tables.documents(s, d).select("doc_id", "text", "lang", "source"),
+        dir, shards = 8)
+      s.read.format("warc").load(dir)
+        .filter(col("warc_type") === "resource" && col("source") === "src7")
+        .select(col("lang"),
+          expr("CAST(substring_index(record_id, ':', -1) AS BIGINT)").as("doc_id"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_ids"))
+        .orderBy("lang")
+    },
+
     // Indexed random access: write the corpus WITH its CDX-style record
     // index (persisted as a parquet table next to the archive — the
     // production layout), then serve a doc_id subset by SEEKING straight

@@ -268,10 +268,18 @@ object Warc {
     * task (for a stream, a permanently-wedged retry loop). The caller
     * owns closing the underlying stream.
     */
+  /** `keepPayload` is the projection hook for readers that can prove —
+    * from the HEADERS alone — that a record's payload will never be
+    * consumed (a pruned scan without the text column, a pushed header
+    * filter the record fails): when it returns false the payload bytes
+    * are SKIPPED (never buffered or UTF-8-decoded) and the record is
+    * emitted with an empty payload. Framing is unaffected either way.
+    */
   def parseStream(
       raw: InputStream,
       gzipped: Boolean,
-      maxBufferedPayload: Long = Int.MaxValue - 8L): Iterator[Either[String, WarcRecord]] = {
+      maxBufferedPayload: Long = Int.MaxValue - 8L,
+      keepPayload: Map[String, String] => Boolean = _ => true): Iterator[Either[String, WarcRecord]] = {
     new Iterator[Either[String, WarcRecord]] {
       private var in: InputStream = _
       private var done = false
@@ -342,7 +350,10 @@ object Warc {
             pending = Left(s"payload too large to buffer ($len bytes), record skipped")
             return
           }
-          val payload = readFully(in, len.toInt)
+          val headerMap = headers.toMap
+          val payload =
+            if (keepPayload(headerMap)) readFully(in, len.toInt)
+            else { skipFully(in, len); Array.emptyByteArray }
           val get = (k: String) => headers.iterator.collectFirst {
             case (hk, v) if hk.equalsIgnoreCase(k) => v
           }
@@ -350,7 +361,7 @@ object Warc {
             get("WARC-Type").getOrElse(""),
             get("WARC-Record-ID").getOrElse(""),
             get("WARC-Target-URI"),
-            headers.toMap,
+            headerMap,
             payload))
         } catch {
           // EOFException (truncation), ZipException (corrupt gzip), and

@@ -1,0 +1,214 @@
+package graft.sources.warc
+
+import java.util
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.sources.Warc
+
+/** DataSourceV2 connector for WARC corpora: `spark.read.format("warc")
+  * .load(dir)` (registered via DataSourceRegister). One InputPartition
+  * per shard file — the format's unit of parallelism — with two
+  * Catalyst integrations the RDD helper cannot express:
+  *
+  *  - **Column pruning** (`SupportsPushDownRequiredColumns`): when the
+  *    projection doesn't need `text`, the reader SKIPS every payload
+  *    (no buffering, no gunzip-to-byte[], no UTF-8 decode) — a
+  *    metadata-only scan over a crawl reads headers only, the
+  *    `ReadSchema`-discipline analog for an archive format.
+  *  - **Filter pushdown** (`SupportsPushDownFilters`): `EqualTo` on the
+  *    header-level columns (warc_type / record_id / target_uri / lang /
+  *    source / path) is evaluated BEFORE the payload is touched, so
+  *    filtered-out records cost a skip, not a decode. `text`/`error`
+  *    predicates are not accepted (they need the parse result) and stay
+  *    with Spark.
+  *
+  * Error rows carry only `path`+`error`; every accepted EqualTo
+  * therefore excludes them (SQL equality never matches NULL), which the
+  * reader honors. Schema is fixed (`WarcTableSchema`) — WARC has no
+  * embedded schema to infer.
+  */
+class WarcDataSourceV2 extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "warc"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    WarcDataSourceV2.Schema
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val path = properties.get("path")
+    require(path != null, "warc source requires a path: spark.read.format(\"warc\").load(dir)")
+    new WarcTable(path)
+  }
+}
+
+object WarcDataSourceV2 {
+  val Schema: StructType = StructType(
+    Seq("path", "warc_type", "record_id", "target_uri", "lang", "source", "text", "error")
+      .map(StructField(_, StringType, nullable = true)))
+
+  /** Header-level columns whose EqualTo can be answered before payload
+    * decode; maps column name -> header lookup.
+    */
+  private[warc] def headerField(
+      name: String, path: String, warcType: String,
+      recordId: String, targetUri: String,
+      headers: Map[String, String]): String = name match {
+    case "path"       => path
+    case "warc_type"  => warcType
+    case "record_id"  => recordId
+    case "target_uri" => targetUri
+    case "lang"       => headers.getOrElse("X-Graft-Lang", null)
+    case "source"     => headers.getOrElse("X-Graft-Source", null)
+    case _            => null
+  }
+
+  private[warc] val PushableCols =
+    Set("path", "warc_type", "record_id", "target_uri", "lang", "source")
+}
+
+final class WarcTable(dir: String) extends Table with SupportsRead {
+  override def name(): String = s"warc($dir)"
+  override def schema(): StructType = WarcDataSourceV2.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new WarcScanBuilder(dir)
+}
+
+final class WarcScanBuilder(dir: String)
+    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+  private var required: StructType = WarcDataSourceV2.Schema
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, residual) = filters.partition {
+      case EqualTo(a, _: String) => WarcDataSourceV2.PushableCols(a)
+      case _ => false
+    }
+    pushed = accepted
+    residual
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = WarcScan(dir, required, pushed)
+}
+
+final case class WarcScan(dir: String, required: StructType, pushed: Array[Filter])
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"WarcScan($dir) ReadSchema: ${required.simpleString}, PushedFilters: [${pushed.mkString(", ")}]"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val p = new Path(dir)
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    val fs = p.getFileSystem(conf)
+    val stat = fs.getFileStatus(p)
+    val files =
+      if (stat.isDirectory) fs.globStatus(new Path(p, "*.warc*")).map(_.getPath.toString)
+      else Array(p.toString)
+    files.sorted.map(f => WarcInputPartition(f): InputPartition)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    WarcReaderFactory(required, pushed)
+}
+
+final case class WarcInputPartition(file: String) extends InputPartition
+
+final case class WarcReaderFactory(required: StructType, pushed: Array[Filter])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new WarcPartitionReader(partition.asInstanceOf[WarcInputPartition].file, required, pushed)
+}
+
+final class WarcPartitionReader(file: String, required: StructType, pushed: Array[Filter])
+    extends PartitionReader[InternalRow] {
+  import WarcDataSourceV2.headerField
+
+  private val hp = new Path(file)
+  private val in = hp.getFileSystem(new Configuration()).open(hp)
+  private val needText = required.fieldNames.contains("text")
+  private val eq: Array[(String, String)] =
+    pushed.collect { case EqualTo(a, v: String) => (a, v) }
+
+  private def headerPass(headers: Map[String, String]): Boolean = {
+    def get(k: String): String =
+      headers.iterator.collectFirst { case (hk, v) if hk.equalsIgnoreCase(k) => v }.orNull
+    eq.forall { case (name, want) =>
+      headerField(name, file, get("WARC-Type"), get("WARC-Record-ID"),
+        get("WARC-Target-URI"), headers) == want
+    }
+  }
+
+  // payload decode only when the record passes every pushed filter AND
+  // the projection needs text
+  private val records = Warc.parseStream(in, file.endsWith(".gz"),
+    keepPayload = hs => needText && headerPass(hs))
+
+  private var current: InternalRow = _
+
+  private def toRow(e: Either[String, Warc.WarcRecord]): InternalRow = e match {
+    case Right(rec) =>
+      if (!headerPass(rec.headers)) null
+      else {
+        val row = new GenericInternalRow(required.length)
+        var i = 0
+        while (i < required.length) {
+          val v = required.fields(i).name match {
+            case "text" => new String(rec.payload, java.nio.charset.StandardCharsets.UTF_8)
+            case "error" => null
+            case n => headerField(n, file, rec.warcType, rec.recordId,
+              rec.targetUri.orNull, rec.headers)
+          }
+          row.update(i, if (v == null) null else UTF8String.fromString(v))
+          i += 1
+        }
+        row
+      }
+    case Left(err) =>
+      // an error row is NULL in every header column, so any pushed
+      // EqualTo excludes it (SQL equality semantics)
+      if (eq.nonEmpty) null
+      else {
+        val row = new GenericInternalRow(required.length)
+        var i = 0
+        while (i < required.length) {
+          val v = required.fields(i).name match {
+            case "path" => file
+            case "error" => err
+            case _ => null
+          }
+          row.update(i, if (v == null) null else UTF8String.fromString(v))
+          i += 1
+        }
+        row
+      }
+  }
+
+  override def next(): Boolean = {
+    while (records.hasNext) {
+      val row = toRow(records.next())
+      if (row != null) { current = row; return true }
+    }
+    false
+  }
+  override def get(): InternalRow = current
+  override def close(): Unit = in.close()
+}
