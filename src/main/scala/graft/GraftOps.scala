@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The library facade: the engine's reusable operators as plain
@@ -586,4 +586,35 @@ object GraftOps {
     */
   def corpusDiff(v1: DataFrame, v2: DataFrame): DataFrame =
     ops.CurationOps.corpusDiff(v1, v2)
+
+  /** WARC (ISO 28500) corpus export: sharded `.warc`/`.warc.gz` files
+    * (per-member gzip, the crawl-archive layout). Verified by
+    * `q_warc_roundtrip`. The indexed variant also returns the
+    * CDX-style record index (persist it next to the archive); serve
+    * individual records from it with [[fetchWarcRecords]]
+    * (`q_warc_fetch`). Read back in bulk with [[readWarc]], or through
+    * `spark.read.format("warc")` for pruned/filter-pushed scans
+    * (`q_warc_pushdown`); tail a landing directory with
+    * `ops.ArchiveOps.streamCorpus`.
+    */
+  def writeWarc(docs: DataFrame, dir: String, shards: Int): Unit =
+    ops.ArchiveOps.writeCorpus(docs, dir, shards)
+
+  def writeWarcIndexed(docs: DataFrame, dir: String, shards: Int): Dataset[ops.WarcIndexRow] =
+    ops.ArchiveOps.writeIndexedCorpus(docs, dir, shards)
+
+  def readWarc(spark: SparkSession, dir: String): DataFrame =
+    ops.ArchiveOps.readCorpus(spark, dir)
+
+  def fetchWarcRecords(index: DataFrame): DataFrame =
+    ops.ArchiveOps.fetchRecords(index)
+
+  /** Avro object-container corpus export/ingest (schema embedded per
+    * file; deflate blocks). Verified by `q_avro_roundtrip`.
+    */
+  def writeAvro(docs: DataFrame, dir: String, shards: Int): Unit =
+    ops.ArchiveOps.writeAvroCorpus(docs, dir, shards)
+
+  def readAvro(spark: SparkSession, dir: String): DataFrame =
+    ops.ArchiveOps.readAvroCorpus(spark, dir)
 }
