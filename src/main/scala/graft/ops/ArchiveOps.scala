@@ -44,10 +44,11 @@ object ArchiveOps extends QueryModule {
   /** Write `docs` (doc_id, text, lang, source) as `shards` WARC files
     * under `dir`. Sharding is `doc_id % shards` — deterministic file
     * contents (records ascend by doc_id within a shard) so fixtures and
-    * re-runs are byte-stable. Even shards are written as per-member
-    * `.warc.gz` (the Common Crawl layout), odd shards as plain `.warc`,
-    * so one corpus exercises both decode paths; pass `gzip = Some(b)`
-    * to force a uniform layout.
+    * re-runs are byte-stable. The default layout cycles the codecs by
+    * shard (`shard % 3`: gzip member-per-record — the Common Crawl
+    * layout — then plain, then zstd frame-per-record — the `.warc.zst`
+    * layout), so one corpus exercises every decode path; pass `codec =
+    * Some(c)` (none/gzip/zstd) to force a uniform layout.
     *
     * Scale: one task per shard (`repartition(shards, shard)` keys every
     * record of a shard to one partition); each task streams its records
@@ -59,11 +60,11 @@ object ArchiveOps extends QueryModule {
       docs: DataFrame,
       dir: String,
       shards: Int,
-      gzip: Option[Boolean] = None): Unit =
+      codec: Option[String] = None): Unit =
     // one implementation: the indexed writer IS the writer (the index
     // rows are a few tens of bytes per record; discarding them costs
     // nothing and keeps the two paths incapable of drifting apart)
-    writeIndexedCorpus(docs, dir, shards, gzip).foreach((_: WarcIndexRow) => ())
+    writeIndexedCorpus(docs, dir, shards, codec).foreach((_: WarcIndexRow) => ())
 
   /** Shared sharding prologue: `doc_id % shards`, one partition per
     * shard, records ascending by doc_id within a shard — deterministic
@@ -107,7 +108,7 @@ object ArchiveOps extends QueryModule {
       // downstream must not leak the file handle
       Option(org.apache.spark.TaskContext.get())
         .foreach(_.addTaskCompletionListener[Unit](_ => in.close()))
-      Warc.parseStream(in, path.endsWith(".gz")).map(toRow(path))
+      Warc.parseStream(in, Warc.codecOf(path)).map(toRow(path))
     }.toDF()
   }
 
@@ -123,7 +124,7 @@ object ArchiveOps extends QueryModule {
       docs: DataFrame,
       dir: String,
       shards: Int,
-      gzip: Option[Boolean] = None): org.apache.spark.sql.Dataset[WarcIndexRow] = {
+      codec: Option[String] = None): org.apache.spark.sql.Dataset[WarcIndexRow] = {
     import docs.sparkSession.implicits._
     shardedByDoc(docs, shards).mapPartitions { rows =>
       // eager per-partition write (files complete and writers closed
@@ -138,9 +139,13 @@ object ArchiveOps extends QueryModule {
           val shard = r.getLong(4)
           if (shard != curShard) {
             if (cur != null) cur.close()
-            val gz = gzip.getOrElse(shard % 2 == 0)
-            val f = new java.io.File(dir, f"part-$shard%05d." + (if (gz) "warc.gz" else "warc"))
-            cur = Warc.shardWriter(f, gz)
+            val c = codec.getOrElse(shard % 3 match {
+              case 0 => Warc.CodecGzip
+              case 1 => Warc.CodecNone
+              case _ => Warc.CodecZstd
+            })
+            val f = new java.io.File(dir, f"part-$shard%05d." + Warc.extOf(c))
+            cur = Warc.shardWriter(f, c)
             curShard = shard
             curPath = f.getAbsolutePath
           }
@@ -204,7 +209,7 @@ object ArchiveOps extends QueryModule {
             }
             val buf = new Array[Byte](len.toInt)
             in.readFully(off, buf) // positioned read: ascending seeks per file
-            val row = Warc.parseStream(new java.io.ByteArrayInputStream(buf), p.endsWith(".gz"))
+            val row = Warc.parseStream(new java.io.ByteArrayInputStream(buf), Warc.codecOf(p))
               .map(toRow(p)).toSeq.headOption
               .getOrElse(WarcDocRow(p, null, recId, null, null, null, null,
                 s"empty member span at $off+$len"))
@@ -247,7 +252,7 @@ object ArchiveOps extends QueryModule {
       .as[(String, Array[Byte])]
       .flatMap { case (path, bytes) =>
         Warc.parseStream(new java.io.ByteArrayInputStream(bytes),
-          path.endsWith(".gz")).map(toRow(path))
+          Warc.codecOf(path)).map(toRow(path))
       }
       .toDF()
   }

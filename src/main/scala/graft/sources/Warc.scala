@@ -101,13 +101,36 @@ object Warc {
     out.write(Crlf); out.write(Crlf)
   }
 
-  /** Open a shard file for writing, leading with a `warcinfo` record.
-    * `gzip = true` writes one gzip member per record (the Common Crawl
-    * layout), so downstream range-readers with an index could seek to a
-    * member and inflate a single record.
+  /** Shard codecs: plain, gzip member-per-record (the Common Crawl
+    * layout), or zstd frame-per-record (the IIPC `.warc.zst` layout,
+    * minus the optional dictionary frame). Both compressed layouts put
+    * each record in its own standalone member/frame so an indexed
+    * reader can seek to a byte span and decode ONE record.
     */
+  val CodecNone = "none"
+  val CodecGzip = "gzip"
+  val CodecZstd = "zstd"
+
+  /** Codec by filename convention (`.warc` / `.warc.gz` / `.warc.zst`). */
+  def codecOf(path: String): String =
+    if (path.endsWith(".gz")) CodecGzip
+    else if (path.endsWith(".zst")) CodecZstd
+    else CodecNone
+
+  /** File extension for a codec (inverse of [[codecOf]]). */
+  def extOf(codec: String): String = codec match {
+    case CodecGzip => "warc.gz"
+    case CodecZstd => "warc.zst"
+    case CodecNone => "warc"
+    case other     => throw new IllegalArgumentException(s"unknown WARC codec '$other'")
+  }
+
+  /** Open a shard file for writing, leading with a `warcinfo` record. */
   def shardWriter(path: java.io.File, gzip: Boolean): WarcShardWriter =
-    new WarcShardWriter(path, gzip)
+    new WarcShardWriter(path, if (gzip) CodecGzip else CodecNone)
+
+  def shardWriter(path: java.io.File, codec: String): WarcShardWriter =
+    new WarcShardWriter(path, codec)
 
   /** Counts logical bytes BEFORE buffering, so member offsets are exact
     * at write time (the buffer sits below the counter).
@@ -122,17 +145,25 @@ object Warc {
     override def close(): Unit = out.close()
   }
 
-  final class WarcShardWriter(path: java.io.File, gzip: Boolean) {
+  final class WarcShardWriter(path: java.io.File, codec: String) {
+    require(codec == CodecNone || codec == CodecGzip || codec == CodecZstd,
+      s"unknown WARC codec '$codec'")
     private val raw = new CountingOutputStream(
       new BufferedOutputStream(new java.io.FileOutputStream(path), 1 << 16))
-    // ONE reused native Deflater per shard, reset per member. The naive
-    // spelling (a fresh GZIPOutputStream per record) allocates a native
-    // zlib context per record and never `end()`s it — measured 173 s for
-    // a 500k-record shard set vs ~4 s with the reused deflater (the
-    // stream class has no reset, so the member framing is written by
-    // hand: 10-byte header, raw-deflate body, CRC32+ISIZE trailer).
+    // ONE reused native compression context per shard, reset per member.
+    // The naive spelling (a fresh GZIPOutputStream per record) allocates
+    // a native zlib context per record and never `end()`s it — measured
+    // 173 s for a 500k-record shard set vs ~4 s with the reused deflater
+    // (the stream class has no reset, so the member framing is written
+    // by hand: 10-byte header, raw-deflate body, CRC32+ISIZE trailer).
+    // The zstd path applies the same rule from the start: one
+    // ZstdCompressCtx per shard, one complete frame per record.
     private val deflater =
-      if (gzip) new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+      if (codec == CodecGzip)
+        new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+      else null
+    private val zctx =
+      if (codec == CodecZstd) new com.github.luben.zstd.ZstdCompressCtx().setLevel(3)
       else null
     private val crc = new java.util.zip.CRC32
     private val defBuf = new Array[Byte](1 << 16)
@@ -146,14 +177,18 @@ object Warc {
       raw.write(((v >> 16) & 0xff).toInt); raw.write(((v >> 24) & 0xff).toInt)
     }
 
+    private def recordBytes(rec: WarcRecord): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream(rec.payload.length + 256)
+      writeRecord(bos, rec)
+      bos.toByteArray
+    }
+
     private def writeOne(rec: WarcRecord): (Long, Long) = {
       val start = raw.count
-      if (gzip) {
+      if (codec == CodecGzip) {
         // one gzip member per record (the Common Crawl layout, so an
         // indexed reader can seek to a member and inflate one record)
-        val bos = new java.io.ByteArrayOutputStream(rec.payload.length + 256)
-        writeRecord(bos, rec)
-        val data = bos.toByteArray
+        val data = recordBytes(rec)
         // header: magic, CM=deflate, no flags/mtime/XFL, OS=unknown
         raw.write(Array[Byte](0x1f, 0x8b.toByte, 8, 0, 0, 0, 0, 0, 0, 0xff.toByte))
         deflater.reset()
@@ -166,6 +201,10 @@ object Warc {
         crc.reset(); crc.update(data)
         writeIntLE(crc.getValue)
         writeIntLE(data.length.toLong)
+      } else if (codec == CodecZstd) {
+        // one complete zstd frame per record (the .warc.zst layout)
+        val frame = zctx.compress(recordBytes(rec))
+        raw.write(frame)
       } else writeRecord(raw, rec)
       (start, raw.count - start)
     }
@@ -179,6 +218,7 @@ object Warc {
     def close(): Unit = {
       raw.flush(); raw.close()
       if (deflater != null) deflater.end()
+      if (zctx != null) zctx.close()
     }
   }
 
@@ -277,7 +317,18 @@ object Warc {
     */
   def parseStream(
       raw: InputStream,
+      gzipped: Boolean): Iterator[Either[String, WarcRecord]] =
+    parseStream(raw, if (gzipped) CodecGzip else CodecNone)
+
+  def parseStream(
+      raw: InputStream,
       gzipped: Boolean,
+      maxBufferedPayload: Long): Iterator[Either[String, WarcRecord]] =
+    parseStream(raw, if (gzipped) CodecGzip else CodecNone, maxBufferedPayload)
+
+  def parseStream(
+      raw: InputStream,
+      codec: String,
       maxBufferedPayload: Long = Int.MaxValue - 8L,
       keepPayload: Map[String, String] => Boolean = _ => true): Iterator[Either[String, WarcRecord]] = {
     new Iterator[Either[String, WarcRecord]] {
@@ -298,11 +349,17 @@ object Warc {
         val first = pb.read()
         if (first < 0) { done = true; return false } // empty file: clean zero records
         pb.unread(first)
-        in =
-          if (gzipped)
+        in = codec match {
+          case CodecGzip =>
             new BufferedInputStream(
               new GZIPInputStream(new PeekAvailableInputStream(pb), 1 << 16), 1 << 16)
-          else new BufferedInputStream(pb, 1 << 16)
+          case CodecZstd =>
+            // zstd-jni's stream reads across concatenated frames and has
+            // no available()-based continuation heuristic to defuse
+            new BufferedInputStream(new com.github.luben.zstd.ZstdInputStream(pb), 1 << 16)
+          case CodecNone => new BufferedInputStream(pb, 1 << 16)
+          case other => throw new java.io.IOException(s"unknown WARC codec '$other'")
+        }
         true
       }
 

@@ -159,7 +159,7 @@ final class WarcPartitionReader(file: String, required: StructType, pushed: Arra
 
   // payload decode only when the record passes every pushed filter AND
   // the projection needs text
-  private val records = Warc.parseStream(in, file.endsWith(".gz"),
+  private val records = Warc.parseStream(in, Warc.codecOf(file),
     keepPayload = hs => needText && headerPass(hs))
 
   private var current: InternalRow = _

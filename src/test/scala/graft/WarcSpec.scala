@@ -18,7 +18,7 @@ class WarcSpec extends SparkSpec {
   private def records(dir: java.io.File, name: String): Seq[Either[String, Warc.WarcRecord]] = {
     val f = new java.io.File(dir, name)
     val in = new java.io.FileInputStream(f)
-    try Warc.parseStream(in, name.endsWith(".gz")).toList
+    try Warc.parseStream(in, Warc.codecOf(name)).toList
     finally in.close()
   }
 
@@ -33,8 +33,9 @@ class WarcSpec extends SparkSpec {
     // "héllo → wörld" is 3 multi-byte chars: Content-Length (bytes) must
     // diverge from the char count for the roundtrip to prove anything
     val docs = Seq(mkRec(1, "plain ascii"), mkRec(2, "héllo → wörld"), mkRec(3, ""))
-    Seq("u.warc" -> false, "u.warc.gz" -> true).foreach { case (name, gz) =>
-      val w = Warc.shardWriter(new java.io.File(dir, name), gz)
+    Seq("u.warc" -> Warc.CodecNone, "u.warc.gz" -> Warc.CodecGzip,
+        "u.warc.zst" -> Warc.CodecZstd).foreach { case (name, codec) =>
+      val w = Warc.shardWriter(new java.io.File(dir, name), codec)
       docs.foreach(w.write); w.close()
       val got = records(dir, name)
       assert(got.forall(_.isRight), s"$name: unexpected parse error ${got.find(_.isLeft)}")
@@ -81,9 +82,10 @@ class WarcSpec extends SparkSpec {
     val dir = Files.createTempDirectory("graft_warc_corpus").toFile.getAbsolutePath
     val docs = Tables.documents(spark, sfDir).select("doc_id", "text", "lang", "source")
     ArchiveOps.writeCorpus(docs, dir, shards = 4)
-    // default layout: even shards gz, odd plain — both must be present
+    // default layout cycles gzip/plain/zstd by shard — all three present
     val names = new java.io.File(dir).list().sorted.toSeq
-    assert(names.exists(_.endsWith(".warc")) && names.exists(_.endsWith(".warc.gz")), names.toString)
+    assert(names.exists(_.endsWith(".warc")) && names.exists(_.endsWith(".warc.gz")) &&
+      names.exists(_.endsWith(".warc.zst")), names.toString)
     val back = ArchiveOps.readCorpus(spark, dir)
       .filter(col("warc_type") === "resource")
       .select(expr("CAST(substring_index(record_id, ':', -1) AS BIGINT)").as("doc_id"),
@@ -168,10 +170,14 @@ class WarcSpec extends SparkSpec {
     // and died before writing anything)
     assert(Warc.parseStream(new ByteArrayInputStream(Array.emptyByteArray), gzipped = true).toList.isEmpty)
     assert(Warc.parseStream(new ByteArrayInputStream(Array.emptyByteArray), gzipped = false).toList.isEmpty)
-    // corrupt gzip bytes under a .gz name: one error row, no throw
+    // corrupt compressed bytes: one error row, no throw (both codecs)
     val garbage = Warc.parseStream(
       new ByteArrayInputStream("this is not gzip at all".getBytes(UTF_8)), gzipped = true).toList
     assert(garbage.length == 1 && garbage.head.isLeft, garbage.toString)
+    val zgarbage = Warc.parseStream(
+      new ByteArrayInputStream("this is not zstd either!".getBytes(UTF_8)), Warc.CodecZstd).toList
+    assert(zgarbage.length == 1 && zgarbage.head.isLeft, zgarbage.toString)
+    assert(Warc.parseStream(new ByteArrayInputStream(Array.emptyByteArray), Warc.CodecZstd).toList.isEmpty)
     // binary garbage with no LF anywhere: the header-line cap turns it
     // into one cheap error row instead of buffering the whole "file"
     val noLf = Array.fill(Warc.MaxHeaderLineBytes + 512)('x'.toByte)
