@@ -587,8 +587,9 @@ object GraftOps {
   def corpusDiff(v1: DataFrame, v2: DataFrame): DataFrame =
     ops.CurationOps.corpusDiff(v1, v2)
 
-  /** WARC (ISO 28500) corpus export: sharded `.warc`/`.warc.gz` files
-    * (per-member gzip, the crawl-archive layout). Verified by
+  /** WARC (ISO 28500) corpus export: sharded `.warc`/`.warc.gz`/
+    * `.warc.zst` files (member-per-record compression, the
+    * crawl-archive layouts). Verified by
     * `q_warc_roundtrip`. The indexed variant also returns the
     * CDX-style record index (persist it next to the archive); serve
     * individual records from it with [[fetchWarcRecords]]
