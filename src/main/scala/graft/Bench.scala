@@ -81,7 +81,8 @@ object Bench {
     "q_ann_ivf_nprobe", "q_ann_ivf_search", "q_semantic_dedup", "q_knn_label",
     "q_events_tumbling", "q_events_session",
     "q_orc_roundtrip", "q_warc_roundtrip", "q_warc_fetch", "q_warc_pushdown",
-    "q_avro_roundtrip", "q_ocr_pipeline", "q_image_neardup", "q_audio_wav")
+    "q_warc_write", "q_avro_roundtrip", "q_ocr_pipeline", "q_image_neardup",
+    "q_audio_wav")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -306,6 +306,31 @@ object ArchiveOps extends QueryModule {
       .toDF("doc_id", "text", "lang", "source")
   }
 
+  /** Streaming Avro ingest: the [[streamCorpus]] pattern for object
+    * containers — tail a landing directory of `.avro` shards through
+    * the binaryFile file-stream source (checkpointed source ledger =
+    * exactly-once per shard), stream-decoding each container from its
+    * own embedded schema.
+    */
+  def streamAvroCorpus(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val binaryFileSchema = new StructType()
+      .add("path", StringType).add("modificationTime", TimestampType)
+      .add("length", LongType).add("content", BinaryType)
+    spark.readStream.format("binaryFile")
+      .schema(binaryFileSchema)
+      .option("pathGlobFilter", "*.avro")
+      .load(dir)
+      .select("content")
+      .as[Array[Byte]]
+      .flatMap { bytes =>
+        graft.sources.AvroIo.readStream(new java.io.ByteArrayInputStream(bytes))
+          .map(d => (d.docId, d.text, d.lang, d.source))
+      }
+      .toDF("doc_id", "text", "lang", "source")
+  }
+
   def queries: Seq[Q] = Seq(
     // Full WARC roundtrip: documents -> sharded .warc/.warc.gz ->
     // streaming parse -> per-source aggregate. The oracle aggregates the
@@ -394,6 +419,27 @@ object ArchiveOps extends QueryModule {
           length(col("text")).as("n_chars"),
           col("lang"), col("source"))
         .orderBy("doc_id")
+    },
+
+    // DSv2 WRITE path: df.write.format("warc") (task-attempt temp files
+    // + driver-side rename commit, zstd frames), read back through the
+    // streaming parser, aggregate per (source, lang) vs the original
+    // table. With q_warc_roundtrip/q_warc_pushdown this closes the
+    // connector matrix: RDD read, DSv2 read, DSv2 write.
+    Q(
+      "q_warc_write",
+      """SELECT source, lang, COUNT(*) AS n_docs
+        |FROM documents GROUP BY source, lang ORDER BY source, lang"""
+    ) { (s, d) =>
+      val dir = Files.createTempDirectory("graft_warc_w").toFile.getAbsolutePath
+      Tables.documents(s, d).select("doc_id", "text", "lang", "source")
+        .repartition(8)
+        .write.format("warc").mode("append").option("codec", "zstd").save(dir)
+      readCorpus(s, dir)
+        .filter(col("warc_type") === "resource" && col("error").isNull)
+        .groupBy("source", "lang")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("source", "lang")
     },
 
     // Avro object-container roundtrip: documents -> sharded .avro

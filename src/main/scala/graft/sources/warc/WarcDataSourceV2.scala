@@ -7,9 +7,10 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter}
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -43,13 +44,17 @@ class WarcDataSourceV2 extends TableProvider with DataSourceRegister {
   override def shortName(): String = "warc"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     WarcDataSourceV2.Schema
+  // writes hand the incoming frame's schema to getTable (reads still
+  // come through inferSchema's fixed record schema) — the write frame
+  // is the 4-column corpus shape, not the 8-column record shape
+  override def supportsExternalMetadata(): Boolean = true
   override def getTable(
       schema: StructType,
       partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
     val path = properties.get("path")
     require(path != null, "warc source requires a path: spark.read.format(\"warc\").load(dir)")
-    new WarcTable(path)
+    new WarcTable(path, schema)
   }
 }
 
@@ -78,13 +83,121 @@ object WarcDataSourceV2 {
     Set("path", "warc_type", "record_id", "target_uri", "lang", "source")
 }
 
-final class WarcTable(dir: String) extends Table with SupportsRead {
+final class WarcTable(dir: String, tableSchema: StructType)
+    extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"warc($dir)"
-  override def schema(): StructType = WarcDataSourceV2.Schema
+  override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new WarcScanBuilder(dir)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WarcWriteBuilder(dir, info)
+}
+
+/** Batch write: `df.write.format("warc").mode("append").save(dir)`.
+  * Input schema must carry (doc_id, text, lang, source) — the corpus
+  * row shape. Each task writes ONE shard, to a hidden temp file; the
+  * driver-side commit renames every temp into place and abort deletes
+  * them, so a failed/speculative task attempt never leaves a partial
+  * shard visible — the connector's own commit protocol, same contract
+  * as the built-in file sinks. Codec via `.option("codec",
+  * none|gzip|zstd)`, default gzip (the crawl layout).
+  */
+final class WarcWriteBuilder(dir: String, info: LogicalWriteInfo) extends WriteBuilder {
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = {
+      val schema = info.schema()
+      val need = Seq("doc_id", "text", "lang", "source")
+      val missing = need.filterNot(schema.fieldNames.contains)
+      require(missing.isEmpty,
+        s"warc write needs columns ${need.mkString(", ")}; missing: ${missing.mkString(", ")}")
+      val codec = Option(info.options.get("codec")).getOrElse(Warc.CodecGzip)
+      Warc.extOf(codec) // fail at planning on an unknown codec
+      new WarcBatchWrite(dir, schema, codec, info.queryId)
+    }
+  }
+}
+
+final class WarcBatchWrite(dir: String, schema: StructType, codec: String, queryId: String)
+    extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    WarcWriterFactory(dir, schema, codec, queryId)
+
+  private def fs = new Path(dir).getFileSystem(
+    SparkSession.active.sessionState.newHadoopConf())
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val f = fs
+    f.mkdirs(new Path(dir))
+    messages.foreach {
+      case WarcCommit(temp, finalName) if temp.nonEmpty =>
+        val ok = f.rename(new Path(temp), new Path(new Path(dir), finalName))
+        require(ok, s"warc commit: rename $temp -> $finalName failed")
+      case _ => () // empty partition: nothing to publish
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val f = fs
+    messages.foreach {
+      case WarcCommit(temp, _) if temp.nonEmpty => f.delete(new Path(temp), false); ()
+      case _ => ()
+    }
+  }
+}
+
+final case class WarcCommit(tempPath: String, finalName: String) extends WriterCommitMessage
+
+final case class WarcWriterFactory(dir: String, schema: StructType, codec: String, queryId: String)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new WarcDataWriter(dir, schema, codec, queryId, partitionId, taskId)
+}
+
+final class WarcDataWriter(
+    dir: String, schema: StructType, codec: String,
+    queryId: String, partitionId: Int, taskId: Long)
+    extends DataWriter[InternalRow] {
+  private val iDoc = schema.fieldIndex("doc_id")
+  private val iText = schema.fieldIndex("text")
+  private val iLang = schema.fieldIndex("lang")
+  private val iSource = schema.fieldIndex("source")
+  private val finalName = f"part-$partitionId%05d.${Warc.extOf(codec)}"
+  // temp name contains NO ".warc" substring (a crashed attempt must
+  // never match a scan glob) and is unique per task ATTEMPT, so a
+  // speculative duplicate can never clobber
+  private val temp = new java.io.File(dir, s".tmp-$queryId-$taskId-$partitionId")
+  locally { val p = temp.getParentFile; if (p != null) { p.mkdirs(); () } }
+  private var writer: Warc.WarcShardWriter = _
+  private var open = false
+
+  override def write(row: InternalRow): Unit = {
+    if (!open) { writer = Warc.shardWriter(temp, codec); open = true }
+    val docId = row.getLong(iDoc)
+    require(!row.isNullAt(iText) && !row.isNullAt(iLang) && !row.isNullAt(iSource),
+      s"warc write: null text/lang/source for doc_id=$docId")
+    val source = row.getUTF8String(iSource).toString
+    writer.write(Warc.WarcRecord(
+      warcType = "resource",
+      recordId = s"urn:graft:doc:$docId",
+      targetUri = Some(s"https://graft.invalid/$source/$docId"),
+      headers = Map(
+        "Content-Type" -> "text/plain; charset=utf-8",
+        "X-Graft-Lang" -> row.getUTF8String(iLang).toString,
+        "X-Graft-Source" -> source),
+      payload = row.getUTF8String(iText).getBytes))
+  }
+
+  override def commit(): WriterCommitMessage =
+    if (open) { writer.close(); WarcCommit(temp.getAbsolutePath, finalName) }
+    // empty partition: publish nothing (the driver skips empty commits)
+    else WarcCommit("", "")
+  override def abort(): Unit = {
+    if (open) writer.close()
+    temp.delete(); ()
+  }
+  override def close(): Unit = ()
 }
 
 final class WarcScanBuilder(dir: String)

@@ -73,6 +73,35 @@ class WarcDsv2Spec extends SparkSpec {
     assert(filtered.count() == 0) // the error row never matches an EqualTo
   }
 
+  test("DSv2 write: df.write.format(\"warc\") commits shards atomically; roundtrips") {
+    val dir = Files.createTempDirectory("graft_dsv2_w").toFile.getAbsolutePath
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text", "lang", "source")
+    docs.repartition(3).write.format("warc").mode("append")
+      .option("codec", "zstd").save(dir)
+    val names = new java.io.File(dir).list().sorted.toSeq
+    assert(names.nonEmpty && names.forall(_.endsWith(".warc.zst")), names.toString)
+    assert(!names.exists(_.contains("tmp")), s"uncommitted temp left behind: $names")
+    val back = ArchiveOps.readCorpus(spark, dir)
+      .filter(col("warc_type") === "resource")
+      .select(expr("CAST(substring_index(record_id, ':', -1) AS BIGINT)").as("doc_id"),
+        col("text").as("rt_text"))
+    val joined = docs.join(back, "doc_id")
+    assert(joined.count() == docs.count())
+    assert(joined.filter(col("text") =!= col("rt_text")).count() == 0)
+  }
+
+  test("DSv2 write rejects a frame without the corpus columns and unknown codecs") {
+    val dir = Files.createTempDirectory("graft_dsv2_bad").toFile.getAbsolutePath
+    val docs = Tables.documents(spark, sfDir)
+    intercept[Exception] {
+      docs.select("doc_id", "text").write.format("warc").mode("append").save(dir)
+    }
+    intercept[Exception] {
+      docs.select("doc_id", "text", "lang", "source")
+        .write.format("warc").mode("append").option("codec", "lz4").save(dir)
+    }
+  }
+
   test("q_warc_pushdown matches the direct computation") {
     val df = SparkEntry.queries("q_warc_pushdown")(spark, sfDir)
     val got = df.collect().map(r => (r.getString(0), r.getLong(1))).toMap

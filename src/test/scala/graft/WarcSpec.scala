@@ -157,6 +157,36 @@ class WarcSpec extends SparkSpec {
       col("lang") =!= col("rt_lang") || col("source") =!= col("rt_source")).count() == 0)
   }
 
+  test("streaming Avro ingest: containers landing in the directory decode exactly once") {
+    val landing = Files.createTempDirectory("graft_avro_stream").toFile
+    val ckpt = Files.createTempDirectory("graft_avro_ckpt").toFile.getAbsolutePath
+    val seen = scala.collection.mutable.ArrayBuffer[Long]()
+    val q = ArchiveOps.streamAvroCorpus(spark, landing.getAbsolutePath)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val ids = batch.select("doc_id").collect().map(_.getLong(0))
+        seen.synchronized { seen ++= ids }
+        ()
+      }.start()
+    try {
+      val docs = Tables.documents(spark, sfDir).select("doc_id", "text", "lang", "source")
+      def land(lo: Long, hi: Long, tag: String): Unit = {
+        val stage = Files.createTempDirectory("graft_avro_stage").toFile
+        ArchiveOps.writeAvroCorpus(
+          docs.filter(col("doc_id") >= lo && col("doc_id") < hi),
+          stage.getAbsolutePath, shards = 2)
+        stage.listFiles().foreach { f =>
+          java.nio.file.Files.move(f.toPath,
+            new java.io.File(landing, s"$tag-${f.getName}").toPath)
+        }
+      }
+      land(0, 15, "b1"); q.processAllAvailable()
+      assert(seen.synchronized(seen.sorted.toSeq) == (0L until 15L))
+      land(15, 30, "b2"); q.processAllAvailable()
+      assert(seen.synchronized(seen.sorted.toSeq) == (0L until 30L)) // no re-delivery
+    } finally q.stop()
+  }
+
   test("q_avro_roundtrip aggregates one group per lang") {
     val df = SparkEntry.queries("q_avro_roundtrip")(spark, sfDir)
     val rows = df.collect()
