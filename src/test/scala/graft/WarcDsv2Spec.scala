@@ -102,6 +102,19 @@ class WarcDsv2Spec extends SparkSpec {
     }
   }
 
+  test("DSv2 write abort: a failed job publishes nothing (no visible shard, no temp)") {
+    val dir = Files.createTempDirectory("graft_dsv2_abort").toFile
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text", "lang", "source")
+      // poison one row so a task fails mid-write AFTER others started
+      .withColumn("text",
+        when(col("doc_id") === 7L, lit(null: String)).otherwise(col("text")))
+    intercept[Exception] {
+      docs.repartition(4).write.format("warc").mode("append").save(dir.getAbsolutePath)
+    }
+    val left = Option(dir.list()).map(_.toSeq).getOrElse(Seq.empty)
+    assert(!left.exists(_.contains(".warc")), s"aborted write left a visible shard: $left")
+  }
+
   test("q_warc_pushdown matches the direct computation") {
     val df = SparkEntry.queries("q_warc_pushdown")(spark, sfDir)
     val got = df.collect().map(r => (r.getString(0), r.getLong(1))).toMap
