@@ -11,7 +11,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Tabl
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
-import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter}
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, In}
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -211,6 +211,11 @@ final class WarcScanBuilder(dir: String)
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (accepted, residual) = filters.partition {
       case EqualTo(a, _: String) => WarcDataSourceV2.PushableCols(a)
+      // In with non-null string values: a null header never matches,
+      // which is exactly SQL's `x IN (...)` null semantics
+      case In(a, vs) =>
+        WarcDataSourceV2.PushableCols(a) && vs.nonEmpty &&
+          vs.forall(_.isInstanceOf[String])
       case _ => false
     }
     pushed = accepted
@@ -258,15 +263,19 @@ final class WarcPartitionReader(file: String, required: StructType, pushed: Arra
   private val hp = new Path(file)
   private val in = hp.getFileSystem(new Configuration()).open(hp)
   private val needText = required.fieldNames.contains("text")
-  private val eq: Array[(String, String)] =
-    pushed.collect { case EqualTo(a, v: String) => (a, v) }
+  private val preds: Array[(String, String => Boolean)] = pushed.collect {
+    case EqualTo(a, v: String) => (a, (x: String) => x == v)
+    case In(a, vs) =>
+      val set = vs.collect { case s: String => s }.toSet
+      (a, (x: String) => x != null && set.contains(x))
+  }
 
   private def headerPass(headers: Map[String, String]): Boolean = {
     def get(k: String): String =
       headers.iterator.collectFirst { case (hk, v) if hk.equalsIgnoreCase(k) => v }.orNull
-    eq.forall { case (name, want) =>
-      headerField(name, file, get("WARC-Type"), get("WARC-Record-ID"),
-        get("WARC-Target-URI"), headers) == want
+    preds.forall { case (name, p) =>
+      p(headerField(name, file, get("WARC-Type"), get("WARC-Record-ID"),
+        get("WARC-Target-URI"), headers))
     }
   }
 
@@ -297,8 +306,8 @@ final class WarcPartitionReader(file: String, required: StructType, pushed: Arra
       }
     case Left(err) =>
       // an error row is NULL in every header column, so any pushed
-      // EqualTo excludes it (SQL equality semantics)
-      if (eq.nonEmpty) null
+      // EqualTo/In excludes it (SQL null semantics)
+      if (preds.nonEmpty) null
       else {
         val row = new GenericInternalRow(required.length)
         var i = 0

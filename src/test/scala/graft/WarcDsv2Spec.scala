@@ -73,6 +73,17 @@ class WarcDsv2Spec extends SparkSpec {
     assert(filtered.count() == 0) // the error row never matches an EqualTo
   }
 
+  test("In on a header column is pushed with SQL null semantics") {
+    val df = spark.read.format("warc").load(corpusDir)
+      .filter(col("source").isin("src1", "src3"))
+    val scan = scanOf(df)
+    assert(scan.pushed.length == 1 && scan.pushed.head.isInstanceOf[org.apache.spark.sql.sources.In],
+      scan.description())
+    val want = Tables.documents(spark, sfDir)
+      .filter(col("source").isin("src1", "src3")).count()
+    assert(df.count() == want && want > 0) // warcinfo rows (null source) excluded
+  }
+
   test("DSv2 write: df.write.format(\"warc\") commits shards atomically; roundtrips") {
     val dir = Files.createTempDirectory("graft_dsv2_w").toFile.getAbsolutePath
     val docs = Tables.documents(spark, sfDir).select("doc_id", "text", "lang", "source")
