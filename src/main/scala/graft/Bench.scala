@@ -81,7 +81,8 @@ object Bench {
     "q_ann_ivf_nprobe", "q_ann_ivf_search", "q_semantic_dedup", "q_knn_label",
     "q_events_tumbling", "q_events_session",
     "q_orc_roundtrip", "q_warc_roundtrip", "q_warc_fetch", "q_warc_pushdown",
-    "q_warc_write", "q_avro_roundtrip", "q_ocr_pipeline", "q_image_neardup",
+    "q_warc_write", "q_warc_http", "q_avro_roundtrip", "q_avro_evolution",
+    "q_avro_logical", "q_ocr_pipeline", "q_image_neardup",
     "q_audio_wav")
 
   def main(args: Array[String]): Unit = {
@@ -164,16 +165,38 @@ object Bench {
     // seconds-scale.
     val SpreadRerunThreshold = 0.5
     val SpreadRerunFloorSec = 0.3
+    // Floor-vs-data decomposition (r12, per the r11 verdict): with 80+
+    // queries the fixed per-query Spark driver floor (planning +
+    // scheduling outside jobs) dominates the nominal total at sf0.1
+    // (~0.4s/query), so the JSON now splits each accepted min run into
+    // time spent INSIDE Spark jobs vs outside them. Jobs are recorded by
+    // a listener using the EVENT timestamps (not delivery time — the bus
+    // is async) and attributed to runs post-hoc by wall-clock window
+    // overlap, so late delivery cannot mis-attribute. Measurement
+    // transparency only — the measured wall values are unchanged.
+    val jobLog = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val jobStarts = new java.util.concurrent.ConcurrentHashMap[Int, java.lang.Long]()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobStarts.put(js.jobId, js.time); ()
+      }
+      override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+        val s = jobStarts.remove(je.jobId)
+        if (s != null) { jobLog.add((s.longValue(), je.time)); () }
+      }
+    })
+    // one measured sample: (wallSec, windowStartMs, windowEndMs)
     def measure3(name: String,
-        fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Seq[Double] =
+        fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Seq[(Double, Long, Long)] =
       (1 to 3).map { _ =>
+        val w0 = System.currentTimeMillis()
         val t0 = System.nanoTime()
         try { run(fn) } catch {
           case e: Throwable =>
             // never corrupt the JSON line, but a failed query must be loud
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
         }
-        (System.nanoTime() - t0) / 1e9
+        ((System.nanoTime() - t0) / 1e9, w0, System.currentTimeMillis())
       }
     val results = headline.map { case (name, fn) =>
       // Untimed GC before each query's runs: keeps cleaner progress (and
@@ -181,24 +204,43 @@ object Bench {
       // of letting it accumulate into the later queries' timings.
       System.gc()
       val first = measure3(name, fn)
-      val spread1 = (first.max - first.min) / first.min
+      def wall(s: Seq[(Double, Long, Long)]) = s.map(_._1)
+      val spread1 = (wall(first).max - wall(first).min) / wall(first).min
       val rerun = spread1 > SpreadRerunThreshold &&
-        first.max - first.min > SpreadRerunFloorSec
+        wall(first).max - wall(first).min > SpreadRerunFloorSec
       // the min spans ALL samples, but the reported spread is the
       // ACCEPTED round's (the re-run when it engaged): emitting the
       // burst round's spread would re-flag exactly the query the
       // re-run just cleaned
       val ts = if (rerun) measure3(name, fn) else first
-      (name, math.min(ts.min, first.min), (ts.max - ts.min) / ts.min, rerun)
+      val best = (ts ++ first).minBy(_._1)
+      (name, best._1, (wall(ts).max - wall(ts).min) / wall(ts).min, rerun, best._2, best._3)
     }
-    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val spreads = results
-      .map { case (k, _, sp, _) => s"\"" + k + "\":" + math.round(sp * 1000) / 1000.0 }
+      .map { case (k, _, sp, _, _, _) => s"\"" + k + "\":" + math.round(sp * 1000) / 1000.0 }
       .mkString("{", ",", "}")
-    val reruns = results.collect { case (k, _, _, true) => "\"" + k + "\"" }
+    val reruns = results.collect { case (k, _, _, true, _, _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).sum
+    // attribute job time to each accepted run by window overlap (clipped)
+    val jobs = {
+      import scala.jdk.CollectionConverters._
+      jobLog.iterator().asScala.toVector
+    }
+    def jobSecIn(w0: Long, w1: Long): Double =
+      jobs.iterator.map { case (s, e) =>
+        math.max(0L, math.min(e, w1) - math.max(s, w0))
+      }.sum / 1e3
+    val jobSecs = results.map { case (k, _, _, _, w0, w1) => k -> jobSecIn(w0, w1) }
+    val jobTotal = jobSecs.map(_._2).sum
+    val floorTotal = total - jobTotal
+    val jobsJson = jobSecs
+      .map { case (k, s) => "\"" + k + "\":" + math.round(s * 1000) / 1000.0 }
+      .mkString("{", ",", "}")
+    val decomp =
+      f""""job_total":$jobTotal%.3f,"floor_total":$floorTotal%.3f"""
     // Same-window DuckDB yardstick (r9): run the headline's oracle SQLs
     // in DuckDB immediately after the Spark passes, so the bench JSON
     // carries its own baseline — cross-window comparisons on this
@@ -260,14 +302,14 @@ object Bench {
       s""""real_work_n":${realNames.size},""" +
       f""""real_work_spark":$realSpark%.4f,""" +
       f""""real_work_duckdb":$realDuck%.4f"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","action":"noop-write","protocol":"per-query-consecutive","duckdb_total":$duck,$rw,"queries":$qs,"spread":$spreads,"reruns":$reruns,"duckdb":$duckObj,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","action":"noop-write","protocol":"per-query-consecutive","duckdb_total":$duck,$rw,$decomp,"queries":$qs,"spread":$spreads,"reruns":$reruns,"job_sec":$jobsJson,"duckdb":$duckObj,"sf":"$sfDir"}""")
     // The full line above (per-query timings + spread map) exceeds the
     // driver's tail-capture window, so it can arrive truncated (round 6's
     // official total was lost that way: BENCH_r06 "parsed": null). Print a
     // short, final, self-contained summary line so the headline total
     // always survives tail truncation regardless of how many queries the
     // headline set grows to.
-    println(s"""{"metric":"total_compact","value":$total,"unit":"sec","protocol":"per-query-consecutive","n":${results.size},"duckdb_total":$duck,$rw,"n_reruns":${results.count(_._4)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total_compact","value":$total,"unit":"sec","protocol":"per-query-consecutive","n":${results.size},"duckdb_total":$duck,$rw,$decomp,"n_reruns":${results.count(_._4)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -595,8 +595,11 @@ object GraftOps {
     * individual records from it with [[fetchWarcRecords]]
     * (`q_warc_fetch`). Read back in bulk with [[readWarc]], or through
     * `spark.read.format("warc")` for pruned/filter-pushed scans
-    * (`q_warc_pushdown`); tail a landing directory with
-    * `ops.ArchiveOps.streamCorpus`.
+    * (`q_warc_pushdown`) — which also parses real-crawl HTTP `response`
+    * records into `http_status`/`content_type`/charset-decoded `text`
+    * (`q_warc_http`) and plans index-SEEK partitions over a `_cdx`
+    * sidecar for record_id-pinned reads; tail a landing directory with
+    * `readStream.format("warc")` (`ops.ArchiveOps.streamCorpus`).
     */
   def writeWarc(docs: DataFrame, dir: String, shards: Int): Unit =
     ops.ArchiveOps.writeCorpus(docs, dir, shards)

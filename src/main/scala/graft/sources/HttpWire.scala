@@ -1,0 +1,302 @@
+package graft.sources
+
+import java.io.ByteArrayInputStream
+import java.nio.charset.{Charset, CodingErrorAction}
+import java.nio.charset.StandardCharsets.{ISO_8859_1, UTF_8}
+
+/** HTTP/1.x message parsing for WARC `response` records (ISO 28500
+  * §6.3: the record payload of a response record with Content-Type
+  * `application/http;msgtype=response` is the captured HTTP message —
+  * status line, header block, body). This is what real crawls ship:
+  * every Common Crawl shard is response records, so reading actual
+  * crawl data means parsing this wire shape, not just the record
+  * framing.
+  *
+  * Scope is the READ side of a crawl pipeline:
+  *  - status line -> integer status code;
+  *  - header block (obs-fold tolerated, first occurrence wins for
+  *    lookups, exactly the stance of the WARC header parser);
+  *  - `Transfer-Encoding: chunked` de-chunking (captures recorded
+  *    before the crawler normalized the framing);
+  *  - `Content-Encoding: gzip | deflate | identity` (anything else is
+  *    an error-channel case, never a throw);
+  *  - charset from the Content-Type `charset=` parameter, UTF-8
+  *    fallback when absent; a STRICT decode so mojibake lands in the
+  *    row-level error channel instead of silently corrupting the
+  *    corpus (a quality gate downstream cannot un-mix a mis-decoded
+  *    document).
+  *
+  * Everything returns Either — malformed wire bytes are data, not
+  * exceptions, per the engine's row-level error-channel discipline
+  * (the reference's per-row error column, /root/reference/main.go:73-80).
+  */
+object HttpWire {
+
+  /** One parsed HTTP response message. `headers` preserves the raw
+    * header block (first occurrence wins); `body` is the message body
+    * AFTER transfer/content decoding — the bytes a browser would hand
+    * to its charset decoder.
+    */
+  final case class Response(status: Int, headers: Map[String, String], body: Array[Byte]) {
+    def header(k: String): Option[String] =
+      headers.collectFirst { case (hk, v) if hk.equalsIgnoreCase(k) => v }
+
+    /** Lowercased media type from Content-Type, parameters stripped
+      * (`"Text/HTML; charset=utf-8"` -> `"text/html"`); null if absent.
+      */
+    def mime: String = mimeOf(header("Content-Type").orNull)
+
+    /** Charset parameter of Content-Type (unquoted, as written), or
+      * null when absent.
+      */
+    def charsetName: String = header("Content-Type") match {
+      case Some(ct) =>
+        CharsetParam.findFirstMatchIn(ct)
+          .map(m => Option(m.group(1)).getOrElse(m.group(2)).trim)
+          .filter(_.nonEmpty).orNull
+      case None => null
+    }
+  }
+
+  private val CharsetParam =
+    """(?i)charset\s*=\s*(?:"([^"]*)"|([^;\s"]+))""".r
+
+  /** Lowercased media type of any Content-Type value, parameters
+    * stripped; null for null/blank input.
+    */
+  def mimeOf(contentType: String): String =
+    if (contentType == null) null
+    else {
+      val semi = contentType.indexOf(';')
+      val m = (if (semi < 0) contentType else contentType.substring(0, semi)).trim.toLowerCase
+      if (m.isEmpty) null else m
+    }
+
+  /** Parse a captured HTTP response message. Left(reason) on anything
+    * that is not a well-formed response — including a truncated header
+    * block, a non-numeric status, chunked framing that doesn't parse,
+    * or an unsupported Content-Encoding. Never throws.
+    */
+  def parseResponse(payload: Array[Byte]): Either[String, Response] = {
+    val headerEnd = findHeaderEnd(payload)
+    if (headerEnd < 0) return Left("http: no header/body delimiter in payload")
+    // the prelude is ASCII-compatible by spec; latin-1 maps every byte.
+    // headerEnd points at the LF closing the LAST header line — drop a
+    // CR before it so the final line doesn't keep a trailing '\r'.
+    val preludeEnd = if (headerEnd > 0 && payload(headerEnd - 1) == '\r') headerEnd - 1 else headerEnd
+    val prelude = new String(payload, 0, preludeEnd, ISO_8859_1)
+    val lines = prelude.split("\r?\n", -1)
+    if (lines.isEmpty || !lines(0).startsWith("HTTP/"))
+      return Left(s"http: expected status line, got '${lines.headOption.getOrElse("")}'")
+    val statusTok = lines(0).split(" ", 3)
+    if (statusTok.length < 2) return Left(s"http: malformed status line '${lines(0)}'")
+    val status =
+      try statusTok(1).trim.toInt
+      catch { case _: NumberFormatException =>
+        return Left(s"http: non-numeric status '${statusTok(1)}'") }
+    // header block with obs-fold continuation (SP/HT-led lines)
+    val headers = scala.collection.mutable.LinkedHashMap[String, String]()
+    var lastKey: String = null
+    var i = 1
+    while (i < lines.length) {
+      val h = lines(i)
+      if (h.nonEmpty) {
+        if ((h.charAt(0) == ' ' || h.charAt(0) == '\t') && lastKey != null) {
+          headers(lastKey) = headers(lastKey) + " " + h.trim
+        } else {
+          val c = h.indexOf(':')
+          if (c < 0) return Left(s"http: malformed header line '$h'")
+          lastKey = h.substring(0, c).trim
+          // first occurrence wins (duplicate Set-Cookie etc. are lookup
+          // noise; the engine's columns read single-valued headers)
+          if (!headers.contains(lastKey)) headers(lastKey) = h.substring(c + 1).trim
+        }
+      }
+      i += 1
+    }
+    val hmap = headers.toMap
+    def hget(k: String): Option[String] =
+      headers.iterator.collectFirst { case (hk, v) if hk.equalsIgnoreCase(k) => v }
+    val afterHeader = java.util.Arrays.copyOfRange(payload, bodyStart(payload, headerEnd), payload.length)
+    // 1. transfer decoding: chunked framing off the wire bytes
+    val transferDecoded: Either[String, Array[Byte]] =
+      hget("Transfer-Encoding").map(_.trim.toLowerCase) match {
+        case Some(te) if te.endsWith("chunked") => dechunk(afterHeader)
+        case Some("identity") | None            => Right(afterHeader)
+        case Some(te)                           => Left(s"http: unsupported transfer-encoding '$te'")
+      }
+    transferDecoded.flatMap { wire =>
+      // 2. content decoding: compression the server applied to the entity
+      val decoded: Either[String, Array[Byte]] =
+        hget("Content-Encoding").map(_.trim.toLowerCase) match {
+          case Some("gzip") | Some("x-gzip") => inflate(wire, gzip = true)
+          case Some("deflate")               => inflate(wire, gzip = false)
+          case Some("identity") | None       => Right(wire)
+          case Some(ce)                      => Left(s"http: unsupported content-encoding '$ce'")
+        }
+      decoded.map(Response(status, hmap, _))
+    }
+  }
+
+  /** Decode a response body to text under the message's own charset.
+    *  - Right(Some(text)): `text/`-class body decoded under the declared
+    *    charset (UTF-8 when undeclared);
+    *  - Right(None): not a `text/`-class media type — the record is fine,
+    *    it just isn't text (the caller's text column stays null);
+    *  - Left(reason): declared charset unknown, or the bytes are not
+    *    valid under it (strict decode) — the error channel.
+    */
+  def decodeTextBody(r: Response): Either[String, Option[String]] = {
+    val m = r.mime
+    if (m == null || !m.startsWith("text/")) return Right(None)
+    val csName = r.charsetName
+    val cs: Either[String, Charset] =
+      if (csName == null) Right(UTF_8)
+      else
+        try Right(Charset.forName(csName))
+        catch { case _: Exception => Left(s"http: unsupported charset '$csName'") }
+    cs.flatMap { charset =>
+      try {
+        val dec = charset.newDecoder()
+          .onMalformedInput(CodingErrorAction.REPORT)
+          .onUnmappableCharacter(CodingErrorAction.REPORT)
+        Right(Some(dec.decode(java.nio.ByteBuffer.wrap(r.body)).toString))
+      } catch {
+        case _: java.nio.charset.CharacterCodingException =>
+          Left(s"http: body is not valid ${charset.name}")
+      }
+    }
+  }
+
+  // -------------------------------------------------------------------
+  // wire helpers
+  // -------------------------------------------------------------------
+
+  /** Index of the first byte of the blank line ending the header block
+    * (CRLFCRLF per spec, bare LFLF tolerated); -1 if absent.
+    */
+  private def findHeaderEnd(b: Array[Byte]): Int = {
+    var i = 0
+    while (i < b.length) {
+      if (b(i) == '\n') {
+        if (i + 2 <= b.length - 1 && b(i + 1) == '\r' && b(i + 2) == '\n') return i
+        if (i + 1 <= b.length - 1 && b(i + 1) == '\n') return i
+        if (i + 1 == b.length) return i // header block ends the payload (no body)
+      }
+      i += 1
+    }
+    -1
+  }
+
+  private def bodyStart(b: Array[Byte], headerEnd: Int): Int = {
+    // headerEnd points at the LF closing the last header line; skip the
+    // blank line that follows
+    var i = headerEnd + 1
+    if (i < b.length && b(i) == '\r') i += 1
+    if (i < b.length && b(i) == '\n') i += 1
+    math.min(i, b.length)
+  }
+
+  /** Decode `Transfer-Encoding: chunked` framing: hex size line
+    * (extensions after ';' ignored), that many bytes, CRLF, repeated;
+    * a 0-size chunk then optional trailers end the body.
+    */
+  private def dechunk(wire: Array[Byte]): Either[String, Array[Byte]] = {
+    val out = new java.io.ByteArrayOutputStream(wire.length)
+    var i = 0
+    def readLine(): String = {
+      val start = i
+      while (i < wire.length && wire(i) != '\n') i += 1
+      if (i >= wire.length) return null
+      val end = if (i > start && wire(i - 1) == '\r') i - 1 else i
+      i += 1 // past LF
+      new String(wire, start, end - start, ISO_8859_1)
+    }
+    while (true) {
+      val sizeLine = readLine()
+      if (sizeLine == null) return Left("http: chunked body truncated at size line")
+      val semi = sizeLine.indexOf(';')
+      val hexStr = (if (semi < 0) sizeLine else sizeLine.substring(0, semi)).trim
+      val size =
+        try java.lang.Long.parseLong(hexStr, 16)
+        catch { case _: NumberFormatException =>
+          return Left(s"http: bad chunk size '$hexStr'") }
+      if (size == 0) return Right(out.toByteArray) // trailers (if any) carry no body
+      if (size > Int.MaxValue - 8L || i + size > wire.length)
+        return Left(s"http: chunk of $size bytes overruns the captured body")
+      out.write(wire, i, size.toInt)
+      i += size.toInt
+      // chunk data is followed by CRLF
+      if (i < wire.length && wire(i) == '\r') i += 1
+      if (i < wire.length && wire(i) == '\n') i += 1
+    }
+    Right(out.toByteArray) // unreachable
+  }
+
+  private def inflate(wire: Array[Byte], gzip: Boolean): Either[String, Array[Byte]] =
+    try {
+      val in =
+        if (gzip) new java.util.zip.GZIPInputStream(new ByteArrayInputStream(wire), 1 << 14)
+        else new java.util.zip.InflaterInputStream(new ByteArrayInputStream(wire))
+      val out = new java.io.ByteArrayOutputStream(wire.length * 2 + 64)
+      val buf = new Array[Byte](1 << 14)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      Right(out.toByteArray)
+    } catch {
+      case e: java.io.IOException =>
+        Left(s"http: content-encoding decode failed: ${Option(e.getMessage).getOrElse(e.getClass.getSimpleName)}")
+    }
+
+  // -------------------------------------------------------------------
+  // message BUILDING (fixtures and response-record writers)
+  // -------------------------------------------------------------------
+
+  /** Serialize an HTTP response message — the payload of a WARC
+    * `response` record. `chunked` frames the (possibly gzip'd) entity
+    * with chunked transfer encoding split into `chunkSize` pieces;
+    * `gzipBody` applies Content-Encoding: gzip first — together they
+    * synthesize the wire shapes a real crawl captures.
+    */
+  def responsePayload(
+      status: Int,
+      reason: String,
+      headers: Seq[(String, String)],
+      body: Array[Byte],
+      gzipBody: Boolean = false,
+      chunked: Boolean = false,
+      chunkSize: Int = 1024): Array[Byte] = {
+    require(chunkSize > 0, "chunkSize must be positive")
+    val entity =
+      if (!gzipBody) body
+      else {
+        val bos = new java.io.ByteArrayOutputStream(body.length / 2 + 64)
+        val gz = new java.util.zip.GZIPOutputStream(bos)
+        gz.write(body); gz.close()
+        bos.toByteArray
+      }
+    val sb = new StringBuilder(256)
+    sb.append("HTTP/1.1 ").append(status).append(' ').append(reason).append("\r\n")
+    headers.foreach { case (k, v) => sb.append(k).append(": ").append(v).append("\r\n") }
+    if (gzipBody) sb.append("Content-Encoding: gzip\r\n")
+    if (chunked) sb.append("Transfer-Encoding: chunked\r\n")
+    else sb.append("Content-Length: ").append(entity.length).append("\r\n")
+    sb.append("\r\n")
+    val out = new java.io.ByteArrayOutputStream(entity.length + 512)
+    out.write(sb.toString.getBytes(ISO_8859_1))
+    if (!chunked) out.write(entity)
+    else {
+      var off = 0
+      while (off < entity.length) {
+        val n = math.min(chunkSize, entity.length - off)
+        out.write(java.lang.Integer.toHexString(n).getBytes(ISO_8859_1))
+        out.write('\r'); out.write('\n')
+        out.write(entity, off, n)
+        out.write('\r'); out.write('\n')
+        off += n
+      }
+      out.write("0\r\n\r\n".getBytes(ISO_8859_1))
+    }
+    out.toByteArray
+  }
+}

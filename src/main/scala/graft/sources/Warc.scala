@@ -127,10 +127,20 @@ object Warc {
 
   /** Open a shard file for writing, leading with a `warcinfo` record. */
   def shardWriter(path: java.io.File, gzip: Boolean): WarcShardWriter =
-    new WarcShardWriter(path, if (gzip) CodecGzip else CodecNone)
+    shardWriter(path, if (gzip) CodecGzip else CodecNone)
 
   def shardWriter(path: java.io.File, codec: String): WarcShardWriter =
-    new WarcShardWriter(path, codec)
+    new WarcShardWriter(
+      new BufferedOutputStream(new java.io.FileOutputStream(path), 1 << 16),
+      codec, path.getName)
+
+  /** Shard writer over ANY sink stream — the cluster-facing spelling: a
+    * Hadoop `FileSystem.create` stream writes shards to whatever storage
+    * the job's configuration points at (file:/, hdfs:/, s3a:/), exactly
+    * like the built-in file sinks. The writer owns (closes) the stream.
+    */
+  def shardWriter(out: OutputStream, codec: String, name: String): WarcShardWriter =
+    new WarcShardWriter(new BufferedOutputStream(out, 1 << 16), codec, name)
 
   /** Counts logical bytes BEFORE buffering, so member offsets are exact
     * at write time (the buffer sits below the counter).
@@ -145,11 +155,10 @@ object Warc {
     override def close(): Unit = out.close()
   }
 
-  final class WarcShardWriter(path: java.io.File, codec: String) {
+  final class WarcShardWriter(sink: OutputStream, codec: String, name: String) {
     require(codec == CodecNone || codec == CodecGzip || codec == CodecZstd,
       s"unknown WARC codec '$codec'")
-    private val raw = new CountingOutputStream(
-      new BufferedOutputStream(new java.io.FileOutputStream(path), 1 << 16))
+    private val raw = new CountingOutputStream(sink)
     // ONE reused native compression context per shard, reset per member.
     // The naive spelling (a fresh GZIPOutputStream per record) allocates
     // a native zlib context per record and never `end()`s it — measured
@@ -168,7 +177,7 @@ object Warc {
     private val crc = new java.util.zip.CRC32
     private val defBuf = new Array[Byte](1 << 16)
     writeOne(WarcRecord(
-      "warcinfo", s"urn:graft:warcinfo:${path.getName}", None,
+      "warcinfo", s"urn:graft:warcinfo:$name", None,
       Map("Content-Type" -> "application/warc-fields"),
       "software: graft-engine\r\n".getBytes(UTF_8)))
 
@@ -215,10 +224,69 @@ object Warc {
       * plain-WARC span parses standalone).
       */
     def write(rec: WarcRecord): (Long, Long) = writeOne(rec)
+    /** Logical bytes emitted so far (member offsets are exact at write
+      * time — the buffer sits below the counter). After construction
+      * this is the leading warcinfo member's length.
+      */
+    def bytesWritten: Long = raw.count
     def close(): Unit = {
       raw.flush(); raw.close()
       if (deflater != null) deflater.end()
       if (zctx != null) zctx.close()
+    }
+  }
+
+  // ---------------------------------------------------------------------
+  // Record interpretation: the engine's column view of a parsed record
+  // ---------------------------------------------------------------------
+
+  /** Payload-derived columns of one record, shared by the RDD reader and
+    * the DSv2 connector so the two paths cannot drift:
+    *
+    *  - a `response` record with Content-Type `application/http` (what a
+    *    real crawl ships — every Common Crawl record is this shape) is
+    *    parsed as a captured HTTP message: `httpStatus` is its status
+    *    code, `contentType` the HTTP entity's lowercased media type, and
+    *    `text` the body decoded under the message's OWN charset
+    *    (Content-Type `charset=`, UTF-8 fallback), after undoing chunked
+    *    transfer-encoding and gzip/deflate content-encoding. Non-`text/`-class
+    *    entities keep `text` null (the record is fine, it isn't text);
+    *    malformed wire bytes / unknown charsets / mojibake land in
+    *    `error` — the row-level error channel, never an exception.
+    *  - any other record (the engine's own `resource` corpus, warcinfo)
+    *    keeps the r11 behavior: `text` is the UTF-8 payload,
+    *    `contentType` the WARC Content-Type header's media type,
+    *    `httpStatus` null.
+    */
+  final case class PayloadView(
+      httpStatus: Option[Int],
+      contentType: String,
+      text: String,
+      error: String)
+
+  /** Case-insensitive header lookup (first match wins). */
+  def headerOf(headers: Map[String, String], k: String): String =
+    headers.collectFirst { case (hk, v) if hk.equalsIgnoreCase(k) => v }.orNull
+
+  /** Is this record a captured HTTP response message (ISO 28500 §6.3)? */
+  def isHttpResponse(warcType: String, recordContentType: String): Boolean =
+    warcType != null && warcType.equalsIgnoreCase("response") &&
+      recordContentType != null &&
+      recordContentType.toLowerCase.startsWith("application/http")
+
+  def payloadView(rec: WarcRecord): PayloadView = {
+    val recCt = headerOf(rec.headers, "Content-Type")
+    if (isHttpResponse(rec.warcType, recCt)) {
+      HttpWire.parseResponse(rec.payload) match {
+        case Left(err) => PayloadView(None, null, null, err)
+        case Right(r) =>
+          HttpWire.decodeTextBody(r) match {
+            case Left(err)   => PayloadView(Some(r.status), r.mime, null, err)
+            case Right(body) => PayloadView(Some(r.status), r.mime, body.orNull, null)
+          }
+      }
+    } else {
+      PayloadView(None, HttpWire.mimeOf(recCt), new String(rec.payload, UTF_8), null)
     }
   }
 

@@ -1,44 +1,78 @@
 package graft.sources.warc
 
+import java.nio.charset.StandardCharsets.UTF_8
 import java.util
 
-import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
+import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
-import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, In}
-import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, In, IsNotNull, StringStartsWith}
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.sources.Warc
+import graft.sources.{HttpWire, SerializableHadoopConf, Warc}
 
 /** DataSourceV2 connector for WARC corpora: `spark.read.format("warc")
   * .load(dir)` (registered via DataSourceRegister). One InputPartition
-  * per shard file — the format's unit of parallelism — with two
-  * Catalyst integrations the RDD helper cannot express:
+  * per shard file — the format's unit of parallelism — with the Catalyst
+  * integrations the RDD helper cannot express:
   *
   *  - **Column pruning** (`SupportsPushDownRequiredColumns`): when the
-  *    projection doesn't need `text`, the reader SKIPS every payload
-  *    (no buffering, no gunzip-to-byte[], no UTF-8 decode) — a
-  *    metadata-only scan over a crawl reads headers only, the
-  *    `ReadSchema`-discipline analog for an archive format.
-  *  - **Filter pushdown** (`SupportsPushDownFilters`): `EqualTo` on the
-  *    header-level columns (warc_type / record_id / target_uri / lang /
-  *    source / path) is evaluated BEFORE the payload is touched, so
-  *    filtered-out records cost a skip, not a decode. `text`/`error`
-  *    predicates are not accepted (they need the parse result) and stay
-  *    with Spark.
+  *    projection doesn't need `text` (or, for HTTP response records, any
+  *    payload-derived column), the reader SKIPS every payload (no
+  *    buffering, no gunzip-to-byte[], no decode) — a metadata-only scan
+  *    over a crawl reads headers only.
+  *  - **Filter pushdown** (`SupportsPushDownFilters`): `EqualTo` / `In` /
+  *    `IsNotNull` / `StringStartsWith` on the header-level columns
+  *    (warc_type / record_id / target_uri / lang / source / path) are
+  *    evaluated BEFORE the payload is touched; predicates on
+  *    `http_status` / `content_type` are evaluated as soon as the HTTP
+  *    prelude is parsed — filtered-out records never pay charset decode.
+  *    `text`/`error` predicates need the parse result and stay with
+  *    Spark.
+  *  - **CDX-index-assisted scans**: when the corpus carries its record
+  *    index (the `_cdx` parquet sidecar `ArchiveOps.writeCorpusWithIndex`
+  *    maintains — one `(record_id, path, offset, length)` row per
+  *    record) and the pushed filters pin `record_id` to literals
+  *    (`EqualTo`/`In`), the scan plans SEEK partitions from the index
+  *    instead of full-shard scans: one partition per touched file, each
+  *    reading exactly the requested members' byte spans — bytes read
+  *    scale with the request, not the corpus (Common Crawl's CDX service
+  *    pattern, behind the connector). A stale index (span no longer
+  *    holding the requested record) surfaces as an error ROW carrying
+  *    the requested record_id, never silently mis-attributed text.
+  *  - **Streaming** (`MicroBatchStream`): `spark.readStream
+  *    .format("warc").load(landingDir)` tails the directory with
+  *    landing-dir semantics — an offset is the set of shard files seen,
+  *    each micro-batch reads exactly the newly-landed files, and the
+  *    checkpointed offset log makes that exactly-once across restarts. A
+  *    poisoned shard costs error rows (the row-level channel), never a
+  *    wedged retry loop.
   *
-  * Error rows carry only `path`+`error`; every accepted EqualTo
-  * therefore excludes them (SQL equality never matches NULL), which the
-  * reader honors. Schema is fixed (`WarcTableSchema`) — WARC has no
-  * embedded schema to infer.
+  * **HTTP response records** (ISO 28500 §6.3 — what real crawls ship):
+  * `response` records with Content-Type `application/http` are parsed as
+  * captured HTTP messages; the schema exposes `http_status` (INT) and
+  * `content_type` (the entity's media type), and `text` is the entity
+  * body decoded under the message's own charset — see
+  * `Warc.payloadView`. Error rows from malformed records carry
+  * `path`+`error`; pushed predicates are evaluated against the error
+  * row's ACTUAL values (path non-null, other columns null), so
+  * `filter(col("path") === f)` returns a file's error rows with or
+  * without pushdown.
+  *
+  * All readers and writers use the DRIVER's Hadoop configuration
+  * (`sessionState.newHadoopConf()`, broadcast once per scan/write as a
+  * [[SerializableHadoopConf]]) — runtime `spark.hadoop.*` settings such
+  * as object-store credentials reach executor-side opens exactly like
+  * the built-in file sources.
   */
 class WarcDataSourceV2 extends TableProvider with DataSourceRegister {
   override def shortName(): String = "warc"
@@ -46,7 +80,7 @@ class WarcDataSourceV2 extends TableProvider with DataSourceRegister {
     WarcDataSourceV2.Schema
   // writes hand the incoming frame's schema to getTable (reads still
   // come through inferSchema's fixed record schema) — the write frame
-  // is the 4-column corpus shape, not the 8-column record shape
+  // is the 4-column corpus shape, not the 10-column record shape
   override def supportsExternalMetadata(): Boolean = true
   override def getTable(
       schema: StructType,
@@ -59,13 +93,38 @@ class WarcDataSourceV2 extends TableProvider with DataSourceRegister {
 }
 
 object WarcDataSourceV2 {
-  val Schema: StructType = StructType(
-    Seq("path", "warc_type", "record_id", "target_uri", "lang", "source", "text", "error")
-      .map(StructField(_, StringType, nullable = true)))
+  val Schema: StructType = StructType(Seq(
+    StructField("path", StringType),
+    StructField("warc_type", StringType),
+    StructField("record_id", StringType),
+    StructField("target_uri", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("http_status", IntegerType),
+    StructField("content_type", StringType),
+    StructField("text", StringType),
+    StructField("error", StringType)))
 
-  /** Header-level columns whose EqualTo can be answered before payload
-    * decode; maps column name -> header lookup.
+  /** Columns whose predicates can be answered from the WARC header block
+    * alone, before any payload byte is read.
     */
+  private[warc] val HeaderCols =
+    Set("path", "warc_type", "record_id", "target_uri", "lang", "source")
+
+  /** Payload-prelude columns: for HTTP response records they need the
+    * HTTP message prelude (not the decoded body); for other records they
+    * are header-derived (`content_type`) or constant-null
+    * (`http_status`).
+    */
+  private[warc] val HttpCols = Set("http_status", "content_type")
+
+  private[warc] val PushableCols = HeaderCols ++ HttpCols
+
+  /** Name of the CDX-style index sidecar inside a corpus directory (the
+    * leading underscore keeps it outside every `*.warc*` scan glob).
+    */
+  val IndexSidecar = "_cdx"
+
   private[warc] def headerField(
       name: String, path: String, warcType: String,
       recordId: String, targetUri: String,
@@ -74,13 +133,30 @@ object WarcDataSourceV2 {
     case "warc_type"  => warcType
     case "record_id"  => recordId
     case "target_uri" => targetUri
-    case "lang"       => headers.getOrElse("X-Graft-Lang", null)
-    case "source"     => headers.getOrElse("X-Graft-Source", null)
+    case "lang"       => Warc.headerOf(headers, "X-Graft-Lang")
+    case "source"     => Warc.headerOf(headers, "X-Graft-Source")
     case _            => null
   }
 
-  private[warc] val PushableCols =
-    Set("path", "warc_type", "record_id", "target_uri", "lang", "source")
+  /** Shard files of a corpus directory: every `*.warc*` that is not a
+    * hidden file (leading `.`/`_` — uncommitted temps, the `_cdx`
+    * sidecar) and not a Hadoop checksum sidecar (`.crc` — the local
+    * ChecksumFileSystem emits them next to every written file, the same
+    * artifact the built-in sinks leave).
+    */
+  private[warc] def listShards(fs: org.apache.hadoop.fs.FileSystem, dir: Path): Seq[String] =
+    fs.globStatus(new Path(dir, "*.warc*")).toSeq.map(_.getPath)
+      .filterNot { q =>
+        val n = q.getName
+        n.startsWith(".") || n.startsWith("_") || n.endsWith(".crc")
+      }
+      .map(_.toString)
+
+  private[warc] def broadcastConf(): Broadcast[SerializableHadoopConf] = {
+    val spark = SparkSession.active
+    spark.sparkContext.broadcast(
+      new SerializableHadoopConf(spark.sessionState.newHadoopConf()))
+  }
 }
 
 final class WarcTable(dir: String, tableSchema: StructType)
@@ -88,21 +164,28 @@ final class WarcTable(dir: String, tableSchema: StructType)
   override def name(): String = s"warc($dir)"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new WarcScanBuilder(dir)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WarcWriteBuilder(dir, info)
 }
 
+// ---------------------------------------------------------------------------
+// WRITE path
+// ---------------------------------------------------------------------------
+
 /** Batch write: `df.write.format("warc").mode("append").save(dir)`.
-  * Input schema must carry (doc_id, text, lang, source) — the corpus
+  * Input schema must carry (doc_id LONG, text, lang, source) — the corpus
   * row shape. Each task writes ONE shard, to a hidden temp file; the
   * driver-side commit renames every temp into place and abort deletes
   * them, so a failed/speculative task attempt never leaves a partial
   * shard visible — the connector's own commit protocol, same contract
-  * as the built-in file sinks. Codec via `.option("codec",
-  * none|gzip|zstd)`, default gzip (the crawl layout).
+  * as the built-in file sinks. Shard names embed the queryId
+  * (`part-NNNNN-<queryId>.<ext>`), so a second append job to the same
+  * directory can never rename onto an existing shard. Codec via
+  * `.option("codec", none|gzip|zstd)`, default gzip (the crawl layout).
   */
 final class WarcWriteBuilder(dir: String, info: LogicalWriteInfo) extends WriteBuilder {
   override def build(): Write = new Write {
@@ -112,20 +195,23 @@ final class WarcWriteBuilder(dir: String, info: LogicalWriteInfo) extends WriteB
       val missing = need.filterNot(schema.fieldNames.contains)
       require(missing.isEmpty,
         s"warc write needs columns ${need.mkString(", ")}; missing: ${missing.mkString(", ")}")
+      require(schema(schema.fieldIndex("doc_id")).dataType == LongType,
+        s"warc write: doc_id must be LONG, got ${schema(schema.fieldIndex("doc_id")).dataType.simpleString}")
       val codec = Option(info.options.get("codec")).getOrElse(Warc.CodecGzip)
       Warc.extOf(codec) // fail at planning on an unknown codec
-      new WarcBatchWrite(dir, schema, codec, info.queryId)
+      new WarcBatchWrite(dir, schema, codec, info.queryId, WarcDataSourceV2.broadcastConf())
     }
   }
 }
 
-final class WarcBatchWrite(dir: String, schema: StructType, codec: String, queryId: String)
+final class WarcBatchWrite(
+    dir: String, schema: StructType, codec: String, queryId: String,
+    bconf: Broadcast[SerializableHadoopConf])
     extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    WarcWriterFactory(dir, schema, codec, queryId)
+    WarcWriterFactory(dir, schema, codec, queryId, bconf)
 
-  private def fs = new Path(dir).getFileSystem(
-    SparkSession.active.sessionState.newHadoopConf())
+  private def fs = new Path(dir).getFileSystem(bconf.value.value)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val f = fs
@@ -149,31 +235,42 @@ final class WarcBatchWrite(dir: String, schema: StructType, codec: String, query
 
 final case class WarcCommit(tempPath: String, finalName: String) extends WriterCommitMessage
 
-final case class WarcWriterFactory(dir: String, schema: StructType, codec: String, queryId: String)
+final case class WarcWriterFactory(
+    dir: String, schema: StructType, codec: String, queryId: String,
+    bconf: Broadcast[SerializableHadoopConf])
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new WarcDataWriter(dir, schema, codec, queryId, partitionId, taskId)
+    new WarcDataWriter(dir, schema, codec, queryId, partitionId, taskId, bconf)
 }
 
 final class WarcDataWriter(
     dir: String, schema: StructType, codec: String,
-    queryId: String, partitionId: Int, taskId: Long)
+    queryId: String, partitionId: Int, taskId: Long,
+    bconf: Broadcast[SerializableHadoopConf])
     extends DataWriter[InternalRow] {
   private val iDoc = schema.fieldIndex("doc_id")
   private val iText = schema.fieldIndex("text")
   private val iLang = schema.fieldIndex("lang")
   private val iSource = schema.fieldIndex("source")
-  private val finalName = f"part-$partitionId%05d.${Warc.extOf(codec)}"
-  // temp name contains NO ".warc" substring (a crashed attempt must
-  // never match a scan glob) and is unique per task ATTEMPT, so a
-  // speculative duplicate can never clobber
-  private val temp = new java.io.File(dir, s".tmp-$queryId-$taskId-$partitionId")
-  locally { val p = temp.getParentFile; if (p != null) { p.mkdirs(); () } }
+  // job-unique shard name: a second append job renames NEW files in,
+  // never onto an existing shard (the built-in file sinks' unique part
+  // naming); the temp name contains NO ".warc" substring (a crashed
+  // attempt must never match a scan glob) and is unique per task
+  // ATTEMPT, so a speculative duplicate can never clobber
+  private val finalName = f"part-$partitionId%05d-$queryId.${Warc.extOf(codec)}"
+  private val temp = new Path(dir, s".tmp-$queryId-$taskId-$partitionId")
+  private lazy val fs = temp.getFileSystem(bconf.value.value)
   private var writer: Warc.WarcShardWriter = _
   private var open = false
 
   override def write(row: InternalRow): Unit = {
-    if (!open) { writer = Warc.shardWriter(temp, codec); open = true }
+    if (!open) {
+      fs.mkdirs(new Path(dir))
+      writer = Warc.shardWriter(fs.create(temp, true), codec, finalName)
+      open = true
+    }
+    require(!row.isNullAt(iDoc),
+      "warc write: null doc_id (would forge a duplicate record id)")
     val docId = row.getLong(iDoc)
     require(!row.isNullAt(iText) && !row.isNullAt(iLang) && !row.isNullAt(iSource),
       s"warc write: null text/lang/source for doc_id=$docId")
@@ -190,32 +287,41 @@ final class WarcDataWriter(
   }
 
   override def commit(): WriterCommitMessage =
-    if (open) { writer.close(); WarcCommit(temp.getAbsolutePath, finalName) }
+    if (open) { writer.close(); WarcCommit(temp.toString, finalName) }
     // empty partition: publish nothing (the driver skips empty commits)
     else WarcCommit("", "")
   override def abort(): Unit = {
     if (open) writer.close()
-    temp.delete(); ()
+    fs.delete(temp, false); ()
   }
   override def close(): Unit = ()
 }
 
+// ---------------------------------------------------------------------------
+// READ path
+// ---------------------------------------------------------------------------
+
 final class WarcScanBuilder(dir: String)
     extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+  import WarcDataSourceV2.PushableCols
   private var required: StructType = WarcDataSourceV2.Schema
   private var pushed: Array[Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
+  private def literalOk(col: String, v: Any): Boolean =
+    if (col == "http_status") v.isInstanceOf[Integer] else v.isInstanceOf[String]
+
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (accepted, residual) = filters.partition {
-      case EqualTo(a, _: String) => WarcDataSourceV2.PushableCols(a)
-      // In with non-null string values: a null header never matches,
-      // which is exactly SQL's `x IN (...)` null semantics
+      case EqualTo(a, v) => PushableCols(a) && literalOk(a, v)
+      // In with non-null values: a null column never matches, which is
+      // exactly SQL's `x IN (...)` null semantics
       case In(a, vs) =>
-        WarcDataSourceV2.PushableCols(a) && vs.nonEmpty &&
-          vs.forall(_.isInstanceOf[String])
+        PushableCols(a) && vs.nonEmpty && vs.forall(v => v != null && literalOk(a, v))
+      case IsNotNull(a) => PushableCols(a)
+      case StringStartsWith(a, _) => PushableCols(a) && a != "http_status"
       case _ => false
     }
     pushed = accepted
@@ -223,114 +329,361 @@ final class WarcScanBuilder(dir: String)
   }
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = WarcScan(dir, required, pushed)
+  override def build(): Scan =
+    WarcScan(dir, required, pushed, WarcDataSourceV2.broadcastConf())
 }
 
-final case class WarcScan(dir: String, required: StructType, pushed: Array[Filter])
-    extends Scan with Batch {
-  override def readSchema(): StructType = required
-  override def toBatch: Batch = this
-  override def description(): String =
-    s"WarcScan($dir) ReadSchema: ${required.simpleString}, PushedFilters: [${pushed.mkString(", ")}]"
+/** Compiled view of a scan's projection + pushed predicates, shared by
+  * the full-scan, seek, and streaming readers. Serializable — compiled
+  * once and shipped inside the reader factory.
+  */
+private[warc] final class RowShaper(required: StructType, pushed: Array[Filter])
+    extends Serializable {
+  import WarcDataSourceV2.{headerField, HeaderCols}
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    val p = new Path(dir)
-    val conf = SparkSession.active.sessionState.newHadoopConf()
-    val fs = p.getFileSystem(conf)
-    val stat = fs.getFileStatus(p)
-    val files =
-      if (stat.isDirectory) fs.globStatus(new Path(p, "*.warc*")).map(_.getPath.toString)
-      else Array(p.toString)
-    files.sorted.map(f => WarcInputPartition(f): InputPartition)
+  val needText: Boolean = required.fieldNames.contains("text")
+  val needHttp: Boolean =
+    required.fieldNames.contains("http_status") || required.fieldNames.contains("content_type")
+
+  private def compile(f: Filter): (String, Any => Boolean) = f match {
+    case EqualTo(a, v)          => (a, x => x != null && x == v)
+    case In(a, vs)              => val set = vs.toSet; (a, x => x != null && set.contains(x))
+    case IsNotNull(a)           => (a, x => x != null)
+    case StringStartsWith(a, p) => (a, x => x != null && x.asInstanceOf[String].startsWith(p))
+    case other => throw new IllegalStateException(s"warc: unpushable filter leaked: $other")
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    WarcReaderFactory(required, pushed)
-}
+  private val headerPreds: Array[(String, Any => Boolean)] =
+    pushed.filter(f => HeaderCols(f.references.head)).map(compile)
+  private val httpPreds: Array[(String, Any => Boolean)] =
+    pushed.filterNot(f => HeaderCols(f.references.head)).map(compile)
 
-final case class WarcInputPartition(file: String) extends InputPartition
+  val hasHttpPreds: Boolean = httpPreds.nonEmpty
 
-final case class WarcReaderFactory(required: StructType, pushed: Array[Filter])
-    extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new WarcPartitionReader(partition.asInstanceOf[WarcInputPartition].file, required, pushed)
-}
-
-final class WarcPartitionReader(file: String, required: StructType, pushed: Array[Filter])
-    extends PartitionReader[InternalRow] {
-  import WarcDataSourceV2.headerField
-
-  private val hp = new Path(file)
-  private val in = hp.getFileSystem(new Configuration()).open(hp)
-  private val needText = required.fieldNames.contains("text")
-  private val preds: Array[(String, String => Boolean)] = pushed.collect {
-    case EqualTo(a, v: String) => (a, (x: String) => x == v)
-    case In(a, vs) =>
-      val set = vs.collect { case s: String => s }.toSet
-      (a, (x: String) => x != null && set.contains(x))
+  /** Do this record's payload bytes need buffering at all? Called on the
+    * raw header block, BEFORE the payload is read (the streaming
+    * parser's `keepPayload` hook).
+    */
+  def needsPayload(file: String, headers: Map[String, String]): Boolean = {
+    if (!headerPass(file, headers)) return false
+    val warcType = Warc.headerOf(headers, "WARC-Type")
+    val recCt = Warc.headerOf(headers, "Content-Type")
+    if (Warc.isHttpResponse(warcType, recCt)) needText || needHttp || hasHttpPreds
+    else {
+      // non-response: content_type is header-derived — evaluate http
+      // predicates NOW so a filtered-out record costs a skip, not a
+      // UTF-8 decode of the payload
+      if (!httpPass(null, HttpWire.mimeOf(recCt))) false
+      else needText
+    }
   }
 
-  private def headerPass(headers: Map[String, String]): Boolean = {
-    def get(k: String): String =
-      headers.iterator.collectFirst { case (hk, v) if hk.equalsIgnoreCase(k) => v }.orNull
-    preds.forall { case (name, p) =>
+  def headerPass(file: String, headers: Map[String, String]): Boolean = {
+    def get(k: String): String = Warc.headerOf(headers, k)
+    headerPreds.forall { case (name, p) =>
       p(headerField(name, file, get("WARC-Type"), get("WARC-Record-ID"),
         get("WARC-Target-URI"), headers))
     }
   }
 
-  // payload decode only when the record passes every pushed filter AND
-  // the projection needs text
+  def httpPass(status: Integer, contentType: String): Boolean =
+    httpPreds.forall { case (name, p) =>
+      p(if (name == "http_status") status else contentType)
+    }
+
+  /** Shape one parsed record into an output row, or null when a pushed
+    * predicate excludes it.
+    */
+  def recordRow(file: String, rec: Warc.WarcRecord): InternalRow = {
+    if (!headerPass(file, rec.headers)) return null
+    val recCt = Warc.headerOf(rec.headers, "Content-Type")
+    val view: Warc.PayloadView =
+      if (Warc.isHttpResponse(rec.warcType, recCt)) {
+        if (needText || needHttp || hasHttpPreds) Warc.payloadView(rec)
+        // nothing payload-derived is projected or filtered: the payload
+        // was never buffered (needsPayload said skip) — all nulls is the
+        // correct view of the pruned columns
+        else Warc.PayloadView(None, null, null, null)
+      } else {
+        Warc.PayloadView(None, HttpWire.mimeOf(recCt),
+          if (needText) new String(rec.payload, UTF_8) else null, null)
+      }
+    val status: Integer = view.httpStatus.map(Integer.valueOf).orNull
+    if (!httpPass(status, view.contentType)) return null
+    val row = new GenericInternalRow(required.length)
+    var i = 0
+    while (i < required.length) {
+      required.fields(i).name match {
+        case "http_status" => row.update(i, status)
+        case "content_type" => row.update(i, utf8OrNull(view.contentType))
+        case "text" => row.update(i, utf8OrNull(view.text))
+        case "error" => row.update(i, utf8OrNull(view.error))
+        case n => row.update(i, utf8OrNull(headerField(n, file, rec.warcType,
+          rec.recordId, rec.targetUri.orNull, rec.headers)))
+      }
+      i += 1
+    }
+    row
+  }
+
+  /** Shape a row-level ERROR into an output row (or null when pushed
+    * predicates exclude it). Predicates are evaluated against the error
+    * row's ACTUAL values — path is the file, record_id is the requested
+    * id on an index-seek miss (so the requester SEES the failure), every
+    * other column null — never against a blanket "preds exclude errors"
+    * assumption: `path === f` must return a file's error rows with and
+    * without pushdown.
+    */
+  def errorRow(file: String, err: String, requestedId: String): InternalRow = {
+    def valueOf(name: String): Any = name match {
+      case "path"      => file
+      case "record_id" => requestedId // null on plain scans
+      case _           => null
+    }
+    val pass = (headerPreds.iterator ++ httpPreds.iterator).forall {
+      case (name, p) => p(valueOf(name))
+    }
+    if (!pass) return null
+    val row = new GenericInternalRow(required.length)
+    var i = 0
+    while (i < required.length) {
+      val v = required.fields(i).name match {
+        case "error" => err
+        case n       => valueOf(n).asInstanceOf[String]
+      }
+      row.update(i, utf8OrNull(v))
+      i += 1
+    }
+    row
+  }
+
+  private def utf8OrNull(s: String): AnyRef =
+    if (s == null) null else UTF8String.fromString(s)
+}
+
+final case class WarcScan(
+    dir: String, required: StructType, pushed: Array[Filter],
+    bconf: Broadcast[SerializableHadoopConf])
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new WarcMicroBatchStream(dir, required, pushed, bconf)
+  override def description(): String =
+    s"WarcScan($dir) ReadSchema: ${required.simpleString}, PushedFilters: [${pushed.mkString(", ")}]"
+
+  /** record_id literals pinned by the pushed filters, when they alone
+    * decide which records the scan can return — the index-lookup shape.
+    */
+  private def pinnedRecordIds: Option[Seq[String]] = pushed.collectFirst {
+    case EqualTo("record_id", v: String) => Seq(v)
+    case In("record_id", vs) => vs.collect { case s: String => s }.toSeq
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val p = new Path(dir)
+    val conf = bconf.value.value
+    val fs = p.getFileSystem(conf)
+    val stat = fs.getFileStatus(p)
+    val idx = new Path(p, WarcDataSourceV2.IndexSidecar)
+    val ids = pinnedRecordIds
+    if (stat.isDirectory && ids.isDefined && fs.exists(idx)) {
+      // CDX-assisted scan: plan seek partitions straight from the index
+      // sidecar — one partition per touched FILE, each serving only the
+      // requested members' byte spans (ascending offsets). The driver
+      // collect is bounded by the predicate's literal count, never the
+      // corpus. Contract: the sidecar indexes EVERY record of the corpus
+      // (writeCorpusWithIndex writes both together), so "absent from the
+      // index" == "absent from the corpus".
+      import org.apache.spark.sql.functions.col
+      val rows = SparkSession.active.read.parquet(idx.toString)
+        .filter(col("record_id").isin(ids.get: _*))
+        .select("record_id", "path", "offset", "length")
+        .collect()
+      rows.groupBy(_.getString(1)).toSeq.sortBy(_._1).map { case (f, rs) =>
+        WarcSeekPartition(f,
+          rs.map(r => SeekSpan(r.getString(0), r.getLong(2), r.getLong(3)))
+            .sortBy(_.offset).toIndexedSeq): InputPartition
+      }.toArray
+    } else {
+      val files =
+        if (stat.isDirectory) WarcDataSourceV2.listShards(fs, p)
+        else Seq(p.toString)
+      files.sorted.map(f => WarcInputPartition(f): InputPartition).toArray
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    WarcReaderFactory(required, pushed, bconf)
+}
+
+final case class WarcInputPartition(file: String) extends InputPartition
+
+final case class SeekSpan(recordId: String, offset: Long, length: Long)
+final case class WarcSeekPartition(file: String, spans: IndexedSeq[SeekSpan])
+    extends InputPartition
+
+final case class WarcReaderFactory(
+    required: StructType, pushed: Array[Filter],
+    bconf: Broadcast[SerializableHadoopConf])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    partition match {
+      case WarcInputPartition(file) =>
+        new WarcPartitionReader(file, new RowShaper(required, pushed), bconf)
+      case WarcSeekPartition(file, spans) =>
+        new WarcSeekReader(file, spans, new RowShaper(required, pushed), bconf)
+      case other => throw new IllegalStateException(s"unexpected partition $other")
+    }
+}
+
+/** Full-shard streaming reader: parses the file record-by-record in
+  * O(record) memory, skipping payload bytes the projection + pushed
+  * predicates prove will never be consumed.
+  */
+final class WarcPartitionReader(
+    file: String, shaper: RowShaper, bconf: Broadcast[SerializableHadoopConf])
+    extends PartitionReader[InternalRow] {
+
+  private val hp = new Path(file)
+  private val in = hp.getFileSystem(bconf.value.value).open(hp)
+
   private val records = Warc.parseStream(in, Warc.codecOf(file),
-    keepPayload = hs => needText && headerPass(hs))
+    keepPayload = hs => shaper.needsPayload(file, hs))
 
   private var current: InternalRow = _
 
-  private def toRow(e: Either[String, Warc.WarcRecord]): InternalRow = e match {
-    case Right(rec) =>
-      if (!headerPass(rec.headers)) null
-      else {
-        val row = new GenericInternalRow(required.length)
-        var i = 0
-        while (i < required.length) {
-          val v = required.fields(i).name match {
-            case "text" => new String(rec.payload, java.nio.charset.StandardCharsets.UTF_8)
-            case "error" => null
-            case n => headerField(n, file, rec.warcType, rec.recordId,
-              rec.targetUri.orNull, rec.headers)
-          }
-          row.update(i, if (v == null) null else UTF8String.fromString(v))
-          i += 1
-        }
-        row
-      }
-    case Left(err) =>
-      // an error row is NULL in every header column, so any pushed
-      // EqualTo/In excludes it (SQL null semantics)
-      if (preds.nonEmpty) null
-      else {
-        val row = new GenericInternalRow(required.length)
-        var i = 0
-        while (i < required.length) {
-          val v = required.fields(i).name match {
-            case "path" => file
-            case "error" => err
-            case _ => null
-          }
-          row.update(i, if (v == null) null else UTF8String.fromString(v))
-          i += 1
-        }
-        row
-      }
-  }
-
   override def next(): Boolean = {
     while (records.hasNext) {
-      val row = toRow(records.next())
+      val row = records.next() match {
+        case Right(rec) => shaper.recordRow(file, rec)
+        case Left(err)  => shaper.errorRow(file, err, null)
+      }
       if (row != null) { current = row; return true }
     }
     false
   }
   override def get(): InternalRow = current
   override def close(): Unit = in.close()
+}
+
+/** Index-seek reader: serves exactly the requested member spans with
+  * ascending positioned reads — bytes read == Σ requested member
+  * lengths, independent of shard or corpus size. An empty/corrupt span
+  * or a stale index (the span now holds a DIFFERENT record) surfaces as
+  * an error row carrying the REQUESTED record_id.
+  */
+final class WarcSeekReader(
+    file: String, spans: IndexedSeq[SeekSpan], shaper: RowShaper,
+    bconf: Broadcast[SerializableHadoopConf])
+    extends PartitionReader[InternalRow] {
+
+  private val hp = new Path(file)
+  private val in = hp.getFileSystem(bconf.value.value).open(hp)
+  private var i = 0
+  private var current: InternalRow = _
+
+  private def rowForSpan(s: SeekSpan): InternalRow = {
+    if (s.length > Int.MaxValue - 8L)
+      return shaper.errorRow(file, s"member too large to buffer (${s.length} bytes)", s.recordId)
+    val buf = new Array[Byte](s.length.toInt)
+    try in.readFully(s.offset, buf)
+    catch {
+      case e: java.io.IOException =>
+        return shaper.errorRow(file,
+          s"seek read failed at ${s.offset}+${s.length}: ${Option(e.getMessage).getOrElse(e.getClass.getSimpleName)}",
+          s.recordId)
+    }
+    Warc.parseStream(new java.io.ByteArrayInputStream(buf), Warc.codecOf(file),
+      keepPayload = hs => shaper.needsPayload(file, hs))
+      .take(1).toSeq.headOption match {
+      case None => shaper.errorRow(file, s"empty member span at ${s.offset}+${s.length}", s.recordId)
+      case Some(Left(err)) => shaper.errorRow(file, err, s.recordId)
+      case Some(Right(rec)) if rec.recordId != s.recordId =>
+        // stale index: the corpus was rewritten underneath its sidecar —
+        // an error row for the REQUESTED id, never mis-attributed text
+        shaper.errorRow(file, s"index mismatch: span at ${s.offset} holds '${rec.recordId}'", s.recordId)
+      case Some(Right(rec)) => shaper.recordRow(file, rec)
+    }
+  }
+
+  override def next(): Boolean = {
+    while (i < spans.length) {
+      val row = rowForSpan(spans(i))
+      i += 1
+      if (row != null) { current = row; return true }
+    }
+    false
+  }
+  override def get(): InternalRow = current
+  override def close(): Unit = in.close()
+}
+
+// ---------------------------------------------------------------------------
+// STREAMING read: landing-directory micro-batches
+// ---------------------------------------------------------------------------
+
+/** A streaming offset = the set of shard files the stream has seen.
+  * Landing-dir semantics: shards arrive by atomic rename and are
+  * immutable once visible (the crawl-fetcher contract), so file-set
+  * difference IS the batch. The JSON form is a sorted array — stable
+  * across restarts for the checkpoint log.
+  *
+  * Scale note: the offset grows with the directory's file count, like
+  * the built-in file-stream source's seen-file log. A 100 TB landing
+  * flow compacts by rotating the landing prefix (e.g. hourly dirs), the
+  * same operational answer the built-in source documents.
+  */
+final case class WarcStreamOffset(files: Seq[String]) extends Offset {
+  override def json(): String =
+    files.sorted.map(f =>
+      "\"" + f.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
+      .mkString("[", ",", "]")
+}
+
+object WarcStreamOffset {
+  def fromJson(json: String): WarcStreamOffset = {
+    val out = Seq.newBuilder[String]
+    val sb = new StringBuilder
+    var inStr = false
+    var esc = false
+    json.foreach { c =>
+      if (inStr) {
+        if (esc) { sb.append(c); esc = false }
+        else if (c == '\\') esc = true
+        else if (c == '"') { inStr = false; out += sb.toString; sb.clear() }
+        else sb.append(c)
+      } else if (c == '"') inStr = true
+    }
+    WarcStreamOffset(out.result())
+  }
+}
+
+final class WarcMicroBatchStream(
+    dir: String, required: StructType, pushed: Array[Filter],
+    bconf: Broadcast[SerializableHadoopConf])
+    extends MicroBatchStream {
+
+  private def listFiles(): Seq[String] = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(bconf.value.value)
+    if (!fs.exists(p)) Seq.empty
+    else WarcDataSourceV2.listShards(fs, p).sorted
+  }
+
+  override def initialOffset(): Offset = WarcStreamOffset(Seq.empty)
+  override def latestOffset(): Offset = WarcStreamOffset(listFiles())
+  override def deserializeOffset(json: String): Offset = WarcStreamOffset.fromJson(json)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val seen = start.asInstanceOf[WarcStreamOffset].files.toSet
+    end.asInstanceOf[WarcStreamOffset].files.filterNot(seen).sorted
+      .map(f => WarcInputPartition(f): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    WarcReaderFactory(required, pushed, bconf)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }

@@ -1,0 +1,133 @@
+package graft
+
+import java.nio.charset.StandardCharsets.{ISO_8859_1, UTF_8, UTF_16BE}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.HttpWire
+
+/** HTTP/1.x response-message parsing — the payload shape of real-crawl
+  * WARC `response` records. Pure wire-level unit tests: status line,
+  * header block, charset resolution, chunked transfer decoding,
+  * gzip/deflate content decoding, and the error-channel contract
+  * (malformed wire bytes return Left, never throw).
+  */
+class HttpWireSpec extends AnyFunSuite {
+
+  private def msg(s: String): Array[Byte] = s.getBytes(ISO_8859_1)
+
+  test("status line + headers + identity body parse; first duplicate header wins") {
+    val r = HttpWire.parseResponse(msg(
+      "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n" +
+        "X-Dup: first\r\nX-Dup: second\r\nContent-Length: 5\r\n\r\nhello")).toOption.get
+    assert(r.status == 200)
+    assert(r.mime == "text/html")
+    assert(r.charsetName == "utf-8")
+    assert(r.header("x-dup").contains("first")) // case-insensitive, first wins
+    assert(new String(r.body, UTF_8) == "hello")
+  }
+
+  test("obs-fold header continuation and bare-LF line endings are tolerated") {
+    val r = HttpWire.parseResponse(msg(
+      "HTTP/1.0 301 Moved\nLocation: https://a.example/\n very/long/path\n\nbody")).toOption.get
+    assert(r.status == 301)
+    assert(r.header("Location").contains("https://a.example/ very/long/path"))
+    assert(new String(r.body, UTF_8) == "body")
+  }
+
+  test("charset parameter: quoted, unquoted, mixed case; absent -> null") {
+    def cs(ct: String): String =
+      HttpWire.parseResponse(msg(s"HTTP/1.1 200 OK\r\nContent-Type: $ct\r\n\r\nx"))
+        .toOption.get.charsetName
+    assert(cs("text/html; charset=ISO-8859-1") == "ISO-8859-1")
+    assert(cs("text/html; CHARSET=\"utf-8\"") == "utf-8")
+    assert(cs("text/html;charset=utf-16be;boundary=x") == "utf-16be")
+    assert(cs("text/html") == null)
+  }
+
+  test("decodeTextBody honors the message's own charset; utf-8 fallback when undeclared") {
+    def dec(ct: String, body: Array[Byte]): Either[String, Option[String]] =
+      HttpWire.decodeTextBody(HttpWire.parseResponse(
+        (msg(s"HTTP/1.1 200 OK\r\nContent-Type: $ct\r\n\r\n") ++ body)).toOption.get)
+    assert(dec("text/plain; charset=utf-16be", "héllo → wörld".getBytes(UTF_16BE)) ==
+      Right(Some("héllo → wörld")))
+    assert(dec("text/plain; charset=iso-8859-1", "héllo".getBytes(ISO_8859_1)) ==
+      Right(Some("héllo")))
+    assert(dec("text/plain", "héllo → wörld".getBytes(UTF_8)) ==
+      Right(Some("héllo → wörld")))
+  }
+
+  test("gating and the error channel: non-text None; unknown charset / mojibake Left") {
+    def dec(ct: String, body: Array[Byte]) =
+      HttpWire.decodeTextBody(HttpWire.parseResponse(
+        (msg(s"HTTP/1.1 200 OK\r\nContent-Type: $ct\r\n\r\n") ++ body)).toOption.get)
+    assert(dec("image/gif", Array[Byte](0x47, 0x49, 0xff.toByte)) == Right(None))
+    assert(dec("application/pdf", "text-ish".getBytes(UTF_8)) == Right(None))
+    assert(dec("text/html; charset=klingon-9", "x".getBytes(UTF_8)).isLeft)
+    // invalid utf-8 under a STRICT decode is an error, not silent mojibake
+    assert(dec("text/html; charset=utf-8", Array[Byte](0xff.toByte, 0xfe.toByte)).isLeft)
+  }
+
+  test("chunked transfer-encoding is de-chunked (sizes in hex, extensions ignored)") {
+    val r = HttpWire.parseResponse(msg(
+      "HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n" +
+        "Content-Type: text/plain\r\n\r\n" +
+        "5;ext=1\r\nhello\r\n8\r\n, chunks\r\n0\r\n\r\n")).toOption.get
+    assert(new String(r.body, UTF_8) == "hello, chunks")
+    assert(HttpWire.decodeTextBody(r) == Right(Some("hello, chunks")))
+  }
+
+  test("gzip and deflate content-encodings are undone; unsupported ones are Left") {
+    val payload = HttpWire.responsePayload(200, "OK",
+      Seq("Content-Type" -> "text/plain; charset=utf-8"),
+      "compress me → please".getBytes(UTF_8), gzipBody = true)
+    val r = HttpWire.parseResponse(payload).toOption.get
+    assert(HttpWire.decodeTextBody(r) == Right(Some("compress me → please")))
+    // deflate (zlib-wrapped)
+    val zb = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val d = new java.util.zip.DeflaterOutputStream(bos)
+      d.write("deflated".getBytes(UTF_8)); d.close()
+      bos.toByteArray
+    }
+    val r2 = HttpWire.parseResponse(
+      msg("HTTP/1.1 200 OK\r\nContent-Encoding: deflate\r\nContent-Type: text/plain\r\n\r\n") ++ zb)
+      .toOption.get
+    assert(new String(r2.body, UTF_8) == "deflated")
+    assert(HttpWire.parseResponse(
+      msg("HTTP/1.1 200 OK\r\nContent-Encoding: br\r\n\r\nx")).isLeft)
+  }
+
+  test("chunked + gzip compose (transfer decoding before content decoding)") {
+    val payload = HttpWire.responsePayload(200, "OK",
+      Seq("Content-Type" -> "text/plain; charset=utf-8"),
+      ("repeat " * 500).getBytes(UTF_8), gzipBody = true, chunked = true, chunkSize = 100)
+    val r = HttpWire.parseResponse(payload).toOption.get
+    assert(HttpWire.decodeTextBody(r) == Right(Some("repeat " * 500)))
+  }
+
+  test("malformed wire bytes are Left, never a throw") {
+    assert(HttpWire.parseResponse(msg("not http at all")).isLeft)
+    assert(HttpWire.parseResponse(msg("HTTP/1.1 abc Bad\r\n\r\n")).isLeft)
+    assert(HttpWire.parseResponse(msg("HTTP/1.1 200 OK\r\nNoColonHere\r\n\r\nx")).isLeft)
+    assert(HttpWire.parseResponse(msg("HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\nzz\r\n")).isLeft)
+    assert(HttpWire.parseResponse(msg(
+      "HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\nffffffff\r\nx")).isLeft)
+    assert(HttpWire.parseResponse(msg(
+      "HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\nnot gzip")).isLeft)
+    // truncated header block (no blank line)
+    assert(HttpWire.parseResponse(msg("HTTP/1.1 200 OK\r\nContent-Type: text/html")).isLeft)
+  }
+
+  test("header-only message (no body) parses with an empty body") {
+    val r = HttpWire.parseResponse(msg("HTTP/1.1 204 No Content\r\nServer: x\r\n\r\n")).toOption.get
+    assert(r.status == 204 && r.body.isEmpty)
+  }
+
+  test("mimeOf strips parameters and lowercases") {
+    assert(HttpWire.mimeOf("Text/HTML; charset=utf-8") == "text/html")
+    assert(HttpWire.mimeOf("application/http;msgtype=response") == "application/http")
+    assert(HttpWire.mimeOf(null) == null)
+    assert(HttpWire.mimeOf("  ;x=y") == null)
+  }
+}

@@ -89,9 +89,15 @@ class WarcDsv2Spec extends SparkSpec {
     val docs = Tables.documents(spark, sfDir).select("doc_id", "text", "lang", "source")
     docs.repartition(3).write.format("warc").mode("append")
       .option("codec", "zstd").save(dir)
-    val names = new java.io.File(dir).list().sorted.toSeq
+    // ignore the local ChecksumFileSystem's hidden .crc sidecars — the
+    // same artifact every built-in sink leaves on file:/ (scan globs
+    // exclude hidden files)
+    val names = new java.io.File(dir).list().sorted.toSeq.filterNot(_.startsWith("."))
     assert(names.nonEmpty && names.forall(_.endsWith(".warc.zst")), names.toString)
     assert(!names.exists(_.contains("tmp")), s"uncommitted temp left behind: $names")
+    // job-unique shard names: a second append can never rename onto an
+    // existing shard
+    assert(names.forall(_.matches("part-\\d{5}-[0-9a-f-]+\\.warc\\.zst")), names.toString)
     val back = ArchiveOps.readCorpus(spark, dir)
       .filter(col("warc_type") === "resource")
       .select(expr("CAST(substring_index(record_id, ':', -1) AS BIGINT)").as("doc_id"),
@@ -126,6 +132,191 @@ class WarcDsv2Spec extends SparkSpec {
     assert(!left.exists(_.contains(".warc")), s"aborted write left a visible shard: $left")
   }
 
+  test("IsNotNull and StringStartsWith(target_uri) are pushed (the CDX prefix-scan shape)") {
+    val df = spark.read.format("warc").load(corpusDir)
+      .filter(col("lang").isNotNull && col("target_uri").startsWith("https://graft.invalid/src1/"))
+    val scan = scanOf(df)
+    val kinds = scan.pushed.map(_.getClass.getSimpleName).toSet
+    assert(kinds == Set("IsNotNull", "StringStartsWith"), scan.description())
+    val want = Tables.documents(spark, sfDir).filter(col("source") === "src1").count()
+    assert(df.count() == want && want > 0)
+  }
+
+  test("pushed predicates are evaluated against an error row's ACTUAL values") {
+    // an error row is (path, error) with every other column null:
+    // path-anchored filters must return it WITH pushdown, null-column
+    // equalities must not — result can never depend on whether pushdown
+    // fired (r11 dropped ALL error rows whenever any filter was pushed)
+    val dir = Files.createTempDirectory("graft_dsv2_errp").toFile
+    java.nio.file.Files.write(new java.io.File(dir, "bad.warc").toPath,
+      "WARC/1.1\r\nContent-Length: 999\r\n\r\nx".getBytes("UTF-8"))
+    val d = dir.getAbsolutePath
+    val errPath = spark.read.format("warc").load(d)
+      .select("path").collect().head.getString(0)
+    def q() = spark.read.format("warc").load(d)
+    // path EqualTo: pushed, and the error row still surfaces
+    val byPath = q().filter(col("path") === errPath)
+    assert(scanOf(byPath).pushed.nonEmpty)
+    assert(byPath.count() == 1 && byPath.head().getAs[String]("error") != null)
+    // path IsNotNull: pushed, error row surfaces (path is never null)
+    val notNull = q().filter(col("path").isNotNull)
+    assert(scanOf(notNull).pushed.nonEmpty && notNull.count() == 1)
+    // record_id EqualTo: null on the error row -> excluded
+    assert(q().filter(col("record_id") === "urn:x:1").count() == 0)
+  }
+
+  test("http_status/content_type predicates push into the scan") {
+    val dir = Files.createTempDirectory("graft_dsv2_http").toFile.getAbsolutePath
+    ArchiveOps.writeHttpCorpus(
+      Tables.documents(spark, sfDir).select("doc_id", "text", "lang", "source"),
+      dir, shards = 4)
+    val df = spark.read.format("warc").load(dir)
+      .filter(col("http_status") === 200 && col("content_type") === "text/html")
+    val scan = scanOf(df)
+    assert(scan.pushed.map(_.references.head).toSet == Set("http_status", "content_type"),
+      scan.description())
+    // every document (incl. chunked/gzip/multi-charset variants) passes;
+    // the 404 / image/gif gate-out records per shard do not
+    assert(df.count() ==
+      Tables.documents(spark, sfDir).count() + 4 /* shards: badcs rows pass both preds */)
+    assert(df.filter(col("error").isNotNull).count() == 4) // the badcs rows
+    // In on http_status (Integer literals) is pushed too
+    val in = spark.read.format("warc").load(dir)
+      .filter(col("http_status").isin(404, 500))
+    assert(scanOf(in).pushed.length == 1)
+    assert(in.count() == 4) // one 404 per shard
+  }
+
+  test("CDX-assisted scan: record_id-pinned read plans seek partitions == touched shards") {
+    val dir = Files.createTempDirectory("graft_dsv2_cdx").toFile.getAbsolutePath
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text", "lang", "source")
+    ArchiveOps.writeCorpusWithIndex(docs, dir, shards = 4)
+    // ids in two specific shards (doc_id % 4 picks the shard)
+    val ids = Seq(0L, 4L, 8L, 1L).map(i => s"urn:graft:doc:$i")
+    val df = spark.read.format("warc").load(dir)
+      .filter(col("record_id").isin(ids: _*))
+      .select("record_id", "text", "lang")
+    val scan = scanOf(df)
+    val parts = scan.planInputPartitions()
+    assert(parts.forall(_.isInstanceOf[graft.sources.warc.WarcSeekPartition]),
+      parts.mkString(";"))
+    // ids live in shards 0 and 1 -> exactly 2 touched files
+    assert(parts.length == 2, parts.mkString(";"))
+    assert(parts.map(_.asInstanceOf[graft.sources.warc.WarcSeekPartition].spans.length).sum == 4)
+    // values match the source table
+    val got = df.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val want = docs.filter(col("doc_id").isin(0L, 4L, 8L, 1L))
+      .collect().map(r => s"urn:graft:doc:${r.getLong(0)}" -> r.getString(1)).toMap
+    assert(got == want)
+    // an id absent from the corpus simply returns no row (index-complete)
+    assert(spark.read.format("warc").load(dir)
+      .filter(col("record_id") === "urn:graft:doc:99999999").count() == 0)
+    // without the sidecar the same filter full-scans (no seek partitions)
+    val noIdx = Files.createTempDirectory("graft_dsv2_noidx").toFile.getAbsolutePath
+    ArchiveOps.writeCorpus(docs, noIdx, shards = 4)
+    val fullParts = scanOf(spark.read.format("warc").load(noIdx)
+      .filter(col("record_id") === ids.head)).planInputPartitions()
+    assert(fullParts.forall(_.isInstanceOf[graft.sources.warc.WarcInputPartition]) &&
+      fullParts.length == 4)
+  }
+
+  test("CDX-assisted scan: a stale index surfaces an error row carrying the requested id") {
+    val dir = Files.createTempDirectory("graft_dsv2_stale").toFile.getAbsolutePath
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text", "lang", "source")
+    ArchiveOps.writeCorpusWithIndex(docs, dir, shards = 2)
+    // tamper the sidecar: claim a span for an id it does not hold
+    val idx = spark.read.parquet(s"$dir/_cdx")
+    val tampered = idx.withColumn("record_id",
+      when(col("record_id") === "urn:graft:doc:0", lit("urn:graft:doc:424242"))
+        .otherwise(col("record_id")))
+    tampered.write.mode("overwrite").parquet(s"$dir/_cdx_new")
+    // swap sidecars (overwrite-in-place of a path being read is unsafe)
+    val fs = new java.io.File(dir)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(new java.io.File(fs, "_cdx"))
+    assert(new java.io.File(fs, "_cdx_new").renameTo(new java.io.File(fs, "_cdx")))
+    val got = spark.read.format("warc").load(dir)
+      .filter(col("record_id") === "urn:graft:doc:424242")
+      .select("record_id", "error").collect()
+    assert(got.length == 1, got.mkString(";"))
+    assert(got.head.getString(0) == "urn:graft:doc:424242")
+    assert(got.head.getString(1) != null && got.head.getString(1).contains("index mismatch"),
+      got.head.toString)
+  }
+
+  test("readers use the SESSION Hadoop conf (runtime fs scheme resolves on executors)") {
+    // register a filesystem SCHEME only on the session's runtime conf —
+    // resolvable only if the executor-side reader uses the driver's
+    // broadcast conf; `new Configuration()` (the r11 bug) cannot see it
+    spark.sparkContext.hadoopConfiguration.set("fs.graftmarker.impl",
+      classOf[MarkerFileSystem].getName)
+    // the FileSystem CACHE ignores conf on a hit — disable it for this
+    // scheme so every resolution must come from the conf that reaches
+    // the call site (otherwise a driver-side resolution would mask an
+    // executor-side `new Configuration()` regression)
+    spark.sparkContext.hadoopConfiguration.set("fs.graftmarker.impl.disable.cache", "true")
+    val dir = Files.createTempDirectory("graft_dsv2_conf").toFile.getAbsolutePath
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text", "lang", "source")
+    ArchiveOps.writeCorpus(docs, dir, shards = 2, codec = Some("gzip"))
+    val viaMarker = spark.read.format("warc").load(s"graftmarker:$dir")
+      .filter(col("warc_type") === "resource")
+    assert(viaMarker.count() == docs.count())
+    // the write path and fetchRecords ship the conf too
+    val wdir = Files.createTempDirectory("graft_dsv2_confw").toFile.getAbsolutePath
+    docs.limit(10).repartition(2).write.format("warc").mode("append")
+      .save(s"graftmarker:$wdir")
+    assert(ArchiveOps.readCorpus(spark, wdir)
+      .filter(col("warc_type") === "resource").count() == 10)
+    import spark.implicits._
+    val idx = ArchiveOps.writeIndexedCorpus(docs.limit(5),
+      Files.createTempDirectory("graft_dsv2_conff").toFile.getAbsolutePath, shards = 1)
+      .collect().toSeq.toDF()
+      .withColumn("path", regexp_replace(col("path"), "^file:", "graftmarker:"))
+    val fetched = ArchiveOps.fetchRecords(idx)
+    assert(fetched.filter(col("error").isNotNull).count() == 0)
+    assert(fetched.count() == idx.count())
+  }
+
+  test("two append jobs to one directory: job-unique names, union read back") {
+    val dir = Files.createTempDirectory("graft_dsv2_app2").toFile.getAbsolutePath
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text", "lang", "source")
+    val a = docs.filter(col("doc_id") < 10)
+    val b = docs.filter(col("doc_id") >= 10 && col("doc_id") < 25)
+    a.repartition(2).write.format("warc").mode("append").save(dir)
+    b.repartition(2).write.format("warc").mode("append").save(dir)
+    val names = new java.io.File(dir).list().filterNot(_.startsWith(".")).toSeq
+    assert(names.size == names.distinct.size && names.nonEmpty)
+    // the second job renamed NEW shards in — nothing overwritten
+    val back = ArchiveOps.readCorpus(spark, dir).filter(col("warc_type") === "resource")
+    assert(back.count() == 25)
+    assert(back.select("record_id").distinct().count() == 25)
+  }
+
+  test("DSv2 write validates doc_id: null values and non-LONG frames are rejected") {
+    val dir = Files.createTempDirectory("graft_dsv2_docid").toFile.getAbsolutePath
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text", "lang", "source")
+    intercept[Exception] { // null doc_id must never forge urn:graft:doc:0
+      docs.withColumn("doc_id",
+        when(col("doc_id") === 3L, lit(null: java.lang.Long)).otherwise(col("doc_id")))
+        .write.format("warc").mode("append").save(dir)
+    }
+    intercept[Exception] { // doc_id must be LONG, not string
+      docs.withColumn("doc_id", col("doc_id").cast("string"))
+        .write.format("warc").mode("append").save(dir)
+    }
+  }
+
+  test("q_warc_http matches the direct computation (charset/chunked/gzip variants)") {
+    val df = SparkEntry.queries("q_warc_http")(spark, sfDir)
+    val got = df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val want = Tables.documents(spark, sfDir)
+      .groupBy("lang").agg(count(lit(1)), sum(length(col("text")).cast("long")))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
   test("q_warc_pushdown matches the direct computation") {
     val df = SparkEntry.queries("q_warc_pushdown")(spark, sfDir)
     val got = df.collect().map(r => (r.getString(0), r.getLong(1))).toMap
@@ -133,4 +324,15 @@ class WarcDsv2Spec extends SparkSpec {
       .groupBy("lang").count().collect().map(r => (r.getString(0), r.getLong(1))).toMap
     assert(got == want && got.nonEmpty)
   }
+}
+
+/** A RawLocalFileSystem under a scheme that exists ONLY in the session's
+  * runtime Hadoop conf — resolvable exactly when the code under test
+  * ships the driver's configuration to its open() call sites (the
+  * object-store-credentials propagation contract, tested without an
+  * object store). Must be top-level: Hadoop instantiates it reflectively.
+  */
+class MarkerFileSystem extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "graftmarker"
+  override def getUri: java.net.URI = java.net.URI.create("graftmarker:///")
 }

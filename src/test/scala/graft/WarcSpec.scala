@@ -116,7 +116,8 @@ class WarcSpec extends SparkSpec {
         ArchiveOps.writeCorpus(
           docs.filter(col("doc_id") >= lo && col("doc_id") < hi),
           stage.getAbsolutePath, shards = 2)
-        stage.listFiles().foreach { f =>
+        // a fetcher lands SHARDS — not the local FS's checksum sidecars
+        stage.listFiles().filter(f => !f.getName.startsWith(".")).foreach { f =>
           java.nio.file.Files.move(f.toPath,
             new java.io.File(landing, s"$tag-${f.getName}").toPath)
         }
@@ -281,7 +282,7 @@ class WarcSpec extends SparkSpec {
     try {
       val bad = fetched.filter(col("error").isNotNull).collect()
       assert(bad.length == 1, bad.mkString(";"))
-      assert(bad.head.getString(7).contains("index mismatch"), bad.head.toString)
+      assert(bad.head.getAs[String]("error").contains("index mismatch"), bad.head.toString)
       assert(fetched.filter(col("error").isNull).count() == idx.length - 1)
     } finally fetched.unpersist()
   }
@@ -294,19 +295,25 @@ class WarcSpec extends SparkSpec {
       .write.mode("overwrite").parquet(idxDir)
     val index = spark.read.parquet(idxDir).cache()
     try {
-      assert(index.count() == docs.count()) // one entry per resource record
-      // spans are disjoint and never cover the leading warcinfo member
+      // one entry per record, warcinfo INCLUDED (the index-assisted
+      // lookup contract: absent from the index == absent from the corpus)
+      assert(index.count() == docs.count() + 4)
       index.collect().groupBy(_.getString(1)).foreach { case (p, rows) =>
-        val spans = rows.map(r => (r.getLong(2), r.getLong(3))).sortBy(_._1)
-        assert(spans.head._1 > 0, s"$p: first doc span overlaps warcinfo")
-        spans.sliding(2).foreach {
+        val spans = rows.map(r => (r.getString(0), r.getLong(2), r.getLong(3)))
+          .sortBy(_._2)
+        // the leading warcinfo member is indexed at offset 0; doc spans
+        // all start past it; spans are disjoint
+        assert(spans.head._1.startsWith("urn:graft:warcinfo:") && spans.head._2 == 0L,
+          s"$p: first span is not the warcinfo member: ${spans.head}")
+        assert(spans.tail.forall(s => s._1.startsWith("urn:graft:doc:") && s._2 > 0), p)
+        spans.map(s => (s._2, s._3)).sliding(2).foreach {
           case Array((o1, l1), (o2, _)) => assert(o1 + l1 <= o2, s"$p: overlapping spans")
           case _ => ()
         }
       }
       // every record fetches standalone, byte-identical to the source
       val fetched = ArchiveOps.fetchRecords(index)
-        .select(expr("CAST(substring_index(record_id, ':', -1) AS BIGINT)").as("doc_id"),
+        .select(expr("try_cast(substring_index(record_id, ':', -1) AS BIGINT)").as("doc_id"),
           col("text").as("rt_text"), col("error"))
       assert(fetched.filter(col("error").isNotNull).count() == 0)
       val joined = docs.join(fetched, "doc_id")
@@ -322,6 +329,35 @@ class WarcSpec extends SparkSpec {
       .filter(col("doc_id") % 37 === 0).count()
     assert(rows.length == expect && rows.nonEmpty)
     assert(rows.map(_.getLong(0)).forall(_ % 37 == 0))
+  }
+
+  test("HTTP response corpus: RDD reader surfaces status/content_type and gated bodies") {
+    val dir = Files.createTempDirectory("graft_warc_httpr").toFile.getAbsolutePath
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text", "lang", "source")
+    ArchiveOps.writeHttpCorpus(docs, dir, shards = 3)
+    val back = ArchiveOps.readCorpus(spark, dir).cache()
+    try {
+      // every document decodes byte-identically through its wire variant
+      // (charset cycle + chunked + gzip)
+      val ok = back.filter(col("http_status") === 200 &&
+        col("content_type") === "text/html" && col("error").isNull)
+        .select(expr("CAST(substring_index(record_id, ':', -1) AS BIGINT)").as("doc_id"),
+          col("text").as("rt_text"))
+      val joined = docs.join(ok, "doc_id")
+      assert(joined.count() == docs.count())
+      assert(joined.filter(col("text") =!= col("rt_text")).count() == 0)
+      // the gate-out records: 404 (status), image/gif (non-text -> null
+      // text, NOT an error), unknown charset (error channel)
+      assert(back.filter(col("http_status") === 404).count() == 3)
+      val gif = back.filter(col("content_type") === "image/gif").collect()
+      assert(gif.length == 3 &&
+        gif.forall(r => r.getAs[String]("text") == null && r.getAs[String]("error") == null))
+      val bad = back.filter(col("error").isNotNull).collect()
+      assert(bad.length == 3 && bad.forall(_.getAs[String]("error").contains("charset")))
+      // resource-record behavior unchanged: null status, header-level mime
+      val wi = back.filter(col("warc_type") === "warcinfo").collect()
+      assert(wi.length == 3 && wi.forall(r => r.getAs[Any]("http_status") == null))
+    } finally { back.unpersist(); () }
   }
 
   test("q_warc_roundtrip aggregates one group per source") {
