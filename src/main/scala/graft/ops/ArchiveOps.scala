@@ -79,11 +79,25 @@ object ArchiveOps extends QueryModule {
       docs: DataFrame,
       dir: String,
       shards: Int,
-      codec: Option[String] = None): Unit =
+      codec: Option[String] = None,
+      zstdDict: Option[Array[Byte]] = None): Unit =
     // one implementation: the indexed writer IS the writer (the index
     // rows are a few tens of bytes per record; discarding them costs
     // nothing and keeps the two paths incapable of drifting apart)
-    writeIndexedCorpus(docs, dir, shards, codec).foreach((_: WarcIndexRow) => ())
+    writeIndexedCorpus(docs, dir, shards, codec, zstdDict).foreach((_: WarcIndexRow) => ())
+
+  /** Train a shared zstd dictionary from a BOUNDED sample of the corpus
+    * (driver-held model state, like the BPE merge list or k-means
+    * centroids — the sample cap is the contract). Per-record `.warc.zst`
+    * frames share no history across records, so a dictionary trained on
+    * a few hundred documents is the compression lever of the layout;
+    * None when the sample is too small/uniform to train.
+    */
+  def trainedZstdDict(docs: DataFrame, sampleDocs: Int = 512): Option[Array[Byte]] = {
+    val samples = docs.select("text").limit(sampleDocs).collect()
+      .map(_.getString(0).getBytes(UTF_8)).toSeq
+    Warc.trainZstdDict(samples)
+  }
 
   /** [[writeCorpus]] plus the persisted CDX sidecar: the record index is
     * written as a parquet table at `dir/_cdx` (the underscore keeps it
@@ -95,8 +109,9 @@ object ArchiveOps extends QueryModule {
       docs: DataFrame,
       dir: String,
       shards: Int,
-      codec: Option[String] = None): Unit =
-    writeIndexedCorpus(docs, dir, shards, codec)
+      codec: Option[String] = None,
+      zstdDict: Option[Array[Byte]] = None): Unit =
+    writeIndexedCorpus(docs, dir, shards, codec, zstdDict)
       .write.mode("overwrite").parquet(s"$dir/${graft.sources.warc.WarcDataSourceV2.IndexSidecar}")
 
   /** Shared sharding prologue: `doc_id % shards`, one partition per
@@ -160,9 +175,13 @@ object ArchiveOps extends QueryModule {
       docs: DataFrame,
       dir: String,
       shards: Int,
-      codec: Option[String] = None): org.apache.spark.sql.Dataset[WarcIndexRow] = {
+      codec: Option[String] = None,
+      zstdDict: Option[Array[Byte]] = None): org.apache.spark.sql.Dataset[WarcIndexRow] = {
     import docs.sparkSession.implicits._
     val bconf = confBroadcast(docs.sparkSession)
+    // the dictionary is driver-trained bounded model state; broadcast it
+    // once rather than serializing it into every task closure
+    val bdict = docs.sparkSession.sparkContext.broadcast(zstdDict)
     shardedByDoc(docs, shards).mapPartitions { rows =>
       // eager per-partition write (files complete and writers closed
       // before any index row is consumed); the index entries are tiny
@@ -186,7 +205,8 @@ object ArchiveOps extends QueryModule {
             val hp = new HPath(dir, name)
             val fs = hp.getFileSystem(conf)
             fs.mkdirs(new HPath(dir))
-            cur = Warc.shardWriter(fs.create(hp, true), c, name)
+            cur = Warc.shardWriter(fs.create(hp, true), c, name,
+              if (c == Warc.CodecZstd) bdict.value else None)
             curShard = shard
             curPath = fs.makeQualified(hp).toString
             // the leading warcinfo member is a record too: index it, so
@@ -344,6 +364,7 @@ object ArchiveOps extends QueryModule {
         // scan — never `new Configuration()` on an executor
         val conf = bconf.value.value
         var curPath: String = null
+        var curDict: Option[Array[Byte]] = None
         var in: org.apache.hadoop.fs.FSDataInputStream = null
         def close(): Unit = if (in != null) { in.close(); in = null }
         Option(org.apache.spark.TaskContext.get())
@@ -359,12 +380,19 @@ object ArchiveOps extends QueryModule {
             if (p != curPath) {
               close()
               val hp = new HPath(p)
-              in = hp.getFileSystem(conf).open(hp)
+              val fs = hp.getFileSystem(conf)
+              in = fs.open(hp)
               curPath = p
+              // dictionary-compressed .warc.zst: a seeked frame needs the
+              // file-head dictionary — load it ONCE per file
+              curDict =
+                if (Warc.codecOf(p) == Warc.CodecZstd) Warc.readZstdDict(fs.open(hp))
+                else None
             }
             val buf = new Array[Byte](len.toInt)
             in.readFully(off, buf) // positioned read: ascending seeks per file
-            val row = Warc.parseStream(new java.io.ByteArrayInputStream(buf), Warc.codecOf(p))
+            val row = Warc.parseStream(new java.io.ByteArrayInputStream(buf), Warc.codecOf(p),
+              zstdDict = curDict)
               .map(toRow(p)).toSeq.headOption
               .getOrElse(errRow(s"empty member span at $off+$len"))
             // a stale index (corpus rewritten underneath it) can hand
@@ -589,6 +617,16 @@ object ArchiveOps extends QueryModule {
         d, shards = 8)
     }
 
+  /** Uniform `.warc.zst` corpus under a TRAINED shared dictionary (the
+    * IIPC dictionary frame), with its `_cdx` sidecar.
+    */
+  private def zstdDictFixture(s: SparkSession, sfDir: String): String =
+    Fixtures.dir("warczdict8", sfDir) { d =>
+      val docs = Tables.documents(s, sfDir).select("doc_id", "text", "lang", "source")
+      writeCorpusWithIndex(docs, d, shards = 8,
+        codec = Some(Warc.CodecZstd), zstdDict = trainedZstdDict(docs))
+    }
+
   private def avroFixture(s: SparkSession, sfDir: String): String =
     Fixtures.dir("avro8", sfDir) { d =>
       writeAvroCorpus(
@@ -709,8 +747,10 @@ object ArchiveOps extends QueryModule {
         |FROM documents WHERE doc_id % 37 = 0 ORDER BY doc_id"""
     ) { (s, d) =>
       val dir = warcFixture(s, d)
-      // try_cast: warcinfo index rows have a non-numeric id suffix
-      val ids = s.read.parquet(s"$dir/_cdx")
+      // try_cast: warcinfo index rows have a non-numeric id suffix; the
+      // stored sidecar schema skips the footer-inference job per run
+      val ids = s.read.schema(graft.sources.warc.WarcDataSourceV2.IndexSchema)
+        .parquet(s"$dir/_cdx")
         .filter(expr("try_cast(substring_index(record_id, ':', -1) AS BIGINT) % 37 = 0"))
         .select("record_id").collect().map(_.getString(0)).sorted.toSeq
       s.read.format("warc").load(dir)
@@ -741,6 +781,30 @@ object ArchiveOps extends QueryModule {
         .groupBy("source", "lang")
         .agg(count(lit(1)).as("n_docs"))
         .orderBy("source", "lang")
+    },
+
+    // IIPC dictionary-frame `.warc.zst`: the whole corpus under ONE
+    // trained shared dictionary (bounded-sample driver training, the
+    // model-state discipline), dictionary skippable frame at each
+    // shard's head, every record frame compressed against it. The
+    // roundtrip proves the dictionary decode end-to-end (including the
+    // CDX seek path, which loads the dictionary once per file — spec'd
+    // in WarcSpec); per-record frames share no history, so the trained
+    // dictionary is the compression lever of third-party .warc.zst.
+    Q(
+      "q_warc_zstd_dict",
+      """SELECT source,
+        |       COUNT(*) AS n_docs,
+        |       CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY source ORDER BY source"""
+    ) { (s, d) =>
+      val dir = zstdDictFixture(s, d)
+      readCorpus(s, dir)
+        .filter(col("warc_type") === "resource" && col("error").isNull)
+        .select(col("source"), length(col("text")).cast("long").as("n_chars"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy("source")
     },
 
     // Avro object-container roundtrip: documents -> sharded .avro

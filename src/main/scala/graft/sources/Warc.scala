@@ -103,9 +103,13 @@ object Warc {
 
   /** Shard codecs: plain, gzip member-per-record (the Common Crawl
     * layout), or zstd frame-per-record (the IIPC `.warc.zst` layout,
-    * minus the optional dictionary frame). Both compressed layouts put
-    * each record in its own standalone member/frame so an indexed
-    * reader can seek to a byte span and decode ONE record.
+    * including its OPTIONAL leading dictionary frame — a zstd skippable
+    * frame carrying a shared dictionary, itself possibly
+    * zstd-compressed). Both compressed layouts put each record in its
+    * own standalone member/frame so an indexed reader can seek to a
+    * byte span and decode ONE record (dictionary-compressed frames
+    * additionally need the file-head dictionary, which the seek paths
+    * load once per file).
     */
   val CodecNone = "none"
   val CodecGzip = "gzip"
@@ -138,9 +142,36 @@ object Warc {
     * Hadoop `FileSystem.create` stream writes shards to whatever storage
     * the job's configuration points at (file:/, hdfs:/, s3a:/), exactly
     * like the built-in file sinks. The writer owns (closes) the stream.
+    * `zstdDict` (zstd codec only) leads the file with the IIPC
+    * dictionary skippable frame and compresses every record frame
+    * against it — per-record frames over similar small documents share
+    * no history, so a trained dictionary is THE compression lever of
+    * the `.warc.zst` layout (see [[trainZstdDict]]).
     */
-  def shardWriter(out: OutputStream, codec: String, name: String): WarcShardWriter =
-    new WarcShardWriter(new BufferedOutputStream(out, 1 << 16), codec, name)
+  def shardWriter(out: OutputStream, codec: String, name: String,
+      zstdDict: Option[Array[Byte]] = None): WarcShardWriter =
+    new WarcShardWriter(new BufferedOutputStream(out, 1 << 16), codec, name, zstdDict)
+
+  /** zstd skippable-frame magic range (LE), per RFC 8878 §3.1.2. The
+    * IIPC `.warc.zst` spec stores the shared dictionary in one of these
+    * at the start of the file.
+    */
+  private[sources] val ZstdSkippableMagicLo = 0x184D2A50
+  private[sources] val ZstdSkippableMagicHi = 0x184D2A5F
+  private[sources] val ZstdFrameMagic = 0xFD2FB528
+
+  /** Train a zstd dictionary from sample payloads (the caller bounds the
+    * sample — model-state discipline: a few hundred documents suffice).
+    * None when the samples are too small/uniform for the trainer.
+    */
+  def trainZstdDict(samples: Seq[Array[Byte]], dictSize: Int = 16 * 1024): Option[Array[Byte]] = {
+    val total = samples.map(_.length).sum
+    if (total < 4 * dictSize) return None // trainer needs ~a few x dict size
+    val trainer = new com.github.luben.zstd.ZstdDictTrainer(total, dictSize)
+    samples.foreach(trainer.addSample)
+    try Some(trainer.trainSamples())
+    catch { case _: com.github.luben.zstd.ZstdException => None }
+  }
 
   /** Counts logical bytes BEFORE buffering, so member offsets are exact
     * at write time (the buffer sits below the counter).
@@ -155,9 +186,13 @@ object Warc {
     override def close(): Unit = out.close()
   }
 
-  final class WarcShardWriter(sink: OutputStream, codec: String, name: String) {
+  final class WarcShardWriter(
+      sink: OutputStream, codec: String, name: String,
+      zstdDict: Option[Array[Byte]] = None) {
     require(codec == CodecNone || codec == CodecGzip || codec == CodecZstd,
       s"unknown WARC codec '$codec'")
+    require(zstdDict.isEmpty || codec == CodecZstd,
+      "a compression dictionary is a .warc.zst feature")
     private val raw = new CountingOutputStream(sink)
     // ONE reused native compression context per shard, reset per member.
     // The naive spelling (a fresh GZIPOutputStream per record) allocates
@@ -176,6 +211,15 @@ object Warc {
       else null
     private val crc = new java.util.zip.CRC32
     private val defBuf = new Array[Byte](1 << 16)
+    // IIPC dictionary frame: a zstd SKIPPABLE frame (magic + LE size +
+    // dictionary bytes) leading the file; every record frame after it is
+    // compressed against the loaded dictionary
+    zstdDict.foreach { d =>
+      writeIntLE(ZstdSkippableMagicLo.toLong & 0xffffffffL)
+      writeIntLE(d.length.toLong)
+      raw.write(d)
+      zctx.loadDict(d); ()
+    }
     writeOne(WarcRecord(
       "warcinfo", s"urn:graft:warcinfo:$name", None,
       Map("Content-Type" -> "application/warc-fields"),
@@ -343,6 +387,60 @@ object Warc {
     }
   }
 
+  /** Detect and consume the IIPC dictionary frame at the head of a
+    * `.warc.zst` stream: a zstd SKIPPABLE frame (RFC 8878 magic range)
+    * whose payload is the shared dictionary — returned decompressed
+    * when the dictionary is itself a zstd frame (the spec allows both).
+    * When the stream does not start with a skippable frame the peeked
+    * bytes are pushed back untouched.
+    */
+  private[sources] def readZstdDictFrame(
+      pb: java.io.PushbackInputStream): Option[Array[Byte]] = {
+    val hdr = new Array[Byte](8)
+    var n = 0
+    var r = 0
+    while (n < 8 && { r = pb.read(hdr, n, 8 - n); r > 0 }) n += r
+    def le(b: Array[Byte], off: Int): Long =
+      (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+        ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+    val magic = if (n >= 4) le(hdr, 0) else -1L
+    val skippable = magic >= (ZstdSkippableMagicLo.toLong & 0xffffffffL) &&
+      magic <= (ZstdSkippableMagicHi.toLong & 0xffffffffL)
+    if (n < 8 || !skippable) {
+      if (n > 0) pb.unread(hdr, 0, n)
+      return None
+    }
+    val size = le(hdr, 4)
+    // a dictionary is tens of KB; a huge "size" means corrupt framing
+    if (size > (64L << 20))
+      throw new java.io.IOException(s"zstd dictionary frame claims $size bytes — corrupt")
+    val dict = readFully(pb, size.toInt)
+    if (dict.length >= 4 && le(dict, 0) == (ZstdFrameMagic.toLong & 0xffffffffL)) {
+      // the dictionary itself ships zstd-compressed
+      val zin = new com.github.luben.zstd.ZstdInputStream(
+        new java.io.ByteArrayInputStream(dict))
+      val out = new java.io.ByteArrayOutputStream(dict.length * 4)
+      val buf = new Array[Byte](1 << 14)
+      var k = zin.read(buf)
+      while (k >= 0) { out.write(buf, 0, k); k = zin.read(buf) }
+      Some(out.toByteArray)
+    } else Some(dict)
+  }
+
+  /** Load the file-head dictionary of a `.warc.zst`, if present — the
+    * once-per-file step a SEEK reader needs before decoding spans of a
+    * dictionary-compressed shard (the spans themselves are bare frames).
+    * Reads only the head bytes; the stream position afterwards is
+    * unspecified (callers use positioned reads).
+    */
+  def readZstdDict(open: => InputStream): Option[Array[Byte]] = {
+    val in = open
+    try {
+      val pb = new java.io.PushbackInputStream(new BufferedInputStream(in, 1 << 16), 8)
+      readZstdDictFrame(pb)
+    } finally in.close()
+  }
+
   /** `available()` that answers by PEEKING (one blocking read +
     * unread) instead of trusting the source's estimate.
     * `GZIPInputStream` decides whether a concatenated stream has
@@ -394,11 +492,19 @@ object Warc {
       maxBufferedPayload: Long): Iterator[Either[String, WarcRecord]] =
     parseStream(raw, if (gzipped) CodecGzip else CodecNone, maxBufferedPayload)
 
+  /** `zstdDict` (zstd codec only): explicit dictionary for decoding a
+    * byte SPAN of a dictionary-compressed `.warc.zst` — a seeked frame
+    * doesn't contain the file-head dictionary frame, so the seek paths
+    * load it once per file ([[readZstdDict]]) and pass it here. When the
+    * stream itself starts with a dictionary frame (a whole-file read),
+    * the in-stream dictionary wins.
+    */
   def parseStream(
       raw: InputStream,
       codec: String,
       maxBufferedPayload: Long = Int.MaxValue - 8L,
-      keepPayload: Map[String, String] => Boolean = _ => true): Iterator[Either[String, WarcRecord]] = {
+      keepPayload: Map[String, String] => Boolean = _ => true,
+      zstdDict: Option[Array[Byte]] = None): Iterator[Either[String, WarcRecord]] = {
     new Iterator[Either[String, WarcRecord]] {
       private var in: InputStream = _
       private var done = false
@@ -413,7 +519,7 @@ object Warc {
         */
       private def ensureOpen(): Boolean = {
         if (in != null) return true
-        val pb = new java.io.PushbackInputStream(new BufferedInputStream(raw, 1 << 16), 1)
+        val pb = new java.io.PushbackInputStream(new BufferedInputStream(raw, 1 << 16), 8)
         val first = pb.read()
         if (first < 0) { done = true; return false } // empty file: clean zero records
         pb.unread(first)
@@ -423,8 +529,14 @@ object Warc {
               new GZIPInputStream(new PeekAvailableInputStream(pb), 1 << 16), 1 << 16)
           case CodecZstd =>
             // zstd-jni's stream reads across concatenated frames and has
-            // no available()-based continuation heuristic to defuse
-            new BufferedInputStream(new com.github.luben.zstd.ZstdInputStream(pb), 1 << 16)
+            // no available()-based continuation heuristic to defuse.
+            // IIPC optional dictionary frame: when the stream leads with
+            // a skippable frame, its payload is the shared dictionary
+            // every later frame was compressed against.
+            val dict = readZstdDictFrame(pb).orElse(zstdDict)
+            val zin = new com.github.luben.zstd.ZstdInputStream(pb)
+            dict.foreach(zin.setDict)
+            new BufferedInputStream(zin, 1 << 16)
           case CodecNone => new BufferedInputStream(pb, 1 << 16)
           case other => throw new java.io.IOException(s"unknown WARC codec '$other'")
         }

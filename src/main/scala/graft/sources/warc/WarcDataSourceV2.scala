@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsReportStatistics}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, In, IsNotNull, StringStartsWith}
@@ -124,6 +124,16 @@ object WarcDataSourceV2 {
     * leading underscore keeps it outside every `*.warc*` scan glob).
     */
   val IndexSidecar = "_cdx"
+
+  /** The sidecar's schema is part of its contract (ArchiveOps.WarcIndexRow
+    * writes it) — reading it with the stored schema skips the
+    * footer-inference Spark job a bare `read.parquet` pays per scan.
+    */
+  val IndexSchema: StructType = StructType(Seq(
+    StructField("record_id", StringType),
+    StructField("path", StringType),
+    StructField("offset", LongType),
+    StructField("length", LongType)))
 
   private[warc] def headerField(
       name: String, path: String, warcType: String,
@@ -302,13 +312,23 @@ final class WarcDataWriter(
 // ---------------------------------------------------------------------------
 
 final class WarcScanBuilder(dir: String)
-    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters
+    with SupportsPushDownLimit {
   import WarcDataSourceV2.PushableCols
   private var required: StructType = WarcDataSourceV2.Schema
   private var pushed: Array[Filter] = Array.empty
+  private var limit: Int = -1
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+
+  /** PARTIAL limit pushdown: each partition reader stops parsing its
+    * shard after emitting `limit` rows (an exploratory `.limit(5)` on a
+    * 1 GB crawl shard costs 5 record parses, not a file scan); Spark
+    * still applies the global limit across partitions
+    * (`isPartiallyPushed` stays true).
+    */
+  override def pushLimit(l: Int): Boolean = { limit = l; true }
 
   private def literalOk(col: String, v: Any): Boolean =
     if (col == "http_status") v.isInstanceOf[Integer] else v.isInstanceOf[String]
@@ -330,7 +350,7 @@ final class WarcScanBuilder(dir: String)
   override def pushedFilters(): Array[Filter] = pushed
 
   override def build(): Scan =
-    WarcScan(dir, required, pushed, WarcDataSourceV2.broadcastConf())
+    WarcScan(dir, required, pushed, limit, WarcDataSourceV2.broadcastConf())
 }
 
 /** Compiled view of a scan's projection + pushed predicates, shared by
@@ -462,15 +482,53 @@ private[warc] final class RowShaper(required: StructType, pushed: Array[Filter])
 }
 
 final case class WarcScan(
-    dir: String, required: StructType, pushed: Array[Filter],
+    dir: String, required: StructType, pushed: Array[Filter], limit: Int,
     bconf: Broadcast[SerializableHadoopConf])
-    extends Scan with Batch {
+    extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new WarcMicroBatchStream(dir, required, pushed, bconf)
+    new WarcMicroBatchStream(dir, required, pushed, limit, bconf)
   override def description(): String =
-    s"WarcScan($dir) ReadSchema: ${required.simpleString}, PushedFilters: [${pushed.mkString(", ")}]"
+    s"WarcScan($dir) ReadSchema: ${required.simpleString}, " +
+      s"PushedFilters: [${pushed.mkString(", ")}]" +
+      (if (limit >= 0) s", PushedLimit: $limit" else "")
+
+  /** Size estimate for the join planner (the number that decides
+    * broadcastability): Σ shard bytes, compressed shards scaled by a
+    * conservative 4x expansion so an under-estimate never broadcasts a
+    * side that then inflates past executor memory; a text-pruned
+    * projection divides by 4 (payload dominates a crawl record); an
+    * index-assisted record_id lookup is bounded by its request size.
+    * Conservative by construction — the cost of over-estimating is a
+    * missed broadcast, the cost of under-estimating is an OOM.
+    */
+  override def estimateStatistics(): Statistics = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(bconf.value.value)
+    val ids = pinnedRecordIds
+    val (size, rows): (Long, java.util.OptionalLong) =
+      if (ids.isDefined && fs.exists(new Path(p, WarcDataSourceV2.IndexSidecar))) {
+        // request-bounded seek scan: <= one record per pinned id
+        (ids.get.size.toLong * 64 * 1024, java.util.OptionalLong.of(ids.get.size.toLong))
+      } else {
+        val stat = fs.getFileStatus(p)
+        val files =
+          if (stat.isDirectory)
+            WarcDataSourceV2.listShards(fs, p).map(f => fs.getFileStatus(new Path(f)))
+          else Seq(stat)
+        val bytes = files.map { s =>
+          val inflate = if (s.getPath.getName.endsWith(".warc")) 1L else 4L
+          s.getLen * inflate
+        }.sum
+        (if (required.fieldNames.contains("text")) bytes else math.max(1L, bytes / 4),
+          java.util.OptionalLong.empty())
+      }
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(size)
+      override def numRows(): java.util.OptionalLong = rows
+    }
+  }
 
   /** record_id literals pinned by the pushed filters, when they alone
     * decide which records the scan can return — the index-lookup shape.
@@ -496,7 +554,8 @@ final case class WarcScan(
       // (writeCorpusWithIndex writes both together), so "absent from the
       // index" == "absent from the corpus".
       import org.apache.spark.sql.functions.col
-      val rows = SparkSession.active.read.parquet(idx.toString)
+      val rows = SparkSession.active.read
+        .schema(WarcDataSourceV2.IndexSchema).parquet(idx.toString)
         .filter(col("record_id").isin(ids.get: _*))
         .select("record_id", "path", "offset", "length")
         .collect()
@@ -514,7 +573,7 @@ final case class WarcScan(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    WarcReaderFactory(required, pushed, bconf)
+    WarcReaderFactory(required, pushed, limit, bconf)
 }
 
 final case class WarcInputPartition(file: String) extends InputPartition
@@ -524,15 +583,15 @@ final case class WarcSeekPartition(file: String, spans: IndexedSeq[SeekSpan])
     extends InputPartition
 
 final case class WarcReaderFactory(
-    required: StructType, pushed: Array[Filter],
+    required: StructType, pushed: Array[Filter], limit: Int,
     bconf: Broadcast[SerializableHadoopConf])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     partition match {
       case WarcInputPartition(file) =>
-        new WarcPartitionReader(file, new RowShaper(required, pushed), bconf)
+        new WarcPartitionReader(file, new RowShaper(required, pushed), limit, bconf)
       case WarcSeekPartition(file, spans) =>
-        new WarcSeekReader(file, spans, new RowShaper(required, pushed), bconf)
+        new WarcSeekReader(file, spans, new RowShaper(required, pushed), limit, bconf)
       case other => throw new IllegalStateException(s"unexpected partition $other")
     }
 }
@@ -542,7 +601,8 @@ final case class WarcReaderFactory(
   * predicates prove will never be consumed.
   */
 final class WarcPartitionReader(
-    file: String, shaper: RowShaper, bconf: Broadcast[SerializableHadoopConf])
+    file: String, shaper: RowShaper, limit: Int,
+    bconf: Broadcast[SerializableHadoopConf])
     extends PartitionReader[InternalRow] {
 
   private val hp = new Path(file)
@@ -551,15 +611,19 @@ final class WarcPartitionReader(
   private val records = Warc.parseStream(in, Warc.codecOf(file),
     keepPayload = hs => shaper.needsPayload(file, hs))
 
+  private var emitted = 0
   private var current: InternalRow = _
 
   override def next(): Boolean = {
+    // pushed (partial) limit: stop PARSING once this partition has
+    // produced enough rows — the rest of the shard is never read
+    if (limit >= 0 && emitted >= limit) return false
     while (records.hasNext) {
       val row = records.next() match {
         case Right(rec) => shaper.recordRow(file, rec)
         case Left(err)  => shaper.errorRow(file, err, null)
       }
-      if (row != null) { current = row; return true }
+      if (row != null) { current = row; emitted += 1; return true }
     }
     false
   }
@@ -574,12 +638,17 @@ final class WarcPartitionReader(
   * an error row carrying the REQUESTED record_id.
   */
 final class WarcSeekReader(
-    file: String, spans: IndexedSeq[SeekSpan], shaper: RowShaper,
+    file: String, spans: IndexedSeq[SeekSpan], shaper: RowShaper, limit: Int,
     bconf: Broadcast[SerializableHadoopConf])
     extends PartitionReader[InternalRow] {
 
   private val hp = new Path(file)
-  private val in = hp.getFileSystem(bconf.value.value).open(hp)
+  private val fs = hp.getFileSystem(bconf.value.value)
+  private val in = fs.open(hp)
+  // dictionary-compressed .warc.zst: seeked frames need the file-head
+  // dictionary — loaded ONCE per partition (= per file)
+  private lazy val dict: Option[Array[Byte]] =
+    if (Warc.codecOf(file) == Warc.CodecZstd) Warc.readZstdDict(fs.open(hp)) else None
   private var i = 0
   private var current: InternalRow = _
 
@@ -595,7 +664,7 @@ final class WarcSeekReader(
           s.recordId)
     }
     Warc.parseStream(new java.io.ByteArrayInputStream(buf), Warc.codecOf(file),
-      keepPayload = hs => shaper.needsPayload(file, hs))
+      keepPayload = hs => shaper.needsPayload(file, hs), zstdDict = dict)
       .take(1).toSeq.headOption match {
       case None => shaper.errorRow(file, s"empty member span at ${s.offset}+${s.length}", s.recordId)
       case Some(Left(err)) => shaper.errorRow(file, err, s.recordId)
@@ -607,11 +676,13 @@ final class WarcSeekReader(
     }
   }
 
+  private var emitted = 0
   override def next(): Boolean = {
+    if (limit >= 0 && emitted >= limit) return false
     while (i < spans.length) {
       val row = rowForSpan(spans(i))
       i += 1
-      if (row != null) { current = row; return true }
+      if (row != null) { current = row; emitted += 1; return true }
     }
     false
   }
@@ -660,7 +731,7 @@ object WarcStreamOffset {
 }
 
 final class WarcMicroBatchStream(
-    dir: String, required: StructType, pushed: Array[Filter],
+    dir: String, required: StructType, pushed: Array[Filter], limit: Int,
     bconf: Broadcast[SerializableHadoopConf])
     extends MicroBatchStream {
 
@@ -682,7 +753,7 @@ final class WarcMicroBatchStream(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    WarcReaderFactory(required, pushed, bconf)
+    WarcReaderFactory(required, pushed, limit, bconf)
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()

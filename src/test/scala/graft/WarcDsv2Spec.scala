@@ -308,6 +308,53 @@ class WarcDsv2Spec extends SparkSpec {
     }
   }
 
+  test("limit pushdown: the reader stops parsing its shard after `limit` rows") {
+    val df = spark.read.format("warc").load(corpusDir).limit(3)
+    val scan = scanOf(df)
+    assert(scan.limit == 3, scan.description())
+    assert(df.count() == 3)
+    // source-level proof of early stop: drive ONE partition reader by
+    // hand — it must emit exactly `limit` rows, not the whole shard
+    val parts = scan.planInputPartitions()
+    val reader = scan.createReaderFactory().createReader(parts.head)
+    var n = 0
+    while (reader.next()) n += 1
+    reader.close()
+    assert(n == 3, s"reader emitted $n rows, limit was 3")
+    // without a limit the same partition yields the full shard
+    val noLimit = scanOf(spark.read.format("warc").load(corpusDir))
+    val full = noLimit.createReaderFactory().createReader(parts.head)
+    var m = 0
+    while (full.next()) m += 1
+    full.close()
+    assert(m > 3)
+  }
+
+  test("reported statistics: conservative size feeds the broadcast decision") {
+    val scan = scanOf(spark.read.format("warc").load(corpusDir))
+    val stats = scan.estimateStatistics()
+    val rawBytes = new java.io.File(corpusDir).listFiles()
+      .filter(f => f.getName.contains(".warc") && !f.getName.endsWith(".crc"))
+      .map(_.length()).sum
+    // at least the on-disk bytes (compressed shards scaled up, never down)
+    assert(stats.sizeInBytes().getAsLong >= rawBytes)
+    // a text-pruned projection reports a smaller scan
+    val pruned = scanOf(spark.read.format("warc").load(corpusDir).select("lang", "source"))
+    assert(pruned.estimateStatistics().sizeInBytes().getAsLong <
+      stats.sizeInBytes().getAsLong)
+    // the planner can SEE the small corpus: a join against the fact
+    // table broadcasts the warc side instead of shuffling it
+    val warcSide = spark.read.format("warc").load(corpusDir)
+      .filter(col("warc_type") === "resource")
+      .select(expr("CAST(substring_index(record_id, ':', -1) AS BIGINT)").as("doc_id"),
+        col("lang").as("w_lang"))
+    val joined = Tables.documents(spark, sfDir).join(warcSide, "doc_id")
+    val hasBroadcast = joined.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin")
+    assert(hasBroadcast, joined.queryExecution.executedPlan.toString.take(2000))
+    assert(joined.count() == Tables.documents(spark, sfDir).count())
+  }
+
   test("q_warc_http matches the direct computation (charset/chunked/gzip variants)") {
     val df = SparkEntry.queries("q_warc_http")(spark, sfDir)
     val got = df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
