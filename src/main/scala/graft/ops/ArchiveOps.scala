@@ -93,10 +93,18 @@ object ArchiveOps extends QueryModule {
     * a few hundred documents is the compression lever of the layout;
     * None when the sample is too small/uniform to train.
     */
-  def trainedZstdDict(docs: DataFrame, sampleDocs: Int = 512): Option[Array[Byte]] = {
+  def trainedZstdDict(
+      docs: DataFrame,
+      sampleDocs: Int = 512,
+      dictSize: Int = 4 * 1024): Option[Array[Byte]] = {
     val samples = docs.select("text").limit(sampleDocs).collect()
       .map(_.getString(0).getBytes(UTF_8)).toSeq
-    Warc.trainZstdDict(samples)
+    // the dictionary frame is a PER-SHARD constant while its savings are
+    // per-record: size it well under (records/shard) x (bytes saved per
+    // record) or small corpora pay more in frames than they save. 4 KiB
+    // covers short-document vocab; crawls with MB-scale shards would
+    // pass the IIPC-typical 16-112 KiB here.
+    Warc.trainZstdDict(samples, dictSize)
   }
 
   /** [[writeCorpus]] plus the persisted CDX sidecar: the record index is

@@ -142,6 +142,45 @@ class WarcSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming WARC restart: the checkpointed offset log resumes without re-delivery") {
+    // deserializeOffset runs only on RESTART — a fresh query on the same
+    // checkpoint must resume from the logged file-set, reading neither
+    // the already-consumed shards again nor missing the new ones
+    val landing = Files.createTempDirectory("graft_warc_restart").toFile
+    val ckpt = Files.createTempDirectory("graft_warc_rckpt").toFile.getAbsolutePath
+    val seen = scala.collection.mutable.ArrayBuffer[String]()
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text", "lang", "source")
+    def land(lo: Long, hi: Long, tag: String): Unit = {
+      val stage = Files.createTempDirectory("graft_warc_rstage").toFile
+      ArchiveOps.writeCorpus(
+        docs.filter(col("doc_id") >= lo && col("doc_id") < hi),
+        stage.getAbsolutePath, shards = 2)
+      stage.listFiles().filter(f => !f.getName.startsWith(".")).foreach { f =>
+        java.nio.file.Files.move(f.toPath,
+          new java.io.File(landing, s"$tag-${f.getName}").toPath)
+      }
+    }
+    def start() = ArchiveOps.streamCorpus(spark, landing.getAbsolutePath)
+      .filter(col("warc_type") === "resource")
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val ids = batch.select("record_id").collect().map(_.getString(0))
+        seen.synchronized { seen ++= ids }
+        ()
+      }.start()
+    val q1 = start()
+    try { land(0, 12, "b1"); q1.processAllAvailable() } finally q1.stop()
+    assert(seen.synchronized(seen.size) == 12)
+    // files land WHILE no query is running; the restarted query must
+    // pick up exactly the delta
+    land(12, 20, "b2")
+    val q2 = start()
+    try { q2.processAllAvailable() } finally q2.stop()
+    val ids = seen.synchronized(seen.toVector)
+    assert(ids.size == 20, s"expected 20 total, got ${ids.size}")
+    assert(ids.distinct.size == 20, "a shard was re-delivered after restart")
+  }
+
   test("avro container roundtrip: stream decode recovers every document; schema read from file header") {
     val dir = Files.createTempDirectory("graft_avro_corpus").toFile.getAbsolutePath
     val docs = Tables.documents(spark, sfDir).select("doc_id", "text", "lang", "source")
@@ -346,6 +385,8 @@ class WarcSpec extends SparkSpec {
     // beat dictionary-less zstd even after paying its own frame bytes
     assert(bytesOf(dictDir) < bytesOf(plainDir),
       s"dict ${bytesOf(dictDir)} !< plain ${bytesOf(plainDir)}")
+    info(f"dict shards ${bytesOf(dictDir)} B vs plain zstd ${bytesOf(plainDir)} B " +
+      f"(${bytesOf(dictDir).toDouble / bytesOf(plainDir)}%.3f of dictionary-less)")
     // bulk read (in-stream dictionary detection)
     val back = ArchiveOps.readCorpus(spark, dictDir)
       .filter(col("warc_type") === "resource")
