@@ -162,6 +162,38 @@ object WarcDataSourceV2 {
       }
       .map(_.toString)
 
+  /** Exact record count of a corpus from its `_cdx` sidecar's parquet
+    * footers (one row per record by the sidecar contract) — no Spark
+    * job, cached per directory for the session lifetime (archive shards
+    * are immutable once visible; a rewritten corpus gets a new dir,
+    * the same immutability contract the landing-dir stream relies on).
+    */
+  private val rowCountCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.OptionalLong]()
+
+  private[warc] def sidecarRowCount(
+      fs: org.apache.hadoop.fs.FileSystem, dir: Path,
+      conf: org.apache.hadoop.conf.Configuration): java.util.OptionalLong =
+    rowCountCache.computeIfAbsent(dir.toString, _ => {
+      val idx = new Path(dir, IndexSidecar)
+      try {
+        if (!fs.exists(idx)) java.util.OptionalLong.empty()
+        else {
+          val n = fs.listStatus(idx).iterator
+            .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+            .map { s =>
+              val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(s.getPath, conf)
+              val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+              try r.getFooter.getBlocks.asInstanceOf[java.util.List[
+                org.apache.parquet.hadoop.metadata.BlockMetaData]]
+                .stream().mapToLong(_.getRowCount).sum()
+              finally r.close()
+            }.sum
+          java.util.OptionalLong.of(n)
+        }
+      } catch { case _: java.io.IOException => java.util.OptionalLong.empty() }
+    })
+
   private[warc] def broadcastConf(): Broadcast[SerializableHadoopConf] = {
     val spark = SparkSession.active
     spark.sparkContext.broadcast(
@@ -521,8 +553,14 @@ final case class WarcScan(
           val inflate = if (s.getPath.getName.endsWith(".warc")) 1L else 4L
           s.getLen * inflate
         }.sum
+        // exact record count from the sidecar's parquet FOOTERS when the
+        // corpus carries one — zero Spark jobs, the statistic a
+        // metastore-backed scan answers from its catalog
+        val nRows =
+          if (stat.isDirectory) WarcDataSourceV2.sidecarRowCount(fs, p, bconf.value.value)
+          else java.util.OptionalLong.empty()
         (if (required.fieldNames.contains("text")) bytes else math.max(1L, bytes / 4),
-          java.util.OptionalLong.empty())
+          nRows)
       }
     new Statistics {
       override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(size)

@@ -342,6 +342,14 @@ class WarcDsv2Spec extends SparkSpec {
     val pruned = scanOf(spark.read.format("warc").load(corpusDir).select("lang", "source"))
     assert(pruned.estimateStatistics().sizeInBytes().getAsLong <
       stats.sizeInBytes().getAsLong)
+    // with a _cdx sidecar the row count is EXACT (footer catalog, no job)
+    val idxDir = Files.createTempDirectory("graft_dsv2_stats").toFile.getAbsolutePath
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text", "lang", "source")
+    ArchiveOps.writeCorpusWithIndex(docs, idxDir, shards = 2)
+    val withIdx = scanOf(spark.read.format("warc").load(idxDir)).estimateStatistics()
+    assert(withIdx.numRows().getAsLong == docs.count() + 2) // + 2 warcinfo records
+    // no sidecar -> no row claim
+    assert(!stats.numRows().isPresent)
     // the planner can SEE the small corpus: a join against the fact
     // table broadcasts the warc side instead of shuffling it
     val warcSide = spark.read.format("warc").load(corpusDir)
