@@ -34,8 +34,11 @@ object HttpWire {
 
   /** One parsed HTTP response message. `headers` preserves the raw
     * header block (first occurrence wins); `body` is the message body
-    * AFTER transfer/content decoding — the bytes a browser would hand
-    * to its charset decoder.
+    * AS CAPTURED — transfer/content decoding happens in
+    * [[decodeTextBody]], so a caller that only needs the status line
+    * (a status-code histogram over a crawl) never pays gunzip or
+    * de-chunking, and a column's value can never depend on whether the
+    * body was asked for.
     */
   final case class Response(status: Int, headers: Map[String, String], body: Array[Byte]) {
     def header(k: String): Option[String] =
@@ -72,10 +75,13 @@ object HttpWire {
       if (m.isEmpty) null else m
     }
 
-  /** Parse a captured HTTP response message. Left(reason) on anything
-    * that is not a well-formed response — including a truncated header
-    * block, a non-numeric status, chunked framing that doesn't parse,
-    * or an unsupported Content-Encoding. Never throws.
+  /** Parse a captured HTTP response message's PRELUDE: status line and
+    * header block. Left(reason) on a malformed prelude (truncated
+    * header block, non-numeric status). Body bytes are returned raw —
+    * transfer/content decoding is [[decodeTextBody]]'s job, so body
+    * problems (bad chunk framing, corrupt gzip, unknown encodings) are
+    * body-decode errors, not prelude errors, and `status`/`mime` stay
+    * well-defined for every well-framed message. Never throws.
     */
   def parseResponse(payload: Array[Byte]): Either[String, Response] = {
     val headerEnd = findHeaderEnd(payload)
@@ -114,56 +120,60 @@ object HttpWire {
       }
       i += 1
     }
-    val hmap = headers.toMap
-    def hget(k: String): Option[String] =
-      headers.iterator.collectFirst { case (hk, v) if hk.equalsIgnoreCase(k) => v }
-    val afterHeader = java.util.Arrays.copyOfRange(payload, bodyStart(payload, headerEnd), payload.length)
-    // 1. transfer decoding: chunked framing off the wire bytes
-    val transferDecoded: Either[String, Array[Byte]] =
-      hget("Transfer-Encoding").map(_.trim.toLowerCase) match {
-        case Some(te) if te.endsWith("chunked") => dechunk(afterHeader)
-        case Some("identity") | None            => Right(afterHeader)
-        case Some(te)                           => Left(s"http: unsupported transfer-encoding '$te'")
-      }
-    transferDecoded.flatMap { wire =>
-      // 2. content decoding: compression the server applied to the entity
-      val decoded: Either[String, Array[Byte]] =
-        hget("Content-Encoding").map(_.trim.toLowerCase) match {
-          case Some("gzip") | Some("x-gzip") => inflate(wire, gzip = true)
-          case Some("deflate")               => inflate(wire, gzip = false)
-          case Some("identity") | None       => Right(wire)
-          case Some(ce)                      => Left(s"http: unsupported content-encoding '$ce'")
-        }
-      decoded.map(Response(status, hmap, _))
-    }
+    Right(Response(status, headers.toMap,
+      java.util.Arrays.copyOfRange(payload, bodyStart(payload, headerEnd), payload.length)))
   }
 
-  /** Decode a response body to text under the message's own charset.
+  /** Decode a response's body to text — the ONLY place body bytes are
+    * touched: transfer decoding (chunked), then content decoding
+    * (gzip/deflate/identity), then a strict charset decode under the
+    * message's own Content-Type charset.
     *  - Right(Some(text)): `text/`-class body decoded under the declared
     *    charset (UTF-8 when undeclared);
     *  - Right(None): not a `text/`-class media type — the record is fine,
-    *    it just isn't text (the caller's text column stays null);
-    *  - Left(reason): declared charset unknown, or the bytes are not
-    *    valid under it (strict decode) — the error channel.
+    *    it just isn't text (the caller's text column stays null; the
+    *    body is never decoded at all);
+    *  - Left(reason): chunked framing that doesn't parse, corrupt or
+    *    unsupported transfer/content encoding, unknown declared charset,
+    *    or bytes invalid under it (strict decode) — the error channel.
     */
   def decodeTextBody(r: Response): Either[String, Option[String]] = {
     val m = r.mime
     if (m == null || !m.startsWith("text/")) return Right(None)
+    // 1. transfer decoding: chunked framing off the wire bytes
+    val transferDecoded: Either[String, Array[Byte]] =
+      r.header("Transfer-Encoding").map(_.trim.toLowerCase) match {
+        case Some(te) if te.endsWith("chunked") => dechunk(r.body)
+        case Some("identity") | None            => Right(r.body)
+        case Some(te)                           => Left(s"http: unsupported transfer-encoding '$te'")
+      }
+    // 2. content decoding: compression the server applied to the entity
+    val decoded: Either[String, Array[Byte]] = transferDecoded.flatMap { wire =>
+      r.header("Content-Encoding").map(_.trim.toLowerCase) match {
+        case Some("gzip") | Some("x-gzip") => inflate(wire, gzip = true)
+        case Some("deflate")               => inflate(wire, gzip = false)
+        case Some("identity") | None       => Right(wire)
+        case Some(ce)                      => Left(s"http: unsupported content-encoding '$ce'")
+      }
+    }
+    // 3. character decoding under the message's own charset
     val csName = r.charsetName
     val cs: Either[String, Charset] =
       if (csName == null) Right(UTF_8)
       else
         try Right(Charset.forName(csName))
         catch { case _: Exception => Left(s"http: unsupported charset '$csName'") }
-    cs.flatMap { charset =>
-      try {
-        val dec = charset.newDecoder()
-          .onMalformedInput(CodingErrorAction.REPORT)
-          .onUnmappableCharacter(CodingErrorAction.REPORT)
-        Right(Some(dec.decode(java.nio.ByteBuffer.wrap(r.body)).toString))
-      } catch {
-        case _: java.nio.charset.CharacterCodingException =>
-          Left(s"http: body is not valid ${charset.name}")
+    decoded.flatMap { entity =>
+      cs.flatMap { charset =>
+        try {
+          val dec = charset.newDecoder()
+            .onMalformedInput(CodingErrorAction.REPORT)
+            .onUnmappableCharacter(CodingErrorAction.REPORT)
+          Right(Some(dec.decode(java.nio.ByteBuffer.wrap(entity)).toString))
+        } catch {
+          case _: java.nio.charset.CharacterCodingException =>
+            Left(s"http: body is not valid ${charset.name}")
+        }
       }
     }
   }

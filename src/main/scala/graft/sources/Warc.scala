@@ -318,11 +318,20 @@ object Warc {
       recordContentType != null &&
       recordContentType.toLowerCase.startsWith("application/http")
 
-  def payloadView(rec: WarcRecord): PayloadView = {
+  /** `needBody = false` skips ALL body work — transfer/content decoding
+    * and charset decode for response records, UTF-8 decode for resource
+    * records — returning null `text`/`error`-from-body. Only correct
+    * when the caller provably never reads those columns (the DSv2
+    * reader's pruning contract); `httpStatus`/`contentType` are
+    * prelude-only either way, so their values can never depend on the
+    * projection.
+    */
+  def payloadView(rec: WarcRecord, needBody: Boolean = true): PayloadView = {
     val recCt = headerOf(rec.headers, "Content-Type")
     if (isHttpResponse(rec.warcType, recCt)) {
       HttpWire.parseResponse(rec.payload) match {
         case Left(err) => PayloadView(None, null, null, err)
+        case Right(r) if !needBody => PayloadView(Some(r.status), r.mime, null, null)
         case Right(r) =>
           HttpWire.decodeTextBody(r) match {
             case Left(err)   => PayloadView(Some(r.status), r.mime, null, err)
@@ -330,7 +339,8 @@ object Warc {
           }
       }
     } else {
-      PayloadView(None, HttpWire.mimeOf(recCt), new String(rec.payload, UTF_8), null)
+      PayloadView(None, HttpWire.mimeOf(recCt),
+        if (needBody) new String(rec.payload, UTF_8) else null, null)
     }
   }
 

@@ -394,6 +394,7 @@ private[warc] final class RowShaper(required: StructType, pushed: Array[Filter])
   import WarcDataSourceV2.{headerField, HeaderCols}
 
   val needText: Boolean = required.fieldNames.contains("text")
+  val needError: Boolean = required.fieldNames.contains("error")
   val needHttp: Boolean =
     required.fieldNames.contains("http_status") || required.fieldNames.contains("content_type")
 
@@ -420,7 +421,8 @@ private[warc] final class RowShaper(required: StructType, pushed: Array[Filter])
     if (!headerPass(file, headers)) return false
     val warcType = Warc.headerOf(headers, "WARC-Type")
     val recCt = Warc.headerOf(headers, "Content-Type")
-    if (Warc.isHttpResponse(warcType, recCt)) needText || needHttp || hasHttpPreds
+    if (Warc.isHttpResponse(warcType, recCt))
+      needText || needError || needHttp || hasHttpPreds
     else {
       // non-response: content_type is header-derived — evaluate http
       // predicates NOW so a filtered-out record costs a skip, not a
@@ -451,7 +453,11 @@ private[warc] final class RowShaper(required: StructType, pushed: Array[Filter])
     val recCt = Warc.headerOf(rec.headers, "Content-Type")
     val view: Warc.PayloadView =
       if (Warc.isHttpResponse(rec.warcType, recCt)) {
-        if (needText || needHttp || hasHttpPreds) Warc.payloadView(rec)
+        if (needText || needError || needHttp || hasHttpPreds)
+          // body work (de-chunk, gunzip, charset) only when text/error is
+          // actually consumed — a status/mime histogram over a crawl
+          // parses preludes only
+          Warc.payloadView(rec, needBody = needText || needError)
         // nothing payload-derived is projected or filtered: the payload
         // was never buffered (needsPayload said skip) — all nulls is the
         // correct view of the pruned columns

@@ -73,7 +73,8 @@ class HttpWireSpec extends AnyFunSuite {
       "HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n" +
         "Content-Type: text/plain\r\n\r\n" +
         "5;ext=1\r\nhello\r\n8\r\n, chunks\r\n0\r\n\r\n")).toOption.get
-    assert(new String(r.body, UTF_8) == "hello, chunks")
+    // parseResponse is prelude-only: raw chunked bytes until decode
+    assert(new String(r.body, UTF_8).startsWith("5;ext=1"))
     assert(HttpWire.decodeTextBody(r) == Right(Some("hello, chunks")))
   }
 
@@ -93,9 +94,19 @@ class HttpWireSpec extends AnyFunSuite {
     val r2 = HttpWire.parseResponse(
       msg("HTTP/1.1 200 OK\r\nContent-Encoding: deflate\r\nContent-Type: text/plain\r\n\r\n") ++ zb)
       .toOption.get
-    assert(new String(r2.body, UTF_8) == "deflated")
-    assert(HttpWire.parseResponse(
-      msg("HTTP/1.1 200 OK\r\nContent-Encoding: br\r\n\r\nx")).isLeft)
+    assert(HttpWire.decodeTextBody(r2) == Right(Some("deflated")))
+    // an unsupported encoding is a BODY-decode error: the prelude (and
+    // therefore status/mime) stays well-defined
+    val br = HttpWire.parseResponse(
+      msg("HTTP/1.1 200 OK\r\nContent-Encoding: br\r\nContent-Type: text/plain\r\n\r\nx"))
+      .toOption.get
+    assert(br.status == 200 && br.mime == "text/plain")
+    assert(HttpWire.decodeTextBody(br).isLeft)
+    // ...and is never even looked at for a non-text entity
+    val brGif = HttpWire.parseResponse(
+      msg("HTTP/1.1 200 OK\r\nContent-Encoding: br\r\nContent-Type: image/gif\r\n\r\nx"))
+      .toOption.get
+    assert(HttpWire.decodeTextBody(brGif) == Right(None))
   }
 
   test("chunked + gzip compose (transfer decoding before content decoding)") {
@@ -107,16 +118,21 @@ class HttpWireSpec extends AnyFunSuite {
   }
 
   test("malformed wire bytes are Left, never a throw") {
+    // prelude-level failures
     assert(HttpWire.parseResponse(msg("not http at all")).isLeft)
     assert(HttpWire.parseResponse(msg("HTTP/1.1 abc Bad\r\n\r\n")).isLeft)
     assert(HttpWire.parseResponse(msg("HTTP/1.1 200 OK\r\nNoColonHere\r\n\r\nx")).isLeft)
-    assert(HttpWire.parseResponse(msg("HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\nzz\r\n")).isLeft)
-    assert(HttpWire.parseResponse(msg(
-      "HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\nffffffff\r\nx")).isLeft)
-    assert(HttpWire.parseResponse(msg(
-      "HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\nnot gzip")).isLeft)
     // truncated header block (no blank line)
     assert(HttpWire.parseResponse(msg("HTTP/1.1 200 OK\r\nContent-Type: text/html")).isLeft)
+    // body-level failures: prelude parses, decodeTextBody errors
+    def bodyOf(s: String) =
+      HttpWire.decodeTextBody(HttpWire.parseResponse(msg(s)).toOption.get)
+    assert(bodyOf("HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n" +
+      "Content-Type: text/plain\r\n\r\nzz\r\n").isLeft)
+    assert(bodyOf("HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n" +
+      "Content-Type: text/plain\r\n\r\nffffffff\r\nx").isLeft)
+    assert(bodyOf("HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n" +
+      "Content-Type: text/plain\r\n\r\nnot gzip").isLeft)
   }
 
   test("header-only message (no body) parses with an empty body") {

@@ -363,6 +363,37 @@ class WarcDsv2Spec extends SparkSpec {
     assert(joined.count() == Tables.documents(spark, sfDir).count())
   }
 
+  test("response body decode is lazy: status/mime are prelude-only, error surfaces on demand") {
+    // one response record whose BODY is undecodable (corrupt gzip
+    // content-encoding on a text entity). A status/mime projection must
+    // parse the prelude alone and report the TRUE status — identical to
+    // what a full projection reports (column values can never depend on
+    // pruning); the body failure surfaces exactly when text/error is
+    // consumed.
+    val dir = Files.createTempDirectory("graft_dsv2_lazy").toFile
+    val w = graft.sources.Warc.shardWriter(new java.io.File(dir, "part-00000.warc"), gzip = false)
+    w.write(graft.sources.Warc.WarcRecord("response", "urn:graft:doc:77",
+      Some("https://graft.invalid/x/77"),
+      Map("Content-Type" -> "application/http;msgtype=response"),
+      ("HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n" +
+        "Content-Type: text/html; charset=utf-8\r\n\r\nNOT-GZIP").getBytes("ISO-8859-1")))
+    w.close()
+    val d = dir.getAbsolutePath
+    val slim = spark.read.format("warc").load(d)
+      .select("record_id", "http_status", "content_type")
+      .filter(col("record_id") === "urn:graft:doc:77").collect()
+    assert(slim.length == 1)
+    assert(slim.head.getInt(1) == 200 && slim.head.getString(2) == "text/html")
+    val full = spark.read.format("warc").load(d)
+      .filter(col("record_id") === "urn:graft:doc:77")
+      .select("http_status", "content_type", "text", "error").collect()
+    assert(full.length == 1)
+    assert(full.head.getInt(0) == 200 && full.head.getString(1) == "text/html",
+      "status/mime must be identical under the full projection")
+    assert(full.head.isNullAt(2) && full.head.getString(3).contains("decode failed"),
+      full.head.toString)
+  }
+
   test("q_warc_http matches the direct computation (charset/chunked/gzip variants)") {
     val df = SparkEntry.queries("q_warc_http")(spark, sfDir)
     val got = df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
