@@ -715,6 +715,32 @@ object ArchiveOps extends QueryModule {
         .orderBy("lang")
     },
 
+    // Crawl STATUS/MIME histogram — the first query anyone runs on a new
+    // crawl dump — through the prelude-only path: neither text nor error
+    // is projected, so the reader parses each HTTP prelude and never
+    // de-chunks, gunzips, or charset-decodes a single body
+    // (plan-and-semantics pinned in WarcDsv2Spec). The oracle spells out
+    // the fixture's shape: every document is a (200, text/html) page —
+    // the unknown-charset gate-out rows are too, since charset failure
+    // is a BODY property — plus one 404 page and one image per shard.
+    Q(
+      "q_warc_http_meta",
+      """SELECT * FROM (
+        |  SELECT 200 AS http_status, 'text/html' AS content_type,
+        |         CAST(COUNT(*) + 8 AS BIGINT) AS n_records
+        |  FROM documents
+        |  UNION ALL SELECT 200, 'image/gif', 8
+        |  UNION ALL SELECT 404, 'text/html', 8
+        |) ORDER BY http_status, content_type"""
+    ) { (s, d) =>
+      val dir = httpFixture(s, d)
+      s.read.format("warc").load(dir)
+        .filter(col("http_status").isNotNull)
+        .groupBy("http_status", "content_type")
+        .agg(count(lit(1)).as("n_records"))
+        .orderBy("http_status", "content_type")
+    },
+
     // DataSourceV2 scan with pruning + pushdown: the resource corpus
     // read through `format("warc")`, projecting NO text column (every
     // payload skipped, never decoded) under a pushed source filter

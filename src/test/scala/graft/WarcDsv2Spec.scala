@@ -403,6 +403,17 @@ class WarcDsv2Spec extends SparkSpec {
     assert(got == want && got.nonEmpty)
   }
 
+  test("q_warc_http_meta plans a prelude-only scan (no text/error in ReadSchema)") {
+    val df = SparkEntry.queries("q_warc_http_meta")(spark, sfDir)
+    val scan = scanOf(df)
+    val fields = scan.readSchema().fieldNames.toSet
+    assert(!fields.contains("text") && !fields.contains("error"), scan.description())
+    val rows = df.collect()
+    assert(rows.map(_.getLong(2)).sum ==
+      Tables.documents(spark, sfDir).count() + 24) // 3 gate-out records x 8 shards
+    assert(rows.length == 3) // (200,text/html), (200,image/gif), (404,text/html)
+  }
+
   test("q_warc_pushdown matches the direct computation") {
     val df = SparkEntry.queries("q_warc_pushdown")(spark, sfDir)
     val got = df.collect().map(r => (r.getString(0), r.getLong(1))).toMap
