@@ -81,7 +81,8 @@ object Bench {
     "q_ann_ivf_nprobe", "q_ann_ivf_search", "q_semantic_dedup", "q_knn_label",
     "q_events_tumbling", "q_events_session",
     "q_orc_roundtrip", "q_warc_roundtrip", "q_warc_fetch", "q_warc_pushdown",
-    "q_warc_write", "q_warc_http", "q_warc_http_meta", "q_warc_zstd_dict", "q_avro_roundtrip",
+    "q_warc_write", "q_warc_http", "q_warc_http_meta", "q_crawl_ingest",
+    "q_warc_zstd_dict", "q_avro_roundtrip",
     "q_avro_evolution", "q_avro_logical", "q_ocr_pipeline", "q_image_neardup",
     "q_audio_wav")
 

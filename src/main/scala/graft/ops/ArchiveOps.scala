@@ -741,6 +741,34 @@ object ArchiveOps extends QueryModule {
         .orderBy("http_status", "content_type")
     },
 
+    // End-to-end CRAWL INGEST composite — the first real step of a
+    // crawl-to-corpus pipeline, straight through the connector: DSv2
+    // read of HTTP response records (status/type pushed into the scan),
+    // error-channel gate, typographic normalization, tokenization,
+    // per-(source, lang) document/token accounting. The oracle composes
+    // the SAME rule dialects the individually-verified stages publish
+    // (normalizeTextSql ∘ the words fragment), so equality proves the
+    // whole chain composes exactly: HTTP decode ∘ normalize ∘ tokenize.
+    Q(
+      "q_crawl_ingest",
+      s"""SELECT source, lang,
+         |       COUNT(*) AS n_docs,
+         |       CAST(SUM(len(list_filter(regexp_split_to_array(
+         |         ${CurationOps.normalizeTextSql("text")}, '${TextOps.WsReDuck}'),
+         |         x -> x <> ''))) AS BIGINT) AS n_tokens
+         |FROM documents GROUP BY source, lang ORDER BY source, lang"""
+    ) { (s, d) =>
+      val dir = httpFixture(s, d)
+      s.read.format("warc").load(dir)
+        .filter(col("http_status") === 200 && col("content_type") === "text/html" &&
+          col("error").isNull)
+        .select(col("source"), col("lang"),
+          TextOps.wordCount(CurationOps.normalizeText(col("text"))).cast("long").as("n_tok"))
+        .groupBy("source", "lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+        .orderBy("source", "lang")
+    },
+
     // DataSourceV2 scan with pruning + pushdown: the resource corpus
     // read through `format("warc")`, projecting NO text column (every
     // payload skipped, never decoded) under a pushed source filter
