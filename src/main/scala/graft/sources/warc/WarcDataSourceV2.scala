@@ -522,8 +522,42 @@ private[warc] final class RowShaper(required: StructType, pushed: Array[Filter])
 final case class WarcScan(
     dir: String, required: StructType, pushed: Array[Filter], limit: Int,
     bconf: Broadcast[SerializableHadoopConf])
-    extends Scan with Batch with SupportsReportStatistics {
+    extends Scan with Batch with SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
   override def readSchema(): StructType = required
+
+  /** RUNTIME filtering (the DSv2 dynamic-pruning hook): when this scan
+    * feeds a join, Spark hands over the build side's key values as an
+    * `In` filter before execution. Accepted filters join the pushed set
+    * — evaluated pre-decode like any pushed predicate, and when the
+    * runtime filter pins `record_id` over a corpus with a `_cdx`
+    * sidecar, the scan RE-PLANS into index seeks: a join against a
+    * small id set reads only the requested members' byte spans at
+    * runtime, with no query rewrite. Over-returning is always safe
+    * (Spark re-applies the join); the accepted filters are exact, so
+    * nothing matching is ever dropped.
+    */
+  private var runtimeFilters: Array[Filter] = Array.empty
+
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    // attributes are resolved against the scan's (pruned) OUTPUT — offer
+    // only the pushable columns the projection kept
+    required.fieldNames.filter(WarcDataSourceV2.PushableCols).sorted
+      .map(org.apache.spark.sql.connector.expressions.Expressions.column)
+
+  override def filter(filters: Array[Filter]): Unit = {
+    // accept exactly what pushFilters would; anything else is ignored
+    // (the join still applies it)
+    runtimeFilters = filters.filter {
+      case EqualTo(a, v) => WarcDataSourceV2.PushableCols(a) && v != null
+      case In(a, vs) => WarcDataSourceV2.PushableCols(a) && vs.nonEmpty && vs.forall(_ != null)
+      case IsNotNull(a) => WarcDataSourceV2.PushableCols(a)
+      case _ => false
+    }
+  }
+
+  /** Pushed + runtime filters — what planning and the readers honor. */
+  private def effectiveFilters: Array[Filter] = pushed ++ runtimeFilters
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new WarcMicroBatchStream(dir, required, pushed, limit, bconf)
@@ -574,10 +608,11 @@ final case class WarcScan(
     }
   }
 
-  /** record_id literals pinned by the pushed filters, when they alone
-    * decide which records the scan can return — the index-lookup shape.
+  /** record_id literals pinned by the pushed OR runtime filters, when
+    * they alone decide which records the scan can return — the
+    * index-lookup shape.
     */
-  private def pinnedRecordIds: Option[Seq[String]] = pushed.collectFirst {
+  private def pinnedRecordIds: Option[Seq[String]] = effectiveFilters.collectFirst {
     case EqualTo("record_id", v: String) => Seq(v)
     case In("record_id", vs) => vs.collect { case s: String => s }.toSeq
   }
@@ -617,7 +652,7 @@ final case class WarcScan(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    WarcReaderFactory(required, pushed, limit, bconf)
+    WarcReaderFactory(required, effectiveFilters, limit, bconf)
 }
 
 final case class WarcInputPartition(file: String) extends InputPartition

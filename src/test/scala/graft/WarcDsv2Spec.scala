@@ -363,6 +363,40 @@ class WarcDsv2Spec extends SparkSpec {
     assert(joined.count() == Tables.documents(spark, sfDir).count())
   }
 
+  test("runtime filtering: a join-delivered In(record_id) re-plans into index seeks") {
+    val dir = Files.createTempDirectory("graft_dsv2_rtf").toFile.getAbsolutePath
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text", "lang", "source")
+    ArchiveOps.writeCorpusWithIndex(docs, dir, shards = 4)
+    // unit level: the scan accepts a runtime In and plans SEEK partitions
+    val scan = scanOf(spark.read.format("warc").load(dir).select("record_id", "text"))
+    assert(scan.filterAttributes().map(_.describe()).contains("record_id"))
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.In("record_id",
+        Array("urn:graft:doc:2", "urn:graft:doc:6"))))
+    val parts = scan.planInputPartitions()
+    assert(parts.forall(_.isInstanceOf[graft.sources.warc.WarcSeekPartition]), parts.mkString(";"))
+    assert(parts.map(_.asInstanceOf[graft.sources.warc.WarcSeekPartition].spans.length).sum == 2)
+    // and the readers honor it: only the two requested records come back
+    val rf = scan.createReaderFactory()
+    val got = parts.flatMap { p =>
+      val r = rf.createReader(p)
+      val out = scala.collection.mutable.ArrayBuffer[String]()
+      while (r.next()) out += r.get().getUTF8String(0).toString
+      r.close(); out
+    }.toSet
+    assert(got == Set("urn:graft:doc:2", "urn:graft:doc:6"))
+    // end-to-end: joining the archive against a tiny id frame is exact
+    // whether or not the runtime filter fires
+    import spark.implicits._
+    val wanted = Seq("urn:graft:doc:2", "urn:graft:doc:6").toDF("record_id")
+    val joined = spark.read.format("warc").load(dir).join(wanted, "record_id")
+      .select("record_id", "text").collect()
+    assert(joined.length == 2)
+    val want = docs.filter(col("doc_id").isin(2L, 6L))
+      .collect().map(r => s"urn:graft:doc:${r.getLong(0)}" -> r.getString(1)).toMap
+    assert(joined.map(r => r.getString(0) -> r.getString(1)).toMap == want)
+  }
+
   test("response body decode is lazy: status/mime are prelude-only, error surfaces on demand") {
     // one response record whose BODY is undecodable (corrupt gzip
     // content-encoding on a text entity). A status/mime projection must
