@@ -18,9 +18,11 @@ import java.nio.charset.StandardCharsets.{ISO_8859_1, UTF_8}
   *    lookups, exactly the stance of the WARC header parser);
   *  - `Transfer-Encoding: chunked` de-chunking (captures recorded
   *    before the crawler normalized the framing);
-  *  - `Content-Encoding: gzip | deflate | identity` (anything else is
+  *  - `Content-Encoding: gzip | deflate (zlib or raw) | br (decoder
+  *    resolved reflectively; env-gated) | identity` (anything else is
   *    an error-channel case, never a throw);
-  *  - charset from the Content-Type `charset=` parameter, UTF-8
+  *  - charset from the Content-Type `charset=` parameter, then (HTML
+  *    only) the body's own `<meta charset>` prescan, UTF-8
   *    fallback when absent; a STRICT decode so mojibake lands in the
   *    row-level error channel instead of silently corrupting the
   *    corpus (a quality gate downstream cannot un-mix a mis-decoded
@@ -151,19 +153,31 @@ object HttpWire {
     val decoded: Either[String, Array[Byte]] = transferDecoded.flatMap { wire =>
       r.header("Content-Encoding").map(_.trim.toLowerCase) match {
         case Some("gzip") | Some("x-gzip") => inflate(wire, gzip = true)
-        case Some("deflate")               => inflate(wire, gzip = false)
+        case Some("deflate")               => inflateDeflate(wire)
+        case Some("br")                    => brotli(wire)
         case Some("identity") | None       => Right(wire)
         case Some(ce)                      => Left(s"http: unsupported content-encoding '$ce'")
       }
     }
-    // 3. character decoding under the message's own charset
-    val csName = r.charsetName
-    val cs: Either[String, Charset] =
-      if (csName == null) Right(UTF_8)
-      else
-        try Right(Charset.forName(csName))
-        catch { case _: Exception => Left(s"http: unsupported charset '$csName'") }
+    // 3. character decoding: the Content-Type charset parameter wins;
+    // when the header declares none, an HTML body's own
+    // <meta charset=…> / <meta http-equiv> declaration (scanned over
+    // the first 1024 decoded-entity bytes, the WHATWG prescan budget)
+    // is used before the UTF-8 fallback — very many real pages declare
+    // charset only in markup, and a strict UTF-8 decode of a
+    // meta-declared windows-1252 page would error-channel a perfectly
+    // good document.
     decoded.flatMap { entity =>
+      val headerCs = r.charsetName
+      val csName =
+        if (headerCs != null) headerCs
+        else if (m == "text/html") metaCharset(entity)
+        else null
+      val cs: Either[String, Charset] =
+        if (csName == null) Right(UTF_8)
+        else
+          try Right(Charset.forName(csName))
+          catch { case _: Exception => Left(s"http: unsupported charset '$csName'") }
       cs.flatMap { charset =>
         try {
           val dec = charset.newDecoder()
@@ -177,6 +191,38 @@ object HttpWire {
       }
     }
   }
+
+  /** Charset declared in the markup itself: `<meta charset=X>` or
+    * `<meta http-equiv="Content-Type" content="…; charset=X">`,
+    * scanned over the first 1024 bytes (the WHATWG encoding-sniff
+    * prescan budget — declarations past that are required by spec to
+    * be within it). The prescan bytes are read as latin-1, which maps
+    * every byte and is ASCII-compatible — exactly the property the
+    * prescan needs, since the declaration itself is ASCII. Returns the
+    * declared name as written, or null.
+    */
+  private[sources] def metaCharset(entity: Array[Byte]): String = {
+    val n = math.min(entity.length, 1024)
+    if (n == 0) return null
+    val head = new String(entity, 0, n, ISO_8859_1)
+    MetaCharsetAttr.findFirstMatchIn(head)
+      .flatMap(m => (1 to 3).view.flatMap(g => Option(m.group(g))).headOption)
+      .map(_.trim)
+      .filter(_.nonEmpty)
+      .orElse {
+        MetaHttpEquiv.findFirstMatchIn(head).flatMap { m =>
+          CharsetParam.findFirstMatchIn(m.group(1))
+            .map(c => Option(c.group(1)).getOrElse(c.group(2)).trim)
+            .filter(_.nonEmpty)
+        }
+      }
+      .orNull
+  }
+
+  private val MetaCharsetAttr =
+    """(?is)<meta[^>]*?\bcharset\s*=\s*(?:"([^">]*)"|'([^'>]*)'|([^\s"'>;]+))""".r
+  private val MetaHttpEquiv =
+    """(?is)<meta[^>]*?http-equiv\s*=\s*["']?content-type["']?[^>]*?\bcontent\s*=\s*["']([^"']*)["']""".r
 
   // -------------------------------------------------------------------
   // wire helpers
@@ -232,6 +278,10 @@ object HttpWire {
         catch { case _: NumberFormatException =>
           return Left(s"http: bad chunk size '$hexStr'") }
       if (size == 0) return Right(out.toByteArray) // trailers (if any) carry no body
+      // Long.parseLong(_, 16) accepts a leading '-'; a negative size
+      // would slip past the overrun guard and make out.write throw —
+      // hostile/corrupt captures must stay in the error channel.
+      if (size < 0) return Left(s"http: bad chunk size '$hexStr'")
       if (size > Int.MaxValue - 8L || i + size > wire.length)
         return Left(s"http: chunk of $size bytes overruns the captured body")
       out.write(wire, i, size.toInt)
@@ -248,15 +298,69 @@ object HttpWire {
       val in =
         if (gzip) new java.util.zip.GZIPInputStream(new ByteArrayInputStream(wire), 1 << 14)
         else new java.util.zip.InflaterInputStream(new ByteArrayInputStream(wire))
-      val out = new java.io.ByteArrayOutputStream(wire.length * 2 + 64)
-      val buf = new Array[Byte](1 << 14)
-      var n = in.read(buf)
-      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
-      Right(out.toByteArray)
+      Right(drain(in, wire.length * 2 + 64))
     } catch {
       case e: java.io.IOException =>
         Left(s"http: content-encoding decode failed: ${Option(e.getMessage).getOrElse(e.getClass.getSimpleName)}")
     }
+
+  /** `Content-Encoding: deflate` per RFC 9110 is zlib-wrapped, but a
+    * long tail of real servers (and therefore real crawl captures)
+    * send RAW deflate — browsers and WARC toolkits all fall back, so
+    * so do we: try zlib first, and on failure retry with a nowrap
+    * Inflater before giving up to the error channel.
+    */
+  private def inflateDeflate(wire: Array[Byte]): Either[String, Array[Byte]] =
+    inflate(wire, gzip = false) match {
+      case r @ Right(_) => r
+      case Left(zlibErr) =>
+        try {
+          val in = new java.util.zip.InflaterInputStream(
+            new ByteArrayInputStream(wire), new java.util.zip.Inflater(true))
+          Right(drain(in, wire.length * 2 + 64))
+        } catch {
+          case _: java.io.IOException => Left(zlibErr) // report the primary failure
+        }
+    }
+
+  /** `Content-Encoding: br`. No brotli decoder ships with Spark or the
+    * JDK, so the decoder is resolved reflectively (org.brotli.dec from
+    * the Google reference impl, then brotli4j) — present on a cluster
+    * that adds one of those jars, absent here. Without a decoder every
+    * `br` body is an error-channel row with an explicit reason, never a
+    * throw; the prelude columns (status, content_type) stay usable
+    * either way because body decoding is lazy.
+    */
+  private def brotli(wire: Array[Byte]): Either[String, Array[Byte]] =
+    BrotliCtor match {
+      case Some(ctor) =>
+        try Right(drain(ctor(new ByteArrayInputStream(wire)), wire.length * 4 + 64))
+        catch {
+          case e: java.io.IOException =>
+            Left(s"http: content-encoding decode failed: ${Option(e.getMessage).getOrElse(e.getClass.getSimpleName)}")
+        }
+      case None =>
+        Left("http: content-encoding 'br' needs a brotli decoder on the classpath (org.brotli:dec or brotli4j)")
+    }
+
+  /** First available brotli InputStream wrapper, located once per JVM. */
+  private lazy val BrotliCtor: Option[java.io.InputStream => java.io.InputStream] = {
+    def byName(cls: String): Option[java.io.InputStream => java.io.InputStream] =
+      try {
+        val c = Class.forName(cls).getConstructor(classOf[java.io.InputStream])
+        Some(in => c.newInstance(in).asInstanceOf[java.io.InputStream])
+      } catch { case _: Throwable => None }
+    byName("org.brotli.dec.BrotliInputStream")
+      .orElse(byName("com.aayushatharva.brotli4j.decoder.BrotliInputStream"))
+  }
+
+  private def drain(in: java.io.InputStream, hint: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(math.max(hint, 64))
+    val buf = new Array[Byte](1 << 14)
+    var n = in.read(buf)
+    while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+    out.toByteArray
+  }
 
   // -------------------------------------------------------------------
   // message BUILDING (fixtures and response-record writers)

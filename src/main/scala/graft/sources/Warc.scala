@@ -158,6 +158,13 @@ object Warc {
     */
   private[sources] val ZstdSkippableMagicLo = 0x184D2A50
   private[sources] val ZstdSkippableMagicHi = 0x184D2A5F
+  /** The IIPC .warc.zst spec pins the DICTIONARY frame to this specific
+    * skippable magic (0x184D2A5D) — we WRITE exactly that so spec-literal
+    * third-party tools recognize graft-written dictionaries, while the
+    * reader keeps accepting the whole skippable range (liberal in what
+    * it accepts).
+    */
+  private[sources] val ZstdDictFrameMagic = 0x184D2A5D
   private[sources] val ZstdFrameMagic = 0xFD2FB528
 
   /** Train a zstd dictionary from sample payloads (the caller bounds the
@@ -215,7 +222,7 @@ object Warc {
     // dictionary bytes) leading the file; every record frame after it is
     // compressed against the loaded dictionary
     zstdDict.foreach { d =>
-      writeIntLE(ZstdSkippableMagicLo.toLong & 0xffffffffL)
+      writeIntLE(ZstdDictFrameMagic.toLong & 0xffffffffL)
       writeIntLE(d.length.toLong)
       raw.write(d)
       zctx.loadDict(d); ()

@@ -171,6 +171,14 @@ object WarcDataSourceV2 {
   private val rowCountCache =
     new java.util.concurrent.ConcurrentHashMap[String, java.util.OptionalLong]()
 
+  /** Drop a directory's cached exact row count — the DSv2 write path
+    * calls this on commit because an append breaks the
+    * "immutable once visible" premise the cache rests on.
+    */
+  private[warc] def invalidateRowCount(dir: String): Unit = {
+    rowCountCache.remove(dir); ()
+  }
+
   private[warc] def sidecarRowCount(
       fs: org.apache.hadoop.fs.FileSystem, dir: Path,
       conf: org.apache.hadoop.conf.Configuration): java.util.OptionalLong =
@@ -264,6 +272,17 @@ final class WarcBatchWrite(
         require(ok, s"warc commit: rename $temp -> $finalName failed")
       case _ => () // empty partition: nothing to publish
     }
+    // Appending to an indexed corpus would leave a STALE `_cdx` sidecar:
+    // the seek planner treats "absent from the index" as "absent from
+    // the corpus", so record_id-pinned scans would silently miss every
+    // appended record, and the cached exact row count would keep
+    // serving the pre-append figure. Deleting the sidecar degrades those
+    // scans to full-shard reads — slower, never wrong; re-index with
+    // ArchiveOps.writeCorpusWithIndex to get seeks back.
+    val sidecar = new Path(new Path(dir), WarcDataSourceV2.IndexSidecar)
+    if (f.exists(sidecar)) { f.delete(sidecar, true); () }
+    // the cache keys on Path.toString (normalized), not the raw option
+    WarcDataSourceV2.invalidateRowCount(new Path(dir).toString)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

@@ -135,6 +135,60 @@ class HttpWireSpec extends AnyFunSuite {
       "Content-Type: text/plain\r\n\r\nnot gzip").isLeft)
   }
 
+  test("negative chunk size is an error-channel Left, not an out-of-bounds throw") {
+    // Long.parseLong(_, 16) accepts '-1'; the write must not be reached
+    val r = HttpWire.parseResponse(msg(
+      "HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n" +
+        "Content-Type: text/plain\r\n\r\n-1\r\nx\r\n0\r\n\r\n")).toOption.get
+    assert(HttpWire.decodeTextBody(r) == Left("http: bad chunk size '-1'"))
+  }
+
+  test("raw (non-zlib) deflate bodies decode via the nowrap fallback") {
+    val raw = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val d = new java.util.zip.DeflaterOutputStream(bos, new java.util.zip.Deflater(-1, true))
+      d.write("raw deflate, as many real servers send it".getBytes(UTF_8)); d.close()
+      bos.toByteArray
+    }
+    val r = HttpWire.parseResponse(
+      msg("HTTP/1.1 200 OK\r\nContent-Encoding: deflate\r\nContent-Type: text/plain\r\n\r\n") ++ raw)
+      .toOption.get
+    assert(HttpWire.decodeTextBody(r) == Right(Some("raw deflate, as many real servers send it")))
+    // garbage that is neither zlib nor raw deflate still errors
+    val bad = HttpWire.parseResponse(
+      msg("HTTP/1.1 200 OK\r\nContent-Encoding: deflate\r\nContent-Type: text/plain\r\n\r\n!!notdeflate!!"))
+      .toOption.get
+    assert(HttpWire.decodeTextBody(bad).isLeft)
+  }
+
+  test("brotli without a decoder on the classpath is a clear error-channel reason") {
+    val r = HttpWire.parseResponse(
+      msg("HTTP/1.1 200 OK\r\nContent-Encoding: br\r\nContent-Type: text/plain\r\n\r\nxx"))
+      .toOption.get
+    val e = HttpWire.decodeTextBody(r)
+    assert(e.isLeft && e.swap.toOption.get.contains("brotli"))
+  }
+
+  test("meta-charset prescan: used when the header declares none, header wins otherwise") {
+    def html(ct: String, doc: String, cs: java.nio.charset.Charset) =
+      HttpWire.decodeTextBody(HttpWire.parseResponse(
+        msg(s"HTTP/1.1 200 OK\r\nContent-Type: $ct\r\n\r\n") ++ doc.getBytes(cs)).toOption.get)
+    val doc1252 = "<html><head><meta charset=\"windows-1252\"></head><body>café</body></html>"
+    // 0xE9 is invalid UTF-8, so without the prescan this would be Left
+    assert(html("text/html", doc1252, java.nio.charset.Charset.forName("windows-1252")) ==
+      Right(Some(doc1252)))
+    // http-equiv spelling
+    val docEquiv = "<html><head><meta http-equiv=\"Content-Type\" " +
+      "content=\"text/html; charset=iso-8859-1\"></head><body>naïve</body></html>"
+    assert(html("text/html", docEquiv, ISO_8859_1) == Right(Some(docEquiv)))
+    // the header's explicit charset wins over a conflicting meta
+    val conflict = "<html><meta charset=\"utf-16be\"><body>plain ascii</body></html>"
+    assert(html("text/html; charset=utf-8", conflict, UTF_8) == Right(Some(conflict)))
+    // non-HTML text never consults markup: invalid utf-8 stays an error
+    val notHtml = "<meta charset=\"windows-1252\"> café"
+    assert(html("text/plain", notHtml, java.nio.charset.Charset.forName("windows-1252")).isLeft)
+  }
+
   test("header-only message (no body) parses with an empty body") {
     val r = HttpWire.parseResponse(msg("HTTP/1.1 204 No Content\r\nServer: x\r\n\r\n")).toOption.get
     assert(r.status == 204 && r.body.isEmpty)

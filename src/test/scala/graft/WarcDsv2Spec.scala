@@ -294,6 +294,23 @@ class WarcDsv2Spec extends SparkSpec {
     assert(back.select("record_id").distinct().count() == 25)
   }
 
+  test("append to an indexed corpus drops the stale _cdx so pinned scans stay correct") {
+    val dir = Files.createTempDirectory("graft_dsv2_stale_cdx").toFile.getAbsolutePath
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text", "lang", "source")
+    ArchiveOps.writeCorpusWithIndex(docs.filter(col("doc_id") < 10), dir, shards = 2)
+    assert(new java.io.File(dir, "_cdx").exists())
+    // DSv2 append: new shards the sidecar knows nothing about
+    docs.filter(col("doc_id") >= 10 && col("doc_id") < 15)
+      .repartition(1).write.format("warc").mode("append").save(dir)
+    // the stale index must be gone — "absent from the index" would have
+    // meant "absent from the corpus" for a record_id-pinned seek scan
+    assert(!new java.io.File(dir, "_cdx").exists())
+    val appendedId = "urn:graft:doc:12"
+    val hit = spark.read.format("warc").load(dir)
+      .filter(col("record_id") === appendedId)
+    assert(hit.count() == 1, "pinned scan must see appended records after the append")
+  }
+
   test("DSv2 write validates doc_id: null values and non-LONG frames are rejected") {
     val dir = Files.createTempDirectory("graft_dsv2_docid").toFile.getAbsolutePath
     val docs = Tables.documents(spark, sfDir).select("doc_id", "text", "lang", "source")

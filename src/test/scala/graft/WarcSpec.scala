@@ -370,6 +370,24 @@ class WarcSpec extends SparkSpec {
     assert(rows.map(_.getLong(0)).forall(_ % 37 == 0))
   }
 
+  test(".warc.zst dictionary frame is written with the IIPC dictionary magic 0x184D2A5D") {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text", "lang", "source")
+    val dict = ArchiveOps.trainedZstdDict(docs)
+    assert(dict.nonEmpty)
+    val dir = Files.createTempDirectory("graft_zstd_magic").toFile.getAbsolutePath
+    ArchiveOps.writeCorpus(docs.limit(20), dir, shards = 1,
+      codec = Some(Warc.CodecZstd), zstdDict = dict)
+    val shard = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".warc.zst")).head
+    val head = new Array[Byte](4)
+    val in = new java.io.FileInputStream(shard)
+    try assert(in.read(head) == 4) finally in.close()
+    val magic = (head(0) & 0xffL) | ((head(1) & 0xffL) << 8) |
+      ((head(2) & 0xffL) << 16) | ((head(3) & 0xffL) << 24)
+    // spec-literal third-party tools key the dictionary off this exact
+    // magic; the generic skippable 0x184D2A50 is not enough
+    assert(magic == 0x184D2A5DL, f"magic 0x$magic%08X != 0x184D2A5D")
+  }
+
   test(".warc.zst dictionary frame: trained dict shrinks shards; every read path decodes it") {
     val docs = Tables.documents(spark, sfDir).select("doc_id", "text", "lang", "source")
     val dict = ArchiveOps.trainedZstdDict(docs)
