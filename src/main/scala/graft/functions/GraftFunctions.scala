@@ -69,6 +69,13 @@ object GraftFunctions {
   def hashed_bucket_counts(c: Column, dim: Int): Column =
     GraftBridge.column(HashedBucketCounts(GraftBridge.expression(c), dim))
 
+  /** Native dot product of a bucket-count array against a literal
+    * weight table: Σ bc[i]·weights[i] (the [[hashed_weight_sum]] value
+    * without re-tokenizing — see [[BucketDot]]).
+    */
+  def bucket_dot(c: Column, weights: Seq[Long]): Column =
+    GraftBridge.column(BucketDot(GraftBridge.expression(c), weights))
+
   /** Native per-set token occurrence counts -> array<bigint>, one slot
     * per word set (sets baked into the plan as literals).
     */
@@ -90,6 +97,27 @@ object GraftFunctions {
   def histogram(c: Column, lo: Double, hi: Double, n: Int): Column =
     GraftBridge.column(
       HistogramAgg(GraftBridge.expression(c), lo, hi, n).toAggregateExpression())
+
+  /** Element-wise sum aggregate of dim-slot array<bigint> columns. */
+  def vec_sum(c: Column, dim: Int): Column =
+    GraftBridge.column(
+      LongVecSumAgg(GraftBridge.expression(c), dim).toAggregateExpression())
+
+  /** Capped element-count map aggregate over array<string> rows:
+    * map<string,bigint> of per-element occurrence counts, or NULL past
+    * `maxKeys` distinct elements (the caller's distributed-path
+    * fallback signal).
+    */
+  def elem_counts(c: Column, maxKeys: Int): Column =
+    GraftBridge.column(
+      ElemCountMapAgg(GraftBridge.expression(c), maxKeys).toAggregateExpression())
+
+  /** Capped per-key row-count map aggregate over a BIGINT column:
+    * map<bigint,bigint>, or NULL past `maxKeys` distinct keys.
+    */
+  def key_counts(c: Column, maxKeys: Int): Column =
+    GraftBridge.column(
+      LongCountMapAgg(GraftBridge.expression(c), maxKeys).toAggregateExpression())
 
 
   /** Shared literal-integer argument extraction for the SQL builders:
@@ -163,6 +191,35 @@ object GraftFunctions {
           }
         }
         HashedWeightSum(exprs(0), ws)
+      },
+      "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bucket_dot", exprs => {
+        require(exprs.length == 2,
+          "graft_bucket_dot(bc, weights) expects exactly 2 arguments")
+        require(exprs(1).resolved && exprs(1).foldable &&
+          exprs(1).dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType],
+          "graft_bucket_dot weights must be a literal array of integers")
+        val arr = exprs(1).eval()
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        require(arr != null && arr.numElements() > 0,
+          "graft_bucket_dot weights must be a non-empty literal array")
+        val et = exprs(1).dataType
+          .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
+        val ws = (0 until arr.numElements()).map { i =>
+          require(!arr.isNullAt(i),
+            s"graft_bucket_dot weights must not contain NULL (slot $i)")
+          import org.apache.spark.sql.types._
+          et match {
+            case LongType => arr.getLong(i)
+            case IntegerType => arr.getInt(i).toLong
+            case ShortType => arr.getShort(i).toLong
+            case ByteType => arr.getByte(i).toLong
+            case other => throw new IllegalArgumentException(
+              s"graft_bucket_dot weights must be integers, got $other")
+          }
+        }
+        BucketDot(exprs(0), ws)
       },
       "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -164,3 +164,59 @@ case class HashedBucketCounts(child: Expression, dim: Int)
   override protected def withNewChildInternal(newChild: Expression): HashedBucketCounts =
     copy(child = newChild)
 }
+
+object BucketDotUtil {
+  /** Σ counts[i]·weights[i] over a dim-slot count array. The array is
+    * produced by [[HashedBucketCountsUtil.counts]] (containsNull=false),
+    * so no per-element null check is needed; a shorter-than-dim array
+    * fails loudly rather than silently truncating the dot product.
+    */
+  def dot(counts: ArrayData, weights: Array[Long]): Long = {
+    val n = weights.length
+    require(counts.numElements() == n,
+      s"graft_bucket_dot: count array has ${counts.numElements()} slots, " +
+        s"weight table has $n")
+    var s = 0L
+    var i = 0
+    while (i < n) { s += counts.getLong(i) * weights(i); i += 1 }
+    s
+  }
+}
+
+/** `graft_bucket_dot(bc)` with a literal weight table -> BIGINT
+  * Σ bc[i]·weights[i]: the SCORING half of DSIR-style importance
+  * weighting when the per-document bucket-count arrays from
+  * [[HashedBucketCounts]] are already materialized. Integer-identical
+  * to re-running [[HashedWeightSum]] over the token array (Σ_tokens
+  * w[bucket(t)] = Σ_b count_b·w_b) — parity property-checked in
+  * FilterExprsSpec — but reads 64 longs per document instead of
+  * re-tokenizing and re-digesting every token.
+  */
+case class BucketDot(child: Expression, weights: Seq[Long])
+    extends UnaryExpression {
+  require(weights.nonEmpty, "BucketDot needs a non-empty weight table")
+
+  private val weightArr = weights.toArray
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_bucket_dot"
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<bigint>, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(bc: Any): Any =
+    BucketDotUtil.dot(bc.asInstanceOf[ArrayData], weightArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val wRef = ctx.addReferenceObj("bdWeights", weightArr, "long[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.BucketDotUtil.dot($c, $wRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BucketDot =
+    copy(child = newChild)
+}

@@ -76,3 +76,73 @@ case class HistogramAgg(
       newChildren: IndexedSeq[Expression]): HistogramAgg =
     copy(child = newChildren.head)
 }
+
+/** Element-wise sum of fixed-width `array<bigint>` columns (the DSIR
+  * bucket-count histogram reduction): buffer = one `long[dim]`, update
+  * and merge are single vector adds. Replaces a `dim`-column
+  * `sum(element_at(bc, i))` aggregation, which at dim=64 exceeds the
+  * whole-stage-codegen field budget and fell back to interpreted eval
+  * — measured 0.53–0.70 s warm vs ~0.12 s for this buffer at sf0.1.
+  * Same 100 TB shape as [[HistogramAgg]]: `dim` longs per partition
+  * per group cross the exchange, nothing more. A null input array or
+  * null slot contributes nothing (sum-over-non-null semantics, matching
+  * the `sum(element_at)` spelling); a wrong-width array fails loudly.
+  */
+case class LongVecSumAgg(
+    child: Expression,
+    dim: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Long]] {
+
+  require(dim > 0, s"LongVecSumAgg needs dim > 0, got $dim")
+
+  override def children: Seq[Expression] = child :: Nil
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_vec_sum"
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](dim)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      require(arr.numElements() == dim,
+        s"graft_vec_sum: array has ${arr.numElements()} slots, expected $dim")
+      var i = 0
+      while (i < dim) {
+        if (!arr.isNullAt(i)) buf(i) += arr.getLong(i)
+        i += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < dim) { a(i) += b(i); i += 1 }
+    a
+  }
+
+  override def eval(buf: Array[Long]): Any = new GenericArrayData(buf)
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(8 * dim)
+    buf.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    Array.fill(dim)(bb.getLong())
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): LongVecSumAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): LongVecSumAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): LongVecSumAgg =
+    copy(child = newChildren.head)
+}

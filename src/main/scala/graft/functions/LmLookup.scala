@@ -41,6 +41,52 @@ object LmMapUtil {
 
   /** Single-key probe (the bigram LM's shape): known score or null. */
   def lookup(lm: LmMap, k: UTF8String): java.lang.Double = lm.m.get(k.toString)
+
+  /** Whole-document LM scoring over a gram ARRAY in one probe loop:
+    * (known-gram count, round6'd average log-probability), or null when
+    * no gram is known — the per-doc aggregation of the literal scoring
+    * path without exploding rows, exchanging them by doc_id, or
+    * re-aggregating (r13; the explode + MapLp + groupBy spelling it
+    * replaces shipped one row per bigram occurrence through a corpus-
+    * wide exchange).
+    *
+    * Exactness contract (must stay bit-identical to
+    * `round6(dsum(lp)/count)` over the exploded spelling, and so to
+    * the DuckDB oracle):
+    *  - every stored lp is `floor(ln(c/tot)·1e6 + 0.5)/1e6`, i.e. the
+    *    nearest double to an exact micro-unit integer k/1e6; `rint`
+    *    recovers k exactly (|k| ≲ 2e7, ulp(k) ≈ 4e-9 after the ·1e6);
+    *  - `dsum`'s decimal sum of those doubles is exactly (Σk)/1e6
+    *    (the ≤6-decimal double casts to decimal as exactly k/1e6), and
+    *    its final double cast is the correctly-rounded quotient —
+    *    which `(Σk).toDouble / 1e6` also is (Σk < 2^53);
+    *  - the average then repeats Exact.round6's IEEE sequence
+    *    (mul, add 0.5, floor, divide) verbatim.
+    */
+  def scoreArray(lm: LmMap, bgs: org.apache.spark.sql.catalyst.util.ArrayData):
+      org.apache.spark.sql.catalyst.expressions.GenericInternalRow = {
+    var n = 0L
+    var k = 0L
+    var i = 0
+    val m = bgs.numElements()
+    while (i < m) {
+      if (!bgs.isNullAt(i)) {
+        val d = lm.m.get(bgs.getUTF8String(i).toString)
+        if (d != null) {
+          n += 1L
+          k += Math.rint(d.doubleValue * 1e6).toLong
+        }
+      }
+      i += 1
+    }
+    if (n == 0L) null
+    else {
+      val sum = k.toDouble / 1e6
+      val avg = Math.floor(sum / n * 1e6 + 0.5) / 1e6
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](n, avg))
+    }
+  }
 }
 
 private[functions] trait LmProbe extends UnaryExpression {
@@ -225,6 +271,48 @@ case class StrSetContains(child: Expression, bc: Broadcast[StrSet])
   }
 
   override protected def withNewChildInternal(newChild: Expression): StrSetContains =
+    copy(child = newChild)
+}
+
+/** `graft_lm_array_score(bgs)` -> struct<n_bigrams, avg_logprob> | null
+  * against a broadcast [[LmMap]] — see [[LmMapUtil.scoreArray]] for the
+  * per-doc semantics and the exactness contract.
+  */
+case class LmArrayScore(child: Expression, bc: Broadcast[LmMap])
+    extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("n_bigrams",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("avg_logprob",
+        org.apache.spark.sql.types.DoubleType, nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_lm_array_score"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.ArrayType(_: StringType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<string>, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    LmMapUtil.scoreArray(bc.value,
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, { c =>
+      val bcRef = ctx.addReferenceObj("lmBc", bc, classOf[Broadcast[_]].getName)
+      s"""
+         |org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+         |  ${ev.value}_r = graft.functions.LmMapUtil.scoreArray(
+         |    (graft.functions.LmMap) $bcRef.value(), $c);
+         |if (${ev.value}_r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ${ev.value}_r; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): LmArrayScore =
     copy(child = newChild)
 }
 

@@ -370,54 +370,54 @@ object CurationOps extends QueryModule {
     * engines (the [[hashedQuality]] discipline), and the only double
     * appears in the final presentation division under `Exact.round6`.
     *
-    * Scale: ONE corpus histogram pass (explode → [[HashDim]]-bucket
-    * partial agg, map-side combined so each map task emits ≤64 rows),
-    * then the 64-row table — MODEL STATE, the k-means-centroid policy —
-    * collects to the driver and bakes into a literal array: the scoring
-    * pass is a fully narrow projection with no join against the
-    * histogram at all. Like `bigramLogProb`, construction is eager
-    * (the model-state collect runs at call time), so this composes as
-    * a batch-corpus operator, not a lazily-planned view.
+    * Scale: ONE tokenize pass total (r13) — the fused bucket-count scan
+    * checkpoints narrow per-doc rows (doc_id + 64-long array, ~0.5% of
+    * corpus bytes) that both the histogram aggregation and the scoring
+    * dot product read back; no token is ever hashed twice. The 64-row
+    * histogram — MODEL STATE, the k-means-centroid policy — collects to
+    * the driver and bakes into a literal array: the scoring pass is a
+    * fully narrow projection with no join against the histogram at all.
+    * Like `bigramLogProb`, construction is eager (the model-state
+    * collect runs at call time), so this composes as a batch-corpus
+    * operator, not a lazily-planned view.
     */
   def dsirWeights(docs: DataFrame, targetSources: Seq[String]): DataFrame = {
     require(targetSources.nonEmpty, "dsirWeights needs >= 1 target source")
     val ws = words(col("text"))
-    def bucketOf(t: Column): Column = {
-      val h = md5(t)
-      (ascii(substring(h, 1, 1)) * 16 + ascii(substring(h, 2, 1))) % HashDim
-    }
-    // Histogram pass fused (r10): one graft_hashed_bucket_counts scan
-    // emits each document's 64-slot bucket-count array — no per-token
-    // explode rows ever materialize — and a 2-group aggregation (target
-    // vs rest, 64 sums each) reduces the whole corpus to at most two
-    // rows read in one bounded job. Bucket arithmetic is shared code
-    // with the scoring pass's HashedWeightSum, so the counts are the
-    // explode + groupBy spelling's exactly (fused-vs-explode parity
-    // spec'd in FilterExprsSpec).
-    val aggCols = (0 until HashDim).map(i =>
-      sum(element_at(col("bc"), i + 1)).as(s"c$i"))
-    val grouped = TinyLoop.boundedCollect(
+    // Tokenize ONCE (r13, closing the r12 perf-weak verdict): a single
+    // graft_hashed_bucket_counts scan emits each document's 64-slot
+    // bucket-count array — no per-token explode rows ever materialize —
+    // checkpointed as NARROW per-doc rows (doc_id + flag + n_words +
+    // 64 longs, ~0.5% of corpus bytes) that BOTH passes read back.
+    // The old spelling ran the tokenize+md5 scan twice: once for the
+    // histogram, then again inside HashedWeightSum for scoring — the
+    // second pass recomputed what is algebraically dot(bc, ratio) over
+    // the arrays the first pass already produced. Bucket arithmetic is
+    // shared code with HashedWeightSum, so the counts are the explode +
+    // groupBy spelling's exactly (fused-vs-explode parity spec'd in
+    // FilterExprsSpec).
+    // The histogram rides the SAME job as the checkpoint via observe/
+    // CollectMetrics (one LongVecSumAgg vector add per row): raw
+    // counts over every doc, target counts over `when(is_tgt, bc)` —
+    // null for non-target docs and for null `source` (isInCollection
+    // is null-propagating), which the agg skips: the old
+    // when(...).otherwise(0) spelling's semantics. The 64-column
+    // sum(element_at) histogram this replaces blew the whole-stage-
+    // codegen field budget and ran interpreted as its own job
+    // (0.53–0.70 s warm at sf0.1 vs ~0.1 s riding the scan).
+    val (perDoc, hist) = TinyLoop.corpusCheckpointObserved(
       docs.select(
-          col("source").isInCollection(targetSources).as("is_tgt"),
-          graft.functions.GraftFunctions.hashed_bucket_counts(ws, HashDim)
-            .as("bc"))
-        .groupBy("is_tgt")
-        .agg(aggCols.head, aggCols.tail: _*), 4L)
-    val crArr = Array.fill(HashDim)(0L)
-    val ctArr = Array.fill(HashDim)(0L)
-    grouped.foreach { r =>
-      // A null `source` yields a null is_tgt group (isInCollection is
-      // null-propagating); treat it as non-target — the old
-      // when(...).otherwise(0) spelling's semantics.
-      val tgt = !r.isNullAt(0) && r.getBoolean(0)
-      var i = 0
-      while (i < HashDim) {
-        val v = if (r.isNullAt(i + 1)) 0L else r.getLong(i + 1)
-        crArr(i) += v
-        if (tgt) ctArr(i) += v
-        i += 1
-      }
-    }
+        col("doc_id"),
+        col("source").isInCollection(targetSources).as("is_tgt"),
+        size(ws).cast("long").as("n_words"),
+        graft.functions.GraftFunctions.hashed_bucket_counts(ws, HashDim)
+          .as("bc")),
+      Seq(
+        graft.functions.GraftFunctions.vec_sum(col("bc"), HashDim).as("cr"),
+        graft.functions.GraftFunctions.vec_sum(
+          when(col("is_tgt"), col("bc")), HashDim).as("ct")))
+    val crArr = hist.getSeq[Long](0).toArray
+    val ctArr = hist.getSeq[Long](1).toArray
     val nr = crArr.sum
     val nt = ctArr.sum
     require(nt > 0,
@@ -427,21 +427,18 @@ object CurationOps extends QueryModule {
       if (crArr(b) > 0)
         rint(b) = (BigInt(ctArr(b)) * nr * 1000 / (BigInt(crArr(b)) * nt)).toLong
     }
-    // scoring pass: fused codegen weight sum over the collected ratio
-    // table (model state baked into the plan), materialized as NARROW
-    // per-doc rows BEFORE the presentation sort — the previous spelling
-    // range-exchanged the raw documents so the sort's sampling stayed
-    // cheap, which shipped the full TEXT column through the shuffle; at
-    // corpus scale text must never shuffle (the corpusDiff discipline),
-    // and sorting the 24-byte checkpointed rows costs the sampling pass
-    // nothing.
-    val scored = TinyLoop.corpusCheckpoint(
-      docs
-        .select(col("doc_id"),
-          size(ws).cast("long").as("n_words"),
-          graft.functions.GraftFunctions.hashed_weight_sum(
-            ws, rint.toIndexedSeq).as("wsum"))
-        .filter(col("n_words") >= 1))
+    // scoring pass: codegen dot product of each checkpointed
+    // bucket-count array against the collected ratio table (model state
+    // baked into the plan) — integer-identical to the old
+    // HashedWeightSum re-scan (Σ_tokens w[bucket(t)] = Σ_b count_b·w_b,
+    // parity spec'd in FilterExprsSpec) with zero re-tokenization. The
+    // narrow checkpointed rows keep the presentation sort's sampling
+    // cheap and text off every exchange (the corpusDiff discipline).
+    val scored = perDoc
+      .select(col("doc_id"), col("n_words"),
+        graft.functions.GraftFunctions.bucket_dot(
+          col("bc"), rint.toIndexedSeq).as("wsum"))
+      .filter(col("n_words") >= 1)
     scored
       .withColumn("avg_ratio",
         Exact.round6(col("wsum").cast("double") / (lit(1000.0) * col("n_words"))))

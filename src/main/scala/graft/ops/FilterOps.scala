@@ -345,25 +345,33 @@ object FilterOps extends QueryModule {
     // Materialize the SCORED frame once (narrow per-doc rows — exactly
     // what a production gate persists between scoring and bucketing) —
     // but ONLY when the LM took the literal path: there scoring is a
-    // narrow MapLp projection, and valueDeciles' two reads (bucket
-    // histogram + in-bucket rank) would re-run the whole explode-probe-
-    // aggregate pass twice with nothing for AQE to dedup. Under the
-    // distributed path the scoring subtree ends in a doc-keyed
-    // aggregation exchange that both reads already share via
-    // ReusedExchange — a checkpoint there only adds a full extra
-    // materialization (measured +5s at the 100x-mutate datapoint,
-    // where the vocabulary blow-up forces the distributed LM).
+    // narrow LmArrayScore projection, and valueDeciles' two reads
+    // (bucket histogram + in-bucket rank) would re-run the whole
+    // probe pass twice with nothing for AQE to dedup. On that path the
+    // materialization is valueDecilesObserved's: the bucket histogram
+    // rides the SAME job that checkpoints the scored rows (r13 — the
+    // checkpoint-then-collect spelling paid a second full plan+job for
+    // a sub-1000-row histogram). Under the distributed path the
+    // scoring subtree ends in a doc-keyed aggregation exchange that
+    // both reads already share via ReusedExchange — a checkpoint there
+    // only adds a full extra materialization (measured +5s at the
+    // 100x-mutate datapoint, where the vocabulary blow-up forces the
+    // distributed LM).
     val literalLm = scored.queryExecution.analyzed.exists(
-      _.expressions.exists(_.exists(_.isInstanceOf[graft.functions.MapLp])))
-    val lp =
-      if (literalLm) TinyLoop.corpusCheckpoint(scored)
-      else scored
+      _.expressions.exists(_.exists(e =>
+        e.isInstanceOf[graft.functions.LmArrayScore] ||
+          e.isInstanceOf[graft.functions.MapLp])))
     // the decile itself is the shared two-phase value-bucket recipe
     // (ONE implementation — q_quality_deciles rides the same code);
     // 0.1-logprob buckets keep the in-bucket window partitions
     // high-cardinality at any corpus size
-    PipelineOps.valueDeciles(lp, "lp_micro", "doc_id",
+    val deciled =
+      if (literalLm) PipelineOps.valueDecilesObserved(scored, "lp_micro",
+        "doc_id", bucketWidth = 100000,
+        carryCols = Seq("n_bigrams", "avg_logprob"))
+      else PipelineOps.valueDeciles(scored, "lp_micro", "doc_id",
         bucketWidth = 100000, carryCols = Seq("n_bigrams", "avg_logprob"))
+    deciled
       .select(
         col("doc_id"), col("n_bigrams"), col("avg_logprob"),
         col("decile").cast("long").as("decile"),

@@ -191,54 +191,67 @@ object PipelineOps extends QueryModule {
       docs: DataFrame,
       maxBroadcastTypes: Long = MaxBroadcastBigramTypes,
       maxLiteralTypes: Long = MaxLiteralLmTypes): DataFrame = {
-    // Tokenize/explode once and cut lineage: both the count pass and the
-    // scoring pass read the materialized bigram rows instead of re-running
-    // the scan + explode (same executor-local materialization the
+    // Tokenize once and cut lineage: both the count pass and the
+    // scoring pass read the materialized bigrams instead of re-running
+    // the scan + shingle (same executor-local materialization the
     // clustering loop uses; at 100 TB this is the "tokenize once, reuse"
-    // discipline every multi-pass corpus job needs). Kept as the RAW
-    // space-joined bigram string: the literal path probes it directly,
-    // and the distributed path derives (w1, w2) with one projection.
-    val bgRows = TinyLoop.corpusCheckpoint(
-      docs
-        .filter(TextOps.wordCount(col("text")) >= 2)
-        .select(col("doc_id"), explode(TextOps.shingles(col("text"), 2)).as("bg")))
-    // Literal-first (the trigramBackoffLm discipline): a bounded
-    // single-job collect of the type table; under the cap the MLE
-    // derivation runs in the driver (conditioning totals are hash-map
-    // sums over the collected counts) as the exact scalar mirror of
-    // [[lmFromCounts]], and scoring probes ONE broadcast hash map from
-    // a narrow codegen expression — no counts checkpoint, no gate
-    // count job, no probability-table join.
-    val countsPlan = bgRows.groupBy("bg").agg(count(lit(1)).as("c"))
-    val probeRows =
-      if (maxLiteralTypes > 0) TinyLoop.boundedCollect(countsPlan, maxLiteralTypes)
-      else Array.empty[org.apache.spark.sql.Row]
-    if (maxLiteralTypes > 0 && probeRows.length <= maxLiteralTypes) {
-      val cu = new java.util.HashMap[String, java.lang.Long](probeRows.length * 2)
-      probeRows.foreach { r =>
-        val w1 = r.getString(0).substring(0, r.getString(0).indexOf(' '))
+    // discipline every multi-pass corpus job needs). Kept as PER-DOC
+    // ARRAYS of raw space-joined bigram strings (r13; previously one
+    // exploded row per bigram occurrence): the literal scoring path
+    // reads each doc's array in one LmArrayScore probe loop — no
+    // explode, no doc_id-keyed exchange, no re-aggregation — and the
+    // count/distributed passes explode on read, which costs what the
+    // exploded checkpoint cost without storing doc_id per occurrence.
+    val perDocPlan = docs
+      .filter(TextOps.wordCount(col("text")) >= 2)
+      .select(col("doc_id"), TextOps.shingles(col("text"), 2).as("bgs"))
+    // Literal-first (the trigramBackoffLm discipline): the bigram TYPE
+    // TABLE rides the checkpoint job itself as a capped observe metric
+    // (ElemCountMapAgg; overflow past the cap → null → distributed
+    // path), so the whole LM training phase is ONE job. Under the cap
+    // the MLE derivation runs in the driver (conditioning totals are
+    // hash-map sums over the counted types) as the exact scalar mirror
+    // of [[lmFromCounts]], and scoring probes ONE broadcast hash map
+    // from a narrow codegen expression — no counts collect job, no
+    // counts checkpoint, no probability-table join.
+    val literalCapped = maxLiteralTypes > 0 && maxLiteralTypes <= Int.MaxValue - 2
+    val (bgDocs, typeCounts) =
+      if (literalCapped) {
+        val (cp, row) = TinyLoop.corpusCheckpointObserved(perDocPlan,
+          Seq(graft.functions.GraftFunctions.elem_counts(
+            col("bgs"), maxLiteralTypes.toInt)))
+        (cp, if (row.isNullAt(0)) None else Some(row.getMap[String, Long](0)))
+      } else (TinyLoop.corpusCheckpoint(perDocPlan), None)
+    val bgRows = bgDocs.select(col("doc_id"), explode(col("bgs")).as("bg"))
+    if (typeCounts.isDefined) {
+      val counts = typeCounts.get
+      val cu = new java.util.HashMap[String, java.lang.Long](counts.size * 2)
+      counts.foreach { case (bg, c) =>
+        val w1 = bg.substring(0, bg.indexOf(' '))
         val prev = cu.get(w1)
-        cu.put(w1, (if (prev == null) 0L else prev.longValue) + r.getLong(1))
+        cu.put(w1, (if (prev == null) 0L else prev.longValue) + c)
       }
       def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
-      val hm = new java.util.HashMap[String, java.lang.Double](probeRows.length * 2)
-      probeRows.foreach { r =>
-        val bg = r.getString(0)
-        val c = r.getLong(1)
+      val hm = new java.util.HashMap[String, java.lang.Double](counts.size * 2)
+      counts.foreach { case (bg, c) =>
         val tot = cu.get(bg.substring(0, bg.indexOf(' '))).longValue
         hm.put(bg, r6(math.log(c.toDouble / tot.toDouble)))
       }
       val bc = docs.sparkSession.sparkContext.broadcast(new graft.functions.LmMap(hm))
-      val scored = bgRows.select(col("doc_id"),
-        org.apache.spark.sql.GraftBridge.column(graft.functions.MapLp(
-          org.apache.spark.sql.GraftBridge.expression(col("bg")), bc)).as("lp"))
-        // self-scoring: every bigram is known, so the filter drops
-        // nothing — it states the same inner-join semantics the
-        // distributed path has (unknowns skipped)
-        .filter(col("lp").isNotNull)
-      return scored.groupBy("doc_id")
-        .agg(count(lit(1)).as("n_bigrams"),
-          Exact.round6(Exact.dsum(col("lp")) / count(lit(1))).as("avg_logprob"))
+      // one LmArrayScore probe loop per document: count + exact-decimal
+      // average of the KNOWN bigrams (null = zero known → doc dropped,
+      // the exploded spelling's inner-join semantics; self-scoring
+      // knows every bigram, so nothing drops here). Bit-identical to
+      // round6(dsum(MapLp(bg))/count) over exploded rows — the
+      // exactness contract is spelled out on LmMapUtil.scoreArray and
+      // pinned by the StreamingSpec dual-path parity.
+      return bgDocs.select(col("doc_id"),
+        org.apache.spark.sql.GraftBridge.column(graft.functions.LmArrayScore(
+          org.apache.spark.sql.GraftBridge.expression(col("bgs")), bc)).as("s"))
+        .filter(col("s").isNotNull)
+        .select(col("doc_id"),
+          col("s").getField("n_bigrams").as("n_bigrams"),
+          col("s").getField("avg_logprob").as("avg_logprob"))
     }
     // Distributed path (type table past the literal cap): conditioning
     // totals as a keyed partial aggregation joined back (NOT a per-w1
@@ -650,8 +663,6 @@ object PipelineOps extends QueryModule {
     // rows through the shuffle.
     val bucketed = base.filter(col(metricCol).isNotNull).withColumn(
       "__graft_bkt", expr(s"CAST(`$metricCol` AS BIGINT) div $bucketWidth"))
-    val wIn = Window.partitionBy("__graft_bkt")
-      .orderBy(col(metricCol), col(idCol))
     // Literal-offsets path: ONE bounded single-job collect of the
     // bucket histogram replaces the offsets subtree (a second full
     // evaluation of `df` into a groupBy + two aggregate-scale windows +
@@ -664,25 +675,84 @@ object PipelineOps extends QueryModule {
         bucketed.groupBy("__graft_bkt").agg(count(lit(1)).as("nb")),
         maxLiteralBuckets)
       if (hist.length <= maxLiteralBuckets) {
-        val sorted = hist.map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
-        val nTotal = sorted.iterator.map(_._2).sum
-        val hm = new java.util.HashMap[java.lang.Long, java.lang.Long](
-          sorted.length * 2)
-        var acc = 0L
-        sorted.foreach { case (bkt, nb) => hm.put(bkt, acc); acc += nb }
-        val bc = df.sparkSession.sparkContext
-          .broadcast(new graft.functions.LongMap(hm))
-        return bucketed
-          .withColumn("__graft_rn", row_number().over(wIn))
-          .withColumn("__graft_off", org.apache.spark.sql.GraftBridge.column(
-            graft.functions.LongMapLookup(
-              org.apache.spark.sql.GraftBridge.expression(col("__graft_bkt")),
-              bc)))
-          .select(Seq(col(idCol), col(metricCol)) ++ carryCols.map(col) :+
-            (expr(s"(__graft_off + __graft_rn - 1) * 10 div CAST($nTotal AS BIGINT)") + 1)
-              .as("decile"): _*)
+        return decilesFromHist(bucketed,
+          hist.map(r => (r.getLong(0), r.getLong(1))).toSeq,
+          metricCol, idCol, carryCols)
       }
     }
+    decilesDistributed(bucketed, metricCol, idCol, carryCols)
+  }
+
+  /** [[valueDeciles]] with the bucket histogram riding the SAME job
+    * that materializes the (narrow) scored rows, via observe/
+    * CollectMetrics — for callers whose metric frame is a projection
+    * they would checkpoint anyway (the perplexity gate): one job where
+    * the checkpoint-then-histogram spelling costs two. Histogram
+    * overflow past `maxLiteralBuckets` falls back to the distributed
+    * offsets path over the already-materialized rows.
+    */
+  def valueDecilesObserved(
+      df: DataFrame, metricCol: String, idCol: String,
+      bucketWidth: Int, carryCols: Seq[String] = Nil,
+      maxLiteralBuckets: Long = MaxLiteralDecileBuckets): DataFrame = {
+    val reserved = Set("n_total", "__graft_bkt", "__graft_rn", "__graft_off",
+      idCol, metricCol)
+    val clash = carryCols.filter(reserved)
+    require(clash.isEmpty,
+      s"valueDecilesObserved: carryCols ${clash.mkString(", ")} collide with " +
+        s"reserved internal names (${reserved.toSeq.sorted.mkString(", ")}) — " +
+        "rename the carried column(s) before calling")
+    require(maxLiteralBuckets > 0 && maxLiteralBuckets <= Int.MaxValue - 2,
+      s"valueDecilesObserved needs an int-range positive bucket cap, " +
+        s"got $maxLiteralBuckets")
+    val base = df.select(
+      (Seq(idCol, metricCol) ++ carryCols).map(col): _*)
+    val bucketedPlan = base.filter(col(metricCol).isNotNull).withColumn(
+      "__graft_bkt", expr(s"CAST(`$metricCol` AS BIGINT) div $bucketWidth"))
+    val (bucketed, row) = graft.ops.TinyLoop.corpusCheckpointObserved(
+      bucketedPlan,
+      Seq(graft.functions.GraftFunctions.key_counts(
+        col("__graft_bkt"), maxLiteralBuckets.toInt)))
+    if (!row.isNullAt(0))
+      decilesFromHist(bucketed, row.getMap[Long, Long](0).toSeq,
+        metricCol, idCol, carryCols)
+    else decilesDistributed(bucketed, metricCol, idCol, carryCols)
+  }
+
+  /** Literal-offsets decile assignment from a collected bucket
+    * histogram (bkt, count): cumulative offsets and n_total computed
+    * driver-side in exact integer arithmetic, probed by a narrow
+    * codegen broadcast lookup.
+    */
+  private def decilesFromHist(
+      bucketed: DataFrame, hist: Seq[(Long, Long)],
+      metricCol: String, idCol: String, carryCols: Seq[String]): DataFrame = {
+    val wIn = Window.partitionBy("__graft_bkt")
+      .orderBy(col(metricCol), col(idCol))
+    val sorted = hist.sortBy(_._1)
+    val nTotal = sorted.iterator.map(_._2).sum
+    val hm = new java.util.HashMap[java.lang.Long, java.lang.Long](
+      sorted.length * 2)
+    var acc = 0L
+    sorted.foreach { case (bkt, nb) => hm.put(bkt, acc); acc += nb }
+    val bc = bucketed.sparkSession.sparkContext
+      .broadcast(new graft.functions.LongMap(hm))
+    bucketed
+      .withColumn("__graft_rn", row_number().over(wIn))
+      .withColumn("__graft_off", org.apache.spark.sql.GraftBridge.column(
+        graft.functions.LongMapLookup(
+          org.apache.spark.sql.GraftBridge.expression(col("__graft_bkt")),
+          bc)))
+      .select(Seq(col(idCol), col(metricCol)) ++ carryCols.map(col) :+
+        (expr(s"(__graft_off + __graft_rn - 1) * 10 div CAST($nTotal AS BIGINT)") + 1)
+          .as("decile"): _*)
+  }
+
+  private def decilesDistributed(
+      bucketed: DataFrame,
+      metricCol: String, idCol: String, carryCols: Seq[String]): DataFrame = {
+    val wIn = Window.partitionBy("__graft_bkt")
+      .orderBy(col(metricCol), col(idCol))
     val wOff = Window.orderBy("__graft_bkt")
       .rowsBetween(Window.unboundedPreceding, -1)
     // n_total rides the same aggregate-scale bucket table (unbounded

@@ -60,6 +60,31 @@ object TinyLoop {
     rebind(rebind(df, s).localCheckpoint(), caller)
   }
 
+  /** [[corpusCheckpoint]] that also evaluates bounded aggregate
+    * `metrics` DURING the materialization job (a `CollectMetrics`
+    * node / `Dataset.observe`): the one-pass spelling of "checkpoint
+    * the corpus AND reduce it to model state" — without this, the
+    * model-state aggregation is a second job re-reading the checkpoint
+    * it just wrote. The metrics row is exactly what the aggregation
+    * would have returned; metrics must be ungrouped aggregates (the
+    * observe contract). Returns (checkpointed frame re-bound onto the
+    * caller's session, metrics row).
+    */
+  def corpusCheckpointObserved(
+      df: DataFrame, metrics: Seq[org.apache.spark.sql.Column]): (DataFrame, Row) = {
+    require(metrics.nonEmpty, "corpusCheckpointObserved needs >= 1 metric")
+    val caller = df.sparkSession
+    val s = scoped(caller, "spark.sql.adaptive.enabled" -> "false")
+    val name = s"graft_cp_metrics_${java.util.UUID.randomUUID()}"
+    val observed = rebind(df, s).observe(name, metrics.head, metrics.tail: _*)
+    val cp = observed.localCheckpoint()
+    val row = observed.queryExecution.observedMetrics.getOrElse(name,
+      throw new IllegalStateException(
+        s"corpusCheckpointObserved: metrics '$name' missing after the " +
+          "materialization action — CollectMetrics did not run"))
+    (rebind(cp, caller), row)
+  }
+
   /** Bounded single-job collect: up to `cap + 1` rows (callers check
     * `length <= cap` and fail/fall back on overflow — the driver never
     * holds more, the knnLabel collect discipline). CollectLimit's

@@ -194,6 +194,36 @@ class FilterExprsSpec extends SparkSpec {
     }
   }
 
+  test("bucket_dot(bucket_counts(ws)) == hashed_weight_sum(ws) (fixture + random)") {
+    // the r13 DSIR scoring identity: Σ_tokens w[bucket(t)] over the
+    // token array equals Σ_b count_b·w_b over the per-doc bucket-count
+    // array — scoring from materialized counts must be integer-exact
+    val dim = 64
+    val weights = (0 until dim).map(b => ((b * 31) % 17 - 8).toLong * 1000)
+    val ws = TextOps.words(col("text"))
+    val got = randomTexts.toDF("text").select(
+      GraftFunctions.bucket_dot(
+        GraftFunctions.hashed_bucket_counts(ws, dim), weights),
+      GraftFunctions.hashed_weight_sum(ws, weights), col("text")).collect()
+    got.foreach { r =>
+      assert(r.getLong(0) == r.getLong(1), s"dot on '${r.getString(2)}'")
+    }
+    // null input array propagates null (never 0)
+    val nul = Seq(Tuple1[String](null)).toDF("text").select(
+      GraftFunctions.bucket_dot(
+        GraftFunctions.hashed_bucket_counts(ws, dim), weights)).collect()
+    assert(nul.head.isNullAt(0))
+    // a wrong-dim array fails loudly instead of truncating the product
+    val e = intercept[Exception] {
+      Seq(Tuple1("a b")).toDF("text").select(
+        GraftFunctions.bucket_dot(
+          GraftFunctions.hashed_bucket_counts(ws, 32), weights)).collect()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).toSeq
+    assert(msgs.exists(_.contains("graft_bucket_dot")), s"unexpected: $msgs")
+  }
+
   test("token_set_counts == builtins per-set filter counts (fixture + random)") {
     val sets = Seq(Seq("the", "a", "of", "and", "to"),
       Seq("el", "una", "y", "que", "los"), Seq("..."))
