@@ -84,7 +84,11 @@ object Bench {
     "q_warc_write", "q_warc_http", "q_warc_http_meta", "q_crawl_ingest",
     "q_warc_zstd_dict", "q_avro_roundtrip",
     "q_avro_evolution", "q_avro_logical", "q_ocr_pipeline", "q_image_neardup",
-    "q_audio_wav")
+    "q_audio_wav",
+    // r13: HTML->text extraction + WET + the runtime-filter fetch
+    // spelling (new operators enter the bench the round they are written)
+    "q_html_extract", "q_html_main", "q_html_density",
+    "q_warc_wet", "q_warc_fetch_rf")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

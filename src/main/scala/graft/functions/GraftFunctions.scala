@@ -119,6 +119,18 @@ object GraftFunctions {
     GraftBridge.column(
       LongCountMapAgg(GraftBridge.expression(c), maxKeys).toAggregateExpression())
 
+  /** HTML → text extraction: struct<text, main_text, n_lines, n_kept>
+    * (see [[HtmlExtract]] / [[HtmlTextUtil]] for the rule chain).
+    */
+  def html_extract(c: Column): Column =
+    GraftBridge.column(HtmlExtract(GraftBridge.expression(c)))
+
+  /** Per-line extraction evidence: array<struct<line, n_chars,
+    * n_link_chars>> (see [[HtmlLineStats]]).
+    */
+  def html_lines(c: Column): Column =
+    GraftBridge.column(HtmlLineStats(GraftBridge.expression(c)))
+
 
   /** Shared literal-integer argument extraction for the SQL builders:
     * fails with a contract-naming message (probe `resolved` before
@@ -159,6 +171,10 @@ object GraftFunctions {
       "graft_simhash64", exprs => SimHash64(exprs.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_words", exprs => Words(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_html_extract", exprs => HtmlExtract(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_html_lines", exprs => HtmlLineStats(exprs.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_gopher_stats", exprs => GopherStats(exprs.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

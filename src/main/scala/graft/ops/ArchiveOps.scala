@@ -347,6 +347,63 @@ object ArchiveOps extends QueryModule {
     }
   }
 
+  /** Write `docs` as WET-shaped shards (ISO 28500 `conversion`
+    * records — the Common Crawl *.warc.wet.gz layout: each record is
+    * the EXTRACTED TEXT of a crawled page, `Content-Type: text/plain`,
+    * `WARC-Refers-To` naming the response record it was derived from;
+    * every shard opens with a `warcinfo` record, as real WET files
+    * do). Pins the reader's non-response fallback path
+    * (`Warc.payloadView`: no HTTP parse — text is the raw UTF-8
+    * payload, `http_status` null, `content_type` from the record's own
+    * header). Sharding/codec cycling as in [[writeHttpCorpus]].
+    */
+  def writeWetCorpus(docs: DataFrame, dir: String, shards: Int): Unit = {
+    val bconf = confBroadcast(docs.sparkSession)
+    shardedByDoc(docs, shards).foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+      val conf = bconf.value.value
+      var cur: Warc.WarcShardWriter = null
+      var curShard = -1L
+      def closeShard(): Unit = if (cur != null) { cur.close(); cur = null }
+      try {
+        rows.foreach { r =>
+          val shard = r.getLong(4)
+          if (shard != curShard) {
+            closeShard()
+            val c = shard % 3 match {
+              case 0 => Warc.CodecGzip
+              case 1 => Warc.CodecNone
+              case _ => Warc.CodecZstd
+            }
+            val name = f"part-$shard%05d." + Warc.extOf(c)
+            val hp = new HPath(dir, name)
+            val fs = hp.getFileSystem(conf)
+            fs.mkdirs(new HPath(dir))
+            cur = Warc.shardWriter(fs.create(hp, true), c, name)
+            cur.write(Warc.WarcRecord("warcinfo", s"urn:graft:wetinfo:$shard",
+              None, Map("Content-Type" -> "application/warc-fields"),
+              ("software: graft-wet-fixture/1.0\r\n" +
+                "format: WARC File Format 1.1\r\n").getBytes(UTF_8)))
+            curShard = shard
+          }
+          val docId = r.getLong(0)
+          require(r.getString(1) != null && r.getString(2) != null &&
+            r.getString(3) != null,
+            s"writeWetCorpus: null text/lang/source for doc_id=$docId")
+          cur.write(Warc.WarcRecord(
+            warcType = "conversion",
+            recordId = s"urn:graft:wet:$docId",
+            targetUri = Some(s"https://graft.invalid/${r.getString(3)}/$docId"),
+            headers = Map(
+              "Content-Type" -> "text/plain",
+              "WARC-Refers-To" -> s"<urn:graft:doc:$docId>",
+              "X-Graft-Lang" -> r.getString(2),
+              "X-Graft-Source" -> r.getString(3)),
+            payload = r.getString(1).getBytes(UTF_8)))
+        }
+      } finally closeShard()
+    }
+  }
+
   /** Random access into an indexed WARC corpus: for each index row,
     * seek to the member's byte span and parse THAT record alone — the
     * serve-one-document pattern an archived crawl supports only through
@@ -625,6 +682,21 @@ object ArchiveOps extends QueryModule {
         d, shards = 8)
     }
 
+  /** [[httpFixture]] with every body wrapped in REAL MARKUP by the
+    * [[HtmlOps.htmlWrapCol]] template (r13): HTTP response records
+    * whose `text/html` claim is true — the corpus the HTML-extraction
+    * queries and the crawl-ingest composite read. Same cycling
+    * charsets/transfer/content encodings and gate-out records.
+    */
+  private[ops] def htmlFixture(s: SparkSession, sfDir: String): String =
+    Fixtures.dir("warchtml8", sfDir) { d =>
+      writeHttpCorpus(
+        Tables.documents(s, sfDir).select(
+          col("doc_id"), HtmlOps.htmlWrapCol.as("text"),
+          col("lang"), col("source")),
+        d, shards = 8)
+    }
+
   /** Uniform `.warc.zst` corpus under a TRAINED shared dictionary (the
     * IIPC dictionary frame), with its `_cdx` sidecar.
     */
@@ -633,6 +705,14 @@ object ArchiveOps extends QueryModule {
       val docs = Tables.documents(s, sfDir).select("doc_id", "text", "lang", "source")
       writeCorpusWithIndex(docs, d, shards = 8,
         codec = Some(Warc.CodecZstd), zstdDict = trainedZstdDict(docs))
+    }
+
+  /** Cycled-codec 8-shard WET (`conversion`-record) corpus. */
+  private def wetFixture(s: SparkSession, sfDir: String): String =
+    Fixtures.dir("warcwet8", sfDir) { d =>
+      writeWetCorpus(
+        Tables.documents(s, sfDir).select("doc_id", "text", "lang", "source"),
+        d, shards = 8)
     }
 
   private def avroFixture(s: SparkSession, sfDir: String): String =
@@ -741,29 +821,42 @@ object ArchiveOps extends QueryModule {
         .orderBy("http_status", "content_type")
     },
 
-    // End-to-end CRAWL INGEST composite — the first real step of a
+    // End-to-end CRAWL INGEST composite — the first real steps of a
     // crawl-to-corpus pipeline, straight through the connector: DSv2
     // read of HTTP response records (status/type pushed into the scan),
-    // error-channel gate, typographic normalization, tokenization,
+    // error-channel gate, HTML → MAIN-CONTENT extraction (r13 — the
+    // bodies are real markup now; tag soup never reaches the
+    // tokenizer), typographic normalization, tokenization,
     // per-(source, lang) document/token accounting. The oracle composes
-    // the SAME rule dialects the individually-verified stages publish
-    // (normalizeTextSql ∘ the words fragment), so equality proves the
-    // whole chain composes exactly: HTTP decode ∘ normalize ∘ tokenize.
+    // the stage dialects: the CLOSED FORM of what main-content
+    // extraction recovers from the wrap template (HtmlOps — verified
+    // chain-wise by q_html_extract and independently by q_html_main)
+    // spliced into normalizeTextSql ∘ the words fragment, so equality
+    // proves the whole chain composes exactly:
+    // HTTP decode ∘ extract ∘ normalize ∘ tokenize.
     Q(
       "q_crawl_ingest",
-      s"""SELECT source, lang,
+      s"""WITH w0 AS (SELECT doc_id, lang, source,
+         |                   string_split(text, ' ') AS ws FROM documents),
+         |hh AS (SELECT *, (len(ws)+1)//2 AS hn FROM w0),
+         |mt AS (SELECT source, lang,
+         |              array_to_string(${HtmlOps.mainLinesClosedSql}, chr(10)) AS text
+         |       FROM hh)
+         |SELECT source, lang,
          |       COUNT(*) AS n_docs,
          |       CAST(SUM(len(list_filter(regexp_split_to_array(
          |         ${CurationOps.normalizeTextSql("text")}, '${TextOps.WsReDuck}'),
          |         x -> x <> ''))) AS BIGINT) AS n_tokens
-         |FROM documents GROUP BY source, lang ORDER BY source, lang"""
+         |FROM mt GROUP BY source, lang ORDER BY source, lang"""
     ) { (s, d) =>
-      val dir = httpFixture(s, d)
+      val dir = htmlFixture(s, d)
       s.read.format("warc").load(dir)
         .filter(col("http_status") === 200 && col("content_type") === "text/html" &&
           col("error").isNull)
         .select(col("source"), col("lang"),
-          TextOps.wordCount(CurationOps.normalizeText(col("text"))).cast("long").as("n_tok"))
+          TextOps.wordCount(CurationOps.normalizeText(
+            graft.functions.GraftFunctions.html_extract(col("text"))
+              .getField("main_text"))).cast("long").as("n_tok"))
         .groupBy("source", "lang")
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
         .orderBy("source", "lang")
@@ -822,6 +915,63 @@ object ArchiveOps extends QueryModule {
           length(col("text")).as("n_chars"),
           col("lang"), col("source"))
         .orderBy("doc_id")
+    },
+
+    // The 100×-SAFE spelling of the same bulk fetch (r13): the request
+    // list stays a DATAFRAME — no driver collect, no isin literal — and
+    // joins the archive scan; `SupportsRuntimeFiltering` delivers the
+    // broadcast side's record_id set to the scan at runtime, which
+    // re-plans into the same `_cdx` seek partitions the literal
+    // spelling pushes statically (plan-pinned in WarcDsv2Spec). The
+    // driver never holds an id; request-list size is unbounded.
+    Q(
+      "q_warc_fetch_rf",
+      """SELECT doc_id,
+        |       CAST(LENGTH(text) AS INT) AS n_chars,
+        |       lang, source
+        |FROM documents WHERE doc_id % 37 = 0 ORDER BY doc_id"""
+    ) { (s, d) =>
+      val dir = warcFixture(s, d)
+      val ids = s.read.schema(graft.sources.warc.WarcDataSourceV2.IndexSchema)
+        .parquet(s"$dir/_cdx")
+        .filter(expr("try_cast(substring_index(record_id, ':', -1) AS BIGINT) % 37 = 0"))
+        .select("record_id")
+      s.read.format("warc").load(dir)
+        .join(broadcast(ids), Seq("record_id"))
+        .select(
+          expr("CAST(substring_index(record_id, ':', -1) AS BIGINT)").as("doc_id"),
+          length(col("text")).as("n_chars"),
+          col("lang"), col("source"))
+        .orderBy("doc_id")
+    },
+
+    // WET roundtrip: the extracted-text sibling of the response corpus
+    // (Common Crawl's *.warc.wet.gz). `conversion` records take the
+    // reader's NON-RESPONSE fallback (no HTTP parse: http_status null,
+    // content_type from the record header, text = raw UTF-8 payload) —
+    // this query pins that path on real WET shape, warcinfo preamble
+    // included (gated out by warc_type).
+    Q(
+      "q_warc_wet",
+      """SELECT lang,
+        |       COUNT(*) AS n_docs,
+        |       CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_chars,
+        |       CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+        |FROM documents GROUP BY lang ORDER BY lang"""
+    ) { (s, d) =>
+      val dir = wetFixture(s, d)
+      s.read.format("warc").load(dir)
+        .filter(col("warc_type") === "conversion" &&
+          col("content_type") === "text/plain" &&
+          col("http_status").isNull && col("error").isNull)
+        .select(col("lang"),
+          expr("CAST(substring_index(record_id, ':', -1) AS BIGINT)").as("doc_id"),
+          length(col("text")).cast("long").as("n_chars"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(col("doc_id")).as("sum_ids"))
+        .orderBy("lang")
     },
 
     // DSv2 WRITE path: df.write.format("warc") (task-attempt temp files

@@ -17,6 +17,7 @@ object CoreQueries extends QueryModule {
       MediaQueries.queries ++
       AdvancedOps.queries ++
       ArchiveOps.queries ++
+      HtmlOps.queries ++
       ScaleOps.queries ++
       ExtraOps.queries ++
       SecondPassOps.queries ++

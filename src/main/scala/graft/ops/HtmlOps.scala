@@ -1,0 +1,274 @@
+package graft.ops
+
+import graft.Q
+import graft.functions.{GraftFunctions, HtmlTextUtil}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** HTML → text extraction queries (the r12 verdict's top directive):
+  * the step between the HTTP decode and every text operator, exercised
+  * THROUGH the WARC connector over a fixture of real-markup pages.
+  *
+  * Fixture pages are built from `documents` rows by ONE wrap template
+  * (below) that both engines evaluate — the Spark fixture writer as a
+  * `concat` column, the DuckDB oracle as a `||` chain generated from
+  * the SAME template sequence, so the two cannot drift. The wrap is a
+  * realistic page: doctype/head (title, style, script with hostile
+  * `</p>` string content), an HTML comment, a link-only nav, an
+  * article (h1 + the document's words split into two paragraphs +
+  * an entity-bearing paragraph), an empty div, and a link-heavy
+  * footer. Entity handling, whitespace collapse, block-line structure,
+  * inline-tag removal, and the link-density main-content gate all get
+  * exercised on every page.
+  *
+  * Extraction rules and their engine-exact spelling live on
+  * [[graft.functions.HtmlTextUtil]]; the SQL chain builders here spell
+  * the SAME rules in DuckDB (RE2) syntax. Two oracle styles
+  * cross-check each other:
+  *  - `q_html_extract` / `q_html_density`: the oracle RUNS THE CHAIN
+  *    (wrap → strip → split → clean → density) in SQL — any
+  *    divergence between the fused Scala pass and the regex-chain
+  *    spec hash-mismatches;
+  *  - `q_html_main`: the oracle is the CLOSED FORM of what main-
+  *    content extraction must recover from the wrap (header line +
+  *    paragraphs + decoded entity line; nav/footer dropped by link
+  *    density) — an INDEPENDENT derivation that never runs the chain.
+  */
+object HtmlOps extends graft.QueryModule {
+
+  // -------------------------------------------------------------------
+  // The wrap template — ONE source of truth for both engines.
+  // Left = literal markup; Right = field reference
+  // (doc_id | lang | source | p1 | p2).
+  // -------------------------------------------------------------------
+  private val Wrap: Seq[Either[String, String]] = Seq(
+    Left("<!DOCTYPE html>\n<html lang=\""), Right("lang"),
+    Left("\">\n<head>\n<meta charset=\"utf-8\"/>\n<title>Doc "),
+    Right("doc_id"),
+    Left(" - "), Right("source"),
+    Left("</title>\n<style>\nbody { font-family: serif; }\n" +
+      ".nav { color: #333; }\n</style>\n" +
+      "<script type=\"text/javascript\">\nvar n = 1 < 2 && \"</p>\";\n" +
+      "</script>\n</head>\n<body>\n<!-- graft fixture doc "),
+    Right("doc_id"),
+    Left(" -->\n<nav class=\"nav\"><ul>\n" +
+      "<li><a href=\"/\">Home</a></li>\n<li><a href=\"/s/"),
+    Right("source"),
+    Left("\">Section "), Right("source"),
+    Left("</a></li>\n<li><a href=\"/about\">About</a></li>\n</ul></nav>\n" +
+      "<article>\n<h1>Doc "), Right("doc_id"),
+    Left("</h1>\n<p>"), Right("p1"),
+    Left("</p>\n<p>"), Right("p2"),
+    Left("</p>\n<p>Tags &amp; entities: &lt;doc "), Right("doc_id"),
+    Left("&gt; &quot;quoted&quot; it&#39;s &nbsp; fine</p>\n</article>\n" +
+      "<div>   <span>  </span> </div>\n" +
+      "<footer><a href=\"/tos\">Terms of Service</a> " +
+      "<a href=\"/privacy\">Privacy Policy</a> (c) "),
+    Right("source"),
+    Left("</footer>\n</body>\n</html>\n"))
+
+  /** Spark side: the wrapped page as a column over
+    * (doc_id, text, lang, source). Paragraph split: words 1..⌈n/2⌉ and
+    * the rest (`slice` is 1-based start + length; the DuckDB mirror is
+    * 1-based inclusive-end list slicing — same elements).
+    */
+  def htmlWrapCol: Column = {
+    val ws = split(col("text"), " ")
+    val n = size(ws)
+    // ⌈n/2⌉ in exact arithmetic (Column./ is double division; floor of
+    // the exact x.0/x.5 doubles is the integer quotient for any list
+    // length in range)
+    val h = floor((n + lit(1)) / lit(2)).cast("int")
+    def esc(c: Column): Column =
+      regexp_replace(regexp_replace(regexp_replace(
+        c, "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
+    def fieldCol(f: String): Column = f match {
+      case "doc_id" => col("doc_id").cast("string")
+      case "lang"   => col("lang")
+      case "source" => col("source")
+      case "p1"     => esc(array_join(slice(ws, lit(1), h), " "))
+      case "p2"     => esc(array_join(slice(ws, h + lit(1), n - h), " "))
+    }
+    concat(Wrap.map {
+      case Left(s)  => lit(s)
+      case Right(f) => fieldCol(f)
+    }: _*)
+  }
+
+  private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  /** DuckDB side of the SAME template; expects columns `ws` (word
+    * list) and `hn` (⌈len/2⌉) in scope — see [[wrapCte]].
+    */
+  def htmlWrapSql: String = {
+    def esc(x: String): String =
+      s"replace(replace(replace($x, '&', '&amp;'), '<', '&lt;'), '>', '&gt;')"
+    def fieldSql(f: String): String = f match {
+      case "doc_id" => "CAST(doc_id AS VARCHAR)"
+      case "lang"   => "lang"
+      case "source" => "source"
+      case "p1"     => esc("array_to_string(ws[1:hn], ' ')")
+      case "p2"     => esc("array_to_string(ws[hn+1:len(ws)], ' ')")
+    }
+    Wrap.map {
+      case Left(s)  => sqlLit(s)
+      case Right(f) => fieldSql(f)
+    }.mkString("(", " || ", ")")
+  }
+
+  /** Shared oracle CTE scaffold: documents → ws/hn → wrapped html. */
+  def wrapCte: String =
+    s"""WITH w0 AS (SELECT doc_id, lang, source, string_split(text, ' ') AS ws
+       |            FROM documents),
+       |hh AS (SELECT doc_id, lang, source, ws, (len(ws)+1)//2 AS hn FROM w0),
+       |mm AS (SELECT doc_id, lang, source, $htmlWrapSql AS html FROM hh)""".stripMargin
+
+  // -------------------------------------------------------------------
+  // DuckDB spellings of the extraction chain (RE2 syntax; `\t` etc.
+  // are passed through the SQL literal to RE2 uninterpreted).
+  // -------------------------------------------------------------------
+  private val W = """[ \t\r\n\f]""" // the chain's whitespace class
+
+  /** Per-line cleanup: drop inline tags, decode entities (amp LAST),
+    * collapse space runs, trim — generated from the SAME entity table
+    * the Scala pass uses.
+    */
+  def cleanSql(x: String): String = {
+    val decoded = HtmlTextUtil.Entities.foldLeft(
+      s"regexp_replace($x, '<[^>]*>', '', 'g')") { case (acc, (e, v)) =>
+      s"replace($acc, '$e', ${sqlLit(v)})"
+    }
+    s"trim(regexp_replace($decoded, ' +', ' ', 'g'))"
+  }
+
+  /** Steps 1–4 over a document: comments, script/style/head elements,
+    * whitespace collapse, block tags → newline.
+    */
+  def flatSql(html: String): String = {
+    def elem(x: String, tag: String): String =
+      s"regexp_replace($x, '(?is)<$tag($W[^>]*)?>.*?</$tag$W*>', '', 'g')"
+    val noC = s"regexp_replace($html, '(?s)<!--.*?-->', '', 'g')"
+    val noE = elem(elem(elem(noC, "script"), "style"), "head")
+    val ws1 = s"regexp_replace($noE, '$W+', ' ', 'g')"
+    s"regexp_replace($ws1, '(?i)</?(${HtmlTextUtil.blockAlt})($W[^>]*)?/?$W*>', chr(10), 'g')"
+  }
+
+  /** Steps 5+: nonempty cleaned lines with link stats, as
+    * list<struct<line, nlink>>.
+    */
+  def statsListSql(html: String): String = {
+    val linkChars =
+      s"""CAST(coalesce(list_sum(list_transform(
+         |  regexp_extract_all(l, '(?is)<a($W[^>]*)?>(.*?)</a$W*>', 2),
+         |  x -> length(${cleanSql("x")}))), 0) AS INT)""".stripMargin
+    s"""list_filter(list_transform(string_split(${flatSql(html)}, chr(10)),
+       |  l -> struct_pack(line := ${cleanSql("l")}, nlink := $linkChars)),
+       |  s -> struct_extract(s, 'line') <> '')""".stripMargin
+  }
+
+  private val KeepSql =
+    "2*struct_extract(s, 'nlink') <= length(struct_extract(s, 'line'))"
+
+  /** Closed-form main-content lines the wrap must reduce to: the h1
+    * header, the two paragraphs (empty ones drop), and the decoded
+    * entity line — nav and footer are link-heavy by construction and
+    * fall to the density gate. Expects ws/hn/doc_id in scope.
+    */
+  def mainLinesClosedSql: String =
+    """list_filter([
+      |  'Doc ' || CAST(doc_id AS VARCHAR),
+      |  array_to_string(ws[1:hn], ' '),
+      |  array_to_string(ws[hn+1:len(ws)], ' '),
+      |  'Tags & entities: <doc ' || CAST(doc_id AS VARCHAR) || '> "quoted" it''s fine'
+      |], l -> l <> '')""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Queries (all THROUGH the WARC connector over the HTML fixture)
+  // -------------------------------------------------------------------
+  private def readHtml(s: org.apache.spark.sql.SparkSession, d: String) =
+    s.read.format("warc").load(ArchiveOps.htmlFixture(s, d))
+      .filter(col("http_status") === 200 &&
+        col("content_type") === "text/html" && col("error").isNull)
+      .select(
+        expr("CAST(substring_index(record_id, ':', -1) AS BIGINT)").as("doc_id"),
+        GraftFunctions.html_extract(col("text")).as("x"),
+        col("text"))
+
+  def queries: Seq[Q] = Seq(
+    // Stage 1+2 against the CHAIN oracle: the DuckDB side wraps each
+    // document with the shared template and runs the full extraction
+    // chain in SQL — string-equal text and main_text prove the fused
+    // Scala pass implements exactly the published rule chain, on real
+    // connector-decoded pages (charsets/chunked/gzip still cycling).
+    Q(
+      "q_html_extract",
+      s"""$wrapCte,
+         |xx AS (SELECT doc_id, ${statsListSql("html")} AS ls FROM mm)
+         |SELECT doc_id,
+         |       CAST(len(ls) AS INT) AS n_lines,
+         |       CAST(len(list_filter(ls, s -> $KeepSql)) AS INT) AS n_kept,
+         |       array_to_string(list_transform(ls,
+         |         s -> struct_extract(s, 'line')), chr(10)) AS text,
+         |       array_to_string(list_transform(list_filter(ls, s -> $KeepSql),
+         |         s -> struct_extract(s, 'line')), chr(10)) AS main_text
+         |FROM xx ORDER BY doc_id"""
+    ) { (s, d) =>
+      readHtml(s, d).select(
+        col("doc_id"),
+        col("x.n_lines").as("n_lines"),
+        col("x.n_kept").as("n_kept"),
+        col("x.text").as("text"),
+        col("x.main_text").as("main_text"))
+        .orderBy("doc_id")
+    },
+
+    // Main content against the CLOSED-FORM oracle: an independent
+    // derivation of what extraction must recover (never runs the
+    // chain) — catches a wrong-but-self-consistent rule chain.
+    Q(
+      "q_html_main",
+      s"""$wrapCte,
+         |cf AS (SELECT doc_id, $mainLinesClosedSql AS ls FROM hh)
+         |SELECT doc_id,
+         |       CAST(len(ls) AS INT) AS n_lines,
+         |       array_to_string(ls, chr(10)) AS main_text
+         |FROM cf ORDER BY doc_id"""
+    ) { (s, d) =>
+      readHtml(s, d).select(
+        col("doc_id"),
+        col("x.n_kept").as("n_lines"),
+        col("x.main_text").as("main_text"))
+        .orderBy("doc_id")
+    },
+
+    // Per-line density evidence: every extracted line with its char
+    // and link-char counts and the keep decision — the inspectable
+    // form of the gate (and the query a pipeline author debugs a
+    // threshold with). Chain oracle, line-level granularity.
+    Q(
+      "q_html_density",
+      s"""$wrapCte,
+         |xx AS (SELECT doc_id, ${statsListSql("html")} AS ls FROM mm)
+         |SELECT doc_id, CAST(i AS INT) AS pos,
+         |       struct_extract(ls[i], 'line') AS line,
+         |       CAST(length(struct_extract(ls[i], 'line')) AS INT) AS n_chars,
+         |       CAST(struct_extract(ls[i], 'nlink') AS INT) AS n_link_chars,
+         |       2*struct_extract(ls[i], 'nlink')
+         |         <= length(struct_extract(ls[i], 'line')) AS keep
+         |FROM xx, UNNEST(range(1, len(ls)+1)) AS t(i)
+         |ORDER BY doc_id, pos"""
+    ) { (s, d) =>
+      readHtml(s, d)
+        .select(col("doc_id"),
+          posexplode(GraftFunctions.html_lines(col("text"))).as(Seq("p", "l")))
+        .select(
+          col("doc_id"),
+          (col("p") + 1).cast("int").as("pos"),
+          col("l.line").as("line"),
+          col("l.n_chars").as("n_chars"),
+          col("l.n_link_chars").as("n_link_chars"),
+          (col("l.n_link_chars") * 2 <= col("l.n_chars")).as("keep"))
+        .orderBy("doc_id", "pos")
+    }
+  )
+}

@@ -177,11 +177,12 @@ class PlanHygieneSpec extends SparkSpec {
       "q_bloom_prefilter_join" -> Seq(
         "BroadcastHashJoin", "LeftSemi", "LessThan(s_nationkey,5)"),
       // bigram self-scoring at fixture scale must take the literal-LM
-      // path: the probability map probed by the narrow codegen
-      // expression, never a per-query join chain (the distributed
-      // branch's broadcast/keyed gates are pinned by the dedicated
-      // dual-path test below)
-      "q_bigram_lm" -> Seq("graft_map_lp"),
+      // path: the probability map probed by the narrow whole-document
+      // codegen expression (r13 — one array probe loop per doc, no
+      // explode/exchange/re-agg), never a per-query join chain (the
+      // distributed branch's broadcast/keyed gates are pinned by the
+      // dedicated dual-path test below)
+      "q_bigram_lm" -> Seq("graft_lm_array_score"),
       // the 6-way Q5: every dimension arrives broadcast, both fact
       // filters reach the parquet scans
       "q_tpch_q5" -> Seq("BroadcastHashJoin", "PushedFilters: [IsNotNull"),

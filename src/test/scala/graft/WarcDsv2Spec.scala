@@ -414,6 +414,20 @@ class WarcDsv2Spec extends SparkSpec {
     assert(joined.map(r => r.getString(0) -> r.getString(1)).toMap == want)
   }
 
+  test("q_warc_fetch_rf: the join spelling hosts a runtime-filter subquery and matches the literal spelling") {
+    // the headline bulk-fetch path (r13): request ids stay a DataFrame;
+    // the optimizer must inject a DPP-style subquery on the warc scan
+    // (record_id IN dynamicpruning#N) — that is the hook through which
+    // SupportsRuntimeFiltering re-plans the scan into _cdx seeks at
+    // runtime (seek planning itself is unit-pinned above)
+    val rf = SparkEntry.queries("q_warc_fetch_rf")(spark, sfDir)
+    val planStr = rf.queryExecution.executedPlan.toString
+    assert(planStr.contains("dynamicpruning"),
+      s"no runtime-filter subquery on the warc scan:\n${planStr.take(3000)}")
+    val lit = SparkEntry.queries("q_warc_fetch")(spark, sfDir)
+    assert(rf.collect().toSeq == lit.collect().toSeq)
+  }
+
   test("response body decode is lazy: status/mime are prelude-only, error surfaces on demand") {
     // one response record whose BODY is undecodable (corrupt gzip
     // content-encoding on a text entity). A status/mime projection must

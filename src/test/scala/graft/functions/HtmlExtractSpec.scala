@@ -1,0 +1,171 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Pins the fused [[HtmlTextUtil]] scans against the published rule
+  * chain spelled with Spark's own regexp/replace builtins (the same
+  * patterns the DuckDB oracle runs — see HtmlOps): any divergence
+  * between the hand-rolled passes and the regex-chain spec fails here
+  * before it can hash-mismatch an oracle. Adversarial cases cover the
+  * regex engine's edge behaviors the scans must reproduce exactly:
+  * advance-by-one on failed matches, first-'>'-ends-a-tag, lazy close
+  * search, unterminated constructs left in place.
+  */
+class HtmlExtractSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val W = """[ \t\r\n\f]"""
+
+  private def flat(c: Column): Column = {
+    def elem(x: Column, tag: String): Column =
+      regexp_replace(x, s"(?is)<$tag($W[^>]*)?>.*?</$tag$W*>", "")
+    val noC = regexp_replace(c, "(?s)<!--.*?-->", "")
+    val noE = elem(elem(elem(noC, "script"), "style"), "head")
+    val ws1 = regexp_replace(noE, s"$W+", " ")
+    regexp_replace(ws1,
+      s"(?i)</?(${HtmlTextUtil.blockAlt})($W[^>]*)?/?$W*>", "\n")
+  }
+
+  private def clean(x: Column): Column = {
+    val deT = regexp_replace(x, "<[^>]*>", "")
+    val deE = HtmlTextUtil.Entities.foldLeft(deT) { case (a, (e, v)) =>
+      regexp_replace(a, java.util.regex.Pattern.quote(e), v)
+    }
+    trim(regexp_replace(deE, " +", " "))
+  }
+
+  private def builtinsLines(c: Column): Column =
+    filter(transform(split(flat(c), "\n", -1), l => clean(l)),
+      l => l =!= "")
+
+  private def builtinsLinkChars(c: Column): Column =
+    transform(split(flat(c), "\n", -1), l =>
+      struct(clean(l).as("line"),
+        aggregate(
+          transform(regexp_extract_all(l,
+            lit(s"(?is)<a($W[^>]*)?>(.*?)</a$W*>"), lit(2)),
+            x => length(clean(x))),
+          lit(0), (a, b) => a + b).as("nlink")))
+
+  private val adversarial = Seq(
+    "",
+    "plain text only",
+    "a < b and c > d",
+    "x <!-- comment <p>inside</p> --> y",
+    "unterminated <!-- comment <p>stays",
+    "<!-- c1 --><p>a</p><!-- c2 -->",
+    "<script>var a = '<p>';</script>after",
+    "<script src=\"x.js\"></script>tail",
+    "<SCRIPT>upper</SCRIPT>ok",
+    "<script>a<script>b</script>c</script>tail",
+    "<script>no close tag",
+    "<scriptx>not a script</scriptx>",
+    "<script>x</scriptx> leak </script>done",
+    "<style >spaced</style >t",
+    "<head><title>T</title><meta x=y></head>body",
+    "<p>a</p><P>b</P><p/>c<p />d<p/ >e",
+    "<pre>pre block</pre><para>not a block</para>",
+    "<h1>one</h1><h6>six</h6><h16>not</h16><hr/>",
+    "<div attr=\"a>b\">split at first gt</div>",
+    "a\r\n\t\fb   c",
+    "<ul><li>i1</li><li>i2</li></ul>",
+    "<a href=\"/x\">Link</a> rest of line",
+    "<a>1</a><a>2</a> two links",
+    "<a><b>bold</b> inner</a> mixed",
+    "<a>unclosed anchor",
+    "<a>x</abbr></a> tricky close",
+    "<abbr>not anchor</abbr>",
+    "text &amp;lt; double escape",
+    "&lt;tag&gt; &quot;q&quot; it&#39;s &apos;a&apos; x&nbsp;y &amp; &unknown;",
+    "&nbsp;&nbsp;&nbsp;",
+    "<p>  spaced   words  </p>",
+    "no entities & loose ampersand",
+    "<br>line<br/>breaks<br />here",
+    "<td>cell</td><th>head</th><caption>cap</caption>",
+    "<blockquote cite=\"x\">q</blockquote><address>ad</address>")
+
+  private def fixtureHtml = {
+    val docs = graft.Tables.documents(spark, sfDir).limit(64)
+    docs.select(graft.ops.HtmlOps.htmlWrapCol.as("html"))
+  }
+
+  test("html_extract text/main_text == builtins regex chain (fixture + adversarial)") {
+    val adv = adversarial.toDF("html")
+    Seq(adv, fixtureHtml).foreach { df =>
+      val got = df.select(
+        GraftFunctions.html_extract(col("html")).as("x"),
+        builtinsLines(col("html")).as("bl"),
+        col("html"))
+        .select(
+          col("x.text"), col("x.main_text"), col("x.n_lines"), col("x.n_kept"),
+          array_join(col("bl"), "\n"), size(col("bl")), col("html"))
+        .collect()
+      got.foreach { r =>
+        assert(r.getString(0) == r.getString(4),
+          s"text mismatch on '${r.getString(6)}'")
+        assert(r.getInt(2) == r.getInt(5),
+          s"n_lines mismatch on '${r.getString(6)}'")
+      }
+    }
+  }
+
+  test("html_lines == builtins per-line link stats (fixture + adversarial)") {
+    val adv = adversarial.toDF("html")
+    Seq(adv, fixtureHtml).foreach { df =>
+      val got = df.select(
+        GraftFunctions.html_lines(col("html")).as("ls"),
+        filter(builtinsLinkChars(col("html")),
+          s => s.getField("line") =!= "").as("bs"),
+        col("html"))
+        .collect()
+      got.foreach { r =>
+        val mine = r.getSeq[org.apache.spark.sql.Row](0)
+          .map(x => (x.getString(0), x.getInt(2)))
+        val ref = r.getSeq[org.apache.spark.sql.Row](1)
+          .map(x => (x.getString(0), x.getInt(1)))
+        assert(mine == ref, s"line stats mismatch on '${r.getString(2)}'")
+      }
+    }
+  }
+
+  test("main-content gate: nav/footer boilerplate drops, content and h1 stay") {
+    val html = fixtureHtml.limit(1).collect().head.getString(0)
+    val x = Seq(html).toDF("html")
+      .select(GraftFunctions.html_extract(col("html")).as("x"))
+      .select("x.text", "x.main_text").collect().head
+    val all = x.getString(0).split("\n").toSeq
+    val main = x.getString(1).split("\n").toSeq
+    assert(all.contains("Home") && all.contains("About"),
+      s"nav lines missing from stage-1 text: $all")
+    assert(!main.exists(_.contains("Home")) && !main.exists(_.contains("About")),
+      s"nav lines leaked into main content: $main")
+    assert(!main.exists(_.contains("Terms of Service")),
+      s"footer leaked into main content: $main")
+    assert(main.head.startsWith("Doc "), s"h1 line missing: $main")
+    assert(main.exists(_.startsWith("Tags & entities: <doc ")),
+      s"entity line not decoded: $main")
+  }
+
+  test("null input propagates null; interpreted == codegen") {
+    val r = Seq(Option.empty[String]).toDF("html")
+      .select(GraftFunctions.html_extract(col("html")),
+        GraftFunctions.html_lines(col("html"))).collect().head
+    assert(r.isNullAt(0) && r.isNullAt(1))
+    val df = adversarial.toDF("html")
+    val cols = Seq(
+      GraftFunctions.html_extract(col("html")),
+      GraftFunctions.html_lines(col("html")))
+    val codegen = df.select(cols: _*).collect().toSeq
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val interp = df.select(cols: _*).collect().toSeq
+      assert(codegen == interp)
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+}
