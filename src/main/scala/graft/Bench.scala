@@ -86,9 +86,10 @@ object Bench {
     "q_avro_evolution", "q_avro_logical", "q_ocr_pipeline", "q_image_neardup",
     "q_audio_wav",
     // r13: HTML->text extraction + WET + the runtime-filter fetch
-    // spelling (new operators enter the bench the round they are written)
+    // spelling + the crawl->WET refinement composite + pushed COUNT(*)
+    // (new operators enter the bench the round they are written)
     "q_html_extract", "q_html_main", "q_html_density",
-    "q_warc_wet", "q_warc_fetch_rf")
+    "q_warc_wet", "q_warc_fetch_rf", "q_wet_refine", "q_warc_count")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

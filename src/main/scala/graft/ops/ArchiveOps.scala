@@ -262,6 +262,60 @@ object ArchiveOps extends QueryModule {
     }
   }
 
+  /** The full captured-response payload for one document body,
+    * `rich = false` → the classic 5-way [[httpVariant]] cycle;
+    * `rich = true` (HTML bodies) adds the two r13 decode paths the
+    * r12 hardening introduced, so they are exercised THROUGH the
+    * oracle gate, not just by unit fixtures:
+    *  - docId % 7 == 5: META-CHARSET — the Content-Type header
+    *    declares NO charset; the page's own `<meta charset=…>` (within
+    *    the WHATWG 1024-byte prescan budget) names the encoding
+    *    (windows-1252 when the body survives it losslessly, else
+    *    utf-8). Head content never reaches extraction output, so the
+    *    writer may rewrite the meta declaration freely.
+    *  - docId % 7 == 6: RAW DEFLATE — `Content-Encoding: deflate`
+    *    carrying a zlib-headerless stream (the server bug browsers
+    *    tolerate; the reader's raw-inflate fallback must fire).
+    */
+  private def httpRecordPayload(
+      docId: Long, body: String, rich: Boolean): Array[Byte] = {
+    val baseHeaders = Seq("Server" -> "graft-fixture/1.0")
+    def classic: Array[Byte] = {
+      val (cs, gz, chunked) = httpVariant(docId, body)
+      HttpWire.responsePayload(200, "OK",
+        ("Content-Type" -> s"text/html; charset=$cs") +: baseHeaders,
+        body.getBytes(java.nio.charset.Charset.forName(cs)),
+        gzipBody = gz, chunked = chunked, chunkSize = 512)
+    }
+    if (!rich) classic
+    else docId % 7 match {
+      case 5 =>
+        val w1252 = java.nio.charset.Charset.forName("windows-1252")
+        val declared = body.replace("charset=\"utf-8\"", "charset=\"windows-1252\"")
+        val (bytes, _) =
+          if (w1252.newEncoder().canEncode(declared)) (declared.getBytes(w1252), "windows-1252")
+          else (body.getBytes(UTF_8), "utf-8")
+        HttpWire.responsePayload(200, "OK",
+          ("Content-Type" -> "text/html") +: baseHeaders, bytes)
+      case 6 =>
+        val raw = {
+          val d = new java.util.zip.Deflater(
+            java.util.zip.Deflater.DEFAULT_COMPRESSION, true) // nowrap
+          val in = body.getBytes(UTF_8)
+          d.setInput(in); d.finish()
+          val out = new java.io.ByteArrayOutputStream(in.length / 2 + 64)
+          val buf = new Array[Byte](8192)
+          while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+          d.end()
+          out.toByteArray
+        }
+        HttpWire.responsePayload(200, "OK",
+          Seq("Content-Type" -> "text/html; charset=utf-8",
+            "Content-Encoding" -> "deflate") ++ baseHeaders, raw)
+      case _ => classic
+    }
+  }
+
   /** Write `docs` as real-crawl-shaped WARC shards: HTTP `response`
     * records whose payload is a captured HTTP message (status line,
     * headers, entity), Content-Type `application/http;msgtype=response`
@@ -277,7 +331,8 @@ object ArchiveOps extends QueryModule {
       docs: DataFrame,
       dir: String,
       shards: Int,
-      codec: Option[String] = None): Unit = {
+      codec: Option[String] = None,
+      richVariants: Boolean = false): Unit = {
     val bconf = confBroadcast(docs.sparkSession)
     shardedByDoc(docs, shards).foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
       val conf = bconf.value.value
@@ -328,7 +383,6 @@ object ArchiveOps extends QueryModule {
           val text = r.getString(1)
           require(text != null && r.getString(2) != null && r.getString(3) != null,
             s"writeHttpCorpus: null text/lang/source for doc_id=$docId")
-          val (cs, gz, chunked) = httpVariant(docId, text)
           cur.write(Warc.WarcRecord(
             warcType = "response",
             recordId = s"urn:graft:doc:$docId",
@@ -337,11 +391,7 @@ object ArchiveOps extends QueryModule {
               "Content-Type" -> "application/http;msgtype=response",
               "X-Graft-Lang" -> r.getString(2),
               "X-Graft-Source" -> r.getString(3)),
-            payload = HttpWire.responsePayload(200, "OK",
-              Seq("Content-Type" -> s"text/html; charset=$cs",
-                "Server" -> "graft-fixture/1.0"),
-              text.getBytes(java.nio.charset.Charset.forName(cs)),
-              gzipBody = gz, chunked = chunked, chunkSize = 512)))
+            payload = httpRecordPayload(docId, text, richVariants)))
         }
       } finally closeShard()
     }
@@ -694,7 +744,7 @@ object ArchiveOps extends QueryModule {
         Tables.documents(s, sfDir).select(
           col("doc_id"), HtmlOps.htmlWrapCol.as("text"),
           col("lang"), col("source")),
-        d, shards = 8)
+        d, shards = 8, richVariants = true)
     }
 
   /** Uniform `.warc.zst` corpus under a TRAINED shared dictionary (the
@@ -943,6 +993,67 @@ object ArchiveOps extends QueryModule {
           length(col("text")).as("n_chars"),
           col("lang"), col("source"))
         .orderBy("doc_id")
+    },
+
+    // Crawl REFINEMENT composite: response records -> HTML main-content
+    // extraction -> a WET corpus WRITTEN by this query -> read back ->
+    // token accounting. This is the job a crawl refinery actually runs
+    // (CCNet/Dolma's raw-to-WET stage); unlike the read-path queries it
+    // pays its write every run on purpose (the q_warc_write policy).
+    // The oracle is q_crawl_ingest's closed-form splice — equality
+    // proves extract ∘ WET-write ∘ WET-read ∘ normalize ∘ tokenize
+    // composes exactly (multi-line extracted text survives the
+    // Content-Length byte framing).
+    Q(
+      "q_wet_refine",
+      s"""WITH w0 AS (SELECT doc_id, lang, source,
+         |                   string_split(text, ' ') AS ws FROM documents),
+         |hh AS (SELECT *, (len(ws)+1)//2 AS hn FROM w0),
+         |mt AS (SELECT source, lang,
+         |              array_to_string(${HtmlOps.mainLinesClosedSql}, chr(10)) AS text
+         |       FROM hh)
+         |SELECT source, lang,
+         |       COUNT(*) AS n_docs,
+         |       CAST(SUM(len(list_filter(regexp_split_to_array(
+         |         ${CurationOps.normalizeTextSql("text")}, '${TextOps.WsReDuck}'),
+         |         x -> x <> ''))) AS BIGINT) AS n_tokens
+         |FROM mt GROUP BY source, lang ORDER BY source, lang"""
+    ) { (s, d) =>
+      val src = htmlFixture(s, d)
+      val refined = s.read.format("warc").load(src)
+        .filter(col("http_status") === 200 &&
+          col("content_type") === "text/html" && col("error").isNull)
+        .select(
+          expr("CAST(substring_index(record_id, ':', -1) AS BIGINT)").as("doc_id"),
+          graft.functions.GraftFunctions.html_extract(col("text"))
+            .getField("main_text").as("text"),
+          col("lang"), col("source"))
+      val out = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_wet_refined_${Integer.toHexString(d.hashCode)}").getAbsolutePath
+      writeWetCorpus(refined, out, shards = 8)
+      s.read.format("warc").load(out)
+        .filter(col("warc_type") === "conversion" && col("error").isNull)
+        .select(col("source"), col("lang"),
+          TextOps.wordCount(CurationOps.normalizeText(col("text")))
+            .cast("long").as("n_tok"))
+        .groupBy("source", "lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+        .orderBy("source", "lang")
+    },
+
+    // Aggregate pushdown: COUNT(*) over the connector is answered from
+    // the `_cdx` sidecar's parquet footers — a WarcCountScan with ONE
+    // synthetic row, no shard byte opened (plan-pinned in WarcDsv2Spec).
+    // The oracle counts documents + the 8 per-shard warcinfo records
+    // the indexed writer emits.
+    Q(
+      "q_warc_count",
+      """SELECT CAST((SELECT COUNT(*) FROM documents) + 8 AS BIGINT)
+        |         AS n_records"""
+    ) { (s, d) =>
+      val dir = warcFixture(s, d)
+      s.read.format("warc").load(dir).agg(count(lit(1)).as("n_records"))
     },
 
     // WET roundtrip: the extracted-text sibling of the response corpus

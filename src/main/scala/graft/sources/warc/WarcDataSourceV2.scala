@@ -364,11 +364,53 @@ final class WarcDataWriter(
 
 final class WarcScanBuilder(dir: String)
     extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters
-    with SupportsPushDownLimit {
+    with SupportsPushDownLimit
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
   import WarcDataSourceV2.PushableCols
   private var required: StructType = WarcDataSourceV2.Schema
   private var pushed: Array[Filter] = Array.empty
   private var limit: Int = -1
+  private var countStarCols: Int = 0
+  private var countStarValue: Long = -1L
+
+  /** COUNT(*) pushdown (COMPLETE): an unfiltered, un-limited,
+    * ungrouped count over an indexed corpus is answered from the
+    * `_cdx` sidecar's parquet FOOTERS — zero record parses, zero
+    * shard bytes read (the index covers every record including
+    * warcinfo: "absent from the index == absent from the corpus", and
+    * the DSv2 writer deletes a sidecar it cannot keep exact on
+    * append). Anything else — residual or pushed filters, limits,
+    * group-bys, non-CountStar aggregates, no sidecar — declines, and
+    * Spark runs the ordinary scan + aggregate.
+    */
+  private def completeCount(aggregation:
+      org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : java.util.OptionalLong = {
+    val shapeOk = pushed.isEmpty && limit < 0 &&
+      aggregation.groupByExpressions().isEmpty &&
+      aggregation.aggregateExpressions().nonEmpty &&
+      aggregation.aggregateExpressions().forall(
+        _.isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar])
+    if (!shapeOk) return java.util.OptionalLong.empty()
+    val p = new Path(dir)
+    val conf = WarcDataSourceV2.broadcastConf().value.value
+    val fs = p.getFileSystem(conf)
+    if (!fs.getFileStatus(p).isDirectory) java.util.OptionalLong.empty()
+    else WarcDataSourceV2.sidecarRowCount(fs, p, conf)
+  }
+
+  override def supportCompletePushDown(aggregation:
+      org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    completeCount(aggregation).isPresent
+
+  override def pushAggregation(aggregation:
+      org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    val n = completeCount(aggregation)
+    if (!n.isPresent) return false
+    countStarValue = n.getAsLong
+    countStarCols = aggregation.aggregateExpressions().length
+    true
+  }
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -401,7 +443,42 @@ final class WarcScanBuilder(dir: String)
   override def pushedFilters(): Array[Filter] = pushed
 
   override def build(): Scan =
-    WarcScan(dir, required, pushed, limit, WarcDataSourceV2.broadcastConf())
+    if (countStarCols > 0) WarcCountScan(dir, countStarValue, countStarCols)
+    else WarcScan(dir, required, pushed, limit, WarcDataSourceV2.broadcastConf())
+}
+
+/** The completely-pushed COUNT(*) scan: one partition, one row, the
+  * sidecar-footer count — no shard byte is ever opened.
+  */
+final case class WarcCountScan(dir: String, count: Long, nCols: Int)
+    extends Scan with Batch {
+  override def readSchema(): StructType =
+    StructType((0 until nCols).map(i =>
+      StructField(s"count_star_$i", org.apache.spark.sql.types.LongType,
+        nullable = false)))
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"WarcCountScan($dir) PushedAggregation: [COUNT(*)] = $count"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(WarcCountPartition(count, nCols))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new WarcCountReaderFactory
+}
+
+final case class WarcCountPartition(count: Long, nCols: Int) extends InputPartition
+
+private[warc] final class WarcCountReaderFactory
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private val part = p.asInstanceOf[WarcCountPartition]
+      private var done = false
+      override def next(): Boolean = if (done) false else { done = true; true }
+      override def get(): InternalRow =
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array.fill[Any](part.nCols)(part.count))
+      override def close(): Unit = ()
+    }
 }
 
 /** Compiled view of a scan's projection + pushed predicates, shared by

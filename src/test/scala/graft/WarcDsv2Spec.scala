@@ -428,6 +428,32 @@ class WarcDsv2Spec extends SparkSpec {
     assert(rf.collect().toSeq == lit.collect().toSeq)
   }
 
+  test("COUNT(*) pushdown: sidecar footers answer it; filters/appends decline it") {
+    val dir = Files.createTempDirectory("graft_dsv2_cnt").toFile.getAbsolutePath
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text", "lang", "source")
+    ArchiveOps.writeCorpusWithIndex(docs, dir, shards = 4)
+    val n = docs.count() + 4 // + per-shard warcinfo
+    // complete pushdown: the plan carries WarcCountScan, value exact
+    val cnt = spark.read.format("warc").load(dir).agg(count(lit(1)))
+    assert(cnt.queryExecution.executedPlan.toString.contains("WarcCountScan"),
+      cnt.queryExecution.executedPlan.toString.take(1500))
+    assert(cnt.collect().head.getLong(0) == n)
+    // a filter declines pushdown (our count is whole-corpus only) and
+    // the ordinary scan still counts correctly
+    val filtered = spark.read.format("warc").load(dir)
+      .filter(col("warc_type") === "resource").agg(count(lit(1)))
+    assert(!filtered.queryExecution.executedPlan.toString.contains("WarcCountScan"))
+    assert(filtered.collect().head.getLong(0) == docs.count())
+    // an appended shard deletes the sidecar (r12 hardening), so the
+    // count falls back to a real scan and stays EXACT — a stale-footer
+    // answer would under-count
+    docs.limit(3).write.format("warc").mode("append").save(dir)
+    val after = spark.read.format("warc").load(dir).agg(count(lit(1)))
+    assert(!after.queryExecution.executedPlan.toString.contains("WarcCountScan"))
+    // + 3 docs + the appended shard's own warcinfo record
+    assert(after.collect().head.getLong(0) == n + 4)
+  }
+
   test("response body decode is lazy: status/mime are prelude-only, error surfaces on demand") {
     // one response record whose BODY is undecodable (corrupt gzip
     // content-encoding on a text entity). A status/mime projection must
