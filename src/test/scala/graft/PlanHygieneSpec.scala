@@ -481,6 +481,17 @@ class PlanHygieneSpec extends SparkSpec {
     val c = unhinted.orderBy("doc_id").collect().toSeq
     assert(a == b, "literal and broadcast bigram-LM paths disagree")
     assert(b == c, "hinted and unhinted bigram-LM paths disagree")
+    // r13: the observe-riding type counter OVERFLOWS mid-aggregation at
+    // a tiny cap (the poisoned map buffer → null metric) and the
+    // operator must fall back to the distributed path with identical
+    // rows — this is the runtime overflow signal, distinct from the
+    // cap=0 gate above
+    val overflowed = ops.PipelineOps.bigramLogProb(docs, maxLiteralTypes = 3L)
+    assert(overflowed.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"),
+      "overflow fallback must take the distributed (broadcast-table) path")
+    assert(overflowed.orderBy("doc_id").collect().toSeq == a,
+      "overflow-fallback rows disagree with the literal path")
   }
 
   // The supplier-scale dims in Q5/Q7/Q8/Q9/Q15/Q21 (and Q2's euroSupp)

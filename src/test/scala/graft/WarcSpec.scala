@@ -142,6 +142,68 @@ class WarcSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming crawl refinery: landed response shards -> extract main content -> tokenize, batch-equal") {
+    // the q_crawl_ingest pipeline as a STREAM: HTML response shards land
+    // in a directory, each micro-batch HTTP-decodes, extracts main
+    // content, and tokenizes — accumulated totals must equal the batch
+    // aggregate over the same documents (extraction composes with the
+    // MicroBatchStream source exactly as with the batch scan)
+    val landing = Files.createTempDirectory("graft_warc_refinery").toFile
+    val ckpt = Files.createTempDirectory("graft_warc_refckpt").toFile.getAbsolutePath
+    val seen = scala.collection.mutable.ArrayBuffer[(String, String, Long, Long)]()
+    val q = ArchiveOps.streamCorpus(spark, landing.getAbsolutePath)
+      .filter(col("http_status") === 200 &&
+        col("content_type") === "text/html" && col("error").isNull)
+      .select(col("source"), col("lang"),
+        graft.functions.GraftFunctions.html_extract(col("text"))
+          .getField("main_text").as("main"))
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = batch
+          .groupBy("source", "lang")
+          .agg(count(lit(1)).as("n"),
+            sum(ops.TextOps.wordCount(col("main")).cast("long")).as("tok"))
+          .collect()
+          .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        seen.synchronized { seen ++= rows }
+        ()
+      }.start()
+    try {
+      val docs = Tables.documents(spark, sfDir)
+        .select(col("doc_id"), ops.HtmlOps.htmlWrapCol.as("text"),
+          col("lang"), col("source"))
+      def land(lo: Long, hi: Long, tag: String): Unit = {
+        val stage = Files.createTempDirectory("graft_warc_refstage").toFile
+        ArchiveOps.writeHttpCorpus(
+          docs.filter(col("doc_id") >= lo && col("doc_id") < hi),
+          stage.getAbsolutePath, shards = 2, richVariants = true)
+        stage.listFiles().filter(f => !f.getName.startsWith(".")).foreach { f =>
+          java.nio.file.Files.move(f.toPath,
+            new java.io.File(landing, s"$tag-${f.getName}").toPath)
+        }
+      }
+      land(0, 20, "b1"); q.processAllAvailable()
+      land(20, 40, "b2"); q.processAllAvailable()
+      val got = seen.synchronized {
+        seen.groupBy(r => (r._1, r._2))
+          .view.mapValues(g => (g.map(_._3).sum, g.map(_._4).sum)).toMap
+      }
+      val want = Tables.documents(spark, sfDir)
+        .filter(col("doc_id") < 40)
+        .select(col("source"), col("lang"), ops.HtmlOps.htmlWrapCol.as("html"))
+        .select(col("source"), col("lang"),
+          graft.functions.GraftFunctions.html_extract(col("html"))
+            .getField("main_text").as("main"))
+        .groupBy("source", "lang")
+        .agg(count(lit(1)).as("n"),
+          sum(ops.TextOps.wordCount(col("main")).cast("long")).as("tok"))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+        .toMap
+      assert(got == want, s"streamed $got vs batch $want")
+    } finally q.stop()
+  }
+
   test("streaming WARC restart: the checkpointed offset log resumes without re-delivery") {
     // deserializeOffset runs only on RESTART — a fresh query on the same
     // checkpoint must resume from the logged file-set, reading neither

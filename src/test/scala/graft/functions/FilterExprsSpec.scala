@@ -224,6 +224,31 @@ class FilterExprsSpec extends SparkSpec {
     assert(msgs.exists(_.contains("graft_bucket_dot")), s"unexpected: $msgs")
   }
 
+  test("elem_counts / key_counts: exact under cap, null past it (overflow signal)") {
+    // the observe-riding model-state counters (r13): under the cap the
+    // maps equal the groupBy spelling exactly; one key past the cap
+    // poisons the buffer and eval returns NULL — the caller's
+    // distributed-fallback signal (merge must preserve poison)
+    val df = Seq(
+      (1L, Seq("a b", "b c", "a b")),
+      (2L, Seq("b c", "c d")),
+      (3L, Seq("a b"))).toDF("doc_id", "bgs")
+    val under = df.select(GraftFunctions.elem_counts(col("bgs"), 10)).collect().head
+    assert(under.getMap[String, Long](0) ==
+      Map("a b" -> 3L, "b c" -> 2L, "c d" -> 1L))
+    val over = df.select(GraftFunctions.elem_counts(col("bgs"), 2)).collect().head
+    assert(over.isNullAt(0), s"cap-2 over 3 keys must poison: $over")
+    val keys = Seq(1L, 2L, 1L, 3L, 2L, 1L).toDF("k")
+    val ku = keys.select(GraftFunctions.key_counts(col("k"), 5)).collect().head
+    assert(ku.getMap[Long, Long](0) == Map(1L -> 3L, 2L -> 2L, 3L -> 1L))
+    val ko = keys.select(GraftFunctions.key_counts(col("k"), 2)).collect().head
+    assert(ko.isNullAt(0))
+    // null elements/keys are skipped, not counted and not poisonous
+    val withNulls = Seq(Tuple1(Seq[String]("x", null, "x"))).toDF("bgs")
+    assert(withNulls.select(GraftFunctions.elem_counts(col("bgs"), 10))
+      .collect().head.getMap[String, Long](0) == Map("x" -> 2L))
+  }
+
   test("token_set_counts == builtins per-set filter counts (fixture + random)") {
     val sets = Seq(Seq("the", "a", "of", "and", "to"),
       Seq("el", "una", "y", "que", "los"), Seq("..."))
