@@ -571,6 +571,36 @@ object GraftOps {
     */
   def normalizeText(c: Column): Column = ops.CurationOps.normalizeText(c)
 
+  /** HTML → text extraction in one codegen pass:
+    * struct<text, main_text, n_lines, n_kept> — stage-1 extracted
+    * lines and the link-density-gated main content (the crawl step
+    * between HTTP decode and every text operator). Rule chain +
+    * engine-exactness contract on [[graft.functions.HtmlTextUtil]];
+    * verified by `q_html_extract` (chain oracle) and `q_html_main`
+    * (independent closed-form oracle).
+    */
+  def htmlExtract(html: Column): Column =
+    graft.functions.GraftFunctions.html_extract(html)
+
+  /** The main-content text alone (extraction + boilerplate gate). */
+  def htmlMainText(html: Column): Column =
+    graft.functions.GraftFunctions.html_extract(html).getField("main_text")
+
+  /** Per-line extraction evidence: array<struct<line, n_chars,
+    * n_link_chars>> — the density numbers behind the main-content
+    * gate, for threshold debugging. Verified by `q_html_density`.
+    */
+  def htmlLineStats(html: Column): Column =
+    graft.functions.GraftFunctions.html_lines(html)
+
+  /** Write a WET-shaped (`conversion`-record) corpus — the
+    * extracted-text sibling of a response archive; see
+    * `ArchiveOps.writeWetCorpus`. Verified by `q_warc_wet` and the
+    * `q_wet_refine` refinery roundtrip.
+    */
+  def writeWetCorpus(docs: DataFrame, dir: String, shards: Int): Unit =
+    ops.ArchiveOps.writeWetCorpus(docs, dir, shards)
+
   /** Train/val split leakage audit over a deterministic 25% md5
     * holdout: per source, how many val docs near-duplicate a train doc
     * (band collision + signature agreement). Verified by
