@@ -264,18 +264,21 @@ object ArchiveOps extends QueryModule {
 
   /** The full captured-response payload for one document body,
     * `rich = false` → the classic 5-way [[httpVariant]] cycle;
-    * `rich = true` (HTML bodies) adds the two r13 decode paths the
-    * r12 hardening introduced, so they are exercised THROUGH the
-    * oracle gate, not just by unit fixtures:
-    *  - docId % 7 == 5: META-CHARSET — the Content-Type header
+    * `rich = true` (HTML bodies) adds the decode paths the r12/r13
+    * hardening introduced, so they are exercised THROUGH the oracle
+    * gate, not just by unit fixtures:
+    *  - docId % 8 == 5: META-CHARSET — the Content-Type header
     *    declares NO charset; the page's own `<meta charset=…>` (within
     *    the WHATWG 1024-byte prescan budget) names the encoding
     *    (windows-1252 when the body survives it losslessly, else
     *    utf-8). Head content never reaches extraction output, so the
     *    writer may rewrite the meta declaration freely.
-    *  - docId % 7 == 6: RAW DEFLATE — `Content-Encoding: deflate`
+    *  - docId % 8 == 6: RAW DEFLATE — `Content-Encoding: deflate`
     *    carrying a zlib-headerless stream (the server bug browsers
     *    tolerate; the reader's raw-inflate fallback must fire).
+    *  - docId % 8 == 7: BOM — a BOM'd UTF-16LE body under a header
+    *    that declares NO charset (the WHATWG BOM sniff must resolve
+    *    and strip it).
     */
   private def httpRecordPayload(
       docId: Long, body: String, rich: Boolean): Array[Byte] = {
@@ -288,7 +291,7 @@ object ArchiveOps extends QueryModule {
         gzipBody = gz, chunked = chunked, chunkSize = 512)
     }
     if (!rich) classic
-    else docId % 7 match {
+    else docId % 8 match {
       case 5 =>
         val w1252 = java.nio.charset.Charset.forName("windows-1252")
         val declared = body.replace("charset=\"utf-8\"", "charset=\"windows-1252\"")
@@ -312,6 +315,12 @@ object ArchiveOps extends QueryModule {
         HttpWire.responsePayload(200, "OK",
           Seq("Content-Type" -> "text/html; charset=utf-8",
             "Content-Encoding" -> "deflate") ++ baseHeaders, raw)
+      case 7 =>
+        val le = java.nio.charset.StandardCharsets.UTF_16LE
+        val bom = Array[Byte](0xFF.toByte, 0xFE.toByte)
+        HttpWire.responsePayload(200, "OK",
+          ("Content-Type" -> "text/html") +: baseHeaders,
+          bom ++ body.getBytes(le))
       case _ => classic
     }
   }

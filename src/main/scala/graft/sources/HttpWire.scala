@@ -21,8 +21,10 @@ import java.nio.charset.StandardCharsets.{ISO_8859_1, UTF_8}
   *  - `Content-Encoding: gzip | deflate (zlib or raw) | br (decoder
   *    resolved reflectively; env-gated) | identity` (anything else is
   *    an error-channel case, never a throw);
-  *  - charset from the Content-Type `charset=` parameter, then (HTML
-  *    only) the body's own `<meta charset>` prescan, UTF-8
+  *  - charset by WHATWG precedence: BOM (utf-8/utf-16be/utf-16le,
+  *    stripped from the text), then the Content-Type `charset=`
+  *    parameter, then (HTML only) the body's own `<meta charset>`
+  *    prescan, UTF-8
   *    fallback when absent; a STRICT decode so mojibake lands in the
   *    row-level error channel instead of silently corrupting the
   *    corpus (a quality gate downstream cannot un-mix a mis-decoded
@@ -159,37 +161,65 @@ object HttpWire {
         case Some(ce)                      => Left(s"http: unsupported content-encoding '$ce'")
       }
     }
-    // 3. character decoding: the Content-Type charset parameter wins;
-    // when the header declares none, an HTML body's own
-    // <meta charset=…> / <meta http-equiv> declaration (scanned over
-    // the first 1024 decoded-entity bytes, the WHATWG prescan budget)
-    // is used before the UTF-8 fallback — very many real pages declare
-    // charset only in markup, and a strict UTF-8 decode of a
-    // meta-declared windows-1252 page would error-channel a perfectly
-    // good document.
+    // 3. character decoding, WHATWG precedence: a BYTE ORDER MARK
+    // outranks everything (browsers decode a BOM'd page by its BOM even
+    // against a contradicting header — the serializer that wrote the
+    // BOM knew the encoding), then the Content-Type charset parameter,
+    // then (HTML only) the body's own <meta charset=…> declaration
+    // (scanned over the first 1024 decoded-entity bytes, the WHATWG
+    // prescan budget), then the UTF-8 fallback. The BOM itself is
+    // STRIPPED from the decoded text (it is encoding metadata; a
+    // leading U+FEFF would poison the first token of every downstream
+    // tokenizer pass). Only the three WHATWG-sniffed BOMs participate
+    // (utf-8 / utf-16be / utf-16le); utf-32 is not sniffed, matching
+    // the spec.
     decoded.flatMap { entity =>
-      val headerCs = r.charsetName
-      val csName =
-        if (headerCs != null) headerCs
-        else if (m == "text/html") metaCharset(entity)
-        else null
-      val cs: Either[String, Charset] =
-        if (csName == null) Right(UTF_8)
-        else
-          try Right(Charset.forName(csName))
-          catch { case _: Exception => Left(s"http: unsupported charset '$csName'") }
+      val (cs: Either[String, Charset], skip: Int) = bomCharset(entity) match {
+        case Some((bomCs, bomLen)) => (Right(bomCs), bomLen)
+        case None =>
+          val headerCs = r.charsetName
+          val csName =
+            if (headerCs != null) headerCs
+            else if (m == "text/html") metaCharset(entity)
+            else null
+          val resolved: Either[String, Charset] =
+            if (csName == null) Right(UTF_8)
+            else
+              try Right(Charset.forName(csName))
+              catch { case _: Exception => Left(s"http: unsupported charset '$csName'") }
+          (resolved, 0)
+      }
       cs.flatMap { charset =>
         try {
           val dec = charset.newDecoder()
             .onMalformedInput(CodingErrorAction.REPORT)
             .onUnmappableCharacter(CodingErrorAction.REPORT)
-          Right(Some(dec.decode(java.nio.ByteBuffer.wrap(entity)).toString))
+          Right(Some(dec.decode(java.nio.ByteBuffer.wrap(
+            entity, skip, entity.length - skip)).toString))
         } catch {
           case _: java.nio.charset.CharacterCodingException =>
             Left(s"http: body is not valid ${charset.name}")
         }
       }
     }
+  }
+
+  /** The WHATWG BOM sniff: (charset, BOM length) for the three
+    * sniffed marks, None otherwise. Checked on the raw entity bytes
+    * BEFORE any charset resolution.
+    */
+  private[sources] def bomCharset(entity: Array[Byte])
+      : Option[(Charset, Int)] = {
+    if (entity.length >= 3 &&
+      entity(0) == 0xEF.toByte && entity(1) == 0xBB.toByte &&
+      entity(2) == 0xBF.toByte) Some((UTF_8, 3))
+    else if (entity.length >= 2 &&
+      entity(0) == 0xFE.toByte && entity(1) == 0xFF.toByte)
+      Some((java.nio.charset.StandardCharsets.UTF_16BE, 2))
+    else if (entity.length >= 2 &&
+      entity(0) == 0xFF.toByte && entity(1) == 0xFE.toByte)
+      Some((java.nio.charset.StandardCharsets.UTF_16LE, 2))
+    else None
   }
 
   /** Charset declared in the markup itself: `<meta charset=X>` or

@@ -64,8 +64,11 @@ class HttpWireSpec extends AnyFunSuite {
     assert(dec("image/gif", Array[Byte](0x47, 0x49, 0xff.toByte)) == Right(None))
     assert(dec("application/pdf", "text-ish".getBytes(UTF_8)) == Right(None))
     assert(dec("text/html; charset=klingon-9", "x".getBytes(UTF_8)).isLeft)
-    // invalid utf-8 under a STRICT decode is an error, not silent mojibake
-    assert(dec("text/html; charset=utf-8", Array[Byte](0xff.toByte, 0xfe.toByte)).isLeft)
+    // invalid utf-8 under a STRICT decode is an error, not silent
+    // mojibake (0xFF 0xFF: invalid in utf-8 AND not one of the three
+    // WHATWG BOMs — 0xFF 0xFE would now legitimately decode as a
+    // BOM'd utf-16le document)
+    assert(dec("text/html; charset=utf-8", Array[Byte](0xff.toByte, 0xff.toByte)).isLeft)
   }
 
   test("chunked transfer-encoding is de-chunked (sizes in hex, extensions ignored)") {
@@ -187,6 +190,34 @@ class HttpWireSpec extends AnyFunSuite {
     // non-HTML text never consults markup: invalid utf-8 stays an error
     val notHtml = "<meta charset=\"windows-1252\"> café"
     assert(html("text/plain", notHtml, java.nio.charset.Charset.forName("windows-1252")).isLeft)
+  }
+
+  test("BOM outranks header and meta charsets and is stripped from the text") {
+    def decode(ct: String, body: Array[Byte]) =
+      HttpWire.decodeTextBody(HttpWire.parseResponse(
+        msg(s"HTTP/1.1 200 OK\r\nContent-Type: $ct\r\n\r\n") ++ body).toOption.get)
+    val doc = "<html><body>plain ascii über</body></html>"
+    val le = java.nio.charset.StandardCharsets.UTF_16LE
+    val bomLE = Array[Byte](0xFF.toByte, 0xFE.toByte)
+    val bomBE = Array[Byte](0xFE.toByte, 0xFF.toByte)
+    val bom8 = Array[Byte](0xEF.toByte, 0xBB.toByte, 0xBF.toByte)
+    // no header charset: the BOM resolves the encoding, and the decoded
+    // text carries no U+FEFF
+    assert(decode("text/html", bomLE ++ doc.getBytes(le)) == Right(Some(doc)))
+    assert(decode("text/html", bomBE ++ doc.getBytes(UTF_16BE)) == Right(Some(doc)))
+    assert(decode("text/html", bom8 ++ doc.getBytes(UTF_8)) == Right(Some(doc)))
+    // BOM beats a CONTRADICTING header charset (the WHATWG order —
+    // a strict utf-8 decode of these bytes would be Left)
+    assert(decode("text/html; charset=utf-8", bomLE ++ doc.getBytes(le)) ==
+      Right(Some(doc)))
+    // BOM beats a contradicting meta declaration too (the fixture's
+    // wrap declares <meta charset="utf-8"> while the body is utf-16le)
+    val metaDoc = "<html><head><meta charset=\"utf-8\"/></head><body>x</body></html>"
+    assert(decode("text/html", bomLE ++ metaDoc.getBytes(le)) ==
+      Right(Some(metaDoc)))
+    // BOM-less bodies are untouched (no false sniff on ascii)
+    assert(decode("text/html; charset=utf-8", doc.getBytes(UTF_8)) ==
+      Right(Some(doc)))
   }
 
   test("header-only message (no body) parses with an empty body") {
