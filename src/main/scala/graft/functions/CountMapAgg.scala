@@ -156,9 +156,20 @@ case class ElemCountMapAgg(
     buf
   }
 
-  override protected def writeKey(out: DataOutputStream, k: String): Unit =
-    out.writeUTF(k)
-  override protected def readKey(in: DataInputStream): String = in.readUTF()
+  // Length-prefixed UTF-8, not writeUTF: writeUTF throws
+  // UTFDataFormatException past 65535 encoded bytes, so one pathological
+  // key (an unbroken base64 blob token) under the cap would crash the
+  // checkpoint job instead of staying exact.
+  override protected def writeKey(out: DataOutputStream, k: String): Unit = {
+    val b = k.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    out.writeInt(b.length)
+    out.write(b)
+  }
+  override protected def readKey(in: DataInputStream): String = {
+    val b = new Array[Byte](in.readInt())
+    in.readFully(b)
+    new String(b, java.nio.charset.StandardCharsets.UTF_8)
+  }
   override protected def sqlKey(k: String): Any = UTF8String.fromString(k)
 
   override def withNewMutableAggBufferOffset(newOffset: Int): ElemCountMapAgg =

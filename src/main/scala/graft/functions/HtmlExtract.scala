@@ -324,14 +324,21 @@ object HtmlTextUtil {
           }
         }
         if (closeEnd < 0) i = o + 1
-        else { total += clean(inner).length; i = closeEnd }
+        else { total += codePoints(clean(inner)); i = closeEnd }
       }
     }
     total
   }
 
-  /** One extracted line: cleaned text + link-character count. */
-  final case class Line(text: String, nLink: Int)
+  /** Unicode code points, not UTF-16 code units — DuckDB's length()
+    * and Spark's length()/UTF8String.numChars both count code points,
+    * so supplementary-plane chars (emoji, common in crawl text) must
+    * count as 1 here too or the keep gate diverges from the oracle.
+    */
+  @inline def codePoints(s: String): Int = s.codePointCount(0, s.length)
+
+  /** One extracted line: cleaned text + code-point/link-char counts. */
+  final case class Line(text: String, nChars: Int, nLink: Int)
 
   /** The full chain: nonempty cleaned lines with link stats. */
   def lines(html: String): Array[Line] = {
@@ -343,12 +350,12 @@ object HtmlTextUtil {
     val out = new scala.collection.mutable.ArrayBuffer[Line](raw.length)
     raw.foreach { r =>
       val t = clean(r)
-      if (t.nonEmpty) out += Line(t, linkChars(r))
+      if (t.nonEmpty) out += Line(t, codePoints(t), linkChars(r))
     }
     out.toArray
   }
 
-  @inline def isContent(l: Line): Boolean = 2L * l.nLink <= l.text.length
+  @inline def isContent(l: Line): Boolean = 2L * l.nLink <= l.nChars
 
   /** (text, main_text, n_lines, n_kept) for [[HtmlExtract]]. */
   def extract(html: String): GenericInternalRow = {
@@ -375,7 +382,7 @@ object HtmlTextUtil {
   def lineStatsArray(html: String): GenericArrayData = {
     val ls = lines(html)
     new GenericArrayData(ls.map(l => new GenericInternalRow(Array[Any](
-      UTF8String.fromString(l.text), l.text.length, l.nLink)): AnyRef))
+      UTF8String.fromString(l.text), l.nChars, l.nLink)): AnyRef))
   }
 }
 

@@ -725,6 +725,13 @@ object ArchiveOps extends QueryModule {
       })
   }
 
+  /** Per-process output dirs for q_wet_refine, keyed by sf dir — unlike
+    * [[Fixtures]] these are WRITTEN every run (the write is the
+    * operator); the map only pins a collision-free tempdir per JVM.
+    */
+  private val wetRefineDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** Cycled-codec 8-shard resource corpus WITH its `_cdx` sidecar. */
   private def warcFixture(s: SparkSession, sfDir: String): String =
     Fixtures.dir("warc8", sfDir) { d =>
@@ -1037,9 +1044,20 @@ object ArchiveOps extends QueryModule {
           graft.functions.GraftFunctions.html_extract(col("text"))
             .getField("main_text").as("text"),
           col("lang"), col("source"))
-      val out = new java.io.File(
-        System.getProperty("java.io.tmpdir"),
-        s"graft_wet_refined_${Integer.toHexString(d.hashCode)}").getAbsolutePath
+      // Unique per-run directory: a fixed hashCode-keyed path lets two
+      // concurrent bench/verify processes interleave shard writes (and a
+      // crashed run's leftover shards would be globbed into the
+      // read-back). The JVM-lifetime map keeps re-runs in ONE process on
+      // a stable path so warm bench iterations measure write+read, not
+      // directory churn.
+      val out = wetRefineDirs.computeIfAbsent(d, _ =>
+        java.nio.file.Files.createTempDirectory("graft_wet_refined_")
+          .toAbsolutePath.toString)
+      val dir0 = new java.io.File(out)
+      dir0.listFiles() match {
+        case null  =>
+        case files => files.foreach(f => if (f.isFile) f.delete())
+      }
       writeWetCorpus(refined, out, shards = 8)
       s.read.format("warc").load(out)
         .filter(col("warc_type") === "conversion" && col("error").isNull)

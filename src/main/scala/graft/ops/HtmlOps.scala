@@ -89,10 +89,21 @@ object HtmlOps extends graft.QueryModule {
       case "p1"     => esc(array_join(slice(ws, lit(1), h), " "))
       case "p2"     => esc(array_join(slice(ws, h + lit(1), n - h), " "))
     }
-    concat(Wrap.map {
+    val wrapped = concat(Wrap.map {
       case Left(s)  => lit(s)
       case Right(f) => fieldCol(f)
     }: _*)
+    // Footer gate margin: the closed-form oracle hardcodes that the
+    // footer ("Terms of Service" + "Privacy Policy" links, 30 link
+    // chars over a 36 + len(source) char line) falls to the density
+    // gate — true only while len(source) <= 23. A longer source label
+    // in a future fixture would flip q_html_main/q_crawl_ingest/
+    // q_wet_refine into a confusing hash mismatch; fail loudly at
+    // fixture-build time instead.
+    when(length(col("source")) <= lit(23), wrapped)
+      .otherwise(raise_error(concat(
+        lit("html fixture: source label '"), col("source"),
+        lit("' breaks the footer link-density margin (len(source) must be <= 23)"))))
   }
 
   private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"

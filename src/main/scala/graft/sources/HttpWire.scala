@@ -235,24 +235,105 @@ object HttpWire {
     val n = math.min(entity.length, 1024)
     if (n == 0) return null
     val head = new String(entity, 0, n, ISO_8859_1)
-    MetaCharsetAttr.findFirstMatchIn(head)
-      .flatMap(m => (1 to 3).view.flatMap(g => Option(m.group(g))).headOption)
-      .map(_.trim)
-      .filter(_.nonEmpty)
-      .orElse {
-        MetaHttpEquiv.findFirstMatchIn(head).flatMap { m =>
-          CharsetParam.findFirstMatchIn(m.group(1))
-            .map(c => Option(c.group(1)).getOrElse(c.group(2)).trim)
-            .filter(_.nonEmpty)
-        }
-      }
-      .orNull
+    var i = 0
+    while (i < head.length) {
+      val o = indexOfMetaTag(head, i)
+      if (o < 0) return null
+      val gt = head.indexOf('>', o)
+      val end = if (gt < 0) head.length else gt
+      val cs = charsetFromMetaAttrs(head, o + 5, end)
+      if (cs != null) return normalizeSniffedLabel(cs)
+      i = end + 1
+    }
+    null
   }
 
-  private val MetaCharsetAttr =
-    """(?is)<meta[^>]*?\bcharset\s*=\s*(?:"([^">]*)"|'([^'>]*)'|([^\s"'>;]+))""".r
-  private val MetaHttpEquiv =
-    """(?is)<meta[^>]*?http-equiv\s*=\s*["']?content-type["']?[^>]*?\bcontent\s*=\s*["']([^"']*)["']""".r
+  /** WHATWG prescan label fixups: a meta-declared utf-16 family label
+    * means the document was NOT actually utf-16 at this point (a real
+    * utf-16 page can't have an ASCII-readable prescan), so the spec
+    * says decode as UTF-8; x-user-defined maps to windows-1252.
+    */
+  private def normalizeSniffedLabel(label: String): String = {
+    val l = label.trim.toLowerCase(java.util.Locale.ROOT)
+    if (l == "utf-16" || l == "utf-16be" || l == "utf-16le") "UTF-8"
+    else if (l == "x-user-defined") "windows-1252"
+    else label.trim
+  }
+
+  /** Next `<meta` tag-open at or after `from` — the 5 chars
+    * case-insensitively, followed by whitespace or `/` (the WHATWG
+    * prescan's tag-name boundary), so `<metadata>` never matches.
+    */
+  private def indexOfMetaTag(s: String, from: Int): Int = {
+    var i = math.max(from, 0)
+    while (i + 5 < s.length) {
+      if (s.charAt(i) == '<' && s.regionMatches(true, i + 1, "meta", 0, 4)) {
+        val c = s.charAt(i + 5)
+        if (c == ' ' || c == '\t' || c == '\r' || c == '\n' || c == '\f' || c == '/')
+          return i
+      }
+      i += 1
+    }
+    -1
+  }
+
+  /** The WHATWG prescan's per-meta attribute walk over `[from, end)`
+    * (end = the tag's first `>`). ONLY an actual `charset` ATTRIBUTE of
+    * the tag counts — `charset=` inside another attribute's value (a
+    * name/content pair, say) is invisible here, unlike a regex over the
+    * raw tag text. The pragma path needs BOTH http-equiv=content-type
+    * and a content attribute carrying a charset parameter.
+    */
+  private def charsetFromMetaAttrs(s: String, from: Int, end: Int): String = {
+    @inline def ws(c: Char) =
+      c == ' ' || c == '\t' || c == '\r' || c == '\n' || c == '\f'
+    var i = from
+    var charsetVal: String = null
+    var contentVal: String = null
+    var gotPragma = false
+    while (i < end) {
+      while (i < end && (ws(s.charAt(i)) || s.charAt(i) == '/')) i += 1
+      if (i < end) {
+        val ns = i
+        while (i < end && s.charAt(i) != '=' && !ws(s.charAt(i)) &&
+          s.charAt(i) != '/') i += 1
+        val name = s.substring(ns, i).toLowerCase(java.util.Locale.ROOT)
+        while (i < end && ws(s.charAt(i))) i += 1
+        var value: String = null
+        if (i < end && s.charAt(i) == '=') {
+          i += 1
+          while (i < end && ws(s.charAt(i))) i += 1
+          if (i < end) {
+            val q = s.charAt(i)
+            if (q == '"' || q == '\'') {
+              val close = s.indexOf(q, i + 1)
+              if (close >= 0 && close < end) {
+                value = s.substring(i + 1, close); i = close + 1
+              } else { value = s.substring(i + 1, end); i = end }
+            } else {
+              val vs = i
+              while (i < end && !ws(s.charAt(i))) i += 1
+              value = s.substring(vs, i)
+            }
+          } else value = ""
+        }
+        if (name.nonEmpty) name match {
+          case "charset" if charsetVal == null =>
+            charsetVal = if (value == null) "" else value.trim
+          case "content" if contentVal == null => contentVal = value
+          case "http-equiv" if value != null &&
+            value.trim.equalsIgnoreCase("content-type") => gotPragma = true
+          case _ =>
+        }
+      }
+    }
+    if (charsetVal != null && charsetVal.nonEmpty) charsetVal
+    else if (gotPragma && contentVal != null)
+      CharsetParam.findFirstMatchIn(contentVal)
+        .map(c => Option(c.group(1)).getOrElse(c.group(2)).trim)
+        .filter(_.nonEmpty).orNull
+    else null
+  }
 
   // -------------------------------------------------------------------
   // wire helpers

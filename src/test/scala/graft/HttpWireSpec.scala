@@ -192,6 +192,49 @@ class HttpWireSpec extends AnyFunSuite {
     assert(html("text/plain", notHtml, java.nio.charset.Charset.forName("windows-1252")).isLeft)
   }
 
+  test("WHATWG prescan fixups: utf-16 labels mean utf-8, x-user-defined means windows-1252, attribute-only matching") {
+    def html(ct: String, doc: String, cs: java.nio.charset.Charset) =
+      HttpWire.decodeTextBody(HttpWire.parseResponse(
+        msg(s"HTTP/1.1 200 OK\r\nContent-Type: $ct\r\n\r\n") ++ doc.getBytes(cs)).toOption.get)
+    // a meta-declared utf-16 family label must decode as UTF-8 (a real
+    // utf-16 page can't have an ASCII-readable prescan); the body here
+    // is utf-8 with a multibyte char, so a literal utf-16 decode would
+    // produce garbage/Left rather than round-trip
+    for (label <- Seq("utf-16", "UTF-16BE", "utf-16le")) {
+      val doc = s"""<html><meta charset="$label"><body>café</body></html>"""
+      assert(html("text/html", doc, UTF_8) == Right(Some(doc)), label)
+    }
+    // x-user-defined maps to windows-1252
+    val xud = "<html><meta charset=x-user-defined><body>café</body></html>"
+    assert(html("text/html", xud,
+      java.nio.charset.Charset.forName("windows-1252")) == Right(Some(xud)))
+    // charset= INSIDE another attribute's value is not a declaration:
+    // this page declares nothing, falls back to utf-8, and its 1252
+    // bytes are a strict-decode error — a regex over the raw tag text
+    // would have (wrongly) decoded it
+    val inValue = "<html><meta name=\"description\" " +
+      "content=\"how to set charset=windows-1252 in html\"><body>café</body></html>"
+    assert(html("text/html", inValue,
+      java.nio.charset.Charset.forName("windows-1252")).isLeft)
+    // content= without the http-equiv=content-type pragma is ignored too
+    val noPragma = "<html><meta content=\"text/html; charset=windows-1252\">" +
+      "<body>café</body></html>"
+    assert(html("text/html", noPragma,
+      java.nio.charset.Charset.forName("windows-1252")).isLeft)
+    // <metadata> is not <meta>
+    val metadata = "<html><metadata charset=\"windows-1252\"></metadata>" +
+      "<body>café</body></html>"
+    assert(html("text/html", metadata,
+      java.nio.charset.Charset.forName("windows-1252")).isLeft)
+    // unquoted and single-quoted attribute values still parse
+    val unq = "<html><meta charset=windows-1252><body>café</body></html>"
+    assert(html("text/html", unq,
+      java.nio.charset.Charset.forName("windows-1252")) == Right(Some(unq)))
+    val sq = "<html><meta charset='windows-1252'><body>café</body></html>"
+    assert(html("text/html", sq,
+      java.nio.charset.Charset.forName("windows-1252")) == Right(Some(sq)))
+  }
+
   test("BOM outranks header and meta charsets and is stripped from the text") {
     def decode(ct: String, body: Array[Byte]) =
       HttpWire.decodeTextBody(HttpWire.parseResponse(

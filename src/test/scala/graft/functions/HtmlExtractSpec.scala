@@ -43,6 +43,9 @@ class HtmlExtractSpec extends SparkSpec {
   private def builtinsLinkChars(c: Column): Column =
     transform(split(flat(c), "\n", -1), l =>
       struct(clean(l).as("line"),
+        // Spark's length() counts CODE POINTS — the contract the fused
+        // scan's n_chars/n_link_chars must match on non-BMP text
+        length(clean(l)).as("nchars"),
         aggregate(
           transform(regexp_extract_all(l,
             lit(s"(?is)<a($W[^>]*)?>(.*?)</a$W*>"), lit(2)),
@@ -84,7 +87,13 @@ class HtmlExtractSpec extends SparkSpec {
     "no entities & loose ampersand",
     "<br>line<br/>breaks<br />here",
     "<td>cell</td><th>head</th><caption>cap</caption>",
-    "<blockquote cite=\"x\">q</blockquote><address>ad</address>")
+    "<blockquote cite=\"x\">q</blockquote><address>ad</address>",
+    // non-BMP (supplementary plane): counts must be CODE POINTS, not
+    // UTF-16 units — "a<a>😀</a>" keeps under code points (2·1 <= 2)
+    // but would drop under UTF-16 units (2·2 > 3)
+    "a<a>😀</a>",
+    "<a href=\"/e\">🦀🦀</a> 🌍 tail",
+    "😀😀 boundary <p>😀</p> &amp; 🌍")
 
   private def fixtureHtml = {
     val docs = graft.Tables.documents(spark, sfDir).limit(64)
@@ -122,12 +131,22 @@ class HtmlExtractSpec extends SparkSpec {
         .collect()
       got.foreach { r =>
         val mine = r.getSeq[org.apache.spark.sql.Row](0)
-          .map(x => (x.getString(0), x.getInt(2)))
+          .map(x => (x.getString(0), x.getInt(1), x.getInt(2)))
         val ref = r.getSeq[org.apache.spark.sql.Row](1)
-          .map(x => (x.getString(0), x.getInt(1)))
+          .map(x => (x.getString(0), x.getInt(1), x.getInt(2)))
         assert(mine == ref, s"line stats mismatch on '${r.getString(2)}'")
       }
     }
+  }
+
+  test("keep gate counts code points: astral divergence case keeps") {
+    // Under UTF-16 units this line would read nLink=2, nChars=3 and
+    // drop (4 > 3); code points give 2·1 <= 2 — keep.
+    val x = Seq("a<a>😀</a>").toDF("html")
+      .select(GraftFunctions.html_extract(col("html")).as("x"))
+      .select("x.main_text", "x.n_kept").collect().head
+    assert(x.getString(0) == "a😀" && x.getInt(1) == 1,
+      s"astral keep-gate divergence: got '${x.getString(0)}' kept=${x.getInt(1)}")
   }
 
   test("main-content gate: nav/footer boilerplate drops, content and h1 stay") {
