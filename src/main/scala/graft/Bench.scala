@@ -89,7 +89,11 @@ object Bench {
     // spelling + the crawl->WET refinement composite + pushed COUNT(*)
     // (new operators enter the bench the round they are written)
     "q_html_extract", "q_html_main", "q_html_density",
-    "q_warc_wet", "q_warc_fetch_rf", "q_wet_refine", "q_warc_count")
+    "q_warc_wet", "q_warc_fetch_rf", "q_wet_refine", "q_warc_count",
+    // r14: the token-ID pipeline capstone (vocab export, id emission,
+    // pack-and-write-id-shards) + block-level main-content scoring
+    "q_bpe_vocab", "q_bpe_ids", "q_tokenize_pack", "q_html_blocks",
+    "q_lang_id_hashed", "q_warc_trio", "q_warc_revisit", "q_crawl_update")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -264,6 +264,33 @@ object GraftOps {
   def bpeEncode(docs: DataFrame, rounds: Int = 3): DataFrame =
     ops.PipelineOps.bpeEncode(docs, rounds)
 
+  /** Exported tokenizer vocabulary (token_id, token, kind): chars in
+    * code-point order, then merge products in training order — the
+    * deterministic id table a training job loads to decode id shards.
+    * Training is memoized per corpus plan (deterministic model state).
+    * Verified by `q_bpe_vocab`.
+    */
+  def bpeVocab(docs: DataFrame, rounds: Int = 3): DataFrame =
+    ops.TrainPrepOps.bpeVocabDf(docs, rounds)
+
+  /** Token-id emission: (doc_id, source, ids array<int>) — every word
+    * encoded through the trained merge list in one narrow codegen pass
+    * (the tokenizer rides the expression as a reference object; no
+    * join, no shuffle). Verified by `q_bpe_ids`.
+    */
+  def tokenIds(docs: DataFrame, rounds: Int = 3): DataFrame =
+    ops.TrainPrepOps.tokenIds(docs, rounds)
+
+  /** Pack token-id streams into fixed-`seqLen` training sequences per
+    * shard (docs in doc_id order, EOD separator after each document;
+    * documents span sequence boundaries) — the id-array sibling of
+    * [[packSequences]], emitting the sequences themselves. Output:
+    * (source, seq_no, ids array<int>). Verified by `q_tokenize_pack`
+    * (which also writes/reads the id shards).
+    */
+  def packTokenIds(docs: DataFrame, rounds: Int = 3, seqLen: Int = 64): DataFrame =
+    ops.TrainPrepOps.packTokenIds(docs, rounds, seqLen)
+
   /** Overlapping token-window chunking (RAG/embedding prep): `window`
     * tokens starting every `stride`, tail clamped — one narrow pass.
     * Output: (doc_id, chunk_id, start_token, n_chunk_tokens,
@@ -600,6 +627,39 @@ object GraftOps {
     */
   def writeWetCorpus(docs: DataFrame, dir: String, shards: Int): Unit =
     ops.ArchiveOps.writeWetCorpus(docs, dir, shards)
+
+  /** Write a real-crawl-shaped corpus: request/response/metadata trios
+    * (WARC-Concurrent-To links) plus identical-payload-digest `revisit`
+    * records for every doc_id % 7 == 3. Verified by `q_warc_trio` and
+    * `q_warc_revisit` (+ the revisit-policy spec in WarcDsv2Spec).
+    */
+  def writeCrawlTrioCorpus(docs: DataFrame, dir: String, shards: Int): Unit =
+    ops.ArchiveOps.writeCrawlTrioCorpus(docs, dir, shards)
+
+  /** Snapshot-over-snapshot crawl update: URL canonicalization →
+    * canonical-URL exact dedup vs the previous snapshot → MinHash-LSH
+    * near-dup admission (same-URL matches excluded) → per-source delta
+    * accounting. Inputs: (doc_id, source, url, text). Verified by
+    * `q_crawl_update`.
+    */
+  def crawlUpdate(prev: DataFrame, next: DataFrame): DataFrame =
+    ops.DedupOps.crawlUpdate(prev, next)
+
+  /** Train the hashed char-n-gram language classifier (fastText
+    * inference shape) on labeled (lang, text) rows: per-language
+    * 4096-bucket histograms over char 1+2+3-grams, integer
+    * micro-frequency weights. Verified by `q_lang_id_hashed` +
+    * LangIdSpec's real-multilingual accuracy demonstration.
+    */
+  def trainLangIdModel(labeled: DataFrame): Seq[(String, Seq[Long])] =
+    ops.TextOps.trainLangIdModel(labeled)
+
+  /** Score (doc_id, lang, text) rows against a [[trainLangIdModel]]
+    * model: one md5 per n-gram across all classes, integer argmax.
+    * Output: (doc_id, lang, predicted, best_score).
+    */
+  def langIdScore(docs: DataFrame, model: Seq[(String, Seq[Long])]): DataFrame =
+    ops.TextOps.langIdScore(docs, model)
 
   /** Train/val split leakage audit over a deterministic 25% md5
     * holdout: per source, how many val docs near-duplicate a train doc

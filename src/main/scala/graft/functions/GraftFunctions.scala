@@ -98,6 +98,36 @@ object GraftFunctions {
     GraftBridge.column(
       HistogramAgg(GraftBridge.expression(c), lo, hi, n).toAggregateExpression())
 
+  /** Per-line block-gate evidence: array<struct<nc, nw, ns, nl>> (see
+    * [[HtmlBlockStats]]).
+    */
+  def html_block_stats(c: Column, stopwords: Seq[String]): Column =
+    GraftBridge.column(
+      HtmlBlockStats(GraftBridge.expression(c), stopwords))
+
+  /** Wide-bucket n-gram histogram for the language classifier's
+    * training pass (see [[LangBucketCounts]]).
+    */
+  def lang_bucket_counts(c: Column, dim: Int): Column =
+    GraftBridge.column(LangBucketCounts(GraftBridge.expression(c), dim))
+
+  /** Code-point character n-grams (see [[CharNgrams]]). */
+  def char_ngrams(c: Column, n: Int): Column =
+    GraftBridge.column(CharNgrams(GraftBridge.expression(c), n))
+
+  /** Multi-class hashed weight sums: array<bigint>, one Σ per table,
+    * one md5 per token (see [[HashedWeightSums]]).
+    */
+  def hashed_weight_sums(c: Column, tables: Seq[Seq[Long]]): Column =
+    GraftBridge.column(HashedWeightSums(GraftBridge.expression(c), tables))
+
+  /** Trained-BPE token-id emission over a word array: array<int> of
+    * concatenated token ids (see [[BpeEncodeIds]] / [[BpeIdEncoder]]).
+    */
+  def bpe_encode_ids(wordsCol: Column, encoder: BpeIdEncoder): Column =
+    GraftBridge.column(
+      BpeEncodeIds(GraftBridge.expression(wordsCol), encoder))
+
   /** Element-wise sum aggregate of dim-slot array<bigint> columns. */
   def vec_sum(c: Column, dim: Int): Column =
     GraftBridge.column(

@@ -10,6 +10,8 @@ import org.apache.spark.sql.functions._
 import graft.{Q, QueryModule, Tables}
 import graft.sources.{HttpWire, SerializableHadoopConf, Warc}
 
+import Present._
+
 /** Row produced by the WARC corpus reader: one per parsed record, plus
   * row-level `error` entries for malformed framing (the reference's
   * error-column discipline, `/root/reference/main.go:73-80`).
@@ -31,7 +33,8 @@ final case class WarcDocRow(
     http_status: Option[Int],
     content_type: String,
     text: String,
-    error: String)
+    error: String,
+    refers_to: String)
 
 /** One CDX-style index entry: where record `record_id` lives — the
   * `(offset, length)` byte span of its gzip member / zstd frame (or
@@ -148,9 +151,10 @@ object ArchiveOps extends QueryModule {
           http_status = v.httpStatus,
           content_type = v.contentType,
           text = v.text,
-          error = v.error)
+          error = v.error,
+          refers_to = Warc.headerOf(rec.headers, "WARC-Refers-To"))
       case Left(err) =>
-        WarcDocRow(path, null, null, null, null, null, None, null, null, err)
+        WarcDocRow(path, null, null, null, null, null, None, null, null, err, null)
     }
 
   /** Read every `.warc` / `.warc.gz` / `.warc.zst` under `dir` into a
@@ -416,6 +420,82 @@ object ArchiveOps extends QueryModule {
     * payload, `http_status` null, `content_type` from the record's own
     * header). Sharding/codec cycling as in [[writeHttpCorpus]].
     */
+  /** Write a REAL-CRAWL-shaped corpus: per document the
+    * request/response/metadata TRIO every archiving crawler emits
+    * (ISO 28500 §6.4/§6.5/§6.9; `WARC-Concurrent-To` links the trio),
+    * plus — for every `doc_id % 7 == 3` — a `revisit` record in the
+    * identical-payload-digest profile (§6.7.2: the re-fetch's HTTP
+    * PRELUDE is stored with NO body; `WARC-Refers-To` names the stored
+    * response record that holds the payload — the shape a
+    * deduplicating crawler writes on an unchanged page). Sharding and
+    * codec cycling as in [[writeHttpCorpus]].
+    */
+  def writeCrawlTrioCorpus(docs: DataFrame, dir: String, shards: Int): Unit = {
+    val bconf = confBroadcast(docs.sparkSession)
+    shardedByDoc(docs, shards).foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+      val conf = bconf.value.value
+      var cur: Warc.WarcShardWriter = null
+      var curShard = -1L
+      def closeShard(): Unit = if (cur != null) { cur.close(); cur = null }
+      try {
+        rows.foreach { r =>
+          val shard = r.getLong(4)
+          if (shard != curShard) {
+            closeShard()
+            val c = shard % 3 match {
+              case 0 => Warc.CodecGzip
+              case 1 => Warc.CodecNone
+              case _ => Warc.CodecZstd
+            }
+            val name = f"part-$shard%05d." + Warc.extOf(c)
+            val hp = new HPath(dir, name)
+            val fs = hp.getFileSystem(conf)
+            fs.mkdirs(new HPath(dir))
+            cur = Warc.shardWriter(fs.create(hp, true), c, name)
+            curShard = shard
+          }
+          val docId = r.getLong(0)
+          val text = r.getString(1)
+          val lang = r.getString(2)
+          val source = r.getString(3)
+          require(text != null && lang != null && source != null,
+            s"writeCrawlTrioCorpus: null text/lang/source for doc_id=$docId")
+          val uri = s"https://graft.invalid/$source/$docId"
+          val reqId = s"urn:graft:req:$docId"
+          val respId = s"urn:graft:doc:$docId"
+          cur.write(Warc.WarcRecord("request", reqId, Some(uri),
+            Map("Content-Type" -> "application/http;msgtype=request",
+              "WARC-Concurrent-To" -> respId),
+            (s"GET /$source/$docId HTTP/1.1\r\nHost: graft.invalid\r\n" +
+              "User-Agent: graftbot/1.0\r\nAccept: text/html\r\n\r\n").getBytes(UTF_8)))
+          cur.write(Warc.WarcRecord("response", respId, Some(uri),
+            Map("Content-Type" -> "application/http;msgtype=response",
+              "WARC-Concurrent-To" -> reqId,
+              "X-Graft-Lang" -> lang,
+              "X-Graft-Source" -> source),
+            HttpWire.responsePayload(200, "OK",
+              Seq("Content-Type" -> "text/plain; charset=utf-8"),
+              text.getBytes(UTF_8))))
+          cur.write(Warc.WarcRecord("metadata", s"urn:graft:meta:$docId", Some(uri),
+            Map("Content-Type" -> "application/warc-fields",
+              "WARC-Concurrent-To" -> respId),
+            s"fetchTimeMs: ${docId % 997}\r\ncharset-detected: utf-8\r\n".getBytes(UTF_8)))
+          if (docId % 7 == 3)
+            cur.write(Warc.WarcRecord("revisit", s"urn:graft:rev:$docId", Some(uri),
+              Map("Content-Type" -> "application/http;msgtype=response",
+                "WARC-Profile" ->
+                  "http://netpreserve.org/warc/1.1/revisit/identical-payload-digest",
+                "WARC-Refers-To" -> respId,
+                "WARC-Refers-To-Target-URI" -> uri,
+                "X-Graft-Lang" -> lang,
+                "X-Graft-Source" -> source),
+              ("HTTP/1.1 200 OK\r\nContent-Type: text/plain; charset=utf-8\r\n\r\n")
+                .getBytes(UTF_8)))
+        }
+      } finally closeShard()
+    }
+  }
+
   def writeWetCorpus(docs: DataFrame, dir: String, shards: Int): Unit = {
     val bconf = confBroadcast(docs.sparkSession)
     shardedByDoc(docs, shards).foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
@@ -497,7 +577,7 @@ object ArchiveOps extends QueryModule {
           val (recId, p, off, len) =
             (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))
           def errRow(err: String) =
-            WarcDocRow(p, null, recId, null, null, null, None, null, null, err)
+            WarcDocRow(p, null, recId, null, null, null, None, null, null, err, null)
           if (len > Int.MaxValue - 8L)
             errRow(s"member too large to buffer ($len bytes)")
           else {
@@ -771,6 +851,14 @@ object ArchiveOps extends QueryModule {
       val docs = Tables.documents(s, sfDir).select("doc_id", "text", "lang", "source")
       writeCorpusWithIndex(docs, d, shards = 8,
         codec = Some(Warc.CodecZstd), zstdDict = trainedZstdDict(docs))
+    }
+
+  /** Request/response/metadata trios + revisit records (8 shards). */
+  private def trioFixture(s: SparkSession, sfDir: String): String =
+    Fixtures.dir("warctrio8", sfDir) { d =>
+      writeCrawlTrioCorpus(
+        Tables.documents(s, sfDir).select("doc_id", "text", "lang", "source"),
+        d, shards = 8)
     }
 
   /** Cycled-codec 8-shard WET (`conversion`-record) corpus. */
@@ -1067,6 +1155,64 @@ object ArchiveOps extends QueryModule {
         .groupBy("source", "lang")
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
         .orderBy("source", "lang")
+    },
+
+    // REAL-CRAWL record mix: the request/response/metadata trio (plus
+    // revisit records and the per-shard warcinfo preamble) all parse —
+    // request and metadata take the reader's generic fallback (their
+    // payloads ARE the text), responses the HTTP path, revisits the
+    // prelude-only policy — and none lands in the error channel.
+    Q(
+      "q_warc_trio",
+      """WITH n AS (SELECT COUNT(*) AS nd FROM documents),
+        |r AS (SELECT COUNT(*) AS nr FROM documents WHERE doc_id % 7 = 3)
+        |SELECT * FROM (
+        |  SELECT 'metadata' AS warc_type, (SELECT nd FROM n) AS n_records,
+        |         CAST(0 AS BIGINT) AS n_errors
+        |  UNION ALL SELECT 'request', (SELECT nd FROM n), 0
+        |  UNION ALL SELECT 'response', (SELECT nd FROM n), 0
+        |  UNION ALL SELECT 'revisit', (SELECT nr FROM r), 0
+        |  UNION ALL SELECT 'warcinfo', 8, 0)
+        |ORDER BY warc_type"""
+    ) { (s, d) =>
+      s.read.format("warc").load(trioFixture(s, d))
+        .groupBy("warc_type")
+        .agg(count(lit(1)).as("n_records"),
+          sum(when(col("error").isNotNull, 1L).otherwise(0L)).as("n_errors"))
+        .boundedSort("warc_type")
+    },
+
+    // REVISIT RESOLUTION: the deduplicating-crawler read path. A
+    // revisit record stores only the re-fetch's HTTP prelude (reader
+    // policy, spec-pinned: http_status from the stored prelude, text
+    // NULL, refers_to carrying WARC-Refers-To); its payload is
+    // recovered by JOINING the referenced response record — a
+    // relational resolve, never a reader-side fetch (at 100 TB the
+    // join is broadcast/bucketed like any other id join; a reader
+    // fetch would be a random seek per record). The oracle is the
+    // closed form over documents.
+    Q(
+      "q_warc_revisit",
+      """SELECT lang,
+        |       COUNT(*) AS n_revisits,
+        |       CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_chars
+        |FROM documents WHERE doc_id % 7 = 3
+        |GROUP BY lang ORDER BY lang"""
+    ) { (s, d) =>
+      val all = s.read.format("warc").load(trioFixture(s, d))
+      val revisits = all
+        .filter(col("warc_type") === "revisit" && col("error").isNull &&
+          col("http_status") === 200)
+        .select(col("refers_to"))
+      val responses = all
+        .filter(col("warc_type") === "response" && col("error").isNull)
+        .select(col("record_id"), col("lang"), col("text"))
+      revisits
+        .join(responses, revisits("refers_to") === responses("record_id"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_revisits"),
+          sum(length(col("text")).cast("long")).as("sum_chars"))
+        .boundedSort("lang")
     },
 
     // Aggregate pushdown: COUNT(*) over the connector is answered from

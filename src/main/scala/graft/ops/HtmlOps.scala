@@ -56,6 +56,17 @@ object HtmlOps extends graft.QueryModule {
     Right("source"),
     Left("\">Section "), Right("source"),
     Left("</a></li>\n<li><a href=\"/about\">About</a></li>\n</ul></nav>\n" +
+      // elements stripped WHOLE (noscript/svg/template/iframe — none of
+      // this text may survive extraction) and the LINK-FREE cookie
+      // banner the per-line link-density gate passes but the r14
+      // block-level gate (q_html_blocks) classifies as boilerplate
+      "<noscript>Enable JavaScript to view interactive charts</noscript>\n" +
+      "<svg viewBox=\"0 0 10 10\"><title>logo vector art</title>" +
+      "<circle r=\"4\"/></svg>\n" +
+      "<template><p>inert template paragraph markup</p></template>\n" +
+      "<iframe src=\"/embed/"), Right("source"),
+    Left("\">iframe fallback text</iframe>\n" +
+      "<div class=\"banner\">Accept cookies Subscribe now</div>\n" +
       "<article>\n<h1>Doc "), Right("doc_id"),
     Left("</h1>\n<p>"), Right("p1"),
     Left("</p>\n<p>"), Right("p2"),
@@ -159,7 +170,7 @@ object HtmlOps extends graft.QueryModule {
     def elem(x: String, tag: String): String =
       s"regexp_replace($x, '(?is)<$tag($W[^>]*)?>.*?</$tag$W*>', '', 'g')"
     val noC = s"regexp_replace($html, '(?s)<!--.*?-->', '', 'g')"
-    val noE = elem(elem(elem(noC, "script"), "style"), "head")
+    val noE = HtmlTextUtil.StrippedElements.foldLeft(noC)(elem)
     val ws1 = s"regexp_replace($noE, '$W+', ' ', 'g')"
     s"regexp_replace($ws1, '(?i)</?(${HtmlTextUtil.blockAlt})($W[^>]*)?/?$W*>', chr(10), 'g')"
   }
@@ -180,13 +191,40 @@ object HtmlOps extends graft.QueryModule {
   private val KeepSql =
     "2*struct_extract(s, 'nlink') <= length(struct_extract(s, 'line'))"
 
-  /** Closed-form main-content lines the wrap must reduce to: the h1
-    * header, the two paragraphs (empty ones drop), and the decoded
-    * entity line — nav and footer are link-heavy by construction and
-    * fall to the density gate. Expects ws/hn/doc_id in scope.
+  /** Per-line BLOCK metrics on top of [[statsListSql]]: code-point
+    * chars, link chars, words (the line is space-collapsed + trimmed,
+    * so a single-space split matches the Go-Fields tokenizer), and
+    * English stopwords — the justext-shape evidence for the block
+    * gate.
+    */
+  private def blockMetricsSql(html: String): String = {
+    def wsOf = "list_filter(string_split(struct_extract(s, 'line'), ' '), x -> x <> '')"
+    s"""list_transform(${statsListSql(html)}, s -> struct_pack(
+       |  nc := CAST(length(struct_extract(s, 'line')) AS INT),
+       |  nw := CAST(len($wsOf) AS INT),
+       |  ns := CAST(len(list_filter($wsOf,
+       |          x -> x IN ${TextOps.inList(TextOps.EnStop)})) AS INT),
+       |  nl := CAST(struct_extract(s, 'nlink') AS INT)))""".stripMargin
+  }
+
+  /** The block-gate GOOD predicate, integer-exact: not link-dominated,
+    * long enough to be evidence (≥ [[BlockLenLow]] code points), and
+    * stopword density ≥ 1/25 (`25·n_stop ≥ n_words`).
+    */
+  private val BlockLenLow = 40
+
+  /** Closed-form main-content lines the wrap must reduce to: the
+    * cookie banner (link-FREE, so the stage-2 link-density gate keeps
+    * it — exactly the gap the r14 block gate closes; see
+    * q_html_blocks), the h1 header, the two paragraphs (empty ones
+    * drop), and the decoded entity line — nav and footer are
+    * link-heavy by construction and fall to the density gate, and the
+    * noscript/svg/template/iframe markup must leave NO line at all.
+    * Expects ws/hn/doc_id in scope.
     */
   def mainLinesClosedSql: String =
     """list_filter([
+      |  'Accept cookies Subscribe now',
       |  'Doc ' || CAST(doc_id AS VARCHAR),
       |  array_to_string(ws[1:hn], ' '),
       |  array_to_string(ws[hn+1:len(ws)], ' '),
@@ -279,6 +317,75 @@ object HtmlOps extends graft.QueryModule {
           col("l.n_chars").as("n_chars"),
           col("l.n_link_chars").as("n_link_chars"),
           (col("l.n_link_chars") * 2 <= col("l.n_chars")).as("keep"))
+        .orderBy("doc_id", "pos")
+    },
+
+    // BLOCK-level main-content scoring (r14): the justext-shape rule
+    // set beside the per-line link gate — text density (length) +
+    // stopword density + one neighbor-context pass — still integer-
+    // exact. Closes the r13 gap: the fixture's link-free cookie banner
+    // passes the link gate (it IS in q_html_main's closed form) but
+    // classifies bad_short here; paragraphs split between good and
+    // bad_stop by their actual stopword content, and short headings are
+    // short_kept exactly when a neighbor is good. Chain oracle,
+    // line-level granularity.
+    Q(
+      "q_html_blocks",
+      s"""$wrapCte,
+         |xx AS (SELECT doc_id, ${blockMetricsSql("html")} AS ms FROM mm),
+         |gg AS (SELECT doc_id, ms,
+         |       list_transform(ms, m ->
+         |         2*struct_extract(m, 'nl') <= struct_extract(m, 'nc')
+         |         AND struct_extract(m, 'nc') >= $BlockLenLow
+         |         AND 25*struct_extract(m, 'ns') >= struct_extract(m, 'nw')) AS gl
+         |       FROM xx)
+         |SELECT doc_id, CAST(i AS INT) AS pos,
+         |       struct_extract(ms[i], 'nc') AS n_chars,
+         |       struct_extract(ms[i], 'nw') AS n_words,
+         |       struct_extract(ms[i], 'ns') AS n_stop,
+         |       struct_extract(ms[i], 'nl') AS n_link_chars,
+         |       CASE WHEN 2*struct_extract(ms[i], 'nl') > struct_extract(ms[i], 'nc')
+         |              THEN 'bad_link'
+         |            WHEN struct_extract(ms[i], 'nc') >= $BlockLenLow THEN
+         |              CASE WHEN 25*struct_extract(ms[i], 'ns') >= struct_extract(ms[i], 'nw')
+         |                   THEN 'good' ELSE 'bad_stop' END
+         |            WHEN coalesce(gl[i-1], false) OR coalesce(gl[i+1], false)
+         |              THEN 'short_kept'
+         |            ELSE 'bad_short' END AS cls
+         |FROM gg, unnest(generate_series(1, len(ms))) AS u(i)
+         |ORDER BY doc_id, pos"""
+    ) { (s, d) =>
+      s.read.format("warc").load(ArchiveOps.htmlFixture(s, d))
+        .filter(col("http_status") === 200 &&
+          col("content_type") === "text/html" && col("error").isNull)
+        .select(
+          expr("CAST(substring_index(record_id, ':', -1) AS BIGINT)").as("doc_id"),
+          GraftFunctions.html_block_stats(col("text"), TextOps.EnStop).as("ms"))
+        .withColumn("gl", transform(col("ms"), m =>
+          (m.getField("nl") * 2 <= m.getField("nc")) &&
+            (m.getField("nc") >= BlockLenLow) &&
+            (m.getField("ns") * 25 >= m.getField("nw"))))
+        .select(col("doc_id"), col("gl"), posexplode(col("ms")).as(Seq("p", "m")))
+        .select(
+          col("doc_id"),
+          (col("p") + 1).cast("int").as("pos"),
+          col("m.nc").as("n_chars"),
+          col("m.nw").as("n_words"),
+          col("m.ns").as("n_stop"),
+          col("m.nl").as("n_link_chars"),
+          when(col("m.nl") * 2 > col("m.nc"), "bad_link")
+            .when(col("m.nc") >= BlockLenLow,
+              when(col("m.ns") * 25 >= col("m.nw"), "good").otherwise("bad_stop"))
+            // ANSI-safe neighbor reads: element_at only under an
+            // in-bounds guard (index 0 / past-end would throw)
+            .when(
+              coalesce(when(col("p") >= 1, element_at(col("gl"), col("p")))
+                .otherwise(lit(false)), lit(false)) ||
+                coalesce(when(col("p") + 2 <= size(col("gl")),
+                  element_at(col("gl"), col("p") + 2)).otherwise(lit(false)),
+                  lit(false)),
+              "short_kept")
+            .otherwise("bad_short").as("cls"))
         .orderBy("doc_id", "pos")
     }
   )

@@ -1074,7 +1074,7 @@ object PipelineOps extends QueryModule {
     * pairs) and v{rounds} (the final vocabulary state). Reused by the
     * training oracle and the encode oracle below.
     */
-  private def bpeCtes(rounds: Int): String = {
+  private[ops] def bpeCtes(rounds: Int): String = {
     val steps = (1 to rounds).map { r =>
       s"""p$r AS (
          |  SELECT t.ts[i] || ' ' || t.ts[i+1] AS pair,

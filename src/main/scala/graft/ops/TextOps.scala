@@ -86,6 +86,108 @@ object TextOps {
 
   private[ops] def inList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("(", ", ", ")")
 
+  // --------------------------------------------------------------------
+  // Hashed char-n-gram language classifier (the fastText inference
+  // shape, r14 directive): train per-language bucket histograms over
+  // char TRIGRAMS of a 10% reference split (doc_id % 10 = 0), convert
+  // to integer micro-frequency weights w_lb = ⌊1e6·c_lb / Σ_b c_lb⌋
+  // (length-normalized, so the class prior cancels and the score is
+  // pure content evidence), score the other 90% with ONE md5 per
+  // n-gram across all classes, argmax with ties to the smallest
+  // language code. Exact integer arithmetic end to end — the oracle
+  // replays training AND scoring.
+  //
+  // Documented fixture accuracy: the synthetic documents table draws
+  // every language's text from the SAME English-ish vocabulary (the
+  // lang column is a label, not a property of the text), so content
+  // classification CANNOT beat chance there — the oracle verifies the
+  // exact integer scoring, and LangIdSpec demonstrates the operator's
+  // real separation power (>90% accuracy) on genuinely multilingual
+  // sentences with the same training shape.
+  // --------------------------------------------------------------------
+  val LangDim = 4096
+
+  /** Feature column: char UNIGRAMS + BIGRAMS + TRIGRAMS concatenated
+    * (the fastText n-gram RANGE — low orders give held-out coverage on
+    * short text and carry most of the signal for character-based
+    * scripts like Chinese, high orders give discrimination between
+    * related Latin languages; trigrams alone dropped 2 of 10 held-out
+    * sentences in LangIdSpec to unseen-feature noise).
+    */
+  private[ops] def langFeatures(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(
+      graft.functions.GraftFunctions.char_ngrams(c, 1),
+      graft.functions.GraftFunctions.char_ngrams(c, 2),
+      graft.functions.GraftFunctions.char_ngrams(c, 3))
+
+  /** DuckDB mirror of [[langFeatures]] over a column named `text`.
+    * Single line: a leading `||` on a continuation line would lose its
+    * first pipe to the HOSTING query's stripMargin.
+    */
+  private def langFeaturesSql: String =
+    "list_transform(generate_series(1, length(text)), i -> substr(text, i, 1)) || " +
+      "list_transform(generate_series(1, length(text) - 1), i -> substr(text, i, 2)) || " +
+      "list_transform(generate_series(1, length(text) - 2), i -> substr(text, i, 3))"
+
+  /** DuckDB mirror of [[graft.functions.LangIdUtil.wideBucketOf]] over
+    * a token expression `g` (two md5 bytes via their hex-char codes).
+    */
+  private def wideBucketSql(g: String): String =
+    s"""((ascii(substr(md5($g), 1, 1)) * 16 + ascii(substr(md5($g), 2, 1))) * 256
+       | + ascii(substr(md5($g), 3, 1)) * 16 + ascii(substr(md5($g), 4, 1))) % $LangDim""".stripMargin
+
+  /** Memoized trained model: (language, 256 micro-frequency weights)
+    * sorted by language — bounded model state (langs × dim longs),
+    * keyed by the corpus plan (the cachedModel discipline).
+    */
+  private val langModelCache = new java.util.concurrent.ConcurrentHashMap[
+    org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+    Seq[(String, Seq[Long])]]()
+
+  def langIdModel(docs: org.apache.spark.sql.DataFrame): Seq[(String, Seq[Long])] =
+    langModelCache.computeIfAbsent(docs.queryExecution.analyzed.canonicalized, _ =>
+      trainLangIdModel(docs.filter(col("doc_id") % 10 === 0)))
+
+  /** Train on an arbitrary labeled (lang, text) frame: one narrow
+    * n-gram+bucket pass, per-language 256-slot vector sum (the
+    * LongVecSumAgg exchange carries langs × dim longs), model collect.
+    */
+  def trainLangIdModel(labeled: org.apache.spark.sql.DataFrame): Seq[(String, Seq[Long])] = {
+    val counts = labeled
+      .select(col("lang"),
+        graft.functions.GraftFunctions.lang_bucket_counts(
+          langFeatures(col("text")), LangDim).as("bc"))
+      .groupBy("lang")
+      .agg(graft.functions.GraftFunctions.vec_sum(col("bc"), LangDim).as("c"))
+    TinyLoop.modelCollect(counts).map { r =>
+      val cs = r.getSeq[Long](1)
+      val t = math.max(cs.sum, 1L)
+      (r.getString(0), cs.map(c => 1000000L * c / t))
+    }.toSeq.sortBy(_._1)
+  }
+
+  /** Score (doc_id, lang, text) rows against a trained model: ONE
+    * digest per n-gram for all classes, argmax with ties to the
+    * smallest language. Output: (doc_id, lang, predicted, best_score).
+    */
+  def langIdScore(docs: org.apache.spark.sql.DataFrame,
+      model: Seq[(String, Seq[Long])]): org.apache.spark.sql.DataFrame = {
+    require(model.nonEmpty, "langIdScore needs a trained model")
+    val scores = graft.functions.GraftFunctions.hashed_weight_sums(
+      langFeatures(col("text")), model.map(_._2))
+    val scored = docs.select(col("doc_id"), col("lang"), scores.as("sc"))
+    // argmax in sorted-lang order, replace only on STRICTLY greater —
+    // ties keep the smaller language code
+    val (predCol, bestCol) = model.zipWithIndex.tail.foldLeft(
+      (lit(model.head._1), element_at(col("sc"), 1))) {
+      case ((pl, ps), ((l, _), i)) =>
+        val si = element_at(col("sc"), i + 1)
+        (when(si > ps, lit(l)).otherwise(pl), greatest(si, ps))
+    }
+    scored.select(col("doc_id"), col("lang"),
+      predCol.as("predicted"), bestCol.as("best_score"))
+  }
+
   def analysisQueries: Seq[graft.Q] = Seq(
     graft.Q(
       "q_term_freq",
@@ -311,6 +413,58 @@ object TextOps {
             .when(col("s_es") >= col("s_de") && col("s_es") >= col("s_fr"), "es")
             .when(col("s_de") >= col("s_fr"), "de")
             .otherwise("fr").as("predicted"))
+        .orderBy("doc_id")
+    },
+
+    // Hashed char-trigram language classifier (fastText inference
+    // shape): per-language 256-bucket trigram histograms from the 10%
+    // reference split, integer micro-frequency weights, one-digest
+    // multi-class scoring, argmax. The oracle replays training AND
+    // scoring with the same md5-bucket formula and integer division.
+    // (Fixture accuracy ≈ chance BY CONSTRUCTION — every language's
+    // text draws from the same vocabulary; see the module note and
+    // LangIdSpec for the real-signal demonstration.)
+    graft.Q(
+      "q_lang_id_hashed",
+      s"""WITH tg AS (
+         |  SELECT doc_id, lang,
+         |         $langFeaturesSql AS gs
+         |  FROM documents),
+         |trb AS (
+         |  SELECT lang,
+         |         ${wideBucketSql("g")} AS b,
+         |         COUNT(*) AS c
+         |  FROM (SELECT lang, unnest(gs) AS g FROM tg WHERE doc_id % 10 = 0)
+         |  GROUP BY lang, b),
+         |tot AS (SELECT lang, SUM(c) AS t FROM trb GROUP BY lang),
+         |wt AS (SELECT trb.lang, b, (1000000 * c) // greatest(t, 1) AS w
+         |       FROM trb JOIN tot ON tot.lang = trb.lang),
+         |cl AS (SELECT DISTINCT lang FROM wt),
+         |tb AS (
+         |  SELECT doc_id,
+         |         ${wideBucketSql("g")} AS b
+         |  FROM (SELECT doc_id, unnest(gs) AS g FROM tg WHERE doc_id % 10 <> 0)),
+         |scx AS (
+         |  SELECT t.doc_id, c.lang AS cand, CAST(SUM(coalesce(w.w, 0)) AS BIGINT) AS score
+         |  FROM tb t CROSS JOIN cl c
+         |  LEFT JOIN wt w ON w.lang = c.lang AND w.b = t.b
+         |  GROUP BY t.doc_id, c.lang),
+         |fl AS (
+         |  SELECT d.doc_id, d.lang AS actual, c.lang AS cand,
+         |         CAST(coalesce(s.score, 0) AS BIGINT) AS score
+         |  FROM (SELECT doc_id, lang FROM documents WHERE doc_id % 10 <> 0) d
+         |  CROSS JOIN cl c
+         |  LEFT JOIN scx s ON s.doc_id = d.doc_id AND s.cand = c.lang),
+         |pr AS (
+         |  SELECT doc_id, actual, cand, score,
+         |         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, cand) AS rn
+         |  FROM fl)
+         |SELECT doc_id, actual AS lang, cand AS predicted, score AS best_score
+         |FROM pr WHERE rn = 1 ORDER BY doc_id"""
+    ) { (s, d) =>
+      val docs = graft.Tables.documents(s, d)
+      val model = langIdModel(docs)
+      langIdScore(docs.filter(col("doc_id") % 10 =!= 0), model)
         .orderBy("doc_id")
     },
 

@@ -325,6 +325,16 @@ object Warc {
       recordContentType != null &&
       recordContentType.toLowerCase.startsWith("application/http")
 
+  /** Is this a `revisit` record carrying an HTTP prelude (ISO 28500
+    * §6.7.2 — a deduplicating crawler's identical-payload-digest
+    * record: the response HEADERS are stored, the body lives at the
+    * record named by WARC-Refers-To)?
+    */
+  def isHttpRevisit(warcType: String, recordContentType: String): Boolean =
+    warcType != null && warcType.equalsIgnoreCase("revisit") &&
+      recordContentType != null &&
+      recordContentType.toLowerCase.startsWith("application/http")
+
   /** `needBody = false` skips ALL body work — transfer/content decoding
     * and charset decode for response records, UTF-8 decode for resource
     * records — returning null `text`/`error`-from-body. Only correct
@@ -344,6 +354,16 @@ object Warc {
             case Left(err)   => PayloadView(Some(r.status), r.mime, null, err)
             case Right(body) => PayloadView(Some(r.status), r.mime, body.orNull, null)
           }
+      }
+    } else if (isHttpRevisit(rec.warcType, recCt)) {
+      // revisit policy (pinned): status/mime from the STORED prelude,
+      // `text` NULL always — the payload lives at the record named by
+      // WARC-Refers-To, and resolving it is a relational join against
+      // that record (q_warc_revisit), never a reader-side fetch. A
+      // malformed stored prelude is error-channel data like any other.
+      HttpWire.parseResponse(rec.payload) match {
+        case Left(err) => PayloadView(None, null, null, err)
+        case Right(r)  => PayloadView(Some(r.status), r.mime, null, null)
       }
     } else {
       PayloadView(None, HttpWire.mimeOf(recCt),

@@ -103,13 +103,18 @@ object WarcDataSourceV2 {
     StructField("http_status", IntegerType),
     StructField("content_type", StringType),
     StructField("text", StringType),
-    StructField("error", StringType)))
+    StructField("error", StringType),
+    // WARC-Refers-To: the referenced record's id on revisit (and WET
+    // conversion) records — the join key that resolves a deduplicated
+    // revisit to its stored payload. Null when the header is absent.
+    StructField("refers_to", StringType)))
 
   /** Columns whose predicates can be answered from the WARC header block
     * alone, before any payload byte is read.
     */
   private[warc] val HeaderCols =
-    Set("path", "warc_type", "record_id", "target_uri", "lang", "source")
+    Set("path", "warc_type", "record_id", "target_uri", "lang", "source",
+      "refers_to")
 
   /** Payload-prelude columns: for HTTP response records they need the
     * HTTP message prelude (not the decoded body); for other records they
@@ -145,6 +150,7 @@ object WarcDataSourceV2 {
     case "target_uri" => targetUri
     case "lang"       => Warc.headerOf(headers, "X-Graft-Lang")
     case "source"     => Warc.headerOf(headers, "X-Graft-Source")
+    case "refers_to"  => Warc.headerOf(headers, "WARC-Refers-To")
     case _            => null
   }
 
@@ -519,6 +525,10 @@ private[warc] final class RowShaper(required: StructType, pushed: Array[Filter])
     val recCt = Warc.headerOf(headers, "Content-Type")
     if (Warc.isHttpResponse(warcType, recCt))
       needText || needError || needHttp || hasHttpPreds
+    else if (Warc.isHttpRevisit(warcType, recCt))
+      // revisit: status/mime come from the stored prelude; text is
+      // null by policy, so the payload matters only to http columns
+      needError || needHttp || hasHttpPreds
     else {
       // non-response: content_type is header-derived — evaluate http
       // predicates NOW so a filtered-out record costs a skip, not a
@@ -557,6 +567,9 @@ private[warc] final class RowShaper(required: StructType, pushed: Array[Filter])
         // nothing payload-derived is projected or filtered: the payload
         // was never buffered (needsPayload said skip) — all nulls is the
         // correct view of the pruned columns
+        else Warc.PayloadView(None, null, null, null)
+      } else if (Warc.isHttpRevisit(rec.warcType, recCt)) {
+        if (needError || needHttp || hasHttpPreds) Warc.payloadView(rec)
         else Warc.PayloadView(None, null, null, null)
       } else {
         Warc.PayloadView(None, HttpWire.mimeOf(recCt),

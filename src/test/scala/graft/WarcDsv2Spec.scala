@@ -512,6 +512,60 @@ class WarcDsv2Spec extends SparkSpec {
       .groupBy("lang").count().collect().map(r => (r.getString(0), r.getLong(1))).toMap
     assert(got == want && got.nonEmpty)
   }
+
+  test("revisit policy: prelude-only view, text null, refers_to resolves; trio parses error-free") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_trio_spec_").toString
+    graft.ops.ArchiveOps.writeCrawlTrioCorpus(
+      Tables.documents(spark, sfDir).select("doc_id", "text", "lang", "source")
+        .filter(col("doc_id") < 40),
+      dir, shards = 2)
+    val all = spark.read.format("warc").load(dir)
+    // record mix: 40 of each trio member, revisits for doc_id%7==3, 2 warcinfo
+    val byType = all.groupBy("warc_type").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val nRev = (0 until 40).count(_ % 7 == 3)
+    assert(byType == Map("request" -> 40L, "response" -> 40L,
+      "metadata" -> 40L, "revisit" -> nRev.toLong, "warcinfo" -> 2L), byType.toString)
+    assert(all.filter(col("error").isNotNull).count() == 0)
+    // revisit view: status/mime from the STORED prelude, text NULL
+    // always, refers_to = the referenced response id
+    val revs = all.filter(col("warc_type") === "revisit")
+      .select("record_id", "http_status", "content_type", "text", "refers_to")
+      .collect()
+    assert(revs.nonEmpty)
+    revs.foreach { r =>
+      assert(r.getInt(1) == 200 && r.getString(2) == "text/plain")
+      assert(r.isNullAt(3), s"revisit text must be null: $r")
+      assert(r.getString(4).startsWith("urn:graft:doc:"), r.toString)
+    }
+    // resolution is a JOIN against the referenced response — recovered
+    // text equals the stored document text
+    val resolved = all.filter(col("warc_type") === "revisit")
+      .select(col("refers_to"))
+      .join(all.filter(col("warc_type") === "response")
+        .select(col("record_id"), col("text")),
+        col("refers_to") === col("record_id"))
+      .select(expr("CAST(substring_index(record_id, ':', -1) AS BIGINT)").as("doc_id"),
+        col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    val want = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") < 40 && col("doc_id") % 7 === 3)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(resolved == want && resolved.nonEmpty)
+    // request/metadata fall back generically: their payloads ARE text
+    val req = all.filter(col("warc_type") === "request").select("text", "http_status")
+      .collect()
+    assert(req.forall(r => r.getString(0).startsWith("GET /") && r.isNullAt(1)))
+    val meta = all.filter(col("warc_type") === "metadata")
+      .select("text", "content_type").collect()
+    assert(meta.forall(r => r.getString(0).contains("fetchTimeMs:") &&
+      r.getString(1) == "application/warc-fields"))
+    // a warc_type predicate on refers_to-bearing scans still prunes at
+    // the header layer (refers_to is a header column)
+    val pruned = all.filter(col("refers_to").isNotNull && col("warc_type") === "revisit")
+    assert(pruned.count() == nRev.toLong)
+  }
 }
 
 /** A RawLocalFileSystem under a scheme that exists ONLY in the session's

@@ -22,7 +22,7 @@ class HtmlExtractSpec extends SparkSpec {
     def elem(x: Column, tag: String): Column =
       regexp_replace(x, s"(?is)<$tag($W[^>]*)?>.*?</$tag$W*>", "")
     val noC = regexp_replace(c, "(?s)<!--.*?-->", "")
-    val noE = elem(elem(elem(noC, "script"), "style"), "head")
+    val noE = HtmlTextUtil.StrippedElements.foldLeft(noC)(elem)
     val ws1 = regexp_replace(noE, s"$W+", " ")
     regexp_replace(ws1,
       s"(?i)</?(${HtmlTextUtil.blockAlt})($W[^>]*)?/?$W*>", "\n")
@@ -93,7 +93,16 @@ class HtmlExtractSpec extends SparkSpec {
     // but would drop under UTF-16 units (2·2 > 3)
     "a<a>😀</a>",
     "<a href=\"/e\">🦀🦀</a> 🌍 tail",
-    "😀😀 boundary <p>😀</p> &amp; 🌍")
+    "😀😀 boundary <p>😀</p> &amp; 🌍",
+    // r14 stripped elements: fallback/vector/inert markup never reaches
+    // the token stream; unterminated forms stay (regex won't match)
+    "<noscript>enable js</noscript>after",
+    "<svg viewBox=\"0 0 1 1\"><circle r=\"1\"/></svg>tail",
+    "<template><p>inert</p></template>x",
+    "<iframe src=\"/e\">fallback</iframe>y",
+    "<IFRAME>upper</IFRAME>ok",
+    "<noscript>no close tag",
+    "<svgx>not svg</svgx>")
 
   private def fixtureHtml = {
     val docs = graft.Tables.documents(spark, sfDir).limit(64)
@@ -162,9 +171,18 @@ class HtmlExtractSpec extends SparkSpec {
       s"nav lines leaked into main content: $main")
     assert(!main.exists(_.contains("Terms of Service")),
       s"footer leaked into main content: $main")
-    assert(main.head.startsWith("Doc "), s"h1 line missing: $main")
+    // the link-free cookie banner PASSES the per-line link gate (the
+    // documented gap q_html_blocks closes at block level)
+    assert(main.head == "Accept cookies Subscribe now",
+      s"banner line missing from link-gated main: $main")
+    assert(main(1).startsWith("Doc "), s"h1 line missing: $main")
     assert(main.exists(_.startsWith("Tags & entities: <doc ")),
       s"entity line not decoded: $main")
+    // stripped-element content never reaches stage-1 text at all
+    Seq("Enable JavaScript", "logo vector art", "inert template",
+      "iframe fallback").foreach { leak =>
+      assert(!all.exists(_.contains(leak)), s"stripped element leaked '$leak': $all")
+    }
   }
 
   test("null input propagates null; interpreted == codegen") {
