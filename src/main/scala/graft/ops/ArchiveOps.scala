@@ -483,6 +483,10 @@ object ArchiveOps extends QueryModule {
           if (docId % 7 == 3)
             cur.write(Warc.WarcRecord("revisit", s"urn:graft:rev:$docId", Some(uri),
               Map("Content-Type" -> "application/http;msgtype=response",
+                // the WARC 1.1 spec's literal profile IDENTIFIER for
+                // deduplicated revisits (ISO 28500 §6.7.2) — a public
+                // standard constant carried verbatim by real crawl
+                // records, not an endpoint this code contacts
                 "WARC-Profile" ->
                   "http://netpreserve.org/warc/1.1/revisit/identical-payload-digest",
                 "WARC-Refers-To" -> respId,
