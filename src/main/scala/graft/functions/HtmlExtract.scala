@@ -506,7 +506,10 @@ case class HtmlBlockStats(child: Expression, stopwords: Seq[String])
     HtmlTextUtil.blockStatsArray(input.asInstanceOf[UTF8String].toString, stopSet)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("stopSet", stopSet, "java.util.HashSet<String>")
+    // raw type: Janino compiles no generics — a parameterized cast here
+    // would fail stage codegen and silently run the whole stage
+    // interpreted
+    val ref = ctx.addReferenceObj("stopSet", stopSet, "java.util.HashSet")
     defineCodeGen(ctx, ev, c =>
       s"graft.functions.HtmlTextUtil.blockStatsArray($c.toString(), $ref)")
   }

@@ -388,6 +388,44 @@ class StreamingSpec extends SparkSpec {
     assert(kept.toSeq == Seq(1L, 3L))
   }
 
+  test("streaming token-id emission: per-micro-batch ids == batch (narrow encode)") {
+    implicit val sq = spark.sqlContext
+    // The token-ID emission is ONE narrow codegen pass (trained model
+    // rides the expression), so it applies to an unbounded stream
+    // unchanged — the streaming half of the tokenize→ids step. The
+    // tokenizer is trained ONCE on the reference corpus (model state,
+    // like the perplexity gate's LM) and each arriving micro-batch
+    // encodes against it.
+    val docs = Tables.documents(spark, sfDir).limit(30)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val tok = graft.ops.TrainPrepOps.bpeTokenizer(
+      Tables.documents(spark, sfDir), graft.ops.TrainPrepOps.TokRounds)
+    val mem = MemoryStream[(Long, String, String)]
+    val ids = mem.toDF().toDF("doc_id", "source", "text")
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.bpe_encode_ids(
+          graft.ops.TextOps.words(col("text")), tok.encoder).as("ids"))
+    val q = ids.writeStream.format("memory").queryName("tok_ids_out")
+      .outputMode(OutputMode.Append).start()
+    mem.addData(docs.take(10).toSeq: _*)
+    q.processAllAvailable()
+    mem.addData(docs.drop(10).toSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("tok_ids_out").collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1))).toMap
+    // batch side over the SAME full-corpus-trained tokenizer (tokenIds
+    // trains on the frame it is given — a limit(30) frame would train
+    // a different, 30-doc tokenizer)
+    val batch = graft.GraftOps.tokenIds(
+      Tables.documents(spark, sfDir), graft.ops.TrainPrepOps.TokRounds)
+      .filter(col("doc_id").isin(docs.map(_._1).toSeq: _*))
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](2))).toMap
+    assert(streamed == batch && streamed.size == 30)
+    assert(streamed.values.forall(_.forall(_ >= 0)), "no UNK on the training corpus")
+  }
+
   test("streaming session windows match the batch oracle emulation") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[Ev]
