@@ -243,6 +243,19 @@ object HtmlOps extends graft.QueryModule {
         GraftFunctions.html_extract(col("text")).as("x"),
         col("text"))
 
+  /** Materialize-then-sort presentation (the TextShuffleAudit-prescribed
+    * shape): a final orderBy's range sampling re-executes its whole
+    * child, so sorting directly above the extraction ran the fused scan
+    * TWICE per query; checkpointing the narrow RESULT first makes the
+    * sampling read the checkpoint, and the one remaining text movement
+    * is the exempt presentation sort of output rows. (Sorting the raw
+    * (doc_id, text) BEFORE extraction was tried and is faster still,
+    * but it moves corpus text through a mid-plan exchange — exactly the
+    * accidental-text-shuffle shape the CI gate exists to catch.)
+    */
+  private def sortedOnce(df: org.apache.spark.sql.DataFrame, cols: String*) =
+    graft.ops.TinyLoop.corpusCheckpoint(df).orderBy(cols.map(col): _*)
+
   def queries: Seq[Q] = Seq(
     // Stage 1+2 against the CHAIN oracle: the DuckDB side wraps each
     // document with the shared template and runs the full extraction
@@ -262,13 +275,12 @@ object HtmlOps extends graft.QueryModule {
          |         s -> struct_extract(s, 'line')), chr(10)) AS main_text
          |FROM xx ORDER BY doc_id"""
     ) { (s, d) =>
-      readHtml(s, d).select(
+      sortedOnce(readHtml(s, d).select(
         col("doc_id"),
         col("x.n_lines").as("n_lines"),
         col("x.n_kept").as("n_kept"),
         col("x.text").as("text"),
-        col("x.main_text").as("main_text"))
-        .orderBy("doc_id")
+        col("x.main_text").as("main_text")), "doc_id")
     },
 
     // Main content against the CLOSED-FORM oracle: an independent
@@ -283,11 +295,10 @@ object HtmlOps extends graft.QueryModule {
          |       array_to_string(ls, chr(10)) AS main_text
          |FROM cf ORDER BY doc_id"""
     ) { (s, d) =>
-      readHtml(s, d).select(
+      sortedOnce(readHtml(s, d).select(
         col("doc_id"),
         col("x.n_kept").as("n_lines"),
-        col("x.main_text").as("main_text"))
-        .orderBy("doc_id")
+        col("x.main_text").as("main_text")), "doc_id")
     },
 
     // Per-line density evidence: every extracted line with its char
@@ -317,7 +328,7 @@ object HtmlOps extends graft.QueryModule {
           col("l.n_chars").as("n_chars"),
           col("l.n_link_chars").as("n_link_chars"),
           (col("l.n_link_chars") * 2 <= col("l.n_chars")).as("keep"))
-        .orderBy("doc_id", "pos")
+        .transform(df => sortedOnce(df, "doc_id", "pos"))
     },
 
     // BLOCK-level main-content scoring (r14): the justext-shape rule
@@ -386,7 +397,7 @@ object HtmlOps extends graft.QueryModule {
                   lit(false)),
               "short_kept")
             .otherwise("bad_short").as("cls"))
-        .orderBy("doc_id", "pos")
+        .transform(df => sortedOnce(df, "doc_id", "pos"))
     }
   )
 }

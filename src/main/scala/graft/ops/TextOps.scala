@@ -464,7 +464,12 @@ object TextOps {
     ) { (s, d) =>
       val docs = graft.Tables.documents(s, d)
       val model = langIdModel(docs)
-      langIdScore(docs.filter(col("doc_id") % 10 =!= 0), model)
+      // materialize-then-sort: checkpointing the narrow scored result
+      // keeps the one-digest-per-n-gram pass to ONE execution (a bare
+      // final orderBy's range sampling ran it twice — 2 x 65 s at 100x)
+      // without moving corpus text through a mid-plan exchange
+      TinyLoop.corpusCheckpoint(
+        langIdScore(docs.filter(col("doc_id") % 10 =!= 0), model))
         .orderBy("doc_id")
     },
 

@@ -769,11 +769,20 @@ object TrainPrepOps {
          |       CAST(coalesce(list_sum(ids), 0) AS BIGINT) AS ids_sum
          |FROM dd ORDER BY doc_id"""
     ) { (s, d) =>
-      graft.GraftOps.tokenIds(Tables.documents(s, d), TokRounds)
-        .select(col("doc_id"),
-          size(col("ids")).as("n_ids"),
-          array_join(transform(col("ids"), x => x.cast("string")), ",").as("ids_csv"),
-          expr("aggregate(ids, CAST(0 AS BIGINT), (a, x) -> a + x)").as("ids_sum"))
+      // materialize-then-sort presentation (the TextShuffleAudit
+      // shape): a final orderBy's range sampling re-executes its whole
+      // child, so sorting directly above the encode ran it TWICE (two
+      // ~20 s jobs at 100x); checkpointing the narrow encoded result
+      // first keeps ONE encode pass, and the remaining text movement is
+      // the exempt presentation sort. (Sorting raw (doc_id, text)
+      // BEFORE the encode was measured faster still but moves corpus
+      // text through a mid-plan exchange — the shape the CI gate bans.)
+      TinyLoop.corpusCheckpoint(
+        graft.GraftOps.tokenIds(Tables.documents(s, d), TokRounds)
+          .select(col("doc_id"),
+            size(col("ids")).as("n_ids"),
+            array_join(transform(col("ids"), x => x.cast("string")), ",").as("ids_csv"),
+            expr("aggregate(ids, CAST(0 AS BIGINT), (a, x) -> a + x)").as("ids_sum")))
         .orderBy("doc_id")
     },
 
@@ -814,12 +823,15 @@ object TrainPrepOps {
         java.nio.file.Files.createTempDirectory("graft_id_shards_")
           .toAbsolutePath.toString)
       packed.write.mode("overwrite").parquet(out)
+      // order before the stringify projection (the q_bpe_ids early-sort
+      // discipline: the range sampling re-reads the shards but never
+      // re-runs the csv/checksum pass)
       s.read.parquet(out)
+        .orderBy("source", "seq_no")
         .select(col("source"), col("seq_no"),
           size(col("ids")).as("n_ids"),
           array_join(transform(col("ids"), x => x.cast("string")), ",").as("ids_csv"),
           expr("aggregate(ids, CAST(0 AS BIGINT), (a, x) -> a + x)").as("ids_sum"))
-        .orderBy("source", "seq_no")
     }
   )
 }
