@@ -538,6 +538,17 @@ object GraftOps {
       docs: DataFrame, lineTokens: Int = 4, minDocs: Int = 2): DataFrame =
     ops.FilterOps.boilerplateStrip(docs, lineTokens, minDocs)
 
+  /** Global first-occurrence line dedup: remove every occurrence of a
+    * duplicated line except the corpus-wide first (by (doc_id, pos))
+    * and rebuild each document in order — the CCNet/RefinedWeb "keep
+    * one copy" rewrite, [[boilerplateStrip]]'s positional sibling.
+    * Digest-keyed winner exchange, size-honest broadcast winner map or
+    * flag join, one doc-keyed rebuild. Verified by
+    * `q_line_dedup_rebuild`.
+    */
+  def firstLineDedup(docs: DataFrame, lineTokens: Int = 4): DataFrame =
+    ops.FilterOps.firstLineDedup(docs, lineTokens)
+
   /** CCNet perplexity gate: bigram-LM score per document, two-phase
     * decile, keep documents at or above `keepFromDecile`. Output:
     * (doc_id, n_bigrams, avg_logprob, decile, keep). Inherits

@@ -144,3 +144,59 @@ case class BpeEncodeIds(child: Expression, encoder: BpeIdEncoder)
   override protected def withNewChildInternal(newChild: Expression): BpeEncodeIds =
     copy(child = newChild)
 }
+
+/** Runtime side of [[BpeDecodeIds]] (object-static so codegen can call
+  * it with the vocab table as a reference object).
+  */
+object BpeDecodeUtil {
+  /** Splice an id stream back to text through the id→token table
+    * (vocab ids are dense: chars 0..|A|-1 in code-point order, merge
+    * products |A|.. in training order). An id outside the table — UNK
+    * (-1) or a foreign stream — renders as U+FFFD rather than failing
+    * the job: decode is a diagnostic, and the replacement char makes a
+    * mismatch VISIBLE in the roundtrip equality instead of fatal.
+    */
+  def decode(tokens: Array[String], ids: ArrayData): org.apache.spark.unsafe.types.UTF8String = {
+    val n = ids.numElements()
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < n) {
+      val id = ids.getInt(i)
+      if (id >= 0 && id < tokens.length) sb.append(tokens(id))
+      else sb.append('\uFFFD')
+      i += 1
+    }
+    org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
+  }
+}
+
+/** `graft_bpe_decode_ids(ids)` -> string: the inverse of
+  * [[BpeEncodeIds]] — concatenate each id's token string. Word
+  * boundaries are not represented in the id stream (word-level BPE,
+  * no space marker), so the decode target is the boundary-free word
+  * concatenation; the roundtrip contract is
+  * decode(encode(words)) == concat(words, '').
+  */
+case class BpeDecodeIds(child: Expression, tokens: Array[String])
+    extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_bpe_decode_ids"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(IntegerType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<int>, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    BpeDecodeUtil.decode(tokens, input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeDecodeVocab", tokens, "java.lang.String[]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.BpeDecodeUtil.decode($ref, $c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeDecodeIds =
+    copy(child = newChild)
+}

@@ -247,6 +247,69 @@ object FilterExprsUtil {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
   }
 
+  /** Per-position md5 hex digests of the [[tokenLines]] windows — the
+    * occurrence side of first-occurrence line dedup (unlike
+    * [[lineDigests]] this keeps EVERY occurrence: a line repeated
+    * within one document must lose its later copies too).
+    */
+  def lineDigestSeq(s: UTF8String, nTok: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val toks = WordsUtil.tokenize(s.toString)
+    val n = toks.size
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val m = (n + nTok - 1) / nTok
+    val arr = new Array[AnyRef](m)
+    var li = 0
+    var i = 0
+    while (i < n) {
+      val end = math.min(i + nTok, n)
+      val lb = new java.lang.StringBuilder(toks.get(i))
+      var j = i + 1
+      while (j < end) { lb.append(' ').append(toks.get(j)); j += 1 }
+      arr(li) = UTF8String.fromString(md5Hex(md, lb.toString))
+      li += 1
+      i = end
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+  }
+
+  /** One-pass global first-occurrence line dedup against a broadcast
+    * winner map (line digest -> packed (doc_id, pos) of the corpus-wide
+    * FIRST occurrence, duplicated digests only): [[tokenLines]]
+    * segmentation, keep a line iff its digest is absent (unique in the
+    * corpus) or this occurrence IS the winner, rejoin survivors with
+    * ' ' in order. Value parity with the join spelling is exact — same
+    * tokenizer, same windows, same digest, same joiner — and dual-path
+    * equality is spec'd (FirstLineDedupSpec).
+    */
+  def firstLineStrip(wm: WinnerMap, s: UTF8String, docId: Long, nTok: Int): InternalRow = {
+    val toks = WordsUtil.tokenize(s.toString)
+    val n = toks.size
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var nLines = 0L
+    var nDropped = 0L
+    val out = new java.lang.StringBuilder
+    var i = 0
+    var pos = 0L
+    while (i < n) {
+      val end = math.min(i + nTok, n)
+      val lb = new java.lang.StringBuilder(toks.get(i))
+      var j = i + 1
+      while (j < end) { lb.append(' ').append(toks.get(j)); j += 1 }
+      val line = lb.toString
+      nLines += 1
+      val w = wm.m.get(md5Hex(md, line))
+      if (w != null && (w(0) != docId || w(1) != pos)) nDropped += 1
+      else {
+        if (out.length() > 0) out.append(' ')
+        out.append(line)
+      }
+      pos += 1
+      i = end
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nLines, nDropped, UTF8String.fromString(out.toString)))
+  }
+
   /** The derived line structure for the fixture corpus (newline-free
     * word soup): `nTok`-token lines joined by '\n', line i suffixed
     * with '' / '.' / '!' by (docId + i) % 3 — one tokenize + one build
@@ -461,5 +524,87 @@ case class SuffixLines(left: Expression, right: Expression, nTok: Int)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): SuffixLines =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Broadcast payload for [[FirstLineStrip]]: line digest hex -> the
+  * corpus-wide first occurrence as `Array(doc_id, pos)` (duplicated
+  * digests only — unique lines stay out of the map and keep by
+  * absence).
+  */
+final class WinnerMap(val m: java.util.HashMap[String, Array[Long]])
+    extends Serializable
+
+/** `graft_line_digest_seq(text, n_tok)` -> array of per-position md5
+  * hex digests of the token-line windows (every occurrence, unlike
+  * [[LineDigests]]' per-document distinct set).
+  */
+case class LineDigestSeq(child: Expression, nTok: Int) extends UnaryExpression {
+  require(nTok >= 1, s"nTok must be >= 1, got $nTok")
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_line_digest_seq"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a STRING argument, got ${child.dataType.catalogString}")
+
+  override def nullSafeEval(input: Any): Any =
+    FilterExprsUtil.lineDigestSeq(input.asInstanceOf[UTF8String], nTok)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.FilterExprsUtil.lineDigestSeq($c, $nTok)")
+
+  override protected def withNewChildInternal(newChild: Expression): LineDigestSeq =
+    copy(child = newChild)
+}
+
+/** `graft_first_line_strip(text, doc_id)` ->
+  * struct<n_lines, n_dropped, cleaned>: the whole rebuild side of
+  * global first-occurrence line dedup in ONE codegen pass against a
+  * broadcast winner map ([[WinnerMap]]) — tokenize, window into
+  * `nTok`-token lines, drop every occurrence of a duplicated line
+  * except the corpus-wide first, rejoin survivors in order. The
+  * literal path replaces a corpus-scale line explode + winner join +
+  * per-line text exchange + collect_list rebuild with a narrow
+  * projection; the value contract is the join spelling's exactly
+  * (dual-path spec'd).
+  */
+case class FirstLineStrip(
+    left: Expression, right: Expression, bc: Broadcast[WinnerMap], nTok: Int)
+    extends BinaryExpression {
+  require(nTok >= 1, s"nTok must be >= 1, got $nTok")
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_lines", LongType, nullable = false),
+    StructField("n_dropped", LongType, nullable = false),
+    StructField("cleaned", StringType, nullable = false)))
+  override def prettyName: String = "graft_first_line_strip"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (!left.dataType.isInstanceOf[StringType])
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a STRING text argument, got ${left.dataType.catalogString}")
+    else if (right.dataType != LongType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a BIGINT doc id argument, got ${right.dataType.catalogString}")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def nullSafeEval(text: Any, docId: Any): Any =
+    FilterExprsUtil.firstLineStrip(
+      bc.value, text.asInstanceOf[UTF8String], docId.asInstanceOf[Long], nTok)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcRef = ctx.addReferenceObj("winnerMapBc", bc, classOf[Broadcast[_]].getName)
+    defineCodeGen(ctx, ev, (t, d) =>
+      s"graft.functions.FilterExprsUtil.firstLineStrip(" +
+        s"(graft.functions.WinnerMap) $bcRef.value(), $t, $d, $nTok)")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): FirstLineStrip =
     copy(left = newLeft, right = newRight)
 }

@@ -86,6 +86,12 @@ object GraftFunctions {
   def token_lines(c: Column, nTok: Int): Column =
     GraftBridge.column(TokenLines(GraftBridge.expression(c), nTok))
 
+  /** Native per-position line-window md5 hex digests -> array<string>
+    * (every occurrence; [[LineDigests]]' non-distinct sibling).
+    */
+  def line_digest_seq(c: Column, nTok: Int): Column =
+    GraftBridge.column(LineDigestSeq(GraftBridge.expression(c), nTok))
+
   /** Native derived-line builder: nTok-token lines + deterministic
     * terminal-punctuation suffix keyed on (doc_id, line index).
     */
@@ -127,6 +133,13 @@ object GraftFunctions {
   def bpe_encode_ids(wordsCol: Column, encoder: BpeIdEncoder): Column =
     GraftBridge.column(
       BpeEncodeIds(GraftBridge.expression(wordsCol), encoder))
+
+  /** Inverse of [[bpe_encode_ids]]: id stream -> concatenated token
+    * text through the dense id→token table (see [[BpeDecodeIds]]).
+    */
+  def bpe_decode_ids(idsCol: Column, tokens: Array[String]): Column =
+    GraftBridge.column(
+      BpeDecodeIds(GraftBridge.expression(idsCol), tokens))
 
   /** Element-wise sum aggregate of dim-slot array<bigint> columns. */
   def vec_sum(c: Column, dim: Int): Column =

@@ -306,6 +306,124 @@ object FilterOps extends QueryModule {
   }
 
   // ------------------------------------------------------------------
+  // Global first-occurrence line dedup (CCNet/RefinedWeb rebuild)
+  // ------------------------------------------------------------------
+
+  /** Cap for the literal winner map (duplicated-line digests + their
+    * first occurrence): ~2M entries ≈ 250 MB of driver/broadcast state,
+    * the [[MaxLiteralBoilerLines]] discipline. Past it, the join
+    * spelling takes over.
+    */
+  val MaxLiteralDupLines = 2000000L
+
+  /** The literal path's fused strip frame — package-visible so the
+    * plan-hygiene spec can pin the graft_first_line_strip expression on
+    * the OPERATOR plan (the boilerProbeFrame precedent).
+    */
+  private[graft] def firstStripFrame(
+      withWords: DataFrame,
+      bc: org.apache.spark.broadcast.Broadcast[graft.functions.WinnerMap],
+      lineTokens: Int): DataFrame = {
+    val st = org.apache.spark.sql.GraftBridge.column(
+      graft.functions.FirstLineStrip(
+        org.apache.spark.sql.GraftBridge.expression(col("text")),
+        org.apache.spark.sql.GraftBridge.expression(col("doc_id")),
+        bc, lineTokens))
+    withWords
+      .select(col("doc_id"), st.as("st"))
+      .select(
+        col("doc_id"),
+        col("st.n_lines").as("n_lines"),
+        col("st.n_dropped").as("n_dropped"),
+        col("st.cleaned").as("cleaned"))
+  }
+
+  /** Remove every occurrence of a duplicated line except the
+    * corpus-wide FIRST (ordered by (doc_id, pos)) and rebuild each
+    * document from its surviving lines in order — the CCNet/RefinedWeb
+    * "keep one copy" rewrite, [[boilerplateStrip]]'s positional sibling
+    * (boilerplate drops frequent lines EVERYWHERE; this keeps exactly
+    * one). Lines are `lineTokens`-token windows. Output: (doc_id,
+    * n_lines, n_dropped, cleaned); a fully-deduplicated document
+    * survives with cleaned = ''.
+    *
+    * Scale: the winner pass exchanges (hex digest, doc_id, pos)
+    * triples through ONE map-side-combinable min/count aggregation —
+    * text never moves. Under [[MaxLiteralDupLines]] the duplicated-line
+    * winners ride back as a broadcast [[graft.functions.WinnerMap]]
+    * probed by ONE fused graft_first_line_strip codegen pass (keep =
+    * absent OR this occurrence IS the winner); past the cap, the same
+    * winner frame feeds a digest-keyed flag join over the exploded
+    * lines, then one doc_id-keyed rebuild aggregation — the honest
+    * floor for a line-level rewrite whose duplicate set outgrows the
+    * driver. Dual-path equality is spec'd (FirstLineDedupSpec).
+    */
+  def firstLineDedup(
+      docs: DataFrame, lineTokens: Int = LineTok,
+      maxLiteralWinners: Long = MaxLiteralDupLines): DataFrame = {
+    val withWords = docs.filter(TextOps.wordCount(col("text")) >= 1)
+    // ONE winner spelling for both paths: per-position digests from a
+    // fused scan (graft_line_digest_seq), min(struct(doc_id, pos)) +
+    // count per digest, duplicated digests only.
+    val winners = withWords
+      .select(col("doc_id"),
+        posexplode(graft.functions.GraftFunctions.line_digest_seq(
+          col("text"), lineTokens)))
+      .toDF("doc_id", "pos", "dg")
+      .groupBy("dg")
+      .agg(
+        min(struct(col("doc_id"), col("pos").cast("long").as("pos"))).as("w"),
+        count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2)
+      .select(col("dg"), col("w.doc_id").as("wdoc"), col("w.pos").as("wpos"))
+    if (maxLiteralWinners > 0) {
+      val probe = TinyLoop.boundedCollect(winners, maxLiteralWinners)
+      if (probe.length <= maxLiteralWinners) {
+        val hm = new java.util.HashMap[String, Array[Long]](probe.length * 2)
+        probe.foreach(r =>
+          hm.put(r.getString(0), Array(r.getLong(1), r.getLong(2))))
+        val bc = docs.sparkSession.sparkContext.broadcast(
+          new graft.functions.WinnerMap(hm))
+        // checkpoint before the presentation sort (the boilerplateStrip
+        // pattern): the fused strip scan runs once, not once more per
+        // sort-sampling pass
+        return TinyLoop.corpusCheckpoint(
+          firstStripFrame(withWords, bc, lineTokens)).orderBy("doc_id")
+      }
+    }
+    // Join path (winner set past the driver cap): digest-keyed flag
+    // join over the exploded lines, keep = no winner (unique line) or
+    // this occurrence is it, then the boilerplateStrip rebuild shape
+    // (range-partition on doc_id up front so the final doc_id sort is
+    // local).
+    val lines = withWords
+      .select(
+        col("doc_id"),
+        posexplode(graft.functions.GraftFunctions.token_lines(
+          col("text"), lineTokens)))
+      .toDF("doc_id", "pos", "line")
+      .withColumn("dg", md5(col("line")))
+    lines
+      .join(winners, Seq("dg"), "left")
+      .withColumn("keep",
+        col("wdoc").isNull ||
+          (col("wdoc") === col("doc_id") && col("wpos") === col("pos")))
+      .repartitionByRange(col("doc_id"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("keep"), 0L).otherwise(1L)).as("n_dropped"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("keep"), struct(col("pos"), col("line"))))),
+            x => x.getField("line")),
+          " ").as("cleaned"))
+      .select("doc_id", "n_lines", "n_dropped", "cleaned")
+      .orderBy("doc_id")
+  }
+
+  // ------------------------------------------------------------------
   // Perplexity-gated filtering (CCNet)
   // ------------------------------------------------------------------
 
@@ -489,6 +607,26 @@ object FilterOps extends QueryModule {
          |       COALESCE(a.cleaned, '') AS cleaned
          |FROM t LEFT JOIN a USING (doc_id) ORDER BY doc_id"""
     ) { (s, d) => boilerplateStrip(Tables.documents(s, d)) },
+
+    // Global first-occurrence line dedup + rebuild (keep one copy).
+    Q(
+      "q_line_dedup_rebuild",
+      s"""WITH w AS (SELECT doc_id, $WordsSql AS ws FROM documents
+         |           WHERE len($WordsSql) >= 1),
+         |l AS (SELECT doc_id, u.pos AS pos, u.line AS line FROM (
+         |        SELECT doc_id,
+         |               unnest(list_transform(range(0, CAST(ceil(len(ws) / $LineTok.0) AS INT)),
+         |                 i -> {'pos': i, 'line': array_to_string(list_slice(ws, CAST(i*$LineTok+1 AS INT), CAST(i*$LineTok+$LineTok AS INT)), ' ')})) AS u
+         |        FROM w)),
+         |k AS (SELECT doc_id, pos, line,
+         |             ROW_NUMBER() OVER (PARTITION BY md5(line)
+         |                                ORDER BY doc_id, pos) AS rn
+         |      FROM l)
+         |SELECT doc_id, COUNT(*) AS n_lines,
+         |       CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+         |       COALESCE(string_agg(CASE WHEN rn = 1 THEN line END, ' ' ORDER BY pos), '') AS cleaned
+         |FROM k GROUP BY doc_id ORDER BY doc_id"""
+    ) { (s, d) => firstLineDedup(Tables.documents(s, d)) },
 
     // CCNet perplexity gate: bigram-LM score deciles, drop the worst 3.
     Q(

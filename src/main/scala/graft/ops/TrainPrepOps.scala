@@ -832,6 +832,56 @@ object TrainPrepOps {
           size(col("ids")).as("n_ids"),
           array_join(transform(col("ids"), x => x.cast("string")), ",").as("ids_csv"),
           expr("aggregate(ids, CAST(0 AS BIGINT), (a, x) -> a + x)").as("ids_sum"))
+    },
+
+    // Tokenizer INTEGRITY: decode every document's id stream back
+    // through the vocabulary and require exact reconstruction of the
+    // boundary-free word concatenation (word-level BPE carries no space
+    // marker, so concat(words, '') is the lossless target). A tokenizer
+    // whose encode loses or reorders a single character fails this on
+    // the document where it happens — the check a training pipeline
+    // runs before committing shards. Decode is ONE narrow codegen pass
+    // against the dense id→token table (ids are vocab-dense by
+    // construction; colliding merge PRODUCTS share their token string,
+    // so MIN-id emission decodes identically). The oracle decodes by
+    // joining the replayed vocabulary on token_id.
+    Q(
+      "q_bpe_roundtrip",
+      s"""WITH ${PipelineOps.bpeCtes(TokRounds)},
+         |${vocabCtes(TokRounds)},
+         |${idsCtes(TokRounds)},
+         |occ AS (SELECT doc_id, CAST(i AS INT) AS i, ids[i] AS tid
+         |        FROM dd, unnest(generate_series(1, len(ids))) AS u(i)),
+         |dec AS (SELECT o.doc_id, string_agg(v.token, '' ORDER BY o.i) AS decoded
+         |        FROM occ o JOIN vocab v ON v.token_id = o.tid
+         |        GROUP BY o.doc_id),
+         |ex AS (SELECT doc_id, array_to_string($WordsSql, '') AS expected
+         |       FROM documents)
+         |SELECT d.doc_id, CAST(len(d.ids) AS BIGINT) AS n_ids,
+         |       CAST(length(coalesce(dec.decoded, '')) AS BIGINT) AS n_chars,
+         |       coalesce(dec.decoded, '') = ex.expected AS roundtrip_ok
+         |FROM dd d LEFT JOIN dec USING (doc_id) JOIN ex USING (doc_id)
+         |ORDER BY doc_id"""
+    ) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val tok = bpeTokenizer(docs, TokRounds)
+      val table = (tok.alphabet ++ tok.merges.map(_.replace(" ", ""))).toArray
+      // narrow encode→decode→compare rows into a checkpoint, then the
+      // presentation sort (the q_bpe_ids materialize-then-sort shape)
+      TinyLoop.corpusCheckpoint(
+        docs.select(col("doc_id"),
+            TextOps.words(col("text")).as("ws"),
+            graft.functions.GraftFunctions.bpe_encode_ids(
+              TextOps.words(col("text")), tok.encoder).as("ids"))
+          .select(col("doc_id"),
+            size(col("ids")).cast("long").as("n_ids"),
+            graft.functions.GraftFunctions.bpe_decode_ids(col("ids"), table)
+              .as("decoded"),
+            array_join(col("ws"), "").as("expected"))
+          .select(col("doc_id"), col("n_ids"),
+            length(col("decoded")).cast("long").as("n_chars"),
+            (col("decoded") === col("expected")).as("roundtrip_ok")))
+        .orderBy("doc_id")
     }
   )
 }

@@ -131,6 +131,49 @@ class FilterOpsSpec extends SparkSpec {
     assert(lit_.nonEmpty && lit_.exists(_._3 > 0), "fixture must contain boiler lines")
   }
 
+  test("firstLineDedup: keeps exactly the corpus-wide first occurrence") {
+    import spark.implicits._
+    // LineTok=4 windows. Duplicates across docs keep the (doc_id, pos)
+    // minimum; within-doc repeats keep the earliest pos; a doc made
+    // entirely of later occurrences survives with cleaned = ''.
+    val df = Seq(
+      (1L, "a b c d e f g h"),          // both lines first occurrences
+      (2L, "a b c d x y z w"),          // line 0 dups doc 1 pos 0
+      (3L, "a b c d a b c d"),          // both lines dup doc 1 pos 0
+      (4L, "p q r s p q r s"))          // self-dup: pos 0 wins
+      .toDF("doc_id", "text")
+    val got = GraftOps.firstLineDedup(df)
+      .collect().map(r =>
+        r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L) == ((2L, 0L, "a b c d e f g h")))
+    assert(got(2L) == ((2L, 1L, "x y z w")))
+    assert(got(3L) == ((2L, 2L, "")), "fully-deduplicated doc survives empty")
+    assert(got(4L) == ((2L, 1L, "p q r s")), "within-doc repeat keeps pos 0")
+  }
+
+  test("firstLineDedup: literal broadcast-probe and join paths are identical") {
+    // the engine self-selects by the measured duplicated-line count;
+    // the fused graft_first_line_strip probe must reproduce the join
+    // spelling's values exactly — run on the real fixture corpus so
+    // real duplicate lines, partial trailing windows, and unique-only
+    // docs all occur
+    val docs = Tables.documents(spark, sfDir)
+    def rows(maxLit: Long) =
+      graft.ops.FilterOps.firstLineDedup(docs, maxLiteralWinners = maxLit)
+        .collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    val lit_ = rows(graft.ops.FilterOps.MaxLiteralDupLines)
+    val join = rows(0L)
+    assert(lit_ == join)
+    assert(lit_.nonEmpty && lit_.exists(_._3 > 0),
+      "fixture must contain duplicated lines")
+    // first-occurrence semantics: unlike boilerplateStrip, at least one
+    // copy of every duplicated line SURVIVES somewhere in the corpus
+    val totalLines = lit_.map(_._2).sum
+    val totalDropped = lit_.map(_._3).sum
+    assert(totalDropped < totalLines)
+  }
+
   test("perplexityFilter: deciles partition the corpus, keep gates at the threshold") {
     import spark.implicits._
     // 20 two-word docs over a skewed bigram table: "a b" dominates, so

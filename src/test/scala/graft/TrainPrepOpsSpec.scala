@@ -185,4 +185,23 @@ class TrainPrepOpsSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("__graft_corpus_q"))
   }
+
+  test("BPE decode roundtrips every fixture document exactly") {
+    // the tokenizer-integrity contract behind q_bpe_roundtrip:
+    // decode(encode(words)) == concat(words, '') for EVERY document —
+    // a lost/reordered character anywhere fails the doc it happens in
+    val got = SparkEntry.queries("q_bpe_roundtrip")(spark, sfDir)
+      .select("doc_id", "roundtrip_ok").collect()
+    assert(got.nonEmpty)
+    val bad = got.filter(!_.getBoolean(1)).map(_.getLong(0))
+    assert(bad.isEmpty, s"roundtrip failed for docs ${bad.take(5).mkString(",")}")
+  }
+
+  test("BPE decode renders a foreign id as U+FFFD instead of failing") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val tokens = Array("a", "b", "ab")
+    val ids = new GenericArrayData(Array[Any](2, -1, 0, 99))
+    val out = graft.functions.BpeDecodeUtil.decode(tokens, ids).toString
+    assert(out == "ab�a�")
+  }
 }
