@@ -296,6 +296,33 @@ object Bench {
       System.err.println(s"[bench] duckdb yardstick unavailable: ${e.getMessage}")
       None
     }
+    // q_wet_refine write/read split (r14, per the r13 verdict watch
+    // note): the query's by-design WET write rides inside its measured
+    // wall, so its nominal ratio against a read-only oracle is
+    // uninterpretable on its own. Time the two halves separately
+    // (warm min-of-3 each, same protocol) so the JSON carries the
+    // decomposition. Skipped automatically when q_wet_refine is not in
+    // the measured set (dev-loop subsets).
+    val wetSplit: Option[(Double, Double)] =
+      if (!names.contains("q_wet_refine")) None
+      else try {
+        def min3(f: () => Unit): Double =
+          (1 to 3).map { _ =>
+            val t0 = System.nanoTime(); f(); (System.nanoTime() - t0) / 1e9
+          }.min
+        var out = ""
+        val w = min3(() => out = graft.ops.ArchiveOps.wetRefineWrite(spark, sfDir))
+        val r = min3(() => graft.ops.ArchiveOps.wetRefineRead(spark, out)
+          .write.format("noop").mode("overwrite").save())
+        Some((w, r))
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] wet-refine split unavailable: ${e.getMessage}")
+        None
+      }
+    val wetSplitJson = wetSplit
+      .map { case (w, r) =>
+        f""""wet_refine_split":{"write":$w%.3f,"read":$r%.3f},""" }
+      .getOrElse("")
     val duck = duckdbTotal.map(_.toString).getOrElse("null")
     val duckObj = duckdbJson.getOrElse("null")
     // Real-work split (r10, per the r9 judge brief): the suite-nominal
@@ -315,7 +342,7 @@ object Bench {
       s""""real_work_n":${realNames.size},""" +
       f""""real_work_spark":$realSpark%.4f,""" +
       f""""real_work_duckdb":$realDuck%.4f"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","action":"noop-write","protocol":"per-query-consecutive","duckdb_total":$duck,$rw,$decomp,"queries":$qs,"spread":$spreads,"reruns":$reruns,"job_sec":$jobsJson,"duckdb":$duckObj,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","action":"noop-write","protocol":"per-query-consecutive","duckdb_total":$duck,$rw,$decomp,$wetSplitJson"queries":$qs,"spread":$spreads,"reruns":$reruns,"job_sec":$jobsJson,"duckdb":$duckObj,"sf":"$sfDir"}""")
     // The full line above (per-query timings + spread map) exceeds the
     // driver's tail-capture window, so it can arrive truncated (round 6's
     // official total was lost that way: BENCH_r06 "parsed": null). Print a

@@ -816,6 +816,56 @@ object ArchiveOps extends QueryModule {
   private val wetRefineDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** The WRITE half of q_wet_refine (response records → fused HTML
+    * main-content extraction → an 8-shard WET corpus written under a
+    * collision-free per-process dir, cleared per run) — returns the
+    * output dir. Package-visible so the bench can time the write/read
+    * halves separately (the split the r13 verdict asked for: the
+    * query's nominal ratio is uninterpretable while the write rides
+    * inside it).
+    *
+    * Unique per-run directory: a fixed hashCode-keyed path lets two
+    * concurrent bench/verify processes interleave shard writes (and a
+    * crashed run's leftover shards would be globbed into the
+    * read-back). The JVM-lifetime map keeps re-runs in ONE process on
+    * a stable path so warm bench iterations measure write+read, not
+    * directory churn.
+    */
+  private[graft] def wetRefineWrite(s: SparkSession, d: String): String = {
+    val src = htmlFixture(s, d)
+    val refined = s.read.format("warc").load(src)
+      .filter(col("http_status") === 200 &&
+        col("content_type") === "text/html" && col("error").isNull)
+      .select(
+        expr("CAST(substring_index(record_id, ':', -1) AS BIGINT)").as("doc_id"),
+        graft.functions.GraftFunctions.html_extract(col("text"))
+          .getField("main_text").as("text"),
+        col("lang"), col("source"))
+    val out = wetRefineDirs.computeIfAbsent(d, _ =>
+      java.nio.file.Files.createTempDirectory("graft_wet_refined_")
+        .toAbsolutePath.toString)
+    val dir0 = new java.io.File(out)
+    dir0.listFiles() match {
+      case null  =>
+      case files => files.foreach(f => if (f.isFile) f.delete())
+    }
+    writeWetCorpus(refined, out, shards = 8)
+    out
+  }
+
+  /** The READ half of q_wet_refine: WET read-back → normalize →
+    * tokenize → per-(source, lang) token accounting.
+    */
+  private[graft] def wetRefineRead(s: SparkSession, out: String): DataFrame =
+    s.read.format("warc").load(out)
+      .filter(col("warc_type") === "conversion" && col("error").isNull)
+      .select(col("source"), col("lang"),
+        TextOps.wordCount(CurationOps.normalizeText(col("text")))
+          .cast("long").as("n_tok"))
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      .orderBy("source", "lang")
+
   /** Cycled-codec 8-shard resource corpus WITH its `_cdx` sidecar. */
   private def warcFixture(s: SparkSession, sfDir: String): String =
     Fixtures.dir("warc8", sfDir) { d =>
@@ -1127,38 +1177,8 @@ object ArchiveOps extends QueryModule {
          |         x -> x <> ''))) AS BIGINT) AS n_tokens
          |FROM mt GROUP BY source, lang ORDER BY source, lang"""
     ) { (s, d) =>
-      val src = htmlFixture(s, d)
-      val refined = s.read.format("warc").load(src)
-        .filter(col("http_status") === 200 &&
-          col("content_type") === "text/html" && col("error").isNull)
-        .select(
-          expr("CAST(substring_index(record_id, ':', -1) AS BIGINT)").as("doc_id"),
-          graft.functions.GraftFunctions.html_extract(col("text"))
-            .getField("main_text").as("text"),
-          col("lang"), col("source"))
-      // Unique per-run directory: a fixed hashCode-keyed path lets two
-      // concurrent bench/verify processes interleave shard writes (and a
-      // crashed run's leftover shards would be globbed into the
-      // read-back). The JVM-lifetime map keeps re-runs in ONE process on
-      // a stable path so warm bench iterations measure write+read, not
-      // directory churn.
-      val out = wetRefineDirs.computeIfAbsent(d, _ =>
-        java.nio.file.Files.createTempDirectory("graft_wet_refined_")
-          .toAbsolutePath.toString)
-      val dir0 = new java.io.File(out)
-      dir0.listFiles() match {
-        case null  =>
-        case files => files.foreach(f => if (f.isFile) f.delete())
-      }
-      writeWetCorpus(refined, out, shards = 8)
-      s.read.format("warc").load(out)
-        .filter(col("warc_type") === "conversion" && col("error").isNull)
-        .select(col("source"), col("lang"),
-          TextOps.wordCount(CurationOps.normalizeText(col("text")))
-            .cast("long").as("n_tok"))
-        .groupBy("source", "lang")
-        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
-        .orderBy("source", "lang")
+      val out = wetRefineWrite(s, d)
+      wetRefineRead(s, out)
     },
 
     // REAL-CRAWL record mix: the request/response/metadata trio (plus
