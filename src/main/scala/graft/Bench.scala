@@ -95,8 +95,8 @@ object Bench {
     "q_bpe_vocab", "q_bpe_ids", "q_tokenize_pack", "q_html_blocks",
     "q_lang_id_hashed", "q_warc_trio", "q_warc_revisit", "q_crawl_update",
     // r14 late: global first-occurrence line dedup rebuild + tokenizer
-    // decode roundtrip integrity
-    "q_line_dedup_rebuild", "q_bpe_roundtrip")
+    // decode roundtrip integrity + pack-efficiency report
+    "q_line_dedup_rebuild", "q_bpe_roundtrip", "q_pack_stats")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -882,6 +882,65 @@ object TrainPrepOps {
             length(col("decoded")).cast("long").as("n_chars"),
             (col("decoded") === col("expected")).as("roundtrip_ok")))
         .orderBy("doc_id")
+    },
+
+    // Pack-efficiency report over the fixed-length id sequences — the
+    // numbers a trainer reads before launching on a shard set: how many
+    // sequences are exactly seqLen (only the per-shard tail may be
+    // short), how much a pad-to-fixed trainer wastes on that tail, how
+    // many documents each shard carries (EOD count), and what fraction
+    // of sequences mix a document boundary (attention-masking load).
+    // Aggregate-scale output over the packed frame; the oracle replays
+    // train→encode→pack and aggregates the same way.
+    Q(
+      "q_pack_stats",
+      s"""WITH ${PipelineOps.bpeCtes(TokRounds)},
+         |${vocabCtes(TokRounds)},
+         |${idsCtes(TokRounds)},
+         |de AS (SELECT doc_id, source,
+         |       ids || [CAST((SELECT n FROM nch) + $TokRounds AS INT)] AS ids FROM dd),
+         |pk AS (SELECT source, doc_id, ids, CAST(len(ids) AS BIGINT) AS n,
+         |       CAST(SUM(len(ids)) OVER (PARTITION BY source ORDER BY doc_id
+         |                                ROWS UNBOUNDED PRECEDING) - len(ids) AS BIGINT) AS off
+         |       FROM de),
+         |sq AS (SELECT source, CAST(s AS BIGINT) AS seq_no, off,
+         |              ids[CAST(greatest(s * $TokSeqLen, off) - off + 1 AS INT)
+         |                  : CAST(least((s + 1) * $TokSeqLen, off + n) - off AS INT)] AS chunk
+         |       FROM pk, unnest(generate_series(off // $TokSeqLen,
+         |                                       (off + n - 1) // $TokSeqLen)) AS u(s)),
+         |gp AS (SELECT source, seq_no, flatten(list(chunk ORDER BY off)) AS ids
+         |       FROM sq GROUP BY source, seq_no),
+         |gpe AS (SELECT source, seq_no, ids,
+         |               CAST((SELECT n FROM nch) + $TokRounds AS INT) AS eid
+         |        FROM gp)
+         |SELECT source,
+         |       COUNT(*) AS n_seqs,
+         |       CAST(SUM(len(ids)) AS BIGINT) AS n_ids,
+         |       CAST(SUM(CASE WHEN len(ids) = $TokSeqLen THEN 1 ELSE 0 END) AS BIGINT) AS n_full,
+         |       CAST(arg_max(len(ids), seq_no) AS BIGINT) AS tail_len,
+         |       CAST(SUM(len(list_filter(ids, x -> x = eid))) AS BIGINT) AS n_docs,
+         |       CAST(SUM(CASE WHEN list_contains(ids, eid) THEN 1 ELSE 0 END) AS BIGINT) AS n_boundary_seqs
+         |FROM gpe GROUP BY source ORDER BY source"""
+    ) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val tok = bpeTokenizer(docs, TokRounds)
+      val eod = tok.eodId
+      packTokenIds(docs, TokRounds, TokSeqLen)
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_seqs"),
+          sum(size(col("ids"))).cast("long").as("n_ids"),
+          sum(when(size(col("ids")) === TokSeqLen, 1L).otherwise(0L))
+            .as("n_full"),
+          // the tail is the shard's LAST sequence (seq_no max; unique
+          // per source, so the struct max is an exact arg_max)
+          max(struct(col("seq_no"), size(col("ids")).cast("long").as("sz")))
+            .getField("sz").as("tail_len"),
+          sum(size(filter(col("ids"), x => x === eod))).cast("long")
+            .as("n_docs"),
+          sum(when(array_contains(col("ids"), eod), 1L).otherwise(0L))
+            .as("n_boundary_seqs"))
+        .boundedSort("source")
     }
   )
 }
