@@ -279,7 +279,7 @@ object FilterExprsUtil {
     * corpus) or this occurrence IS the winner, rejoin survivors with
     * ' ' in order. Value parity with the join spelling is exact — same
     * tokenizer, same windows, same digest, same joiner — and dual-path
-    * equality is spec'd (FirstLineDedupSpec).
+    * equality is spec'd (FilterOpsSpec).
     */
   def firstLineStrip(wm: WinnerMap, s: UTF8String, docId: Long, nTok: Int): InternalRow = {
     val toks = WordsUtil.tokenize(s.toString)

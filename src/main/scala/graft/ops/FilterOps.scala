@@ -356,7 +356,18 @@ object FilterOps extends QueryModule {
     * winner frame feeds a digest-keyed flag join over the exploded
     * lines, then one doc_id-keyed rebuild aggregation — the honest
     * floor for a line-level rewrite whose duplicate set outgrows the
-    * driver. Dual-path equality is spec'd (FirstLineDedupSpec).
+    * driver. Dual-path equality is spec'd (FilterOpsSpec).
+    *
+    * STREAMING RECIPE (batch form is corpus-relative — the winner is
+    * the GLOBAL first occurrence — so it cannot run verbatim on an
+    * unbounded stream; StreamingSpec pins the exact composition): per
+    * micro-batch, run THIS operator for within-batch first occurrence,
+    * then strip lines seen in earlier batches via the boiler probe
+    * against accumulated digest state, then append the survivors'
+    * digests to the state. Line windows are exactly `lineTokens`
+    * tokens (only a document's final line may be short), so the
+    * rebuilt text re-windows identically and the composition equals
+    * the batch operator over the union.
     */
   def firstLineDedup(
       docs: DataFrame, lineTokens: Int = LineTok,

@@ -707,6 +707,66 @@ class StreamingSpec extends SparkSpec {
     assert(admitted.synchronized(admitted.toSet) == Set(11L, 21L))
   }
 
+  test("streaming line dedup: seen-digest state strips across batches (firstLineDedup recipe)") {
+    implicit val sq = spark.sqlContext
+    // The streaming form of firstLineDedup (its batch form is
+    // corpus-relative: the winner is the GLOBAL first occurrence, so it
+    // cannot run verbatim on an unbounded stream). Recipe: the batch
+    // operator handles WITHIN-batch first occurrence; lines seen in
+    // EARLIER batches are stripped by the boiler probe against the
+    // accumulated digest state (a literal StrSet under the
+    // incremental-dedup cap; past it, the stored digest table +
+    // anti-join — q_dedup_incremental's discipline); then the surviving
+    // lines' digests append to the state before the next batch.
+    // Exactness: every line window is exactly nTok tokens (only a
+    // document's final line may be short), so a rebuilt document
+    // re-windows identically and the two-stage composition equals the
+    // batch operator over the union — asserted below.
+    val seen = new java.util.HashSet[String]()
+    val got = scala.collection.mutable.Map.empty[Long, String]
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val within = ops.FilterOps.firstLineDedup(batch)
+        val bc = spark.sparkContext.broadcast(
+          new graft.functions.StrSet(new java.util.HashSet[String](seen)))
+        val stripped = ops.FilterOps.boilerProbeFrame(
+          within.select(col("doc_id"), col("cleaned").as("text")), bc, 4)
+          .localCheckpoint()
+        stripped.collect().foreach(r => got.synchronized {
+          got(r.getLong(0)) = r.getString(3); () })
+        stripped
+          .select(explode(graft.functions.GraftFunctions.line_digest_seq(
+            col("cleaned"), 4)).as("dg"))
+          .distinct().collect().foreach(r => seen.add(r.getString(0)))
+        ()
+      }
+      .start()
+    // batch 1: doc 2's first line duplicates doc 1's; doc 2's tail is new
+    mem.addData(
+      (1L, "a b c d e f g h"),
+      (2L, "a b c d x y z w"))
+    q.processAllAvailable()
+    // batch 2: doc 3 repeats a batch-1 line (cross-batch strip) then a
+    // fresh line; doc 4 repeats doc 3's fresh line WITHIN the batch
+    mem.addData(
+      (3L, "e f g h m n o p"),
+      (4L, "m n o p q r s t"))
+    q.processAllAvailable()
+    // batch 3: entirely previously-seen lines -> survives empty
+    mem.addData((5L, "x y z w q r s t"))
+    q.processAllAvailable()
+    q.stop()
+    val union = Seq(
+      (1L, "a b c d e f g h"), (2L, "a b c d x y z w"),
+      (3L, "e f g h m n o p"), (4L, "m n o p q r s t"),
+      (5L, "x y z w q r s t")).toDF("doc_id", "text")
+    val batchForm = GraftOps.firstLineDedup(union)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(got.synchronized(got.toMap) == batchForm)
+    assert(batchForm(5L) == "", "batch-3 doc must survive fully stripped")
+  }
+
   test("streaming ANN admission: cell probe + index append + retrain-and-swap") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
