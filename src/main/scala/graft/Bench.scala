@@ -96,7 +96,8 @@ object Bench {
     "q_lang_id_hashed", "q_warc_trio", "q_warc_revisit", "q_crawl_update",
     // r14 late: global first-occurrence line dedup rebuild + tokenizer
     // decode roundtrip integrity + pack-efficiency report
-    "q_line_dedup_rebuild", "q_bpe_roundtrip", "q_pack_stats")
+    "q_line_dedup_rebuild", "q_bpe_roundtrip", "q_pack_stats",
+    "q_quality_train")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

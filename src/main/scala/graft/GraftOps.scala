@@ -557,6 +557,16 @@ object GraftOps {
   def perplexityFilter(docs: DataFrame, keepFromDecile: Int = 4): DataFrame =
     ops.FilterOps.perplexityFilter(docs, keepFromDecile)
 
+  /** TRAIN a hashed linear quality classifier on weak source labels
+    * (batch perceptron, pure integer arithmetic) and score the corpus —
+    * the training half of the fastText-classifier recipe behind
+    * CCNet/FineWeb quality filters. Output: (doc_id, label, n_words,
+    * score, pred, correct). Verified by `q_quality_train`.
+    */
+  def perceptronQuality(
+      docs: DataFrame, targetSources: Seq[String], rounds: Int = 3): DataFrame =
+    ops.CurationOps.perceptronQuality(docs, targetSources, rounds)
+
   /** Stored-LSH-index rows for a (doc_id, text) frame — build once over
     * the corpus, append each admitted snapshot, probe at admission time.
     * See [[ops.DedupOps.lshIndex]]; drives [[admitAgainstIndex]].

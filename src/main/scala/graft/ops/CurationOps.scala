@@ -351,6 +351,73 @@ object CurationOps extends QueryModule {
   }
 
   // ------------------------------------------------------------------
+  // Quality-classifier TRAINING (batch perceptron on weak labels)
+  // ------------------------------------------------------------------
+
+  /** TRAIN a hashed linear quality classifier on weak source labels and
+    * score the corpus with it — the training half of the fastText-
+    * classifier recipe behind CCNet/FineWeb quality filters (the
+    * curated-vs-crawl discriminator; [[hashedQuality]] is the inference
+    * shape with fixed weights, this LEARNS the weights). Batch
+    * perceptron, `rounds` unrolled epochs:
+    *
+    *   w(0) = 0;  pred_i(t) = [Σ_b c_ib·w_b(t) > 0]
+    *   w_b(t+1) = w_b(t) + Σ_i c_ib·(y_i − pred_i(t))
+    *
+    * with y_i = 1 iff source ∈ targetSources and c_ib the [[HashDim]]
+    * md5-bucket token counts. EXACTNESS: the entire training loop is
+    * integer arithmetic — counts, {−1,0,1} gradients, integer weight
+    * sums — no learning rate, no sigmoid, no rounding policy anywhere,
+    * so the DuckDB oracle replays every epoch bit-for-bit as unrolled
+    * join+aggregate CTEs (the update's SCALE is irrelevant to the
+    * decision boundary's sign, which is why the perceptron form needs
+    * no floating point at all; round-1 weights are exactly the target
+    * bucket histogram, round-2 subtracts the non-target histogram of
+    * the then-misclassified docs, and so on).
+    *
+    * Scale: ONE tokenize pass (the [[dsirWeights]] discipline) — the
+    * fused bucket-count scan checkpoints narrow per-doc rows that every
+    * epoch reads back; each epoch is ONE global LongVecSumAgg
+    * aggregation (64 longs out, map-side combinable) with the current
+    * weights baked into the plan as a [[graft.functions.BucketDot]]
+    * literal; model state is `rounds`·[[HashDim]] longs on the driver
+    * (the k-means-centroid policy). Output: (doc_id, label, n_words,
+    * score, pred, correct), score = the trained-weight dot product.
+    */
+  def perceptronQuality(
+      docs: DataFrame, targetSources: Seq[String], rounds: Int = 3): DataFrame = {
+    require(targetSources.nonEmpty, "perceptronQuality needs >= 1 target source")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val ws = words(col("text"))
+    val perDoc = TinyLoop.corpusCheckpoint(
+      docs.select(
+        col("doc_id"),
+        when(col("source").isInCollection(targetSources), 1L).otherwise(0L)
+          .as("y"),
+        size(ws).cast("long").as("n_words"),
+        graft.functions.GraftFunctions.hashed_bucket_counts(ws, HashDim)
+          .as("bc"))
+        .filter(col("n_words") >= 1))
+    var w = IndexedSeq.fill(HashDim)(0L)
+    (1 to rounds).foreach { _ =>
+      val g = col("y") - when(
+        graft.functions.GraftFunctions.bucket_dot(col("bc"), w) > 0, 1L)
+        .otherwise(0L)
+      val grad = perDoc
+        .select(graft.functions.GraftFunctions.vec_sum(
+          transform(col("bc"), e => e * g), HashDim).as("gr"))
+        .head().getSeq[Long](0)
+      w = w.zip(grad).map { case (a, b) => a + b }
+    }
+    perDoc
+      .select(col("doc_id"), col("y").as("label"), col("n_words"),
+        graft.functions.GraftFunctions.bucket_dot(col("bc"), w).as("score"))
+      .withColumn("pred", col("score") > 0)
+      .withColumn("correct", col("pred") === (col("label") === 1L))
+      .orderBy("doc_id")
+  }
+
+  // ------------------------------------------------------------------
   // DSIR-style hashed importance weighting (target-domain selection)
   // ------------------------------------------------------------------
 
@@ -688,6 +755,49 @@ object CurationOps extends QueryModule {
            |       wsum >= 1000 * n_words AS keep
            |FROM s ORDER BY doc_id"""
       ) { (s, d) => dsirWeights(Tables.documents(s, d), tgt) }
+    },
+
+    // Quality-classifier TRAINING: 3 batch-perceptron epochs on weak
+    // source labels (src0-src3 = positive), then score the corpus with
+    // the trained weights. Pure integer arithmetic end-to-end, so the
+    // oracle replays every epoch as unrolled join+aggregate CTEs.
+    {
+      val tgt = Seq("src0", "src1", "src2", "src3")
+      val tgtIn = tgt.map(s => s"'$s'").mkString("(", ", ", ")")
+      val R = 3
+      val epochs = (1 to R).map { t =>
+        s"""s$t AS (SELECT c.doc_id, SUM(c.c * w${t - 1}.wt) AS s
+           |        FROM c JOIN w${t - 1} USING (bkt) GROUP BY c.doc_id),
+           |g$t AS (SELECT y.doc_id,
+           |               y.y - (CASE WHEN COALESCE(s$t.s, 0) > 0 THEN 1 ELSE 0 END) AS g
+           |        FROM y LEFT JOIN s$t USING (doc_id)),
+           |d$t AS (SELECT c.bkt, SUM(c.c * g$t.g) AS d
+           |        FROM c JOIN g$t USING (doc_id) GROUP BY c.bkt),
+           |w$t AS (SELECT w${t - 1}.bkt, w${t - 1}.wt + COALESCE(d$t.d, 0) AS wt
+           |        FROM w${t - 1} LEFT JOIN d$t USING (bkt))""".stripMargin
+      }.mkString(",\n")
+      Q(
+        "q_quality_train",
+        s"""WITH w AS (SELECT doc_id, source, unnest($WordsSql) AS t FROM documents),
+           |b AS (SELECT doc_id,
+           |             (ascii(substr(md5(t),1,1)) * 16 + ascii(substr(md5(t),2,1))) % $HashDim AS bkt
+           |      FROM w),
+           |c AS (SELECT doc_id, bkt, COUNT(*) AS c FROM b GROUP BY doc_id, bkt),
+           |y AS (SELECT doc_id, CASE WHEN source IN $tgtIn THEN 1 ELSE 0 END AS y
+           |      FROM documents WHERE len($WordsSql) >= 1),
+           |w0 AS (SELECT DISTINCT bkt, CAST(0 AS BIGINT) AS wt FROM c),
+           |$epochs,
+           |sf AS (SELECT c.doc_id, SUM(c.c * w$R.wt) AS s
+           |       FROM c JOIN w$R USING (bkt) GROUP BY c.doc_id),
+           |nw AS (SELECT doc_id, COUNT(*) AS n FROM b GROUP BY doc_id)
+           |SELECT y.doc_id, CAST(y.y AS BIGINT) AS label,
+           |       CAST(nw.n AS BIGINT) AS n_words,
+           |       CAST(COALESCE(sf.s, 0) AS BIGINT) AS score,
+           |       COALESCE(sf.s, 0) > 0 AS pred,
+           |       (COALESCE(sf.s, 0) > 0) = (y.y = 1) AS correct
+           |FROM y JOIN nw USING (doc_id) LEFT JOIN sf USING (doc_id)
+           |ORDER BY doc_id"""
+      ) { (s, d) => perceptronQuality(Tables.documents(s, d), tgt, R) }
     },
 
     // Hashed linear-model inference per document.

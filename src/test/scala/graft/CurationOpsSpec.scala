@@ -287,4 +287,46 @@ class CurationOpsSpec extends SparkSpec {
         Seq("https://spam.example"), "/tracker/")
     }
   }
+
+  test("perceptronQuality learns a separable weak-label split to 100% accuracy") {
+    import spark.implicits._
+    // The fixture corpus carries no real source signal (the LangIdSpec
+    // precedent) — the learning claim is demonstrated here on docs
+    // whose vocabularies genuinely separate: curated docs repeat one
+    // word family, crawl docs another, with counts dominating any
+    // 64-bucket hash collisions.
+    val docs = (
+      (1 to 10).map(i => (i.toLong, "curated",
+        "alpha alpha beta beta gamma gamma alpha beta")) ++
+      (11 to 20).map(i => (i.toLong, "crawl",
+        "delta delta epsilon epsilon zeta zeta delta epsilon")))
+      .toDF("doc_id", "source", "text")
+    val got = GraftOps.perceptronQuality(docs, Seq("curated"))
+      .collect()
+    assert(got.length == 20)
+    assert(got.forall(_.getBoolean(5)), // correct
+      "all docs must classify correctly on a separable split")
+    // positives score strictly positive, negatives at or below zero
+    got.foreach { r =>
+      if (r.getLong(1) == 1L) assert(r.getLong(3) > 0L)
+      else assert(r.getLong(3) <= 0L)
+    }
+  }
+
+  test("perceptronQuality round-1 weights are exactly the target bucket histogram") {
+    import spark.implicits._
+    // With w(0)=0 every round-1 prediction is 0, so the round-1 update
+    // is Σ_{y=1} c_ib — scoring a NEGATIVE doc with disjoint vocabulary
+    // under 1-round training must give 0 (no shared buckets), and a
+    // POSITIVE doc scores its own squared-ish count dot — pinned on a
+    // collision-free pair.
+    val docs = Seq(
+      (1L, "curated", "alpha alpha alpha"),
+      (2L, "crawl", "omega")).toDF("doc_id", "source", "text")
+    val got = GraftOps.perceptronQuality(docs, Seq("curated"), rounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got(1L) == 9L, s"3 tokens x weight 3 in one bucket: ${got(1L)}")
+    assert(got(2L) == 0L || got(2L) == 3L,
+      "disjoint word scores 0 unless it hash-collides with alpha")
+  }
 }
