@@ -403,9 +403,13 @@ object CurationOps extends QueryModule {
       val g = col("y") - when(
         graft.functions.GraftFunctions.bucket_dot(col("bc"), w) > 0, 1L)
         .otherwise(0L)
+      // hoist the per-row gradient scalar to its own column so the dot
+      // product evaluates once per row, not once per array element
+      // inside the transform lambda
       val grad = perDoc
+        .select(col("bc"), g.as("g"))
         .select(graft.functions.GraftFunctions.vec_sum(
-          transform(col("bc"), e => e * g), HashDim).as("gr"))
+          transform(col("bc"), e => e * col("g")), HashDim).as("gr"))
         .head().getSeq[Long](0)
       w = w.zip(grad).map { case (a, b) => a + b }
     }
