@@ -417,6 +417,25 @@ class PlanHygieneSpec extends SparkSpec {
       .groupBy("dg").agg(count(lit(1)).as("nd"))
       .queryExecution.executedPlan.toString
     assert(freq.contains("graft_line_digests") && !freq.contains("Expand"), freq)
+    // first-occurrence line dedup: same regression class — the literal
+    // path's strip must stay the fused WinnerMap probe, and the winner
+    // pass must stay the per-position fused digest scan
+    val wm = spark.sparkContext.broadcast(
+      new graft.functions.WinnerMap(new java.util.HashMap[String, Array[Long]]()))
+    val strip = graft.ops.FilterOps.firstStripFrame(withWords, wm, 4)
+      .queryExecution.executedPlan.toString
+    assert(strip.contains("graft_first_line_strip"), strip)
+    val winners = withWords.select(col("doc_id"),
+        posexplode(org.apache.spark.sql.GraftBridge.column(
+          graft.functions.LineDigestSeq(
+            org.apache.spark.sql.GraftBridge.expression(col("text")), 4))))
+      .toDF("doc_id", "pos", "dg")
+      .groupBy("dg")
+      .agg(min(struct(col("doc_id"), col("pos").cast("long").as("pos"))).as("w"),
+        count(lit(1)).as("cnt"))
+      .queryExecution.executedPlan.toString
+    assert(winners.contains("graft_line_digest_seq") &&
+      !winners.contains("Expand"), winners)
   }
 
   test("training queries plan no join at all (literal centroid + query state)") {
