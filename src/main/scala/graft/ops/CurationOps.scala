@@ -389,7 +389,12 @@ object CurationOps extends QueryModule {
     require(targetSources.nonEmpty, "perceptronQuality needs >= 1 target source")
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     val ws = words(col("text"))
-    val perDoc = TinyLoop.corpusCheckpoint(
+    // Epoch 1 rides the checkpoint materialization (the dsirWeights
+    // observe pattern): under w(0)=0 every prediction is 0, so the
+    // epoch-1 update is exactly Σ_{y=1} c_ib — one LongVecSumAgg
+    // metric on the same job that checkpoints the bucket arrays, no
+    // separate epoch-1 scan.
+    val (perDoc, obs) = TinyLoop.corpusCheckpointObserved(
       docs.select(
         col("doc_id"),
         when(col("source").isInCollection(targetSources), 1L).otherwise(0L)
@@ -397,9 +402,11 @@ object CurationOps extends QueryModule {
         size(ws).cast("long").as("n_words"),
         graft.functions.GraftFunctions.hashed_bucket_counts(ws, HashDim)
           .as("bc"))
-        .filter(col("n_words") >= 1))
-    var w = IndexedSeq.fill(HashDim)(0L)
-    (1 to rounds).foreach { _ =>
+        .filter(col("n_words") >= 1),
+      Seq(graft.functions.GraftFunctions.vec_sum(
+        when(col("y") === 1L, col("bc")), HashDim).as("g1")))
+    var w: IndexedSeq[Long] = obs.getSeq[Long](0).toIndexedSeq
+    (2 to rounds).foreach { _ =>
       val g = col("y") - when(
         graft.functions.GraftFunctions.bucket_dot(col("bc"), w) > 0, 1L)
         .otherwise(0L)
