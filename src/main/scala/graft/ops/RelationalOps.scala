@@ -1419,12 +1419,17 @@ object RelationalOps extends QueryModule {
     Q(
       "q_window_moving",
       // lineitem has no short unique key (dup (orderkey, linenumber) pairs
-      // exist), so both the frame ordering and the output ordering include
-      // enough columns to be total over the full (distinct) rows.
+      // exist). The frame ordering is deterministic-up-to-output: rows
+      // tied on (shipdate, orderkey, linenumber, quantity) agree on every
+      // OUTPUT column AND on the summed column, so permuting a tie group
+      // leaves each position's prefix sum and each position's output row
+      // unchanged — the result multiset is engine-order-independent
+      // without dragging the two otherwise-unread tie-break columns
+      // (l_partkey, l_extendedprice) through scan, shuffle, and sort.
       """SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
         |       CAST(SUM(CAST(l_quantity AS DECIMAL(38,10)))
         |            OVER (PARTITION BY l_suppkey
-        |                  ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey, l_quantity, l_extendedprice
+        |                  ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
         |                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_qty
         |FROM lineitem
         |ORDER BY l_suppkey, l_orderkey, l_linenumber, l_quantity, moving_qty"""
@@ -1435,16 +1440,39 @@ object RelationalOps extends QueryModule {
       // the unbounded-preceding running sum is incremental (one add per
       // row) and the 3-back lag reads an already-computed value. Both
       // window expressions share one partition+order, so the plan still
-      // pays a single exchange+sort. cum − cum₋₃ in exact decimal(38,10)
-      // arithmetic is value-identical to the frame sum the oracle spells
-      // (l_quantity is non-null on this table; an all-null prefix would
-      // distinguish the two spellings).
-      val ord = Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
-        col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      // pays a single exchange+sort. The running sum is a plain LONG:
+      // l_quantity is an integral count (TPC-H domain 1..50; the guard
+      // below fails loudly on any non-integral value so a foreign
+      // corpus can never silently truncate), so cumLong − cumLong₋₃ is
+      // the exact frame sum, and a 3-row integer sum ≤ a few hundred
+      // casts to double identically to the oracle's
+      // CAST(SUM(DECIMAL(38,10)) AS DOUBLE). Long arithmetic replaced
+      // the r9 Decimal128 accumulator (16-byte UnsafeRow traffic +
+      // decimal add/subtract per row — measured ~25% of the window
+      // job, PLANS.md r15 A/B); overflow would need ~1.8e17 rows in
+      // one supplier partition, so ANSI-checked long add never trips.
+      // (l_quantity is non-null on this table; an all-null prefix
+      // would distinguish the prefix-difference from the frame sum.)
+      // (A packed single binary sort key — sign-flipped big-endian
+      // concatenation — was A/B'd here in r15 and LOST: the per-row
+      // byte[] allocation plus wider variable-length UnsafeRows cost
+      // more than the shorter comparator saved; PLANS.md r15. The win
+      // came from dropping the two order-only tie-break columns
+      // entirely — see the oracle comment — and from the LONG sum.)
+      val ord = Seq(col("l_shipdate"), col("l_orderkey"),
+        col("l_linenumber"), col("l_quantity"))
       val wcum = Window.partitionBy("l_suppkey").orderBy(ord: _*)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val wlag = Window.partitionBy("l_suppkey").orderBy(ord: _*)
+      val qtyLong = when(col("l_quantity") =!= col("l_quantity").cast("long").cast("double"),
+        raise_error(concat(lit("q_window_moving: non-integral l_quantity "),
+          col("l_quantity").cast("string"),
+          lit(" — the LONG running sum requires integral quantities; " +
+            "use the decimal spelling for fractional corpora"))))
+        .otherwise(col("l_quantity").cast("long"))
       Tables.lineitem(s, d)
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_shipdate"), qtyLong.as("__graft_qty"))
         // RANGE-partition on the window's partition key up front: it
         // satisfies the window's ClusteredDistribution (no hash
         // exchange), and because the presentation ORDER BY leads with
@@ -1452,12 +1480,11 @@ object RelationalOps extends QueryModule {
         // second full exchange + boundary-sampling pass re-sorting the
         // whole output (the measured 2.5x-vs-DuckDB residual).
         .repartitionByRange(col("l_suppkey"))
-        .withColumn("__graft_cum", Exact.decSum(col("l_quantity")).over(wcum))
+        .withColumn("__graft_cum", sum(col("__graft_qty")).over(wcum))
         .withColumn("__graft_cum3", lag(col("__graft_cum"), 3).over(wlag))
         .select(
           col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
-          (col("__graft_cum") - coalesce(col("__graft_cum3"),
-            lit(0).cast(org.apache.spark.sql.types.DecimalType(38, 10))))
+          (col("__graft_cum") - coalesce(col("__graft_cum3"), lit(0L)))
             .cast("double").as("moving_qty"))
         .orderBy("l_suppkey", "l_orderkey", "l_linenumber", "l_quantity", "moving_qty")
     },
