@@ -97,7 +97,9 @@ object Bench {
     // r14 late: global first-occurrence line dedup rebuild + tokenizer
     // decode roundtrip integrity + pack-efficiency report
     "q_line_dedup_rebuild", "q_bpe_roundtrip", "q_pack_stats",
-    "q_quality_train")
+    "q_quality_train",
+    // r15: text→vector projection + dedup-by-meaning from raw text
+    "q_embed_from_text", "q_embed_dedup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -350,6 +350,17 @@ object GraftOps {
       threshold: Double = 0.42, prefilterSlack: Double = 0.08): DataFrame =
     ops.MlOps.semanticDedup(emb, k, iters, threshold, prefilterSlack)
 
+  /** Hashed char-trigram document embedding: projects (doc_id, text)
+    * rows to L2-normalized `dim`-component float vectors in ONE narrow
+    * map-only pass (the corpus text never shuffles) — the text→vector
+    * bridge that lets the similarity/ANN/SemDeDup stack run from raw
+    * documents with no precomputed embedding table. Output:
+    * (vec_id, embedding array<float>). Verified by `q_embed_from_text`;
+    * chained end-to-end by `q_embed_dedup`.
+    */
+  def embedFromText(docs: DataFrame, dim: Int = ops.MlOps.EmbedDim): DataFrame =
+    ops.MlOps.embedFromText(docs, dim)
+
   /** Budget-driven source mixing: deterministically hash-downsample
     * each (doc_id, text, source) source toward `targetTokens`, deriving
     * the per-source keep rate from the data inside the plan (tiny
