@@ -98,8 +98,9 @@ object Bench {
     // decode roundtrip integrity + pack-efficiency report
     "q_line_dedup_rebuild", "q_bpe_roundtrip", "q_pack_stats",
     "q_quality_train",
-    // r15: text→vector projection + dedup-by-meaning from raw text
-    "q_embed_from_text", "q_embed_dedup")
+    // r15: text→vector projection + dedup-by-meaning from raw text +
+    // int8-quantized stored-index search with float rerank
+    "q_embed_from_text", "q_embed_dedup", "q_ann_ivf_i8")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -350,6 +350,19 @@ object GraftOps {
       threshold: Double = 0.42, prefilterSlack: Double = 0.08): DataFrame =
     ops.MlOps.semanticDedup(emb, k, iters, threshold, prefilterSlack)
 
+  /** Quantized stored-index ANN search: probe the query's IVF cell with
+    * int8 codes (4× less index traffic), rerank the top-`rerank`
+    * shortlist in full precision, return the float-decided top-`topk`
+    * per query — the memory-bound deployment path. Same output contract
+    * as the full-precision stored-index search, so the two paths diff
+    * row for row; `q_ann_ivf_i8` reports that diff as per-query
+    * recall@3. Verified by `q_ann_ivf_i8`.
+    */
+  def searchAgainstIvfIndexI8(
+      queries: DataFrame, codebook: DataFrame, indexI8: DataFrame,
+      topk: Int = 3, rerank: Int = 10): DataFrame =
+    ops.MlOps.searchAgainstIvfIndexI8(queries, codebook, indexI8, topk, rerank)
+
   /** Hashed char-trigram document embedding: projects (doc_id, text)
     * rows to L2-normalized `dim`-component float vectors in ONE narrow
     * map-only pass (the corpus text never shuffles) — the text→vector

@@ -483,6 +483,95 @@ object MlOps extends QueryModule {
       .select(col("vec_id"), col("m.k").as("cell"), col("embedding"))
   }
 
+  /** Portable int8 quantization — [[int8]] with `floor(x + 0.5)` in
+    * place of `round(x)`: the two builtin `round`s disagree on
+    * .5-boundary doubles across engines (the Exact.roundN rationale),
+    * and unlike the semantic-dedup prefilter — where quantization is an
+    * engine-internal accelerator whose decisions are re-checked in
+    * float — the quantized STORED-index search ranks by the quantized
+    * values themselves, so the oracle must replay them bit-for-bit.
+    * floor(+0.5) is the same IEEE mul/div/add/floor sequence in both
+    * engines. Scale invariance (the [[int8]] cosine argument) is
+    * unchanged.
+    */
+  private[graft] def int8Portable(emb: Column): Column = {
+    val maxAbs = array_max(transform(emb, v => abs(v.cast("double"))))
+    when(maxAbs > 0.0,
+      transform(emb, v =>
+        floor(v.cast("double") * lit(127.0) / maxAbs + lit(0.5)).cast("tinyint")))
+      .otherwise(transform(emb, _ => lit(0).cast("tinyint")))
+  }
+
+  /** Persisted int8-quantized IVF index: (vec_id, cell, q, embedding) —
+    * the memory-bound deployment shape at 100 TB, where the SCAN reads
+    * 1-byte codes (4× less index traffic than float) and the float
+    * vectors are only fetched for the top-`rerank` shortlist. Written
+    * once per (input plan, k, iters) like [[storedIvfIndexDf]]; column
+    * pruning keeps the i8 scan to (vec_id, cell, q) and the rerank
+    * fetch to (vec_id, embedding).
+    */
+  private val indexI8Dirs = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int, Int), String]()
+
+  def storedIvfIndexI8Df(emb: DataFrame, k: Int = K, iters: Int = Iters): DataFrame = {
+    val dir = indexI8Dirs.computeIfAbsent(
+      (emb.queryExecution.analyzed.canonicalized, k, iters), _ => {
+        val d = java.nio.file.Files.createTempDirectory("graft_ivf_index_i8_")
+          .toAbsolutePath.toString
+        ivfIndex(emb, cachedCodebookDf(emb, k, iters))
+          .select(col("vec_id"), col("cell"),
+            int8Portable(col("embedding")).as("q"), col("embedding"))
+          .write.mode("overwrite").parquet(d)
+        d
+      })
+    emb.sparkSession.read.parquet(dir)
+  }
+
+  /** Quantized stored-index search with full-precision rerank — the
+    * standard memory-bound ANN deployment: scan the query's cell with
+    * the int8 codes ([[graft.functions.CosineSimI8]] — one codegen'd
+    * byte loop per candidate, no float payload in the probe join), keep
+    * the top-`rerank` shortlist by quantized cosine, fetch ONLY those
+    * rows' float vectors (an id-keyed join against the shortlist — the
+    * planner broadcasts the batch-scale shortlist side), and let the
+    * float cosine pick the final top-`topk`. Output:
+    * (qid, cell, vid, sim round6) — the [[searchAgainstIvfIndex]]
+    * contract, so callers can diff the two paths row for row.
+    */
+  def searchAgainstIvfIndexI8(
+      queries: DataFrame, codebook: DataFrame, indexI8: DataFrame,
+      topk: Int = 3, rerank: Int = 10): DataFrame = {
+    require(rerank >= topk, s"rerank depth $rerank must be >= topk $topk")
+    val cents = collectCodebook(codebook)
+    val spark = queries.sparkSession
+    val tkR = registerTopk(spark, rerank)
+    val tkK = registerTopk(spark, topk)
+    val shortlist = queries
+      .withColumn("m", graft.functions.GraftFunctions.nearest_centroid(
+        col("embedding"), cents.map(_._1), cents.map(_._2)))
+      .select(col("vec_id").as("qid"), col("embedding").as("qemb"),
+        int8Portable(col("embedding")).as("qq"), col("m.k").as("cell"))
+      .join(indexI8.select(col("vec_id").as("vid"), col("cell"), col("q")),
+        Seq("cell"))
+      .filter(col("vid") =!= col("qid"))
+      .select(col("qid"), col("qemb"), col("cell"), col("vid"),
+        graft.functions.GraftFunctions.cosine_sim_i8(col("qq"), col("q")).as("sim8"))
+      .groupBy(col("qid"), col("qemb"), col("cell"))
+      .agg(expr(s"$tkR(sim8, vid)").as("sl"))
+      .select(col("qid"), col("qemb"), col("cell"), explode(col("sl")).as("p"))
+      .select(col("qid"), col("qemb"), col("cell"), col("p._2").as("vid"))
+    shortlist
+      .join(indexI8.select(col("vec_id").as("vid"), col("embedding").as("i_emb")),
+        Seq("vid"))
+      .select(col("qid"), col("cell"), col("vid"),
+        graft.functions.GraftFunctions.cosine_sim(col("qemb"), col("i_emb")).as("sim"))
+      .groupBy("qid", "cell")
+      .agg(expr(s"$tkK(sim, vid)").as("tp"))
+      .select(col("qid"), col("cell"), explode(col("tp")).as("p"))
+      .select(col("qid"), col("cell"), col("p._2").as("vid"),
+        Exact.round6(col("p._1")).as("sim"))
+  }
+
   /** Cell-probed search of a (micro-)batch of query vectors against a
     * stored IVF index — the similarity side's [[DedupOps
     * .admitAgainstIndex]]: assign each query to its nearest stored
@@ -956,6 +1045,98 @@ object MlOps extends QueryModule {
     // branches are exercised at every SF.
     Q("q_semantic_dedup", semanticDedupOracle(0.42)) { (s, d) =>
       graft.GraftOps.semanticDedup(Tables.embeddings(s, d))
+    },
+
+    // int8-quantized stored-index search, measured against the
+    // full-precision cell search at TWO rerank depths side by side (the
+    // q_ann_ivf_nprobe reporting shape): rerank=3 is the pure quantized
+    // ranking (no float headroom — it drops a true top-3 neighbor on
+    // the fixture: qid 2 reads 2/3), rerank=10 buys the recall back
+    // (3/3 everywhere) while still fetching only 10 float rows per
+    // query — the memory-vs-recall table a deployment reads before
+    // turning the quantization knob on. The oracle replays Lloyd, the
+    // floor(+0.5) portable quantization, the quantized ranking at both
+    // depths, the rerank, and the float ground truth.
+    Q(
+      "q_ann_ivf_i8",
+      s"""WITH ${lloydCtes()},
+         |ix AS (
+         |  SELECT a.vec_id, a.cl AS cell, e.embedding
+         |  FROM a$Iters a JOIN embeddings e ON e.vec_id = a.vec_id),
+         |qz AS (
+         |  SELECT vec_id,
+         |         CASE WHEN list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))) > 0
+         |              THEN list_transform(embedding, v ->
+         |                CAST(floor(CAST(v AS DOUBLE) * 127.0
+         |                  / list_max(list_transform(embedding, v2 -> abs(CAST(v2 AS DOUBLE))))
+         |                  + 0.5) AS BIGINT))
+         |              ELSE list_transform(embedding, v -> CAST(0 AS BIGINT)) END AS qv
+         |  FROM embeddings),
+         |q AS (
+         |  SELECT i.vec_id AS qid, i.cell AS qcell, i.embedding AS qe, z.qv AS qq
+         |  FROM ix i JOIN qz z ON z.vec_id = i.vec_id WHERE i.vec_id < 10),
+         |s8 AS (
+         |  SELECT q.qid, i.vec_id AS vid,
+         |         ${duckDot("q.qq", "z.qv")} / (${duckNorm("q.qq")} * ${duckNorm("z.qv")}) AS sim8
+         |  FROM q JOIN ix i ON i.cell = q.qcell AND i.vec_id <> q.qid
+         |         JOIN qz z ON z.vec_id = i.vec_id),
+         |short AS (
+         |  SELECT qid, vid FROM (
+         |    SELECT qid, vid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim8 DESC, vid) AS rn
+         |    FROM s8) WHERE rn <= 10),
+         |rr AS (
+         |  SELECT s.qid, s.vid,
+         |         ${duckDot("q.qe", "e.embedding")} / (${duckNorm("q.qe")} * ${duckNorm("e.embedding")}) AS sim
+         |  FROM short s JOIN q ON q.qid = s.qid JOIN embeddings e ON e.vec_id = s.vid),
+         |i8top AS (
+         |  SELECT qid, vid FROM (
+         |    SELECT qid, vid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vid) AS rn
+         |    FROM rr) WHERE rn <= 3),
+         |fps AS (
+         |  SELECT q.qid, i.vec_id AS vid,
+         |         ${duckDot("q.qe", "i.embedding")} / (${duckNorm("q.qe")} * ${duckNorm("i.embedding")}) AS sim
+         |  FROM q JOIN ix i ON i.cell = q.qcell AND i.vec_id <> q.qid),
+         |fptop AS (
+         |  SELECT qid, vid FROM (
+         |    SELECT qid, vid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vid) AS rn
+         |    FROM fps) WHERE rn <= 3),
+         |short3 AS (
+         |  SELECT qid, vid FROM (
+         |    SELECT qid, vid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim8 DESC, vid) AS rn
+         |    FROM s8) WHERE rn <= 3)
+         |SELECT f.qid,
+         |       COUNT(g3.vid) AS hits_i8r3, COUNT(g3.vid) / 3.0 AS recall_i8r3,
+         |       COUNT(g.vid) AS hits_i8, COUNT(g.vid) / 3.0 AS recall_i8
+         |FROM fptop f
+         |LEFT JOIN short3 g3 ON g3.qid = f.qid AND g3.vid = f.vid
+         |LEFT JOIN i8top g ON g.qid = f.qid AND g.vid = f.vid
+         |GROUP BY f.qid ORDER BY f.qid""".stripMargin
+    ) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val codebook = cachedCodebookDf(emb)
+      val qb = cachedQueryBatchDf(emb)
+      // ONE stored artifact serves every path: the i8 index carries the
+      // float column too (the rerank fetch needs it anyway), and the
+      // float ground-truth search just prunes to (vec_id, cell, embedding)
+      val ix8 = storedIvfIndexI8Df(emb)
+      val fp = searchAgainstIvfIndex(qb, codebook, ix8, topk = 3)
+      // rerank=3 degenerates to the pure quantized top-3 (the rerank
+      // re-orders but cannot change the SET the recall compare reads)
+      val i8r3 = searchAgainstIvfIndexI8(qb, codebook, ix8, topk = 3, rerank = 3)
+      val i8 = searchAgainstIvfIndexI8(qb, codebook, ix8, topk = 3, rerank = 10)
+      fp.select(col("qid"), col("vid"))
+        .join(i8r3.select(col("qid").as("g3q"), col("vid").as("g3v")),
+          col("qid") === col("g3q") && col("vid") === col("g3v"), "left")
+        .join(i8.select(col("qid").as("gq"), col("vid").as("gv")),
+          col("qid") === col("gq") && col("vid") === col("gv"), "left")
+        .groupBy("qid")
+        .agg(count(col("g3v")).as("hits_i8r3"), count(col("gv")).as("hits_i8"))
+        .select(col("qid"),
+          col("hits_i8r3"), (col("hits_i8r3") / 3.0).as("recall_i8r3"),
+          col("hits_i8"), (col("hits_i8") / 3.0).as("recall_i8"))
+        // ≤ 10 rows: single-partition sort == orderBy's total order
+        // without the range-exchange stage-job (the kmeans trick)
+        .coalesce(1).sortWithinPartitions("qid")
     },
 
     // text → vector: the hashed-trigram projection verified entry by
