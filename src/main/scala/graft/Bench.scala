@@ -1,6 +1,13 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Locale-pinned fixed-point formatting for the bench JSON: the
+    * f-interpolator formats with the JVM default locale, and a
+    * comma-decimal locale (de_DE) would emit unparseable JSON.
+    */
+  private def fmt(v: Double, digits: Int): String =
+    String.format(java.util.Locale.ROOT, s"%.${digits}f", Double.box(v))
+
   /** Headline benchmark set: one representative query per operator
     * family (the driver contract times "headline queries"; the full
     * registered surface stays in Verify's correctness gate). Chosen to
@@ -99,8 +106,9 @@ object Bench {
     "q_line_dedup_rebuild", "q_bpe_roundtrip", "q_pack_stats",
     "q_quality_train",
     // r15: text→vector projection + dedup-by-meaning from raw text +
-    // int8-quantized stored-index search with float rerank
-    "q_embed_from_text", "q_embed_dedup", "q_ann_ivf_i8")
+    // int8-quantized stored-index search with float rerank +
+    // classifier threshold-calibration sweep
+    "q_embed_from_text", "q_embed_dedup", "q_ann_ivf_i8", "q_quality_eval")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -257,7 +265,7 @@ object Bench {
       .map { case (k, s) => "\"" + k + "\":" + math.round(s * 1000) / 1000.0 }
       .mkString("{", ",", "}")
     val decomp =
-      f""""job_total":$jobTotal%.3f,"floor_total":$floorTotal%.3f"""
+      s""""job_total":${fmt(jobTotal, 3)},"floor_total":${fmt(floorTotal, 3)}"""
     // Same-window DuckDB yardstick (r9): run the headline's oracle SQLs
     // in DuckDB immediately after the Spark passes, so the bench JSON
     // carries its own baseline — cross-window comparisons on this
@@ -325,7 +333,7 @@ object Bench {
       }
     val wetSplitJson = wetSplit
       .map { case (w, r) =>
-        f""""wet_refine_split":{"write":$w%.3f,"read":$r%.3f},""" }
+        s""""wet_refine_split":{"write":${fmt(w, 3)},"read":${fmt(r, 3)}},""" }
       .getOrElse("")
     val duck = duckdbTotal.map(_.toString).getOrElse("null")
     val duckObj = duckdbJson.getOrElse("null")
@@ -344,8 +352,8 @@ object Bench {
     val realDuck = realNames.map(duckPerQuery).sum
     val rw =
       s""""real_work_n":${realNames.size},""" +
-      f""""real_work_spark":$realSpark%.4f,""" +
-      f""""real_work_duckdb":$realDuck%.4f"""
+      s""""real_work_spark":${fmt(realSpark, 4)},""" +
+      s""""real_work_duckdb":${fmt(realDuck, 4)}"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","action":"noop-write","protocol":"per-query-consecutive","duckdb_total":$duck,$rw,$decomp,$wetSplitJson"queries":$qs,"spread":$spreads,"reruns":$reruns,"job_sec":$jobsJson,"duckdb":$duckObj,"sf":"$sfDir"}""")
     // The full line above (per-query timings + spread map) exceeds the
     // driver's tail-capture window, so it can arrive truncated (round 6's

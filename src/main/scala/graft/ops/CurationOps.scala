@@ -428,6 +428,95 @@ object CurationOps extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** Shared config of the perceptron quality pair (q_quality_train /
+    * q_quality_eval): weak positive labels + epoch count.
+    */
+  private[ops] val QualityTgt = Seq("src0", "src1", "src2", "src3")
+  private[ops] val QualityRounds = 3
+
+  /** Shared oracle prefix replaying [[perceptronQuality]]: bucket
+    * counts, weak labels, `QualityRounds` unrolled epochs, and the
+    * final per-doc score CTE `sf` (+ word counts `nw`) — used by both
+    * the training query and the evaluation sweep.
+    */
+  private def perceptronScoreCtes: String = {
+    val tgtIn = QualityTgt.map(s => s"'$s'").mkString("(", ", ", ")")
+    val epochs = (1 to QualityRounds).map { t =>
+      s"""s$t AS (SELECT c.doc_id, SUM(c.c * w${t - 1}.wt) AS s
+         |        FROM c JOIN w${t - 1} USING (bkt) GROUP BY c.doc_id),
+         |g$t AS (SELECT y.doc_id,
+         |               y.y - (CASE WHEN COALESCE(s$t.s, 0) > 0 THEN 1 ELSE 0 END) AS g
+         |        FROM y LEFT JOIN s$t USING (doc_id)),
+         |d$t AS (SELECT c.bkt, SUM(c.c * g$t.g) AS d
+         |        FROM c JOIN g$t USING (doc_id) GROUP BY c.bkt),
+         |w$t AS (SELECT w${t - 1}.bkt, w${t - 1}.wt + COALESCE(d$t.d, 0) AS wt
+         |        FROM w${t - 1} LEFT JOIN d$t USING (bkt))""".stripMargin
+    }.mkString(",\n")
+    s"""w AS (SELECT doc_id, source, unnest($WordsSql) AS t FROM documents),
+       |b AS (SELECT doc_id,
+       |             (ascii(substr(md5(t),1,1)) * 16 + ascii(substr(md5(t),2,1))) % $HashDim AS bkt
+       |      FROM w),
+       |c AS (SELECT doc_id, bkt, COUNT(*) AS c FROM b GROUP BY doc_id, bkt),
+       |y AS (SELECT doc_id, CASE WHEN source IN $tgtIn THEN 1 ELSE 0 END AS y
+       |      FROM documents WHERE len($WordsSql) >= 1),
+       |w0 AS (SELECT DISTINCT bkt, CAST(0 AS BIGINT) AS wt FROM c),
+       |$epochs,
+       |sf AS (SELECT c.doc_id, SUM(c.c * w$QualityRounds.wt) AS s
+       |       FROM c JOIN w$QualityRounds USING (bkt) GROUP BY c.doc_id),
+       |nw AS (SELECT doc_id, COUNT(*) AS n FROM b GROUP BY doc_id)""".stripMargin
+  }
+
+  /** Threshold-calibration table over [[perceptronQuality]]'s scores:
+    * 10 value-grid thresholds, per-threshold tp/fp/fn +
+    * precision/recall/F1, and the F1-argmax operating point (ties to
+    * the smaller threshold index). Output:
+    * (i, thr, tp, fp, fn, prec, rec, f1, best) — 10 rows.
+    *
+    * Scale shape: the corpus collapses to a per-score histogram in one
+    * exchange; the sweep is histogram × 10 broadcast grid rows (the
+    * corpus is never rescanned per threshold); the argmax is a 1-row
+    * struct-max aggregate, never a window.
+    */
+  def qualityEval(
+      docs: DataFrame, targetSources: Seq[String], rounds: Int = 3): DataFrame = {
+    val hist = perceptronQuality(docs, targetSources, rounds)
+      .groupBy("score")
+      .agg(sum(col("label")).as("pos"), sum(lit(1L) - col("label")).as("neg"))
+    val bounds = hist.agg(min(col("score")).as("smin"), max(col("score")).as("smax"),
+      sum(col("pos")).as("npos"))
+    // thr_i = smin + (smax − smin)·(i−1) div 10: exact integer
+    // arithmetic, spelled `div`/`//` identically in both engines
+    val grid = bounds
+      .select(explode(sequence(lit(1), lit(10))).as("i"),
+        col("smin"), col("smax"), col("npos"))
+      .select(col("i"),
+        expr("smin + (smax - smin) * (i - 1) div 10").as("thr"), col("npos"))
+    val f = hist.crossJoin(broadcast(grid))
+      .groupBy("i", "thr", "npos")
+      .agg(
+        sum(when(col("score") > col("thr"), col("pos")).otherwise(0L)).as("tp"),
+        sum(when(col("score") > col("thr"), col("neg")).otherwise(0L)).as("fp"))
+      .select(col("i"), col("thr"), col("tp"), col("fp"),
+        (col("npos") - col("tp")).as("fn"),
+        when(col("tp") + col("fp") === 0, 0.0)
+          .otherwise(col("tp").cast("double") / (col("tp") + col("fp"))).as("prec"),
+        when(col("npos") === 0, 0.0)
+          .otherwise(col("tp").cast("double") / col("npos")).as("rec"),
+        when(lit(2) * col("tp") + col("fp") + (col("npos") - col("tp")) === 0, 0.0)
+          .otherwise(lit(2.0) * col("tp")
+            / (lit(2) * col("tp") + col("fp") + (col("npos") - col("tp")))).as("f1"))
+    // F1-argmax via a 1-row struct-max (f1 doubles are identical
+    // integer-ratio values in both engines, so the argmax is too);
+    // negated index turns the struct max's tie-break into "smallest i"
+    val best = f.agg(max(struct(col("f1"), (-col("i")).as("ni"))).as("b"))
+      .select((-col("b.ni")).cast("int").as("best_i"))
+    f.crossJoin(broadcast(best))
+      .select(col("i"), col("thr"), col("tp"), col("fp"), col("fn"),
+        col("prec"), col("rec"), col("f1"),
+        (col("i") === col("best_i")).as("best"))
+      .boundedSort("i")
+  }
+
   // ------------------------------------------------------------------
   // DSIR-style hashed importance weighting (target-domain selection)
   // ------------------------------------------------------------------
@@ -772,43 +861,59 @@ object CurationOps extends QueryModule {
     // source labels (src0-src3 = positive), then score the corpus with
     // the trained weights. Pure integer arithmetic end-to-end, so the
     // oracle replays every epoch as unrolled join+aggregate CTEs.
-    {
-      val tgt = Seq("src0", "src1", "src2", "src3")
-      val tgtIn = tgt.map(s => s"'$s'").mkString("(", ", ", ")")
-      val R = 3
-      val epochs = (1 to R).map { t =>
-        s"""s$t AS (SELECT c.doc_id, SUM(c.c * w${t - 1}.wt) AS s
-           |        FROM c JOIN w${t - 1} USING (bkt) GROUP BY c.doc_id),
-           |g$t AS (SELECT y.doc_id,
-           |               y.y - (CASE WHEN COALESCE(s$t.s, 0) > 0 THEN 1 ELSE 0 END) AS g
-           |        FROM y LEFT JOIN s$t USING (doc_id)),
-           |d$t AS (SELECT c.bkt, SUM(c.c * g$t.g) AS d
-           |        FROM c JOIN g$t USING (doc_id) GROUP BY c.bkt),
-           |w$t AS (SELECT w${t - 1}.bkt, w${t - 1}.wt + COALESCE(d$t.d, 0) AS wt
-           |        FROM w${t - 1} LEFT JOIN d$t USING (bkt))""".stripMargin
-      }.mkString(",\n")
-      Q(
-        "q_quality_train",
-        s"""WITH w AS (SELECT doc_id, source, unnest($WordsSql) AS t FROM documents),
-           |b AS (SELECT doc_id,
-           |             (ascii(substr(md5(t),1,1)) * 16 + ascii(substr(md5(t),2,1))) % $HashDim AS bkt
-           |      FROM w),
-           |c AS (SELECT doc_id, bkt, COUNT(*) AS c FROM b GROUP BY doc_id, bkt),
-           |y AS (SELECT doc_id, CASE WHEN source IN $tgtIn THEN 1 ELSE 0 END AS y
-           |      FROM documents WHERE len($WordsSql) >= 1),
-           |w0 AS (SELECT DISTINCT bkt, CAST(0 AS BIGINT) AS wt FROM c),
-           |$epochs,
-           |sf AS (SELECT c.doc_id, SUM(c.c * w$R.wt) AS s
-           |       FROM c JOIN w$R USING (bkt) GROUP BY c.doc_id),
-           |nw AS (SELECT doc_id, COUNT(*) AS n FROM b GROUP BY doc_id)
-           |SELECT y.doc_id, CAST(y.y AS BIGINT) AS label,
-           |       CAST(nw.n AS BIGINT) AS n_words,
-           |       CAST(COALESCE(sf.s, 0) AS BIGINT) AS score,
-           |       COALESCE(sf.s, 0) > 0 AS pred,
-           |       (COALESCE(sf.s, 0) > 0) = (y.y = 1) AS correct
-           |FROM y JOIN nw USING (doc_id) LEFT JOIN sf USING (doc_id)
-           |ORDER BY doc_id"""
-      ) { (s, d) => perceptronQuality(Tables.documents(s, d), tgt, R) }
+    Q(
+      "q_quality_train",
+      s"""WITH $perceptronScoreCtes
+         |SELECT y.doc_id, CAST(y.y AS BIGINT) AS label,
+         |       CAST(nw.n AS BIGINT) AS n_words,
+         |       CAST(COALESCE(sf.s, 0) AS BIGINT) AS score,
+         |       COALESCE(sf.s, 0) > 0 AS pred,
+         |       (COALESCE(sf.s, 0) > 0) = (y.y = 1) AS correct
+         |FROM y JOIN nw USING (doc_id) LEFT JOIN sf USING (doc_id)
+         |ORDER BY doc_id"""
+    ) { (s, d) => perceptronQuality(Tables.documents(s, d), QualityTgt, QualityRounds) },
+
+    // Classifier EVALUATION + threshold calibration over the trained
+    // perceptron's scores — the table a curation team reads before
+    // deploying the gate: a 10-point value-grid threshold sweep
+    // (thr_i = smin + (smax−smin)·(i−1) div 10 — exact integer
+    // arithmetic, no order statistics, no window) with per-threshold
+    // tp/fp/fn counts and precision/recall/F1, plus the F1-argmax
+    // operating point (ties to the smallest threshold). Scale shape:
+    // corpus → per-score histogram (ONE exchange on the integer
+    // score), 1-row min/max/npos aggregate, then the sweep runs over
+    // the histogram × 10 broadcast grid rows — the corpus is never
+    // rescanned per threshold. All ratios are IEEE divisions of exact
+    // integer counts, identical in both engines.
+    Q(
+      "q_quality_eval",
+      s"""WITH $perceptronScoreCtes,
+         |sc AS (SELECT y.doc_id, y.y AS label, COALESCE(sf.s, 0) AS score
+         |       FROM y LEFT JOIN sf USING (doc_id)),
+         |hist AS (SELECT score, SUM(label) AS pos, SUM(1 - label) AS neg
+         |         FROM sc GROUP BY score),
+         |bounds AS (SELECT MIN(score) AS smin, MAX(score) AS smax,
+         |                  CAST(SUM(pos) AS BIGINT) AS npos
+         |           FROM hist),
+         |grid AS (SELECT CAST(t.i AS INT) AS i,
+         |                CAST(b.smin + (b.smax - b.smin) * (t.i - 1) // 10 AS BIGINT) AS thr,
+         |                b.npos
+         |         FROM generate_series(1, 10) AS t(i), bounds b),
+         |ev AS (SELECT g.i, g.thr, g.npos,
+         |              CAST(SUM(CASE WHEN h.score > g.thr THEN h.pos ELSE 0 END) AS BIGINT) AS tp,
+         |              CAST(SUM(CASE WHEN h.score > g.thr THEN h.neg ELSE 0 END) AS BIGINT) AS fp
+         |       FROM grid g CROSS JOIN hist h GROUP BY g.i, g.thr, g.npos),
+         |f AS (SELECT i, thr, tp, fp, npos - tp AS fn,
+         |             CASE WHEN tp + fp = 0 THEN 0.0 ELSE CAST(tp AS DOUBLE) / (tp + fp) END AS prec,
+         |             CASE WHEN npos = 0 THEN 0.0 ELSE CAST(tp AS DOUBLE) / npos END AS rec,
+         |             CASE WHEN 2 * tp + fp + (npos - tp) = 0 THEN 0.0
+         |                  ELSE 2.0 * tp / (2 * tp + fp + (npos - tp)) END AS f1
+         |      FROM ev)
+         |SELECT i, thr, tp, fp, fn, prec, rec, f1,
+         |       i = (SELECT i FROM f ORDER BY f1 DESC, i LIMIT 1) AS best
+         |FROM f ORDER BY i"""
+    ) { (s, d) =>
+      qualityEval(Tables.documents(s, d), QualityTgt, QualityRounds)
     },
 
     // Hashed linear-model inference per document.

@@ -310,8 +310,12 @@ object FilterOps extends QueryModule {
   // ------------------------------------------------------------------
 
   /** Cap for the literal winner map (duplicated-line digests + their
-    * first occurrence): ~2M entries ≈ 250 MB of driver/broadcast state,
-    * the [[MaxLiteralBoilerLines]] discipline. Past it, the join
+    * first occurrence): each entry is a 32-char digest String plus a
+    * HashMap node plus an Array[Long](2) — ~150-180 B on-heap — so 2M
+    * entries is a realistic 300-400 MB of driver state before the
+    * torrent broadcast copies (NOT the ~250 MB a bytes-only estimate
+    * suggests; tune against driver memory from the larger number).
+    * The [[MaxLiteralBoilerLines]] discipline. Past it, the join
     * spelling takes over.
     */
   val MaxLiteralDupLines = 2000000L

@@ -843,8 +843,12 @@ object TrainPrepOps {
     // runs before committing shards. Decode is ONE narrow codegen pass
     // against the dense id→token table (ids are vocab-dense by
     // construction; colliding merge PRODUCTS share their token string,
-    // so MIN-id emission decodes identically). The oracle decodes by
-    // joining the replayed vocabulary on token_id.
+    // so MIN-id emission decodes identically). The oracle decodes via a
+    // LEFT JOIN on the replayed vocabulary with U+FFFD for any missing
+    // id — mirroring BpeDecodeUtil's unknown-id rendering, so the two
+    // sides stay value-identical even on a foreign id stream
+    // (unreachable here: the alphabet is trained on the corpus it
+    // encodes).
     Q(
       "q_bpe_roundtrip",
       s"""WITH ${PipelineOps.bpeCtes(TokRounds)},
@@ -852,8 +856,9 @@ object TrainPrepOps {
          |${idsCtes(TokRounds)},
          |occ AS (SELECT doc_id, CAST(i AS INT) AS i, ids[i] AS tid
          |        FROM dd, unnest(generate_series(1, len(ids))) AS u(i)),
-         |dec AS (SELECT o.doc_id, string_agg(v.token, '' ORDER BY o.i) AS decoded
-         |        FROM occ o JOIN vocab v ON v.token_id = o.tid
+         |dec AS (SELECT o.doc_id,
+         |               string_agg(coalesce(v.token, chr(65533)), '' ORDER BY o.i) AS decoded
+         |        FROM occ o LEFT JOIN vocab v ON v.token_id = o.tid
          |        GROUP BY o.doc_id),
          |ex AS (SELECT doc_id, array_to_string($WordsSql, '') AS expected
          |       FROM documents)
