@@ -461,7 +461,10 @@ object TrainPrepOps {
               split(trim(regexp_replace(col("w"), "(.)", "$1 ")), " ")).as("c"))
             .distinct(), MaxAlphabet)
         require(alphaRows.length <= MaxAlphabet,
-          s"BPE alphabet exceeds $MaxAlphabet character types")
+          s"BPE alphabet exceeds $MaxAlphabet character types — the " +
+            "literal tokenizer cannot hold it as driver state; encode " +
+            "via tokenIdsAuto (distributed spelling: alphabet as a " +
+            "joined table) instead")
         // code-point order == DuckDB's binary VARCHAR order for
         // single-code-point strings (UTF-8 bytes sort by code point)
         val alphabet = alphaRows.map(_.getString(0))
@@ -489,11 +492,103 @@ object TrainPrepOps {
     * (the [[graft.functions.BpeEncodeIds]] expression carries the
     * tokenizer as a reference object; no join, no shuffle).
     */
-  def tokenIds(docs: DataFrame, rounds: Int): DataFrame = {
-    val tok = bpeTokenizer(docs, rounds)
+  def tokenIds(docs: DataFrame, rounds: Int): DataFrame =
+    tokenIdsWith(docs, bpeTokenizer(docs, rounds))
+
+  /** [[tokenIds]] against a GIVEN trained tokenizer — the form a
+    * continuously-refreshed corpus runs (train once on a reference
+    * corpus, encode every arriving batch as fixed model state).
+    */
+  def tokenIdsWith(docs: DataFrame, tok: BpeTokenizer): DataFrame =
     docs.select(col("doc_id"), col("source"),
       graft.functions.GraftFunctions.bpe_encode_ids(
         TextOps.words(col("text")), tok.encoder).as("ids"))
+
+  /** [[tokenIds]] with the firstLineDedup cap discipline: probe the
+    * alphabet size with one bounded job, take the literal-tokenizer
+    * fast path under [[MaxAlphabet]], and DEGRADE — not die — past it
+    * by switching to [[tokenIdsDistributed]] (same ids, alphabet as a
+    * joined table instead of driver state). The merges are ≤ rounds
+    * strings either way (bounded model state at any alphabet size).
+    */
+  def tokenIdsAuto(docs: DataFrame, rounds: Int): DataFrame = {
+    val probe = docs
+      .select(explode(TextOps.words(col("text"))).as("w"))
+      .select(explode(
+        split(trim(regexp_replace(col("w"), "(.)", "$1 ")), " ")).as("c"))
+      .distinct().limit(MaxAlphabet + 1).count()
+    if (probe <= MaxAlphabet) tokenIds(docs, rounds)
+    else tokenIdsDistributed(docs,
+      PipelineOps.bpeMerges(docs, rounds)
+        .orderBy("round").collect().map(_.getString(1)).toSeq)
+  }
+
+  /** Distributed encode for corpora whose character alphabet exceeds
+    * [[MaxAlphabet]] (the firstLineDedup join-fallback discipline): ids
+    * are IDENTICAL to the literal tokenizer's, but the alphabet lives
+    * in the plan as a TABLE, never as driver/broadcast state.
+    *
+    *  1. Per-word symbol splice: the ≤`merges.size` trained merges
+    *     (bounded model state) apply as the same literal replace chain
+    *     the oracle CTEs spell — producing symbol STRINGS, no vocab map.
+    *  2. Alphabet ids: distinct characters ranked code-point-ascending
+    *     with the q_rank_global two-phase shape — first-UTF-8-byte
+    *     buckets (order-aligned: Spark compares strings by UTF-8 bytes),
+    *     row_number within bucket, cumulative bucket offsets from a
+    *     ≤256-row aggregate. No corpus-scale window, no collect.
+    *  3. Merge-product ids (`nAlpha + r − 1`) join a 1-row alphabet
+    *     count; symbol occurrences join the MIN-id vocab table (the
+    *     literal path's collision rule) and reassemble per document.
+    */
+  def tokenIdsDistributed(docs: DataFrame, merges: Seq[String]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val charSplit = (c: org.apache.spark.sql.Column) =>
+      trim(regexp_replace(c, "(.)", "$1 "))
+    val spliced = merges.foldLeft(charSplit(col("word"))) { (cs, pair) =>
+      trim(replace(concat(lit(" "), cs, lit(" ")),
+        lit(s" $pair "), lit(s" ${pair.replace(" ", "")} ")))
+    }
+    val occ = docs
+      .select(col("doc_id"),
+        posexplode(TextOps.words(col("text"))).as(Seq("wi", "word")))
+      .select(col("doc_id"), col("wi"), spliced.as("cs"))
+      .select(col("doc_id"), col("wi"),
+        posexplode(split(col("cs"), " ")).as(Seq("si", "sym")))
+    val alpha = docs
+      .select(explode(TextOps.words(col("text"))).as("w"))
+      .select(explode(split(charSplit(col("w")), " ")).as("c"))
+      .distinct()
+    val bucketed = alpha.withColumn("bkt",
+      conv(hex(substring(encode(col("c"), "UTF-8"), 1, 1)), 16, 10).cast("int"))
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy("bkt").orderBy("c")
+    val wOff = org.apache.spark.sql.expressions.Window.orderBy("bkt")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val ranked = bucketed.withColumn("rn_in", row_number().over(wIn))
+    // ≤256 rows (one per leading UTF-8 byte): the bounded offset window
+    val offs = bucketed.groupBy("bkt").agg(count(lit(1)).as("n"))
+      .withColumn("off", coalesce(sum(col("n")).over(wOff), lit(0L)))
+      .select("bkt", "off")
+    val chv = ranked.join(broadcast(offs), "bkt")
+      .select(col("c").as("token"),
+        (col("off") + col("rn_in") - 1).cast("int").as("tid"))
+    val nA = alpha.agg(count(lit(1)).as("na"))
+    val mgv = merges.zipWithIndex
+      .map { case (p, k) => (p.replace(" ", ""), k) }.toDF("token", "k")
+      .crossJoin(broadcast(nA))
+      .select(col("token"), (col("na") + col("k")).cast("int").as("tid"))
+    val vmin = chv.union(mgv).groupBy("token").agg(min(col("tid")).as("tid"))
+    val ids = occ.join(vmin, occ("sym") === vmin("token"))
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(col("wi"), col("si"), col("tid"))))
+        .as("parts"))
+      .select(col("doc_id").as("jid"),
+        transform(col("parts"), p => p.getField("tid")).as("ids"))
+    docs.select(col("doc_id"), col("source"))
+      .join(ids, col("doc_id") === col("jid"), "left")
+      .select(col("doc_id"), col("source"),
+        coalesce(col("ids"), typedLit(Seq.empty[Int])).as("ids"))
   }
 
   /** Pack per-document id streams into fixed-`seqLen` training
@@ -510,12 +605,18 @@ object TrainPrepOps {
     * shard may be shorter than `seqLen` (the trainer's pad-or-drop
     * choice, not the packer's). Output: (source, seq_no, ids).
     */
-  def packTokenIds(docs: DataFrame, rounds: Int, seqLen: Int): DataFrame = {
+  def packTokenIds(docs: DataFrame, rounds: Int, seqLen: Int): DataFrame =
+    packTokenIdsWith(docs, bpeTokenizer(docs, rounds), seqLen)
+
+  /** [[packTokenIds]] against a GIVEN trained tokenizer (the streaming
+    * id-shard emission packs each micro-batch with the reference-corpus
+    * tokenizer as fixed model state).
+    */
+  def packTokenIdsWith(docs: DataFrame, tok: BpeTokenizer, seqLen: Int): DataFrame = {
     require(seqLen >= 2, s"seqLen must be >= 2, got $seqLen")
-    val tok = bpeTokenizer(docs, rounds)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("source").orderBy("doc_id")
-    tokenIds(docs, rounds)
+    tokenIdsWith(docs, tok)
       .select(col("source"), col("doc_id"),
         concat(col("ids"), array(lit(tok.eodId))).as("ids"))
       .withColumn("n", size(col("ids")).cast("long"))
@@ -546,6 +647,43 @@ object TrainPrepOps {
     */
   private val tokenShardDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Exactly-once streaming id-shard emission — the foreachBatch sink
+    * of the continuously-refreshed-corpus loop: each micro-batch of
+    * (doc_id, source, text) rows is encoded and packed with the GIVEN
+    * reference-trained tokenizer (fixed model state: ≤ rounds merges +
+    * the capped alphabet + the vocab id map — O(vocab) bytes riding the
+    * batch job's task closure, never data) and committed as one shard
+    * directory per batch id via the q_warc_write temp-file + atomic
+    * rename discipline:
+    *
+    *  1. a replayed batch whose final shard dir already EXISTS is a
+    *     no-op — the dir can only appear via the atomic rename of a
+    *     COMPLETE temp, so existence proves the earlier delivery
+    *     committed (Structured Streaming replays a batch when the sink
+    *     committed but the checkpoint's commit log didn't — the
+    *     at-least-once half this check absorbs);
+    *  2. otherwise the pack lands in a dot-prefixed temp dir (invisible
+    *     to parquet readers of `outDir`; mode("overwrite") clears any
+    *     stale temp a crash left) and one rename publishes it.
+    *
+    * Restart safety is spec-proven over ≥3 batches including a
+    * commit-log-deletion replay (StreamingSpec). Usage:
+    * `df.writeStream.foreachBatch(idShardBatchCommit(tok, dir, n) _)`.
+    */
+  def idShardBatchCommit(tok: BpeTokenizer, outDir: String, seqLen: Int)(
+      batch: DataFrame, batchId: Long): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(outDir).getFileSystem(
+      batch.sparkSession.sparkContext.hadoopConfiguration)
+    val fin = new Path(outDir, f"shard-$batchId%05d")
+    if (fs.exists(fin)) return // replayed, already-committed batch
+    val tmp = new Path(outDir, f".tmp-shard-$batchId%05d")
+    packTokenIdsWith(batch, tok, seqLen)
+      .write.mode("overwrite").parquet(tmp.toString)
+    require(fs.rename(tmp, fin),
+      s"id-shard commit: rename $tmp -> $fin failed")
+  }
 
   // ------------- DuckDB oracle fragments (replay training + encode) ----
 

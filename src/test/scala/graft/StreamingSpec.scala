@@ -426,6 +426,75 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.values.forall(_.forall(_ >= 0)), "no UNK on the training corpus")
   }
 
+  test("streaming id-shard emission: exactly-once shard commit across " +
+    "3 batches incl. checkpoint replay") {
+    implicit val sq = spark.sqlContext
+    // The tokenize→pack→write capstone's streaming sibling: each
+    // micro-batch packs against the reference-trained tokenizer (fixed
+    // model state) and commits ONE shard dir per batch id via temp +
+    // atomic rename. The replay half: delete the checkpoint's newest
+    // commit-log entry (the on-disk state of a crash between sink
+    // commit and checkpoint commit), restart, and assert the replayed
+    // delivery is absorbed — same three shards, byte-identical content,
+    // no stale temp dirs.
+    val docs = Tables.documents(spark, sfDir).limit(30)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val tok = graft.ops.TrainPrepOps.bpeTokenizer(
+      Tables.documents(spark, sfDir), graft.ops.TrainPrepOps.TokRounds)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_shard_ckpt")
+      .toFile.getAbsolutePath
+    val out = java.nio.file.Files.createTempDirectory("graft_shard_out")
+      .toFile.getAbsolutePath
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val mem = MemoryStream[(Long, String, String)]
+    def start() = mem.toDF().toDF("doc_id", "source", "text").writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        seen.synchronized { seen += id }
+        graft.ops.TrainPrepOps.idShardBatchCommit(tok, out, seqLen = 16)(b, id)
+      }
+      .start()
+    val q1 = start()
+    mem.addData(docs.take(10).toSeq: _*)
+    q1.processAllAvailable()
+    mem.addData(docs.slice(10, 20).toSeq: _*)
+    q1.processAllAvailable()
+    q1.stop()
+    q1.awaitTermination()
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    while (spark.streams.active.exists(_.id == q1.id) &&
+      System.nanoTime() < deadline) Thread.sleep(50)
+    // crash simulation: batch 1's sink commit survived, its checkpoint
+    // commit didn't (ChecksumFs keeps a .crc sidecar — remove it too)
+    val lastCommit = new java.io.File(s"$ckpt/commits/1")
+    assert(lastCommit.exists, "expected commit log entry for batch 1")
+    assert(lastCommit.delete())
+    new java.io.File(s"$ckpt/commits/.1.crc").delete()
+    val q2 = start()
+    q2.processAllAvailable() // replays batch 1
+    mem.addData(docs.drop(20).toSeq: _*)
+    q2.processAllAvailable()
+    q2.stop()
+    // the at-least-once half: batch 1 really was delivered twice
+    assert(seen.count(_ == 1L) == 2, s"batches seen: $seen")
+    // the exactly-once half: three shards, no temp debris
+    val entries = new java.io.File(out).listFiles.map(_.getName)
+    assert(entries.filter(_.startsWith("shard-")).sorted.toSeq ==
+      Seq("shard-00000", "shard-00001", "shard-00002"), entries.toSeq)
+    assert(!entries.exists(_.startsWith(".tmp-")), entries.toSeq)
+    // shard content == the batch pack of exactly that micro-batch's rows
+    def expected(rows: Seq[(Long, String, String)]) =
+      graft.ops.TrainPrepOps.packTokenIdsWith(
+        rows.toDF("doc_id", "source", "text"), tok, seqLen = 16)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getSeq[Int](2))).toSet
+    def got(i: Int) = spark.read.parquet(f"$out/shard-$i%05d").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getSeq[Int](2))).toSet
+    assert(got(0) == expected(docs.take(10).toSeq))
+    assert(got(1) == expected(docs.slice(10, 20).toSeq))
+    assert(got(2) == expected(docs.drop(20).toSeq))
+  }
+
   test("streaming session windows match the batch oracle emulation") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[Ev]

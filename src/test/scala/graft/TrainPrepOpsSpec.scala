@@ -14,6 +14,47 @@ class TrainPrepOpsSpec extends SparkSpec {
 
   private def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
 
+  test("BPE encode: distributed-join spelling == literal tokenizer on the fixture corpus") {
+    // the firstLineDedup dual-path discipline applied to the tokenizer:
+    // under the alphabet cap both spellings must agree id-for-id
+    val docs = Tables.documents(spark, sfDir)
+    val tok = TrainPrepOps.bpeTokenizer(docs, TrainPrepOps.TokRounds)
+    val lit = GraftOps.tokenIds(docs, TrainPrepOps.TokRounds)
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](2))).toMap
+    val dist = TrainPrepOps.tokenIdsDistributed(docs, tok.merges)
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](2))).toMap
+    assert(dist.size == lit.size)
+    assert(dist == lit)
+  }
+
+  test("BPE alphabet over the cap: literal tokenizer fails loudly, " +
+    "tokenIdsAuto degrades to the distributed spelling with exact ids") {
+    import spark.implicits._
+    // synthetic over-cap corpus: MaxAlphabet + 64 distinct code points
+    // (supplementary planes — 2 UTF-16 units each, so this also pins
+    // code-point splitting), one two-char word per doc
+    val n = TrainPrepOps.MaxAlphabet + 64
+    val rows = (0 until n).map { i =>
+      val c = new String(Character.toChars(0x20000 + i))
+      (i.toLong, "srcX", c + c)
+    }
+    val over = rows.toDF("doc_id", "source", "text")
+    val ex = intercept[IllegalArgumentException] {
+      TrainPrepOps.bpeTokenizer(over, 1)
+    }
+    assert(ex.getMessage.contains("tokenIdsAuto"), ex.getMessage)
+    val ids = TrainPrepOps.tokenIdsAuto(over, 1)
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](2))).toMap
+    assert(ids.size == n)
+    // every pair ties at count 1 → the merge is the smallest pair
+    // string = the doc-0 character doubled; its ids collapse to the
+    // merge id nAlpha + 0, every other doc stays [tid, tid] with
+    // tid = its code-point rank (== its index, insertion is ascending)
+    assert(ids(0L) == Seq(n))
+    assert(ids(1L) == Seq(1, 1))
+    assert(ids((n - 1).toLong) == Seq(n - 1, n - 1))
+  }
+
   test("trigram stupid backoff: every arm of the chain fires and scores exactly") {
     import spark.implicits._
     // train: unigrams a:3 b:3 c:2 d:1 (N=9); bigrams (a,b):3 (b,c):2
