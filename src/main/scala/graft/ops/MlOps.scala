@@ -1155,18 +1155,20 @@ object MlOps extends QueryModule {
         graft.functions.GraftFunctions.char_ngrams(col("text"), 3), EmbedDim)
       // materialize-then-sort: the presentation orderBy's range sampling
       // would re-run the trigram-hashing scan (2× the md5 pass at any
-      // scale); checkpointing the narrow exploded rows first keeps the
-      // expensive pass to ONE execution
+      // scale). Checkpoint BEFORE the explode — the histogram arrays
+      // (dim longs per doc) are ~3× smaller than the exploded rows, so
+      // the materialization writes the compact form and only the cheap
+      // array iteration runs twice (sampling + sort).
       TinyLoop.corpusCheckpoint(
         Tables.documents(s, d)
           .select(col("doc_id"), cnts.as("cnts"))
           .withColumn("nrm",
-            sqrt(aggregate(col("cnts"), lit(0L), (a, x) => a + x * x).cast("double")))
-          .select(col("doc_id"), col("nrm"),
-            posexplode(col("cnts")).as(Seq("bucket", "cnt")))
-          .filter(col("cnt") > 0)
-          .select(col("doc_id"), col("bucket").cast("int").as("bucket"), col("cnt"),
-            (col("cnt").cast("double") / col("nrm")).cast("float").as("w")))
+            sqrt(aggregate(col("cnts"), lit(0L), (a, x) => a + x * x).cast("double"))))
+        .select(col("doc_id"), col("nrm"),
+          posexplode(col("cnts")).as(Seq("bucket", "cnt")))
+        .filter(col("cnt") > 0)
+        .select(col("doc_id"), col("bucket").cast("int").as("bucket"), col("cnt"),
+          (col("cnt").cast("double") / col("nrm")).cast("float").as("w"))
         .orderBy("doc_id", "bucket")
     },
 

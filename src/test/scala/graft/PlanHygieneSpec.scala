@@ -221,7 +221,12 @@ class PlanHygieneSpec extends SparkSpec {
       // spelling / BigDecimal Sum would erase the function names
       "q_repetition_signals" -> Seq("graft_repetition_stats"),
       "q_agg_q1" -> Seq("graft_dec128_sum"),
-      "q_window_moving" -> Seq("graft_dec128_sum"),
+      // r15: the moving sum runs in plain LONG arithmetic (quantity is
+      // an integral count; the loud guard keeps foreign corpora honest)
+      // behind a single RANGE exchange on the window's partition key —
+      // a regression to the Decimal128 accumulator or to a second
+      // hash/range exchange would flip these fragments
+      "q_window_moving" -> Seq("rangepartitioning(l_suppkey", "raise_error"),
       // IVF recall queries: the query set is a LITERAL exploded array
       // (collected with the k-means seed, one driver action for both),
       // so the scored pass is join-free — not even a broadcast build —
