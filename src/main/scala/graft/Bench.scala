@@ -108,7 +108,9 @@ object Bench {
     // r15: text→vector projection + dedup-by-meaning from raw text +
     // int8-quantized stored-index search with float rerank +
     // classifier threshold-calibration sweep
-    "q_embed_from_text", "q_embed_dedup", "q_ann_ivf_i8", "q_quality_eval")
+    "q_embed_from_text", "q_embed_dedup", "q_ann_ivf_i8", "q_quality_eval",
+    // r15 late: the tokenizer rounds/compression calibration curve
+    "q_bpe_compression")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -892,6 +892,57 @@ object TrainPrepOps {
       bpeVocabDf(Tables.documents(s, d), TokRounds).boundedSort("token_id")
     },
 
+    // The tokenizer's vocab-size/rounds axis as a calibration table
+    // (the q_quality_eval discipline applied to the tokenizer): for
+    // every merge-round count r in 0..TokRounds, the corpus-wide token
+    // total, tokens/word, and the compression ratio vs the raw
+    // character splits (r=0). A tokenizer team reads this curve to
+    // pick the vocab-size knob: each additional merge buys a measured
+    // token reduction, and the curve flattening is the stopping
+    // signal. ONE corpus pass evaluates all r encoders side by side
+    // (a truncated merge list IS the round-r tokenizer — merges apply
+    // in training order); the oracle reads the same totals off its
+    // existing splice chain (i0..i{rounds} are the round-r states).
+    // The trained merge list is memoized model state (the measured
+    // operator is the encode sweep; q_bpe_merges measures training).
+    Q(
+      "q_bpe_compression",
+      s"""WITH ${PipelineOps.bpeCtes(TokRounds)},
+         |${vocabCtes(TokRounds)},
+         |${idsCtes(TokRounds)},
+         |nw AS (SELECT COUNT(*) AS n FROM iocc),
+         |tot AS (
+         |${(0 to TokRounds).map(r =>
+              s"  SELECT $r AS r, CAST(SUM(len(string_split(cs, ' '))) AS BIGINT) AS total_tokens FROM i$r")
+              .mkString("\n  UNION ALL\n")}),
+         |t0 AS (SELECT total_tokens AS base FROM tot WHERE r = 0)
+         |SELECT CAST(t.r AS INT) AS rounds, t.total_tokens,
+         |       CAST(nw.n AS BIGINT) AS n_words,
+         |       CAST(t.total_tokens AS DOUBLE) / nw.n AS tokens_per_word,
+         |       CAST(t.total_tokens AS DOUBLE) / t0.base AS vs_chars
+         |FROM tot t, nw, t0 ORDER BY rounds"""
+    ) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val tok = bpeTokenizer(docs, TokRounds)
+      val ws = TextOps.words(col("text"))
+      val sums = (0 to TokRounds).map { r =>
+        val tr = BpeTokenizer(tok.merges.take(r), tok.alphabet)
+        sum(size(graft.functions.GraftFunctions.bpe_encode_ids(ws, tr.encoder))
+          .cast("long")).as(s"n$r")
+      } :+ sum(size(ws).cast("long")).as("nw")
+      docs.agg(sums.head, sums.tail: _*)
+        .select(
+          explode(array((0 to TokRounds).map(r =>
+            struct(lit(r).as("r"), col(s"n$r").as("total_tokens"))): _*)).as("t"),
+          col("nw"), col("n0"))
+        .select(col("t.r").cast("int").as("rounds"),
+          col("t.total_tokens"),
+          col("nw").as("n_words"),
+          (col("t.total_tokens").cast("double") / col("nw")).as("tokens_per_word"),
+          (col("t.total_tokens").cast("double") / col("n0")).as("vs_chars"))
+        .boundedSort("rounds")
+    },
+
     // Token-id EMISSION: each document's array<int> id stream (the
     // column every step before this existed to produce), presented as
     // count + csv + checksum because the driver comparator can't hash
