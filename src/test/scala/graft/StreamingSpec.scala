@@ -42,6 +42,35 @@ class StreamingSpec extends SparkSpec {
     assert(rows.toSeq == Seq((1L, 4L, 0.5, 1.0 - 2.0 / 3.0, 1.0)))
   }
 
+  test("text→vector projection applies to a stream unchanged (embedFromText)") {
+    implicit val sq = spark.sqlContext
+    // the embedding derivation is one narrow map-only pass, so the SAME
+    // facade call that passes q_embed_from_text's oracle projects an
+    // unbounded stream of raw documents into vectors — the input side of
+    // a streaming embed→ANN-admission loop (the ANN half is spec'd over
+    // the fixture vectors in the admission test below)
+    val mem = MemoryStream[(Long, String)]
+    val q = GraftOps.embedFromText(mem.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("emb_stream_out")
+      .outputMode(OutputMode.Append).start()
+    mem.addData((1L, "alpha beta"), (2L, ""))
+    q.processAllAvailable()
+    mem.addData((3L, "alpha beta")) // later batch, same text
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("emb_stream_out").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).toMap
+    assert(rows.keySet == Set(1L, 2L, 3L))
+    assert(rows(1L).length == 64)
+    // empty text → the zero vector (the documented no-trigram contract)
+    assert(rows(2L).forall(_ == 0.0f))
+    // deterministic: identical text in a different micro-batch projects
+    // to the identical vector, and it is L2-normalized
+    assert(rows(3L) == rows(1L))
+    val n2 = rows(1L).map(v => v.toDouble * v).sum
+    assert(math.abs(n2 - 1.0) < 1e-6, s"squared norm $n2")
+  }
+
   test("chunking applies to a stream unchanged (chunkDocuments)") {
     implicit val sq = spark.sqlContext
     // chunking is fully narrow (tokenize → offset explode → slice), so
