@@ -109,8 +109,9 @@ object Bench {
     // int8-quantized stored-index search with float rerank +
     // classifier threshold-calibration sweep
     "q_embed_from_text", "q_embed_dedup", "q_ann_ivf_i8", "q_quality_eval",
-    // r15 late: the tokenizer rounds/compression calibration curve
-    "q_bpe_compression")
+    // r15 late: the tokenizer rounds/compression calibration curve +
+    // ANN retrieval from raw text (derived vectors → stored IVF index)
+    "q_bpe_compression", "q_embed_search")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1139,6 +1139,46 @@ object MlOps extends QueryModule {
         .coalesce(1).sortWithinPartitions("qid")
     },
 
+    // ANN retrieval FROM RAW TEXT, end to end: derive the vectors,
+    // train the coarse quantizer, persist the IVF index, probe it with
+    // the first-10 documents as the query batch — the full
+    // "find documents like this one" loop with no fixture embedding
+    // table anywhere. Every stage is the already-verified machinery
+    // (embedFromText → cachedModel → storedIvfIndexDf →
+    // searchAgainstIvfIndex) pointed at the derived frame; K=16 cells,
+    // the q_embed_dedup scale knob. Model state (codebook, stored
+    // index, query batch) is memoized like the whole search family —
+    // the oracle replays derivation + Lloyd every run, so read the
+    // ratio as search-vs-full-replay.
+    Q(
+      "q_embed_search",
+      s"""WITH $embedCtes,
+         |$embedDenseCte,
+         |${lloydCtes("emb", seedK = 16)},
+         |ix AS (
+         |  SELECT a.vec_id, a.cl AS cell, e.embedding
+         |  FROM a$Iters a JOIN emb e ON e.vec_id = a.vec_id),
+         |q AS (
+         |  SELECT vec_id AS qid, cell AS qcell, embedding AS qe
+         |  FROM ix WHERE vec_id < 10),
+         |scored AS (
+         |  SELECT qid, qcell AS cell, i.vec_id AS vid,
+         |         ${duckDot("qe", "i.embedding")} / (${duckNorm("qe")} * ${duckNorm("i.embedding")}) AS sim
+         |  FROM q JOIN ix i ON i.cell = q.qcell AND i.vec_id <> q.qid)
+         |SELECT qid, CAST(cell AS BIGINT) AS cell, vid,
+         |       floor(sim * 1e6 + 0.5) / 1e6 AS sim
+         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vid) AS rn
+         |      FROM scored)
+         |WHERE rn <= 3 ORDER BY qid, vid""".stripMargin
+    ) { (s, d) =>
+      val e = embedFromText(Tables.documents(s, d))
+      searchAgainstIvfIndex(
+        cachedQueryBatchDf(e, k = 16),
+        cachedCodebookDf(e, k = 16),
+        storedIvfIndexDf(e, k = 16), topk = 3)
+        .coalesce(1).sortWithinPartitions("qid", "vid")
+    },
+
     // text → vector: the hashed-trigram projection verified entry by
     // entry (nonzero buckets + the L2 weight; zero buckets are zeros by
     // construction). The float weight is the exact value the chained
