@@ -940,6 +940,39 @@ object MlOps extends QueryModule {
        |  LEFT JOIN en n ON n.doc_id = g.doc_id
        |  GROUP BY g.doc_id)""".stripMargin
 
+  /** Semantic eval-set decontamination — the embedding-space sibling of
+    * the n-gram `q_contamination`: derive vectors for BOTH frames from
+    * raw text, train the cell codebook on the CORPUS (the benchmark
+    * must not shape the buckets), assign both sides to cells with the
+    * same literal centroids (narrow folds — neither corpus nor
+    * benchmark shuffles to be assigned), and flag every corpus document
+    * with a same-cell benchmark neighbor at cosine ≥ `threshold`. The
+    * cell restriction is the scale bound: candidate pairs are
+    * O(|benchmark| · cell size), never corpus × benchmark. Output: one
+    * (doc_id, n_hits, flagged) row per corpus document.
+    */
+  def semanticContamination(
+      corpus: DataFrame, benchmark: DataFrame,
+      threshold: Double = 0.96, k: Int = 16, iters: Int = Iters): DataFrame = {
+    val ce = prepared(embedFromText(corpus))
+    val cents = train(ce, k, iters)
+    val cw = assignTo(ce, cents)
+      .select(col("vec_id"), col("embedding"), col("cl").as("cell"))
+    val bw = assignTo(embedFromText(benchmark), cents)
+      .select(col("vec_id").as("bid"), col("embedding").as("bemb"),
+        col("cl").as("bcell"))
+    val hits = cw.join(bw, col("cell") === col("bcell"))
+      .filter(graft.functions.GraftFunctions.cosine_sim(
+        col("embedding"), col("bemb")) >= threshold)
+      .groupBy("vec_id").agg(count(lit(1)).as("n_hits"))
+    cw.select(col("vec_id"))
+      .join(hits, Seq("vec_id"), "left")
+      .select(col("vec_id").as("doc_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) > 0).as("flagged"))
+      .orderBy("doc_id")
+  }
+
   /** Hashed char-trigram document embedding: (vec_id, embedding) with
     * `dim` float components, L2-normalized (a no-trigram document maps
     * to the zero vector). ONE narrow pass — the trigram hashing rides
@@ -1177,6 +1210,57 @@ object MlOps extends QueryModule {
         cachedCodebookDf(e, k = 16),
         storedIvfIndexDf(e, k = 16), topk = 3)
         .coalesce(1).sortWithinPartitions("qid", "vid")
+    },
+
+    // semantic decontamination from raw text: the % 41 == 0 docs play
+    // the benchmark, the rest the corpus; cells train on the corpus
+    // ONLY (vec_id < 16 seeds — doc 0 is benchmark, so 15 seeds; the
+    // oracle seeds from the same filtered relation, so the codebooks
+    // match exactly), both sides assign against the same literal
+    // centroids, and a corpus doc is flagged on any same-cell
+    // benchmark neighbor at cosine ≥ 0.96. Completes the
+    // decontamination pair: q_contamination catches verbatim n-gram
+    // overlap, this catches paraphrase-level similarity.
+    Q(
+      "q_embed_contamination",
+      s"""WITH $embedCtes,
+         |$embedDenseCte,
+         |embc AS (SELECT * FROM emb WHERE vec_id % 41 <> 0),
+         |embq AS (SELECT * FROM emb WHERE vec_id % 41 = 0),
+         |${lloydCtes("embc", seedK = 16)},
+         |bq AS (
+         |  SELECT e.vec_id, c.k,
+         |         ${duckSqDist("e.embedding", "c.carr")} AS dist
+         |  FROM embq e CROSS JOIN c$Iters c),
+         |aq AS (
+         |  SELECT d.vec_id, MIN(d.k) AS cl
+         |  FROM bq d
+         |  JOIN (SELECT vec_id, MIN(dist) AS md FROM bq GROUP BY vec_id) m
+         |    ON d.vec_id = m.vec_id AND d.dist = m.md
+         |  GROUP BY d.vec_id, m.md),
+         |cw AS (
+         |  SELECT a.vec_id, a.cl AS cell, e.embedding
+         |  FROM a$Iters a JOIN embc e ON e.vec_id = a.vec_id),
+         |bw AS (
+         |  SELECT a.vec_id AS bid, a.cl AS cell, e.embedding AS bemb
+         |  FROM aq a JOIN embq e ON e.vec_id = a.vec_id),
+         |h AS (
+         |  SELECT c.vec_id, COUNT(*) AS n_hits
+         |  FROM cw c JOIN bw b ON b.cell = c.cell
+         |  WHERE ${duckDot("c.embedding", "b.bemb")}
+         |        / (${duckNorm("c.embedding")} * ${duckNorm("b.bemb")}) >= 0.96
+         |  GROUP BY c.vec_id)
+         |SELECT c.vec_id AS doc_id,
+         |       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+         |       COALESCE(h.n_hits, 0) > 0 AS flagged
+         |FROM cw c LEFT JOIN h ON h.vec_id = c.vec_id
+         |ORDER BY doc_id""".stripMargin
+    ) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      semanticContamination(
+        docs.filter(col("doc_id") % 41 =!= 0),
+        docs.filter(col("doc_id") % 41 === 0),
+        threshold = 0.96, k = 16)
     },
 
     // text → vector: the hashed-trigram projection verified entry by
