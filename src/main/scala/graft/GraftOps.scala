@@ -363,6 +363,19 @@ object GraftOps {
       topk: Int = 3, rerank: Int = 10): DataFrame =
     ops.MlOps.searchAgainstIvfIndexI8(queries, codebook, indexI8, topk, rerank)
 
+  /** Semantic eval-set decontamination from raw text: embeds both
+    * frames, trains the cell codebook on the CORPUS only, and flags
+    * every corpus document with a same-cell benchmark neighbor at
+    * cosine ≥ `threshold` — the paraphrase-level sibling of the n-gram
+    * [[contamination]]. Pairs are bounded by |benchmark| × cell size.
+    * Output: (doc_id, n_hits, flagged) per corpus document. Verified by
+    * `q_embed_contamination`.
+    */
+  def semanticContamination(
+      corpus: DataFrame, benchmark: DataFrame,
+      threshold: Double = 0.96, k: Int = 16): DataFrame =
+    ops.MlOps.semanticContamination(corpus, benchmark, threshold, k)
+
   /** Hashed char-trigram document embedding: projects (doc_id, text)
     * rows to L2-normalized `dim`-component float vectors in ONE narrow
     * map-only pass (the corpus text never shuffles) — the text→vector
