@@ -604,6 +604,16 @@ object GraftOps {
       docs: DataFrame, targetSources: Seq[String], rounds: Int = 3): DataFrame =
     ops.CurationOps.perceptronQuality(docs, targetSources, rounds)
 
+  /** Threshold-calibration table over [[perceptronQuality]]'s scores:
+    * 10 integer value-grid thresholds, per-threshold tp/fp/fn +
+    * precision/recall/F1, and the F1-argmax operating point — the
+    * table a curation team reads before deploying the trained gate.
+    * Verified by `q_quality_eval`.
+    */
+  def qualityEval(
+      docs: DataFrame, targetSources: Seq[String], rounds: Int = 3): DataFrame =
+    ops.CurationOps.qualityEval(docs, targetSources, rounds)
+
   /** Stored-LSH-index rows for a (doc_id, text) frame — build once over
     * the corpus, append each admitted snapshot, probe at admission time.
     * See [[ops.DedupOps.lshIndex]]; drives [[admitAgainstIndex]].
