@@ -834,7 +834,16 @@ object MlOps extends QueryModule {
     val eps = when(norm > 0.0,
       sqrt(size(col("embedding")).cast("double")) * maxAbs / 254.0 / norm)
       .otherwise(lit(Double.PositiveInfinity))
-    val quant = withCell.select(col("vec_id"), col("cell"),
+    // Zero-norm vectors never enter the pair machinery: cosine against
+    // a zero vector is 0/0 = NaN, and BOTH engines order NaN above
+    // every value, so `NaN >= threshold` would flag every zero-vector
+    // doc as a duplicate of an arbitrary cell-mate AND poison its
+    // nonzero neighbors — engine-consistently, so the oracle compare
+    // cannot catch it (r15 ADVICE). A zero vector (an empty/short doc
+    // under embedFromText) has no meaningful direction: it is defined
+    // as similar to nothing, stays is_dup = 0, and dedups nothing. The
+    // oracle dups CTE carries the same norm > 0 guard.
+    val quant = withCell.filter(norm > 0.0).select(col("vec_id"), col("cell"),
       int8(col("embedding")).as("qv"), eps.as("qeps"))
     // cosine_sim_i8 reads the tinyint arrays directly — bit-identical to
     // cast-to-float-then-cosine (int8→double is exact, every term of the
@@ -879,7 +888,8 @@ object MlOps extends QueryModule {
        |dups AS (
        |  SELECT DISTINCT y.vec_id AS dup_id
        |  FROM wc x JOIN wc y ON x.cell = y.cell AND x.vec_id < y.vec_id
-       |  WHERE ${duckDot("x.embedding", "y.embedding")}
+       |  WHERE ${duckNorm("x.embedding")} > 0 AND ${duckNorm("y.embedding")} > 0
+       |    AND ${duckDot("x.embedding", "y.embedding")}
        |        / (${duckNorm("x.embedding")} * ${duckNorm("y.embedding")})
        |        >= $threshold)
        |SELECT w.vec_id, w.cell,
@@ -961,7 +971,16 @@ object MlOps extends QueryModule {
     val bw = assignTo(embedFromText(benchmark), cents)
       .select(col("vec_id").as("bid"), col("embedding").as("bemb"),
         col("cl").as("bcell"))
-    val hits = cw.join(bw, col("cell") === col("bcell"))
+    // Zero-norm guard on BOTH pair-join sides (the semanticDedup rule,
+    // r15 ADVICE): cosine against a zero vector is NaN, which both
+    // engines order above any threshold — an empty/short doc on either
+    // frame would otherwise hit every same-cell row on the other. A
+    // zero vector is similar to nothing: it is never flagged and never
+    // flags.
+    val nzNorm = (e: Column) =>
+      aggregate(e, lit(0.0), (a, x) => a + x.cast("double") * x.cast("double")) > 0.0
+    val hits = cw.filter(nzNorm(col("embedding")))
+      .join(bw.filter(nzNorm(col("bemb"))), col("cell") === col("bcell"))
       .filter(graft.functions.GraftFunctions.cosine_sim(
         col("embedding"), col("bemb")) >= threshold)
       .groupBy("vec_id").agg(count(lit(1)).as("n_hits"))
@@ -1247,7 +1266,8 @@ object MlOps extends QueryModule {
          |h AS (
          |  SELECT c.vec_id, COUNT(*) AS n_hits
          |  FROM cw c JOIN bw b ON b.cell = c.cell
-         |  WHERE ${duckDot("c.embedding", "b.bemb")}
+         |  WHERE ${duckNorm("c.embedding")} > 0 AND ${duckNorm("b.bemb")} > 0
+         |    AND ${duckDot("c.embedding", "b.bemb")}
          |        / (${duckNorm("c.embedding")} * ${duckNorm("b.bemb")}) >= 0.96
          |  GROUP BY c.vec_id)
          |SELECT c.vec_id AS doc_id,

@@ -159,19 +159,46 @@ class QuantizedPrefilterSpec extends SparkSpec {
       s"adaptive margin failed to keep the drop-band pair: $got")
   }
 
-  test("semanticDedup survives a zero vector (NaN cosine marks it dup, no ANSI crash)") {
+  test("semanticDedup: zero vectors are inert — never duplicates, never poison neighbors") {
     import spark.implicits._
     // Spark 4 runs ANSI by default: an unguarded norm division would
-    // throw DIVIDE_BY_ZERO here. The zero vector's cosine with its
-    // cellmate is NaN, which BOTH engines compare greater than the
-    // threshold — consistently marked duplicate (degenerate input,
-    // documented on int8).
+    // throw DIVIDE_BY_ZERO here. And an unguarded COSINE would be
+    // 0/0 = NaN, which BOTH engines compare greater than any threshold
+    // — flagging the zero vector as a dup of an arbitrary cellmate AND
+    // its larger-id cellmates as dups of IT, engine-consistently, so
+    // the oracle compare could not catch it (r15 ADVICE). The guard
+    // keeps zero-norm vectors out of the pair machinery entirely:
+    // similar to nothing, dedups nothing.
     val df = Seq(
       (0L, Array(1f, 2f, 3f)),
-      (1L, Array(0f, 0f, 0f))).toDF("vec_id", "embedding")
+      (1L, Array(0f, 0f, 0f)),
+      (2L, Array(1f, 2f, 3f)), // true duplicate of vec 0 — still caught
+      (3L, Array(-3f, 1f, 0f))).toDF("vec_id", "embedding")
     val got = graft.GraftOps.semanticDedup(df, k = 1, iters = 1, threshold = 0.42)
       .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
-    assert(got == Map(0L -> 0, 1L -> 1), s"zero-vector handling changed: $got")
+    assert(got == Map(0L -> 0, 1L -> 0, 2L -> 1, 3L -> 0),
+      s"zero-vector guard broken: $got")
+  }
+
+  test("semanticContamination: zero-vector docs on either frame flag nothing") {
+    import spark.implicits._
+    // An empty document embeds to the zero vector (embedFromText) —
+    // routine in real crawl corpora. It must neither be flagged (as a
+    // corpus doc) nor flag same-cell corpus docs (as a benchmark doc).
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, ""), // zero vector
+      (2L, "completely different vocabulary in this row")).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"), // exact hit on doc 0
+      (101L, "")).toDF("doc_id", "text") // zero vector on the benchmark side
+    val got = graft.ops.MlOps.semanticContamination(
+        corpus, bench, threshold = 0.96, k = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(got.toSeq.sorted == Seq(
+      (0L, 1L, true),  // the verbatim copy is still caught, exactly once
+      (1L, 0L, false), // the zero-vector corpus doc is not flagged
+      (2L, 0L, false)), s"zero-vector contamination guard broken: ${got.toSeq}")
   }
 
   test("zero vectors quantize to zeros (their NaN cosine marks dups consistently in both engines)") {
