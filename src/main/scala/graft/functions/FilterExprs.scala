@@ -345,6 +345,242 @@ object FilterExprsUtil {
     }
     UTF8String.fromString(out.toString)
   }
+
+  // ------------------------------------------------------------------
+  // Arbitrary-length exact-substring dedup (the deduplicate-text-
+  // datasets discipline at word-token granularity): per-position
+  // k-token window digests, coverage = the union of duplicated
+  // windows, rebuild = the uncovered tokens. The digest is a 64-bit
+  // polynomial rolling hash over avalanche-mixed per-token hashes —
+  // O(text) per document (a window-string md5 would be O(text · k))
+  // and 8 bytes per window through the count exchange (4x lighter
+  // than an md5 hex key). Cross-engine adjudication: the oracle
+  // groups by the window STRING; the engine's 64-bit digest
+  // partitions occurrences identically away from the ~2^-64-scale
+  // collision case (the repeatedSpans md5-tiebreak rationale).
+  // ------------------------------------------------------------------
+
+  /** Odd multiplier for the rolling combine (golden-ratio constant). */
+  private val SpanP = 0x9e3779b97f4a7c15L
+  /** Murmur3 64-bit finalizer: avalanches the per-token FNV hash so the
+    * polynomial combine sees high-entropy inputs in every bit.
+    */
+  private def fmix64(x0: Long): Long = {
+    var x = x0
+    x ^= x >>> 33; x *= 0xff51afd7ed558ccdL
+    x ^= x >>> 33; x *= 0xc4ceb9fe1a85ec53L
+    x ^= x >>> 33; x
+  }
+  private def tokenHash(t: String): Long = {
+    var h = 0xcbf29ce484222325L // FNV-1a 64 over UTF-16 units
+    var i = 0
+    while (i < t.length) { h ^= t.charAt(i).toLong; h *= 0x100000001b3L; i += 1 }
+    fmix64(h)
+  }
+  private def windowHashes(toks: java.util.ArrayList[String], k: Int): Array[Long] = {
+    val n = toks.size
+    if (n < k) return Array.emptyLongArray
+    val hs = new Array[Long](n)
+    var i = 0
+    while (i < n) { hs(i) = tokenHash(toks.get(i)); i += 1 }
+    var pk = 1L // SpanP^(k-1): the retiring token's weight
+    i = 1
+    while (i < k) { pk *= SpanP; i += 1 }
+    val out = new Array[Long](n - k + 1)
+    var h = 0L
+    i = 0
+    while (i < k) { h = h * SpanP + hs(i); i += 1 }
+    out(0) = h
+    i = k
+    while (i < n) {
+      h = (h - hs(i - k) * pk) * SpanP + hs(i)
+      out(i - k + 1) = h
+      i += 1
+    }
+    out
+  }
+
+  /** Per-position 64-bit digests of the k-token windows (every
+    * occurrence; fewer than `k` tokens -> empty array). The occurrence
+    * side of exact-substring dedup's duplicated-window count.
+    */
+  def shingleDigestSeq(s: UTF8String, k: Int): org.apache.spark.sql.catalyst.util.ArrayData =
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(windowHashes(WordsUtil.tokenize(s.toString), k))
+
+  /** Shared rebuild core: walk the tokens once, extending the covered
+    * horizon at every duplicated window START (token i covered iff some
+    * duplicated window starting in [i-k+1, i] exists — the interval
+    * union, which is what chains overlapping duplicated windows into
+    * maximal runs), keep the uncovered tokens. `dupStart(i)` answers
+    * "is the k-window starting at token i duplicated?" for
+    * 0 <= i <= n-k. A document with zero removals keeps its ORIGINAL
+    * text byte-for-byte (whitespace included); a rebuilt document
+    * rejoins survivors with ' ' (the firstLineDedup rebuild rule).
+    */
+  private def stripCovered(
+      original: UTF8String, toks: java.util.ArrayList[String], k: Int,
+      dupStart: Int => Boolean): InternalRow = {
+    val n = toks.size
+    var covUntil = -1
+    var removed = 0L
+    val out = new java.lang.StringBuilder
+    var i = 0
+    while (i < n) {
+      if (i <= n - k && dupStart(i)) {
+        val e = i + k - 1
+        if (e > covUntil) covUntil = e
+      }
+      if (i <= covUntil) removed += 1
+      else {
+        if (out.length() > 0) out.append(' ')
+        out.append(toks.get(i))
+      }
+      i += 1
+    }
+    val cleaned =
+      if (removed == 0) original else UTF8String.fromString(out.toString)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](n.toLong, removed, cleaned))
+  }
+
+  /** One-pass exact-substring strip against a broadcast set of
+    * duplicated window digests: tokenize, roll the window digests,
+    * drop every token covered by a duplicated window, rejoin. Value
+    * parity with the join spelling ([[dropCoveredSpans]] over joined
+    * start positions) is exact — same tokenizer, same digests, same
+    * coverage rule, same joiner — and dual-path equality is spec'd.
+    */
+  def substringStrip(set: LongSet, s: UTF8String, k: Int): InternalRow = {
+    val toks = WordsUtil.tokenize(s.toString)
+    val ws = windowHashes(toks, k)
+    stripCovered(s, toks, k, i => set.contains(ws(i)))
+  }
+
+  /** The join-path rebuild: drop tokens covered by the EXPLICIT
+    * duplicated-window start positions (ascending array<int>, as the
+    * digest-join aggregation collects them).
+    */
+  def dropCoveredSpans(
+      s: UTF8String, starts: org.apache.spark.sql.catalyst.util.ArrayData,
+      k: Int): InternalRow = {
+    val toks = WordsUtil.tokenize(s.toString)
+    val m = starts.numElements()
+    var next = 0 // ascending cursor into starts: O(n + m), never a scan per token
+    stripCovered(s, toks, k, { i =>
+      while (next < m && starts.getInt(next) < i) next += 1
+      next < m && starts.getInt(next) == i
+    })
+  }
+}
+
+/** Broadcast payload for [[SubstringStrip]]: the SORTED array of
+  * duplicated k-window digests (binary-search membership — primitive
+  * longs, no per-probe boxing).
+  */
+final class LongSet(val a: Array[Long]) extends Serializable {
+  def contains(x: Long): Boolean = java.util.Arrays.binarySearch(a, x) >= 0
+}
+
+/** `graft_shingle_digest_seq(text)` -> array<bigint> of per-position
+  * k-token window digests ([[FilterExprsUtil.shingleDigestSeq]]).
+  */
+case class ShingleDigestSeq(child: Expression, k: Int) extends UnaryExpression {
+  require(k >= 2, s"window must be >= 2 tokens, got $k")
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_shingle_digest_seq"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a STRING argument, got ${child.dataType.catalogString}")
+
+  override def nullSafeEval(input: Any): Any =
+    FilterExprsUtil.shingleDigestSeq(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.FilterExprsUtil.shingleDigestSeq($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleDigestSeq =
+    copy(child = newChild)
+}
+
+/** `graft_substring_strip(text)` -> struct<n_tokens, n_removed,
+  * cleaned>: the whole rebuild side of exact-substring dedup in ONE
+  * codegen pass against a broadcast duplicated-digest set
+  * ([[LongSet]]).
+  */
+case class SubstringStrip(child: Expression, bc: Broadcast[LongSet], k: Int)
+    extends UnaryExpression {
+  require(k >= 2, s"window must be >= 2 tokens, got $k")
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("n_removed", LongType, nullable = false),
+    StructField("cleaned", StringType, nullable = false)))
+  override def prettyName: String = "graft_substring_strip"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a STRING argument, got ${child.dataType.catalogString}")
+
+  override def nullSafeEval(input: Any): Any =
+    FilterExprsUtil.substringStrip(bc.value, input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcRef = ctx.addReferenceObj("dupSetBc", bc, classOf[Broadcast[_]].getName)
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.FilterExprsUtil.substringStrip(" +
+        s"(graft.functions.LongSet) $bcRef.value(), $c, $k)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SubstringStrip =
+    copy(child = newChild)
+}
+
+/** `graft_drop_covered_spans(text, starts)` -> the same struct as
+  * [[SubstringStrip]], from explicit ascending duplicated-window start
+  * positions (the join path past the broadcast cap).
+  */
+case class DropCoveredSpans(left: Expression, right: Expression, k: Int)
+    extends BinaryExpression {
+  require(k >= 2, s"window must be >= 2 tokens, got $k")
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("n_removed", LongType, nullable = false),
+    StructField("cleaned", StringType, nullable = false)))
+  override def prettyName: String = "graft_drop_covered_spans"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (!left.dataType.isInstanceOf[StringType])
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a STRING text argument, got ${left.dataType.catalogString}")
+    else if (!(right.dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.IntegerType, _) => true
+      case _ => false
+    }))
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires an ARRAY<INT> starts argument, got ${right.dataType.catalogString}")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def nullSafeEval(text: Any, starts: Any): Any =
+    FilterExprsUtil.dropCoveredSpans(
+      text.asInstanceOf[UTF8String],
+      starts.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, st) =>
+      s"graft.functions.FilterExprsUtil.dropCoveredSpans($t, $st, $k)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DropCoveredSpans =
+    copy(left = newLeft, right = newRight)
 }
 
 /** `graft_gopher_stats(text)` -> struct of the 9 Gopher rule counters. */

@@ -92,6 +92,27 @@ object GraftFunctions {
   def line_digest_seq(c: Column, nTok: Int): Column =
     GraftBridge.column(LineDigestSeq(GraftBridge.expression(c), nTok))
 
+  /** Native per-position k-token WINDOW digests -> array<bigint> (the
+    * overlapping sibling of [[line_digest_seq]]'s non-overlapping
+    * lines; 64-bit rolling hash, O(text) per document).
+    */
+  def shingle_digest_seq(c: Column, k: Int): Column =
+    GraftBridge.column(ShingleDigestSeq(GraftBridge.expression(c), k))
+
+  /** Fused exact-substring strip against a broadcast duplicated-window
+    * digest set -> struct<n_tokens, n_removed, cleaned>.
+    */
+  def substring_strip(c: Column, bc: org.apache.spark.broadcast.Broadcast[LongSet],
+      k: Int): Column =
+    GraftBridge.column(SubstringStrip(GraftBridge.expression(c), bc, k))
+
+  /** Join-path exact-substring rebuild from explicit ascending
+    * duplicated-window start positions -> the same struct.
+    */
+  def drop_covered_spans(text: Column, starts: Column, k: Int): Column =
+    GraftBridge.column(DropCoveredSpans(
+      GraftBridge.expression(text), GraftBridge.expression(starts), k))
+
   /** Native derived-line builder: nTok-token lines + deterministic
     * terminal-punctuation suffix keyed on (doc_id, line index).
     */

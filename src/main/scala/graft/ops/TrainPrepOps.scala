@@ -504,24 +504,27 @@ object TrainPrepOps {
       graft.functions.GraftFunctions.bpe_encode_ids(
         TextOps.words(col("text")), tok.encoder).as("ids"))
 
-  /** [[tokenIds]] with the firstLineDedup cap discipline: probe the
-    * alphabet size with one bounded job, take the literal-tokenizer
-    * fast path under [[MaxAlphabet]], and DEGRADE — not die — past it
-    * by switching to [[tokenIdsDistributed]] (same ids, alphabet as a
-    * joined table instead of driver state). The merges are ≤ rounds
-    * strings either way (bounded model state at any alphabet size).
+  /** [[tokenIds]] with the firstLineDedup cap discipline: take the
+    * literal-tokenizer fast path OPTIMISTICALLY, and DEGRADE — not die
+    * — past [[MaxAlphabet]] by switching to [[tokenIdsDistributed]]
+    * (same ids, alphabet as a joined table instead of driver state).
+    * The over-cap signal is [[bpeTokenizer]]'s own loud require: its
+    * alphabet build already runs the bounded distinct-character
+    * collect, so a separate probe job would re-scan the corpus for the
+    * same answer — in the common under-cap case that doubled the
+    * distinct-character scan for no correctness gain (r15 ADVICE). The
+    * merges are ≤ rounds strings either way (bounded model state at
+    * any alphabet size).
     */
-  def tokenIdsAuto(docs: DataFrame, rounds: Int): DataFrame = {
-    val probe = docs
-      .select(explode(TextOps.words(col("text"))).as("w"))
-      .select(explode(
-        split(trim(regexp_replace(col("w"), "(.)", "$1 ")), " ")).as("c"))
-      .distinct().limit(MaxAlphabet + 1).count()
-    if (probe <= MaxAlphabet) tokenIds(docs, rounds)
-    else tokenIdsDistributed(docs,
-      PipelineOps.bpeMerges(docs, rounds)
-        .orderBy("round").collect().map(_.getString(1)).toSeq)
-  }
+  def tokenIdsAuto(docs: DataFrame, rounds: Int): DataFrame =
+    try tokenIds(docs, rounds)
+    catch {
+      case e: IllegalArgumentException
+          if e.getMessage != null && e.getMessage.contains("BPE alphabet exceeds") =>
+        tokenIdsDistributed(docs,
+          PipelineOps.bpeMerges(docs, rounds)
+            .orderBy("round").collect().map(_.getString(1)).toSeq)
+    }
 
   /** Distributed encode for corpora whose character alphabet exceeds
     * [[MaxAlphabet]] (the firstLineDedup join-fallback discipline): ids
@@ -657,15 +660,18 @@ object TrainPrepOps {
     * directory per batch id via the q_warc_write temp-file + atomic
     * rename discipline:
     *
-    *  1. a replayed batch whose final shard dir already EXISTS is a
-    *     no-op — the dir can only appear via the atomic rename of a
-    *     COMPLETE temp, so existence proves the earlier delivery
-    *     committed (Structured Streaming replays a batch when the sink
-    *     committed but the checkpoint's commit log didn't — the
-    *     at-least-once half this check absorbs);
+    *  1. a replayed batch whose COMMIT MARKER (`_GRAFT_COMMITTED`,
+    *     created only after the publishing rename returned) exists is a
+    *     no-op — marker-exists proves the earlier delivery landed the
+    *     complete shard even where rename is copy+delete rather than
+    *     atomic (object stores); a shard dir WITHOUT its marker is a
+    *     torn publish and is deleted and rebuilt (Structured Streaming
+    *     replays a batch when the sink committed but the checkpoint's
+    *     commit log didn't — the at-least-once half this check absorbs);
     *  2. otherwise the pack lands in a dot-prefixed temp dir (invisible
     *     to parquet readers of `outDir`; mode("overwrite") clears any
-    *     stale temp a crash left) and one rename publishes it.
+    *     stale temp a crash left), one rename publishes it, and the
+    *     marker records the rename completed.
     *
     * Restart safety is spec-proven over ≥3 batches including a
     * commit-log-deletion replay (StreamingSpec). Usage:
@@ -677,12 +683,25 @@ object TrainPrepOps {
     val fs = new Path(outDir).getFileSystem(
       batch.sparkSession.sparkContext.hadoopConfiguration)
     val fin = new Path(outDir, f"shard-$batchId%05d")
-    if (fs.exists(fin)) return // replayed, already-committed batch
+    // The committed? check reads the MARKER, not the directory: on a
+    // local/HDFS filesystem the rename is atomic so dir-exists would
+    // suffice, but on object-store filesystems (S3A & friends) rename
+    // is copy+delete — a crash mid-rename can leave a PARTIAL shard
+    // dir, which a dir-existence check would silently treat as
+    // committed, losing rows (r15 ADVICE). The marker is created only
+    // after the rename returned, so marker-exists ⇒ the rename (and
+    // therefore the complete shard) finished; a dir without its marker
+    // is a torn publish and is rebuilt from scratch on replay.
+    val marker = new Path(fin, "_GRAFT_COMMITTED")
+    if (fs.exists(marker)) return // replayed, provably-complete batch
+    if (fs.exists(fin)) fs.delete(fin, true) // torn publish: redo
     val tmp = new Path(outDir, f".tmp-shard-$batchId%05d")
     packTokenIdsWith(batch, tok, seqLen)
       .write.mode("overwrite").parquet(tmp.toString)
     require(fs.rename(tmp, fin),
       s"id-shard commit: rename $tmp -> $fin failed")
+    require(fs.createNewFile(marker),
+      s"id-shard commit: marker create $marker failed")
   }
 
   // ------------- DuckDB oracle fragments (replay training + encode) ----

@@ -222,11 +222,13 @@ class PlanHygieneSpec extends SparkSpec {
       "q_repetition_signals" -> Seq("graft_repetition_stats"),
       "q_agg_q1" -> Seq("graft_dec128_sum"),
       // r15: the moving sum runs in plain LONG arithmetic (quantity is
-      // an integral count; the loud guard keeps foreign corpora honest)
-      // behind a single RANGE exchange on the window's partition key —
-      // a regression to the Decimal128 accumulator or to a second
-      // hash/range exchange would flip these fragments
-      "q_window_moving" -> Seq("rangepartitioning(l_suppkey", "raise_error"),
+      // an integral count; the loud guard keeps foreign corpora honest).
+      // The single-range-exchange shape is pinned in the dedicated test
+      // below — the "rangepartitioning(l_suppkey" fragment that used to
+      // live here was vacuous (the presentation orderBy's sort keys
+      // also lead with l_suppkey, so it matched even after a regression
+      // to a hash exchange for the window; r15 ADVICE).
+      "q_window_moving" -> Seq("raise_error"),
       // IVF recall queries: the query set is a LITERAL exploded array
       // (collected with the k-means seed, one driver action for both),
       // so the scored pass is join-free — not even a broadcast build —
@@ -275,6 +277,26 @@ class PlanHygieneSpec extends SparkSpec {
       }
     }
     assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
+  // q_window_moving's r15 closure shape: the prefix-difference moving
+  // sum rides ONE explicit repartitionByRange on the window's partition
+  // key, and the presentation orderBy stays a LOCAL sort on top of that
+  // partitioning — exactly one exchange in the whole plan, and it is a
+  // SINGLE-column range partitioning (the 5-key presentation sort would
+  // print more keys before the partition count). A regression to a hash
+  // exchange for the window, or a second exchange for the final sort,
+  // flips one of these two asserts — neither can go vacuously green the
+  // way the old shared-prefix fragment did (r15 ADVICE).
+  test("q_window_moving: exactly one exchange, single-key range partitioning") {
+    val plan = SparkEntry.queries("q_window_moving")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val nExchanges = "Exchange".r.findAllIn(plan).size
+    assert(nExchanges == 1,
+      s"q_window_moving: expected exactly 1 exchange, found $nExchanges:\n$plan")
+    assert("rangepartitioning\\(l_suppkey#\\d+L ASC NULLS FIRST, \\d+\\)".r
+      .findFirstIn(plan).isDefined,
+      s"q_window_moving: single-column range partitioning on l_suppkey missing:\n$plan")
   }
 
   // Keep-ONE-row-per-key operators (dedupExact keep-first, mergeLatest

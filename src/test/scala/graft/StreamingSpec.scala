@@ -522,6 +522,26 @@ class StreamingSpec extends SparkSpec {
     assert(got(0) == expected(docs.take(10).toSeq))
     assert(got(1) == expected(docs.slice(10, 20).toSeq))
     assert(got(2) == expected(docs.drop(20).toSeq))
+    // every published shard carries its commit marker (created only
+    // after the publishing rename returned — the object-store-safe
+    // committed? signal; r15 ADVICE)
+    (0 to 2).foreach { i =>
+      assert(new java.io.File(f"$out/shard-$i%05d/_GRAFT_COMMITTED").exists,
+        s"shard $i missing its commit marker")
+    }
+    // torn-publish recovery: a shard dir WITHOUT its marker (the state
+    // a crash mid-copy+delete rename leaves on an object store) must be
+    // treated as NOT committed — deleted and rebuilt whole on replay,
+    // never silently accepted with missing rows
+    val shard2 = new java.io.File(f"$out/shard-00002")
+    assert(new java.io.File(shard2, "_GRAFT_COMMITTED").delete())
+    val part = shard2.listFiles.filter(_.getName.startsWith("part-")).head
+    assert(part.delete()) // the torn half: data missing, marker missing
+    graft.ops.TrainPrepOps.idShardBatchCommit(tok, out, seqLen = 16)(
+      docs.drop(20).toSeq.toDF("doc_id", "source", "text"), 2L)
+    assert(new java.io.File(shard2, "_GRAFT_COMMITTED").exists)
+    assert(got(2) == expected(docs.drop(20).toSeq),
+      "torn publish was not rebuilt whole")
   }
 
   test("streaming session windows match the batch oracle emulation") {
