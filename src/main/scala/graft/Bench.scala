@@ -111,7 +111,11 @@ object Bench {
     "q_embed_from_text", "q_embed_dedup", "q_ann_ivf_i8", "q_quality_eval",
     // r15 late: the tokenizer rounds/compression calibration curve +
     // ANN retrieval from raw text (derived vectors → stored IVF index)
-    "q_bpe_compression", "q_embed_search", "q_embed_contamination")
+    "q_bpe_compression", "q_embed_search", "q_embed_contamination",
+    // r16: arbitrary-length exact-substring dedup (ExactSubstr at
+    // word-token granularity: rolling-digest count exchange + fused
+    // strip/rebuild)
+    "q_substring_dedup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -586,6 +586,19 @@ object GraftOps {
   def firstLineDedup(docs: DataFrame, lineTokens: Int = 4): DataFrame =
     ops.FilterOps.firstLineDedup(docs, lineTokens)
 
+  /** Arbitrary-length exact-substring dedup (the deduplicate-text-
+    * datasets ExactSubstr discipline at word-token granularity): every
+    * substring of >= `k` tokens occurring more than once in the corpus
+    * is removed from every document, documents rebuilt from surviving
+    * tokens (untouched docs keep their original text byte-for-byte).
+    * Digest-count exchange of 8-byte rolling hashes, size-honest
+    * broadcast digest set (fused one-pass strip) or digest-keyed join.
+    * Output: (doc_id, n_tokens, n_removed, cleaned). Verified by
+    * `q_substring_dedup`.
+    */
+  def substringDedup(docs: DataFrame, k: Int = 8): DataFrame =
+    ops.DedupOps.substringDedup(docs, k)
+
   /** CCNet perplexity gate: bigram-LM score per document, two-phase
     * decile, keep documents at or above `keepFromDecile`. Output:
     * (doc_id, n_bigrams, avg_logprob, decile, keep). Inherits

@@ -556,7 +556,134 @@ object DedupOps extends QueryModule {
       .boundedSort("source")
   }
 
+  /** Minimum duplicated-run length (tokens) for the registered
+    * exact-substring dedup query — q_repeated_spans' window, so the
+    * fixture's known repeated spans exercise removal at every SF.
+    */
+  private[ops] val SubstrTokens = 8
+
+  /** Duplicated-window digest cap for the broadcast fast path: 2M
+    * longs ≈ 16 MB of sorted primitive array (plus the ~50% collect
+    * headroom) — the contaminationCheck/firstLineDedup literal-state
+    * budget. Past it, the same duplicated-digest frame feeds the
+    * digest-keyed join path.
+    */
+  val MaxLiteralDupSpans = 2000000L
+
+  /** Arbitrary-length exact-substring dedup — the deduplicate-text-
+    * datasets (Lee et al. 2022, ExactSubstr) discipline at word-token
+    * granularity: every substring of >= `k` tokens that occurs more
+    * than once in the corpus (across documents OR repeated within one)
+    * is removed from EVERY document, and each document is rebuilt from
+    * its surviving tokens. Coverage is the union of duplicated
+    * k-token windows, which chains overlapping duplicated windows into
+    * maximal runs automatically: a duplicated run of L >= k tokens
+    * contributes L-k+1 consecutive duplicated window starts whose
+    * interval union is exactly the run — arbitrary-length removal from
+    * fixed-k seeds, no suffix array needed. Documented divergences
+    * from the reference tool: token granularity (not bytes), and
+    * remove-ALL-occurrences (the released tool's default; a keep-one
+    * variant would need the firstLineDedup winner rule).
+    *
+    * Scale: the duplicated-window count exchanges 8-byte rolling-hash
+    * digests (one per token position — text never shuffles), one
+    * map-side-combinable count aggregation. Under
+    * [[MaxLiteralDupSpans]] the duplicated digests ride back as a
+    * broadcast sorted-long-array probed by ONE fused
+    * graft_substring_strip codegen pass (tokenize + roll + coverage +
+    * rebuild, O(text) per doc). Past the cap: digest-keyed semi join
+    * marks duplicated window starts, a doc-keyed aggregation collects
+    * each doc's start positions (ints, doc-bounded), and the rebuild
+    * joins them back to the docs — the honest floor when the
+    * duplicated-span vocabulary outgrows the driver. Dual-path
+    * equality is spec'd (DedupSpec). A document with zero removals
+    * keeps its ORIGINAL text byte-for-byte; rebuilt docs rejoin
+    * surviving tokens with ' ' (the firstLineDedup rebuild rule).
+    * Output: (doc_id, n_tokens, n_removed, cleaned).
+    */
+  def substringDedup(
+      docs: org.apache.spark.sql.DataFrame, k: Int = SubstrTokens,
+      maxLiteralDigests: Long = MaxLiteralDupSpans): org.apache.spark.sql.DataFrame = {
+    require(k >= 2, s"substringDedup needs k >= 2 tokens, got $k")
+    val dseq = graft.functions.GraftFunctions.shingle_digest_seq(col("text"), k)
+    val eligible = docs.filter(TextOps.wordCount(col("text")) >= k)
+    val dup = eligible
+      .select(explode(dseq).as("dg"))
+      .groupBy("dg").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2)
+      .select("dg")
+    def present(stripped: org.apache.spark.sql.DataFrame) = stripped
+      .select(col("doc_id"),
+        col("st.n_tokens").as("n_tokens"),
+        col("st.n_removed").as("n_removed"),
+        col("st.cleaned").as("cleaned"))
+      .orderBy("doc_id")
+    if (maxLiteralDigests > 0) {
+      val probe = TinyLoop.boundedCollect(dup, maxLiteralDigests)
+      if (probe.length <= maxLiteralDigests) {
+        val arr = probe.map(_.getLong(0)).sorted
+        val bc = docs.sparkSession.sparkContext.broadcast(
+          new graft.functions.LongSet(arr))
+        // checkpoint before the presentation sort (the firstLineDedup
+        // pattern): the fused strip scan runs once, not once more per
+        // sort-sampling pass
+        return present(TinyLoop.corpusCheckpoint(docs.select(col("doc_id"),
+          graft.functions.GraftFunctions.substring_strip(col("text"), bc, k)
+            .as("st"))))
+      }
+    }
+    val starts = eligible
+      .select(col("doc_id"), posexplode(dseq).as(Seq("pos", "dg")))
+      .join(dup, Seq("dg"), "left_semi")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("pos").cast("int"))).as("starts"))
+    present(docs
+      .join(starts, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.drop_covered_spans(col("text"),
+          coalesce(col("starts"), typedLit(Seq.empty[Int])), k).as("st")))
+  }
+
   def queries: Seq[Q] = Seq(
+    // Arbitrary-length exact-substring dedup: every duplicated run of
+    // >= 8 tokens removed from every document (chained from duplicated
+    // fixed-8 windows via interval union), documents rebuilt. The
+    // oracle chases the same windows by STRING (the engine exchanges
+    // 64-bit rolling digests — identical partitioning away from the
+    // ~2^-64 collision case, the repeatedSpans adjudication).
+    Q(
+      "q_substring_dedup", {
+        val k = SubstrTokens
+        val spanConcat = (0 until k)
+          .map(j => if (j == 0) "ws[i]" else s"ws[i+$j]").mkString(" || ' ' || ")
+        s"""WITH w AS (SELECT doc_id, text, $WordsSql AS ws FROM documents),
+           |sh AS (SELECT doc_id, CAST(i - 1 AS INT) AS pos, $spanConcat AS s
+           |       FROM w, unnest(generate_series(1, len(ws) - ${k - 1})) AS u(i)
+           |       WHERE len(ws) >= $k),
+           |dup AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) >= 2),
+           |st AS (SELECT h.doc_id, h.pos FROM sh h JOIN dup d USING (s)),
+           |cov AS (SELECT DISTINCT doc_id, pos + j AS ti
+           |        FROM st, unnest(generate_series(0, ${k - 1})) AS t(j)),
+           |tok AS (SELECT doc_id, CAST(i - 1 AS INT) AS ti, ws[i] AS tk
+           |        FROM w, unnest(generate_series(1, len(ws))) AS u(i)),
+           |kept AS (SELECT t.doc_id, t.ti, t.tk
+           |         FROM tok t LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.ti = t.ti
+           |         WHERE c.ti IS NULL),
+           |reb AS (SELECT doc_id, COUNT(*) AS n_kept,
+           |               string_agg(tk, ' ' ORDER BY ti) AS cleaned
+           |        FROM kept GROUP BY doc_id)
+           |SELECT d.doc_id,
+           |       CAST(len(d.ws) AS BIGINT) AS n_tokens,
+           |       CAST(len(d.ws) - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed,
+           |       CASE WHEN len(d.ws) = COALESCE(r.n_kept, 0) THEN d.text
+           |            ELSE COALESCE(r.cleaned, '') END AS cleaned
+           |FROM w d LEFT JOIN reb r USING (doc_id)
+           |ORDER BY d.doc_id""".stripMargin
+      }
+    ) { (s, d) =>
+      graft.GraftOps.substringDedup(Tables.documents(s, d))
+    },
+
     // Exact dedup: canonical keep-first-by-key. All texts in the synthetic
     // corpus are distinct, so this keeps every row — the semantics are
     // still fully exercised (hash-partition by text, min doc_id per group).

@@ -171,4 +171,59 @@ class DedupSpec extends SparkSpec {
         (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
     assert(got == expected)
   }
+
+  test("substringDedup: broadcast fast path == digest-join path on the fixture") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sfDir)
+    def collect(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val fast = collect(ops.DedupOps.substringDedup(docs))
+    val join = collect(ops.DedupOps.substringDedup(docs, maxLiteralDigests = 0))
+    assert(fast.nonEmpty && fast.count(_._3 > 0) > 0,
+      "fixture exercises no removal — the dual-path check is vacuous")
+    assert(fast.toSeq == join.toSeq)
+    // untouched docs keep their ORIGINAL text byte-for-byte
+    val texts = docs.select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    fast.filter(_._3 == 0).foreach { case (id, _, _, cleaned) =>
+      assert(cleaned == texts(id), s"untouched doc $id was rewritten")
+    }
+  }
+
+  test("substringDedup semantics: chaining, within-doc repeats, remove-all, short docs") {
+    import spark.implicits._
+    val k = 4
+    // docs 0/1 share a 6-token run (> k: chained from 3 duplicated
+    // 4-windows) embedded in distinct context; doc 2 repeats a 4-token
+    // phrase TWICE within itself (both occurrences removed); doc 3 is
+    // entirely a copy of doc 0's run (fully removed -> empty rebuild);
+    // doc 4 is < k tokens; doc 5 shares nothing and keeps its weird
+    // whitespace untouched.
+    val run = "alpha beta gamma delta epsilon zeta"
+    val docs = Seq(
+      (0L, "src", s"intro words $run closing remark"),
+      (1L, "src", s"other opening $run different tail"),
+      (2L, "src", "p q r s MID p q r s"),
+      (3L, "src", run),
+      (4L, "src", "tiny doc here"),
+      (5L, "src", "un\ttouched   doc with  spacing kept")
+    ).toDF("doc_id", "source", "text")
+    val got = ops.DedupOps.substringDedup(docs, k = k).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(got(0L) == ((10L, 6L, "intro words closing remark")),
+      s"cross-doc chained run: ${got(0L)}")
+    assert(got(1L) == ((10L, 6L, "other opening different tail")))
+    // doc 2: "p q r s" occurs at positions 0 and 5 -> both removed,
+    // the 4-windows spanning MID ("q r s MID" etc.) are unique
+    assert(got(2L) == ((9L, 8L, "MID")), s"within-doc repeat: ${got(2L)}")
+    assert(got(3L) == ((6L, 6L, "")), s"fully-duplicated doc: ${got(3L)}")
+    assert(got(4L) == ((3L, 0L, "tiny doc here")))
+    assert(got(5L) == ((6L, 0L, "un\ttouched   doc with  spacing kept")),
+      "short/unique docs must keep original whitespace")
+    // dual-path equality on the synthetic corpus too
+    val join = ops.DedupOps.substringDedup(docs, k = k, maxLiteralDigests = 0)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(join == got)
+  }
 }

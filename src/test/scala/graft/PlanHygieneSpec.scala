@@ -465,6 +465,31 @@ class PlanHygieneSpec extends SparkSpec {
       !winners.contains("Expand"), winners)
   }
 
+  // exact-substring dedup: both passes must stay fused — the count
+  // pass explodes 8-byte rolling digests from ONE scan expression
+  // (never window strings, never an Expand), and the literal-path
+  // strip is a single narrow projection against the broadcast set
+  // (a Join/Exchange appearing means the fast path regressed to the
+  // join spelling)
+  test("substring dedup: fused digest scan and fused strip stay narrow") {
+    val docs = Tables.documents(spark, sfDir)
+    val k = 8
+    val cnt = docs
+      .filter(graft.ops.TextOps.wordCount(col("text")) >= k)
+      .select(explode(
+        graft.functions.GraftFunctions.shingle_digest_seq(col("text"), k)).as("dg"))
+      .groupBy("dg").agg(count(lit(1)).as("cnt"))
+      .queryExecution.executedPlan.toString
+    assert(cnt.contains("graft_shingle_digest_seq") && !cnt.contains("Expand"), cnt)
+    val bc = spark.sparkContext.broadcast(
+      new graft.functions.LongSet(Array.emptyLongArray))
+    val strip = docs.select(col("doc_id"),
+        graft.functions.GraftFunctions.substring_strip(col("text"), bc, k).as("st"))
+      .queryExecution.executedPlan.toString
+    assert(strip.contains("graft_substring_strip") && !strip.contains("Join") &&
+      !strip.contains("Exchange"), strip)
+  }
+
   test("training queries plan no join at all (literal centroid + query state)") {
     // q_bm25 joined its way from stats to scores until r10: now N, Σdl
     // and the per-term doc frequencies are literal model state, so a
