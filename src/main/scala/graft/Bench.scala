@@ -114,8 +114,9 @@ object Bench {
     "q_bpe_compression", "q_embed_search", "q_embed_contamination",
     // r16: arbitrary-length exact-substring dedup (ExactSubstr at
     // word-token granularity: rolling-digest count exchange + fused
-    // strip/rebuild)
-    "q_substring_dedup")
+    // strip/rebuild) + byte-level BPE with regex pre-tokenization
+    // (lossless original-text decode)
+    "q_substring_dedup", "q_bpe_bytes")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

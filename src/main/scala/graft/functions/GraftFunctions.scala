@@ -158,6 +158,12 @@ object GraftFunctions {
   /** Inverse of [[bpe_encode_ids]]: id stream -> concatenated token
     * text through the dense id→token table (see [[BpeDecodeIds]]).
     */
+  /** Byte-level BPE encode + decode-roundtrip in one fused pass ->
+    * struct<n_pretokens, n_tokens, ids, lossless>.
+    */
+  def bpe_byte_encode(c: Column, enc: BpeByteEncoder): Column =
+    GraftBridge.column(BpeByteEncode(GraftBridge.expression(c), enc))
+
   def bpe_decode_ids(idsCol: Column, tokens: Array[String]): Column =
     GraftBridge.column(
       BpeDecodeIds(GraftBridge.expression(idsCol), tokens))

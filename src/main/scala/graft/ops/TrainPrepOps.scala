@@ -594,6 +594,181 @@ object TrainPrepOps {
         coalesce(col("ids"), typedLit(Seq.empty[Int])).as("ids"))
   }
 
+  // -------------------------------------------------------------------
+  // BYTE-level BPE with regex pre-tokenization — the GPT-2-family
+  // tokenizer shape, whose decode is LOSSLESS for the ORIGINAL text
+  // (whitespace included), unlike the word-internal char-level
+  // tokenizer above (whose decode reconstructs boundary-free word
+  // concat). Pretokens come from a Java∩RE2 regex (the piiScrub
+  // portability discipline), each pretoken becomes its UTF-8 byte
+  // sequence, merges splice byte symbols within pretokens, and ids
+  // need NO collected alphabet: byte b -> id b (the fixed 256-entry
+  // base vocabulary), merge round r -> 256 + r - 1.
+  // -------------------------------------------------------------------
+
+  /** Portable pre-tokenizer: ` ?letters | ?digits | ?other-run |
+    * whitespace-run`. GPT-2's pattern without the lookahead (RE2 has
+    * none) and with an EXPLICIT whitespace class (`\s` differs between
+    * Java — includes U+000B — and RE2): a run of 2+ spaces groups as
+    * ["  ", "word"] where GPT-2 yields [" ", " word"] — a documented
+    * grouping divergence; losslessness is unaffected (the alternation
+    * covers every character class, so match concatenation is the
+    * text). Alternation-order robust: at any position at most one
+    * alternative can win under either leftmost-first or
+    * leftmost-longest semantics, so Java and RE2 agree by
+    * construction.
+    */
+  val BytePreRegex: String =
+    " ?\\p{L}+| ?\\p{N}+| ?[^ \\t\\n\\f\\r\\p{L}\\p{N}]+|[ \\t\\n\\f\\r]+"
+
+  /** Merge rounds for the registered byte-level query. */
+  val ByteRounds = 3
+
+  /** Byte-level BPE merge training: [[PipelineOps.bpeMerges]]'s loop
+    * over the PRETOKEN frequency histogram with hex-pair byte symbols
+    * (uppercase, one pair per UTF-8 byte) instead of code points — the
+    * same vocabulary-bounded per-round jobs, the same
+    * boundary-padded-replace splice, the same (cnt DESC, pair) ASCII
+    * tie-break, so the DuckDB oracle replays training with the
+    * existing unrolled-CTE discipline verbatim. Training runs
+    * IN-MEASURE in the registered query (no memo): there is no
+    * separate trainer query to carry it, and the oracle replays
+    * training too — plan vs plan. Returns the merge pairs in training
+    * order (fewer than `rounds` on an exhausted corpus).
+    */
+  def bpeByteMerges(docs: DataFrame, rounds: Int): Seq[String] = {
+    require(rounds >= 1, s"bpeByteMerges requires rounds >= 1, got $rounds")
+    val pfreq = docs
+      .select(explode(regexp_extract_all(
+        col("text"), lit(BytePreRegex), lit(0))).as("pt"))
+      .groupBy("pt").agg(count(lit(1)).as("freq"))
+      .localCheckpoint()
+    TinyLoop.withModelState(pfreq) { wf =>
+      var v = wf.withColumn("cs",
+        trim(regexp_replace(hex(encode(col("pt"), "UTF-8")), "(..)", "$1 ")))
+      val merges = scala.collection.mutable.ListBuffer.empty[String]
+      var exhausted = false
+      var r = 1
+      while (r <= rounds && !exhausted) {
+        val best = v
+          .select(col("freq"), explode(TextOps.shingles(col("cs"), 2)).as("pair"))
+          .groupBy("pair").agg(sum(col("freq")).as("cnt"))
+          .orderBy(col("cnt").desc, col("pair")).limit(1)
+          .collect().headOption
+        best match {
+          case None => exhausted = true
+          case Some(row) =>
+            val bp = row.getString(0)
+            merges += bp
+            v = v.withColumn("cs", trim(org.apache.spark.sql.functions.replace(
+              concat(lit(" "), col("cs"), lit(" ")),
+              lit(" " + bp + " "),
+              lit(" " + bp.replace(" ", "") + " "))))
+        }
+        r += 1
+      }
+      merges.toSeq
+    }
+  }
+
+  /** Byte-level token ids + roundtrip: (doc_id, n_pretokens, n_tokens,
+    * ids, lossless) — train the merge list (bounded model state), then
+    * ONE narrow fused pass per document (pretokenize + byte-splice +
+    * ids + decode-from-ids roundtrip check; text never shuffles).
+    */
+  def byteTokenIds(docs: DataFrame, rounds: Int = ByteRounds): DataFrame = {
+    val enc = new graft.functions.BpeByteEncoder(
+      bpeByteMerges(docs, rounds), BytePreRegex)
+    docs
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.bpe_byte_encode(col("text"), enc).as("bt"))
+      .select(col("doc_id"),
+        col("bt.n_pretokens").as("n_pretokens"),
+        col("bt.n_tokens").as("n_tokens"),
+        col("bt.ids").as("ids"),
+        col("bt.lossless").as("lossless"))
+  }
+
+  /** Byte-level training CTEs: pretoken histogram `bpf`, hex-pair
+    * splice states `bv0..bv{rounds}`, per-round winners `bb1..`.
+    */
+  private def bpeByteCtes(rounds: Int): String = {
+    val steps = (1 to rounds).map { r =>
+      s"""bp$r AS (
+         |  SELECT t.ts[i] || ' ' || t.ts[i+1] AS pair,
+         |         CAST(SUM(t.freq) AS BIGINT) AS cnt
+         |  FROM (SELECT freq, string_split(cs, ' ') AS ts FROM bv${r - 1}) t,
+         |       unnest(generate_series(1, len(t.ts) - 1)) AS u(i)
+         |  GROUP BY 1),
+         |bb$r AS (SELECT pair, cnt FROM bp$r ORDER BY cnt DESC, pair LIMIT 1),
+         |bv$r AS (SELECT pt, freq,
+         |        trim(replace(' ' || cs || ' ', ' ' || (SELECT pair FROM bb$r) || ' ',
+         |             ' ' || replace((SELECT pair FROM bb$r), ' ', '') || ' ')) AS cs
+         |        FROM bv${r - 1})""".stripMargin
+    }.mkString(",\n")
+    s"""bpf AS (
+       |  SELECT pt, COUNT(*) AS freq
+       |  FROM (SELECT unnest(regexp_extract_all(text, '$BytePreRegex')) AS pt
+       |        FROM documents)
+       |  GROUP BY pt),
+       |bv0 AS (SELECT pt, freq,
+       |        trim(regexp_replace(hex(pt), '(..)', '\\1 ', 'g')) AS cs FROM bpf),
+       |$steps""".stripMargin
+  }
+
+  /** Full q_bpe_bytes oracle: replay training, encode every pretoken
+    * occurrence, assign ids (byte value for 2-hex symbols, 256+r-1
+    * MIN for products), and pin per-doc counts, id checksums, and the
+    * EXACT full-text byte reconstruction (hex concat == hex(text)).
+    */
+  private def bpeByteOracle(rounds: Int): String = {
+    val applies = (1 to rounds).map { r =>
+      s"""be$r AS (
+         |  SELECT doc_id, wi,
+         |         trim(replace(' ' || cs || ' ', ' ' || (SELECT pair FROM bb$r) || ' ',
+         |              ' ' || replace((SELECT pair FROM bb$r), ' ', '') || ' ')) AS cs
+         |  FROM be${r - 1})""".stripMargin
+    }.mkString(",\n")
+    val mergeRows = (1 to rounds)
+      .map(r => s"SELECT $r AS r, pair FROM bb$r")
+      .mkString("\n        UNION ALL ")
+    s"""WITH ${bpeByteCtes(rounds)},
+       |bmv AS (SELECT replace(pair, ' ', '') AS token,
+       |               MIN(256 + r - 1) AS tid
+       |        FROM ($mergeRows) GROUP BY 1),
+       |bocc AS (SELECT doc_id, CAST(i AS INT) AS wi, pts[i] AS pt
+       |         FROM (SELECT doc_id, regexp_extract_all(text, '$BytePreRegex') AS pts
+       |               FROM documents),
+       |              unnest(generate_series(1, len(pts))) AS u(i)),
+       |be0 AS (SELECT doc_id, wi,
+       |        trim(regexp_replace(hex(pt), '(..)', '\\1 ', 'g')) AS cs FROM bocc),
+       |$applies,
+       |btk AS (SELECT doc_id, wi, CAST(j AS INT) AS si, ss[j] AS sym
+       |        FROM (SELECT doc_id, wi, string_split(cs, ' ') AS ss FROM be$rounds),
+       |             unnest(generate_series(1, len(ss))) AS u(j)),
+       |bid AS (SELECT t.doc_id, t.wi, t.si, t.sym,
+       |        COALESCE(v.tid,
+       |          (strpos('0123456789ABCDEF', substr(t.sym, 1, 1)) - 1) * 16
+       |          + strpos('0123456789ABCDEF', substr(t.sym, 2, 1)) - 1) AS tid
+       |        FROM btk t LEFT JOIN bmv v ON v.token = t.sym),
+       |bagg AS (SELECT doc_id, COUNT(*) AS n_tokens,
+       |         CAST(SUM(tid) AS BIGINT) AS ids_sum,
+       |         md5(string_agg(CAST(tid AS VARCHAR), ',' ORDER BY wi, si)) AS ids_md5,
+       |         string_agg(sym, '' ORDER BY wi, si) AS hexcat
+       |         FROM bid GROUP BY doc_id),
+       |bpre AS (SELECT doc_id, COUNT(*) AS n_pre FROM bocc GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |       CAST(COALESCE(p.n_pre, 0) AS BIGINT) AS n_pretokens,
+       |       CAST(COALESCE(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+       |       CAST(COALESCE(a.ids_sum, 0) AS BIGINT) AS ids_sum,
+       |       COALESCE(a.ids_md5, md5('')) AS ids_md5,
+       |       COALESCE(a.hexcat, '') = hex(d.text) AS lossless
+       |FROM documents d
+       |LEFT JOIN bagg a USING (doc_id)
+       |LEFT JOIN bpre p USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   /** Pack per-document id streams into fixed-`seqLen` training
     * sequences, per shard (`source`), documents concatenated in doc_id
     * order with the EOD separator id after each — the GPT-style
@@ -756,6 +931,29 @@ object TrainPrepOps {
   import TextOps.{WordsSql, WsReDuck}
 
   def queries: Seq[Q] = Seq(
+
+    // Byte-level BPE with regex pre-tokenization: train ByteRounds
+    // merges over pretoken byte sequences, encode every document, and
+    // pin — per document — the pretoken/token counts, the exact id
+    // stream (sum + md5 of the comma-joined ids), and LOSSLESS decode
+    // of the ORIGINAL text from the ids (whitespace included; the
+    // oracle compares the reconstructed byte stream to hex(text)).
+    // Training is replayed by the oracle (unrolled CTEs) and runs
+    // in-measure on the engine side — plan vs plan, no memoized state.
+    Q("q_bpe_bytes", bpeByteOracle(ByteRounds)) { (s, d) =>
+      // materialize-then-sort (the q_embed_from_text rule): checkpoint
+      // the compact per-doc summary BEFORE the presentation orderBy,
+      // or the range sampler re-runs the whole encode scan — measured
+      // 2 x 30 s of the 67 s wall at 100x
+      TinyLoop.corpusCheckpoint(
+        byteTokenIds(Tables.documents(s, d), ByteRounds)
+          .select(col("doc_id"), col("n_pretokens"), col("n_tokens"),
+            aggregate(col("ids"), lit(0L), (a, x) => a + x).as("ids_sum"),
+            md5(concat_ws(",", transform(col("ids"), _.cast("string"))))
+              .as("ids_md5"),
+            col("lossless")))
+        .orderBy("doc_id")
+    },
 
     // Stupid-backoff trigram LM: train on the 10% reference split
     // (doc_id % 10 = 0), score the other 90% — a REAL train/score split

@@ -55,6 +55,48 @@ class TrainPrepOpsSpec extends SparkSpec {
     assert(ids((n - 1).toLong) == Seq(n - 1, n - 1))
   }
 
+  test("byte-level BPE: lossless decode on hostile unicode/whitespace, quirk-exact merges") {
+    import spark.implicits._
+    // texts the char-level tokenizer CANNOT roundtrip: leading/multi
+    // space, tabs+newlines, supplementary-plane code points (4-byte
+    // UTF-8), combining marks, empty text, punctuation runs
+    val nasty = Seq(
+      (0L, "src", "  leading double space"),
+      (1L, "src", "tabs\tand\nnewlines \r\n mixed\f!"),
+      (2L, "src", new String(Character.toChars(0x2070E)) + " áccent  é"),
+      (3L, "src", ""),
+      (4L, "src", "!!!???...   ---"),
+      (5L, "src", "word"),
+      (6L, "src", "aaaa aaaa aaaa aaaa")) // byte-run quirk fodder
+      .toDF("doc_id", "source", "text")
+    val got = TrainPrepOps.byteTokenIds(nasty, rounds = 3).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(4))).toMap
+    got.foreach { case (id, (_, _, lossless)) =>
+      assert(lossless, s"doc $id failed the byte-level decode roundtrip")
+    }
+    assert(got(3L) == ((0L, 0L, true)), "empty doc: 0 pretokens, 0 tokens, lossless")
+    // pretoken concat == text is the structural half of losslessness;
+    // pin it directly for the multi-space + tab/newline docs
+    val pre = nasty.select(col("doc_id"),
+        concat_ws("", regexp_extract_all(col("text"),
+          lit(TrainPrepOps.BytePreRegex), lit(0))).as("cat"),
+        col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    pre.foreach { case (id, cat, text) =>
+      assert(cat == text, s"doc $id: pretoken concatenation != text")
+    }
+    // trainer quirk pin: "aaaa" = 61 61 61 61; merging pair "61 61"
+    // under the boundary-padded replace gives [6161, 61, 61] (NOT
+    // [6161, 6161]) — the documented non-overlapping resume semantics,
+    // which the encoder must reproduce symbol-for-symbol
+    val runOnly = Seq((0L, "src", "aaaa")).toDF("doc_id", "source", "text")
+    val merges = TrainPrepOps.bpeByteMerges(runOnly, 1)
+    assert(merges == Seq("61 61"), s"unexpected first merge: $merges")
+    val ids = TrainPrepOps.byteTokenIds(runOnly, 1).collect()
+      .map(r => (r.getLong(2), r.getBoolean(4))).head
+    assert(ids == ((3L, true)), s"quirk run must encode to 3 tokens: $ids")
+  }
+
   test("trigram stupid backoff: every arm of the chain fires and scores exactly") {
     import spark.implicits._
     // train: unigrams a:3 b:3 c:2 d:1 (N=9); bigrams (a,b):3 (b,c):2
