@@ -116,7 +116,11 @@ object Bench {
     // word-token granularity: rolling-digest count exchange + fused
     // strip/rebuild) + byte-level BPE with regex pre-tokenization
     // (lossless original-text decode)
-    "q_substring_dedup", "q_bpe_bytes")
+    "q_substring_dedup", "q_bpe_bytes",
+    // r16: image→embedding through the real decode path + multimodal
+    // SemDeDup over the derived vectors with the DERIVED cell count +
+    // the bucketed stored ANN index probe
+    "q_image_embed", "q_image_semdedup", "q_ann_ivf_bucketed")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

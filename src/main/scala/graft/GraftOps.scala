@@ -341,12 +341,16 @@ object GraftOps {
     * at cosine ≥ `threshold` is marked duplicate. The pair join carries
     * int8-quantized vectors prefiltered at `threshold - prefilterSlack`
     * (the float cosine re-checks survivors, so the decision is exact;
-    * QuantizedPrefilterSpec pins the slack headroom). Output: one
-    * (vec_id, cell, is_dup) row per vector. Verified by
-    * `q_semantic_dedup`.
+    * QuantizedPrefilterSpec pins the slack headroom). The DEFAULT cell
+    * count is DERIVED from a corpus-count probe
+    * (K = clamp(ceil(N/256), 1, 4096)) so the O(N²/K) pair bound holds
+    * at any corpus size; pass an explicit `k` to pin the codebook.
+    * Output: one (vec_id, cell, is_dup) row per vector. Verified by
+    * `q_semantic_dedup` (pinned k), `q_embed_dedup` and
+    * `q_image_semdedup` (derived K at every SF).
     */
   def semanticDedup(
-      emb: DataFrame, k: Int = 4, iters: Int = 2,
+      emb: DataFrame, k: Int = ops.MlOps.AutoK, iters: Int = 2,
       threshold: Double = 0.42, prefilterSlack: Double = 0.08): DataFrame =
     ops.MlOps.semanticDedup(emb, k, iters, threshold, prefilterSlack)
 
@@ -386,6 +390,17 @@ object GraftOps {
     */
   def embedFromText(docs: DataFrame, dim: Int = ops.MlOps.EmbedDim): DataFrame =
     ops.MlOps.embedFromText(docs, dim)
+
+  /** Image → embedding: decodes each (doc_id, content binary) row
+    * through the real PNG/JPEG path, grayscales with Go parity, and
+    * projects to an L2-normalized `hGrid`×`wGrid` block-intensity
+    * vector (64 dims by default — the [[embedFromText]] dimension, so
+    * image vectors ride the same ANN/SemDeDup machinery). Map-only:
+    * image bytes never shuffle; undecodable rows yield NULL. Verified
+    * by `q_image_embed`; chained end-to-end by `q_image_semdedup`.
+    */
+  def imageEmbed(images: DataFrame, wGrid: Int = 8, hGrid: Int = 8): DataFrame =
+    ops.MlOps.imageEmbed(images, wGrid, hGrid)
 
   /** Budget-driven source mixing: deterministically hash-downsample
     * each (doc_id, text, source) source toward `targetTokens`, deriving

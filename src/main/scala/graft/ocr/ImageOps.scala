@@ -138,6 +138,46 @@ object ImageOps {
     nibbles.map("0123456789abcdef".charAt(_)).mkString
   }
 
+  /** Block-intensity sums over an `hGrid`×`wGrid` grid — the integer
+    * feature vector behind [[graft.ops.MlOps.imageEmbed]]: entry
+    * `j * wGrid + i` (row-major, the [[aHash]] bit layout) is the exact
+    * sum of block (j,i)'s gray pixels. Integer-exact by construction,
+    * so any engine that can sum the pixels reproduces it bit-for-bit
+    * (the DuckDB oracle recomputes it analytically). Requires
+    * width/height divisible by the grid — same contract as [[aHash]].
+    * Overflow headroom: a long holds Σblock² for any block under
+    * ~6·10⁹ pixels (255·n ≤ 3·10⁹ per block), far past any real image;
+    * the caller's ANSI Σs² norm guard catches the pathological case
+    * loudly.
+    */
+  def blockSums(g: Gray, wGrid: Int = 8, hGrid: Int = 8): Array[Long] = {
+    require(g.width % wGrid == 0 && g.height % hGrid == 0,
+      s"image ${g.width}x${g.height} not divisible by ${wGrid}x$hGrid grid")
+    val bw = g.width / wGrid
+    val bh = g.height / hGrid
+    val out = new Array[Long](wGrid * hGrid)
+    var j = 0
+    while (j < hGrid) {
+      var i = 0
+      while (i < wGrid) {
+        var bs = 0L
+        var y = j * bh
+        while (y < (j + 1) * bh) {
+          var x = i * bw
+          while (x < (i + 1) * bw) {
+            bs += g.pixels(y * g.width + x) & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        out(j * wGrid + i) = bs
+        i += 1
+      }
+      j += 1
+    }
+    out
+  }
+
   private def blank(width: Int, height: Int, format: String): Array[Byte] = {
     val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
     val gfx = img.createGraphics()

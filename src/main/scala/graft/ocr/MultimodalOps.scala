@@ -206,6 +206,41 @@ object MultimodalOps {
     }
   }
 
+  /** Render the 16×8 quadratic-pattern PNG for `id` — the shared image
+    * fixture behind `q_image_neardup` / `q_image_embed` /
+    * `q_image_semdedup`: pixel (x,y) is the gray value
+    * `((x² + 3y² + xy(1 + id%256))·41 + id·31) % 256`, with a +8
+    * perturbation of pixel (0,0) for ids ≥ 256. The pattern repeats
+    * with period 256 in `id` (id·31 mod 256 depends only on id mod
+    * 256), so (id, id+256, id+512, …) are NEAR-duplicate images — the
+    * first class member below 256 differs in exactly one pixel, later
+    * members are byte-identical — while distinct id%256 classes are
+    * pseudo-random and far apart. Encoded as RGB (not TYPE_BYTE_GRAY):
+    * Java's getRGB on a gray image applies a gray→sRGB conversion that
+    * shifts pixel values; an RGB PNG with r=g=b=p round-trips
+    * losslessly and Go-parity luma(p,p,p) == p exactly, so the decode →
+    * grayscale path recovers the analytic formula bit-for-bit and the
+    * DuckDB oracle replays it with no image code.
+    */
+  def quadPatternPng(id: Long): Array[Byte] = {
+    val img = new BufferedImage(16, 8, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 16) {
+        var p = (((x * x + 3 * y * y + x * y * (1 + id % 256)) * 41
+          + id * 31) % 256).toInt
+        if (id >= 256 && x == 0 && y == 0) p = (p + 8) % 256
+        img.setRGB(x, y, (p << 16) | (p << 8) | p)
+        x += 1
+      }
+      y += 1
+    }
+    val baos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
   /** Render a white PNG of the given size (fixture generator for the
     * multimodal queries — content is irrelevant, dims/schema are what the
     * oracle checks).

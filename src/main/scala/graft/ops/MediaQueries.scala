@@ -47,6 +47,16 @@ object MediaQueries extends QueryModule {
        |                CASE WHEN bs * 128 > ts * 2 THEN 1 ELSE 0 END AS bit
        |         FROM blocks b JOIN tot t ON b.doc_id = t.doc_id)""".stripMargin
 
+  /** SQL spelling of [[MultimodalOps.quadPatternPng]]'s pixel formula
+    * (in doc_id, x, y) — shared with the image-embedding queries in
+    * [[MlOps]] so the fixture cannot diverge between the aHash and
+    * embedding rings.
+    */
+  private[ops] val QuadPxSql: String =
+    "CASE WHEN doc_id >= 256 AND x = 0 AND y = 0" +
+      " THEN (((x*x + 3*y*y + x*y*(1 + doc_id % 256)) * 41 + doc_id * 31) % 256 + 8) % 256" +
+      " ELSE ((x*x + 3*y*y + x*y*(1 + doc_id % 256)) * 41 + doc_id * 31) % 256 END"
+
   private val AHashNibbles: String = (0 until 16).map { n =>
     s"substr('0123456789abcdef', 1 + CAST(SUM(CASE WHEN k // 4 = $n" +
       s" THEN bit * (1 << (3 - k % 4)) ELSE 0 END) AS INT), 1)"
@@ -335,10 +345,7 @@ object MediaQueries extends QueryModule {
     Q(
       "q_image_neardup",
       {
-        val quadPx = "CASE WHEN doc_id >= 256 AND x = 0 AND y = 0" +
-          " THEN (((x*x + 3*y*y + x*y*(1 + doc_id % 256)) * 41 + doc_id * 31) % 256 + 8) % 256" +
-          " ELSE ((x*x + 3*y*y + x*y*(1 + doc_id % 256)) * 41 + doc_id * 31) % 256 END"
-        s"""WITH ${aHashCtes(quadPx)},
+        s"""WITH ${aHashCtes(QuadPxSql)},
            |hsh AS (SELECT doc_id, $AHashNibbles AS ahash FROM bits GROUP BY doc_id),
            |bands AS (SELECT doc_id, bi, substr(ahash, 1 + 4 * bi, 4) AS bv
            |          FROM hsh, unnest(generate_series(0, 3)) AS tb(bi)),
@@ -356,25 +363,7 @@ object MediaQueries extends QueryModule {
            |SELECT d1, d2, hamming FROM ham WHERE hamming <= 6 ORDER BY d1, d2"""
       }
     ) { (s, d) =>
-      val mkGradient = udf { (id: Long) =>
-        val img = new java.awt.image.BufferedImage(
-          16, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
-        var y = 0
-        while (y < 8) {
-          var x = 0
-          while (x < 16) {
-            var p = (((x * x + 3 * y * y + x * y * (1 + id % 256)) * 41
-              + id * 31) % 256).toInt
-            if (id >= 256 && x == 0 && y == 0) p = (p + 8) % 256
-            img.setRGB(x, y, (p << 16) | (p << 8) | p)
-            x += 1
-          }
-          y += 1
-        }
-        val baos = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(img, "png", baos)
-        baos.toByteArray
-      }
+      val mkGradient = udf((id: Long) => MultimodalOps.quadPatternPng(id))
       val ahash = udf { (b: Array[Byte]) =>
         ImageOps.decode(b).toOption
           .map(img => ImageOps.aHash(ImageOps.grayscale(img)))

@@ -45,9 +45,30 @@ object TrainPrepOps {
     * narrow codegen expression instead of a three-broadcast join
     * chain; `model` is then a LocalRelation over the identical rows,
     * so both physical paths state identical values by construction.
+    *
+    * `model` is LAZY (a thunk evaluated on first access): the literal
+    * scoring path never reads it, and eagerly converting the
+    * vocabulary-sized row set into a LocalRelation was measured at
+    * ~200 ms of pure driver time inside q_trigram_backoff's 1.3 s wall
+    * at sf0.1 (r16 decomposition pass) — paid on every training call
+    * for a frame only the dual-path spec and the distributed scorer
+    * ever consume.
     */
-  final case class TrigramLm(model: DataFrame, broadcastable: Boolean,
-      literal: Option[org.apache.spark.broadcast.Broadcast[graft.functions.LmMap]] = None)
+  final class TrigramLm(
+      modelThunk: () => DataFrame, val broadcastable: Boolean,
+      val literal: Option[
+        org.apache.spark.broadcast.Broadcast[graft.functions.LmMap]] = None) {
+    lazy val model: DataFrame = modelThunk()
+  }
+
+  object TrigramLm {
+    def apply(
+        model: => DataFrame, broadcastable: Boolean,
+        literal: Option[
+          org.apache.spark.broadcast.Broadcast[graft.functions.LmMap]] = None)
+        : TrigramLm =
+      new TrigramLm(() => model, broadcastable, literal)
+  }
 
   /** Type-count ceiling for [[TrigramLm]]'s literal hash-map path
     * (the engine-wide constant lives in
@@ -134,8 +155,6 @@ object TrainPrepOps {
       require(tokenTotal > 0, "trigramBackoffLm: empty training corpus")
       def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
       val hm = new java.util.HashMap[String, java.lang.Double](probeRows.length * 2)
-      val rows = new Array[org.apache.spark.sql.Row](probeRows.length)
-      var i = 0
       probeRows.foreach { r =>
         val g = r.getString(0); val c = r.getLong(1)
         val last = g.lastIndexOf(' ')
@@ -148,18 +167,22 @@ object TrainPrepOps {
             else r6(math.log(c.toDouble / cp.toDouble))
           }
         hm.put(g, lp)
-        rows(i) = org.apache.spark.sql.Row(g, lp)
-        i += 1
       }
       val bc = train.sparkSession.sparkContext.broadcast(new graft.functions.LmMap(hm))
-      val schema = org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("g",
-          org.apache.spark.sql.types.StringType, nullable = false),
-        org.apache.spark.sql.types.StructField("lp",
-          org.apache.spark.sql.types.DoubleType, nullable = false)))
-      val local = train.sparkSession.createDataFrame(
-        java.util.Arrays.asList(rows: _*), schema)
-      return TrigramLm(local, broadcastable = true, Some(bc))
+      // the model FRAME materializes only if someone reads it (TrigramLm
+      // doc): the rows come off the same hash map the scorer probes, so
+      // both physical forms state identical values by construction
+      return TrigramLm({
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("g",
+            org.apache.spark.sql.types.StringType, nullable = false),
+          org.apache.spark.sql.types.StructField("lp",
+            org.apache.spark.sql.types.DoubleType, nullable = false)))
+        val rows = new java.util.ArrayList[org.apache.spark.sql.Row](hm.size())
+        hm.forEach((g, lp) =>
+          rows.add(org.apache.spark.sql.Row(g, lp.doubleValue())))
+        train.sparkSession.createDataFrame(rows, schema)
+      }, broadcastable = true, Some(bc))
     }
     // Distributed branch (model past the literal cap, or probing
     // disabled): per-order stats job, then higher ∪ uni materialized
