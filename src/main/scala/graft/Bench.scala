@@ -120,7 +120,8 @@ object Bench {
     // r16: image→embedding through the real decode path + multimodal
     // SemDeDup over the derived vectors with the DERIVED cell count +
     // the bucketed stored ANN index probe
-    "q_image_embed", "q_image_semdedup", "q_ann_ivf_bucketed")
+    "q_image_embed", "q_image_semdedup", "q_ann_ivf_bucketed",
+    "q_image_search")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

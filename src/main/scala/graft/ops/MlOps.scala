@@ -1568,6 +1568,49 @@ object MlOps extends QueryModule {
         .orderBy("doc_id", "k")
     },
 
+    // image ANN retrieval end to end ("find images like this one"):
+    // derive vectors through the REAL decode path, train the coarse
+    // quantizer, build the IVF index, probe it with the first-10
+    // images — q_embed_search's multimodal sibling, completing the
+    // image ring (embed → dedup → SEARCH). Unlike the memoized text
+    // family, the image frame carries a fresh UDF instance per call,
+    // so the model cache never hits across runs: training + indexing
+    // run IN-MEASURE — read the ratio as plan-vs-plan, no caveat
+    // needed. Same-class images are bit-identical vectors (cosine
+    // exactly 1), so the (sim DESC, vid) tie-break is exercised for
+    // real on every query.
+    Q(
+      "q_image_search",
+      s"""WITH ${imageEmbCtes()},
+         |${lloydCtes("emb", seedK = 16)},
+         |ix AS (
+         |  SELECT a.vec_id, a.cl AS cell, e.embedding
+         |  FROM a$Iters a JOIN emb e ON e.vec_id = a.vec_id),
+         |q AS (
+         |  SELECT vec_id AS qid, cell AS qcell, embedding AS qe
+         |  FROM ix WHERE vec_id < 10),
+         |scored AS (
+         |  SELECT qid, qcell AS cell, i.vec_id AS vid,
+         |         ${duckDot("qe", "i.embedding")} / (${duckNorm("qe")} * ${duckNorm("i.embedding")}) AS sim
+         |  FROM q JOIN ix i ON i.cell = q.qcell AND i.vec_id <> q.qid)
+         |SELECT qid, CAST(cell AS BIGINT) AS cell, vid,
+         |       floor(sim * 1e6 + 0.5) / 1e6 AS sim
+         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vid) AS rn
+         |      FROM scored)
+         |WHERE rn <= 3 ORDER BY qid, vid""".stripMargin
+    ) { (s, d) =>
+      val gen = udf((id: Long) => graft.ocr.MultimodalOps.quadPatternPng(id))
+      // ONE frame feeds codebook, index, and query batch — within the
+      // run the three model reads share a single training pass
+      val e = imageEmbed(Tables.documents(s, d)
+        .select(col("doc_id"), gen(col("doc_id")).as("content")))
+      searchAgainstIvfIndex(
+        cachedQueryBatchDf(e, k = 16),
+        cachedCodebookDf(e, k = 16),
+        storedIvfIndexDf(e, k = 16), topk = 3)
+        .coalesce(1).sortWithinPartitions("qid", "vid")
+    },
+
     // multimodal SemDeDup: generate a PNG per document (the
     // q_image_neardup quadratic fixture — (id, id+256, …) classes are
     // near/exact-duplicate images, distinct classes pseudo-random),

@@ -71,6 +71,35 @@ class StreamingSpec extends SparkSpec {
     assert(math.abs(n2 - 1.0) < 1e-6, s"squared norm $n2")
   }
 
+  test("image→vector projection applies to a stream unchanged (imageEmbed)") {
+    implicit val sq = spark.sqlContext
+    // the image projection is the same narrow map-only shape as
+    // embedFromText (decode + block sums + normalize, all per-row), so
+    // the SAME facade call that passes q_image_embed's oracle projects
+    // an unbounded stream of (id, image bytes) — the ingest side of a
+    // streaming multimodal dedup/ANN-admission loop
+    val mem = MemoryStream[(Long, Array[Byte])]
+    val q = GraftOps.imageEmbed(mem.toDF().toDF("doc_id", "content"))
+      .writeStream.format("memory").queryName("img_emb_out")
+      .outputMode(OutputMode.Append).start()
+    mem.addData(
+      (10L, graft.ocr.MultimodalOps.quadPatternPng(10)),
+      (2L, Array[Byte](9, 9, 9))) // undecodable
+    q.processAllAvailable()
+    mem.addData((99L, graft.ocr.MultimodalOps.quadPatternPng(10))) // same image, later batch
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("img_emb_out").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getSeq[Float](1))).toMap
+    assert(rows.keySet == Set(10L, 2L, 99L))
+    assert(rows(2L) == null, "undecodable bytes must embed to NULL in-stream too")
+    // deterministic across micro-batches, 64 dims, unit norm
+    assert(rows(99L) == rows(10L))
+    assert(rows(10L).length == 64)
+    val n2 = rows(10L).map(v => v.toDouble * v).sum
+    assert(math.abs(n2 - 1.0) < 1e-6, s"squared norm $n2")
+  }
+
   test("chunking applies to a stream unchanged (chunkDocuments)") {
     implicit val sq = spark.sqlContext
     // chunking is fully narrow (tokenize → offset explode → slice), so

@@ -75,8 +75,15 @@ def main():
         if only is not None and table not in only:
             return
         t0 = time.time()
+        # small ROW_GROUP_SIZE: DuckDB's default writes a handful of huge
+        # row groups, and parquet splits at row-group boundaries — a 100x
+        # documents file came out as 5 groups, capping every Spark scan of
+        # the upsampled corpus at 5 tasks (measured: the r16 embed-family
+        # 100x runs crawled at ~4 cores of 32). 10k-row groups give any
+        # realistic upsample enough splits to use the whole box, matching
+        # the many-files layout a real 100 TB corpus has anyway.
         con.execute(f"COPY ({sel}) TO '{dst}/{table}.parquet' "
-                    "(FORMAT PARQUET, COMPRESSION ZSTD)")
+                    "(FORMAT PARQUET, COMPRESSION ZSTD, ROW_GROUP_SIZE 10000)")
         n = con.sql(f"SELECT count(*) FROM read_parquet('{dst}/{table}.parquet')").fetchone()[0]
         print(f"{table} {n} {time.time()-t0:.1f}s")
 
