@@ -121,7 +121,11 @@ object Bench {
     // SemDeDup over the derived vectors with the DERIVED cell count +
     // the bucketed stored ANN index probe
     "q_image_embed", "q_image_semdedup", "q_ann_ivf_bucketed",
-    "q_image_search")
+    "q_image_search",
+    // r16 late: audio→embedding through the real WAV decode path +
+    // audio SemDeDup completing the three-modality ring over the one
+    // shared dedup operator
+    "q_audio_embed", "q_audio_semdedup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -402,6 +402,18 @@ object GraftOps {
   def imageEmbed(images: DataFrame, wGrid: Int = 8, hGrid: Int = 8): DataFrame =
     ops.MlOps.imageEmbed(images, wGrid, hGrid)
 
+  /** Audio → embedding: decodes each (doc_id, content binary) row
+    * through the real `javax.sound.sampled` PCM16 WAV path and projects
+    * to an L2-normalized vector of `bins` signed time-bin sample sums
+    * (a coarse waveform envelope; 64 dims by default — the
+    * [[embedFromText]] dimension, so audio vectors ride the same
+    * ANN/SemDeDup machinery). Map-only: audio bytes never shuffle;
+    * undecodable rows yield NULL. Verified by `q_audio_embed`; chained
+    * end-to-end by `q_audio_semdedup`.
+    */
+  def audioEmbed(audio: DataFrame, bins: Int = ops.MlOps.EmbedDim): DataFrame =
+    ops.MlOps.audioEmbed(audio, bins)
+
   /** Budget-driven source mixing: deterministically hash-downsample
     * each (doc_id, text, source) source toward `targetTokens`, deriving
     * the per-source keep rate from the data inside the plan (tiny

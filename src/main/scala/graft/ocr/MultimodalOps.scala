@@ -145,6 +145,84 @@ object MultimodalOps {
     baos.toByteArray
   }
 
+  /** Synthesize a PCM16 WAV like [[wavSynth]] but from the QUADRATIC
+    * recurrence `v_k = ((j·j·7 + j·11) % 2003) - 1001` with
+    * `j = seed·131 + k` — each seed is a different WINDOW into the same
+    * quadratic sequence mod a prime, so equal seeds are byte-identical
+    * while different seeds decorrelate (the window difference
+    * `f(j+δ) − f(j)` is itself linear in `j` mod 2003, a chirp — binned
+    * sums of two windows land at cosine ≲ 0.65 on the 199-class
+    * fixture, measured, vs exactly 1 within a class). [[wavSynth]]'s
+    * arithmetic progression cannot serve here: its seed is an additive
+    * offset, and two offsets close mod 2003 give near-parallel binned
+    * sums (measured 0.9997) — the audio sibling of
+    * [[quadPatternPng]]'s id-class structure needs the quadratic.
+    */
+  def wavSynthQuad(seed: Long, nFrames: Int, channels: Int, sampleRate: Int): Array[Byte] = {
+    require(nFrames > 0 && channels > 0 && sampleRate > 0)
+    val n = nFrames * channels
+    val pcm = new Array[Byte](n * 2)
+    var k = 0
+    while (k < n) {
+      val j = seed * 131 + k
+      val v = ((j * j * 7 + j * 11) % 2003 - 1001).toInt
+      pcm(2 * k) = (v & 0xff).toByte
+      pcm(2 * k + 1) = ((v >> 8) & 0xff).toByte
+      k += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate.toFloat, 16, channels, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+    val baos = new ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    baos.toByteArray
+  }
+
+  /** Per-bin SIGNED sample sums — the audio sibling of
+    * [[graft.ocr.ImageOps.blockSums]]: decode `bytes` as a PCM16 WAV via
+    * the REAL `javax.sound.sampled` reader (the [[audioFeatures]] path),
+    * split the interleaved sample stream into `bins` contiguous index
+    * ranges (`bin = k·bins/n`, integer division — channels mix down by
+    * interleaving, the coarse-envelope treatment), and return each bin's
+    * exact integer sample sum: a waveform-envelope feature whose
+    * DIRECTION survives amplitude scaling under the downstream L2
+    * normalization. Exact 64-bit integer arithmetic throughout, so any
+    * engine recomputing the same samples replays every bin bit-for-bit.
+    * Returns null when the bytes are not a decodable 16-bit PCM WAV
+    * (callers map it to a NULL embedding — the [[graft.ops.MlOps.imageEmbed]]
+    * undecodable contract).
+    */
+  def sampleBinSums(bytes: Array[Byte], bins: Int): Array[Long] = {
+    require(bins > 0, s"bins must be > 0, got $bins")
+    if (bytes == null || bytes.isEmpty) return null
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new ByteArrayInputStream(bytes))
+      val fmt = ais.getFormat
+      if (fmt.getSampleSizeInBits != 16 ||
+          fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+        return null
+      val bigEndian = fmt.isBigEndian
+      val data = ais.readAllBytes()
+      val n = data.length / 2
+      if (n == 0) return null
+      val out = new Array[Long](bins)
+      var k = 0
+      while (k < n) {
+        val lo = data(2 * k) & 0xff
+        val hi = data(2 * k + 1) & 0xff
+        val v = (if (bigEndian) (lo << 8) | hi else (hi << 8) | lo).toShort.toLong
+        out((k.toLong * bins / n).toInt) += v
+        k += 1
+      }
+      out
+    } catch {
+      case _: Exception => null
+    }
+  }
+
   /** REAL audio featurizer: decode `bytes` as a WAV via
     * `javax.sound.sampled` (PCM signed 16-bit) and report frame count,
     * channel count, sample rate, integer duration, per-block RMS over

@@ -1103,6 +1103,30 @@ object MlOps extends QueryModule {
        |  FROM ibl b JOIN inr n ON n.doc_id = b.doc_id
        |  GROUP BY b.doc_id)""".stripMargin
 
+  /** Shared audio-embedding CTEs: the analytic sample replay of the
+    * [[graft.ocr.MultimodalOps.wavSynthQuad]] fixture (seed =
+    * doc_id % 199, 420 mono PCM16 frames — same-class clips are
+    * byte-identical, cross-class cosine ≤ 0.65 measured over all 199
+    * classes) → 64 time bins of signed sample sums → L2 norm → dense
+    * (vec_id, embedding) `emb` — the exact relation [[audioEmbed]]
+    * computes over the generated WAVs, for chaining the Lloyd/dedup
+    * oracle machinery over audio-derived vectors.
+    */
+  private def audioEmbCtes(): String =
+    s"""apx AS (
+       |  SELECT doc_id, k, (doc_id % 199) * 131 + k AS j
+       |  FROM documents, unnest(generate_series(0, 419)) AS t(k)),
+       |asv AS (SELECT doc_id, k, ((j * j * 7 + j * 11) % 2003) - 1001 AS v FROM apx),
+       |abl AS (SELECT doc_id, CAST(k * 64 // 420 AS INT) AS kb, CAST(SUM(v) AS BIGINT) AS bs
+       |        FROM asv GROUP BY doc_id, k * 64 // 420),
+       |anr AS (SELECT doc_id, sqrt(CAST(SUM(bs * bs) AS DOUBLE)) AS nrm
+       |        FROM abl GROUP BY doc_id),
+       |emb AS (
+       |  SELECT b.doc_id AS vec_id,
+       |         list(CAST(CAST(b.bs AS DOUBLE) / n.nrm AS FLOAT) ORDER BY b.kb) AS embedding
+       |  FROM abl b JOIN anr n ON n.doc_id = b.doc_id
+       |  GROUP BY b.doc_id)""".stripMargin
+
   /** Semantic eval-set decontamination — the embedding-space sibling of
     * the n-gram `q_contamination`: derive vectors for BOTH frames from
     * raw text, train the cell codebook on the CORPUS (the benchmark
@@ -1207,6 +1231,25 @@ object MlOps extends QueryModule {
     }
     l2NormalizeCounts(
       images.select(col("doc_id").as("vec_id"), sums(col("content")).as("cnts")))
+  }
+
+  /** Audio → embedding: the third modality through the shared ring
+    * ([[embedFromText]] for text, [[imageEmbed]] for images). Each
+    * (doc_id, content: binary) row runs the REAL WAV decode path
+    * ([[graft.ocr.MultimodalOps.sampleBinSums]], `javax.sound.sampled`
+    * PCM16) → `bins` time-contiguous SIGNED sample sums (a coarse
+    * waveform envelope; 64 bins = [[EmbedDim]]) → the shared exact-
+    * arithmetic L2 tail, so amplitude scaling cancels under cosine and
+    * an oracle that can recompute the samples replays the vector
+    * bit-for-bit. Like its siblings the pass is MAP-ONLY — audio bytes
+    * never shuffle; the output is 64 floats per clip feeding the
+    * UNCHANGED [[semanticDedup]]/IVF machinery (`q_audio_semdedup`).
+    * Undecodable clips yield a NULL embedding.
+    */
+  def audioEmbed(audio: DataFrame, bins: Int = EmbedDim): DataFrame = {
+    val sums = udf((b: Array[Byte]) => graft.ocr.MultimodalOps.sampleBinSums(b, bins))
+    l2NormalizeCounts(
+      audio.select(col("doc_id").as("vec_id"), sums(col("content")).as("cnts")))
   }
 
   def queries: Seq[Q] = Seq(
@@ -1632,6 +1675,61 @@ object MlOps extends QueryModule {
       val gen = udf((id: Long) => graft.ocr.MultimodalOps.quadPatternPng(id))
       graft.GraftOps.semanticDedup(
         imageEmbed(Tables.documents(s, d)
+          .select(col("doc_id"), gen(col("doc_id")).as("content"))),
+        threshold = 0.96, prefilterSlack = 0.03)
+    },
+
+    // audio → embedding, verified bin by bin: the REAL WAV decode path
+    // (synthesize a PCM16 clip per document through the real
+    // javax.sound writer, read it back through the real reader) against
+    // the analytic sample replay — if the decode, bin layout, signed
+    // sum, or L2 arithmetic drifted, the full-value (sum, weight) match
+    // breaks. One row per (clip, time bin): the integer bin sum and the
+    // float component the chained semdedup consumes.
+    Q(
+      "q_audio_embed",
+      s"""WITH ${audioEmbCtes()}
+         |SELECT b.doc_id, b.kb AS k, b.bs,
+         |       CAST(CAST(b.bs AS DOUBLE) / n.nrm AS FLOAT) AS w
+         |FROM abl b JOIN anr n ON n.doc_id = b.doc_id
+         |ORDER BY b.doc_id, b.kb""".stripMargin
+    ) { (s, d) =>
+      val gen = udf((id: Long) =>
+        graft.ocr.MultimodalOps.wavSynthQuad(id % 199, 420, 1, 8000))
+      val sums = udf((b: Array[Byte]) =>
+        graft.ocr.MultimodalOps.sampleBinSums(b, EmbedDim))
+      Tables.documents(s, d)
+        .select(col("doc_id"), sums(gen(col("doc_id"))).as("cnts"))
+        .withColumn("nrm",
+          sqrt(aggregate(col("cnts"), lit(0L), (a, x) => a + x * x).cast("double")))
+        .select(col("doc_id"), posexplode(col("cnts")).as(Seq("k", "bs")), col("nrm"))
+        .select(col("doc_id"), col("k").cast("int").as("k"), col("bs"),
+          (col("bs").cast("double") / col("nrm")).cast("float").as("w"))
+        .orderBy("doc_id", "k")
+    },
+
+    // audio SemDeDup: synthesize a WAV clip per document (the
+    // wavSynthQuad fixture — doc_id % 199 classes are byte-identical
+    // clips, distinct classes decorrelated windows of a quadratic
+    // sequence), embed through the REAL decode path (audioEmbed), and
+    // chain the UNCHANGED semanticDedup with the DERIVED cell count —
+    // dedup-by-meaning for the audio modality, completing the
+    // three-modality ring (text q_embed_dedup, image q_image_semdedup,
+    // audio here) over ONE shared dedup operator. Same-class clips sit
+    // at cosine exactly 1, cross-class pairs at ≤ 0.65 (measured over
+    // all class pairs), so 0.96 exercises both branches at every SF.
+    // The oracle replays samples → bins → norm → Lloyd → pair cosine
+    // analytically, with the SAME derived-K seed.
+    Q(
+      "q_audio_semdedup",
+      semanticDedupOracle(0.96, src = "emb",
+        derivedCtes = s"${audioEmbCtes()},\n",
+        seedExpr = autoKSql("emb"))
+    ) { (s, d) =>
+      val gen = udf((id: Long) =>
+        graft.ocr.MultimodalOps.wavSynthQuad(id % 199, 420, 1, 8000))
+      graft.GraftOps.semanticDedup(
+        audioEmbed(Tables.documents(s, d)
           .select(col("doc_id"), gen(col("doc_id")).as("content"))),
         threshold = 0.96, prefilterSlack = 0.03)
     }
