@@ -125,7 +125,11 @@ object Bench {
     // r16 late: audio→embedding through the real WAV decode path +
     // audio SemDeDup completing the three-modality ring over the one
     // shared dedup operator
-    "q_audio_embed", "q_audio_semdedup")
+    "q_audio_embed", "q_audio_semdedup",
+    // r16: incremental semantic admission — a new vector batch judged
+    // against a stored corpus codebook + cell index, the streaming
+    // SemDeDup shape (corpus never re-compares to itself)
+    "q_semantic_admission")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1079,6 +1079,62 @@ object MlOps extends QueryModule {
        |  LEFT JOIN en n ON n.doc_id = g.doc_id
        |  GROUP BY g.doc_id)""".stripMargin
 
+  /** Oracle for [[semanticAdmission]] over the %3 documents split:
+    * derive vectors for all documents ([[embedCtes]]), split into
+    * corpus/batch, train Lloyd on the CORPUS ONLY with the derived-K
+    * seed, assign the batch against the final centroids (the
+    * q_embed_contamination second-frame assignment shape), and replay
+    * the two-arm admission policy — index hits outrank batch hits,
+    * zero-norm vectors admit and drop nothing. The multiply-referenced
+    * frames carry `AS MATERIALIZED`: DuckDB inlines CTEs by default, so
+    * without the hint each of the ~9 references to the vector frames
+    * re-expands the md5-trigram pipeline — measured 204 s / >100 GB at
+    * sf0.1 unhinted vs 6.3 s hinted, identical rows.
+    */
+  private def semanticAdmissionOracle(threshold: Double): String =
+    s"""WITH $embedCtes,
+       |$embedDenseCte,
+       |cemb AS MATERIALIZED (SELECT * FROM emb WHERE vec_id % 3 <> 0),
+       |nemb AS MATERIALIZED (SELECT * FROM emb WHERE vec_id % 3 = 0),
+       |${lloydCtesSeedExpr("cemb", autoKSql("cemb"))},
+       |cw AS (
+       |  SELECT a.cl AS cell, e.embedding AS ce
+       |  FROM a$Iters a JOIN cemb e ON e.vec_id = a.vec_id
+       |  WHERE ${duckNorm("e.embedding")} > 0),
+       |nd AS MATERIALIZED (
+       |  SELECT e.vec_id, c.k,
+       |         ${duckSqDist("e.embedding", "c.carr")} AS dist
+       |  FROM nemb e CROSS JOIN c$Iters c),
+       |na AS (
+       |  SELECT d.vec_id, MIN(d.k) AS cl
+       |  FROM nd d
+       |  JOIN (SELECT vec_id, MIN(dist) AS md FROM nd GROUP BY vec_id) m
+       |    ON d.vec_id = m.vec_id AND d.dist = m.md
+       |  GROUP BY d.vec_id, m.md),
+       |nw AS MATERIALIZED (
+       |  SELECT a.vec_id, a.cl AS cell, e.embedding
+       |  FROM na a JOIN nemb e ON e.vec_id = a.vec_id),
+       |hi AS (
+       |  SELECT DISTINCT b.vec_id
+       |  FROM nw b JOIN cw c ON c.cell = b.cell
+       |  WHERE ${duckNorm("b.embedding")} > 0
+       |    AND ${duckDot("b.embedding", "c.ce")}
+       |        / (${duckNorm("b.embedding")} * ${duckNorm("c.ce")}) >= $threshold),
+       |hb AS (
+       |  SELECT DISTINCT b.vec_id
+       |  FROM nw b JOIN nw p ON p.cell = b.cell AND p.vec_id < b.vec_id
+       |  WHERE ${duckNorm("b.embedding")} > 0 AND ${duckNorm("p.embedding")} > 0
+       |    AND ${duckDot("b.embedding", "p.embedding")}
+       |        / (${duckNorm("b.embedding")} * ${duckNorm("p.embedding")}) >= $threshold)
+       |SELECT w.vec_id, w.cell,
+       |       CASE WHEN i.vec_id IS NOT NULL THEN 'dropped_index'
+       |            WHEN b.vec_id IS NOT NULL THEN 'dropped_batch'
+       |            ELSE 'admitted' END AS status
+       |FROM nw w
+       |LEFT JOIN hi i ON i.vec_id = w.vec_id
+       |LEFT JOIN hb b ON b.vec_id = w.vec_id
+       |ORDER BY w.vec_id""".stripMargin
+
   /** Shared image-embedding CTEs: the analytic pixel replay of the
     * [[graft.ocr.MultimodalOps.quadPatternPng]] fixture
     * ([[MediaQueries.QuadPxSql]] — ONE statement of the formula serves
@@ -1167,6 +1223,63 @@ object MlOps extends QueryModule {
         coalesce(col("n_hits"), lit(0L)).as("n_hits"),
         (coalesce(col("n_hits"), lit(0L)) > 0).as("flagged"))
       .orderBy("doc_id")
+  }
+
+  /** Incremental semantic admission — the embedding-space sibling of
+    * [[graft.ops.DedupOps.incrementalAdmission]], the production dedup
+    * shape at 100 TB: a NEW batch of vectors is admitted against an
+    * ALREADY INDEXED corpus without the corpus ever re-comparing to
+    * itself. The stored state is exactly what a deployment persists
+    * after [[semanticDedup]]: the trained codebook (K·dim literal model
+    * state) and the cell-keyed vector index. The batch assigns to cells
+    * through the SAME narrow literal-centroid fold the corpus used
+    * (batch vectors never shuffle to be assigned), then one cell-keyed
+    * join against the index decides `dropped_index` (a corpus neighbor
+    * at cosine ≥ `threshold`), one cell-keyed batch self-join decides
+    * `dropped_batch` (a SMALLER-id batch neighbor — the monotone
+    * order-free rule of [[graft.ops.DedupOps.incrementalAdmission]],
+    * with the same documented over-drop trade), else `admitted`.
+    * Candidate pairs are O(batch · cell size), never batch × corpus.
+    * The codebook trains on the CORPUS ONLY (a batch must not shape the
+    * cells it is judged in), with AutoK derived from the CORPUS count.
+    * Zero-norm vectors are similar to nothing: they admit, and they
+    * drop nothing (the [[semanticDedup]] zero-norm rule on every pair
+    * side). Output: (vec_id, cell, status), one row per batch vector.
+    */
+  def semanticAdmission(
+      corpus: DataFrame, batch: DataFrame,
+      k: Int = AutoK, iters: Int = Iters,
+      threshold: Double = 0.96): DataFrame = {
+    val cv = prepared(corpus)
+    val cents = train(cv, resolveK(cv, k), iters)
+    val nzNorm = (e: Column) =>
+      aggregate(e, lit(0.0), (a, x) => a + x.cast("double") * x.cast("double")) > 0.0
+    val cw = assignTo(cv, cents)
+      .filter(nzNorm(col("embedding")))
+      .select(col("cl").as("cell"), col("embedding").as("ce"))
+    // prepared: the batch frame feeds the status join plus both pair
+    // joins — cache it once instead of re-deriving the vectors per read
+    val bw = assignTo(prepared(batch), cents)
+      .select(col("vec_id"), col("embedding"), col("cl").as("cell"))
+    val bnz = bw.filter(nzNorm(col("embedding")))
+    val sim = (a: Column, b: Column) =>
+      graft.functions.GraftFunctions.cosine_sim(a, b) >= threshold
+    val hitIndex = bnz.join(cw, Seq("cell"))
+      .filter(sim(col("embedding"), col("ce")))
+      .select(col("vec_id").as("hi")).distinct()
+    val hitBatch = bnz
+      .join(bnz.select(col("cell"), col("vec_id").as("pid"),
+          col("embedding").as("pe")),
+        Seq("cell"))
+      .filter(col("pid") < col("vec_id") && sim(col("embedding"), col("pe")))
+      .select(col("vec_id").as("hb")).distinct()
+    bw.join(hitIndex, col("vec_id") === col("hi"), "left")
+      .join(hitBatch, col("vec_id") === col("hb"), "left")
+      .select(col("vec_id"), col("cell"),
+        when(col("hi").isNotNull, "dropped_index")
+          .when(col("hb").isNotNull, "dropped_batch")
+          .otherwise("admitted").as("status"))
+      .orderBy("vec_id")
   }
 
   /** Hashed char-trigram document embedding: (vec_id, embedding) with
@@ -1518,6 +1631,26 @@ object MlOps extends QueryModule {
         docs.filter(col("doc_id") % 41 =!= 0),
         docs.filter(col("doc_id") % 41 === 0),
         threshold = 0.96, k = 16)
+    },
+
+    // incremental semantic admission: the % 3 == 0 docs play the NEW
+    // batch, the rest the already-indexed corpus (the
+    // incrementalAdmission residue convention — the trigram-vector
+    // fixture puts same-cell ≥0.96 neighbors on both sides of the
+    // split, so both drop arms fire at every SF). Cells train on the
+    // corpus ONLY with the DERIVED count; the batch assigns against the
+    // final centroids and is judged cell-locally — the streaming
+    // SemDeDup shape a recurring crawl runs against its stored
+    // embedding index.
+    Q(
+      "q_semantic_admission",
+      semanticAdmissionOracle(0.96)
+    ) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      semanticAdmission(
+        embedFromText(docs.filter(col("doc_id") % 3 =!= 0)),
+        embedFromText(docs.filter(col("doc_id") % 3 === 0)),
+        threshold = 0.96)
     },
 
     // text → vector: the hashed-trigram projection verified entry by

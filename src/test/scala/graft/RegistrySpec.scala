@@ -55,7 +55,9 @@ class RegistrySpec extends AnyFunSuite {
     val known = tables ++ Set("unnest", "generate_series") // table functions
     SparkEntry.oracleSql.foreach { case (name, sql) =>
       // strip CTE names declared in this statement — they are legal refs
-      val ctes = "(?i)\\b([a-z_][a-z0-9_]*)\\s*(?:\\([^)]*\\))?\\s+AS\\s*\\(".r
+      // (AS MATERIALIZED is DuckDB's force-once hint for multiply-
+      // referenced CTEs; same declaration shape)
+      val ctes = "(?i)\\b([a-z_][a-z0-9_]*)\\s*(?:\\([^)]*\\))?\\s+AS\\s*(?:MATERIALIZED\\s*)?\\(".r
         .findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
       fromRe.findAllMatchIn(sql).map(_.group(1).toLowerCase).foreach { t =>
         assert(known.contains(t) || ctes.contains(t),
