@@ -129,7 +129,10 @@ object Bench {
     // r16: incremental semantic admission — a new vector batch judged
     // against a stored corpus codebook + cell index, the streaming
     // SemDeDup shape (corpus never re-compares to itself)
-    "q_semantic_admission")
+    "q_semantic_admission",
+    // r16: quality-aware near-dedup — cluster keeper chosen by the
+    // quality blend instead of arrival id (13/27 fixture clusters swap)
+    "q_dedup_keep_best")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

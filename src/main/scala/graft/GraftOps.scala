@@ -111,6 +111,17 @@ object GraftOps {
   def dedupNear(docs: DataFrame): DataFrame =
     ops.DedupOps.dedupNearCorpus(docs)
 
+  /** [[dedupNear]] with the cluster keeper chosen by quality instead of
+    * arrival id: per near-dup cluster, keep the member with the highest
+    * `q_quality_score` blend (tie → smallest doc_id) — the selection
+    * rule real curation runs, since clusters usually mix a clean
+    * original with boilerplate-wrapped or truncated copies. Adds
+    * `is_swapped` (kept AND not the min-id member). Verified by
+    * `q_dedup_keep_best`.
+    */
+  def dedupKeepBest(docs: DataFrame): DataFrame =
+    ops.DedupOps.keepBestCorpus(docs)
+
   /** Bounded top-k rows per query by score, descending, ties by id —
     * two-phase (map-side partials of ≤ k pairs, one tiny shuffle), never
     * a per-query window. Input columns: qid, vid LONG, sim DOUBLE.

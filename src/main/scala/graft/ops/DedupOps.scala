@@ -214,6 +214,52 @@ object DedupOps extends QueryModule {
     docs.join(nonKeepers, Seq("doc_id"), "left_anti")
   }
 
+  /** Quality-aware near-dup corpus: [[dedupNearCorpus]] with the keeper
+    * chosen by QUALITY instead of arrival id — per cluster, keep the
+    * member with the highest [[TextOps.qualityScore]] (tie → smallest
+    * doc_id). This is the selection rule real curation pipelines run:
+    * near-dup clusters usually mix a clean original with boilerplate-
+    * wrapped or truncated copies, and keep-min-id keeps whichever
+    * crawled first. Output: full input schema + `is_swapped` (kept AND
+    * not the min-id member — the rows where the quality rule changed
+    * the outcome vs [[dedupNearCorpus]]).
+    *
+    * Scale posture: clustering is the verified [[nearDupComponents]]
+    * path; quality is one narrow codegen pass over the CLUSTERED
+    * members only (candidate-scale, not corpus-scale — the join with
+    * components prunes first); the per-cluster argmax is a window over
+    * component keys (cluster-sized partitions, high-cardinality key);
+    * the payload meets its verdict through ONE doc-keyed join against
+    * the checkpointed narrow flags frame (broadcast in practice; past
+    * broadcast range text crosses that one documented exchange — the
+    * q_dedup_corpus materialization trade).
+    */
+  def keepBestCorpus(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // localCheckpoint: `ranked` is narrow (doc_id, component, quality —
+    // candidate-scale) and feeds two doc-keyed joins against the full
+    // corpus; materializing it gives the planner real sizes so those
+    // joins broadcast instead of shuffling the text-carrying side (the
+    // DSIR/hashedQuality r10 discipline, enforced by PlanHygieneSpec)
+    val ranked = nearDupComponents(docs)
+      .join(docs.select(col("doc_id"),
+        TextOps.qualityScore(col("text")).as("quality")), Seq("doc_id"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("component")
+          .orderBy(col("quality").desc, col("doc_id").asc)))
+      .localCheckpoint()
+    // ONE doc-keyed join carries the text payload to its verdict — the
+    // q_dedup_corpus materialization discipline (broadcast in practice,
+    // the operator's one documented exchange past broadcast range)
+    val flags = ranked.select(col("doc_id"),
+      (col("rn") > 1).as("__graft_drop"),
+      (col("rn") === 1 && col("doc_id") =!= col("component")).as("__graft_sw"))
+    docs.join(flags, Seq("doc_id"), "left")
+      .filter(!coalesce(col("__graft_drop"), lit(false)))
+      .withColumn("is_swapped", coalesce(col("__graft_sw"), lit(false)))
+      .drop("__graft_drop", "__graft_sw")
+  }
+
   /** Agreement threshold for confirming an LSH candidate as a near-dup:
     * matching signature slots out of [[NumHashes]] (4/8 estimates
     * Jaccard >= 0.5 — the banding already guarantees 2 matching slots,
@@ -962,6 +1008,55 @@ object DedupOps extends QueryModule {
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"),
           sum(TextOps.wordCount(col("text"))).as("total_tokens"))
+        .boundedSort("source")
+    },
+
+    // Quality-aware near-dedup: same clusters as q_dedup_corpus, keeper
+    // chosen by the q_quality_score blend instead of min doc_id — the
+    // rule a real curation pipeline runs (keep the clean original, not
+    // whichever copy crawled first). n_swapped counts survivors that are
+    // NOT the min-id member: 13 of 27 fixture clusters swap, so the
+    // quality ranking (and its DESC/tie order) is pinned, not vacuous.
+    // The oracle replays clustering recursively and the ranking with the
+    // bit-identical QualitySql restatement.
+    Q(
+      "q_dedup_keep_best",
+      s"""WITH RECURSIVE $sigCte,
+         |$bandsCte,
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         |   AND a.doc_id < b.doc_id),
+         |edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+         |          UNION SELECT d2, d1 FROM pairs),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |comp AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS component
+         |         FROM reach GROUP BY a),
+         |rk AS (
+         |  SELECT c.doc_id, c.component,
+         |         ROW_NUMBER() OVER (PARTITION BY c.component
+         |           ORDER BY ${TextOps.QualitySql} DESC, c.doc_id) AS rn
+         |  FROM comp c JOIN documents USING (doc_id)),
+         |dropped AS (SELECT doc_id FROM rk WHERE rn > 1),
+         |swapped AS (SELECT doc_id FROM rk WHERE rn = 1 AND doc_id <> component)
+         |SELECT source,
+         |       COUNT(*) AS n_docs,
+         |       CAST(SUM(CAST(len($WordsSql) AS BIGINT)) AS BIGINT) AS total_tokens,
+         |       CAST(SUM(CASE WHEN s.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_swapped
+         |FROM documents d LEFT JOIN swapped s ON s.doc_id = d.doc_id
+         |WHERE d.doc_id NOT IN (SELECT doc_id FROM dropped)
+         |GROUP BY source ORDER BY source"""
+    ) { (s, d) =>
+      keepBestCorpus(Tables.documents(s, d))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextOps.wordCount(col("text"))).as("total_tokens"),
+          sum(col("is_swapped").cast("bigint")).as("n_swapped"))
         .boundedSort("source")
     },
 

@@ -96,7 +96,7 @@ object MlOps extends QueryModule {
     s"(SELECT least(greatest((COUNT(*) + ${AutoCellTarget - 1}) // $AutoCellTarget, 1), $MaxAutoK) FROM $src)"
 
   /** Trained centroid state: (cluster id, centroid array). O(K·dim). */
-  private type Cents = Seq[(Long, IndexedSeq[Double])]
+  private[graft] type Cents = Seq[(Long, IndexedSeq[Double])]
 
   /** DuckDB fragments mirroring the Spark-side left folds. */
   private def duckDot(a: String, b: String): String =
@@ -1250,13 +1250,46 @@ object MlOps extends QueryModule {
       corpus: DataFrame, batch: DataFrame,
       k: Int = AutoK, iters: Int = Iters,
       threshold: Double = 0.96): DataFrame = {
+    val (cents, index) = semanticIndexState(corpus, k, iters)
+    semanticAdmitAgainst(cents, index, batch, threshold)
+      .select("vec_id", "cell", "status")
+      .orderBy("vec_id")
+  }
+
+  /** Zero-norm guard: a zero vector is similar to nothing (the r15
+    * ADVICE rule), so it is excluded from every pair side.
+    */
+  private def nzNorm(e: Column): Column =
+    aggregate(e, lit(0.0), (a, x) => a + x.cast("double") * x.cast("double")) > 0.0
+
+  /** The stored state [[semanticAdmission]] trains once and a streaming
+    * deployment persists: the codebook (K·dim literal model state,
+    * CORPUS-derived) and the cell-keyed nonzero-norm vector index.
+    */
+  private[graft] def semanticIndexState(
+      corpus: DataFrame, k: Int = AutoK, iters: Int = Iters): (Cents, DataFrame) = {
     val cv = prepared(corpus)
     val cents = train(cv, resolveK(cv, k), iters)
-    val nzNorm = (e: Column) =>
-      aggregate(e, lit(0.0), (a, x) => a + x.cast("double") * x.cast("double")) > 0.0
-    val cw = assignTo(cv, cents)
+    (cents, semanticIndexRows(cents, cv))
+  }
+
+  /** Index rows for `vecs` under a FIXED codebook — the append a
+    * streaming admission performs for each batch's admitted vectors.
+    */
+  private[graft] def semanticIndexRows(cents: Cents, vecs: DataFrame): DataFrame =
+    assignTo(vecs, cents)
       .filter(nzNorm(col("embedding")))
       .select(col("cl").as("cell"), col("embedding").as("ce"))
+
+  /** The per-batch probe of [[semanticAdmission]] against STORED state
+    * (no training, the corpus never re-compares): assign the batch with
+    * the fixed codebook, one cell-keyed index join, one cell-keyed batch
+    * self-join. Keeps the embedding column so a streaming caller can
+    * append the admitted vectors' index rows before the next batch.
+    */
+  private[graft] def semanticAdmitAgainst(
+      cents: Cents, index: DataFrame, batch: DataFrame,
+      threshold: Double): DataFrame = {
     // prepared: the batch frame feeds the status join plus both pair
     // joins — cache it once instead of re-deriving the vectors per read
     val bw = assignTo(prepared(batch), cents)
@@ -1264,7 +1297,7 @@ object MlOps extends QueryModule {
     val bnz = bw.filter(nzNorm(col("embedding")))
     val sim = (a: Column, b: Column) =>
       graft.functions.GraftFunctions.cosine_sim(a, b) >= threshold
-    val hitIndex = bnz.join(cw, Seq("cell"))
+    val hitIndex = bnz.join(index, Seq("cell"))
       .filter(sim(col("embedding"), col("ce")))
       .select(col("vec_id").as("hi")).distinct()
     val hitBatch = bnz
@@ -1278,8 +1311,8 @@ object MlOps extends QueryModule {
       .select(col("vec_id"), col("cell"),
         when(col("hi").isNotNull, "dropped_index")
           .when(col("hb").isNotNull, "dropped_batch")
-          .otherwise("admitted").as("status"))
-      .orderBy("vec_id")
+          .otherwise("admitted").as("status"),
+        col("embedding"))
   }
 
   /** Hashed char-trigram document embedding: (vec_id, embedding) with

@@ -71,6 +71,35 @@ object TextOps {
   def shingles(c: Column, n: Int): Column =
     graft.functions.GraftFunctions.shingles(c, n)
 
+  /** The q_quality_score scalar: a length/stopword/whitespace-density
+    * blend over integer counts, pure IEEE arithmetic in a FIXED op
+    * order so any engine restating the same order replays the double
+    * bit-for-bit (the q_quality_score oracle does; q_dedup_keep_best
+    * ranks on it). Shared so the ranking consumers can never drift
+    * from the registered score.
+    */
+  private[graft] def qualityScore(text: Column): Column = {
+    val ws = words(text)
+    val nWords = size(ws)
+    val nStop = element_at(graft.functions.GraftFunctions.token_set_counts(
+      ws, Seq(EnStop)), 1).cast("int")
+    val nNonspace = length(regexp_replace(text, WsRe, ""))
+    nWords.cast("double") / 100 * 0.5 +
+      nStop.cast("double") / nWords * 0.3 +
+      nNonspace.cast("double") / length(text) * 0.2
+  }
+
+  /** DuckDB replay of [[qualityScore]] — same counts, same op order.
+    * (lazy: references [[EnStop]], declared below — object-body vals
+    * initialize in declaration order)
+    */
+  private[graft] lazy val QualitySql =
+    s"""CAST(len($WordsSql) AS DOUBLE) / 100 * 0.5
+       | + CAST(len(list_filter($WordsSql, x -> x IN ${inList(EnStop)})) AS DOUBLE)
+       |   / len($WordsSql) * 0.3
+       | + CAST(length(regexp_replace(text, '$WsReDuck', '', 'g')) AS DOUBLE)
+       |   / length(text) * 0.2""".stripMargin.replace("\n", "")
+
   /** DuckDB fragment mirroring [[words]]. */
   val WordsSql = s"list_filter(regexp_split_to_array(text, '$WsReDuck'), x -> x <> '')"
 

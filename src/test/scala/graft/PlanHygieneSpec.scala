@@ -55,7 +55,12 @@ class PlanHygieneSpec extends SparkSpec {
     //    broadcast exactly at scale; GraftOps.dedupExact scaladoc).
     // Presentation sorts of output text are exempted by the walker
     // itself (TextShuffleAudit), not listed here.
-    val allow = Set("q_dedup_exact", "q_dedup_corpus")
+    //  - q_dedup_keep_best: same materialization class — the surviving
+    //    payload meets its per-doc verdict through ONE doc-keyed join
+    //    against the checkpointed narrow flags frame (broadcast in
+    //    practice; past broadcast range the text crosses that one
+    //    documented exchange, exactly the q_dedup_corpus trade).
+    val allow = Set("q_dedup_exact", "q_dedup_corpus", "q_dedup_keep_best")
     val offenders = SparkEntry.all.flatMap { q =>
       if (allow(q.name)) None
       else try {

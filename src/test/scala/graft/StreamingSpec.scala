@@ -854,6 +854,63 @@ class StreamingSpec extends SparkSpec {
     assert(admitted.synchronized(admitted.toSet) == Set(11L, 21L))
   }
 
+  test("streaming semantic admission: per-batch cell probe + index maintenance") {
+    implicit val sq = spark.sqlContext
+    import ops.MlOps
+    // The streaming form of semanticAdmission (the embedding-space
+    // sibling of the LSH admission stream above): the codebook trains
+    // ONCE on the corpus — batches must not shape the cells they are
+    // judged in — and per batch the stored cell index absorbs the
+    // admitted vectors before the next batch, so later batches dedup
+    // against earlier admissions. Index state lives as a checkpointed
+    // frame the closure swaps (the model-state-refresh shape).
+    def v(x: Float, y: Float, z: Float, w: Float) = Seq(x, y, z, w)
+    val vA = v(1f, 0f, 0f, 0f); val vB = v(0f, 1f, 0f, 0f)
+    val vC = v(0f, 0f, 1f, 0f); val vD = v(0f, 0f, 0f, 1f)
+    val corpus = Seq((1L, vA), (2L, vB)).toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val (cents, corpusIndex) = MlOps.semanticIndexState(corpus, k = 2, iters = 2)
+    @volatile var index = corpusIndex.localCheckpoint()
+    val status = scala.collection.mutable.Map.empty[Long, String]
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = mem.toDF().toDF("vec_id", "embedding").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val typed = batch.select(col("vec_id"),
+          col("embedding").cast("array<float>").as("embedding"))
+        val adm = MlOps.semanticAdmitAgainst(cents, index, typed, 0.96)
+          .localCheckpoint()
+        index = index.union(MlOps.semanticIndexRows(cents,
+          adm.filter(col("status") === "admitted")
+            .select(col("vec_id"), col("embedding")))).localCheckpoint()
+        adm.collect().foreach(r => status.synchronized {
+          status(r.getLong(0)) = r.getString(2); () })
+        ()
+      }
+      .start()
+    // batch 1: 10 duplicates corpus vec A -> dropped_index; 11 fresh
+    mem.addData((10L, vC), (11L, vA))
+    q.processAllAvailable()
+    assert(status.synchronized(status.toMap) ==
+      Map(10L -> "admitted", 11L -> "dropped_index"))
+    // batch 2: 20 duplicates the batch-1 ADMISSION (cross-batch index
+    // maintenance); 21 fresh; 22 duplicates 21 WITHIN the batch
+    // (dropped_batch: the smaller id 21 wins); 23 is zero-norm and must
+    // admit (similar to nothing)
+    mem.addData((20L, vC), (21L, vD), (22L, vD), (23L, v(0f, 0f, 0f, 0f)))
+    q.processAllAvailable()
+    assert(status.synchronized(status.toMap) == Map(
+      10L -> "admitted", 11L -> "dropped_index",
+      20L -> "dropped_index", 21L -> "admitted",
+      22L -> "dropped_batch", 23L -> "admitted"))
+    // batch 3: a dup of a batch-2 admission and a dup of the original
+    // corpus -> nothing new admits
+    mem.addData((30L, vD), (31L, vB))
+    q.processAllAvailable()
+    q.stop()
+    assert(status.synchronized(status.toMap).view.filterKeys(_ >= 30L).toMap ==
+      Map(30L -> "dropped_index", 31L -> "dropped_index"))
+  }
+
   test("streaming line dedup: seen-digest state strips across batches (firstLineDedup recipe)") {
     implicit val sq = spark.sqlContext
     // The streaming form of firstLineDedup (its batch form is
