@@ -109,12 +109,20 @@ object MlOps extends QueryModule {
        |                * (CAST($e[i] AS DOUBLE) - $c[i])),
        |           (x, y) -> x + y)""".stripMargin
 
+  /** `AS MATERIALIZED` throughout the unroll: DuckDB inlines CTEs by
+    * default, and `a$k` references `d$k` TWICE (the argmin min-join), so
+    * an unhinted chain re-expands everything upstream 2× per iteration —
+    * exponential in `Iters`, and catastrophic when `src` is itself a
+    * derived md5-trigram pipeline (the r16 bench window saw the whole
+    * Lloyd oracle family OOM a 100 GB allocation at sf0.1; hinted, each
+    * frame computes once, identical rows).
+    */
   private def assignCte(k: Int, src: String = "embeddings"): String =
-    s"""d$k AS (
+    s"""d$k AS MATERIALIZED (
        |  SELECT e.vec_id, c.k,
        |         ${duckSqDist("e.embedding", "c.carr")} AS dist
        |  FROM $src e CROSS JOIN c$k c),
-       |a$k AS (
+       |a$k AS MATERIALIZED (
        |  SELECT d.vec_id, MIN(d.k) AS cl, m.md AS dist
        |  FROM d$k d
        |  JOIN (SELECT vec_id, MIN(dist) AS md FROM d$k GROUP BY vec_id) m
@@ -1011,7 +1019,7 @@ object MlOps extends QueryModule {
     s"""WITH $derivedCtes${
       if (seedExpr.nonEmpty) lloydCtesSeedExpr(src, seedExpr)
       else lloydCtes(src, seedK)},
-       |wc AS (
+       |wc AS MATERIALIZED (
        |  SELECT a.vec_id, a.cl AS cell, e.embedding
        |  FROM a$Iters a JOIN $src e ON e.vec_id = a.vec_id),
        |dups AS (
@@ -1057,7 +1065,7 @@ object MlOps extends QueryModule {
        |  SELECT doc_id,
        |         list_transform(generate_series(1, length(text) - 2), i -> substr(text, i, 3)) AS gs
        |  FROM documents),
-       |eh AS (
+       |eh AS MATERIALIZED (
        |  SELECT doc_id, ${embedBucketSql("g")} AS bucket, COUNT(*) AS cnt
        |  FROM (SELECT doc_id, unnest(gs) AS g FROM ef)
        |  GROUP BY doc_id, bucket),
@@ -1068,7 +1076,7 @@ object MlOps extends QueryModule {
     * Lloyd/dedup oracle machinery over derived vectors.
     */
   private def embedDenseCte: String =
-    s"""emb AS (
+    s"""emb AS MATERIALIZED (
        |  SELECT g.doc_id AS vec_id,
        |         list(CAST(CASE WHEN h.cnt IS NULL THEN 0.0
        |                        ELSE CAST(h.cnt AS DOUBLE) / n.nrm END AS FLOAT)
@@ -1097,7 +1105,7 @@ object MlOps extends QueryModule {
        |cemb AS MATERIALIZED (SELECT * FROM emb WHERE vec_id % 3 <> 0),
        |nemb AS MATERIALIZED (SELECT * FROM emb WHERE vec_id % 3 = 0),
        |${lloydCtesSeedExpr("cemb", autoKSql("cemb"))},
-       |cw AS (
+       |cw AS MATERIALIZED (
        |  SELECT a.cl AS cell, e.embedding AS ce
        |  FROM a$Iters a JOIN cemb e ON e.vec_id = a.vec_id
        |  WHERE ${duckNorm("e.embedding")} > 0),
@@ -1153,7 +1161,7 @@ object MlOps extends QueryModule {
        |        FROM ipx GROUP BY doc_id, y * 8 + (x // 2)),
        |inr AS (SELECT doc_id, sqrt(CAST(SUM(bs * bs) AS DOUBLE)) AS nrm
        |        FROM ibl GROUP BY doc_id),
-       |emb AS (
+       |emb AS MATERIALIZED (
        |  SELECT b.doc_id AS vec_id,
        |         list(CAST(CAST(b.bs AS DOUBLE) / n.nrm AS FLOAT) ORDER BY b.k) AS embedding
        |  FROM ibl b JOIN inr n ON n.doc_id = b.doc_id
@@ -1177,7 +1185,7 @@ object MlOps extends QueryModule {
        |        FROM asv GROUP BY doc_id, k * 64 // 420),
        |anr AS (SELECT doc_id, sqrt(CAST(SUM(bs * bs) AS DOUBLE)) AS nrm
        |        FROM abl GROUP BY doc_id),
-       |emb AS (
+       |emb AS MATERIALIZED (
        |  SELECT b.doc_id AS vec_id,
        |         list(CAST(CAST(b.bs AS DOUBLE) / n.nrm AS FLOAT) ORDER BY b.kb) AS embedding
        |  FROM abl b JOIN anr n ON n.doc_id = b.doc_id
@@ -1495,7 +1503,7 @@ object MlOps extends QueryModule {
     Q(
       "q_ann_ivf_i8",
       s"""WITH ${lloydCtes()},
-         |ix AS (
+         |ix AS MATERIALIZED (
          |  SELECT a.vec_id, a.cl AS cell, e.embedding
          |  FROM a$Iters a JOIN embeddings e ON e.vec_id = a.vec_id),
          |qz AS (
@@ -1590,7 +1598,7 @@ object MlOps extends QueryModule {
       s"""WITH $embedCtes,
          |$embedDenseCte,
          |${lloydCtes("emb", seedK = 16)},
-         |ix AS (
+         |ix AS MATERIALIZED (
          |  SELECT a.vec_id, a.cl AS cell, e.embedding
          |  FROM a$Iters a JOIN emb e ON e.vec_id = a.vec_id),
          |q AS (
@@ -1627,10 +1635,10 @@ object MlOps extends QueryModule {
       "q_embed_contamination",
       s"""WITH $embedCtes,
          |$embedDenseCte,
-         |embc AS (SELECT * FROM emb WHERE vec_id % 41 <> 0),
-         |embq AS (SELECT * FROM emb WHERE vec_id % 41 = 0),
+         |embc AS MATERIALIZED (SELECT * FROM emb WHERE vec_id % 41 <> 0),
+         |embq AS MATERIALIZED (SELECT * FROM emb WHERE vec_id % 41 = 0),
          |${lloydCtes("embc", seedK = 16)},
-         |bq AS (
+         |bq AS MATERIALIZED (
          |  SELECT e.vec_id, c.k,
          |         ${duckSqDist("e.embedding", "c.carr")} AS dist
          |  FROM embq e CROSS JOIN c$Iters c),
@@ -1640,7 +1648,7 @@ object MlOps extends QueryModule {
          |  JOIN (SELECT vec_id, MIN(dist) AS md FROM bq GROUP BY vec_id) m
          |    ON d.vec_id = m.vec_id AND d.dist = m.md
          |  GROUP BY d.vec_id, m.md),
-         |cw AS (
+         |cw AS MATERIALIZED (
          |  SELECT a.vec_id, a.cl AS cell, e.embedding
          |  FROM a$Iters a JOIN embc e ON e.vec_id = a.vec_id),
          |bw AS (
@@ -1792,7 +1800,7 @@ object MlOps extends QueryModule {
       "q_image_search",
       s"""WITH ${imageEmbCtes()},
          |${lloydCtes("emb", seedK = 16)},
-         |ix AS (
+         |ix AS MATERIALIZED (
          |  SELECT a.vec_id, a.cl AS cell, e.embedding
          |  FROM a$Iters a JOIN emb e ON e.vec_id = a.vec_id),
          |q AS (

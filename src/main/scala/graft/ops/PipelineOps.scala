@@ -1076,14 +1076,14 @@ object PipelineOps extends QueryModule {
     */
   private[ops] def bpeCtes(rounds: Int): String = {
     val steps = (1 to rounds).map { r =>
-      s"""p$r AS (
+      s"""p$r AS MATERIALIZED (
          |  SELECT t.ts[i] || ' ' || t.ts[i+1] AS pair,
          |         CAST(SUM(t.freq) AS BIGINT) AS cnt
          |  FROM (SELECT freq, string_split(cs, ' ') AS ts FROM v${r - 1}) t,
          |       unnest(generate_series(1, len(t.ts) - 1)) AS u(i)
          |  GROUP BY 1),
-         |b$r AS (SELECT pair, cnt FROM p$r ORDER BY cnt DESC, pair LIMIT 1),
-         |v$r AS (SELECT word, freq,
+         |b$r AS MATERIALIZED (SELECT pair, cnt FROM p$r ORDER BY cnt DESC, pair LIMIT 1),
+         |v$r AS MATERIALIZED (SELECT word, freq,
          |        trim(replace(' ' || cs || ' ', ' ' || (SELECT pair FROM b$r) || ' ',
          |             ' ' || replace((SELECT pair FROM b$r), ' ', '') || ' ')) AS cs
          |        FROM v${r - 1})""".stripMargin
@@ -1091,7 +1091,7 @@ object PipelineOps extends QueryModule {
     s"""wfreq AS (
        |  SELECT w AS word, COUNT(*) AS freq
        |  FROM (SELECT unnest($WordsSql) AS w FROM documents) GROUP BY w),
-       |v0 AS (SELECT word, freq,
+       |v0 AS MATERIALIZED (SELECT word, freq,
        |       trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS cs FROM wfreq),
        |$steps""".stripMargin
   }
@@ -1114,7 +1114,7 @@ object PipelineOps extends QueryModule {
     */
   private def bpeEncodeOracle(rounds: Int): String = {
     val applies = (1 to rounds).map { r =>
-      s"""e$r AS (
+      s"""e$r AS MATERIALIZED (
          |  SELECT doc_id, word,
          |         trim(replace(' ' || cs || ' ', ' ' || (SELECT pair FROM b$r) || ' ',
          |              ' ' || replace((SELECT pair FROM b$r), ' ', '') || ' ')) AS cs
@@ -1124,7 +1124,7 @@ object PipelineOps extends QueryModule {
        |occ AS (
        |  SELECT doc_id, w AS word
        |  FROM (SELECT doc_id, unnest($WordsSql) AS w FROM documents)),
-       |e0 AS (SELECT doc_id, word,
+       |e0 AS MATERIALIZED (SELECT doc_id, word,
        |       trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS cs FROM occ),
        |$applies
        |SELECT doc_id,

@@ -931,16 +931,16 @@ object TrainPrepOps {
     */
   private def idsCtes(rounds: Int): String = {
     val applies = (1 to rounds).map { r =>
-      s"""i$r AS (
+      s"""i$r AS MATERIALIZED (
          |  SELECT doc_id, wi,
          |         trim(replace(' ' || cs || ' ', ' ' || (SELECT pair FROM b$r) || ' ',
          |              ' ' || replace((SELECT pair FROM b$r), ' ', '') || ' ')) AS cs
          |  FROM i${r - 1})""".stripMargin
     }.mkString(",\n")
     s"""dw AS (SELECT doc_id, ${TextOps.WordsSql} AS ws FROM documents),
-       |iocc AS (SELECT doc_id, CAST(i AS INT) AS wi, ws[i] AS word
+       |iocc AS MATERIALIZED (SELECT doc_id, CAST(i AS INT) AS wi, ws[i] AS word
        |         FROM dw, unnest(generate_series(1, len(ws))) AS u(i)),
-       |i0 AS (SELECT doc_id, wi, trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS cs FROM iocc),
+       |i0 AS MATERIALIZED (SELECT doc_id, wi, trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS cs FROM iocc),
        |$applies,
        |itk AS (SELECT doc_id, wi, CAST(j AS INT) AS si, ss[j] AS sym
        |        FROM (SELECT doc_id, wi, string_split(cs, ' ') AS ss FROM i$rounds),

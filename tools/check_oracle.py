@@ -41,6 +41,10 @@ def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
     con = duckdb.connect()
+    # Bound the allocator so one heavy statement spills to temp instead of
+    # exhausting the box (the default limit is 80% of RAM; an OOM'd
+    # statement can cascade-fail every later one in the same process).
+    con.execute("SET memory_limit='32GB'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
