@@ -1775,10 +1775,16 @@ object MlOps extends QueryModule {
             graft.ocr.ImageOps.grayscale(im)))
           .orNull
       }
-      Tables.documents(s, d)
-        .select(col("doc_id"), sums(gen(col("doc_id"))).as("cnts"))
-        .withColumn("nrm",
-          sqrt(aggregate(col("cnts"), lit(0L), (a, x) => a + x * x).cast("double")))
+      // materialize-then-sort (the q_embed_from_text discipline): the
+      // presentation orderBy's range sampling would re-run the whole
+      // synth→PNG-decode→grayscale UDF chain — by far the dominant cost
+      // here — so checkpoint the compact per-image histogram first and
+      // let only the cheap array explode run twice
+      TinyLoop.corpusCheckpoint(
+        Tables.documents(s, d)
+          .select(col("doc_id"), sums(gen(col("doc_id"))).as("cnts"))
+          .withColumn("nrm",
+            sqrt(aggregate(col("cnts"), lit(0L), (a, x) => a + x * x).cast("double"))))
         .select(col("doc_id"), posexplode(col("cnts")).as(Seq("k", "bs")), col("nrm"))
         .select(col("doc_id"), col("k").cast("int").as("k"), col("bs"),
           (col("bs").cast("double") / col("nrm")).cast("float").as("w"))
@@ -1872,10 +1878,14 @@ object MlOps extends QueryModule {
         graft.ocr.MultimodalOps.wavSynthQuad(id % 199, 420, 1, 8000))
       val sums = udf((b: Array[Byte]) =>
         graft.ocr.MultimodalOps.sampleBinSums(b, EmbedDim))
-      Tables.documents(s, d)
-        .select(col("doc_id"), sums(gen(col("doc_id"))).as("cnts"))
-        .withColumn("nrm",
-          sqrt(aggregate(col("cnts"), lit(0L), (a, x) => a + x * x).cast("double")))
+      // materialize-then-sort (the q_embed_from_text discipline): keep
+      // the WAV synth+decode UDF chain to ONE execution — the orderBy's
+      // range sampling would otherwise run it twice
+      TinyLoop.corpusCheckpoint(
+        Tables.documents(s, d)
+          .select(col("doc_id"), sums(gen(col("doc_id"))).as("cnts"))
+          .withColumn("nrm",
+            sqrt(aggregate(col("cnts"), lit(0L), (a, x) => a + x * x).cast("double"))))
         .select(col("doc_id"), posexplode(col("cnts")).as(Seq("k", "bs")), col("nrm"))
         .select(col("doc_id"), col("k").cast("int").as("k"), col("bs"),
           (col("bs").cast("double") / col("nrm")).cast("float").as("w"))
