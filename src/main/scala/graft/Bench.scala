@@ -132,7 +132,10 @@ object Bench {
     "q_semantic_admission",
     // r16: quality-aware near-dedup — cluster keeper chosen by the
     // quality blend instead of arrival id (13/27 fixture clusters swap)
-    "q_dedup_keep_best")
+    "q_dedup_keep_best",
+    // r16: per-domain cap — the crawl anti-flood rule (best `cap` docs
+    // per domain by quality; narrow ranking window, no text exchange)
+    "q_domain_cap")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -425,6 +425,16 @@ object GraftOps {
   def audioEmbed(audio: DataFrame, bins: Int = ops.MlOps.EmbedDim): DataFrame =
     ops.MlOps.audioEmbed(audio, bins)
 
+  /** Per-domain document cap — the crawl anti-flood rule: keep at most
+    * `cap` rows per domain, preferring the highest score (ties →
+    * smallest id). Pass a NARROW (id, domain, score, …stats) frame so
+    * the ranking window never moves document payloads. Verified by
+    * `q_domain_cap`.
+    */
+  def domainCap(docs: DataFrame, domainCol: String, scoreCol: String,
+      idCol: String, cap: Int): DataFrame =
+    ops.TrainPrepOps.domainCap(docs, domainCol, scoreCol, idCol, cap)
+
   /** Budget-driven source mixing: deterministically hash-downsample
     * each (doc_id, text, source) source toward `targetTokens`, deriving
     * the per-source keep rate from the data inside the plan (tiny

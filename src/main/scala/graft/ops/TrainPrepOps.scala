@@ -336,6 +336,42 @@ object TrainPrepOps {
     */
   val MaxLiteralDomains = 2000000L
 
+  /** Per-domain document cap — the standard crawl anti-flood rule
+    * ([[domainQualityFilter]]'s companion: that gate drops WHOLE
+    * domains below the corpus quality mean; this one bounds how much
+    * any single surviving domain may contribute): keep at most `cap`
+    * rows per `domainCol` value, preferring the highest `scoreCol`
+    * (ties → smallest `idCol`). Generic over the input frame — pass a
+    * NARROW (id, domain, score, …stats) projection so the ranking
+    * window never moves document payloads (the registered query does;
+    * the keep decision then joins back by id if the caller needs the
+    * corpus, the q_dedup_corpus materialization trade).
+    *
+    * Scale posture: ONE exchange keyed by domain (high-cardinality —
+    * domains number in the millions on a real crawl; partitions are
+    * domain-sized, never corpus-sized) feeding a rank window; a
+    * flooded domain (the case this operator exists for) is still one
+    * partition, so a single mega-domain at 100 TB wants the
+    * salted-prefilter variant: cap · salt candidates per domain via a
+    * salted pre-rank, then the exact window over survivors — recorded
+    * here as the documented next step past ~10⁸-row domains, not built
+    * speculatively.
+    */
+  def domainCap(
+      docs: DataFrame, domainCol: String, scoreCol: String,
+      idCol: String, cap: Int): DataFrame = {
+    require(cap > 0, s"cap must be > 0, got $cap")
+    require(!docs.columns.contains("__graft_dc_rn"),
+      "domainCap: input column __graft_dc_rn collides with the operator's internals")
+    docs
+      .withColumn("__graft_dc_rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col(domainCol))
+          .orderBy(col(scoreCol).desc, col(idCol).asc)))
+      .filter(col("__graft_dc_rn") <= cap)
+      .drop("__graft_dc_rn")
+  }
+
   def domainQualityFilter(
       docs: DataFrame, domainCol: String, qualityCol: String,
       maxBroadcastDomains: Long = MaxBroadcastDomainStats,
@@ -1115,6 +1151,71 @@ object TrainPrepOps {
           count(lit(1)).as("n_docs_kept"),
           sum(col("n_words")).as("n_tokens_kept"),
           countDistinct(col("domain")).as("n_domains_kept"))
+        .boundedSort("source")
+    },
+
+    // Per-domain cap: the anti-flood companion to q_domain_quality —
+    // keep the best `cap` docs per domain by the quality blend, account
+    // kept/dropped/capped per source. Domain granularity here is %7
+    // (coarser than the 97-per-source convention) so domains hold
+    // multiple docs and the cap BINDS at every SF — with %97 the small
+    // fixtures average ~1 doc/domain and the query would pin nothing.
+    // The ranking input is the NARROW stats projection (no text in the
+    // window exchange); one corpusCheckpoint keeps the text scan to a
+    // single execution across the three rollups.
+    Q(
+      "q_domain_cap",
+      s"""WITH t AS (
+         |  SELECT doc_id, source,
+         |         'd' || CAST(doc_id % 7 AS VARCHAR) || '.' || source || '.example.org' AS domain,
+         |         CAST(len($WordsSql) AS INT) AS n_words,
+         |         CAST(length(text) AS INT) AS n_chars_actual,
+         |         CAST(length(regexp_replace(text, '$WsReDuck', '', 'g')) AS INT) AS n_nonspace,
+         |         CAST(len(list_filter($WordsSql, x -> x IN ${TextOps.inList(TextOps.EnStop)})) AS INT) AS n_stop
+         |  FROM documents),
+         |q AS (
+         |  SELECT doc_id, source, domain, n_words,
+         |         CAST(n_words AS DOUBLE) / 100 * 0.5 +
+         |           CAST(n_stop AS DOUBLE) / n_words * 0.3 +
+         |           CAST(n_nonspace AS DOUBLE) / n_chars_actual * 0.2 AS quality
+         |  FROM t),
+         |rk AS (
+         |  SELECT source, domain, n_words,
+         |         ROW_NUMBER() OVER (PARTITION BY domain
+         |           ORDER BY quality DESC, doc_id) AS rn
+         |  FROM q),
+         |dcs AS (
+         |  SELECT source,
+         |         CAST(COUNT(CASE WHEN c > 2 THEN 1 END) AS BIGINT) AS n_domains_capped
+         |  FROM (SELECT source, domain, COUNT(*) AS c FROM q GROUP BY source, domain)
+         |  GROUP BY source)
+         |SELECT r.source,
+         |       CAST(SUM(CASE WHEN rn <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_kept,
+         |       CAST(SUM(CASE WHEN rn > 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_dropped,
+         |       CAST(SUM(CASE WHEN rn <= 2 THEN n_words ELSE 0 END) AS BIGINT) AS n_tokens_kept,
+         |       ANY_VALUE(d.n_domains_capped) AS n_domains_capped
+         |FROM rk r JOIN dcs d USING (source)
+         |GROUP BY r.source ORDER BY r.source"""
+    ) { (s, d) =>
+      val t = TinyLoop.corpusCheckpoint(
+        Tables.documents(s, d).select(
+          col("doc_id"), col("source"),
+          concat(lit("d"), (col("doc_id") % 7).cast("string"), lit("."),
+            col("source"), lit(".example.org")).as("domain"),
+          size(TextOps.words(col("text"))).as("n_words"),
+          TextOps.qualityScore(col("text")).as("quality")))
+      val kept = domainCap(t, "domain", "quality", "doc_id", cap = 2)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs_kept"),
+          sum(col("n_words")).cast("bigint").as("n_tokens_kept"))
+      val tot = t.groupBy("source").agg(count(lit(1)).as("n_total"))
+      val capped = t.groupBy("source", "domain").agg(count(lit(1)).as("c"))
+        .groupBy("source")
+        .agg(sum(when(col("c") > 2, 1L).otherwise(0L)).as("n_domains_capped"))
+      kept.join(tot, Seq("source")).join(capped, Seq("source"))
+        .select(col("source"), col("n_docs_kept"),
+          (col("n_total") - col("n_docs_kept")).as("n_docs_dropped"),
+          col("n_tokens_kept"), col("n_domains_capped"))
         .boundedSort("source")
     },
 
