@@ -135,7 +135,10 @@ object Bench {
     "q_dedup_keep_best",
     // r16: per-domain cap — the crawl anti-flood rule (best `cap` docs
     // per domain by quality; narrow ranking window, no text exchange)
-    "q_domain_cap")
+    "q_domain_cap",
+    // r16: product quantization + ADC — 8-byte codes, per-block
+    // codebooks, table-lookup scoring (the memory-bound ANN path)
+    "q_ann_pq")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -122,6 +122,19 @@ object GraftOps {
   def dedupKeepBest(docs: DataFrame): DataFrame =
     ops.DedupOps.keepBestCorpus(docs)
 
+  /** Product-quantization ANN: per-block codebooks (blocks·kb·subdim
+    * doubles of model state), the corpus encoded to `blocks` small
+    * codes per vector in one narrow pass, queries scored by
+    * asymmetric distance through broadcast per-block tables — the
+    * memory-bound path that makes billion-vector indexes fit RAM. The
+    * registered form is PQ-flat (full-corpus ADC scan); compose with
+    * the IVF probe for IVF-PQ at deployment scale. Verified by
+    * `q_ann_pq` (exact-decimal ADC sums pin the full ranking).
+    */
+  def pqSearch(emb: DataFrame, blocks: Int = 8, kb: Int = 16,
+      nQueries: Int = 10, topk: Int = 3): DataFrame =
+    ops.MlOps.pqSearch(emb, blocks, kb, nQueries = nQueries, topk = topk)
+
   /** Bounded top-k rows per query by score, descending, ties by id —
     * two-phase (map-side partials of ≤ k pairs, one tiny shuffle), never
     * a per-query window. Input columns: qid, vid LONG, sim DOUBLE.

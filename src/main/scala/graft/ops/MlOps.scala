@@ -117,15 +117,15 @@ object MlOps extends QueryModule {
     * Lloyd oracle family OOM a 100 GB allocation at sf0.1; hinted, each
     * frame computes once, identical rows).
     */
-  private def assignCte(k: Int, src: String = "embeddings"): String =
-    s"""d$k AS MATERIALIZED (
+  private def assignCte(k: Int, src: String = "embeddings", p: String = ""): String =
+    s"""${p}d$k AS MATERIALIZED (
        |  SELECT e.vec_id, c.k,
        |         ${duckSqDist("e.embedding", "c.carr")} AS dist
-       |  FROM $src e CROSS JOIN c$k c),
-       |a$k AS MATERIALIZED (
+       |  FROM $src e CROSS JOIN ${p}c$k c),
+       |${p}a$k AS MATERIALIZED (
        |  SELECT d.vec_id, MIN(d.k) AS cl, m.md AS dist
-       |  FROM d$k d
-       |  JOIN (SELECT vec_id, MIN(dist) AS md FROM d$k GROUP BY vec_id) m
+       |  FROM ${p}d$k d
+       |  JOIN (SELECT vec_id, MIN(dist) AS md FROM ${p}d$k GROUP BY vec_id) m
        |    ON d.vec_id = m.vec_id AND d.dist = m.md
        |  GROUP BY d.vec_id, m.md)""".stripMargin
 
@@ -141,24 +141,24 @@ object MlOps extends QueryModule {
   /** [[lloydCtes]] with the seed bound as an arbitrary SQL scalar —
     * the derived-K queries seed `vec_id < autoKSql(src)`.
     */
-  private def lloydCtesSeedExpr(src: String, seedExpr: String): String = {
+  private def lloydCtesSeedExpr(src: String, seedExpr: String, p: String = ""): String = {
     val steps = (1 to Iters).map { k =>
-      s"""${assignCte(k - 1, src)},
-         |m$k AS (
+      s"""${assignCte(k - 1, src, p)},
+         |${p}m$k AS (
          |  SELECT a.cl, i AS pos,
          |         CAST(SUM(CAST(CAST(e.embedding[i] AS DOUBLE) AS DECIMAL(38,10))) AS DOUBLE)
          |           / COUNT(*) AS c
          |  FROM $src e
-         |  JOIN a${k - 1} a ON e.vec_id = a.vec_id,
+         |  JOIN ${p}a${k - 1} a ON e.vec_id = a.vec_id,
          |  unnest(generate_series(1, len(e.embedding))) AS t(i)
          |  GROUP BY a.cl, i),
-         |c$k AS (SELECT cl AS k, list(c ORDER BY pos) AS carr FROM m$k GROUP BY cl)""".stripMargin
+         |${p}c$k AS (SELECT cl AS k, list(c ORDER BY pos) AS carr FROM ${p}m$k GROUP BY cl)""".stripMargin
     }.mkString(",\n")
-    s"""c0 AS (
+    s"""${p}c0 AS (
        |  SELECT vec_id AS k, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS carr
        |  FROM $src WHERE vec_id < $seedExpr),
        |$steps,
-       |${assignCte(Iters, src)}""".stripMargin
+       |${assignCte(Iters, src, p)}""".stripMargin
   }
 
   private def kmeansOracle: String =
@@ -1323,6 +1323,109 @@ object MlOps extends QueryModule {
         col("embedding"))
   }
 
+  /** Product quantization + asymmetric-distance (ADC) search — the
+    * memory-bound ANN scale path ([[searchAgainstIvfIndexI8]]'s int8
+    * codes cut a 64-float vector 4×; PQ cuts it to `blocks` BYTES, 32×,
+    * which is what makes billion-vector indexes fit a cluster's RAM).
+    * Training: the vector splits into `blocks` contiguous sub-vectors;
+    * each block trains its OWN small codebook (the SAME deterministic
+    * Lloyd machinery, first-`kb` seed, per-block) — model state is
+    * blocks·kb·(dim/blocks) doubles, tiny. Encode: ONE narrow codegen
+    * pass, `blocks` [[graft.functions.NearestCentroid]] argmins per
+    * row — corpus vectors never shuffle to be encoded. Search (ADC):
+    * each query precomputes a per-block distance TABLE to every
+    * codeword (blocks·kb rows — broadcast model scale); the corpus scan
+    * then reads each row's ADC distance as `blocks` table lookups — no
+    * float vector is touched at scan time, which is the point. The
+    * per-(query, vector) sum rides [[Exact.dsum]] (exact decimal,
+    * order-free) so the oracle's join-shaped replay lands on the
+    * IDENTICAL double and the rank tie (adc ASC, vid) is stable
+    * cross-engine. Top-k per query is the bounded two-phase
+    * [[graft.ops.SimilarityOps.topkPerQuery]] aggregation — never a
+    * per-query window. This registered form scans the full corpus per
+    * query (the PQ-flat baseline); at deployment scale it composes
+    * with the IVF probe ([[searchAgainstIvfIndex]]) — ADC over the
+    * probed cells only, the standard IVF-PQ pairing.
+    */
+  def pqSearch(
+      emb: DataFrame, blocks: Int = 8, kb: Int = 16, iters: Int = Iters,
+      nQueries: Int = 10, topk: Int = 3): DataFrame = {
+    val spark = emb.sparkSession
+    val dim = EmbedDim
+    require(dim % blocks == 0, s"dim $dim must split evenly into $blocks blocks")
+    val bdim = dim / blocks
+    def subVec(m: Int): Column = slice(col("embedding"), m * bdim + 1, bdim)
+    val cbs: Seq[Cents] = (0 until blocks).map { m =>
+      train(prepared(emb.select(col("vec_id"), subVec(m).as("embedding"))), kb, iters)
+    }
+    // encode: blocks codegen argmins in one narrow projection
+    val codeCols = (0 until blocks).map { m =>
+      graft.functions.GraftFunctions.nearest_centroid(
+        subVec(m), cbs(m).map(_._1), cbs(m).map(_._2))
+        .getField("k").cast("int")
+    }
+    val px = emb.select(col("vec_id"),
+      posexplode(array(codeCols: _*)).as(Seq("m", "code")))
+    // per-query distance tables: (qid, m, code, d) — broadcast model scale
+    import spark.implicits._
+    val cbDf = cbs.zipWithIndex.flatMap { case (cs, m) =>
+      cs.map { case (k, carr) => (m, k, carr.toSeq) }
+    }.toDF("m", "code", "carr")
+    val qs = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"),
+        posexplode(array((0 until blocks).map(subVec): _*)).as(Seq("m", "qe")))
+    val dExpr = aggregate(
+      zip_with(col("qe"), col("carr"),
+        (a, b) => (a.cast("double") - b) * (a.cast("double") - b)),
+      lit(0.0), (x, y) => x + y)
+    val bd = qs.join(broadcast(cbDf), Seq("m"))
+      .select(col("qid"), col("m"), col("code"), dExpr.as("d"))
+    val scored = px.join(broadcast(bd), Seq("m", "code"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(Exact.dsum(col("d")).as("adc"))
+    SimilarityOps.topkPerQuery(
+      scored.select(col("qid"), col("vec_id").as("vid"),
+        negate(col("adc")).as("sim")), topk)
+      .select(col("qid"), col("vid"), negate(col("sim")).as("adc"), col("rn"))
+      .orderBy("qid", "vid")
+  }
+
+  /** DuckDB replay of [[pqSearch]]: `blocks` prefixed Lloyd chains over
+    * the sub-vector slices, codes read off each block's final
+    * assignment, the ADC as the same exact-decimal join-sum.
+    */
+  private def pqOracle(blocks: Int, bdim: Int, topk: Int): String = {
+    val subs = (0 until blocks).map(m =>
+      s"s$m AS MATERIALIZED (SELECT vec_id, embedding[${m * bdim + 1}:${(m + 1) * bdim}] AS embedding FROM embeddings)")
+      .mkString(",\n")
+    val chains = (0 until blocks)
+      .map(m => lloydCtesSeedExpr(s"s$m", "16", s"b${m}_")).mkString(",\n")
+    val pxArms = (0 until blocks)
+      .map(m => s"SELECT vec_id, $m AS m, cl AS code FROM b${m}_a$Iters")
+      .mkString("\n  UNION ALL ")
+    val bdArms = (0 until blocks).map { m =>
+      s"""SELECT q.vec_id AS qid, $m AS m, c.k AS code,
+         |       ${duckSqDist("q.embedding", "c.carr")} AS d
+         |  FROM (SELECT vec_id, embedding FROM s$m WHERE vec_id < 10) q
+         |  CROSS JOIN b${m}_c$Iters c""".stripMargin
+    }.mkString("\n  UNION ALL ")
+    s"""WITH $subs,
+       |$chains,
+       |px AS MATERIALIZED (
+       |  $pxArms),
+       |bd AS MATERIALIZED (
+       |  $bdArms),
+       |adc AS (
+       |  SELECT b.qid, p.vec_id AS vid,
+       |         CAST(SUM(CAST(b.d AS DECIMAL(38,10))) AS DOUBLE) AS adc
+       |  FROM px p JOIN bd b ON b.m = p.m AND b.code = p.code
+       |  GROUP BY b.qid, p.vec_id)
+       |SELECT qid, vid, adc, CAST(rn AS INT) AS rn
+       |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc, vid) AS rn
+       |      FROM adc)
+       |WHERE rn <= $topk ORDER BY qid, vid""".stripMargin
+  }
+
   /** Hashed char-trigram document embedding: (vec_id, embedding) with
     * `dim` float components, L2-normalized (a no-trigram document maps
     * to the zero vector). ONE narrow pass — the trigram hashing rides
@@ -1466,6 +1569,17 @@ object MlOps extends QueryModule {
         cachedQueryBatchDf(emb), cachedCodebookDf(emb),
         storedIvfIndexBucketedDf(emb), topk = 3)
         .coalesce(1).sortWithinPartitions("qid", "vid")
+    },
+
+    // product quantization + ADC: 8 per-block codebooks (16 codewords
+    // each, the shared deterministic Lloyd), corpus encoded to 8 codes
+    // per vector in one narrow pass, queries scored through per-block
+    // distance tables — the memory-bound ANN path (8 bytes/vector,
+    // 32× smaller than the floats). Exact-decimal ADC sums make the
+    // approximate distances bit-identical cross-engine, so the full
+    // ranking (ties included) is pinned, not just the id set.
+    Q("q_ann_pq", pqOracle(blocks = 8, bdim = EmbedDim / 8, topk = 3)) {
+      (s, d) => pqSearch(Tables.embeddings(s, d))
     },
 
     // the recall-vs-cost knob: same trained codebook, but each query
