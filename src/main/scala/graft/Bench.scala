@@ -137,8 +137,9 @@ object Bench {
     // per domain by quality; narrow ranking window, no text exchange)
     "q_domain_cap",
     // r16: product quantization + ADC — 8-byte codes, per-block
-    // codebooks, table-lookup scoring (the memory-bound ANN path)
-    "q_ann_pq")
+    // codebooks, table-lookup scoring (the memory-bound ANN path) +
+    // the IVF-PQ composition (cell-bounded candidates, ADC scoring)
+    "q_ann_pq", "q_ann_ivf_pq")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1390,6 +1390,114 @@ object MlOps extends QueryModule {
       .orderBy("qid", "vid")
   }
 
+  /** IVF-PQ — the deployment composition [[pqSearch]]'s scaladoc
+    * promises: the coarse quantizer (the IVF cell codebook) bounds each
+    * query's candidate set to ITS OWN CELL, and PQ's asymmetric
+    * distance scores only those candidates through the broadcast
+    * per-block tables. The scan side carries (cell, 8 codes) per
+    * vector — 9 codegen argmins in ONE narrow encode pass, vectors
+    * never shuffle — and the candidate join keys on
+    * (cell, block, code), so per-query work is O(cell size), never
+    * corpus-scale; a vector outside the query's cell contributes zero
+    * join rows. Same exact-decimal ADC discipline as [[pqSearch]]
+    * (bit-identical ranking cross-engine). Output one row per
+    * (query, kept candidate): (qid, cell, vid, adc, rn ≤ topk). The
+    * query itself is a corpus member and may appear in its own cell's
+    * results (deterministic; kept, as in [[pqSearch]]).
+    */
+  def ivfPqSearch(
+      emb: DataFrame, coarseK: Int = 16, blocks: Int = 8, kb: Int = 16,
+      iters: Int = Iters, nQueries: Int = 10, topk: Int = 3): DataFrame = {
+    val spark = emb.sparkSession
+    val dim = EmbedDim
+    require(dim % blocks == 0, s"dim $dim must split evenly into $blocks blocks")
+    val bdim = dim / blocks
+    def subVec(m: Int): Column = slice(col("embedding"), m * bdim + 1, bdim)
+    val pe = prepared(emb)
+    val coarse = train(pe, coarseK, iters)
+    val cbs: Seq[Cents] = (0 until blocks).map { m =>
+      train(prepared(emb.select(col("vec_id"), subVec(m).as("embedding"))), kb, iters)
+    }
+    def cellCol: Column = graft.functions.GraftFunctions.nearest_centroid(
+      col("embedding"), coarse.map(_._1), coarse.map(_._2))
+      .getField("k").as("cell")
+    val codeCols = (0 until blocks).map { m =>
+      graft.functions.GraftFunctions.nearest_centroid(
+        subVec(m), cbs(m).map(_._1), cbs(m).map(_._2))
+        .getField("k").cast("int")
+    }
+    // encode: cell + 8 codes, one narrow pass
+    val px = emb.select(col("vec_id"), cellCol,
+      posexplode(array(codeCols: _*)).as(Seq("m", "code")))
+    import spark.implicits._
+    val cbDf = cbs.zipWithIndex.flatMap { case (cs, m) =>
+      cs.map { case (k, carr) => (m, k, carr.toSeq) }
+    }.toDF("m", "code", "carr")
+    val qs = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), cellCol.as("qcell"),
+        posexplode(array((0 until blocks).map(subVec): _*)).as(Seq("m", "qe")))
+    val dExpr = aggregate(
+      zip_with(col("qe"), col("carr"),
+        (a, b) => (a.cast("double") - b) * (a.cast("double") - b)),
+      lit(0.0), (x, y) => x + y)
+    val bd = qs.join(broadcast(cbDf), Seq("m"))
+      .select(col("qid"), col("qcell"), col("m"), col("code"), dExpr.as("d"))
+    val scored = px.join(broadcast(bd),
+        px("cell") === bd("qcell") && px("m") === bd("m") &&
+          px("code") === bd("code"))
+      .groupBy(col("qid"), col("qcell"), col("vec_id"))
+      .agg(Exact.dsum(col("d")).as("adc"))
+    SimilarityOps.topkPerQuery(
+      scored.select(col("qid"), col("vec_id").as("vid"),
+        negate(col("adc")).as("sim")), topk)
+      .join(scored.select(col("qid"), col("qcell")).distinct(), Seq("qid"))
+      .select(col("qid"), col("qcell").as("cell"), col("vid"),
+        negate(col("sim")).as("adc"), col("rn"))
+      .orderBy("qid", "vid")
+  }
+
+  /** DuckDB replay of [[ivfPqSearch]]: the coarse Lloyd chain
+    * (prefix `g_`) supplies cells, `blocks` prefixed chains supply
+    * codes, the ADC join adds the cell-match key.
+    */
+  private def ivfPqOracle(blocks: Int, bdim: Int, topk: Int): String = {
+    val subs = (0 until blocks).map(m =>
+      s"s$m AS MATERIALIZED (SELECT vec_id, embedding[${m * bdim + 1}:${(m + 1) * bdim}] AS embedding FROM embeddings)")
+      .mkString(",\n")
+    val chains = (0 until blocks)
+      .map(m => lloydCtesSeedExpr(s"s$m", "16", s"b${m}_")).mkString(",\n")
+    val pxArms = (0 until blocks)
+      .map(m => s"SELECT vec_id, $m AS m, cl AS code FROM b${m}_a$Iters")
+      .mkString("\n  UNION ALL ")
+    val bdArms = (0 until blocks).map { m =>
+      s"""SELECT q.vec_id AS qid, $m AS m, c.k AS code,
+         |       ${duckSqDist("q.embedding", "c.carr")} AS d
+         |  FROM (SELECT vec_id, embedding FROM s$m WHERE vec_id < 10) q
+         |  CROSS JOIN b${m}_c$Iters c""".stripMargin
+    }.mkString("\n  UNION ALL ")
+    s"""WITH ${lloydCtesSeedExpr("embeddings", "16", "g_")},
+       |cells AS MATERIALIZED (SELECT vec_id, cl AS cell FROM g_a$Iters),
+       |$subs,
+       |$chains,
+       |px AS MATERIALIZED (
+       |  SELECT c.vec_id, c.cell, u.m, u.code
+       |  FROM cells c JOIN ($pxArms) u USING (vec_id)),
+       |qc AS (SELECT vec_id AS qid, cell AS qcell FROM cells WHERE vec_id < 10),
+       |bd AS MATERIALIZED (
+       |  SELECT b.qid, q.qcell, b.m, b.code, b.d
+       |  FROM ($bdArms) b JOIN qc q ON q.qid = b.qid),
+       |adc AS (
+       |  SELECT b.qid, b.qcell AS cell, p.vec_id AS vid,
+       |         CAST(SUM(CAST(b.d AS DECIMAL(38,10))) AS DOUBLE) AS adc
+       |  FROM px p JOIN bd b
+       |    ON b.m = p.m AND b.code = p.code AND b.qcell = p.cell
+       |  GROUP BY b.qid, b.qcell, p.vec_id)
+       |SELECT qid, cell, vid, adc, CAST(rn AS INT) AS rn
+       |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc, vid) AS rn
+       |      FROM adc)
+       |WHERE rn <= $topk ORDER BY qid, vid""".stripMargin
+  }
+
   /** DuckDB replay of [[pqSearch]]: `blocks` prefixed Lloyd chains over
     * the sub-vector slices, codes read off each block's final
     * assignment, the ADC as the same exact-decimal join-sum.
@@ -1580,6 +1688,14 @@ object MlOps extends QueryModule {
     // ranking (ties included) is pinned, not just the id set.
     Q("q_ann_pq", pqOracle(blocks = 8, bdim = EmbedDim / 8, topk = 3)) {
       (s, d) => pqSearch(Tables.embeddings(s, d))
+    },
+
+    // IVF-PQ: the deployment composition — the coarse quantizer bounds
+    // each query's candidates to its own cell; PQ's table-lookup ADC
+    // scores only those. Per-query work is O(cell size); the scan
+    // carries (cell + 8 codes) per vector from one 9-argmin pass.
+    Q("q_ann_ivf_pq", ivfPqOracle(blocks = 8, bdim = EmbedDim / 8, topk = 3)) {
+      (s, d) => ivfPqSearch(Tables.embeddings(s, d))
     },
 
     // the recall-vs-cost knob: same trained codebook, but each query
