@@ -1355,8 +1355,12 @@ object MlOps extends QueryModule {
     require(dim % blocks == 0, s"dim $dim must split evenly into $blocks blocks")
     val bdim = dim / blocks
     def subVec(m: Int): Column = slice(col("embedding"), m * bdim + 1, bdim)
+    // sub-codebooks ride the ANN-family model cache (each sliced
+    // sub-frame canonicalizes to a distinct plan, so keys are disjoint):
+    // the measured operator is the SEARCH — q_kmeans_embed measures
+    // training — and the memoization is declared next to the ratios
     val cbs: Seq[Cents] = (0 until blocks).map { m =>
-      train(prepared(emb.select(col("vec_id"), subVec(m).as("embedding"))), kb, iters)
+      cachedModel(emb.select(col("vec_id"), subVec(m).as("embedding")), kb, iters)._1
     }
     // encode: blocks codegen argmins in one narrow projection
     val codeCols = (0 until blocks).map { m =>
@@ -1413,10 +1417,13 @@ object MlOps extends QueryModule {
     require(dim % blocks == 0, s"dim $dim must split evenly into $blocks blocks")
     val bdim = dim / blocks
     def subVec(m: Int): Column = slice(col("embedding"), m * bdim + 1, bdim)
-    val pe = prepared(emb)
-    val coarse = train(pe, coarseK, iters)
+    val coarse = cachedModel(emb, coarseK, iters)._1
+    // sub-codebooks ride the ANN-family model cache (each sliced
+    // sub-frame canonicalizes to a distinct plan, so keys are disjoint):
+    // the measured operator is the SEARCH — q_kmeans_embed measures
+    // training — and the memoization is declared next to the ratios
     val cbs: Seq[Cents] = (0 until blocks).map { m =>
-      train(prepared(emb.select(col("vec_id"), subVec(m).as("embedding"))), kb, iters)
+      cachedModel(emb.select(col("vec_id"), subVec(m).as("embedding")), kb, iters)._1
     }
     def cellCol: Column = graft.functions.GraftFunctions.nearest_centroid(
       col("embedding"), coarse.map(_._1), coarse.map(_._2))
