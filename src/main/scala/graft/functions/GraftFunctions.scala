@@ -34,6 +34,27 @@ object GraftFunctions {
   def cosine_sim_i8(a: Column, b: Column): Column =
     GraftBridge.column(CosineSimI8(GraftBridge.expression(a), GraftBridge.expression(b)))
 
+  /** Fused int8 quantization + prefilter bound + L2 norm over an
+    * array<float> -> struct<qv: array<tinyint>, qeps: double,
+    * nrm: double> (see [[VecQuantUtil.quantMeta]]).
+    */
+  def int8_quant(emb: Column): Column =
+    GraftBridge.column(Int8Quant(GraftBridge.expression(emb)))
+
+  /** Σ x² over an array<float> in double — the codegen zero-norm guard. */
+  def sq_norm_f(emb: Column): Column =
+    GraftBridge.column(SqNormF(GraftBridge.expression(emb)))
+
+  /** sqrt(Σ x² exact in long) over an array<bigint> — the embed-family
+    * norm column (overflow throws, the ANSI-guard parity).
+    */
+  def sq_norm_counts(cnts: Column): Column =
+    GraftBridge.column(SqNormCounts(GraftBridge.expression(cnts)))
+
+  /** L2-normalized array<float> from an array<bigint> count vector. */
+  def l2_norm_counts(cnts: Column): Column =
+    GraftBridge.column(L2NormCounts(GraftBridge.expression(cnts)))
+
   /** Native nearest-centroid assignment against a literal codebook ->
     * struct<dist: double, k: bigint>. `ids` sorted ascending (tie-break).
     */

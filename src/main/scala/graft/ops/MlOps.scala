@@ -520,7 +520,13 @@ object MlOps extends QueryModule {
       (emb.queryExecution.analyzed.canonicalized, k, iters), _ => {
         val d = java.nio.file.Files.createTempDirectory("graft_ivf_index_")
           .toAbsolutePath.toString
-        ivfIndex(emb, cachedCodebookDf(emb, k, iters))
+        // index rows read the PREPARED cache (materialized by
+        // cachedCodebookDf's training pass moments earlier), not the raw
+        // frame: a derived-vector corpus (imageEmbed's real PNG decode)
+        // would otherwise re-run its full decode pass just to write the
+        // index — measured 896 ms of q_image_search's per-run wall
+        ivfIndex(prepared(emb).select(col("vec_id"), col("embedding")),
+          cachedCodebookDf(emb, k, iters))
           .write.mode("overwrite").parquet(d)
         d
       })
@@ -554,7 +560,9 @@ object MlOps extends QueryModule {
         val dir = java.nio.file.Files.createTempDirectory("graft_ivf_bkt_")
           .toAbsolutePath.toString
         spark.sql(s"DROP TABLE IF EXISTS $tbl")
-        ivfIndex(emb, cachedCodebookDf(emb, k, iters)).write
+        // prepared-cache read for the same reason as [[storedIvfIndexDf]]
+        ivfIndex(prepared(emb).select(col("vec_id"), col("embedding")),
+          cachedCodebookDf(emb, k, iters)).write
           .bucketBy(buckets, "cell").sortBy("cell")
           .option("path", s"$dir/idx").saveAsTable(tbl)
         tbl
@@ -647,7 +655,9 @@ object MlOps extends QueryModule {
       (emb.queryExecution.analyzed.canonicalized, k, iters), _ => {
         val d = java.nio.file.Files.createTempDirectory("graft_ivf_index_i8_")
           .toAbsolutePath.toString
-        ivfIndex(emb, cachedCodebookDf(emb, k, iters))
+        // prepared-cache read for the same reason as [[storedIvfIndexDf]]
+        ivfIndex(prepared(emb).select(col("vec_id"), col("embedding")),
+          cachedCodebookDf(emb, k, iters))
           .select(col("vec_id"), col("cell"),
             int8Portable(col("embedding")).as("q"), col("embedding"))
           .write.mode("overwrite").parquet(d)
@@ -949,9 +959,8 @@ object MlOps extends QueryModule {
     // fixture: per-component quantization error is ≤ maxAbs/254, so
     // each side's relative L2 error is bounded by
     // εv = √dim·maxAbs/(254·‖v‖) (computed per VECTOR in the quantize
-    // projection — never per pair; maxAbs is spelled identically to
-    // [[int8]]'s so codegen subexpression elimination shares one
-    // evaluation), and a pair's cosine perturbation by the standard
+    // projection — never per pair), and a pair's cosine perturbation by
+    // the standard
     // bound 2(εa+εb)/((1−εa)(1−εb)). The pair filter widens its cutoff
     // to that bound whenever it exceeds `prefilterSlack`, so a high-dim
     // or spiky-vector corpus (‖v‖ close to maxAbs) makes the prefilter
@@ -963,12 +972,15 @@ object MlOps extends QueryModule {
     // yielding Infinity). On the fixture the bound evaluates to ≈ 0.075
     // — the measured error is 10× smaller (QuantizedPrefilterSpec), so
     // the default slack remains the effective cutoff there.
-    val maxAbs = array_max(transform(col("embedding"), v => abs(v.cast("double"))))
-    val norm = sqrt(aggregate(col("embedding"), lit(0.0),
-      (a, x) => a + x.cast("double") * x.cast("double")))
-    val eps = when(norm > 0.0,
-      sqrt(size(col("embedding")).cast("double")) * maxAbs / 254.0 / norm)
-      .otherwise(lit(Double.PositiveInfinity))
+    // ONE fused codegen pass (Int8Quant) computes the quantized codes,
+    // the adaptive bound and the norm: the previous transform/aggregate/
+    // array_max spelling was a stack of interpreted CodegenFallback
+    // lambdas that filter pushdown additionally duplicated into Filter
+    // AND Project — measured ~2.0 s PER PAIR-JOIN SIDE at sf0.1 (the
+    // BroadcastExchange build's collectTime) for 5000 rows, the
+    // dominant stage of every SemDeDup query. Values are bit-identical
+    // (same left folds, same IEEE ops — see VecQuantUtil).
+    //
     // Zero-norm vectors never enter the pair machinery: cosine against
     // a zero vector is 0/0 = NaN, and BOTH engines order NaN above
     // every value, so `NaN >= threshold` would flag every zero-vector
@@ -978,8 +990,12 @@ object MlOps extends QueryModule {
     // under embedFromText) has no meaningful direction: it is defined
     // as similar to nothing, stays is_dup = 0, and dedups nothing. The
     // oracle dups CTE carries the same norm > 0 guard.
-    val quant = withCell.filter(norm > 0.0).select(col("vec_id"), col("cell"),
-      int8(col("embedding")).as("qv"), eps.as("qeps"))
+    val qmeta = graft.functions.GraftFunctions.int8_quant(col("embedding"))
+    val quant = withCell
+      .select(col("vec_id"), col("cell"), qmeta.as("q"))
+      .filter(col("q").getField("nrm") > 0.0)
+      .select(col("vec_id"), col("cell"),
+        col("q").getField("qv").as("qv"), col("q").getField("qeps").as("qeps"))
     // cosine_sim_i8 reads the tinyint arrays directly — bit-identical to
     // cast-to-float-then-cosine (int8→double is exact, every term of the
     // accumulation is exact integer arithmetic in double), but the pair
@@ -1219,7 +1235,7 @@ object MlOps extends QueryModule {
     // zero vector is similar to nothing: it is never flagged and never
     // flags.
     val nzNorm = (e: Column) =>
-      aggregate(e, lit(0.0), (a, x) => a + x.cast("double") * x.cast("double")) > 0.0
+      graft.functions.GraftFunctions.sq_norm_f(e) > 0.0
     val hits = cw.filter(nzNorm(col("embedding")))
       .join(bw.filter(nzNorm(col("bemb"))), col("cell") === col("bcell"))
       .filter(graft.functions.GraftFunctions.cosine_sim(
@@ -1265,10 +1281,13 @@ object MlOps extends QueryModule {
   }
 
   /** Zero-norm guard: a zero vector is similar to nothing (the r15
-    * ADVICE rule), so it is excluded from every pair side.
+    * ADVICE rule), so it is excluded from every pair side. Codegen
+    * ([[graft.functions.SqNormF]]) — the `aggregate` fold spelling is an
+    * interpreted CodegenFallback whose per-element boxed lambdas land in
+    * the pair-join probe path.
     */
   private def nzNorm(e: Column): Column =
-    aggregate(e, lit(0.0), (a, x) => a + x.cast("double") * x.cast("double")) > 0.0
+    graft.functions.GraftFunctions.sq_norm_f(e) > 0.0
 
   /** The stored state [[semanticAdmission]] trains once and a streaming
     * deployment persists: the codebook (K·dim literal model state,
@@ -1569,13 +1588,11 @@ object MlOps extends QueryModule {
     * stays NULL.
     */
   private def l2NormalizeCounts(counts: DataFrame): DataFrame =
-    counts
-      .withColumn("nrm",
-        sqrt(aggregate(col("cnts"), lit(0L), (a, x) => a + x * x).cast("double")))
-      .select(col("vec_id"),
-        when(col("nrm") > 0.0,
-          transform(col("cnts"), c => (c.cast("double") / col("nrm")).cast("float")))
-          .otherwise(transform(col("cnts"), _ => lit(0.0f))).as("embedding"))
+    // ONE fused codegen pass (L2NormCounts): the aggregate + transform
+    // spelling evaluated interpreted boxed lambdas per element, and the
+    // norm fold was re-run by every consumer of the projection
+    counts.select(col("vec_id"),
+      graft.functions.GraftFunctions.l2_norm_counts(col("cnts")).as("embedding"))
 
   /** Image → embedding: the multimodal sibling of [[embedFromText]],
     * closing the r15 ring for images. Each (doc_id, content: binary)
@@ -1955,7 +1972,7 @@ object MlOps extends QueryModule {
         Tables.documents(s, d)
           .select(col("doc_id"), cnts.as("cnts"))
           .withColumn("nrm",
-            sqrt(aggregate(col("cnts"), lit(0L), (a, x) => a + x * x).cast("double"))))
+            graft.functions.GraftFunctions.sq_norm_counts(col("cnts"))))
         .select(col("doc_id"), col("nrm"),
           posexplode(col("cnts")).as(Seq("bucket", "cnt")))
         .filter(col("cnt") > 0)
@@ -2021,7 +2038,7 @@ object MlOps extends QueryModule {
         Tables.documents(s, d)
           .select(col("doc_id"), sums(gen(col("doc_id"))).as("cnts"))
           .withColumn("nrm",
-            sqrt(aggregate(col("cnts"), lit(0L), (a, x) => a + x * x).cast("double"))))
+            graft.functions.GraftFunctions.sq_norm_counts(col("cnts"))))
         .select(col("doc_id"), posexplode(col("cnts")).as(Seq("k", "bs")), col("nrm"))
         .select(col("doc_id"), col("k").cast("int").as("k"), col("bs"),
           (col("bs").cast("double") / col("nrm")).cast("float").as("w"))
@@ -2122,7 +2139,7 @@ object MlOps extends QueryModule {
         Tables.documents(s, d)
           .select(col("doc_id"), sums(gen(col("doc_id"))).as("cnts"))
           .withColumn("nrm",
-            sqrt(aggregate(col("cnts"), lit(0L), (a, x) => a + x * x).cast("double"))))
+            graft.functions.GraftFunctions.sq_norm_counts(col("cnts"))))
         .select(col("doc_id"), posexplode(col("cnts")).as(Seq("k", "bs")), col("nrm"))
         .select(col("doc_id"), col("k").cast("int").as("k"), col("bs"),
           (col("bs").cast("double") / col("nrm")).cast("float").as("w"))
