@@ -216,11 +216,12 @@ class PlanHygieneSpec extends SparkSpec {
       "q_source_mix_weighted" -> Seq("BroadcastHashJoin"),
       "q_dedup_source_overlap" -> Seq("BroadcastHashJoin"),
       // SemDeDup: the within-cell pair join must carry the int8-quantized
-      // vectors (array<tinyint> — 4x lighter than the float payload) with
-      // the quantized-cosine prefilter ON the join, and the corpus must
-      // come from the shared training cache; a regression to raw float
-      // embeddings in the pair exchange would erase both "tinyint"s
-      "q_semantic_dedup" -> Seq("tinyint", "graft_cosine_sim_i8", "InMemoryTableScan"),
+      // vectors with the quantized-cosine prefilter ON the join, and the
+      // corpus must come from the shared training cache; the quantization
+      // is the fused codegen graft_int8_quant expression (r16) — a
+      // regression to raw float embeddings in the pair exchange would
+      // erase both function names
+      "q_semantic_dedup" -> Seq("graft_int8_quant", "graft_cosine_sim_i8", "InMemoryTableScan"),
       // the fused native counters and the two-long decimal accumulator
       // must stay in these plans — a regression to the interpreted HOF
       // spelling / BigDecimal Sum would erase the function names
