@@ -1612,15 +1612,47 @@ object MlOps extends QueryModule {
     * error channel).
     */
   def imageEmbed(images: DataFrame, wGrid: Int = 8, hGrid: Int = 8): DataFrame = {
-    val sums = udf { (b: Array[Byte]) =>
-      graft.ocr.ImageOps.decode(b).toOption
-        .map(img => graft.ocr.ImageOps.blockSums(
-          graft.ocr.ImageOps.grayscale(img), wGrid, hGrid))
-        .orNull
-    }
+    val sums = imageSumsUdfs.computeIfAbsent((wGrid, hGrid), { case (w, h) =>
+      udf { (b: Array[Byte]) =>
+        graft.ocr.ImageOps.decode(b).toOption
+          .map(img => graft.ocr.ImageOps.blockSums(
+            graft.ocr.ImageOps.grayscale(img), w, h))
+          .orNull
+      }
+    })
     l2NormalizeCounts(
       images.select(col("doc_id").as("vec_id"), sums(col("content")).as("cnts")))
   }
+
+  /** STABLE UDF instances, one per parameterization (and the shared
+    * fixture generators below): the model/index/prepared caches key on
+    * the analyzed plan's CANONICAL form, and a ScalaUDF canonicalizes
+    * equal only when its function reference is the same object. A
+    * `udf(...)` constructed per query invocation therefore made every
+    * image/audio-family bench run a cache MISS — coarse-quantizer
+    * training, the stored-index write, and the prepared projection all
+    * re-ran inside the measured region on every run, while the text
+    * family (whose embedFromText plans are built from native
+    * expressions and canonicalize structurally) has hit those caches
+    * since r13. Hoisting the instances brings the derived-vector
+    * modalities under the SAME declared stored-model convention: train
+    * once (warmup), every search/dedup run reads the stored state.
+    * The embed queries themselves (q_image_embed / q_audio_embed) keep
+    * paying their decode pass in-measure — they materialize through a
+    * per-run corpusCheckpoint, never through these caches.
+    */
+  private val imageSumsUdfs = new java.util.concurrent.ConcurrentHashMap[
+    (Int, Int), org.apache.spark.sql.expressions.UserDefinedFunction]()
+  private val audioSumsUdfs = new java.util.concurrent.ConcurrentHashMap[
+    Int, org.apache.spark.sql.expressions.UserDefinedFunction]()
+
+  /** Shared synthetic-fixture generators (one instance each, so every
+    * query over the same fixture builds cache-key-equal plans).
+    */
+  private[ops] val quadPngUdf =
+    udf((id: Long) => graft.ocr.MultimodalOps.quadPatternPng(id))
+  private[ops] val wavQuadUdf =
+    udf((id: Long) => graft.ocr.MultimodalOps.wavSynthQuad(id % 199, 420, 1, 8000))
 
   /** Audio → embedding: the third modality through the shared ring
     * ([[embedFromText]] for text, [[imageEmbed]] for images). Each
@@ -1636,7 +1668,8 @@ object MlOps extends QueryModule {
     * Undecodable clips yield a NULL embedding.
     */
   def audioEmbed(audio: DataFrame, bins: Int = EmbedDim): DataFrame = {
-    val sums = udf((b: Array[Byte]) => graft.ocr.MultimodalOps.sampleBinSums(b, bins))
+    val sums = audioSumsUdfs.computeIfAbsent(bins, b =>
+      udf((bytes: Array[Byte]) => graft.ocr.MultimodalOps.sampleBinSums(bytes, b)))
     l2NormalizeCounts(
       audio.select(col("doc_id").as("vec_id"), sums(col("content")).as("cnts")))
   }
@@ -2022,7 +2055,7 @@ object MlOps extends QueryModule {
          |FROM ibl b JOIN inr n ON n.doc_id = b.doc_id
          |ORDER BY b.doc_id, b.k""".stripMargin
     ) { (s, d) =>
-      val gen = udf((id: Long) => graft.ocr.MultimodalOps.quadPatternPng(id))
+      val gen = quadPngUdf
       val sums = udf { (b: Array[Byte]) =>
         graft.ocr.ImageOps.decode(b).toOption
           .map(im => graft.ocr.ImageOps.blockSums(
@@ -2076,11 +2109,14 @@ object MlOps extends QueryModule {
          |      FROM scored)
          |WHERE rn <= 3 ORDER BY qid, vid""".stripMargin
     ) { (s, d) =>
-      val gen = udf((id: Long) => graft.ocr.MultimodalOps.quadPatternPng(id))
       // ONE frame feeds codebook, index, and query batch — within the
-      // run the three model reads share a single training pass
+      // run the three model reads share a single training pass, and the
+      // stable quadPngUdf instance makes the plan cache-key-equal
+      // ACROSS runs (see the stable-UDF note above): training and the
+      // index write happen once at warmup, the measured operator is the
+      // decode-backed probe — the q_embed_search convention.
       val e = imageEmbed(Tables.documents(s, d)
-        .select(col("doc_id"), gen(col("doc_id")).as("content")))
+        .select(col("doc_id"), quadPngUdf(col("doc_id")).as("content")))
       searchAgainstIvfIndex(
         cachedQueryBatchDf(e, k = 16),
         cachedCodebookDf(e, k = 16),
@@ -2106,10 +2142,9 @@ object MlOps extends QueryModule {
         derivedCtes = s"${imageEmbCtes()},\n",
         seedExpr = autoKSql("emb"))
     ) { (s, d) =>
-      val gen = udf((id: Long) => graft.ocr.MultimodalOps.quadPatternPng(id))
       graft.GraftOps.semanticDedup(
         imageEmbed(Tables.documents(s, d)
-          .select(col("doc_id"), gen(col("doc_id")).as("content"))),
+          .select(col("doc_id"), quadPngUdf(col("doc_id")).as("content"))),
         threshold = 0.96, prefilterSlack = 0.03)
     },
 
@@ -2128,8 +2163,7 @@ object MlOps extends QueryModule {
          |FROM abl b JOIN anr n ON n.doc_id = b.doc_id
          |ORDER BY b.doc_id, b.kb""".stripMargin
     ) { (s, d) =>
-      val gen = udf((id: Long) =>
-        graft.ocr.MultimodalOps.wavSynthQuad(id % 199, 420, 1, 8000))
+      val gen = wavQuadUdf
       val sums = udf((b: Array[Byte]) =>
         graft.ocr.MultimodalOps.sampleBinSums(b, EmbedDim))
       // materialize-then-sort (the q_embed_from_text discipline): keep
@@ -2164,11 +2198,9 @@ object MlOps extends QueryModule {
         derivedCtes = s"${audioEmbCtes()},\n",
         seedExpr = autoKSql("emb"))
     ) { (s, d) =>
-      val gen = udf((id: Long) =>
-        graft.ocr.MultimodalOps.wavSynthQuad(id % 199, 420, 1, 8000))
       graft.GraftOps.semanticDedup(
         audioEmbed(Tables.documents(s, d)
-          .select(col("doc_id"), gen(col("doc_id")).as("content"))),
+          .select(col("doc_id"), wavQuadUdf(col("doc_id")).as("content"))),
         threshold = 0.96, prefilterSlack = 0.03)
     }
   )
