@@ -151,16 +151,87 @@ object DedupOps extends QueryModule {
       .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
       .distinct()
 
-  /** Connected components over the LSH candidate-pair graph via
-    * min-label propagation: each doc's component = the smallest doc_id
-    * reachable through near-dup edges (so the component id IS the
-    * keeper). Driver-side loop of distributed jobs with localCheckpoint
-    * lineage cuts; converges in <= graph-diameter rounds (labels only
-    * decrease) — LSH bucket graphs are clique unions with tiny
-    * diameters, the iteration cap is a runaway backstop only.
+  /** Cap for the literal candidate-edge collect ([[nearDupComponents]]'s
+    * driver union-find path): 2M (d1, d2) long pairs ≈ 32 MB of values
+    * plus map overhead — model-state-sized on the driver (the
+    * [[graft.ops.FilterOps.MaxLiteralDupLines]] discipline). The
+    * candidate-EDGE count is what LSH banding exists to bound (pairs are
+    * O(Σ min(bucket, cap)²), not O(corpus²)), so real corpora sit far
+    * under this long past the point where the corpus itself outgrew the
+    * driver; a pathological near-dup graph past the cap falls back to
+    * the distributed label-propagation loop below.
     */
-  def nearDupComponents(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+  val MaxLiteralEdges = 2000000L
+
+  /** Connected components over the LSH candidate-pair graph: each doc's
+    * component = the smallest doc_id reachable through near-dup edges
+    * (so the component id IS the keeper).
+    *
+    * Physical shape, chosen by the measured edge count (the
+    * boilerplate/firstLineDedup dual-path discipline): the candidate
+    * edges are bounded-collected; under [[MaxLiteralEdges]] the fixpoint
+    * is a DRIVER union-find (min-id representative, exact same
+    * component = min-reachable semantics) returned as a local frame —
+    * ONE distributed job for the whole clustering instead of the loop's
+    * 4-6 jobs PER ITERATION (join + aggregation + checkpoint
+    * materialization + convergence probe, each with its own exchanges:
+    * ~20 near-empty stage-jobs at any SF, pure scheduling floor — the
+    * 8-core-beats-32-core pathology of r16's scaling block). Past the
+    * cap, the distributed min-label-propagation loop takes over
+    * unchanged — edges at that scale are genuinely cluster-sized state.
+    * Dual-path equality is spec'd (DedupSpec).
+    *
+    * @param maxLiteralEdges 0 forces the distributed loop (spec hook).
+    */
+  def nearDupComponents(
+      docs: org.apache.spark.sql.DataFrame,
+      maxLiteralEdges: Long = MaxLiteralEdges): org.apache.spark.sql.DataFrame = {
     val pairs = lshCandidatePairs(docs)
+    if (maxLiteralEdges > 0) {
+      val probe = TinyLoop.boundedCollect(pairs, maxLiteralEdges)
+      if (probe.length <= maxLiteralEdges) {
+        // Union-find with the MINIMUM doc_id as each root (find(x) is
+        // iterative with full path compression; union roots by value so
+        // the representative is always the smallest id seen — exactly
+        // the loop's fixpoint label). Components here are exact graph
+        // connectivity, not an approximation.
+        val parent = new java.util.HashMap[Long, Long](probe.length * 2)
+        def find(x0: Long): Long = {
+          var x = x0
+          var p = parent.getOrDefault(x, x)
+          while (p != x) { x = p; p = parent.getOrDefault(x, x) }
+          val root = x
+          x = x0
+          while (x != root) { val nx = parent.get(x); parent.put(x, root); x = nx }
+          root
+        }
+        probe.foreach { r =>
+          val (a, b) = (r.getLong(0), r.getLong(1))
+          parent.putIfAbsent(a, a)
+          parent.putIfAbsent(b, b)
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) {
+            if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+          }
+        }
+        val spark = docs.sparkSession
+        import scala.jdk.CollectionConverters._
+        val rows = parent.keySet().asScala.toArray.sorted
+          .map(n => (n, find(n))).toSeq
+        return spark.createDataFrame(rows).toDF("doc_id", "component")
+      }
+    }
+    nearDupComponentsLoop(pairs)
+  }
+
+  /** The distributed fixpoint (min-label propagation over the symmetric
+    * edge frame): a driver-side loop of distributed jobs with
+    * localCheckpoint lineage cuts; converges in <= graph-diameter rounds
+    * (labels only decrease) — LSH bucket graphs are clique unions with
+    * tiny diameters, the iteration cap is a runaway backstop only.
+    */
+  private def nearDupComponentsLoop(
+      pairs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val edges = pairs.select(col("d1").as("a"), col("d2").as("b"))
       .unionByName(pairs.select(col("d2").as("a"), col("d1").as("b")))
       .distinct()
@@ -403,24 +474,38 @@ object DedupOps extends QueryModule {
     }
     def fp(t: org.apache.spark.sql.Column) =
       md5(trim(regexp_replace(lower(t), TextOps.WsRe, " ")))
-    val p = prev.select(col("doc_id").as("p_id"), canon(col("url")).as("url_c"),
-      fp(col("text")).as("p_fp"), col("text").as("p_text"))
+    // Single-scan discipline (guide §6; r16 VERDICT item 5): the old
+    // spelling consumed the `p` projection THREE times (the URL join,
+    // the signature union, the urls exclusion frame) and the url-keyed
+    // join TWICE (candidates + unchanged) — each consumer re-ran the
+    // 3-regex canonicalization and the md5 fingerprint over a full
+    // snapshot scan. Now: prev's (id, canonical url, fingerprint) META
+    // triple materializes ONCE (narrow — prev text stays out of it; the
+    // signature pass below is its only text consumer), the url-keyed
+    // join runs ONCE over next's META rows (text never enters the url
+    // exchange) and materializes for both the candidate and unchanged
+    // arms, and candidate text rides ONE id-keyed attach against the
+    // bounded candidate-id set (the §8 move-payload-once rule).
+    val pMeta = prev.select(col("doc_id").as("p_id"), canon(col("url")).as("url_c"),
+      fp(col("text")).as("p_fp")).localCheckpoint()
     val byUrl = next
       .select(col("doc_id").as("n_id"), col("source"),
-        canon(col("url")).as("url_c"), fp(col("text")).as("n_fp"), col("text"))
-      .join(p.select(col("url_c"), col("p_fp")), Seq("url_c"), "left")
+        canon(col("url")).as("url_c"), fp(col("text")).as("n_fp"))
+      .join(pMeta.select(col("url_c"), col("p_fp")), Seq("url_c"), "left")
+      .localCheckpoint()
     val cands = byUrl
       .filter(col("p_fp").isNull || col("p_fp") =!= col("n_fp"))
       .select((col("n_id") + OFF).as("doc_id"), col("source"), col("url_c"),
-        col("p_fp").isNotNull.as("is_update"), col("text"))
-      // reused by the signature pass AND the final accounting join
-      .localCheckpoint()
+        col("p_fp").isNotNull.as("is_update"))
+    val candText = next
+      .select((col("doc_id") + OFF).as("doc_id"), col("text"))
+      .join(cands.select(col("doc_id")), Seq("doc_id"))
     // ONE signature table over previous corpus + candidates (the
     // incrementalAdmission discipline: the corpus text is hashed once;
     // in production the prev side IS the stored index, not a re-scan)
     val sig = signatures(
-      p.select(col("p_id").as("doc_id"), col("p_text").as("text"))
-        .unionByName(cands.select(col("doc_id"), col("text"))))
+      prev.select(col("doc_id"), col("text"))
+        .unionByName(candText))
       .localCheckpoint()
     val bands = sig
       .select(col("doc_id"), explode(bandArray).as("bd"))
@@ -440,7 +525,7 @@ object DedupOps extends QueryModule {
       .distinct()
     val sigArr = sig.select(col("doc_id"),
       array((0 until NumHashes).map(k => col(s"m$k")): _*).as("sg"))
-    val urls = p.select(col("p_id"), col("url_c"))
+    val urls = pMeta.select(col("p_id"), col("url_c"))
       .unionByName(cands.select(col("doc_id").as("p_id"), col("url_c")))
     val confirmed = pairs
       .join(sigArr.toDF("ka", "sa"), col("dn") === col("ka"))

@@ -172,23 +172,26 @@ object ExtraOps extends QueryModule {
         |WHERE rn <= 3 ORDER BY qid, rn"""
     ) { (s, d) =>
       val emb = Tables.embeddings(s, d)
-      val cent = emb.filter(col("vec_id").between(100, 115))
-        .select(col("vec_id").as("cid"), col("embedding").as("ce"))
-      val dists = emb.crossJoin(broadcast(cent))
-        .select(
-          col("vec_id"), col("cid"),
-          aggregate(
-            zip_with(col("embedding"), col("ce"),
-              (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
-            lit(0.0), (acc, v) => acc + v).as("dist"))
-      // nearest centroid via bounded min_by aggregation (struct comparison
-      // is lexicographic ⇒ (dist, cid) total order, same row the oracle's
-      // ROW_NUMBER()=1 picks) — a hash-agg with map-side partials instead
-      // of a per-vec_id window sort.
-      val assign = dists
-        .groupBy("vec_id")
-        .agg(min_by(col("cid"), struct(col("dist"), col("cid"))).as("cell"))
-      val withEmb = assign.join(emb, "vec_id")
+      // The 16-vector codebook is bounded model state (the knnLabel /
+      // kmeans EAGER-collect discipline): collect it once and bake the
+      // literal centroids into ONE narrow codegen NearestCentroid pass —
+      // the previous crossJoin(broadcast) spelling evaluated an
+      // interpreted zip_with/aggregate fold PER (vector, centroid) pair
+      // (16 CodegenFallback folds per row) and then re-aggregated the
+      // 16x-exploded frame by vec_id. Same argmin: NearestCentroid's
+      // strict-improvement loop over ascending ids picks the smallest
+      // (dist, cid) — exactly the min_by(struct(dist, cid)) row the
+      // oracle's ROW_NUMBER()=1 states; the distance is the identical
+      // ascending-index Σ(x−c)² left fold in double.
+      val cents = emb.filter(col("vec_id").between(100, 115))
+        .select(col("vec_id"), col("embedding"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toIndexedSeq))
+        .sortBy(_._1).toSeq
+      val withEmb = emb
+        .withColumn("m", graft.functions.GraftFunctions.nearest_centroid(
+          col("embedding"), cents.map(_._1), cents.map(_._2)))
+        .select(col("vec_id"), col("embedding"), col("m.k").as("cell"))
       val q = withEmb.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("cell").as("qcell"))
       val cand = withEmb

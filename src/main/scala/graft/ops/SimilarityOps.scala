@@ -34,7 +34,13 @@ object SimilarityOps extends QueryModule {
   private def normSq(a: Column): Column =
     aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double"))
 
-  private def norm(a: Column): Column = sqrt(normSq(a))
+  /** sqrt(Σx²) through the codegen [[graft.functions.SqNormF]] — the
+    * same ascending left fold in double as [[normSq]] (bit-identical;
+    * VecQuantSpec parity), without the interpreted CodegenFallback
+    * lambda the `aggregate` spelling plans.
+    */
+  private def norm(a: Column): Column =
+    sqrt(graft.functions.GraftFunctions.sq_norm_f(a))
 
   /** DuckDB fragments mirroring the folds above. */
   private def duckDot(a: String, b: String): String =

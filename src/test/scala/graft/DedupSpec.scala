@@ -32,6 +32,21 @@ class DedupSpec extends SparkSpec {
     assert(pairs.nonEmpty && got.nonEmpty)
   }
 
+  // Dual-path equality (the boilerplate/firstLineDedup discipline): the
+  // default literal path (driver union-find under MaxLiteralEdges) and
+  // the distributed label-propagation loop (maxLiteralEdges = 0) must
+  // emit identical (doc_id, component) labelings — the literal path is
+  // a physical-shape choice, never a semantic one.
+  test("nearDupComponents: literal union-find path == distributed loop path") {
+    val docs = Tables.documents(spark, sfDir)
+    val lit = ops.DedupOps.nearDupComponents(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val loop = ops.DedupOps.nearDupComponents(docs, maxLiteralEdges = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lit.nonEmpty)
+    assert(lit == loop)
+  }
+
   // Degenerate corpus: every document identical (mass-duplicated
   // boilerplate — the normal worst case in web-crawl dedup). All docs land
   // in the SAME band bucket for every band; without the MaxBucketDocs cap
