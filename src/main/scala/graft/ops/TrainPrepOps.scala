@@ -347,15 +347,18 @@ object TrainPrepOps {
     * the keep decision then joins back by id if the caller needs the
     * corpus, the q_dedup_corpus materialization trade).
     *
-    * Scale posture: ONE exchange keyed by domain (high-cardinality —
-    * domains number in the millions on a real crawl; partitions are
-    * domain-sized, never corpus-sized) feeding a rank window; a
-    * flooded domain (the case this operator exists for) is still one
-    * partition, so a single mega-domain at 100 TB wants the
-    * salted-prefilter variant: cap · salt candidates per domain via a
-    * salted pre-rank, then the exact window over survivors — recorded
-    * here as the documented next step past ~10⁸-row domains, not built
-    * speculatively.
+    * Scale posture (r17 — the r16-documented "salted pre-rank" next
+    * step was BUILT, MEASURED, and REJECTED): Spark 4 plans this
+    * row_number-then-filter shape with `WindowGroupLimit` in PARTIAL
+    * mode BELOW the exchange — every map task keeps at most `cap` rows
+    * per domain before anything shuffles — so a flooded mega-domain is
+    * already bounded to cap·(map tasks) rows at the exact window, which
+    * is exactly what a salted pre-rank would buy, minus its extra
+    * full-corpus exchange. The A/B (graft.DomainCapAB, 50M rows with a
+    * 25M-row mega-domain): salted 5.2 s vs plain 2.4 s — the salt is
+    * pure overhead on any Spark with rank-limit pushdown. The partial
+    * WindowGroupLimit node is plan-pinned (PlanHygieneSpec) so a
+    * respelling that silently breaks the pushdown fails the suite.
     */
   def domainCap(
       docs: DataFrame, domainCol: String, scoreCol: String,

@@ -226,6 +226,12 @@ class PlanHygieneSpec extends SparkSpec {
       // must stay in these plans — a regression to the interpreted HOF
       // spelling / BigDecimal Sum would erase the function names
       "q_repetition_signals" -> Seq("graft_repetition_stats"),
+      // domainCap's mega-domain skew guard: Spark's rank-limit pushdown
+      // must keep planning a map-side partial WindowGroupLimit for the
+      // row_number-then-filter cap (measured 2x cheaper than a salted
+      // pre-rank at 50M rows — DomainCapAB); losing it would put a
+      // flooded domain back into one partition silently
+      "q_domain_cap" -> Seq("WindowGroupLimit"),
       "q_agg_q1" -> Seq("graft_dec128_sum"),
       // r15: the moving sum runs in plain LONG arithmetic (quantity is
       // an integral count; the loud guard keeps foreign corpora honest).

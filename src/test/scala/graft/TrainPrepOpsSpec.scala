@@ -269,6 +269,31 @@ class TrainPrepOpsSpec extends SparkSpec {
     assert(e.getMessage.contains("__graft_corpus_q"))
   }
 
+  // domainCap's mega-domain skew guard is Spark's rank-limit pushdown:
+  // the row_number-then-filter shape must plan a PARTIAL
+  // WindowGroupLimit below the exchange (map-side per-domain top-cap —
+  // the measured 2x-cheaper equivalent of the salted pre-rank the r16
+  // scaladoc proposed; see DomainCapAB). A respelling that breaks the
+  // pushdown would silently put a flooded domain back into ONE
+  // partition — fail here, by name. Values pinned on a flooded frame
+  // with heavy score ties (the tie-break doc_id order is where a broken
+  // partial limit would first diverge).
+  test("domainCap: rank-limit pushdown fires and flood winners are exact") {
+    import spark.implicits._
+    // two domains (a constant domain would let the optimizer drop the
+    // partition key and plan TakeOrderedAndProject instead): 'mega'
+    // holds 99.99% of rows, 'tiny' exactly one
+    val flood = spark.range(10000)
+      .select(col("id").as("doc_id"),
+        when(col("id") === 9999, lit("tiny")).otherwise(lit("mega")).as("domain"),
+        (col("id") % 3).cast("double").as("score"))
+    val capped = TrainPrepOps.domainCap(flood, "domain", "score", "doc_id", 5)
+    val ids = capped.select("doc_id").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(2L, 5L, 8L, 11L, 14L, 9999L))
+    val plan = capped.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
   test("BPE decode roundtrips every fixture document exactly") {
     // the tokenizer-integrity contract behind q_bpe_roundtrip:
     // decode(encode(words)) == concat(words, '') for EVERY document —
