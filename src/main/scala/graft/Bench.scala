@@ -151,6 +151,22 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
+      // AQE partition-coalescing mode, env-parameterised (one-flag A/B;
+      // production note in OPTIMIZATION_r17.md). Default TRUE = Spark's
+      // default, kept after a measured two-window A/B at sf0.1:
+      // parallelismFirst=false (coalesce to advisoryPartitionSizeInBytes
+      // — the Spark tuning docs' recommendation for real clusters, and
+      // the right 100 TB setting) collapses every 1-10 MB exchange to
+      // ONE post-shuffle partition at this SF, serializing the
+      // compute-bearing reduce stages (q_tokenize_pack +0.33s,
+      // q_image_semdedup +0.23s, q_ann_ivf_i8 +0.16s) for no stable win
+      // elsewhere — the r16 8-core-beats-32-core pathology turned out to
+      // be per-job/task scheduling floor (fixed by cutting job counts,
+      // e.g. the nearDupComponents union-find), NOT reduce-partition
+      // counts, which AQE's 1 MB-floor target already coalesces to 1-2
+      // at this scale under either setting.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        sys.env.getOrElse("SPARK_GRAFT_PARALLELISM_FIRST", "true"))
       // ContextCleaner only reclaims finished broadcasts / shuffle files
       // after their driver-side handles are GC'd. Under a very large heap
       // the JVM may not GC for the whole run, so stale shuffle state (and
