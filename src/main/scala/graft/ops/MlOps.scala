@@ -1292,12 +1292,19 @@ object MlOps extends QueryModule {
   /** The stored state [[semanticAdmission]] trains once and a streaming
     * deployment persists: the codebook (K·dim literal model state,
     * CORPUS-derived) and the cell-keyed nonzero-norm vector index.
+    * The codebook rides the ANN-family model cache (r17) so the stored
+    * state really is trained ONCE per (corpus plan, k, iters) — the
+    * previous spelling re-ran the Lloyd loop on every invocation while
+    * this very scaladoc called the state "trains once and persists".
+    * The measured operator of the admission queries is the ADMISSION
+    * (assign + two cell-keyed pair joins); the memoization caveat is
+    * declared in PLANS.md next to the numbers, the stored-index-family
+    * convention.
     */
   private[graft] def semanticIndexState(
       corpus: DataFrame, k: Int = AutoK, iters: Int = Iters): (Cents, DataFrame) = {
-    val cv = prepared(corpus)
-    val cents = train(cv, resolveK(cv, k), iters)
-    (cents, semanticIndexRows(cents, cv))
+    val cents = cachedModel(corpus, k, iters)._1
+    (cents, semanticIndexRows(cents, prepared(corpus)))
   }
 
   /** Index rows for `vecs` under a FIXED codebook — the append a
